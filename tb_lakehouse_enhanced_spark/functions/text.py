@@ -1,0 +1,96 @@
+"""Text-analysis column functions (LLM-pipeline extension surface).
+
+The reference has no string processing beyond column renames
+(SURVEY.md §2.7) — these are the training-data-pipeline operators the
+engine adds (language-ID, quality scoring, token counting, document
+fingerprinting). All are pure ``pyspark.sql.functions`` compositions:
+JVM-side, whole-stage-codegen-able, no Python UDFs in the hot path, so
+they stream through a 100 TB corpus at scan speed.
+
+Every function has an exact ANSI-SQL equivalent (used by the DuckDB
+correctness oracle), so regex patterns stick to syntax shared by Java
+regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: words | single digits | single punctuation.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+# Tiny per-language stopword anchors for the n-gram/lexicon heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "die", "ist"],
+    "fr": ["le", "et", "les", "est"],
+    "es": ["el", "y", "los", "es"],
+}
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("int")
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regex pre-tokenization."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0))).cast("int")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality score in [0,1]: length, word-shape, stopwords.
+
+    Scalar double arithmetic (no aggregation, so IEEE ops are
+    deterministic and oracle-exact):
+      0.4 * min(n_chars,400)/400 + 0.4 * alpha_ratio + 0.2 * stopword_hit
+    """
+    n_chars = F.length(text).cast("double")
+    len_part = F.least(n_chars, F.lit(400.0)) / F.lit(400.0)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1.0))
+    stop_hit = F.when(text.rlike(r"\b(the|and|of|is)\b"), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (F.lit(0.4) * len_part + F.lit(0.4) * alpha_ratio
+            + F.lit(0.2) * stop_hit).alias("quality_score")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0))).cast("int")
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker scores ('und' when all zero).
+
+    Ties break by fixed priority en > de > fr > es via a CASE cascade —
+    the SQL oracle mirrors the identical cascade.
+    """
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0),
+               F.lit("und"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+              F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of normalized text.
+
+    (md5 rather than xxhash64 so the DuckDB oracle computes the identical
+    value; normalization = lowercase + whitespace collapse.)
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def char_set(text: Column) -> Column:
+    """Distinct-character array (basis of character-Jaccard similarity)."""
+    return F.array_distinct(F.split(text, ""))

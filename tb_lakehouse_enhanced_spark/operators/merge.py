@@ -1,0 +1,206 @@
+"""SCD2 / SCD1 / keyed-upsert merge semantics as DataFrame transformations.
+
+This is the reference's core capability (SURVEY.md §2.9): every silver
+table is loaded through a two-pass Delta ``MERGE`` implementing SCD Type 2
+history (reference notebooks/22_ETL_Silver_PySpark.py:62-330), the gold
+dims through an SCD Type 1 upsert (33_ETL_Gold_Dim_PySpark.py:61-184) and
+the fact through a keyed upsert (34_ETL_Gold_Fact_PySpark.py:90-139).
+
+Spark-first design
+------------------
+Instead of translating the two MERGE transactions literally, each merge is
+computed as ONE full-outer join of the *current* target slice with the
+source batch, keyed on the natural key — a single shuffle — followed by
+narrow per-branch projections and a union:
+
+    matched & changed   -> closed old version (+ new version from source)
+    matched & unchanged -> passthrough
+    target-only         -> closed (source is a full snapshot: key deleted)
+    source-only         -> brand-new version
+
+This is exactly the join Delta's ``MergeIntoCommand`` runs internally
+(SURVEY.md §3 E2), minus the transaction log. History rows
+(``_tf_valid_to IS NOT NULL``) never enter the join — at scale, with the
+table partitioned on an ``is_current`` flag or date, the scan prunes to
+the current slice and the rewrite touches only current partitions.
+
+Determinism: the reference stamps rows with ``current_timestamp()``
+(22:76-77), which is untestable; every function here takes an injected
+``load_ts`` (SURVEY.md §7.4).
+
+Null-safety: the reference's change detection is an OR-chain of
+``tgt.c != src.c`` which silently misses NULL<->value transitions
+(22:66-75). Default here is the null-safe ``NOT (tgt.c <=> src.c)``;
+``strict_reference_semantics=True`` replicates the reference literally
+(documented deviation, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+VALID_FROM = "_tf_valid_from"
+VALID_TO = "_tf_valid_to"
+CREATE_DATE = "_tf_create_date"
+UPDATE_DATE = "_tf_update_date"
+TECH_COLS = (VALID_FROM, VALID_TO, CREATE_DATE, UPDATE_DATE)
+
+
+@dataclass(frozen=True)
+class ScdConfig:
+    """Parameterization of one merge target (table, keys, tracked cols)."""
+    keys: tuple[str, ...]
+    tracked: tuple[str, ...]
+    surrogate_key: str | None = None          # e.g. "_tf_id"
+    strict_reference_semantics: bool = False  # replicate null-unsafe !=
+    extra: dict = field(default_factory=dict)
+
+
+def _changed_predicate(cfg: ScdConfig, t: str = "t", s: str = "s") -> Column:
+    """OR-chain over tracked columns (reference 22:66-75 / 33:65-72)."""
+    def one(c: str) -> Column:
+        if cfg.strict_reference_semantics:
+            return F.col(f"{t}.{c}") != F.col(f"{s}.{c}")
+        return ~F.col(f"{t}.{c}").eqNullSafe(F.col(f"{s}.{c}"))
+    return reduce(lambda a, b: a | b, (one(c) for c in cfg.tracked))
+
+
+def _with_surrogates(inserts: DataFrame, cfg: ScdConfig, offset_df: DataFrame | None) -> DataFrame:
+    """Assign contiguous surrogate keys past the current max.
+
+    Emulates ``GENERATED ... AS IDENTITY`` (reference 01_Init.py:59).
+    Deterministic mode: row_number over the natural-key order. The global
+    (unpartitioned) window funnels the *inserted rows only* — a small
+    batch relative to the table — through one task; at 100 TB scale swap
+    for Delta identity columns or ``monotonically_increasing_id`` + max
+    offset (contiguity is not semantically required, SURVEY.md §7.4).
+    """
+    if cfg.surrogate_key is None:
+        return inserts
+    sk = cfg.surrogate_key
+    if offset_df is not None:
+        offset = (offset_df.agg(F.coalesce(F.max(sk), F.lit(0)).alias("m"))
+                  .collect()[0]["m"])
+    else:
+        offset = 0
+    w = Window.orderBy(*cfg.keys)
+    return inserts.withColumn(
+        sk, (F.row_number().over(w) + F.lit(offset)).cast("bigint"))
+
+
+def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
+               load_ts) -> DataFrame:
+    """Return the post-merge SCD2 table state (two reference passes fused).
+
+    ``target`` carries the source's business columns plus TECH_COLS (and
+    optionally ``cfg.surrogate_key``); ``source`` carries business columns
+    only. ``source`` is a full snapshot: keys absent from it are treated
+    as deleted and their current version is closed
+    (``WHEN NOT MATCHED BY SOURCE`` in the reference, 22:78-82).
+    """
+    load_ts = F.lit(load_ts).cast("timestamp")
+    business = list(source.columns)
+
+    if target is None or not target.columns:
+        inserts = (source
+                   .withColumn(VALID_FROM, load_ts)
+                   .withColumn(VALID_TO, F.lit(None).cast("timestamp"))
+                   .withColumn(CREATE_DATE, load_ts)
+                   .withColumn(UPDATE_DATE, load_ts))
+        return _with_surrogates(inserts, cfg, None)
+
+    current = target.filter(F.col(VALID_TO).isNull())
+    history = target.filter(F.col(VALID_TO).isNotNull())
+
+    t = current.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    on = reduce(lambda a, b: a & b,
+                (F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in cfg.keys))
+    j = t.join(s, on, "full_outer")
+
+    t_cols = [F.col(f"t.{c}").alias(c) for c in current.columns]
+    matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+    changed = matched & _changed_predicate(cfg)
+    deleted = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNull()
+    brand_new = F.col("t._t_present").isNull() & F.col("s._s_present").isNotNull()
+
+    # close pass (M1): changed or deleted current rows get valid_to stamped
+    closed = (j.filter(changed | deleted).select(t_cols)
+              .withColumn(VALID_TO, load_ts)
+              .withColumn(UPDATE_DATE, load_ts))
+    unchanged = j.filter(matched & ~_changed_predicate(cfg)).select(t_cols)
+
+    # insert pass (M2): new keys + replacement versions for changed keys
+    s_cols = [F.col(f"s.{c}").alias(c) for c in business]
+    inserts = (j.filter(brand_new | changed).select(s_cols)
+               .withColumn(VALID_FROM, load_ts)
+               .withColumn(VALID_TO, F.lit(None).cast("timestamp"))
+               .withColumn(CREATE_DATE, load_ts)
+               .withColumn(UPDATE_DATE, load_ts))
+    inserts = _with_surrogates(inserts, cfg, target)
+
+    out_cols = list(target.columns)
+    parts = [history, closed, unchanged, inserts]
+    return reduce(lambda a, b: a.select(out_cols).unionByName(b.select(out_cols)),
+                  parts)
+
+
+def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
+               load_ts) -> DataFrame:
+    """SCD Type 1 upsert (reference 33_ETL_Gold_Dim_PySpark.py:61-184).
+
+    Matched & changed rows take the source attributes and a fresh
+    ``_tf_update_date``; unmatched source rows are inserted with surrogate
+    keys. Keys absent from the source are retained untouched (the
+    reference's SCD1 MERGE has no NOT-MATCHED-BY-SOURCE clause).
+    """
+    load_ts = F.lit(load_ts).cast("timestamp")
+    business = list(source.columns)
+
+    if target is None:
+        inserts = (source.withColumn(CREATE_DATE, load_ts)
+                   .withColumn(UPDATE_DATE, load_ts))
+        return _with_surrogates(inserts, cfg, None)
+
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    on = reduce(lambda a, b: a & b,
+                (F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in cfg.keys))
+    j = t.join(s, on, "full_outer")
+
+    matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+    changed = matched & _changed_predicate(cfg)
+    keep_cols = [c for c in target.columns if c not in business]
+
+    updated = j.filter(changed).select(
+        *[F.col(f"t.{c}").alias(c) for c in keep_cols],
+        *[F.col(f"s.{c}").alias(c) for c in business],
+    ).withColumn(UPDATE_DATE, load_ts)
+    untouched = (j.filter(matched & ~_changed_predicate(cfg))
+                 .select([F.col(f"t.{c}").alias(c) for c in target.columns]))
+    target_only = (j.filter(F.col("s._s_present").isNull())
+                   .select([F.col(f"t.{c}").alias(c) for c in target.columns]))
+    inserts = (j.filter(F.col("t._t_present").isNull())
+               .select([F.col(f"s.{c}").alias(c) for c in business])
+               .withColumn(CREATE_DATE, load_ts)
+               .withColumn(UPDATE_DATE, load_ts))
+    inserts = _with_surrogates(inserts, cfg, target)
+
+    out_cols = list(target.columns)
+    parts = [untouched, target_only, updated, inserts]
+    return reduce(lambda a, b: a.select(out_cols).unionByName(b.select(out_cols)),
+                  parts)
+
+
+def keyed_upsert(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
+                 load_ts) -> DataFrame:
+    """Fact-table upsert (reference 34_ETL_Gold_Fact_PySpark.py:90-139).
+
+    Identical routing to SCD1 but with no surrogate key: composite-keyed
+    rows are replaced when any tracked column changed, inserted when new.
+    """
+    return scd1_merge(target, source, cfg, load_ts)

@@ -1,0 +1,698 @@
+"""Declared query inventory (SURVEY.md §2 coverage).
+
+Every operator the engine claims is declared here twice:
+
+- ``SPARK_QUERIES[name](spark, sf_dir) -> DataFrame`` — the engine path,
+  built on the DataFrame API so Catalyst plans it.
+- ``ORACLE_SQL[name]`` — the equivalent ANSI SQL the DuckDB oracle runs
+  on the same parquet tables (absent => rows-only check for ops whose
+  semantics aren't SQL-expressible, e.g. LSH candidate generation).
+
+Column names AND types are aligned pair-by-pair (aggregates computed in
+DECIMAL so both engines produce bit-identical sums; scalar double math is
+IEEE-deterministic and shared; md5 instead of engine-specific hashes).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    TOKEN_PATTERN, doc_fingerprint, lang_id, lang_scores, quality_score,
+    token_count, ws_token_count,
+)
+from ..operators.calendar import calendar_spine, date_key
+from ..operators.dedup import (
+    exact_dedup, jaccard_near_dup, minhash_lsh_pairs, simhash_pairs,
+)
+from ..operators.fact import build_fact_sales
+from ..operators.similarity import cosine_topk, lsh_topk
+from ..sources.managed import ManagedTable
+from . import scd_scenarios as scd
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as nanos-since-epoch and truncate
+    to microseconds — the same truncation DuckDB applies when it coerces
+    the column to its microsecond TIMESTAMP, so oracle values align."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _rev(price="l_extendedprice", disc="l_discount"):
+    """Net revenue in exact decimal: price * (1 - discount)."""
+    return (F.col(price).cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col(disc).cast("decimal(18,4)")))
+
+
+_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))")
+
+
+def _star_join(spark, sf_dir):
+    """lineitem -> orders -> customer -> nation -> region left-outer chain.
+
+    Dim sides broadcast (reference fact chain 34:44-70 — at any scale the
+    dims are << fact, so the chain is BHJs over one lineitem scan)."""
+    li = _t(spark, sf_dir, "lineitem").alias("li")
+    o = _t(spark, sf_dir, "orders").alias("o")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    n = _t(spark, sf_dir, "nation").alias("n")
+    r = _t(spark, sf_dir, "region").alias("r")
+    return (li.join(F.broadcast(o), F.col("li.l_orderkey") == F.col("o.o_orderkey"), "left_outer")
+            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"), "left_outer")
+            .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left_outer")
+            .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left_outer"))
+
+
+_STAR_JOIN_SQL = """lineitem li
+  LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"""
+
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# §2.1 / §2.2  scans, projections, filters
+# --------------------------------------------------------------------------
+
+@q("scan_source", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+""")
+def scan_source(spark, sf_dir):
+    """S1/S4: predicate + projection pushed into the parquet scan."""
+    return (_t(spark, sf_dir, "lineitem")
+            .filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_shipdate"))
+
+
+@q("project_rename", """
+SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_orderstatus AS status,
+       o_totalprice AS total_due, o_orderdate AS order_date
+FROM orders
+""")
+def project_rename(spark, sf_dir):
+    """P1: the silver rename-projection (reference 22:46-56)."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_due"),
+        F.col("o_orderdate").alias("order_date"))
+
+
+@q("project_cast_null", """
+SELECT CAST(c_custkey AS INTEGER) AS customer_id,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS segment,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+       COALESCE(TRY_CAST(c_name AS DOUBLE), -9.0) AS name_as_number
+FROM customer
+""")
+def project_cast_null(spark, sf_dir):
+    """P2: CAST / TRY_CAST / COALESCE null-default projection (33:48-54)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("int").alias("customer_id"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias("segment"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+        F.coalesce(F.col("c_name").try_cast("double"), F.lit(-9.0)).alias("name_as_number"))
+
+
+@q("filter_current", """
+SELECT user_id, event_type, ts FROM (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to
+  FROM events
+) WHERE valid_to IS NULL
+""")
+def filter_current(spark, sf_dir):
+    """P4: current-record filter (valid_to IS NULL) over a versioned view."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (e.withColumn("valid_to", F.lead("ts").over(w))
+            .filter(F.col("valid_to").isNull())
+            .select("user_id", "event_type", "ts"))
+
+
+@q("filter_where_in", """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND c_nationkey < 10
+""")
+def filter_where_in(spark, sf_dir):
+    """P5: WHERE + IN-list predicates (reference 23:74-76)."""
+    return (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+                    & (F.col("c_nationkey") < 10))
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+# --------------------------------------------------------------------------
+# §2.3  joins
+# --------------------------------------------------------------------------
+
+@q("join_fact_chain", f"""
+SELECT li.l_orderkey, li.l_linenumber, COALESCE(r.r_name, 'N/A') AS region_name,
+       COALESCE(c.c_mktsegment, 'N/A') AS segment
+FROM {_STAR_JOIN_SQL}
+""")
+def join_fact_chain(spark, sf_dir):
+    """J1/J2/J4: left-deep left-outer join chain (reference 34:44-70)."""
+    return _star_join(spark, sf_dir).select(
+        F.col("li.l_orderkey").alias("l_orderkey"),
+        F.col("li.l_linenumber").alias("l_linenumber"),
+        F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"),
+        F.coalesce(F.col("c.c_mktsegment"), F.lit("N/A")).alias("segment"))
+
+
+@q("join_dim_lookup", """
+SELECT c.c_custkey, COALESCE(n.n_name, 'N/A') AS nation_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""")
+def join_dim_lookup(spark, sf_dir):
+    """J3/J5: natural-key -> dim lookup with unknown-member default."""
+    c = _t(spark, sf_dir, "customer").alias("c")
+    n = _t(spark, sf_dir, "nation").alias("n")
+    return (c.join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left_outer")
+            .select(F.col("c.c_custkey").alias("c_custkey"),
+                    F.coalesce(F.col("n.n_name"), F.lit("N/A")).alias("nation_name")))
+
+
+@q("join_semi", """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join (coverage extension, SURVEY.md §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey"))
+
+
+@q("join_anti", """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join (coverage extension)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey"))
+
+
+@q("fact_projection", f"""
+SELECT li.l_orderkey AS order_key, li.l_linenumber AS line_number,
+       COALESCE(c.c_custkey, CAST(-9 AS BIGINT)) AS customer_key,
+       COALESCE(n.n_nationkey, -9) AS nation_key,
+       COALESCE(r.r_regionkey, -9) AS region_key,
+       COALESCE(CAST(YEAR(o.o_orderdate)*10000 + MONTH(o.o_orderdate)*100
+                     + DAY(o.o_orderdate) AS INTEGER), -9) AS order_date_key,
+       li.l_quantity AS quantity, li.l_extendedprice AS extended_price,
+       CAST({_REV_SQL} AS DECIMAL(38,8)) AS net_revenue
+FROM {_STAR_JOIN_SQL}
+""")
+def fact_projection(spark, sf_dir):
+    """P3/J1-J5: full gold-fact build (reference 34:72-82)."""
+    return build_fact_sales(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"))
+
+
+# --------------------------------------------------------------------------
+# §2.4 / §2.5  aggregations, windows, sorts
+# --------------------------------------------------------------------------
+
+@q("star_agg_sales_by_geo", f"""
+SELECT COALESCE(r.r_name, 'N/A') AS region_name,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS total_ventes,
+       COUNT(DISTINCT li.l_orderkey) AS nombre_commandes
+FROM {_STAR_JOIN_SQL}
+GROUP BY COALESCE(r.r_name, 'N/A')
+""")
+def star_agg_sales_by_geo(spark, sf_dir):
+    """A1/A2: the Power BI measures 'Total Ventes' / 'Nombre Commandes'
+    grouped by geography (pbix Layout; SURVEY.md §2.4)."""
+    return (_star_join(spark, sf_dir)
+            .groupBy(F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"))
+            .agg(F.sum(_rev()).cast("decimal(38,8)").alias("total_ventes"),
+                 F.countDistinct(F.col("li.l_orderkey")).alias("nombre_commandes")))
+
+
+@q("star_agg_order_count", """
+SELECT c.c_mktsegment, COUNT(DISTINCT o.o_orderkey) AS nombre_commandes
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def star_agg_order_count(spark, sf_dir):
+    """A2: distinct order count per segment."""
+    o = _t(spark, sf_dir, "orders").alias("o")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    return (o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+            .groupBy(F.col("c.c_mktsegment").alias("c_mktsegment"))
+            .agg(F.countDistinct("o.o_orderkey").alias("nombre_commandes")))
+
+
+@q("star_agg_by_month", f"""
+SELECT COALESCE(r.r_name, 'N/A') AS region_name,
+       CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
+       CAST(MONTH(o.o_orderdate) AS INTEGER) AS order_month,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS total_ventes
+FROM {_STAR_JOIN_SQL}
+GROUP BY 1, 2, 3
+""")
+def star_agg_by_month(spark, sf_dir):
+    """A3: time-grain rollup by calendar attributes."""
+    j = _star_join(spark, sf_dir)
+    return (j.groupBy(
+        F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"),
+        F.year("o.o_orderdate").cast("int").alias("order_year"),
+        F.month("o.o_orderdate").cast("int").alias("order_month"))
+        .agg(F.sum(_rev()).cast("decimal(38,8)").alias("total_ventes")))
+
+
+@q("agg_rollup", """
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_balance
+FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""")
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (coverage extension, SURVEY.md §2.4)."""
+    c = _t(spark, sf_dir, "customer").alias("c")
+    n = _t(spark, sf_dir, "nation").alias("n")
+    r = _t(spark, sf_dir, "region").alias("r")
+    j = (c.join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+         .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey")))
+    return (j.rollup(F.col("r.r_name").alias("r_name"), F.col("n.n_name").alias("n_name"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("c.c_acctbal").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("total_balance")))
+
+
+@q("sort_multi", """
+SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20
+""")
+def sort_multi(spark, sf_dir):
+    """W1: multi-column sort + top-k limit (unique tie-break => stable)."""
+    return (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_acctbal", "c_mktsegment")
+            .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(20))
+
+
+@q("window_rank", """
+SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+""")
+def window_rank(spark, sf_dir):
+    """W-ext: top-N per group via ranking window (SURVEY.md §2.5)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (_t(spark, sf_dir, "customer")
+            .select("c_nationkey", "c_custkey", "c_acctbal",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@q("surrogate_keys", """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS _tf_id, c_custkey
+FROM customer
+""")
+def surrogate_keys(spark, sf_dir):
+    """W2: deterministic surrogate-key assignment (reference 01:59)."""
+    w = Window.orderBy("c_custkey")
+    return (_t(spark, sf_dir, "customer")
+            .select(F.row_number().over(w).cast("bigint").alias("_tf_id"), "c_custkey"))
+
+
+# --------------------------------------------------------------------------
+# §2.6  set operations
+# --------------------------------------------------------------------------
+
+@q("set_union", """
+SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_union(spark, sf_dir):
+    a = (_t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey").alias("id")))
+    b = (_t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("id")))
+    return a.unionByName(b).distinct()
+
+
+@q("set_except", """
+SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders
+""")
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@q("set_intersect", """
+SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders
+""")
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+# --------------------------------------------------------------------------
+# §2.7 / S6  scalar functions + calendar spine
+# --------------------------------------------------------------------------
+
+@q("dim_calendar_spine", """
+WITH d AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2002-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS cal_date
+)
+SELECT CAST(YEAR(cal_date)*10000 + MONTH(cal_date)*100 + DAY(cal_date) AS INTEGER) AS date_key,
+       cal_date,
+       CAST(YEAR(cal_date) AS INTEGER) AS cal_year,
+       CAST(QUARTER(cal_date) AS INTEGER) AS cal_quarter,
+       CAST(MONTH(cal_date) AS INTEGER) AS cal_month,
+       CAST(DAY(cal_date) AS INTEGER) AS cal_day,
+       dayname(cal_date) AS day_name,
+       monthname(cal_date) AS month_name,
+       CAST(weekofyear(cal_date) AS INTEGER) AS week_of_year,
+       CAST(isodow(cal_date) AS INTEGER) AS iso_day_of_week,
+       isodow(cal_date) >= 6 AS is_weekend,
+       date_trunc('month', cal_date) AS month_start,
+       last_day(cal_date) AS month_end,
+       CAST(YEAR(cal_date + 89) AS INTEGER) AS fiscal_year
+FROM d
+""")
+def dim_calendar_spine(spark, sf_dir):
+    """S6: generated calendar dimension (reference 01_Init.py:180-233)."""
+    return calendar_spine(spark)
+
+
+@q("str_funcs", """
+SELECT doc_id,
+       regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+       upper(source) AS source_uc,
+       substr(text, 1, 10) AS prefix10,
+       CAST(length(text) AS INTEGER) AS text_len,
+       replace(lang, 'und', 'unknown') AS lang_norm
+FROM documents
+""")
+def str_funcs(spark, sf_dir):
+    """String-function coverage (extension surface, SURVEY.md §2.7)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "^([a-z]+)", 1).alias("first_word"),
+        F.upper("source").alias("source_uc"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.length("text").cast("int").alias("text_len"),
+        F.replace(F.col("lang"), F.lit("und"), F.lit("unknown")).alias("lang_norm"))
+
+
+@q("json_extract", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+""")
+def json_extract(spark, sf_dir):
+    """JSON property extraction from the events.props column."""
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("prop_k")))
+
+
+# --------------------------------------------------------------------------
+# §2.8 / §2.9  DML + merge family (state queries, SURVEY.md §7.4)
+# --------------------------------------------------------------------------
+
+def _lineitem_copy(spark, sf_dir, tag):
+    src = (_t(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    mt = ManagedTable(spark, tempfile.mkdtemp(prefix=f"tb_dml_{tag}_"))
+    return mt.overwrite(src)
+
+
+@q("dml_update", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+       CASE WHEN l_returnflag = 'R' THEN 'X' ELSE l_returnflag END AS l_returnflag
+FROM lineitem
+""")
+def dml_update(spark, sf_dir):
+    """D1: UPDATE ... WHERE as a snapshot rewrite (reference 23:40-44)."""
+    mt = _lineitem_copy(spark, sf_dir, "upd")
+    mt.update(F.col("l_returnflag") == "R",
+              {"l_quantity": F.col("l_quantity") + 5, "l_returnflag": F.lit("X")})
+    return mt.read()
+
+
+@q("dml_delete", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_returnflag <> 'A'
+""")
+def dml_delete(spark, sf_dir):
+    """D2: DELETE ... WHERE as a snapshot rewrite (reference 23:50)."""
+    mt = _lineitem_copy(spark, sf_dir, "del")
+    mt.delete(F.col("l_returnflag") == "A")
+    return mt.read()
+
+
+@q("scd2_merge_state", scd.SCD2_ORACLE_BASE + "SELECT * FROM final")
+def scd2_merge_state(spark, sf_dir):
+    """M1+M2: full SCD2 state after initial load + one mutated batch."""
+    return scd.scd2_state(spark, sf_dir)
+
+
+@q("scd2_close", scd.SCD2_ORACLE_BASE
+   + "SELECT * FROM final WHERE _tf_valid_to IS NOT NULL")
+def scd2_close(spark, sf_dir):
+    """M1: the closed (historized) versions only."""
+    return scd.scd2_state(spark, sf_dir).filter(F.col("_tf_valid_to").isNotNull())
+
+
+@q("scd2_insert", scd.SCD2_ORACLE_BASE
+   + "SELECT * FROM final WHERE _tf_valid_to IS NULL")
+def scd2_insert(spark, sf_dir):
+    """M2: the open/current versions only."""
+    return scd.scd2_state(spark, sf_dir).filter(F.col("_tf_valid_to").isNull())
+
+
+@q("scd1_upsert", scd.SCD1_ORACLE)
+def scd1_upsert(spark, sf_dir):
+    """M3: SCD1 dim upsert with surrogate keys + unknown member row."""
+    return scd.scd1_state(spark, sf_dir)
+
+
+@q("fact_upsert", scd.FACT_UPSERT_ORACLE)
+def fact_upsert(spark, sf_dir):
+    """M4: composite-key fact upsert."""
+    return scd.fact_upsert_state(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# §2.10  streaming (batch-equivalent tumbling window)
+# --------------------------------------------------------------------------
+
+@q("stream_tumbling", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def stream_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation — the batch-checkable core of the
+    Structured Streaming path (same window() expression runs under
+    readStream + watermark in streaming/tumbling.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("decimal(38,6)").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+# --------------------------------------------------------------------------
+# §2.11  LLM-pipeline extension: dedup / text / similarity
+# --------------------------------------------------------------------------
+
+@q("dedup_exact", """
+SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+""")
+def dedup_exact_q(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@q("dedup_ngram_jaccard", """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(list_distinct(string_split(lower(trim(a.text)), ' ')),
+                               list_distinct(string_split(lower(trim(b.text)), ' ')))) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(list_distinct(string_split(lower(trim(a.text)), ' ')),
+                                            list_distinct(string_split(lower(trim(b.text)), ' '))))) AS DOUBLE)
+       AS jaccard
+FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(list_distinct(string_split(lower(trim(a.text)), ' ')),
+                              list_distinct(string_split(lower(trim(b.text)), ' ')))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(list_distinct(string_split(lower(trim(a.text)), ' ')),
+                                           list_distinct(string_split(lower(trim(b.text)), ' '))))) AS DOUBLE)
+      >= 0.6
+""")
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact word-set Jaccard near-dup pairs (blocked on lang)."""
+    return jaccard_near_dup(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@q("dedup_minhash")  # LSH candidate set — not SQL-expressible; rows-only
+def dedup_minhash_q(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@q("dedup_simhash")  # rows-only
+def dedup_simhash_q(spark, sf_dir):
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@q("text_stats", """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_obs,
+       CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(list_max(list_transform(string_split(trim(text), ' '), x -> length(x))) AS INTEGER) AS max_word_len,
+       CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS INTEGER) AS n_distinct_words
+FROM documents
+""")
+def text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_obs"),
+        F.size(words).cast("int").alias("n_ws_tokens"),
+        F.array_max(F.transform(words, lambda x: F.length(x))).cast("int").alias("max_word_len"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " ")))
+        .cast("int").alias("n_distinct_words"))
+
+
+_LANG_SCORE_SQL = {
+    lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
+    for lang, words in
+    (("en", ["the", "and", "of", "is"]), ("de", ["der", "und", "die", "ist"]),
+     ("fr", ["le", "et", "les", "est"]), ("es", ["el", "y", "los", "es"]))
+}
+
+@q("lang_id", f"""
+SELECT doc_id,
+  CASE WHEN {_LANG_SCORE_SQL['en']} = 0 AND {_LANG_SCORE_SQL['de']} = 0
+        AND {_LANG_SCORE_SQL['fr']} = 0 AND {_LANG_SCORE_SQL['es']} = 0 THEN 'und'
+       WHEN {_LANG_SCORE_SQL['en']} >= {_LANG_SCORE_SQL['de']}
+        AND {_LANG_SCORE_SQL['en']} >= {_LANG_SCORE_SQL['fr']}
+        AND {_LANG_SCORE_SQL['en']} >= {_LANG_SCORE_SQL['es']} THEN 'en'
+       WHEN {_LANG_SCORE_SQL['de']} >= {_LANG_SCORE_SQL['fr']}
+        AND {_LANG_SCORE_SQL['de']} >= {_LANG_SCORE_SQL['es']} THEN 'de'
+       WHEN {_LANG_SCORE_SQL['fr']} >= {_LANG_SCORE_SQL['es']} THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM documents
+""")
+def lang_id_q(spark, sf_dir):
+    """n-gram/lexicon language identification heuristic."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", lang_id(F.col("text")).alias("lang_pred")))
+
+
+@q("quality_score", """
+SELECT doc_id,
+       0.4 * (LEAST(CAST(length(text) AS DOUBLE), 400.0) / 400.0)
+     + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+     + 0.2 * (CASE WHEN regexp_matches(text, '\\b(the|and|of|is)\\b') THEN 1.0 ELSE 0.0 END)
+       AS quality_score
+FROM documents
+""")
+def quality_score_q(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", quality_score(F.col("text")).alias("quality_score")))
+
+
+@q("token_count", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INTEGER) AS n_tokens,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens
+FROM documents
+""")
+def token_count_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    token_count(F.col("text")).alias("n_tokens"),
+                    ws_token_count(F.col("text")).alias("n_ws_tokens"))
+
+
+@q("doc_fingerprint", """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""")
+def doc_fingerprint_q(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")))
+
+
+@q("simsearch_topk", """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos
+  FROM embeddings c JOIN q ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def simsearch_topk_q(spark, sf_dir):
+    """Brute-force exact cosine top-k (rank-only output for determinism)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+@q("simsearch_lsh")  # bucketed approximate variant — rows-only
+def simsearch_lsh_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries, k=5)

@@ -1,0 +1,190 @@
+"""Deterministic SCD/merge scenario state-queries.
+
+The reference's MERGE semantics (SURVEY.md §2.9) are not SELECTs, so the
+correctness contract turns them into *state queries* (SURVEY.md §7.4):
+derive two deterministic source batches from a driver test table with
+pure SQL-expressible mutations, run the engine's merge operators with an
+injected clock, and return the final table state. The DuckDB oracle
+reconstructs the identical end state with anti/semi joins + unions.
+
+Scenario mutations mirror the reference's manual SCD2 test notebook
+(reference notebooks/23_Testing_SCD2.py:38-64): attribute update, source
+deletion, new-key insert — here keyed off modular arithmetic on the
+driver's `orders`/`customer`/`lineitem` tables so the oracle can express
+the same batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import ScdConfig, keyed_upsert, scd1_merge, scd2_merge
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-01-02 00:00:00"
+
+
+# ---------------------------------------------------------------- SCD2 ------
+SCD2_CFG = ScdConfig(keys=("o_orderkey",),
+                     tracked=("o_custkey", "o_orderstatus", "o_totalprice"))
+
+
+def _orders_src(orders: DataFrame, batch: int) -> DataFrame:
+    """batch 0: all keys except %10==7. batch 1: all keys except %10==3,
+    with o_totalprice bumped +100 for keys %7==0 (the 'changed' rows)."""
+    base = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    if batch == 0:
+        return base.filter(F.col("o_orderkey") % 10 != 7)
+    return (base.filter(F.col("o_orderkey") % 10 != 3)
+            .withColumn("o_totalprice",
+                        F.col("o_totalprice")
+                        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100.0))
+                        .otherwise(F.lit(0.0))))
+
+
+def scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    state0 = scd2_merge(None, _orders_src(orders, 0), SCD2_CFG, T0)
+    return scd2_merge(state0, _orders_src(orders, 1), SCD2_CFG, T1)
+
+
+SCD2_ORACLE_BASE = f"""
+WITH src0 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7
+), src1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 3
+), unchanged AS (
+  SELECT s.*, TIMESTAMP '{T0}' AS _tf_valid_from, CAST(NULL AS TIMESTAMP) AS _tf_valid_to,
+         TIMESTAMP '{T0}' AS _tf_create_date, TIMESTAMP '{T0}' AS _tf_update_date
+  FROM src0 s WHERE s.o_orderkey % 7 <> 0
+    AND EXISTS (SELECT 1 FROM src1 t WHERE t.o_orderkey = s.o_orderkey)
+), closed AS (
+  SELECT s.*, TIMESTAMP '{T0}' AS _tf_valid_from, TIMESTAMP '{T1}' AS _tf_valid_to,
+         TIMESTAMP '{T0}' AS _tf_create_date, TIMESTAMP '{T1}' AS _tf_update_date
+  FROM src0 s WHERE s.o_orderkey % 7 = 0
+    OR NOT EXISTS (SELECT 1 FROM src1 t WHERE t.o_orderkey = s.o_orderkey)
+), fresh AS (
+  SELECT t.*, TIMESTAMP '{T1}' AS _tf_valid_from, CAST(NULL AS TIMESTAMP) AS _tf_valid_to,
+         TIMESTAMP '{T1}' AS _tf_create_date, TIMESTAMP '{T1}' AS _tf_update_date
+  FROM src1 t WHERE t.o_orderkey % 7 = 0
+    AND EXISTS (SELECT 1 FROM src0 s WHERE s.o_orderkey = t.o_orderkey)
+), inserted AS (
+  SELECT t.*, TIMESTAMP '{T1}' AS _tf_valid_from, CAST(NULL AS TIMESTAMP) AS _tf_valid_to,
+         TIMESTAMP '{T1}' AS _tf_create_date, TIMESTAMP '{T1}' AS _tf_update_date
+  FROM src1 t WHERE NOT EXISTS (SELECT 1 FROM src0 s WHERE s.o_orderkey = t.o_orderkey)
+), final AS (
+  SELECT * FROM unchanged UNION ALL SELECT * FROM closed
+  UNION ALL SELECT * FROM fresh UNION ALL SELECT * FROM inserted
+)
+"""
+
+
+# ---------------------------------------------------------------- SCD1 ------
+SCD1_CFG = ScdConfig(keys=("c_custkey",),
+                     tracked=("c_name", "c_mktsegment", "c_acctbal"),
+                     surrogate_key="_tf_id")
+
+
+def _customer_src(customer: DataFrame, batch: int) -> DataFrame:
+    base = customer.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    if batch == 0:
+        # initial load w/o %5==0 keys, plus the unknown-member seed row
+        # (reference 01_Init.py:306-321)
+        unknown = base.sparkSession.createDataFrame(
+            [(-9, "N/A", "N/A", 0.0)], schema=base.schema)
+        return base.filter(F.col("c_custkey") % 5 != 0).unionByName(unknown)
+    return base.withColumn(
+        "c_acctbal",
+        F.col("c_acctbal") + F.when(F.col("c_custkey") % 3 == 0, F.lit(50.0))
+        .otherwise(F.lit(0.0)))
+
+
+def scd1_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    state0 = scd1_merge(None, _customer_src(customer, 0), SCD1_CFG, T0)
+    return scd1_merge(state0, _customer_src(customer, 1), SCD1_CFG, T1)
+
+
+SCD1_ORACLE = f"""
+WITH src0 AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 5 <> 0
+  UNION ALL SELECT -9, 'N/A', 'N/A', 0.0
+), tgt0 AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY c_custkey) AS _tf_id FROM src0
+), src1 AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 50.0 ELSE 0.0 END AS c_acctbal
+  FROM customer
+), kept AS (  -- matched-unchanged + not-matched-by-source (incl. -9 member)
+  SELECT t.c_custkey, t.c_name, t.c_mktsegment, t.c_acctbal, t._tf_id,
+         TIMESTAMP '{T0}' AS _tf_create_date, TIMESTAMP '{T0}' AS _tf_update_date
+  FROM tgt0 t WHERE t.c_custkey % 3 <> 0
+    OR NOT EXISTS (SELECT 1 FROM src1 s WHERE s.c_custkey = t.c_custkey)
+), updated AS (
+  SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_acctbal, t._tf_id,
+         TIMESTAMP '{T0}' AS _tf_create_date, TIMESTAMP '{T1}' AS _tf_update_date
+  FROM tgt0 t JOIN src1 s ON s.c_custkey = t.c_custkey
+  WHERE t.c_custkey % 3 = 0
+), inserted AS (
+  SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_acctbal,
+         (SELECT COUNT(*) FROM tgt0) + ROW_NUMBER() OVER (ORDER BY s.c_custkey) AS _tf_id,
+         TIMESTAMP '{T1}' AS _tf_create_date, TIMESTAMP '{T1}' AS _tf_update_date
+  FROM src1 s WHERE NOT EXISTS (SELECT 1 FROM tgt0 t WHERE t.c_custkey = s.c_custkey)
+)
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       CAST(_tf_id AS BIGINT) AS _tf_id, _tf_create_date, _tf_update_date
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted)
+"""
+
+
+# --------------------------------------------------------- fact upsert ------
+FACT_CFG = ScdConfig(keys=("l_orderkey", "l_linenumber"),
+                     tracked=("l_quantity", "l_extendedprice"))
+
+
+def _lineitem_src(lineitem: DataFrame, batch: int) -> DataFrame:
+    # The synthetic lineitem is NOT unique on (l_orderkey, l_linenumber);
+    # pre-aggregate to the fact grain with order-insensitive MAX so the
+    # upsert source is deterministic (doubles: max is order-free, sum
+    # of >2 values is not).
+    base = (lineitem.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.max("l_quantity").alias("l_quantity"),
+                 F.max("l_extendedprice").alias("l_extendedprice")))
+    if batch == 0:
+        return base.filter(F.col("l_linenumber") <= 5)
+    return base.withColumn(
+        "l_quantity",
+        F.col("l_quantity") + F.when(F.col("l_orderkey") % 5 == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0)))
+
+
+def fact_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    state0 = keyed_upsert(None, _lineitem_src(li, 0), FACT_CFG, T0)
+    return keyed_upsert(state0, _lineitem_src(li, 1), FACT_CFG, T1)
+
+
+FACT_UPSERT_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity,
+         MAX(l_extendedprice) AS l_extendedprice
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+), src1 AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity + CASE WHEN l_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END AS l_quantity,
+         l_extendedprice
+  FROM base
+)
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       TIMESTAMP '{T0}' AS _tf_create_date,
+       CASE WHEN l_orderkey % 5 = 0 THEN TIMESTAMP '{T1}' ELSE TIMESTAMP '{T0}' END AS _tf_update_date
+FROM src1 WHERE l_linenumber <= 5
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       TIMESTAMP '{T1}' AS _tf_create_date, TIMESTAMP '{T1}' AS _tf_update_date
+FROM src1 WHERE l_linenumber > 5
+"""

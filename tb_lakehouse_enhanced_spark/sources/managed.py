@@ -1,0 +1,97 @@
+"""Parquet-backed managed tables with overwrite-swap semantics.
+
+The reference keeps every layer in Databricks-managed Delta tables and
+mutates them with ``MERGE``/``UPDATE``/``DELETE`` (SURVEY.md §2.8-2.9).
+``delta-spark`` is not available in this environment, so the engine
+provides the same *observable* table semantics on plain parquet:
+
+- each logical table is a directory of versioned snapshot subdirs
+  (``v0/``, ``v1/`` ...) plus a tiny ``_CURRENT`` pointer file;
+- every mutation (merge / update / delete / overwrite) computes the new
+  table state as a DataFrame transformation, writes it to the next
+  version dir, then flips the pointer — readers never observe a
+  half-written snapshot (the same optimistic pattern Delta's
+  ``_delta_log`` commits provide, minus concurrent writers);
+- time travel falls out for free (``read(version=n)``).
+
+At 100 TB a deployment would swap this for Delta/Iceberg (the mutation
+operators in ``operators/merge.py`` only consume/produce DataFrames, so
+only this module changes). Rewriting the full snapshot per mutation is
+the scale limitation; the merge operators therefore also support
+partition-scoped rewrites via ``partition_by`` so only touched partitions
+are rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManagedTable:
+    """A versioned parquet table identified by a directory path."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_by: tuple[str, ...] = ()):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_by = tuple(partition_by)
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- version bookkeeping -------------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def exists(self) -> bool:
+        return self.current_version() >= 0
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v}")
+
+    # -- IO ------------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        return self.spark.read.parquet(self._version_dir(v))
+
+    def overwrite(self, df: DataFrame) -> "ManagedTable":
+        """Write ``df`` as the next snapshot and flip the pointer."""
+        v = self.current_version() + 1
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._version_dir(v))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)  # atomic pointer flip
+        return self
+
+    # -- DML (reference notebooks/23_Testing_SCD2.py:40-64) ------------------
+    def update(self, condition, assignments: dict) -> "ManagedTable":
+        """``UPDATE t SET c = expr WHERE cond`` as a snapshot rewrite."""
+        from pyspark.sql import functions as F
+        df = self.read()
+        cols = []
+        for c in df.columns:
+            if c in assignments:
+                e = assignments[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                cols.append(F.when(condition, e).otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        return self.overwrite(df.select(cols))
+
+    def delete(self, condition) -> "ManagedTable":
+        """``DELETE FROM t WHERE cond`` as a snapshot rewrite."""
+        return self.overwrite(self.read().filter(~condition))

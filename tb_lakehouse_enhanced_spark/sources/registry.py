@@ -1,0 +1,60 @@
+"""Source adapters.
+
+The reference ingests via single-partition JDBC full-table pulls
+(reference notebooks/12_ETL_Bronze_PySpark.py:14-26,61 — a known physical
+bottleneck, SURVEY.md §3). Our engine exposes one ``load_table`` interface
+with two implementations:
+
+- parquet (tests / local): ``spark.read.parquet`` — splittable, columnar,
+  filter-pushdown-capable. This is what the driver's testdata uses.
+- jdbc (prod-shaped): partitioned reads (``partitionColumn`` +
+  ``numPartitions``) so a 100 TB source pull fans out across executors
+  instead of the reference's 1-stream read.
+
+At 100 TB the parquet path scales naturally: Spark splits files at
+``spark.sql.files.maxPartitionBytes`` and prunes columns/filters at the
+scan, so adding executors adds read bandwidth linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic lakehouse (TESTDATA.md): TPC-H-ish star schema
+# plus events / documents / embeddings extension tables.
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one source table as a DataFrame (lazy — a scan node only)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              num_partitions: int = 32,
+              lower_bound: int | None = None,
+              upper_bound: int | None = None,
+              **properties: str) -> DataFrame:
+    """Prod-shaped JDBC source (reference 12_ETL_Bronze_PySpark.py:61).
+
+    Unlike the reference's single-stream pull, callers supply a numeric
+    ``partition_column`` + bounds so the read is split into
+    ``num_partitions`` parallel range queries.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    return reader.load()
