@@ -1,0 +1,70 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into the noop sink (forces full
+computation of every column without driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headliners: one per operator family, excluding the deliberately
+# quadratic oracle-parity query (dedup_ngram_jaccard) whose scale path
+# is dedup_minhash.
+HEADLINE = [
+    "star_agg_sales_by_geo", "star_agg_by_month", "star_agg_order_count",
+    "fact_projection", "join_fact_chain", "window_rank", "agg_rollup",
+    "scd2_merge_state", "scd1_upsert", "fact_upsert",
+    "dml_update", "stream_tumbling", "dim_calendar_spine",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "token_count", "quality_score", "lang_id", "doc_fingerprint",
+    "simsearch_topk", "simsearch_lsh",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from tb_lakehouse_enhanced_spark.plans.queries import SPARK_QUERIES
+    from tb_lakehouse_enhanced_spark.session import get_session
+
+    spark = get_session("tb-lakehouse-bench")
+    # warm the JVM/codegen path and the input scans (parquet footers + OS
+    # page cache) once so timings measure query execution, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from tb_lakehouse_enhanced_spark.plans.queries import _t
+    from tb_lakehouse_enhanced_spark.sources.registry import TABLES
+    for t in TABLES:
+        _t(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        # drop per-query cached intermediates so later queries aren't
+        # taxed by earlier queries' heap residue
+        spark.catalog.clearCache()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,8 +34,37 @@ def tokens(text) -> "F.Column":
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a small-file scan out to all cores.
+
+    Document corpora often arrive as few large-ish files; a 2 MB file is
+    one input split, serializing CPU-heavy shingle/hash expressions onto
+    a single task. One round-robin repartition (cheap: rows are small)
+    buys full-core parallelism for everything downstream. At 100 TB the
+    scan naturally yields thousands of splits and this is a no-op cost.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def word_set(text) -> "F.Column":
     return F.array_distinct(tokens(text))
+
+
+def shingle_set(text, n: int = 3) -> "F.Column":
+    """Distinct n-word shingles (the MinHash feature set).
+
+    Unigram features are useless on corpora with a shared vocabulary —
+    every document looks like every other and LSH buckets collapse to
+    quadratic verification; n-gram shingles keep the feature space
+    discriminative. Documents shorter than n words contribute their
+    whole text as a single shingle."""
+    toks = tokens(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
+    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)) \
+        .otherwise(F.array(F.lower(F.trim(text))))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -60,7 +89,7 @@ def jaccard_near_dup(docs: DataFrame, threshold: float = 0.6,
     bucket; at scale block on (lang, length-band) or feed LSH candidates
     instead (``minhash_lsh_pairs``).
     """
-    d = docs.select(F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws"),
+    d = _spread(docs).select(F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws"),
                     *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ))
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(b, (F.col("a.blk") == F.col("b.blk"))
@@ -73,53 +102,110 @@ def jaccard_near_dup(docs: DataFrame, threshold: float = 0.6,
             .filter(F.col("jaccard") >= F.lit(threshold)))
 
 
-def _minhash_signature(ws, num_hashes: int):
-    """num_hashes minhash values over a word-set column.
+def _minhash_signatures(shingled: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) minhash signature per document.
 
-    Base hash: xxhash64(word) (JVM-side); family: (a_i*x+b_i) mod 2^61-1
-    with fixed seeds — fully deterministic across runs/partitions.
+    Base hash: xxhash64(shingle) (JVM-side); family: (a_i*x+b_i) mod
+    2^31-1 with fixed seeds — deterministic across runs/partitions.
+    Computed by exploding shingles once and taking ``num_hashes`` MIN
+    aggregates: map-side-combinable, whole-stage codegen, and the
+    shuffle carries only (id, n longs) — vs interpreted per-row array
+    folds which are ~10x slower.
     """
-    sigs = []
+    ex = (shingled.select("id", F.explode("ws").alias("s"))
+          .withColumn("x", F.pmod(F.xxhash64("s"), _P)))
+    aggs = []
     for i in range(num_hashes):
         a, b = 2 * i + 1, (i * 0x9E3779B9 + 7) % _P
-        h = F.transform(ws, lambda w: F.pmod(F.pmod(F.xxhash64(w), _P) * a + b, _P))
-        sigs.append(F.array_min(h).alias(f"mh_{i}"))
-    return sigs
+        aggs.append(F.min(F.pmod(F.col("x") * a + b, _P)).alias(f"mh_{i}"))
+    return ex.groupBy("id").agg(*aggs)
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Normalized (id, x) distinct 3-gram shingle hashes, one pass.
+
+    posexplode tokens + window lead() builds shingles entirely inside
+    whole-stage codegen (interpreted higher-order array lambdas are ~5x
+    slower). The window partitions by doc id — thousands of small
+    groups, no skew.
+    """
+    from pyspark.sql import Window
+    tok = (_spread(docs)
+           .select(F.col(id_col).alias("id"),
+                   F.posexplode(tokens(F.col(text_col))).alias("pos", "w")))
+    win = Window.partitionBy("id").orderBy("pos")
+    return (tok.select(
+                "id",
+                F.concat_ws(" ", "w", F.lead("w", 1).over(win),
+                            F.lead("w", 2).over(win)).alias("s"),
+                F.lead("w", 2).over(win).alias("_w2"))
+            .filter(F.col("_w2").isNotNull())  # docs >= n tokens
+            .select("id", F.pmod(F.xxhash64("s"), _P).alias("x"))
+            .dropDuplicates(["id", "x"]))
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       num_hashes: int = 16, bands: int = 4,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs via MinHash + banded LSH, verified with true Jaccard.
+                      text_col: str = "text", id_col: str = "doc_id",
+                      verify: str = "estimate") -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH.
 
-    shingle -> minhash signature -> band buckets -> bucket equi-join
-    (the only shuffle, on hash keys) -> exact Jaccard verification of the
-    candidate pairs. rows/bands chosen so the LSH s-curve threshold
-    (1/bands)^(1/rows) brackets ``threshold``.
+    shingle-hash -> minhash signature -> band buckets -> bucket
+    equi-join -> similarity filter. rows/bands chosen so the LSH s-curve
+    threshold (1/bands)^(1/rows) brackets ``threshold``.
+
+    The shingle stream is consumed ONCE (into the per-doc signature);
+    everything downstream operates on the tiny persisted signature table
+    (|docs| rows x num_hashes longs), so candidate generation and
+    scoring are broadcast-scale joins. ``verify='estimate'`` scores
+    candidates with the unbiased MinHash estimator (matching-component
+    fraction); ``verify='exact'`` re-joins the shingle stream to compute
+    true Jaccard (1 extra pass; use for audits/tests).
     """
     rows = num_hashes // bands
-    base = docs.select(F.col(id_col).alias("id"),
-                       word_set(F.col(text_col)).alias("ws"))
-    sig = base.select("id", "ws", *_minhash_signature(F.col("ws"), num_hashes))
+    ex = shingle_hashes(docs, text_col, id_col)
+    sig_aggs = []
+    for i in range(num_hashes):
+        a_i, b_i = 2 * i + 1, (i * 0x9E3779B9 + 7) % _P
+        sig_aggs.append(F.min(F.pmod(F.col("x") * a_i + b_i, _P)).alias(f"mh_{i}"))
+    sig = ex.groupBy("id").agg(*sig_aggs).persist()
+
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)],
                    F.lit(b)).alias("bucket")
         for b in range(bands)
     ]
-    buckets = sig.select(
-        "id", "ws",
-        F.explode(F.array(*band_cols)).alias("bucket"))
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
-            .select("a.id", "a.ws", F.col("b.id").alias("id_b"),
-                    F.col("b.ws").alias("ws_b"))
-            .dropDuplicates(["id", "id_b"]))
-    inter = F.size(F.array_intersect(F.col("ws"), F.col("ws_b")))
-    union = F.size(F.array_union(F.col("ws"), F.col("ws_b")))
-    jac = inter.cast("double") / union.cast("double")
-    return (cand.select(F.col("id").alias("id_a"), F.col("id_b"),
-                        jac.alias("jaccard"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    if verify == "exact":
+        sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        ea = ex.select(F.col("id").alias("id_a"), "x")
+        eb = ex.select(F.col("id").alias("id_b"), "x")
+        inter = (F.broadcast(cand).join(ea, "id_a").join(eb, ["id_b", "x"])
+                 .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
+        jac = (F.col("i").cast("double")
+               / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+        return (inter
+                .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+                .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+                .select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= F.lit(threshold)))
+
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(num_hashes))
+    return (cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+            .select("id_a", "id_b",
+                    (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"))
             .filter(F.col("jaccard") >= F.lit(threshold)))
 
 
@@ -128,25 +214,24 @@ def simhash(docs: DataFrame, text_col: str = "text",
     """64-bit SimHash fingerprint per document.
 
     Bit b of the fingerprint = majority vote of bit b over xxhash64 of
-    each distinct word. Expressed as array ops + bit arithmetic — no UDF.
+    each distinct word. Computed as explode -> one xxhash64 per word ->
+    64 SUM aggregates (map-side-combinable hash agg in whole-stage
+    codegen) rather than 64 interpreted higher-order array folds per
+    row — ~20x faster and the shuffle carries only (id, 64 ints).
     """
-    ws = word_set(F.col(text_col))
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
     one = F.lit(1).cast("long")
-
-    def vote(b: int):
-        # two-arg lambda required by F.aggregate; bind b via closure
-        def merge(acc, h):
-            return acc + F.when(h.bitwiseAND(F.shiftleft(one, b)) != 0,
-                                F.lit(1)).otherwise(F.lit(-1))
-        return (F.aggregate(hashes, F.lit(0), merge) > 0).cast("long") \
-            * F.shiftleft(one, b)
-
-    bit_votes = [vote(b) for b in range(bits)]
-    fp = bit_votes[0]
-    for bv in bit_votes[1:]:
-        fp = fp.bitwiseOR(bv)
-    return docs.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    words = (_spread(docs).select(F.col(id_col).alias("id"),
+                         F.explode(word_set(F.col(text_col))).alias("w"))
+             .withColumn("h", F.xxhash64("w")))
+    votes = words.groupBy("id").agg(*[
+        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp.bitwiseOR((F.col(f"b{b}") > 0).cast("long") * F.shiftleft(one, b))
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,

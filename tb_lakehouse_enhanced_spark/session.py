@@ -30,6 +30,12 @@ def get_session(app_name: str = "tb-lakehouse-enhanced-spark",
     conf. Safe to call repeatedly — ``getOrCreate`` reuses the live session.
     """
     cpus = cpus or DEFAULT_CPUS
+    # driver memory is a JVM launch option: in local mode it must be set
+    # before the gateway starts (the builder conf is silently ignored),
+    # else the whole engine runs on the 1g default heap and GC dominates
+    if SparkSession.getActiveSession() is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -42,7 +48,7 @@ def get_session(app_name: str = "tb-lakehouse-enhanced-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
