@@ -124,7 +124,11 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
 
     t_cols = [F.col(f"t.{c}").alias(c) for c in current.columns]
     matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
-    changed = matched & _changed_predicate(cfg)
+    # MERGE semantics: a NULL change-predicate means "no action" — the row
+    # must fall through to the unchanged branch, so split on IS TRUE
+    # (null-safe) to keep the branches total (SURVEY.md §7.4)
+    changed_true = _changed_predicate(cfg).eqNullSafe(F.lit(True))
+    changed = matched & changed_true
     deleted = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNull()
     brand_new = F.col("t._t_present").isNull() & F.col("s._s_present").isNotNull()
 
@@ -132,7 +136,7 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     closed = (j.filter(changed | deleted).select(t_cols)
               .withColumn(VALID_TO, load_ts)
               .withColumn(UPDATE_DATE, load_ts))
-    unchanged = j.filter(matched & ~_changed_predicate(cfg)).select(t_cols)
+    unchanged = j.filter(matched & ~changed_true).select(t_cols)
 
     # insert pass (M2): new keys + replacement versions for changed keys
     s_cols = [F.col(f"s.{c}").alias(c) for c in business]
@@ -173,14 +177,15 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     j = t.join(s, on, "full_outer")
 
     matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
-    changed = matched & _changed_predicate(cfg)
+    changed_true = _changed_predicate(cfg).eqNullSafe(F.lit(True))
+    changed = matched & changed_true
     keep_cols = [c for c in target.columns if c not in business]
 
     updated = j.filter(changed).select(
         *[F.col(f"t.{c}").alias(c) for c in keep_cols],
         *[F.col(f"s.{c}").alias(c) for c in business],
     ).withColumn(UPDATE_DATE, load_ts)
-    untouched = (j.filter(matched & ~_changed_predicate(cfg))
+    untouched = (j.filter(matched & ~changed_true)
                  .select([F.col(f"t.{c}").alias(c) for c in target.columns]))
     target_only = (j.filter(F.col("s._s_present").isNull())
                    .select([F.col(f"t.{c}").alias(c) for c in target.columns]))

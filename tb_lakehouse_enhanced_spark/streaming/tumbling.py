@@ -1,0 +1,61 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.10) — its "incrementality" is
+a daily MERGE job. This module adds the thin streaming ingestion option
+the extension surface mandates: the SAME tumbling-window aggregation
+expression runs in batch (oracle-checkable, `stream_tumbling` query) and
+under ``readStream`` with a watermark for late data.
+
+Scale design: tumbling windows + watermark keep state bounded (one
+window per key in flight); the shuffle is on (window, key) — the same
+partitioning batch would use. Sinks are append-mode once the watermark
+closes a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, ts_col: str = "ts",
+                 window: str = "1 hour",
+                 key_col: str = "event_type",
+                 value_col: str = "value",
+                 watermark: str | None = None) -> DataFrame:
+    """Tumbling-window count + decimal sum, batch or streaming.
+
+    With ``watermark`` set (streaming), rows later than the watermark
+    past the window end are dropped and state is reclaimed.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (events
+            .groupBy(F.window(ts_col, window).alias("w"), key_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col(value_col).cast("decimal(18,6)"))
+                 .cast("decimal(38,6)").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), key_col,
+                    "n_events", "total_value"))
+
+
+def read_event_stream(spark: SparkSession, path: str, schema,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based event stream (parquet micro-batches).
+
+    In production this is a Kafka/queue source; the file source has the
+    same semantics (exactly-once per file, ordered discovery).
+    """
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_tumbling_agg(stream: DataFrame, ts_col: str = "ts",
+                        window: str = "1 hour", key_col: str = "event_type",
+                        value_col: str = "value",
+                        watermark: str = "2 hours"):
+    """The streaming plan: watermark + tumbling agg, ready for
+    ``.writeStream.outputMode("append")`` once windows close."""
+    return tumbling_agg(stream, ts_col, window, key_col, value_col,
+                        watermark=watermark)

@@ -1,0 +1,106 @@
+"""Calendar, dedup, similarity, text ops — semantic spot checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.functions.text import (
+    doc_fingerprint, lang_id, token_count,
+)
+from tb_lakehouse_enhanced_spark.operators.calendar import calendar_spine, date_key
+from tb_lakehouse_enhanced_spark.operators.dedup import (
+    exact_dedup, jaccard_near_dup, minhash_lsh_pairs, simhash_pairs,
+)
+from tb_lakehouse_enhanced_spark.operators.similarity import cosine_topk
+
+
+def test_calendar_known_date(spark):
+    row = (calendar_spine(spark, "2000-01-01", "2000-12-31")
+           .filter(F.col("cal_date") == "2000-02-29").collect())
+    assert len(row) == 1
+    r = row[0]
+    assert r["date_key"] == 20000229
+    assert r["day_name"] == "Tuesday" and r["month_name"] == "February"
+    assert r["iso_day_of_week"] == 2 and not r["is_weekend"]
+    assert str(r["month_end"]) == "2000-02-29"
+
+
+def test_smart_date_key(spark):
+    got = spark.range(1).select(
+        date_key(F.to_date(F.lit("2024-07-05"))).alias("k")).collect()[0]["k"]
+    assert got == 20240705
+
+
+DOCS = [
+    (1, "the cat sat on the mat and looked at the dog", "en"),
+    (2, "the cat sat on the mat and looked at the dog", "en"),     # exact dup
+    (3, "the cat sat on the mat and stared at the dog", "en"),     # near dup
+    (4, "der hund ist gross und die katze ist klein heute ja", "de"),
+    (5, "completely different words about spark query engines here", "en"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert out == {1, 3, 4, 5}  # doc 2 deduped into doc 1
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_near_dup(docs, threshold=0.6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.6 <= pairs[(1, 3)] < 1.0
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_cosine_topk_planted_neighbor(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.random(8).astype("float32")
+    rows = [(0, [float(x) for x in base])]
+    rows += [(i, [float(x) for x in rng.random(8)]) for i in range(1, 20)]
+    rows.append((99, [float(x * 2.0) for x in base]))  # same direction as 0
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(emb, emb.filter("vec_id = 0"), k=3)
+    top1 = out.filter("rank = 1").collect()[0]
+    assert top1["query_id"] == 0 and top1["neighbor_id"] == 99
+
+
+def test_lang_id_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "the house and the tree is big"),
+         (2, "der mann und die frau ist hier"),
+         (3, "xyzzy plugh")], ["id", "t"])
+    got = {r["id"]: r["l"] for r in
+           df.select("id", lang_id(F.col("t")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+    fp = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world ")], ["id", "t"])
+    fps = [r["f"] for r in fp.select(doc_fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1]  # normalization collapses case + whitespace
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame([(1, "hello world, 42!")], ["id", "t"])
+    n = df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    # hello, world, ',', '4', '2', '!'
+    assert n == 6

@@ -1,0 +1,69 @@
+"""End-to-end medallion pipeline over the sf0.001 testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.pipeline import (
+    PipelineConfig, run_pipeline,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    cfg = PipelineConfig(sf_dir=SF_DIR,
+                         base_dir=str(tmp_path_factory.mktemp("lake")))
+    return cfg, run_pipeline(spark, cfg)
+
+
+def test_silver_all_current_after_first_load(tables):
+    _, t = tables
+    for name in ("silver.sales_order_header", "silver.customer",
+                 "silver.sales_order_detail"):
+        df = t[name]
+        assert df.filter(F.col("_tf_valid_to").isNotNull()).count() == 0
+
+
+def test_gold_dim_customer_has_unknown_member(tables):
+    _, t = tables
+    dim = t["gold.dim_customer"]
+    unk = dim.filter(F.col("customer_id") == -9).collect()
+    assert len(unk) == 1 and unk[0]["nation_name"] == "N/A"
+    # surrogate keys unique + contiguous from 1
+    ids = sorted(r["_tf_id"] for r in dim.collect())
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_fact_grain_and_fk_resolution(tables):
+    _, t = tables
+    fact = t["gold.fact_sales"]
+    detail = t["silver.sales_order_detail"]
+    assert fact.count() == detail.filter(F.col("_tf_valid_to").isNull()).count()
+    # every order resolves -> no unknown date keys; customer keys resolve
+    assert fact.filter(F.col("order_date_key") == -9).count() == 0
+    dim_ids = {r["_tf_id"] for r in t["gold.dim_customer"].collect()}
+    fact_fks = {r["customer_key"] for r in
+                fact.select("customer_key").distinct().collect()}
+    assert fact_fks <= dim_ids
+
+
+def test_fact_joins_calendar(tables):
+    _, t = tables
+    joined = (t["gold.fact_sales"].alias("f")
+              .join(t["gold.dim_calendar"].alias("c"),
+                    F.col("f.order_date_key") == F.col("c.date_key"),
+                    "left_anti"))
+    assert joined.count() == 0  # every fact date key exists in the spine
+
+
+def test_pipeline_rerun_is_idempotent(spark, tables):
+    cfg, t = tables
+    before = {k: df.count() for k, df in t.items()}
+    t2 = run_pipeline(spark, cfg)
+    after = {k: df.count() for k, df in t2.items()}
+    assert before == after
+    assert (t2["silver.sales_order_header"]
+            .filter(F.col("_tf_valid_to").isNotNull()).count() == 0)
