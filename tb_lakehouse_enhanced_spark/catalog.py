@@ -1,0 +1,53 @@
+"""Catalog / DDL bootstrap (medallion namespaces + managed tables).
+
+Re-expresses the reference's catalog plumbing (SURVEY.md §2.8):
+``CREATE DATABASE bronze/silver/gold`` (reference 01_Init.py:39-41),
+``DROP DATABASE ... CASCADE`` resets (01:27-29), managed
+``saveAsTable`` sinks (12_ETL_Bronze:66) and informational constraints
+(01:236-239, 336-341 — Databricks PK/FK are informational; OSS Spark
+has no constraint DDL, so they are recorded as table properties for
+lineage/docs and validated by assertion queries instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LAYERS = ("bronze", "silver", "gold")
+
+
+def bootstrap(spark: SparkSession, layers=LAYERS) -> None:
+    """CREATE DATABASE IF NOT EXISTS per medallion layer."""
+    for layer in layers:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {layer}")
+
+
+def reset(spark: SparkSession, layers=LAYERS) -> None:
+    """DROP DATABASE ... CASCADE (reference 01_Init.py:27-29)."""
+    for layer in layers:
+        spark.sql(f"DROP DATABASE IF EXISTS {layer} CASCADE")
+
+
+def save_table(df: DataFrame, name: str,
+               constraints: dict[str, str] | None = None) -> None:
+    """Managed-table sink: overwrite saveAsTable (reference 12:66).
+
+    ``constraints`` (e.g. {"primary_key": "order_id"}) are stored as
+    table properties — informational, like the reference's.
+    """
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    if constraints:
+        spark = df.sparkSession
+        props = ", ".join(f"'{k}' = '{v}'" for k, v in constraints.items())
+        spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({props})")
+
+
+def validate_fk(spark: SparkSession, fact: str, fact_key: str,
+                dim: str, dim_key: str) -> int:
+    """FK integrity assertion (anti-join count must be 0) — the OSS
+    substitute for the reference's informational FOREIGN KEY DDL."""
+    return (spark.table(fact).alias("f")
+            .join(spark.table(dim).alias("d"),
+                  F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"), "left_anti")
+            .count())

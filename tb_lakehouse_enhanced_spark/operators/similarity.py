@@ -84,6 +84,33 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _topk_merge(partials, k)
 
 
+def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= thr).
+
+    Exact all-pairs variant: the corpus matrix ships to every task (it
+    must fit in a broadcast — use ``lsh_topk``-style bucketing beyond
+    ~1M vectors) and each Arrow batch contributes one blocked matmul.
+    Emits ids only: float scores differ in final bits across engines,
+    ids don't.
+    """
+    rows = corpus.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_m = _matrix(pd.Series([r[1] for r in rows]))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = _matrix(pdf[vec_col]) @ all_m.T
+            ii, jj = np.nonzero((sims >= threshold)
+                                & (ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({"id_a": ids[ii], "id_b": all_ids[jj]})
+
+    return corpus.mapInPandas(score, "id_a long, id_b long")
+
+
 def _planes(dim: int, n_planes: int) -> np.ndarray:
     """Fixed pseudo-random hyperplanes (LCG-seeded, library-stable)."""
     planes, state = [], 42

@@ -696,3 +696,111 @@ def simsearch_lsh_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_topk(emb, queries, k=5)
+
+
+@q("dedup_embedding", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""")
+def dedup_embedding_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (ids only; §2.11)."""
+    from ..operators.similarity import embedding_near_dup
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# custom operators Spark lacks: as-of join, sessionization; more windows
+# --------------------------------------------------------------------------
+
+@q("asof_join", """
+SELECT a.event_id, a.user_id, a.ts,
+       b.event_id AS prior_event_id, b.value AS prior_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+""")
+def asof_join_q(spark, sf_dir):
+    """As-of join: latest purchase state at each click (operators/asof.py)."""
+    from ..operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return asof_join(clicks, purchases, key="user_id",
+                     payload=("event_id", "value"), prefix="prior_")
+
+
+@q("sessionize", """
+SELECT event_id, user_id, CAST(SUM(new_sess) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+""")
+def sessionize_q(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via two windows —
+    the batch formulation of streaming session windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap > 1800 * 1000 * 1000, 1) \
+        .when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (e.select("event_id", "user_id", "ts", new_sess.alias("new_sess"))
+            .select("event_id", "user_id",
+                    F.sum("new_sess").over(run).cast("bigint").alias("session_id")))
+
+
+@q("window_running_sum", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+       AS running_total
+FROM orders
+""")
+def window_running_sum(spark, sf_dir):
+    """Running-frame window aggregate (rowsBetween; SURVEY.md §2.5 ext)."""
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+                    .cast("decimal(38,2)").alias("running_total")))
+
+
+@q("agg_pivot", """
+SELECT c.c_mktsegment,
+       SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def agg_pivot(spark, sf_dir):
+    """Pivot via conditional aggregation (portable + identical plan)."""
+    o = _t(spark, sf_dir, "orders").alias("o")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    j = o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+    agg = [F.sum(F.when(F.col("o.o_orderstatus") == s, 1).otherwise(0))
+           .alias(f"n_{s.lower()}") for s in ("F", "O", "P")]
+    return j.groupBy(F.col("c.c_mktsegment").alias("c_mktsegment")).agg(*agg)
+
+
+@q("agg_median", """
+SELECT event_type, median(value) AS median_value, COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def agg_median(spark, sf_dir):
+    """Exact interpolated median (percentile) per group."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.percentile("value", 0.5).alias("median_value"),
+                 F.count(F.lit(1)).alias("n")))

@@ -1,0 +1,46 @@
+"""Catalog DDL: namespaces, managed saveAsTable, informational constraints."""
+
+from __future__ import annotations
+
+import pytest
+
+from tb_lakehouse_enhanced_spark import catalog
+
+
+@pytest.fixture(scope="module", autouse=True)
+def clean(spark):
+    catalog.reset(spark)
+    catalog.bootstrap(spark)
+    yield
+    catalog.reset(spark)
+
+
+def test_bootstrap_creates_layers(spark):
+    dbs = {d.name for d in spark.catalog.listDatabases()}
+    assert {"bronze", "silver", "gold"} <= dbs
+
+
+def test_save_and_read_managed_table(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    catalog.save_table(df, "bronze.t1", constraints={"primary_key": "id"})
+    assert spark.table("bronze.t1").count() == 2
+    props = spark.sql("SHOW TBLPROPERTIES bronze.t1").collect()
+    assert any(p["key"] == "primary_key" and p["value"] == "id" for p in props)
+
+
+def test_fk_validation(spark):
+    catalog.save_table(spark.createDataFrame([(1,), (2,)], ["k"]), "gold.dim")
+    catalog.save_table(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]),
+                       "gold.fact_ok")
+    catalog.save_table(spark.createDataFrame([(1, 10), (9, 90)], ["k", "v"]),
+                       "gold.fact_bad")
+    assert catalog.validate_fk(spark, "gold.fact_ok", "k", "gold.dim", "k") == 0
+    assert catalog.validate_fk(spark, "gold.fact_bad", "k", "gold.dim", "k") == 1
+
+
+def test_drop_cascade(spark):
+    catalog.save_table(spark.createDataFrame([(1,)], ["x"]), "silver.tmp")
+    catalog.reset(spark, layers=("silver",))
+    dbs = {d.name for d in spark.catalog.listDatabases()}
+    assert "silver" not in dbs
+    catalog.bootstrap(spark)
