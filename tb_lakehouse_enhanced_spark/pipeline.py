@@ -35,8 +35,10 @@ class PipelineConfig:
     load_ts: str = "2024-01-01 00:00:00"
 
 
-def _mt(spark, cfg: PipelineConfig, layer: str, name: str) -> ManagedTable:
-    return ManagedTable(spark, f"{cfg.base_dir}/{layer}/{name}")
+def _mt(spark, cfg: PipelineConfig, layer: str, name: str,
+        partition_by: tuple[str, ...] = ()) -> ManagedTable:
+    return ManagedTable(spark, f"{cfg.base_dir}/{layer}/{name}",
+                        partition_by=partition_by)
 
 
 # ---------------------------------------------------------------- bronze ----
@@ -149,6 +151,10 @@ def run_gold_dims(spark: SparkSession, cfg: PipelineConfig) -> None:
 FACT_CFG = ScdConfig(keys=("order_id", "line_number"),
                      tracked=("customer_key", "order_date_key", "quantity",
                               "extended_price", "net_revenue"))
+# gold fact is hive-partitioned by order month (smart-key div 100): scans
+# filtered on a date range prune to the touched months, and incremental
+# merges rewrite only the partitions whose keys changed
+FACT_PARTITION = ("order_month",)
 
 
 def run_gold_fact(spark: SparkSession, cfg: PipelineConfig) -> None:
@@ -176,8 +182,12 @@ def run_gold_fact(spark: SparkSession, cfg: PipelineConfig) -> None:
                 * (F.lit(1).cast("decimal(18,4)")
                    - F.col("d.discount").cast("decimal(18,4)")))
                .cast("decimal(38,8)").alias("net_revenue")))
+    src = src.withColumn(
+        "order_month",
+        F.when(F.col("order_date_key") == UNKNOWN, F.lit(UNKNOWN))
+        .otherwise((F.col("order_date_key") / 100).cast("int")))
 
-    mt = _mt(spark, cfg, "gold", "fact_sales")
+    mt = _mt(spark, cfg, "gold", "fact_sales", partition_by=FACT_PARTITION)
     target = mt.read() if mt.exists() else None
     mt.overwrite(keyed_upsert(target, src, FACT_CFG, cfg.load_ts))
 

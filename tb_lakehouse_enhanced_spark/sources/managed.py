@@ -95,3 +95,14 @@ class ManagedTable:
     def delete(self, condition) -> "ManagedTable":
         """``DELETE FROM t WHERE cond`` as a snapshot rewrite."""
         return self.overwrite(self.read().filter(~condition))
+
+    # -- maintenance (Delta OPTIMIZE analogue, SURVEY.md §4) -----------------
+    def compact(self, target_partitions: int = 8) -> "ManagedTable":
+        """Rewrite the current snapshot into fewer, larger files.
+
+        The small-file compaction half of Delta's ``OPTIMIZE``: merge
+        runs produce one file per shuffle partition; periodic compaction
+        keeps scan task counts proportional to data size, not to the
+        number of historical merges.
+        """
+        return self.overwrite(self.read().coalesce(target_partitions))
