@@ -794,6 +794,133 @@ def agg_pivot(spark, sf_dir):
     return j.groupBy(F.col("c.c_mktsegment").alias("c_mktsegment")).agg(*agg)
 
 
+@q("sql_select_view", """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O' AND c.c_nationkey < 5
+""")
+def sql_select_view(spark, sf_dir):
+    """S4/S9: the SQL-string path — temp-view registration bridging the
+    DataFrame world into spark.sql (reference 22:58, 23:39)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O' AND c.c_nationkey < 5""")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics (star-schema consumption queries, A-group)
+# --------------------------------------------------------------------------
+
+@q("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DECIMAL(38,8)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+            AS DECIMAL(38,8)) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    """Pricing-summary rollup (TPC-H Q1 shape): the canonical scan ->
+    filter -> wide aggregate. Decimal-cast pre-sum for oracle exactness;
+    sum_charge truncated to scale 8 identically on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+                 F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                 .cast("decimal(38,8)").alias("sum_disc_price"),
+                 F.sum((dec("l_extendedprice") * (one - dec("l_discount")))
+                       .cast("decimal(38,8)")
+                       * (one + dec("l_tax")).cast("decimal(38,8)"))
+                 .cast("decimal(38,8)").alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@q("tpch_q3", """
+SELECT li.l_orderkey,
+       CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4))))
+            AS DECIMAL(38,8)) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND li.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY li.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, li.l_orderkey
+LIMIT 10
+""")
+def tpch_q3(spark, sf_dir):
+    """Shipping-priority top-k (TPC-H Q3 shape): selective dim filter
+    broadcast into the fact, grouped revenue, global top-10."""
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING").alias("c"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")).alias("o"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")).alias("li"))
+    return (li.join(F.broadcast(o), F.col("li.l_orderkey") == F.col("o.o_orderkey"))
+            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+            .groupBy(F.col("li.l_orderkey").alias("l_orderkey"),
+                     F.col("o.o_orderdate").alias("o_orderdate"),
+                     F.col("o.o_orderpriority").alias("o_orderpriority"))
+            .agg(F.sum(_rev("li.l_extendedprice", "li.l_discount"))
+                 .cast("decimal(38,8)").alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
+
+
+@q("tpch_q5", """
+SELECT n.n_name,
+       CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4))))
+            AS DECIMAL(38,8)) AS revenue
+FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""")
+def tpch_q5(spark, sf_dir):
+    """Local-supplier volume (TPC-H Q5 shape): 5-way join with a
+    same-nation residual predicate, grouped revenue."""
+    c = _t(spark, sf_dir, "customer").alias("c")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+         .alias("o"))
+    li = _t(spark, sf_dir, "lineitem").alias("li")
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    n = _t(spark, sf_dir, "nation").alias("n")
+    return (li.join(F.broadcast(o), F.col("li.l_orderkey") == F.col("o.o_orderkey"))
+            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+            .join(F.broadcast(s), (F.col("li.l_suppkey") == F.col("s.s_suppkey"))
+                  & (F.col("s.s_nationkey") == F.col("c.c_nationkey")))
+            .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+            .groupBy(F.col("n.n_name").alias("n_name"))
+            .agg(F.sum(_rev("li.l_extendedprice", "li.l_discount"))
+                 .cast("decimal(38,8)").alias("revenue")))
+
+
 @q("agg_median", """
 SELECT event_type, median(value) AS median_value, COUNT(*) AS n
 FROM events GROUP BY event_type
