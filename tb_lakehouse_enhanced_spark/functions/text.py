@@ -94,3 +94,43 @@ def doc_fingerprint(text: Column) -> Column:
 def char_set(text: Column) -> Column:
     """Distinct-character array (basis of character-Jaccard similarity)."""
     return F.array_distinct(F.split(text, ""))
+
+
+# -- corpus-preparation operators ------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails and phone-like numbers (training-corpus hygiene).
+
+    Regex classes shared by Java regex and RE2 so the SQL oracle
+    computes the identical redaction.
+    """
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup/fingerprints: lowercase, collapse
+    whitespace, strip non-alphanumerics (keeping spaces)."""
+    out = F.lower(F.trim(text))
+    out = F.regexp_replace(out, r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def split_assign(key: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic train/val/test assignment from a numeric id.
+
+    Knuth multiplicative hash in plain integer arithmetic (identical in
+    any SQL engine — no engine-specific hash function), bucketed 0-99.
+    Stable across runs, partitions, and engines; adding data never
+    reassigns existing ids.
+    """
+    # fold into 31 bits first so the multiply stays inside int64 (ANSI-safe)
+    bucket = F.pmod(F.pmod(key.cast("bigint"), F.lit(2147483648))
+                    * F.lit(2654435761), F.lit(100))
+    return (F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test"))

@@ -671,6 +671,111 @@ def doc_fingerprint_q(spark, sf_dir):
             .select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")))
 
 
+@q("redact_pii", """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '[PHONE]', 'g') AS clean_text
+FROM documents
+""")
+def redact_pii_q(spark, sf_dir):
+    """PII masking (emails / phone-like numbers) for corpus hygiene."""
+    from ..functions.text import redact_pii
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", redact_pii(F.col("text")).alias("clean_text")))
+
+
+@q("normalize_text", """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+""")
+def normalize_text_q(spark, sf_dir):
+    from ..functions.text import normalize_text
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", normalize_text(F.col("text")).alias("norm_text")))
+
+
+@q("vocab_topk", """
+SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+) GROUP BY w ORDER BY freq DESC, w LIMIT 50
+""")
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: explode words -> count -> deterministic top-k.
+    Map-side-combinable agg; the shuffle carries (word, partial count)."""
+    return (_t(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("w")).limit(50))
+
+
+@q("split_assign", """
+SELECT doc_id,
+       CASE WHEN (doc_id % 2147483648) * 2654435761 % 100 < 80 THEN 'train'
+            WHEN (doc_id % 2147483648) * 2654435761 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def split_assign_q(spark, sf_dir):
+    """Deterministic train/val/test split by multiplicative id hash —
+    stable across runs, partitions, engines, and data growth."""
+    from ..functions.text import split_assign
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", split_assign(F.col("doc_id")).alias("split")))
+
+
+@q("filter_quality", """
+SELECT doc_id FROM documents
+WHERE length(text) BETWEEN 100 AND 2000
+  AND len(string_split(trim(text), ' ')) >= 20
+  AND regexp_matches(text, '[a-z]')
+""")
+def filter_quality(spark, sf_dir):
+    """Composite quality gate: the corpus-filter pipeline shape
+    (length band + token floor + alphabetic content)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.filter((F.length("text") >= 100) & (F.length("text") <= 2000)
+                     & (F.size(F.split(F.trim(F.col("text")), " ")) >= 20)
+                     & F.col("text").rlike("[a-z]"))
+            .select("doc_id"))
+
+
+@q("contamination_check", """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+         AS s
+  FROM tok
+), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+   corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+SELECT DISTINCT corpus.doc_id FROM corpus JOIN bench ON corpus.s = bench.s
+""")
+def contamination_check(spark, sf_dir):
+    """Benchmark-contamination scan: corpus docs sharing any 5-gram with
+    the 'benchmark' slice (doc_id % 10 = 0). Shingle equi-join — the
+    shuffle is on shingle strings, never a doc x doc cross join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    sh = (d.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+          .withColumn("s", F.concat_ws(" ", *[
+              F.lead("w", k).over(
+                  Window.partitionBy("doc_id").orderBy("pos")) if k else F.col("w")
+              for k in range(5)]))
+          .withColumn("_w4", F.lead("w", 4).over(
+              Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(F.col("_w4").isNotNull())
+          .select("doc_id", "s"))
+    bench = (sh.filter(F.col("doc_id") % 10 == 0).select("s").distinct())
+    corpus = sh.filter(F.col("doc_id") % 10 != 0)
+    return (corpus.join(bench, "s").select("doc_id").distinct())
+
+
 @q("simsearch_topk", """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
 scored AS (
