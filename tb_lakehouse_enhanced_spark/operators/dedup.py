@@ -90,7 +90,7 @@ def jaccard_near_dup(docs: DataFrame, threshold: float = 0.6,
     instead (``minhash_lsh_pairs``).
     """
     d = _spread(docs).select(F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws"),
-                    *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ))
+                    *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] )).persist()
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.id") < F.col("b.id")))
@@ -243,7 +243,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     (pigeonhole), so candidates come from 4 chunk equi-joins — shuffles
     on 16-bit keys, never a cross-join.
     """
-    fps = simhash(docs, text_col, id_col)
+    # both join sides derive from fps — persist so the 64-agg simhash
+    # computation runs once, not twice
+    fps = simhash(docs, text_col, id_col).persist()
     chunks = fps.select(
         "id", "simhash",
         F.explode(F.array(*[

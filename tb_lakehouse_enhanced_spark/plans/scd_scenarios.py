@@ -45,7 +45,10 @@ def _orders_src(orders: DataFrame, batch: int) -> DataFrame:
 
 def scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    state0 = scd2_merge(None, _orders_src(orders, 0), SCD2_CFG, T0)
+    # persist batch-0 state: the batch-1 merge consumes it on several
+    # branches (in the pipeline this materialization is the ManagedTable
+    # snapshot; here the cache plays that role)
+    state0 = scd2_merge(None, _orders_src(orders, 0), SCD2_CFG, T0).persist()
     return scd2_merge(state0, _orders_src(orders, 1), SCD2_CFG, T1)
 
 
@@ -105,7 +108,7 @@ def _customer_src(customer: DataFrame, batch: int) -> DataFrame:
 
 def scd1_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    state0 = scd1_merge(None, _customer_src(customer, 0), SCD1_CFG, T0)
+    state0 = scd1_merge(None, _customer_src(customer, 0), SCD1_CFG, T0).persist()
     return scd1_merge(state0, _customer_src(customer, 1), SCD1_CFG, T1)
 
 
@@ -164,7 +167,7 @@ def _lineitem_src(lineitem: DataFrame, batch: int) -> DataFrame:
 
 def fact_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    state0 = keyed_upsert(None, _lineitem_src(li, 0), FACT_CFG, T0)
+    state0 = keyed_upsert(None, _lineitem_src(li, 0), FACT_CFG, T0).persist()
     return keyed_upsert(state0, _lineitem_src(li, 1), FACT_CFG, T1)
 
 
