@@ -589,6 +589,16 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@q("dedup_clusters")  # iterative CC over LSH pairs — not SQL-expressible
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup clustering: minhash pairs -> connected components ->
+    canonical survivor per cluster (operators/cluster.py)."""
+    from ..operators.cluster import dedup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_clusters(docs, pairs)
+
+
 @q("text_stats", """
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars_obs,

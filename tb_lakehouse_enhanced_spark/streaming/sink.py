@@ -1,0 +1,35 @@
+"""Streaming -> lakehouse sink: micro-batch upserts into managed tables.
+
+``foreachBatch`` bridges Structured Streaming to the engine's merge
+operators: each micro-batch runs a keyed upsert (or SCD2 merge) against
+a ManagedTable snapshot, giving exactly-once *effective* semantics —
+the merge is idempotent on (key, batch content), so micro-batch replays
+after failure converge to the same state. This is the streaming
+ingestion option SURVEY.md §2.10 reserves, wired to the same merge code
+the batch pipeline uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.merge import ScdConfig, keyed_upsert
+from ..sources.managed import ManagedTable
+
+
+def stream_upsert_sink(stream: DataFrame, table: ManagedTable,
+                       cfg: ScdConfig, clock=None):
+    """Return a writeStream wired to upsert each micro-batch.
+
+    ``clock(batch_id) -> load_ts`` injects deterministic timestamps for
+    tests (defaults to a synthetic per-batch timestamp).
+    """
+    clock = clock or (lambda bid: f"2024-01-01 00:00:{bid:02d}")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target = table.read() if table.exists() else None
+        table.overwrite(keyed_upsert(target, batch_df, cfg, clock(batch_id)))
+
+    return stream.writeStream.foreachBatch(sink)

@@ -1,0 +1,24 @@
+"""Connected-components dedup clustering."""
+
+from __future__ import annotations
+
+from tb_lakehouse_enhanced_spark.operators.cluster import (
+    connected_components, dedup_clusters,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # components: {1,2,3,4} (chain), {10,11}, isolated vertices absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_with_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {r["id"]: (r["cluster_id"], r["is_canonical"])
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
+                    7: (7, True), 9: (9, True)}
