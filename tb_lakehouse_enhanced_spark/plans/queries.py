@@ -893,9 +893,9 @@ def window_running_sum(spark, sf_dir):
 
 @q("agg_pivot", """
 SELECT c.c_mktsegment,
-       SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """)
