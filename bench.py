@@ -26,7 +26,9 @@ HEADLINE = [
     "dml_update", "stream_tumbling", "dim_calendar_spine",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
-    "simsearch_topk", "simsearch_lsh",
+    "simsearch_topk", "simsearch_lsh", "dedup_embedding", "dedup_clusters",
+    "asof_join", "sessionize", "vocab_topk", "contamination_check",
+    "agg_salted", "tpch_q1", "tpch_q3", "tpch_q5",
 ]
 
 

@@ -1036,6 +1036,29 @@ def tpch_q5(spark, sf_dir):
                  .cast("decimal(38,8)").alias("revenue")))
 
 
+@q("agg_salted", """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_price,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_salted(spark, sf_dir):
+    """Skewed aggregate via salted two-phase sum (operators/skew.py):
+    3 group keys over the whole fact — the direct plan funnels into 3
+    reducers; salting spreads the partial phase 16x. Decimal sums are
+    associative, so the result is bit-identical to the direct GROUP BY
+    (which is exactly what the oracle runs)."""
+    from ..operators.skew import salted_sum
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li, ["l_returnflag"], F.xxhash64("l_orderkey", "l_linenumber"),
+        sums={"total_price": F.col("l_extendedprice").cast("decimal(18,4)")},
+        counts=("n_rows",))
+    return out.select("l_returnflag",
+                      F.col("total_price").cast("decimal(38,4)").alias("total_price"),
+                      "n_rows")
+
+
 @q("agg_median", """
 SELECT event_type, median(value) AS median_value, COUNT(*) AS n
 FROM events GROUP BY event_type

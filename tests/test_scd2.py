@@ -124,3 +124,11 @@ def test_multi_batch_history_chain(spark, state0):
                 .orderBy(VALID_FROM).collect())
     assert [v["postal_code"] for v in versions] == ["98019", "A", "B"]
     assert [str(v[VALID_TO]) for v in versions] == [T1, T2, "None"]
+
+
+def test_empty_source_closes_everything(spark, state0):
+    # full-snapshot semantics: an empty batch means every key was deleted
+    empty = spark.createDataFrame([], schema=_df(spark, SEED).schema)
+    state1 = scd2_merge(state0, empty, CFG, T1)
+    assert state1.count() == len(SEED)
+    assert state1.filter(F.col(VALID_TO).isNull()).count() == 0
