@@ -12,11 +12,16 @@ file:line it re-expresses).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tb_lakehouse_enhanced_spark.plans.queries import ORACLE_SQL, SPARK_QUERIES
+# importable regardless of the harness's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tb_lakehouse_enhanced_spark.plans.queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 

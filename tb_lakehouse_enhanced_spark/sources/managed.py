@@ -106,3 +106,14 @@ class ManagedTable:
         number of historical merges.
         """
         return self.overwrite(self.read().coalesce(target_partitions))
+
+    def optimize_layout(self, sort_cols: tuple[str, ...],
+                        target_partitions: int = 8) -> "ManagedTable":
+        """Cluster data files by ``sort_cols`` (Z-ORDER's role on plain
+        parquet): range-partition + sort-within-partitions so parquet
+        row-group min/max stats become selective — point/range filters
+        on the sort columns skip whole row groups at scan time.
+        """
+        df = self.read().repartitionByRange(target_partitions, *sort_cols) \
+            .sortWithinPartitions(*sort_cols)
+        return self.overwrite(df)

@@ -37,6 +37,34 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def load_files(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None, **options: str) -> DataFrame:
+    """Generic file-format source (parquet / csv / json / orc / text).
+
+    Parquet/ORC carry their own schema; for CSV/JSON pass ``schema``
+    explicitly in production — ``inferSchema`` scans the data twice and
+    is banned at 100 TB.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def save_files(df: DataFrame, path: str, fmt: str = "parquet",
+               mode: str = "overwrite",
+               partition_by: tuple[str, ...] = (), **options: str) -> None:
+    """Generic file sink, partitioned when asked."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def load_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               num_partitions: int = 32,
