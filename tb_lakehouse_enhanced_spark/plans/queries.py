@@ -786,6 +786,55 @@ def contamination_check(spark, sf_dir):
     return (corpus.join(bench, "s").select("doc_id").distinct())
 
 
+@q("multimodal_features", """
+SELECT doc_id AS media_id, 'text/plain' AS media_type,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       16 AS feature_dim
+FROM documents
+""")
+def multimodal_features_q(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents as binary media ->
+    mapInPandas feature extraction (deterministic fake decoder) ->
+    typed feature rows. The oracle checks the relational contract
+    (ids, types, byte counts, feature dimensionality); the decoded
+    feature values themselves are exercised in tests/test_multimodal.py."""
+    from ..operators.multimodal import extract_features, fake_image_decoder
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.lit("text/plain").alias("media_type"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.create_map().cast("map<string,string>").alias("metadata"))
+    feats = extract_features(media, decode_fn=fake_image_decoder)
+    return feats.select("media_id", "media_type",
+                        F.col("n_bytes").cast("int").alias("n_bytes"),
+                        F.size("feature").alias("feature_dim"))
+
+
+@q("tpch_q6", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6(spark, sf_dir):
+    """Forecast-revenue-change (TPC-H Q6 shape): the pure
+    filter-pushdown + single-agg scan — every predicate reaches the
+    parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                       * F.col("l_discount").cast("decimal(18,4)"))
+                 .cast("decimal(38,8)").alias("revenue")))
+
+
 @q("simsearch_topk", """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
 scored AS (
