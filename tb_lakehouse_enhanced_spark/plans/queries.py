@@ -895,6 +895,38 @@ def asof_join_q(spark, sf_dir):
                      payload=("event_id", "value"), prefix="prior_")
 
 
+@q("range_join", """
+WITH ranges AS (
+  SELECT o_orderkey, o_orderdate AS start_ts,
+         o_orderdate + INTERVAL 14 DAY AS end_ts
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT r.o_orderkey, COUNT(li.l_orderkey) AS n_shipped,
+       CAST(SUM(CAST(li.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_qty
+FROM ranges r LEFT JOIN lineitem li
+  ON li.l_shipdate >= r.start_ts AND li.l_shipdate < r.end_ts
+GROUP BY r.o_orderkey
+""")
+def range_join_q(spark, sf_dir):
+    """Point-in-interval join via bucket expansion (operators/rangejoin.py):
+    lineitem ship events falling inside 14-day windows anchored at a
+    sample of order dates — no equi key links the sides, yet the plan is
+    a bucket equi-join, never a cross join."""
+    from ..operators.rangejoin import range_join
+    orders = _t(spark, sf_dir, "orders")
+    ranges = (orders.filter(F.col("o_orderkey") % 97 == 0)
+              .select("o_orderkey",
+                      F.col("o_orderdate").alias("start_ts"),
+                      (F.col("o_orderdate") + F.expr("INTERVAL 14 DAY")).alias("end_ts")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    joined = range_join(li, ranges, "l_shipdate", "start_ts", "end_ts",
+                        bucket_width_days=7, how="right_outer")
+    return (joined.groupBy("o_orderkey")
+            .agg(F.count("l_orderkey").alias("n_shipped"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                 .cast("decimal(38,4)").alias("total_qty")))
+
+
 @q("sessionize", """
 SELECT event_id, user_id, CAST(SUM(new_sess) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
