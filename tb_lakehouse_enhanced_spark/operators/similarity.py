@@ -84,6 +84,70 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _topk_merge(partials, k)
 
 
+def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the coarse
+    quantizer training step of IVF). Seeded init, fixed iterations."""
+    rng = np.random.default_rng(42)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, n_probe: int = 4,
+             sample_size: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Train a coarse quantizer (k-means over a bounded driver-side
+    sample), assign every corpus vector to its nearest centroid list,
+    and score each query only against its ``n_probe`` closest lists.
+    Recall/cost knob = n_probe/n_lists. At 100 TB the corpus is written
+    partitioned by list id, so a probe touches n_probe partitions; the
+    per-batch kernel below mirrors that pruning locally.
+    """
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    centroids = _kmeans_centroids(
+        _matrix(pd.Series([r[0] for r in sample_rows])), n_lists)
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    # each query probes its n_probe nearest lists
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(qd, axis=1)[:, :n_probe]          # (nq, n_probe)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = _matrix(pdf[vec_col])
+            cd = ((cm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            clist = cd.argmin(axis=1)                          # list per vector
+            outs = []
+            for j, qid in enumerate(qids):
+                mask = np.isin(clist, probe_lists[j])
+                if not mask.any():
+                    continue
+                sims = cm[mask] @ qm[j]
+                cand = ids[mask]
+                kk = min(k + 1, len(cand))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                outs.append(pd.DataFrame({
+                    "query_id": np.full(kk, qid, dtype=np.int64),
+                    "neighbor_id": cand[top], "cos": sims[top]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partials = (corpus.mapInPandas(score, _OUT_SCHEMA)
+                .filter(F.col("query_id") != F.col("neighbor_id")))
+    return _topk_merge(partials, k)
+
+
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= thr).

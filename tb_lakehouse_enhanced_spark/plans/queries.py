@@ -862,6 +862,14 @@ def simsearch_lsh_q(spark, sf_dir):
     return lsh_topk(emb, queries, k=5)
 
 
+@q("simsearch_ivf")  # IVF coarse-quantizer variant — rows-only
+def simsearch_ivf_q(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5)
+
+
 @q("dedup_embedding", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -104,3 +104,19 @@ def test_token_count_bpe_ish(spark):
     n = df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"]
     # hello, world, ',', '4', '2', '!'
     assert n == 6
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from tb_lakehouse_enhanced_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, queries, k=5, n_probe=8).collect()}
+    # probing half the lists should recover most exact neighbors
+    assert len(exact & approx) / len(exact) >= 0.5
+    # deterministic across runs
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_topk(emb, queries, k=5, n_probe=8).collect()}
+    assert approx == again
