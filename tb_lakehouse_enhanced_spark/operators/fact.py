@@ -57,5 +57,5 @@ def build_fact_sales(lineitem: DataFrame, orders: DataFrame,
         F.col("li.l_extendedprice").alias("extended_price"),
         (F.col("li.l_extendedprice").cast("decimal(18,4)")
          * (F.lit(1).cast("decimal(18,4)") - F.col("li.l_discount").cast("decimal(18,4)"))
-         ).cast("decimal(38,8)").alias("net_revenue"),
+         ).cast("decimal(38,8)").cast("double").alias("net_revenue"),
     )

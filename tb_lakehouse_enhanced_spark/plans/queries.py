@@ -133,7 +133,7 @@ def project_rename(spark, sf_dir):
 @q("project_cast_null", """
 SELECT CAST(c_custkey AS INTEGER) AS customer_id,
        COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS segment,
-       CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
        COALESCE(TRY_CAST(c_name AS DOUBLE), -9.0) AS name_as_number
 FROM customer
 """)
@@ -143,7 +143,7 @@ def project_cast_null(spark, sf_dir):
     return c.select(
         F.col("c_custkey").cast("int").alias("customer_id"),
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias("segment"),
-        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("acctbal"),
         F.coalesce(F.col("c_name").try_cast("double"), F.lit(-9.0)).alias("name_as_number"))
 
 
@@ -238,7 +238,7 @@ SELECT li.l_orderkey AS order_key, li.l_linenumber AS line_number,
        COALESCE(CAST(YEAR(o.o_orderdate)*10000 + MONTH(o.o_orderdate)*100
                      + DAY(o.o_orderdate) AS INTEGER), -9) AS order_date_key,
        li.l_quantity AS quantity, li.l_extendedprice AS extended_price,
-       CAST({_REV_SQL} AS DECIMAL(38,8)) AS net_revenue
+       CAST(CAST({_REV_SQL} AS DECIMAL(38,8)) AS DOUBLE) AS net_revenue
 FROM {_STAR_JOIN_SQL}
 """)
 def fact_projection(spark, sf_dir):
@@ -255,7 +255,7 @@ def fact_projection(spark, sf_dir):
 
 @q("star_agg_sales_by_geo", f"""
 SELECT COALESCE(r.r_name, 'N/A') AS region_name,
-       CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS total_ventes,
+       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS DOUBLE) AS total_ventes,
        COUNT(DISTINCT li.l_orderkey) AS nombre_commandes
 FROM {_STAR_JOIN_SQL}
 GROUP BY COALESCE(r.r_name, 'N/A')
@@ -265,7 +265,7 @@ def star_agg_sales_by_geo(spark, sf_dir):
     grouped by geography (pbix Layout; SURVEY.md §2.4)."""
     return (_star_join(spark, sf_dir)
             .groupBy(F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"))
-            .agg(F.sum(_rev()).cast("decimal(38,8)").alias("total_ventes"),
+            .agg(F.sum(_rev()).cast("decimal(38,8)").cast("double").alias("total_ventes"),
                  F.countDistinct(F.col("li.l_orderkey")).alias("nombre_commandes")))
 
 
@@ -287,7 +287,7 @@ def star_agg_order_count(spark, sf_dir):
 SELECT COALESCE(r.r_name, 'N/A') AS region_name,
        CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
        CAST(MONTH(o.o_orderdate) AS INTEGER) AS order_month,
-       CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS total_ventes
+       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS DOUBLE) AS total_ventes
 FROM {_STAR_JOIN_SQL}
 GROUP BY 1, 2, 3
 """)
@@ -298,12 +298,12 @@ def star_agg_by_month(spark, sf_dir):
         F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"),
         F.year("o.o_orderdate").cast("int").alias("order_year"),
         F.month("o.o_orderdate").cast("int").alias("order_month"))
-        .agg(F.sum(_rev()).cast("decimal(38,8)").alias("total_ventes")))
+        .agg(F.sum(_rev()).cast("decimal(38,8)").cast("double").alias("total_ventes")))
 
 
 @q("agg_rollup", """
 SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_balance
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_balance
 FROM customer c
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -319,7 +319,7 @@ def agg_rollup(spark, sf_dir):
     return (j.rollup(F.col("r.r_name").alias("r_name"), F.col("n.n_name").alias("n_name"))
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum(F.col("c.c_acctbal").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("total_balance")))
+                 .cast("decimal(38,2)").cast("double").alias("total_balance")))
 
 
 @q("sort_multi", """
@@ -533,7 +533,7 @@ def fact_upsert(spark, sf_dir):
 @q("stream_tumbling", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """)
 def stream_tumbling(spark, sf_dir):
@@ -544,7 +544,7 @@ def stream_tumbling(spark, sf_dir):
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("value").cast("decimal(18,6)"))
-                 .cast("decimal(38,6)").alias("total_value"))
+                 .cast("decimal(38,6)").cast("double").alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "total_value"))
 
@@ -813,8 +813,8 @@ def multimodal_features_q(spark, sf_dir):
 
 
 @q("tpch_q6", """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-              * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -832,7 +832,7 @@ def tpch_q6(spark, sf_dir):
                       & (F.col("l_quantity") < 24))
             .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
                        * F.col("l_discount").cast("decimal(18,4)"))
-                 .cast("decimal(38,8)").alias("revenue")))
+                 .cast("decimal(38,8)").cast("double").alias("revenue")))
 
 
 @q("simsearch_topk", """
@@ -910,7 +910,7 @@ WITH ranges AS (
   FROM orders WHERE o_orderkey % 97 = 0
 )
 SELECT r.o_orderkey, COUNT(li.l_orderkey) AS n_shipped,
-       CAST(SUM(CAST(li.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_qty
+       CAST(CAST(SUM(CAST(li.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
 FROM ranges r LEFT JOIN lineitem li
   ON li.l_shipdate >= r.start_ts AND li.l_shipdate < r.end_ts
 GROUP BY r.o_orderkey
@@ -932,7 +932,7 @@ def range_join_q(spark, sf_dir):
     return (joined.groupBy("o_orderkey")
             .agg(F.count("l_orderkey").alias("n_shipped"),
                  F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-                 .cast("decimal(38,4)").alias("total_qty")))
+                 .cast("decimal(38,4)").cast("double").alias("total_qty")))
 
 
 @q("sessionize", """
@@ -964,9 +964,9 @@ def sessionize_q(spark, sf_dir):
 
 @q("window_running_sum", """
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE)
        AS running_total
 FROM orders
 """)
@@ -977,7 +977,7 @@ def window_running_sum(spark, sf_dir):
     return (_t(spark, sf_dir, "orders")
             .select("o_custkey", "o_orderkey",
                     F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
-                    .cast("decimal(38,2)").alias("running_total")))
+                    .cast("decimal(38,2)").cast("double").alias("running_total")))
 
 
 @q("agg_pivot", """
@@ -1020,15 +1020,15 @@ def sql_select_view(spark, sf_dir):
 
 @q("tpch_q1", """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            AS DECIMAL(38,8)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                 * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS sum_charge,
+            AS DECIMAL(38,8)) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1043,22 +1043,22 @@ def tpch_q1(spark, sf_dir):
     one = F.lit(1).cast("decimal(18,4)")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").cast("double").alias("sum_base_price"),
                  F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
-                 .cast("decimal(38,8)").alias("sum_disc_price"),
+                 .cast("decimal(38,8)").cast("double").alias("sum_disc_price"),
                  F.sum((dec("l_extendedprice") * (one - dec("l_discount")))
                        .cast("decimal(38,8)")
                        * (one + dec("l_tax")).cast("decimal(38,8)"))
-                 .cast("decimal(38,8)").alias("sum_charge"),
+                 .cast("decimal(38,8)").cast("double").alias("sum_charge"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
 @q("tpch_q3", """
 SELECT li.l_orderkey,
-       CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS revenue,
+            AS DECIMAL(38,8)) AS DOUBLE) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1085,16 +1085,16 @@ def tpch_q3(spark, sf_dir):
                      F.col("o.o_orderdate").alias("o_orderdate"),
                      F.col("o.o_orderpriority").alias("o_orderpriority"))
             .agg(F.sum(_rev("li.l_extendedprice", "li.l_discount"))
-                 .cast("decimal(38,8)").alias("revenue"))
+                 .cast("decimal(38,8)").cast("double").alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
             .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
 
 
 @q("tpch_q5", """
 SELECT n.n_name,
-       CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS revenue
+            AS DECIMAL(38,8)) AS DOUBLE) AS revenue
 FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem li ON li.l_orderkey = o.o_orderkey
@@ -1122,12 +1122,12 @@ def tpch_q5(spark, sf_dir):
             .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
             .groupBy(F.col("n.n_name").alias("n_name"))
             .agg(F.sum(_rev("li.l_extendedprice", "li.l_discount"))
-                 .cast("decimal(38,8)").alias("revenue")))
+                 .cast("decimal(38,8)").cast("double").alias("revenue")))
 
 
 @q("agg_salted", """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_price,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """)
@@ -1144,7 +1144,7 @@ def agg_salted(spark, sf_dir):
         sums={"total_price": F.col("l_extendedprice").cast("decimal(18,4)")},
         counts=("n_rows",))
     return out.select("l_returnflag",
-                      F.col("total_price").cast("decimal(38,4)").alias("total_price"),
+                      F.col("total_price").cast("decimal(38,4)").cast("double").alias("total_price"),
                       "n_rows")
 
 
