@@ -29,6 +29,26 @@ from pyspark.sql import functions as F
 _P = (1 << 31) - 1
 
 
+def portable_hash60(col) -> "F.Column":
+    """60-bit non-negative integer hash reproducible in ANSI SQL engines.
+
+    First 15 hex chars of md5 parsed as an integer — the identical value
+    is `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)` in DuckDB.
+    Used when a dedup plan must be verified against an external SQL
+    oracle; the production default stays xxhash64 (JVM-native, ~5x
+    faster) because only determinism WITHIN the engine matters at scale.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _base_hash(col, base_hash: str) -> "F.Column":
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    if base_hash == "md5":
+        return portable_hash60(col)
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
 def tokens(text) -> "F.Column":
     """Lowercased whitespace word tokens."""
     return F.split(F.lower(F.trim(text)), r"\s+")
@@ -122,7 +142,8 @@ def _minhash_signatures(shingled: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                   id_col: str = "doc_id", n: int = 3,
+                   base_hash: str = "xxhash64") -> DataFrame:
     """Normalized (id, x) distinct 3-gram shingle hashes, one pass.
 
     posexplode tokens + window lead() builds shingles entirely inside
@@ -141,14 +162,15 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text",
                             F.lead("w", 2).over(win)).alias("s"),
                 F.lead("w", 2).over(win).alias("_w2"))
             .filter(F.col("_w2").isNotNull())  # docs >= n tokens
-            .select("id", F.pmod(F.xxhash64("s"), _P).alias("x"))
+            .select("id", F.pmod(_base_hash(F.col("s"), base_hash), _P).alias("x"))
             .dropDuplicates(["id", "x"]))
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       num_hashes: int = 16, bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
-                      verify: str = "estimate") -> DataFrame:
+                      verify: str = "estimate",
+                      base_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH.
 
     shingle-hash -> minhash signature -> band buckets -> bucket
@@ -164,18 +186,26 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     true Jaccard (1 extra pass; use for audits/tests).
     """
     rows = num_hashes // bands
-    ex = shingle_hashes(docs, text_col, id_col)
+    ex = shingle_hashes(docs, text_col, id_col, base_hash=base_hash)
     sig_aggs = []
     for i in range(num_hashes):
         a_i, b_i = 2 * i + 1, (i * 0x9E3779B9 + 7) % _P
         sig_aggs.append(F.min(F.pmod(F.col("x") * a_i + b_i, _P)).alias(f"mh_{i}"))
     sig = ex.groupBy("id").agg(*sig_aggs).persist()
 
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)],
-                   F.lit(b)).alias("bucket")
-        for b in range(bands)
-    ]
+    if base_hash == "xxhash64":
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)],
+                       F.lit(b)).alias("bucket")
+            for b in range(bands)
+        ]
+    else:  # portable band hash: md5 over the comma-joined row values
+        band_cols = [
+            portable_hash60(F.concat_ws(
+                ",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
+                F.lit(b))).alias("bucket")
+            for b in range(bands)
+        ]
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -210,7 +240,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+            id_col: str = "doc_id", bits: int = 64,
+            base_hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     Bit b of the fingerprint = majority vote of bit b over xxhash64 of
@@ -222,7 +253,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     one = F.lit(1).cast("long")
     words = (_spread(docs).select(F.col(id_col).alias("id"),
                          F.explode(word_set(F.col(text_col))).alias("w"))
-             .withColumn("h", F.xxhash64("w")))
+             .withColumn("h", _base_hash(F.col("w"), base_hash)))
     votes = words.groupBy("id").agg(*[
         F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
@@ -235,23 +266,27 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 64, base_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidate generation: split the 64-bit fingerprint into 4 x 16-bit
-    chunks; any pair within distance 3 shares at least one exact chunk
-    (pigeonhole), so candidates come from 4 chunk equi-joins — shuffles
-    on 16-bit keys, never a cross-join.
+    Candidate generation: split the fingerprint into 4 equal chunks
+    (16 bits at the default 64; 15 at the portable 60); any pair within
+    distance 3 shares at least one exact chunk (pigeonhole), so
+    candidates come from 4 chunk equi-joins — shuffles on small integer
+    keys, never a cross-join.
     """
+    cw = bits // 4  # chunk width
+    mask = (1 << cw) - 1
     # both join sides derive from fps — persist so the 64-agg simhash
     # computation runs once, not twice
-    fps = simhash(docs, text_col, id_col).persist()
+    fps = simhash(docs, text_col, id_col, bits=bits, base_hash=base_hash).persist()
     chunks = fps.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_no"),
-                     F.shiftright(F.col("simhash"), 16 * i)
-                     .bitwiseAND(F.lit(0xFFFF).cast("long")).alias("chunk"))
+                     F.shiftright(F.col("simhash"), cw * i)
+                     .bitwiseAND(F.lit(mask).cast("long")).alias("chunk"))
             for i in range(4)
         ])).alias("c")
     ).select("id", "simhash", "c.chunk_no", "c.chunk")
