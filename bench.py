@@ -18,15 +18,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headliners: one per operator family, excluding the deliberately
 # quadratic oracle-parity query (dedup_ngram_jaccard) whose scale path
-# is dedup_minhash.
+# is dedup_minhash. The *_fast dedup entries are the production xxhash64
+# variants (same plan as the md5-backed oracle queries, faster hash) —
+# identical computation to what round 1 benchmarked under the short names.
 HEADLINE = [
     "star_agg_sales_by_geo", "star_agg_by_month", "star_agg_order_count",
     "fact_projection", "join_fact_chain", "window_rank", "agg_rollup",
     "scd2_merge_state", "scd1_upsert", "fact_upsert",
     "dml_update", "stream_tumbling", "dim_calendar_spine",
-    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_fast", "dedup_simhash_fast",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
-    "simsearch_topk", "simsearch_lsh", "dedup_embedding", "dedup_clusters",
+    "simsearch_topk", "simsearch_lsh", "dedup_embedding", "dedup_clusters_fast",
     "asof_join", "sessionize", "vocab_topk", "contamination_check",
     "agg_salted", "tpch_q1", "tpch_q3", "tpch_q5",
 ]

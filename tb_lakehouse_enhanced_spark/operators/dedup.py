@@ -233,7 +233,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                     *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(num_hashes)])
     matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
                   for i in range(num_hashes))
-    return (cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    return (cand.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b",
                     (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"))
             .filter(F.col("jaccard") >= F.lit(threshold)))

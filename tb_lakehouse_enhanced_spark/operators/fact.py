@@ -36,9 +36,9 @@ def build_fact_sales(lineitem: DataFrame, orders: DataFrame,
     c, n, r = customer.alias("c"), nation.alias("n"), region.alias("r")
 
     joined = (
-        li.join(F.broadcast(o), F.col("li.l_orderkey") == F.col("o.o_orderkey"),
+        li.join(o, F.col("li.l_orderkey") == F.col("o.o_orderkey"),
                 "left_outer")
-        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"),
+        .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"),
               "left_outer")
         .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"),
               "left_outer")

@@ -73,11 +73,9 @@ def _with_surrogates(inserts: DataFrame, cfg: ScdConfig, offset_df: DataFrame | 
     """Assign contiguous surrogate keys past the current max.
 
     Emulates ``GENERATED ... AS IDENTITY`` (reference 01_Init.py:59).
-    Deterministic mode: row_number over the natural-key order. The global
-    (unpartitioned) window funnels the *inserted rows only* — a small
-    batch relative to the table — through one task; at 100 TB scale swap
-    for Delta identity columns or ``monotonically_increasing_id`` + max
-    offset (contiguity is not semantically required, SURVEY.md §7.4).
+    Deterministic: the dense rank of the natural key, computed with the
+    two-phase range-partitioned sequence (operators/sequence.py) so the
+    insert batch never funnels through a single-task global window.
     """
     if cfg.surrogate_key is None:
         return inserts
@@ -87,9 +85,8 @@ def _with_surrogates(inserts: DataFrame, cfg: ScdConfig, offset_df: DataFrame | 
                   .collect()[0]["m"])
     else:
         offset = 0
-    w = Window.orderBy(*cfg.keys)
-    return inserts.withColumn(
-        sk, (F.row_number().over(w) + F.lit(offset)).cast("bigint"))
+    from .sequence import dense_sequence
+    return dense_sequence(inserts, list(cfg.keys), sk, offset=offset)
 
 
 def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,

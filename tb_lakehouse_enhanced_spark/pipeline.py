@@ -165,9 +165,9 @@ def run_gold_fact(spark: SparkSession, cfg: PipelineConfig) -> None:
     dim_c = _mt(spark, cfg, "gold", "dim_customer").read().alias("dc")
 
     src = (detail
-           .join(F.broadcast(header), F.col("d.order_id") == F.col("h.order_id"),
+           .join(header, F.col("d.order_id") == F.col("h.order_id"),
                  "left_outer")
-           .join(F.broadcast(dim_c),
+           .join(dim_c,
                  F.col("h.customer_id") == F.col("dc.customer_id"), "left_outer")
            .select(
                F.col("d.order_id").alias("order_id"),

@@ -66,15 +66,18 @@ _REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,4)) * "
 def _star_join(spark, sf_dir):
     """lineitem -> orders -> customer -> nation -> region left-outer chain.
 
-    Dim sides broadcast (reference fact chain 34:44-70 — at any scale the
-    dims are << fact, so the chain is BHJs over one lineitem scan)."""
+    Only the constant-cardinality dims (nation=25, region=5) carry an
+    explicit broadcast hint; orders/customer GROW with the fact, so their
+    joins are left to AQE — broadcast at bench scale (runtime sizes under
+    the threshold), shuffle joins at 100 TB (reference fact chain
+    34:44-70)."""
     li = _t(spark, sf_dir, "lineitem").alias("li")
     o = _t(spark, sf_dir, "orders").alias("o")
     c = _t(spark, sf_dir, "customer").alias("c")
     n = _t(spark, sf_dir, "nation").alias("n")
     r = _t(spark, sf_dir, "region").alias("r")
-    return (li.join(F.broadcast(o), F.col("li.l_orderkey") == F.col("o.o_orderkey"), "left_outer")
-            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"), "left_outer")
+    return (li.join(o, F.col("li.l_orderkey") == F.col("o.o_orderkey"), "left_outer")
+            .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"), "left_outer")
             .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left_outer")
             .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left_outer"))
 
@@ -278,7 +281,7 @@ def star_agg_order_count(spark, sf_dir):
     """A2: distinct order count per segment."""
     o = _t(spark, sf_dir, "orders").alias("o")
     c = _t(spark, sf_dir, "customer").alias("c")
-    return (o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+    return (o.join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
             .groupBy(F.col("c.c_mktsegment").alias("c_mktsegment"))
             .agg(F.countDistinct("o.o_orderkey").alias("nombre_commandes")))
 
@@ -355,10 +358,12 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS _tf_id, c_custk
 FROM customer
 """)
 def surrogate_keys(spark, sf_dir):
-    """W2: deterministic surrogate-key assignment (reference 01:59)."""
-    w = Window.orderBy("c_custkey")
-    return (_t(spark, sf_dir, "customer")
-            .select(F.row_number().over(w).cast("bigint").alias("_tf_id"), "c_custkey"))
+    """W2: deterministic surrogate-key assignment (reference 01:59) via
+    the scalable two-phase sequence (operators/sequence.py) — same values
+    as ROW_NUMBER() OVER (ORDER BY key), no single-task global window."""
+    from ..operators.sequence import dense_sequence
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return dense_sequence(c, ["c_custkey"], "_tf_id").select("_tf_id", "c_custkey")
 
 
 # --------------------------------------------------------------------------
@@ -1119,7 +1124,7 @@ def agg_pivot(spark, sf_dir):
     """Pivot via conditional aggregation (portable + identical plan)."""
     o = _t(spark, sf_dir, "orders").alias("o")
     c = _t(spark, sf_dir, "customer").alias("c")
-    j = o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+    j = o.join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
     agg = [F.sum(F.when(F.col("o.o_orderstatus") == s, 1).otherwise(0))
            .alias(f"n_{s.lower()}") for s in ("F", "O", "P")]
     return j.groupBy(F.col("c.c_mktsegment").alias("c_mktsegment")).agg(*agg)
@@ -1206,8 +1211,8 @@ def tpch_q3(spark, sf_dir):
          .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")).alias("o"))
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")).alias("li"))
-    return (li.join(F.broadcast(o), F.col("li.l_orderkey") == F.col("o.o_orderkey"))
-            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+    return (li.join(o, F.col("li.l_orderkey") == F.col("o.o_orderkey"))
+            .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
             .groupBy(F.col("li.l_orderkey").alias("l_orderkey"),
                      F.col("o.o_orderdate").alias("o_orderdate"),
                      F.col("o.o_orderpriority").alias("o_orderpriority"))
@@ -1242,9 +1247,9 @@ def tpch_q5(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").alias("li")
     s = _t(spark, sf_dir, "supplier").alias("s")
     n = _t(spark, sf_dir, "nation").alias("n")
-    return (li.join(F.broadcast(o), F.col("li.l_orderkey") == F.col("o.o_orderkey"))
-            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
-            .join(F.broadcast(s), (F.col("li.l_suppkey") == F.col("s.s_suppkey"))
+    return (li.join(o, F.col("li.l_orderkey") == F.col("o.o_orderkey"))
+            .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+            .join(s, (F.col("li.l_suppkey") == F.col("s.s_suppkey"))
                   & (F.col("s.s_nationkey") == F.col("c.c_nationkey")))
             .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
             .groupBy(F.col("n.n_name").alias("n_name"))
@@ -1504,3 +1509,25 @@ assert not set(_PRIORITY) - set(SPARK_QUERIES), set(_PRIORITY) - set(SPARK_QUERI
 _tail = [k for k in SPARK_QUERIES if k not in _PRIORITY]
 SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in (*_PRIORITY, *_tail)}
 ORACLE_SQL = {k: ORACLE_SQL[k] for k in SPARK_QUERIES if k in ORACLE_SQL}
+
+
+# Production-hash (xxhash64) dedup variants: same plans as the md5-backed
+# oracle queries above, with the JVM-native base hash — these are what a
+# deployment runs and what bench.py times; the md5 twins exist so the
+# external DuckDB gate can value-check the algorithm. Rows-only by design.
+
+@q("dedup_minhash_fast")
+def dedup_minhash_fast(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@q("dedup_simhash_fast")
+def dedup_simhash_fast(spark, sf_dir):
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@q("dedup_clusters_fast")
+def dedup_clusters_fast(spark, sf_dir):
+    from ..operators.cluster import dedup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.5))
