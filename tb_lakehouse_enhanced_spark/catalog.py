@@ -51,3 +51,25 @@ def validate_fk(spark: SparkSession, fact: str, fact_key: str,
             .join(spark.table(dim).alias("d"),
                   F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"), "left_anti")
             .count())
+
+
+def save_table_bucketed(df: DataFrame, name: str, bucket_cols: list[str],
+                        num_buckets: int = 32,
+                        sort_cols: list[str] | None = None) -> None:
+    """Bucketed managed-table sink: the co-located-join path.
+
+    Two tables bucketed into the same ``num_buckets`` on their join key
+    hash-partition identically ON DISK, so a join between them needs NO
+    exchange — Spark reads bucket i of both sides into the same task.
+    At 100 TB this removes the dominant cost of repeated fact<->fact and
+    fact<->big-dim joins (e.g. lineitem JOIN orders ON orderkey every
+    query): the shuffle is paid once at write time, then amortized over
+    every downstream join. OSS Spark's analogue of the reference's
+    platform-managed layout (SURVEY.md §4; Databricks handles this with
+    liquid clustering).
+    """
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

@@ -10,6 +10,7 @@ A regression here is a scale bug even when results stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tb_lakehouse_enhanced_spark.plans.queries import SPARK_QUERIES
 
@@ -72,3 +73,58 @@ def test_semi_anti_plan_shapes(spark):
     semi = _executed(SPARK_QUERIES["join_semi"](spark, SF_DIR))
     anti = _executed(SPARK_QUERIES["join_anti"](spark, SF_DIR))
     assert "LeftSemi" in semi and "LeftAnti" in anti
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables join WITHOUT a shuffle: the one-time
+    write-side bucketing replaces a per-query exchange of the fact."""
+    from tb_lakehouse_enhanced_spark import catalog
+    from tb_lakehouse_enhanced_spark.plans.queries import _t
+
+    li = _t(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    o = _t(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    catalog.save_table_bucketed(li, "bkt_lineitem", ["l_orderkey"], 8)
+    catalog.save_table_bucketed(o, "bkt_orders", ["o_orderkey"], 8)
+    try:
+        # AQE/auto-broadcast would hide the bucket benefit at test scale;
+        # disable both so the plan shows what a 100 TB join would do
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        j = (spark.table("bkt_lineitem")
+             .join(spark.table("bkt_orders"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderdate").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        joins = plan.count("SortMergeJoin")
+        assert joins >= 1
+        # the join itself sees NO Exchange on either side: only the
+        # post-join aggregation may shuffle
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_partitioned_scan_prunes(spark, tmp_path):
+    """Hive-partitioned managed table: a partition predicate reaches the
+    scan as PartitionFilters, reading only matching directories."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    from tb_lakehouse_enhanced_spark.plans.queries import _t
+
+    li = (_t(spark, SF_DIR, "lineitem")
+          .withColumn("flag", F.col("l_returnflag")))
+    mt = ManagedTable(spark, str(tmp_path / "part_li"),
+                      partition_by=["flag"])
+    mt.overwrite(li)
+    df = mt.read().filter(F.col("flag") == "R").select("l_orderkey")
+    plan = df._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "flag" in plan.split("PartitionFilters")[-1][:200]
+    assert df.count() > 0
