@@ -28,32 +28,48 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     ``edges`` are undirected pairs; isolated vertices (absent from
     edges) are their own components and can be unioned in by the caller.
     """
+    # the union scans `edges` twice; materialize the (usually expensive)
+    # candidate-pair plan once — the count also sizes the loop's
+    # partitioning: a near-dup graph is tiny relative to the corpus, and
+    # iterating 32-partition shuffles over a few hundred edges costs ~10x
+    # the actual work in scheduling. ~50k edges per partition keeps a
+    # billion-edge graph at full parallelism and a small one on one core.
+    edges = edges.persist()
     spark = edges.sparkSession
+    n_part = max(1, min(spark.sparkContext.defaultParallelism,
+                        edges.count() // 50_000 + 1))
     sym = (edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
            .unionByName(edges.select(F.col(dst).alias("v"), F.col(src).alias("n")))
-           .distinct()
-           .persist())
-    labels = (sym.select("v").distinct()
-              .withColumn("label", F.col("v"))
-              .persist())
+           .distinct())
+    verts = sym.select("v").distinct()
+    # self-loops fold "own label" into the neighbor aggregation, so one
+    # iteration is exactly ONE join + ONE min-aggregate (vs join + agg +
+    # second join for the least() merge)
+    # localCheckpoint (not persist): each round's plan must restart from
+    # materialized partitions, or the lineage grows by one join per
+    # iteration and Catalyst re-optimizes + re-compiles codegen for the
+    # whole history every round (~2 s/iteration of pure compile time on a
+    # few hundred edges). On a cluster with flaky executors use
+    # checkpoint() with a reliable dir instead — same truncation.
+    sym = (sym.unionByName(verts.withColumn("n", F.col("v")))
+           .repartition(n_part, "n").localCheckpoint(eager=True))
+    labels = (verts.withColumn("label", F.col("v"))
+              .repartition(n_part, "v").localCheckpoint(eager=True))
 
+    # labels can only decrease, so the label SUM is a strictly decreasing
+    # convergence witness: one scalar aggregate per round replaces a
+    # join-and-count of changed rows
+    prev_sum = None
     for _ in range(max_iterations):
-        # candidate label per vertex: min over own label and neighbors'
-        neigh = (sym.join(labels.withColumnRenamed("v", "n"), "n")
-                 .groupBy("v").agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(neigh, "v", "left_outer")
-                      .select("v", F.least(F.col("label"),
-                                           F.coalesce(F.col("nlabel"), F.col("label")))
-                              .alias("label"))
-                      .persist())
-        changed = (new_labels.alias("a")
-                   .join(labels.alias("b"), F.col("a.v") == F.col("b.v"))
-                   .filter(F.col("a.label") != F.col("b.label")).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = (sym.join(labels.withColumnRenamed("v", "n"), "n")
+                  .groupBy("v").agg(F.min("label").alias("label"))
+                  .repartition(n_part, "v")
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
             break
-    sym.unpersist()
+        prev_sum = cur_sum
+    edges.unpersist()
     return labels.select(F.col("v").alias("id"), F.col("label").alias("component"))
 
 
