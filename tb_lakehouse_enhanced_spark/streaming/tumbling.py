@@ -59,3 +59,47 @@ def stream_tumbling_agg(stream: DataFrame, ts_col: str = "ts",
     ``.writeStream.outputMode("append")`` once windows close."""
     return tumbling_agg(stream, ts_col, window, key_col, value_col,
                         watermark=watermark)
+
+
+def interval_stream_join(left: DataFrame, right: DataFrame,
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         key: str = "user_id",
+                         tolerance: str = "30 minutes",
+                         left_watermark: str = "1 hour",
+                         right_watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream equi-join with an event-time interval condition.
+
+    Both sides carry a watermark and the join adds a time-range bound
+    (right within [left_ts, left_ts + tolerance]), which is what lets
+    Spark expire buffered state: without the range, each side's state
+    would grow forever. Works identically in batch (the watermark is a
+    no-op there), so the semantics are testable both ways.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, left_watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return l.join(r, cond)
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           ts_col: str = "ts",
+                           watermark: str = "1 hour") -> DataFrame:
+    """At-least-once -> effectively-once: drop duplicate (keys) arrivals
+    within the watermark horizon, with bounded state.
+
+    Streaming uses ``dropDuplicatesWithinWatermark`` (state for a key is
+    reclaimed once the watermark passes it — a plain dropDuplicates
+    would keep every key ever seen). Batch falls back to dropDuplicates
+    for the same semantics on a finite input.
+    """
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)

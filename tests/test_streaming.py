@@ -43,3 +43,61 @@ def test_stream_matches_batch(spark, tmp_base):
     assert got == expect
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 00:00:00", "view")] == (1, 16.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_base):
+    """Clicks joined to views of the same user within 30 min, both
+    streaming: the interval condition bounds state on both sides."""
+    from tb_lakehouse_enhanced_spark.streaming.tumbling import interval_stream_join
+
+    src = f"{tmp_base}/ssj"
+    rows_l = [("2024-01-01 00:00:00", 1, "click"),
+              ("2024-01-01 02:00:00", 2, "click")]
+    rows_r = [("2024-01-01 00:10:00", 1, "view"),    # within 30 min of u1 click
+              ("2024-01-01 01:00:00", 1, "view"),    # too late for u1 click
+              ("2024-01-01 02:05:00", 2, "view")]    # within 30 min of u2 click
+    mk = lambda rows: (spark.createDataFrame(rows, ["ts_s", "user_id", "ev"])
+                       .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "ev"))
+    mk(rows_l).repartition(1).write.parquet(f"{src}/left")
+    mk(rows_r).repartition(1).write.parquet(f"{src}/right")
+    schema = mk(rows_l).schema
+
+    ls = (spark.readStream.schema(schema).parquet(f"{src}/left")
+          .select("ts", "user_id"))
+    rs = (spark.readStream.schema(schema).parquet(f"{src}/right")
+          .selectExpr("ts AS view_ts", "user_id"))
+    j = interval_stream_join(ls, rs, left_ts="ts", right_ts="view_ts",
+                             key="user_id", tolerance="30 minutes")
+    q = (j.writeStream.format("memory").queryName("ssj_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], str(r["view_ts"]))
+           for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    assert got == {(1, "2024-01-01 00:10:00"), (2, "2024-01-01 02:05:00")}
+
+
+def test_dedup_within_watermark(spark, tmp_base):
+    """Duplicate event ids within the watermark horizon are dropped with
+    bounded state; batch mode gives the same multiset."""
+    from tb_lakehouse_enhanced_spark.streaming.tumbling import dedup_within_watermark
+
+    src = f"{tmp_base}/dwm"
+    rows = [("2024-01-01 00:00:00", "e1", 1.0),
+            ("2024-01-01 00:05:00", "e1", 1.0),   # duplicate delivery
+            ("2024-01-01 00:10:00", "e2", 2.0),
+            ("2024-01-01 03:00:00", "e3", 3.0)]
+    df = (spark.createDataFrame(rows, ["ts_s", "event_id", "value"])
+          .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "event_id", "value"))
+    df.repartition(1).write.parquet(f"{src}/f1")
+
+    stream = spark.readStream.schema(df.schema).parquet(f"{src}/*")
+    dd = dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (dd.writeStream.format("memory").queryName("dwm_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["event_id"]
+                 for r in spark.sql("SELECT * FROM dwm_test").collect())
+    assert got == ["e1", "e2", "e3"]
+    # batch path: same multiset
+    assert sorted(r["event_id"] for r in
+                  dedup_within_watermark(df, ["event_id"]).collect()) == got
