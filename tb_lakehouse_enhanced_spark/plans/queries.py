@@ -987,8 +987,47 @@ def simsearch_topk_q(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
-@q("simsearch_lsh")  # bucketed approximate variant — rows-only
+def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of operators.similarity.lsh_topk.
+
+    The sign-LSH hyperplanes come from a fixed integer LCG
+    (similarity._planes), so their 384 coefficients are compile-time
+    constants embeddable as SQL list literals. Bucket bits compare the
+    RAW dot product against 0 — normalization is a positive scale and
+    cannot flip the sign — and the within-bucket ranking is the same
+    exact-cosine + neighbor-id tie-break the checked simsearch_topk
+    oracle uses (adjacent-rank gaps dwarf float summation-order error).
+    """
+    from ..operators.similarity import _planes
+    planes = _planes(dim, n_planes)
+    bits = " + ".join(
+        f"{1 << j}*(CASE WHEN list_dot_product(embedding, "
+        f"[{', '.join(repr(x) for x in planes[j])}]) >= 0 THEN 1 ELSE 0 END)"
+        for j in range(n_planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {bits} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos
+  FROM b c JOIN q ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@q("simsearch_lsh", _lsh_oracle_sql())
 def simsearch_lsh_q(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-k — oracle-checked: the fixed
+    hyperplane constants are shared with the SQL mirror."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_topk(emb, queries, k=5)
@@ -1502,7 +1541,7 @@ _PRIORITY = [
     "text_metrics", "text_clean", "vocab_topk", "corpus_splits",
     "contamination_check",
     # multimodal + similarity search
-    "multimodal_features", "simsearch_topk", "simsearch_approx",
+    "multimodal_features", "simsearch_topk", "simsearch_lsh",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert not set(_PRIORITY) - set(SPARK_QUERIES), set(_PRIORITY) - set(SPARK_QUERIES)
