@@ -128,3 +128,16 @@ def test_partitioned_scan_prunes(spark, tmp_path):
     plan = df._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan and "flag" in plan.split("PartitionFilters")[-1][:200]
     assert df.count() > 0
+
+
+def test_tpch_q6_filters_and_columns_reach_scan(spark):
+    """The pure-pushdown query: every predicate lands in PushedFilters
+    and only the 4 referenced columns leave the parquet reader."""
+    df = SPARK_QUERIES["tpch_q6"](spark, SF_DIR)
+    plan = _full(df)
+    pushed = plan.split("PushedFilters")[-1][:500]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    rs = plan.split("ReadSchema")[-1]
+    assert "l_extendedprice" in rs
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
