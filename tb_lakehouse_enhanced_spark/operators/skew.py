@@ -33,3 +33,30 @@ def salted_sum(df: DataFrame, group_cols: list[str], salt_expr: Column,
     final_aggs = [F.sum(f"_p_{name}").alias(name) for name in sums]
     final_aggs += [F.sum("_p_cnt").alias(c) for c in counts]
     return partial.groupBy(*group_cols).agg(*final_aggs)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner",
+                salt_expr: Column | None = None) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, replicate the small side.
+
+    A hot key on ``big`` sends one reducer everything; AQE's skew-join
+    split handles this WITHIN a sort-merge join, but not when the skew
+    sits under an aggregation-after-join or when AQE stats arrive too
+    late (first run of a stage). This is the explicit fallback: each big
+    row gets one of ``n_salts`` salts, the small side is exploded
+    ``n_salts``x, and the join key becomes (key, salt) — the hot key now
+    spreads over n_salts reducers. Cost: |small| * n_salts rows, which
+    is the broadcast-style trade re-expressed for when small is too big
+    to broadcast but far smaller than big.
+
+    ``salt_expr`` must be deterministic per row (default: xxhash64 over
+    all big-side columns — stable across retries, unlike rand()).
+    """
+    if salt_expr is None:
+        salt_expr = F.xxhash64(*[F.col(c) for c in big.columns])
+    b = big.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

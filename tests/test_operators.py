@@ -120,3 +120,19 @@ def test_ivf_topk_recall_vs_exact(spark):
     again = {(r["query_id"], r["neighbor_id"])
              for r in ivf_topk(emb, queries, k=5, n_probe=8).collect()}
     assert approx == again
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join is result-identical to the direct equi-join."""
+    from tb_lakehouse_enhanced_spark.operators.skew import salted_join
+    from tb_lakehouse_enhanced_spark.plans.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", n_salts=8) \
+        .groupBy("l_orderkey").count()
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))

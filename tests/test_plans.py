@@ -141,3 +141,30 @@ def test_tpch_q6_filters_and_columns_reach_scan(spark):
     rs = plan.split("ReadSchema")[-1]
     assert "l_extendedprice" in rs
     assert "l_orderkey" not in rs and "l_partkey" not in rs
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter prunes fact partitions at RUNTIME: the
+    partitioned-fact scan carries a dynamicpruning subquery on the join
+    key instead of reading every partition."""
+    from tb_lakehouse_enhanced_spark.plans.queries import _t
+
+    li = _t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity",
+                                              "l_returnflag")
+    (li.write.mode("overwrite").format("parquet")
+     .partitionBy("l_returnflag")
+     .save(str(tmp_path / "fact_part")))
+    fact = spark.read.parquet(str(tmp_path / "fact_part"))
+    # the pruning side must be a filtered scan (DPP's benefit heuristic),
+    # not a literal LocalRelation
+    (spark.createDataFrame([("R", "returned"), ("A", "accepted"),
+                            ("N", "none")], ["flag", "label"])
+     .write.mode("overwrite").parquet(str(tmp_path / "dim")))
+    dim = (spark.read.parquet(str(tmp_path / "dim"))
+           .filter(F.col("label") == "returned"))
+    j = (fact.join(dim, fact.l_returnflag == dim.flag)
+         .groupBy("label").agg(F.sum("l_quantity").alias("q")))
+    plan = j._jdf.queryExecution().optimizedPlan().toString() + \
+        j._jdf.queryExecution().sparkPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 1
