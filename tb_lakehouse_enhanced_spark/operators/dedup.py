@@ -254,14 +254,30 @@ def simhash(docs: DataFrame, text_col: str = "text",
     words = (_spread(docs).select(F.col(id_col).alias("id"),
                          F.explode(word_set(F.col(text_col))).alias("w"))
              .withColumn("h", _base_hash(F.col("w"), base_hash)))
-    votes = words.groupBy("id").agg(*[
-        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
-        for b in range(bits)
-    ])
+    # Pack 4 bit-counters into 16-bit lanes of each sum: bits/4 packed
+    # SUMs + one COUNT instead of `bits` conditional SUMs. Equivalent
+    # majority vote (2*count_b > n  <=>  sum of +-1 votes > 0, ties
+    # included), but the generated aggregate code is ~4x smaller — on
+    # small inputs whole-stage-codegen COMPILE time dominated the run.
+    # Lane capacity 65535 distinct words per doc is far beyond any real
+    # document; shard the doc first if that ever changes.
+    n_longs = bits // 4
+    packed = []
+    for j in range(n_longs):
+        lanes = None
+        for lane in range(4):
+            b = j + n_longs * lane
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(one)
+            term = F.shiftleft(bit, 16 * lane)
+            lanes = term if lanes is None else lanes + term
+        packed.append(F.sum(lanes).alias(f"p{j}"))
+    votes = words.groupBy("id").agg(*packed,
+                                    F.count(F.lit(1)).alias("_nw"))
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        fp = fp.bitwiseOR((F.col(f"b{b}") > 0).cast("long") * F.shiftleft(one, b))
+        j, lane = b % n_longs, b // n_longs
+        cnt = F.shiftright(F.col(f"p{j}"), 16 * lane).bitwiseAND(F.lit(0xFFFF).cast("long"))
+        fp = fp.bitwiseOR((cnt * 2 > F.col("_nw")).cast("long") * F.shiftleft(one, b))
     return votes.select("id", fp.alias("simhash"))
 
 
