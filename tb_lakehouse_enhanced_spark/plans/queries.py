@@ -1570,3 +1570,59 @@ def dedup_clusters_fast(spark, sf_dir):
     from ..operators.cluster import dedup_clusters
     docs = _t(spark, sf_dir, "documents")
     return dedup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.5))
+
+
+@q("repetition_stats", """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_cnt FROM (
+    SELECT doc_id, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_word_ratio,
+       CAST(top.top_cnt AS DOUBLE) / len(toks) AS top_word_frac,
+       CASE WHEN len(toks) >= 2 THEN
+         1.0 - CAST(len(list_distinct(
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+               / (len(toks) - 1)
+       ELSE 0.0 END AS dup_2gram_frac,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       / len(toks) AS mean_word_len
+FROM t JOIN top ON top.doc_id = t.doc_id
+""")
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition/quality signals per document: distinct
+    word ratio, most-frequent-word share, duplicate-2-gram fraction,
+    mean word length — the standard 'remove boilerplate/degenerate
+    text' gates of a pretraining corpus pipeline. Ratios are exact
+    int/int divisions, so they hash-match across engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    base = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("distinct_word_ratio"),
+        F.when(n >= 2,
+               F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / (n - 1))
+        .otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+        (F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+         / n).alias("mean_word_len"),
+        toks.alias("_toks"))
+    counts = (base.select("doc_id", "n_words", F.explode("_toks").alias("w"))
+              .groupBy("doc_id", "w").count()
+              .groupBy("doc_id").agg(F.max("count").alias("_top")))
+    return (base.join(counts, "doc_id")
+            .select("doc_id", "n_words", "distinct_word_ratio",
+                    (F.col("_top").cast("double") / F.col("n_words")).alias("top_word_frac"),
+                    "dup_2gram_frac", "mean_word_len"))

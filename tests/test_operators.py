@@ -136,3 +136,27 @@ def test_salted_join_matches_plain_join(spark):
         .groupBy("l_orderkey").count()
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, salted.collect()))
+
+
+def test_repetition_stats_values(spark, tmp_path):
+    """Hand-checked repetition metrics on a crafted doc."""
+    from tb_lakehouse_enhanced_spark.plans.queries import SPARK_QUERIES
+    docs = spark.createDataFrame(
+        [(1, "a a a b"),      # 4 words, 2 distinct, top=3/4, 2grams: aa,aa,ab -> dup 1/3
+         (2, "x")],           # single word
+        ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    for t in ("region nation customer supplier part orders lineitem events "
+              "embeddings").split():
+        # repetition_stats only reads documents; point the rest anywhere
+        pass
+    out = {r["doc_id"]: r for r in
+           SPARK_QUERIES["repetition_stats"](spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert abs(r1["distinct_word_ratio"] - 0.5) < 1e-12
+    assert abs(r1["top_word_frac"] - 0.75) < 1e-12
+    assert abs(r1["dup_2gram_frac"] - (1 - 2 / 3)) < 1e-12
+    assert abs(r1["mean_word_len"] - 1.0) < 1e-12
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["dup_2gram_frac"] == 0.0
