@@ -1626,3 +1626,35 @@ def repetition_stats(spark, sf_dir):
             .select("doc_id", "n_words", "distinct_word_ratio",
                     (F.col("_top").cast("double") / F.col("n_words")).alias("top_word_frac"),
                     "dup_2gram_frac", "mean_word_len"))
+
+
+@q("tpch_q14", """
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                 THEN CAST(li.l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+WHERE li.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND li.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""")
+def tpch_q14(spark, sf_dir):
+    """Promotion-revenue share (TPC-H Q14 shape): conditional revenue
+    ratio over the lineitem-part join. Sums stay exact in decimal; the
+    final ratio is a double division of two exact values — the decimal
+    division rules differ between engines (Spark caps the result scale),
+    double division is IEEE-identical."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+          .alias("li"))
+    p = _t(spark, sf_dir, "part").alias("p")
+    rev = _rev("li.l_extendedprice", "li.l_discount")
+    promo = F.when(F.col("p.p_type").like("PROMO%"), rev) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (li.join(p, F.col("li.l_partkey") == F.col("p.p_partkey"))
+            .agg((F.lit(100.0) * F.sum(promo).cast("double")
+                  / F.sum(rev).cast("double"))
+                 .alias("promo_revenue")))
