@@ -177,21 +177,28 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     equi-join -> similarity filter. rows/bands chosen so the LSH s-curve
     threshold (1/bands)^(1/rows) brackets ``threshold``.
 
-    The shingle stream is consumed ONCE (into the per-doc signature);
-    everything downstream operates on the tiny persisted signature table
-    (|docs| rows x num_hashes longs), so candidate generation and
-    scoring are broadcast-scale joins. ``verify='estimate'`` scores
-    candidates with the unbiased MinHash estimator (matching-component
-    fraction); ``verify='exact'`` re-joins the shingle stream to compute
-    true Jaccard (1 extra pass; use for audits/tests).
+    Shuffle shape (the thing that matters at 100 TB): the shingle stream
+    is consumed ONCE into the per-doc signature; each bucket row carries
+    the full signature (num_hashes longs) plus the per-band bucket array,
+    so candidate generation is a SINGLE self-equi-join on (band, bucket).
+    A pair sharing k bands would surface k times — instead of
+    deduplicating with an extra shuffle over the candidate stream (the
+    largest intermediate in the whole plan), each joined row checks
+    "am I the FIRST band this pair collides in?" against the bucket
+    arrays already on the row and only that one row survives. Scoring
+    (the signature-match estimate) reads the two carried signatures —
+    no re-join. ``verify='exact'`` re-joins the shingle stream to
+    compute true Jaccard (1 extra pass; use for audits/tests).
     """
     rows = num_hashes // bands
     ex = shingle_hashes(docs, text_col, id_col, base_hash=base_hash)
+    if verify == "exact":
+        ex = ex.persist()  # re-read below for true-Jaccard scoring
     sig_aggs = []
     for i in range(num_hashes):
         a_i, b_i = 2 * i + 1, (i * 0x9E3779B9 + 7) % _P
         sig_aggs.append(F.min(F.pmod(F.col("x") * a_i + b_i, _P)).alias(f"mh_{i}"))
-    sig = ex.groupBy("id").agg(*sig_aggs).persist()
+    sig = ex.groupBy("id").agg(*sig_aggs)
 
     if base_hash == "xxhash64":
         band_cols = [
@@ -206,18 +213,31 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                 F.lit(b))).alias("bucket")
             for b in range(bands)
         ]
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    buckets = (sig.select("id", sig_arr.alias("sig"),
+                          F.array(*band_cols).alias("bks"))
+               .select("id", "sig", "bks",
+                       F.posexplode("bks").alias("band", "bucket")))
     a, b = buckets.alias("a"), buckets.alias("b")
+    # first band (by index) whose buckets collide — the single surviving
+    # join row for this pair; replaces dropDuplicates' extra shuffle
+    first_band = F.coalesce(*[
+        F.when(F.element_at(F.col("a.bks"), k + 1)
+               == F.element_at(F.col("b.bks"), k + 1), F.lit(k))
+        for k in range(bands)], F.lit(-1))
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+            .filter(F.col("a.band") == first_band)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")))
 
     if verify == "exact":
+        pairs = cand.select("id_a", "id_b")
         sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
         ea = ex.select(F.col("id").alias("id_a"), "x")
         eb = ex.select(F.col("id").alias("id_b"), "x")
-        inter = (F.broadcast(cand).join(ea, "id_a").join(eb, ["id_b", "x"])
+        inter = (F.broadcast(pairs).join(ea, "id_a").join(eb, ["id_b", "x"])
                  .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
         jac = (F.col("i").cast("double")
                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
@@ -227,15 +247,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                 .select("id_a", "id_b", jac.alias("jaccard"))
                 .filter(F.col("jaccard") >= F.lit(threshold)))
 
-    sa = sig.select(F.col("id").alias("id_a"),
-                    *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sb = sig.select(F.col("id").alias("id_b"),
-                    *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(num_hashes)])
-    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+    matches = sum(F.when(F.element_at(F.col("sig_a"), i + 1)
+                         == F.element_at(F.col("sig_b"), i + 1), 1).otherwise(0)
                   for i in range(num_hashes))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"))
+    return (cand.select("id_a", "id_b",
+                        (matches.cast("double")
+                         / F.lit(float(num_hashes))).alias("jaccard"))
             .filter(F.col("jaccard") >= F.lit(threshold)))
 
 
@@ -290,13 +307,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     (16 bits at the default 64; 15 at the portable 60); any pair within
     distance 3 shares at least one exact chunk (pigeonhole), so
     candidates come from 4 chunk equi-joins — shuffles on small integer
-    keys, never a cross-join.
+    keys, never a cross-join. A pair matching in k chunks surfaces k
+    times from the join; rather than deduplicating with a shuffle over
+    the whole candidate stream, each joined row recomputes which chunks
+    match from XOR(sh_a, sh_b) (already on the row) and only the
+    first-matching-chunk row survives — one row per pair, zero extra
+    shuffles, and the exchange feeding both join sides is reused.
     """
     cw = bits // 4  # chunk width
     mask = (1 << cw) - 1
-    # both join sides derive from fps — persist so the 64-agg simhash
-    # computation runs once, not twice
-    fps = simhash(docs, text_col, id_col, bits=bits, base_hash=base_hash).persist()
+    fps = simhash(docs, text_col, id_col, bits=bits, base_hash=base_hash)
     chunks = fps.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -307,12 +327,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         ])).alias("c")
     ).select("id", "simhash", "c.chunk_no", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_chunk = F.coalesce(*[
+        F.when(F.shiftright(xor, cw * i)
+               .bitwiseAND(F.lit(mask).cast("long")) == 0, F.lit(i))
+        for i in range(4)], F.lit(-1))
     cand = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.id") < F.col("b.id")))
+            .filter(F.col("a.chunk_no") == first_chunk)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b")))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
