@@ -119,7 +119,6 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
                 (F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in cfg.keys))
     j = t.join(s, on, "full_outer")
 
-    t_cols = [F.col(f"t.{c}").alias(c) for c in current.columns]
     matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
     # MERGE semantics: a NULL change-predicate means "no action" — the row
     # must fall through to the unchanged branch, so split on IS TRUE
@@ -129,11 +128,16 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     deleted = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNull()
     brand_new = F.col("t._t_present").isNull() & F.col("s._s_present").isNotNull()
 
-    # close pass (M1): changed or deleted current rows get valid_to stamped
-    closed = (j.filter(changed | deleted).select(t_cols)
-              .withColumn(VALID_TO, load_ts)
-              .withColumn(UPDATE_DATE, load_ts))
-    unchanged = j.filter(matched & ~changed_true).select(t_cols)
+    # close pass (M1), fused: closed (changed-or-deleted) and unchanged
+    # current rows differ only in the valid_to/update stamps — one CASE
+    # per stamp column in a single pass over the join, instead of a
+    # filter-per-branch union that re-executes the join subtree per
+    # branch (exchanges are reused, but join+filter CPU is paid again)
+    close_now = changed | deleted
+    existing = j.filter(F.col("t._t_present").isNotNull()).select(
+        *[F.when(close_now, load_ts).otherwise(F.col(f"t.{c}")).alias(c)
+          if c in (VALID_TO, UPDATE_DATE) else F.col(f"t.{c}").alias(c)
+          for c in current.columns])
 
     # insert pass (M2): new keys + replacement versions for changed keys
     s_cols = [F.col(f"s.{c}").alias(c) for c in business]
@@ -145,7 +149,7 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     inserts = _with_surrogates(inserts, cfg, target)
 
     out_cols = list(target.columns)
-    parts = [history, closed, unchanged, inserts]
+    parts = [history, existing, inserts]
     return reduce(lambda a, b: a.select(out_cols).unionByName(b.select(out_cols)),
                   parts)
 
@@ -176,16 +180,20 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
     changed_true = _changed_predicate(cfg).eqNullSafe(F.lit(True))
     changed = matched & changed_true
-    keep_cols = [c for c in target.columns if c not in business]
 
-    updated = j.filter(changed).select(
-        *[F.col(f"t.{c}").alias(c) for c in keep_cols],
-        *[F.col(f"s.{c}").alias(c) for c in business],
-    ).withColumn(UPDATE_DATE, load_ts)
-    untouched = (j.filter(matched & ~changed_true)
-                 .select([F.col(f"t.{c}").alias(c) for c in target.columns]))
-    target_only = (j.filter(F.col("s._s_present").isNull())
-                   .select([F.col(f"t.{c}").alias(c) for c in target.columns]))
+    # untouched, target-only and updated rows differ only in which side
+    # supplies the business columns and the update stamp — one CASE per
+    # column in a single pass over the join, instead of three
+    # filter-branches each re-executing the join subtree
+    def pick(c: str):
+        if c in business:
+            return F.when(changed, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        if c == UPDATE_DATE:
+            return F.when(changed, load_ts).otherwise(F.col(f"t.{c}")).alias(c)
+        return F.col(f"t.{c}").alias(c)
+
+    existing = (j.filter(F.col("t._t_present").isNotNull())
+                .select(*[pick(c) for c in target.columns]))
     inserts = (j.filter(F.col("t._t_present").isNull())
                .select([F.col(f"s.{c}").alias(c) for c in business])
                .withColumn(CREATE_DATE, load_ts)
@@ -193,7 +201,7 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     inserts = _with_surrogates(inserts, cfg, target)
 
     out_cols = list(target.columns)
-    parts = [untouched, target_only, updated, inserts]
+    parts = [existing, inserts]
     return reduce(lambda a, b: a.select(out_cols).unionByName(b.select(out_cols)),
                   parts)
 

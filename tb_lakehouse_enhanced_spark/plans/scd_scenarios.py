@@ -149,14 +149,11 @@ FACT_CFG = ScdConfig(keys=("l_orderkey", "l_linenumber"),
                      tracked=("l_quantity", "l_extendedprice"))
 
 
-def _lineitem_src(lineitem: DataFrame, batch: int) -> DataFrame:
+def _lineitem_from(base: DataFrame, batch: int) -> DataFrame:
     # The synthetic lineitem is NOT unique on (l_orderkey, l_linenumber);
-    # pre-aggregate to the fact grain with order-insensitive MAX so the
-    # upsert source is deterministic (doubles: max is order-free, sum
-    # of >2 values is not).
-    base = (lineitem.groupBy("l_orderkey", "l_linenumber")
-            .agg(F.max("l_quantity").alias("l_quantity"),
-                 F.max("l_extendedprice").alias("l_extendedprice")))
+    # ``base`` is the fact-grain pre-aggregation with order-insensitive
+    # MAX so the upsert source is deterministic (doubles: max is
+    # order-free, sum of >2 values is not).
     if batch == 0:
         return base.filter(F.col("l_linenumber") <= 5)
     return base.withColumn(
@@ -166,9 +163,15 @@ def _lineitem_src(lineitem: DataFrame, batch: int) -> DataFrame:
 
 
 def fact_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist the fact-grain pre-aggregation: both batches derive from it
+    # and the merge's existing/insert branches each consume the source —
+    # without the cache the 600k-row groupBy would run once per consumer
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    state0 = keyed_upsert(None, _lineitem_src(li, 0), FACT_CFG, T0).persist()
-    return keyed_upsert(state0, _lineitem_src(li, 1), FACT_CFG, T1)
+    base = (li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.max("l_quantity").alias("l_quantity"),
+                 F.max("l_extendedprice").alias("l_extendedprice"))).persist()
+    state0 = keyed_upsert(None, _lineitem_from(base, 0), FACT_CFG, T0).persist()
+    return keyed_upsert(state0, _lineitem_from(base, 1), FACT_CFG, T1)
 
 
 FACT_UPSERT_ORACLE = f"""
