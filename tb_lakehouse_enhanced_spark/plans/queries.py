@@ -1658,3 +1658,7 @@ def tpch_q14(spark, sf_dir):
             .agg((F.lit(100.0) * F.sum(promo).cast("double")
                   / F.sum(rev).cast("double"))
                  .alias("promo_revenue")))
+
+
+# Extended TPC-H-style surface (registers below the 50-query fold).
+from . import tpch  # noqa: E402,F401  (import for @q registration side effect)
