@@ -50,11 +50,12 @@ def main():
     for t in TABLES:
         _t(spark, sf_dir, t).count()
 
-    # Best-of-2: the host VM shows bursty CPU steal (same plan swings
-    # 5s <-> 40s run-to-run); the minimum reflects engine steady-state
-    # throughput rather than host-stall luck.
+    # Best-of-3: the host VM shows bursty CPU steal (identical full runs
+    # measured 41s / 45s / 63s back-to-back); the minimum reflects engine
+    # steady-state throughput rather than host-stall luck, and two passes
+    # were not enough to dodge a multi-second stall on every query.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = SPARK_QUERIES[name]
             t0 = time.time()

@@ -47,6 +47,11 @@ def get_session(app_name: str = "tb-lakehouse-enhanced-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the workload is many distinct query shapes (90+ registered
+        # plans); the default 100-entry generated-class cache thrashes
+        # and whole-stage-codegen compile time (1-3 s for the wide
+        # aggregate plans) gets paid on every re-run
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -168,3 +168,46 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         j._jdf.queryExecution().sparkPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.count() == 1
+
+
+def test_tpch_semi_anti_queries_use_semi_anti_joins(spark):
+    """Q4/Q21/Q22's correlated (NOT) EXISTS must compile to semi/anti
+    joins — a scale regression here would materialize the subquery per
+    row or fall back to a cartesian shape."""
+    q4 = _executed(SPARK_QUERIES["tpch_q4_style"](spark, SF_DIR))
+    assert "LeftSemi" in q4
+    q21 = _executed(SPARK_QUERIES["tpch_q21_style"](spark, SF_DIR))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    q22 = _executed(SPARK_QUERIES["tpch_q22_style"](spark, SF_DIR))
+    assert "LeftAnti" in q22
+    for plan in (q4, q21, q22):
+        assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_pushes_part_predicates_to_scan(spark):
+    """The OR-of-ANDs predicate: the part-side brand/size disjunction
+    must reach the part parquet scan as a pushed filter, not evaluate
+    post-join."""
+    df = SPARK_QUERIES["tpch_q19_style"](spark, SF_DIR)
+    plan = _full(df)
+    part_scan = [seg for seg in plan.split("PushedFilters")
+                 if "p_brand" in seg[:400] or "p_size" in seg[:400]]
+    assert part_scan, "no pushed filter on the part scan"
+
+
+def test_tpch_q15_groupwise_max_broadcasts_scalar(spark):
+    """The MAX(total_rev) scalar must come back as a broadcast join
+    (1-row build side), never a driver collect round-trip baked into
+    the plan as a literal."""
+    df = SPARK_QUERIES["tpch_q15"](spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q17_decorrelated_aggregate_joins_once(spark):
+    """The per-part avg-quantity subquery is decorrelated into ONE
+    aggregate over lineitem joined back — the lineitem scan appears
+    exactly twice (probe + aggregate input), not once per part."""
+    df = SPARK_QUERIES["tpch_q17_style"](spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("Scan parquet") <= 3  # lineitem x2 + part
