@@ -1,0 +1,86 @@
+"""Deterministic sampling & source-mixing operators (LLM-pipeline
+extension, SURVEY.md §2.11).
+
+Corpus assembly for pretraining needs reproducible subsampling: take X%
+of each language stratum, up/down-weight sources to a target mixture
+("temperature sampling" over domains). ``DataFrame.sample`` is
+seed-stable only per partitioning — any upstream change reshuffles what
+each row draws — so these operators derive the keep/repeat decision from
+a HASH OF THE ROW KEY instead: the sample is a pure function of the
+data, reproducible across runs, partitionings, engines, and cluster
+sizes, and expressible in ANSI SQL for the correctness oracle.
+
+The hash is the portable 60-bit md5 prefix (operators/dedup.py
+``portable_hash60``); its low digits are uniform, so
+``hash % 1_000_000 < rate * 1_000_000`` keeps an unbiased ``rate``
+fraction of every stratum. No shuffle anywhere — both operators are
+narrow per-row transforms that scan-prune and pushdown like any filter;
+up-weighting repeats rows via a deterministic explode (no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+_M = 1_000_000
+
+
+def _draw(key: Column, salt: str) -> Column:
+    """Uniform integer in [0, 1e6) as a pure function of (key, salt)."""
+    return portable_hash60(F.concat_ws("|", key.cast("string"), F.lit(salt))) % _M
+
+
+def sample_stratified(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str, key_col: str,
+                      default_rate: float = 0.0,
+                      salt: str = "strat") -> DataFrame:
+    """Keep a per-stratum fraction of rows, deterministically.
+
+    ``rates`` maps stratum value -> keep fraction (e.g. ``{"en": 0.5,
+    "de": 1.0}``); strata not listed keep ``default_rate``. The decision
+    is per-row-key, so re-running on re-partitioned (or incrementally
+    grown) data keeps exactly the same rows — the property that makes
+    dataset versions diffable at 100 TB.
+    """
+    thresh = F.lit(int(default_rate * _M))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(F.col(stratum_col) == value,
+                        F.lit(int(rate * _M))).otherwise(thresh)
+    return df.filter(_draw(F.col(key_col), salt) < thresh)
+
+
+def mix_sources(df: DataFrame, weights: dict[str, float],
+                source_col: str, key_col: str,
+                salt: str = "mix") -> DataFrame:
+    """Temperature-style source mixing: weight < 1 downsamples a source,
+    weight > 1 up-weights it by deterministic repetition (epoching).
+
+    A weight of 2.4 emits every row of that source twice and keeps a
+    further 40% (by row-key hash) a third time — the standard
+    integer+fractional decomposition of mixture weights. Output carries
+    an ``epoch`` column (0-based repeat index) so downstream shuffling /
+    sharding can spread the repeats.
+
+    Spark shape: ``explode(sequence(0, n_repeats-1))`` — a narrow
+    per-row fan-out, no shuffle, no RNG state. At 100 TB this is how you
+    express "2.4 epochs of Wikipedia vs 0.3 of CommonCrawl" without a
+    driver-side loop over sources.
+    """
+    int_part = F.lit(0)
+    frac_thresh = F.lit(0)
+    for value, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {value!r}")
+        int_part = F.when(F.col(source_col) == value,
+                          F.lit(int(w))).otherwise(int_part)
+        frac_thresh = F.when(F.col(source_col) == value,
+                             F.lit(int(round((w - int(w)) * _M)))).otherwise(frac_thresh)
+    extra = (_draw(F.col(key_col), salt) < frac_thresh).cast("int")
+    n = (int_part + extra).alias("_n")
+    return (df.withColumn("_n", n)
+            .filter(F.col("_n") > 0)
+            .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+            .drop("_n"))

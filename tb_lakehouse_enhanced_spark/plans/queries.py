@@ -1660,5 +1660,48 @@ def tpch_q14(spark, sf_dir):
                  .alias("promo_revenue")))
 
 
+_H60 = "CAST(concat('0x', substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), '{salt}')), 1, 15)) AS BIGINT) % 1000000"
+
+
+@q("sample_stratified", f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H60.format(salt='strat')}
+      < CASE lang WHEN 'de' THEN 1000000 WHEN 'en' THEN 500000
+                  WHEN 'fr' THEN 250000 ELSE 100000 END
+""")
+def sample_stratified_q(spark, sf_dir):
+    """Deterministic per-language subsampling (operators/sampling.py):
+    the keep decision is a pure function of (doc_id, salt), so the
+    sample is stable across runs/partitionings — and reproducible in
+    the DuckDB oracle via the portable md5-60bit hash."""
+    from ..operators.sampling import sample_stratified
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_stratified(d, {"en": 0.5, "de": 1.0, "fr": 0.25},
+                             "lang", "doc_id", default_rate=0.1)
+
+
+@q("mix_sources", f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE source WHEN 'src0' THEN 2 WHEN 'src2' THEN 1 ELSE 0 END
+          + CASE WHEN {_H60.format(salt='mix')}
+                      < CASE source WHEN 'src0' THEN 400000
+                                    WHEN 'src1' THEN 300000 ELSE 0 END
+                 THEN 1 ELSE 0 END) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(generate_series(0, n - 1)) AS INTEGER) AS epoch
+FROM base WHERE n > 0
+""")
+def mix_sources_q(spark, sf_dir):
+    """Temperature-style source mixing: 2.4 epochs of src0, 0.3 of
+    src1, 1.0 of src2, drop the rest — integer repeats via explode,
+    the fractional remainder by row-key hash (operators/sampling.py)."""
+    from ..operators.sampling import mix_sources
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_sources(d, {"src0": 2.4, "src1": 0.3, "src2": 1.0},
+                       "source", "doc_id")
+
+
 # Extended TPC-H-style surface (registers below the 50-query fold).
 from . import tpch  # noqa: E402,F401  (import for @q registration side effect)

@@ -160,3 +160,30 @@ def test_repetition_stats_values(spark, tmp_path):
     assert abs(r1["mean_word_len"] - 1.0) < 1e-12
     r2 = out[2]
     assert r2["n_words"] == 1 and r2["dup_2gram_frac"] == 0.0
+
+
+def test_sampling_deterministic_under_repartition(spark):
+    """The keep/repeat decision must be a pure function of the row key:
+    re-partitioned input yields the identical sample (the property
+    DataFrame.sample lacks)."""
+    from tb_lakehouse_enhanced_spark.operators.sampling import (
+        mix_sources, sample_stratified)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang", "source")
+    a = sample_stratified(docs, {"en": 0.5}, "lang", "doc_id",
+                          default_rate=0.2)
+    b = sample_stratified(docs.repartition(7), {"en": 0.5}, "lang",
+                          "doc_id", default_rate=0.2)
+    assert sorted(r.doc_id for r in a.collect()) \
+        == sorted(r.doc_id for r in b.collect())
+
+    m = mix_sources(docs, {"src0": 2.4, "src1": 0.0}, "source", "doc_id")
+    rows = m.collect()
+    # every src0 row appears at least twice (integer part of 2.4)
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == list(range(len(v))) and len(v) >= 2
+               for v in per_key.values())
+    assert not [r for r in rows if r.source == "src1"]
