@@ -54,16 +54,25 @@ def tokens(text) -> "F.Column":
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
     """Fan a small-file scan out to all cores.
 
     Document corpora often arrive as few large-ish files; a 2 MB file is
     one input split, serializing CPU-heavy shingle/hash expressions onto
-    a single task. One round-robin repartition (cheap: rows are small)
-    buys full-core parallelism for everything downstream. At 100 TB the
-    scan naturally yields thousands of splits and this is a no-op cost.
+    a single task. One repartition (cheap: rows are small) buys
+    full-core parallelism for everything downstream. At 100 TB the scan
+    naturally yields thousands of splits and this is a no-op cost.
+
+    With ``by`` the repartition hashes on that column instead of
+    round-robin: downstream per-``by`` aggregations and windows then
+    SATISFY their required distribution and skip their own exchange —
+    the whole signature computation collapses to this one shuffle.
+    (Trade-off: doc-length skew can unbalance tasks where round-robin
+    is perfect; documents are tiny relative to a partition, so the skew
+    is bounded and the saved shuffle wins at every scale.)
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(by)) if by else df.repartition(n)
 
 
 def word_set(text) -> "F.Column":
@@ -143,27 +152,36 @@ def _minhash_signatures(shingled: DataFrame, num_hashes: int) -> DataFrame:
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3,
-                   base_hash: str = "xxhash64") -> DataFrame:
-    """Normalized (id, x) distinct 3-gram shingle hashes, one pass.
+                   base_hash: str = "xxhash64",
+                   distinct: bool = False) -> DataFrame:
+    """Normalized (id, x) 3-gram shingle hashes, one pass.
 
     posexplode tokens + window lead() builds shingles entirely inside
     whole-stage codegen (interpreted higher-order array lambdas are ~5x
-    slower). The window partitions by doc id — thousands of small
-    groups, no skew.
+    slower). The input is spread BY doc id, so the per-doc window (and
+    any downstream per-id aggregate) inherits the hash partitioning and
+    runs exchange-free — the signature pipeline pays exactly one
+    shuffle.
+
+    ``distinct=False`` (default) may emit repeated (id, x) rows: MIN
+    aggregation downstream (MinHash) is insensitive to duplicates, and
+    skipping the per-(id,x) dedup avoids a second exchange. Pass
+    ``distinct=True`` when the consumer counts shingles (exact-Jaccard
+    verification).
     """
     from pyspark.sql import Window
-    tok = (_spread(docs)
+    tok = (_spread(docs, by=id_col)
            .select(F.col(id_col).alias("id"),
                    F.posexplode(tokens(F.col(text_col))).alias("pos", "w")))
     win = Window.partitionBy("id").orderBy("pos")
-    return (tok.select(
+    out = (tok.select(
                 "id",
                 F.concat_ws(" ", "w", F.lead("w", 1).over(win),
                             F.lead("w", 2).over(win)).alias("s"),
                 F.lead("w", 2).over(win).alias("_w2"))
-            .filter(F.col("_w2").isNotNull())  # docs >= n tokens
-            .select("id", F.pmod(_base_hash(F.col("s"), base_hash), _P).alias("x"))
-            .dropDuplicates(["id", "x"]))
+           .filter(F.col("_w2").isNotNull())  # docs >= n tokens
+           .select("id", F.pmod(_base_hash(F.col("s"), base_hash), _P).alias("x")))
+    return out.dropDuplicates(["id", "x"]) if distinct else out
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
@@ -191,7 +209,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     compute true Jaccard (1 extra pass; use for audits/tests).
     """
     rows = num_hashes // bands
-    ex = shingle_hashes(docs, text_col, id_col, base_hash=base_hash)
+    ex = shingle_hashes(docs, text_col, id_col, base_hash=base_hash,
+                        distinct=(verify == "exact"))
     if verify == "exact":
         ex = ex.persist()  # re-read below for true-Jaccard scoring
     sig_aggs = []
@@ -268,7 +287,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     row — ~20x faster and the shuffle carries only (id, 64 ints).
     """
     one = F.lit(1).cast("long")
-    words = (_spread(docs).select(F.col(id_col).alias("id"),
+    words = (_spread(docs, by=id_col).select(F.col(id_col).alias("id"),
                          F.explode(word_set(F.col(text_col))).alias("w"))
              .withColumn("h", _base_hash(F.col("w"), base_hash)))
     # Pack 4 bit-counters into 16-bit lanes of each sum: bits/4 packed
