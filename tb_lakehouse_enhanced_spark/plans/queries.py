@@ -554,6 +554,31 @@ def stream_tumbling(spark, sf_dir):
                     "n_events", "total_value"))
 
 
+@q("stream_sliding", """
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                      - j * 900000000) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+FROM (SELECT *, unnest(generate_series(0, 3)) AS j FROM events)
+GROUP BY 1, 2
+""")
+def stream_sliding(spark, sf_dir):
+    """Sliding-window aggregation (1 h window, 15 min slide): each event
+    lands in exactly width/slide = 4 overlapping windows. Runs as
+    window() under readStream + watermark in production; the oracle
+    replays the same epoch-aligned window starts with exact integer
+    microsecond arithmetic (epoch_us // slide), so the window boundaries
+    hash-match."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("decimal(38,6)").cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
 # --------------------------------------------------------------------------
 # §2.11  LLM-pipeline extension: dedup / text / similarity
 # --------------------------------------------------------------------------
