@@ -360,3 +360,51 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def incremental_dedup(batch: DataFrame, corpus: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.5,
+                      base_hash: str = "xxhash64") -> DataFrame:
+    """Admit only batch documents that are NOT duplicates of the corpus.
+
+    The continuous-ingest shape: the corpus is the (huge, already-deduped)
+    lake; the batch is today's crawl. Exact duplicates drop via an
+    anti-join on the text hash — the corpus side reduces to one hash per
+    document, so the join shuffles (hash, id) pairs, never text. Near-dups
+    drop via the banded-MinHash bucket join (same signature pipeline as
+    ``minhash_lsh_pairs``), probing batch bucket rows against corpus
+    bucket rows only — no batch-batch or corpus-corpus pairs are ever
+    generated, which is what keeps daily ingest linear in |batch| at a
+    100 TB corpus (the corpus signatures are computed once and reusable
+    across batches in production).
+    """
+    bh = F.md5(F.col(text_col)) if base_hash == "md5" \
+        else F.xxhash64(F.col(text_col))
+    exact_survivors = batch.join(
+        corpus.select(bh.alias("_h")).dropDuplicates(["_h"]),
+        bh == F.col("_h"), "left_anti")
+
+    rows, bands, num_hashes = 4, 4, 16
+    def buckets(docs):
+        ex = shingle_hashes(docs, text_col, id_col, base_hash=base_hash)
+        aggs = []
+        for i in range(num_hashes):
+            a_i, b_i = 2 * i + 1, (i * 0x9E3779B9 + 7) % _P
+            aggs.append(F.min(F.pmod(F.col("x") * a_i + b_i, _P)).alias(f"mh_{i}"))
+        sig = ex.groupBy("id").agg(*aggs)
+        if base_hash == "xxhash64":
+            band_cols = [F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)],
+                                    F.lit(b)).alias("bucket") for b in range(bands)]
+        else:
+            band_cols = [portable_hash60(F.concat_ws(
+                ",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(b)))
+                .alias("bucket") for b in range(bands)]
+        return sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+
+    near_hit = (buckets(exact_survivors).alias("b")
+                .join(buckets(corpus).alias("c"),
+                      F.col("b.bucket") == F.col("c.bucket"), "left_semi")
+                .select(F.col("id").alias("_dup_id")).distinct())
+    return exact_survivors.join(
+        near_hit, F.col(id_col) == F.col("_dup_id"), "left_anti")

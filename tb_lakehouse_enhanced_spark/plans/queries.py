@@ -1569,6 +1569,71 @@ def mix_sources_q(spark, sf_dir):
     return mix_sources(d, {"src0": 2.4, "src1": 0.3, "src2": 1.0},
                        "source", "doc_id")
 
+
+def _inc_sig_cte(tag: str, src: str, num_hashes: int = 16, bands: int = 4) -> str:
+    """sig/bucket CTE chain over one document subset (incremental dedup
+    oracle; md5-60bit base hash, same family as _minhash_cte_sql)."""
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        f"MIN(({2 * i + 1} * x + {(i * 0x9E3779B9 + 7) % _MHP}) % {_MHP}) AS mh_{i}"
+        for i in range(num_hashes))
+    buckets = ",\n    ".join(
+        _hex60_sql("concat_ws(','"
+                   + "".join(f", mh_{b * rows + r}" for r in range(rows))
+                   + f", {b})")
+        for b in range(bands))
+    return f"""
+toks_{tag} AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM {src}
+),
+pos_{tag} AS (
+  SELECT id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks_{tag}
+),
+xs_{tag} AS (
+  SELECT DISTINCT id,
+         {_hex60_sql("concat_ws(' ', t[i], t[i+1], t[i+2])")} % {_MHP} AS x
+  FROM pos_{tag}
+),
+sig_{tag} AS (
+  SELECT id,
+         {mh}
+  FROM xs_{tag} GROUP BY id
+),
+bkt_{tag} AS (
+  SELECT id, unnest([
+    {buckets}
+  ]) AS bucket FROM sig_{tag}
+)"""
+
+
+@q("dedup_incremental", f"""
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+exact_surv AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))
+),
+{_inc_sig_cte('b', 'exact_surv')},
+{_inc_sig_cte('c', 'corpus')}
+SELECT e.doc_id, e.source FROM exact_surv e
+WHERE NOT EXISTS (
+  SELECT 1 FROM bkt_b b JOIN bkt_c c ON b.bucket = c.bucket
+  WHERE b.id = e.doc_id)
+""")
+def dedup_incremental_q(spark, sf_dir):
+    """Continuous-ingest dedup: admit only new-batch docs (doc_id%10==0)
+    that are neither exact nor banded-MinHash near-duplicates of the
+    existing corpus (operators/dedup.py::incremental_dedup, portable-hash
+    variant). No batch-batch or corpus-corpus pair is ever generated."""
+    from ..operators.dedup import incremental_dedup
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return (incremental_dedup(batch, corpus, base_hash="md5")
+            .select("doc_id", "source"))
+
+
 # --------------------------------------------------------------------------
 # Registration order: the external checker verifies the FIRST 50 declared
 # queries per round (observed in CORRECTNESS_r01.json), so the dicts are
