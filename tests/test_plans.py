@@ -211,3 +211,32 @@ def test_tpch_q17_decorrelated_aggregate_joins_once(spark):
     df = SPARK_QUERIES["tpch_q17_style"](spark, SF_DIR)
     plan = _executed(df)
     assert plan.count("Scan parquet") <= 3  # lineitem x2 + part
+
+
+def test_sampling_is_narrow_no_shuffle(spark):
+    """Stratified sampling and source mixing are pure per-row transforms
+    — any Exchange in their plan would be a scale regression (they run
+    inside the scan stage at 100 TB)."""
+    from tb_lakehouse_enhanced_spark.operators.sampling import (
+        mix_sources, sample_stratified)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (sample_stratified(docs, {"en": 0.5}, "lang", "doc_id"),
+               mix_sources(docs, {"src0": 2.4, "src1": 0.3}, "source",
+                           "doc_id")):
+        assert "Exchange" not in _executed(df)
+
+
+def test_incremental_dedup_probes_corpus_with_semi_join(spark):
+    """Batch-vs-corpus dedup must be two anti/semi probes of the corpus
+    — never a pair-generating inner join of batch x batch or
+    corpus x corpus."""
+    from tb_lakehouse_enhanced_spark.operators.dedup import incremental_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = incremental_dedup(docs.filter(F.col("doc_id") % 10 == 0),
+                           docs.filter(F.col("doc_id") % 10 != 0))
+    plan = _executed(df)
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
