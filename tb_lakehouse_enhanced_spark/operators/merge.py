@@ -80,13 +80,18 @@ def _with_surrogates(inserts: DataFrame, cfg: ScdConfig, offset_df: DataFrame | 
     if cfg.surrogate_key is None:
         return inserts
     sk = cfg.surrogate_key
-    if offset_df is not None:
-        offset = (offset_df.agg(F.coalesce(F.max(sk), F.lit(0)).alias("m"))
-                  .collect()[0]["m"])
-    else:
-        offset = 0
     from .sequence import dense_sequence
-    return dense_sequence(inserts, list(cfg.keys), sk, offset=offset)
+    seq = dense_sequence(inserts, list(cfg.keys), sk, offset=0)
+    if offset_df is None:
+        return seq
+    # the current max key joins back as a 1-row broadcast instead of a
+    # driver collect: one fewer serial round-trip per merge, and the
+    # offset read happens inside the same job as the sequence assembly
+    off = offset_df.agg(F.coalesce(F.max(sk), F.lit(0)).cast("bigint")
+                        .alias("_sk_off"))
+    return (seq.join(F.broadcast(off))
+            .withColumn(sk, (F.col(sk) + F.col("_sk_off")).cast("bigint"))
+            .drop("_sk_off"))
 
 
 def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
