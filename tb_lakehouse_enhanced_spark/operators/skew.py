@@ -60,3 +60,36 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str,
+                   k: int, tie_col: str, salt_buckets: int = 32) -> DataFrame:
+    """Exact top-k rows per group, skew-proof for low-cardinality groups.
+
+    A single ``row_number() OVER (PARTITION BY group)`` funnels each
+    group through one task — with 5 languages on a 1000-executor
+    cluster, 995 cores idle. Two salted phases keep it exact AND
+    parallel:
+
+    1. rank within (group, salt) where salt = hash(tie_col) % buckets —
+       group_cols x salt_buckets balanced partitions; keep local top-k.
+       Any true global top-k row is necessarily within the top-k of its
+       own salt bucket, so nothing is lost.
+    2. exact rank over the survivors (<= groups * buckets * k rows — a
+       tiny second shuffle).
+
+    Ordering is (order_col DESC, tie_col ASC) in both phases, so the
+    result is fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(salt_buckets))
+    w1 = (Window.partitionBy(*group_cols, "_salt")
+          .orderBy(F.desc(order_col), F.asc(tie_col)))
+    local = (df.withColumn("_salt", salt)
+             .withColumn("_lr", F.row_number().over(w1))
+             .filter(F.col("_lr") <= k).drop("_lr", "_salt"))
+    w2 = (Window.partitionBy(*group_cols)
+          .orderBy(F.desc(order_col), F.asc(tie_col)))
+    return (local.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k))

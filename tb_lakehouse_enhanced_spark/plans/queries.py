@@ -1634,6 +1634,35 @@ def dedup_incremental_q(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+@q("corpus_topk_per_lang", """
+WITH scored AS (
+  SELECT doc_id, lang,
+         0.4 * (LEAST(CAST(length(text) AS DOUBLE), 400.0) / 400.0)
+       + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+       + 0.2 * (CASE WHEN regexp_matches(text, '\\b(the|and|of|is)\\b') THEN 1.0 ELSE 0.0 END)
+         AS s
+  FROM documents
+)
+SELECT lang, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+""")
+def corpus_topk_per_lang(spark, sf_dir):
+    """Keep the k best documents per language by quality score — the
+    salted two-phase exact top-k (operators/skew.py::topk_per_group):
+    a plain per-lang window would funnel each language through one task
+    at cluster scale. Emits (lang, doc_id, rank); the float score stays
+    internal (rank ordering is IEEE-identical across engines, emitted
+    floats would not hash)."""
+    from ..operators.skew import topk_per_group
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", quality_score(F.col("text")).alias("s")))
+    return (topk_per_group(d, ["lang"], "s", k=3, tie_col="doc_id")
+            .select("lang", "doc_id", "rank"))
+
+
 # --------------------------------------------------------------------------
 # Registration order: the external checker verifies the FIRST 50 declared
 # queries per round (observed in CORRECTNESS_r01.json), so the dicts are
