@@ -229,3 +229,54 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     partials = (corpus.mapInPandas(score, _OUT_SCHEMA)
                 .filter(F.col("query_id") != F.col("neighbor_id")))
     return _topk_merge(partials, k)
+
+
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Corpus with an ``ivf_list`` column (nearest-centroid id per row)."""
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = _matrix(pdf[vec_col])
+            d = ((cm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col, vec_col]].copy()
+            out["ivf_list"] = d.argmin(axis=1).astype(np.int32)
+            yield out
+    schema = f"{id_col} long, {vec_col} array<double>, ivf_list int"
+    return corpus.mapInPandas(assign, schema)
+
+
+def ivf_write_partitioned(corpus: DataFrame, path: str, n_lists: int = 16,
+                          sample_size: int = 2048,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> np.ndarray:
+    """Materialize the IVF layout: corpus partitioned by list id.
+
+    This is the physical form of the docstring claim in ``ivf_topk`` —
+    at 100 TB a probe must touch ``n_probe`` partitions of the table,
+    not scan it. Returns the trained centroids (persist them next to
+    the table in production; they are the index metadata).
+    """
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    centroids = _kmeans_centroids(
+        _matrix(pd.Series([r[0] for r in sample_rows])), n_lists)
+    (ivf_assign(corpus, centroids, id_col, vec_col)
+     .write.mode("overwrite").partitionBy("ivf_list").parquet(path))
+    return centroids
+
+
+def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
+                          queries: DataFrame, k: int = 5, n_probe: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Top-k over the partitioned IVF layout: the ``ivf_list IN (...)``
+    filter is a PARTITION filter, so the scan reads only the probed
+    lists' files (gated in test_plans.py)."""
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    lists = sorted({int(x) for row in qd.argsort(axis=1)[:, :n_probe]
+                    for x in row})
+    corpus = (spark.read.parquet(path)
+              .filter(F.col("ivf_list").isin(lists)))
+    return cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)

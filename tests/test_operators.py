@@ -187,3 +187,26 @@ def test_sampling_deterministic_under_repartition(spark):
     assert all(sorted(v) == list(range(len(v))) and len(v) >= 2
                for v in per_key.values())
     assert not [r for r in rows if r.source == "src1"]
+
+
+def test_dedup_tier_tolerates_nulls_and_empty(spark):
+    """Null/empty text documents must not crash any dedup tier (real
+    corpora contain them); they simply produce no shingles/words and
+    fall out of candidate generation."""
+    from pyspark.sql import Row
+    from tb_lakehouse_enhanced_spark.operators.dedup import (
+        exact_dedup, incremental_dedup, minhash_lsh_pairs, simhash_pairs)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=None), Row(doc_id=2, text=""),
+        Row(doc_id=3, text="   "), Row(doc_id=4, text="one two three four"),
+        Row(doc_id=5, text="one two three four"),
+    ])
+    assert minhash_lsh_pairs(docs, threshold=0.5).count() == 1  # 4~5 only
+    assert {(r.id_a, r.id_b) for r in simhash_pairs(docs).collect()} \
+        >= {(4, 5)}
+    surv = exact_dedup(docs)
+    assert surv.filter(F.col("text").isNotNull()).count() == 3  # "", "   ", text
+    inc = incremental_dedup(docs.filter(F.col("doc_id") >= 4),
+                            docs.filter(F.col("doc_id") < 4))
+    assert inc.count() == 2  # batch 4,5 not in corpus 1-3
