@@ -61,10 +61,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # join-and-count of changed rows
     prev_sum = None
     for _ in range(max_iterations):
+        # LAZY checkpoint: the convergence-sum action below materializes
+        # the checkpointed partitions in the same job, so each iteration
+        # is ONE job (eager + separate sum was two serial jobs/round)
         labels = (sym.join(labels.withColumnRenamed("v", "n"), "n")
                   .groupBy("v").agg(F.min("label").alias("label"))
                   .repartition(n_part, "v")
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             break
