@@ -22,16 +22,20 @@ def tumbling_agg(events: DataFrame, ts_col: str = "ts",
                  window: str = "1 hour",
                  key_col: str = "event_type",
                  value_col: str = "value",
-                 watermark: str | None = None) -> DataFrame:
-    """Tumbling-window count + decimal sum, batch or streaming.
+                 watermark: str | None = None,
+                 slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding) window count + decimal sum,
+    batch or streaming.
 
     With ``watermark`` set (streaming), rows later than the watermark
-    past the window end are dropped and state is reclaimed.
+    past the window end are dropped and state is reclaimed; a sliding
+    window keeps width/slide windows of state per key in flight.
     """
     if watermark is not None:
         events = events.withWatermark(ts_col, watermark)
     return (events
-            .groupBy(F.window(ts_col, window).alias("w"), key_col)
+            .groupBy(F.window(ts_col, window, slide or window).alias("w"),
+                     key_col)
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col(value_col).cast("decimal(18,6)"))
                  .cast("decimal(38,6)").alias("total_value"))

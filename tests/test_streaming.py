@@ -101,3 +101,30 @@ def test_dedup_within_watermark(spark, tmp_base):
     # batch path: same multiset
     assert sorted(r["event_id"] for r in
                   dedup_within_watermark(df, ["event_id"]).collect()) == got
+
+
+def test_sliding_stream_matches_batch(spark, tmp_base):
+    """Sliding windows (1h/30min) under readStream + watermark produce
+    the same multiset as the batch plan — each event in width/slide = 2
+    windows."""
+    from tb_lakehouse_enhanced_spark.streaming.tumbling import tumbling_agg
+
+    src = f"{tmp_base}/events_sliding"
+    batch_df = _write_event_files(spark, src)
+    stream = read_event_stream(spark, f"{src}/*", batch_df.schema,
+                               max_files_per_trigger=1)
+    agg = tumbling_agg(stream, watermark="10 hours", slide="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("sliding_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], float(r["total_value"]))
+           for r in spark.sql("SELECT * FROM sliding_test").collect()}
+    expect = {(str(r["window_start"]), r["event_type"]):
+              (r["n_events"], float(r["total_value"]))
+              for r in tumbling_agg(batch_df, slide="30 minutes").collect()}
+    assert got == expect
+    # 00:10 click lands in starts 23:30 and 00:00
+    assert got[("2023-12-31 23:30:00", "click")] == (1, 1.0)
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
