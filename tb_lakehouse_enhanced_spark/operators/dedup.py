@@ -79,23 +79,6 @@ def word_set(text) -> "F.Column":
     return F.array_distinct(tokens(text))
 
 
-def shingle_set(text, n: int = 3) -> "F.Column":
-    """Distinct n-word shingles (the MinHash feature set).
-
-    Unigram features are useless on corpora with a shared vocabulary —
-    every document looks like every other and LSH buckets collapse to
-    quadratic verification; n-gram shingles keep the feature space
-    discriminative. Documents shorter than n words contribute their
-    whole text as a single shingle."""
-    toks = tokens(text)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
-    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)) \
-        .otherwise(F.array(F.lower(F.trim(text))))
-
-
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """One survivor per distinct text: deterministic min-id winner.
@@ -129,25 +112,6 @@ def jaccard_near_dup(docs: DataFrame, threshold: float = 0.6,
     return (pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                          jac.alias("jaccard"))
             .filter(F.col("jaccard") >= F.lit(threshold)))
-
-
-def _minhash_signatures(shingled: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) minhash signature per document.
-
-    Base hash: xxhash64(shingle) (JVM-side); family: (a_i*x+b_i) mod
-    2^31-1 with fixed seeds — deterministic across runs/partitions.
-    Computed by exploding shingles once and taking ``num_hashes`` MIN
-    aggregates: map-side-combinable, whole-stage codegen, and the
-    shuffle carries only (id, n longs) — vs interpreted per-row array
-    folds which are ~10x slower.
-    """
-    ex = (shingled.select("id", F.explode("ws").alias("s"))
-          .withColumn("x", F.pmod(F.xxhash64("s"), _P)))
-    aggs = []
-    for i in range(num_hashes):
-        a, b = 2 * i + 1, (i * 0x9E3779B9 + 7) % _P
-        aggs.append(F.min(F.pmod(F.col("x") * a + b, _P)).alias(f"mh_{i}"))
-    return ex.groupBy("id").agg(*aggs)
 
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text",
