@@ -261,3 +261,26 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
     assert "ivf_list" in seg
     rows = df.collect()
     assert rows and all(r.rank <= 3 for r in rows)
+
+
+def test_scd2_current_slice_prunes_partitions(spark, tmp_path):
+    """The merge design claim (operators/merge.py): with the SCD2 table
+    partitioned on an is_current flag, the merge's current-slice read
+    carries a partition filter — history partitions are never touched
+    by the rewrite."""
+    from tb_lakehouse_enhanced_spark.operators.merge import VALID_TO
+    from tb_lakehouse_enhanced_spark.plans.scd_scenarios import (
+        SCD2_CFG, _orders_src, scd2_merge)
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    state = (scd2_merge(None, _orders_src(orders, 0), SCD2_CFG,
+                        "2024-01-01 00:00:00")
+             .withColumn("_tf_is_current", F.col(VALID_TO).isNull()))
+    path = str(tmp_path / "scd2")
+    state.write.partitionBy("_tf_is_current").parquet(path)
+
+    stored = spark.read.parquet(path)
+    # partition-dir values come back as strings (no boolean inference)
+    current = stored.filter(F.col("_tf_is_current") == "true")
+    plan = _full(current)
+    assert "_tf_is_current" in plan.split("PartitionFilters")[-1][:200]
