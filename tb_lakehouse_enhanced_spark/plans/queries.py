@@ -1663,6 +1663,44 @@ def corpus_topk_per_lang(spark, sf_dir):
             .select("lang", "doc_id", "rank"))
 
 
+@q("resample_ffill", """
+WITH ev AS (
+  SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts
+),
+bounds AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS mn, MAX(ts) AS mx
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id, g.grid_ts, e.value AS asof_value
+FROM grid g ASOF LEFT JOIN ev e
+  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+""")
+def resample_ffill(spark, sf_dir):
+    """Time-series regularization: resample each user's event stream to
+    a daily grid, forward-filling the latest observed value (the gap-fill
+    primitive for feature tables / downsampling). Grid = sequence+explode
+    per user; the fill is the as-of join (operators/asof.py union-sort —
+    one shuffle on user_id, no range explosion). Events are pre-reduced
+    to unique (user, ts) so equal-timestamp ties are deterministic on
+    both engines."""
+    from ..operators.asof import asof_join
+    ev = _events(spark, sf_dir)
+    evd = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("mn"),
+        F.max("ts").alias("mx"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day")))
+        .alias("grid_ts"))
+    return asof_join(grid, evd, key="user_id", left_ts="grid_ts",
+                     right_ts="ts", payload=("value",), prefix="asof_")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the external checker verifies the FIRST 50 declared
 # queries per round (observed in CORRECTNESS_r01.json), so the dicts are
