@@ -177,26 +177,29 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                         distinct=(verify == "exact"))
     if verify == "exact":
         ex = ex.persist()  # re-read below for true-Jaccard scoring
-    sig_aggs = []
-    for i in range(num_hashes):
-        a_i, b_i = 2 * i + 1, (i * 0x9E3779B9 + 7) % _P
-        sig_aggs.append(F.min(F.pmod(F.col("x") * a_i + b_i, _P)).alias(f"mh_{i}"))
+    # single-F.expr string per column (not Column-by-Column composition):
+    # the ~num_hashes*6 py4j round-trips otherwise dominate driver time
+    sig_aggs = [
+        F.expr(f"min(pmod(x * {2 * i + 1}L + {(i * 0x9E3779B9 + 7) % _P}L,"
+               f" {_P}L))").alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
     sig = ex.groupBy("id").agg(*sig_aggs)
 
     if base_hash == "xxhash64":
         band_cols = [
-            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)],
-                       F.lit(b)).alias("bucket")
+            F.expr("xxhash64(" + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+                   + f", {b})").alias("bucket")
             for b in range(bands)
         ]
     else:  # portable band hash: md5 over the comma-joined row values
         band_cols = [
-            portable_hash60(F.concat_ws(
-                ",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
-                F.lit(b))).alias("bucket")
+            portable_hash60(F.expr(
+                "concat_ws(','" + "".join(f", mh_{b * rows + r}" for r in range(rows))
+                + f", {b})")).alias("bucket")
             for b in range(bands)
         ]
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    sig_arr = F.expr("array(" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + ")")
     buckets = (sig.select("id", sig_arr.alias("sig"),
                           F.array(*band_cols).alias("bks"))
                .select("id", "sig", "bks",
@@ -230,9 +233,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                 .select("id_a", "id_b", jac.alias("jaccard"))
                 .filter(F.col("jaccard") >= F.lit(threshold)))
 
-    matches = sum(F.when(F.element_at(F.col("sig_a"), i + 1)
-                         == F.element_at(F.col("sig_b"), i + 1), 1).otherwise(0)
-                  for i in range(num_hashes))
+    matches = F.expr(" + ".join(
+        f"if(element_at(sig_a, {i + 1}) = element_at(sig_b, {i + 1}), 1, 0)"
+        for i in range(num_hashes)))
     return (cand.select("id_a", "id_b",
                         (matches.cast("double")
                          / F.lit(float(num_hashes))).alias("jaccard"))
@@ -250,7 +253,6 @@ def simhash(docs: DataFrame, text_col: str = "text",
     codegen) rather than 64 interpreted higher-order array folds per
     row — ~20x faster and the shuffle carries only (id, 64 ints).
     """
-    one = F.lit(1).cast("long")
     words = (_spread(docs, by=id_col).select(F.col(id_col).alias("id"),
                          F.explode(word_set(F.col(text_col))).alias("w"))
              .withColumn("h", _base_hash(F.col("w"), base_hash)))
@@ -261,23 +263,24 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # small inputs whole-stage-codegen COMPILE time dominated the run.
     # Lane capacity 65535 distinct words per doc is far beyond any real
     # document; shard the doc first if that ever changes.
+    # Both loops emit ONE SQL string each (F.expr) rather than composing
+    # Column objects term-by-term: ~500 py4j round-trips building the
+    # 64-term tree cost more driver time than the query's execution.
     n_longs = bits // 4
     packed = []
     for j in range(n_longs):
-        lanes = None
-        for lane in range(4):
-            b = j + n_longs * lane
-            bit = F.shiftright(F.col("h"), b).bitwiseAND(one)
-            term = F.shiftleft(bit, 16 * lane)
-            lanes = term if lanes is None else lanes + term
-        packed.append(F.sum(lanes).alias(f"p{j}"))
+        lanes = " + ".join(
+            f"shiftleft(shiftright(h, {j + n_longs * lane}) & 1L, {16 * lane})"
+            for lane in range(4))
+        packed.append(F.expr(f"sum({lanes})").alias(f"p{j}"))
     votes = words.groupBy("id").agg(*packed,
                                     F.count(F.lit(1)).alias("_nw"))
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        j, lane = b % n_longs, b // n_longs
-        cnt = F.shiftright(F.col(f"p{j}"), 16 * lane).bitwiseAND(F.lit(0xFFFF).cast("long"))
-        fp = fp.bitwiseOR((cnt * 2 > F.col("_nw")).cast("long") * F.shiftleft(one, b))
+    # disjoint bit positions → + is OR (no carries; b=63's term is the
+    # sign bit, still carry-free)
+    fp = F.expr(" + ".join(
+        f"if(((shiftright(p{b % n_longs}, {16 * (b // n_longs)}) & 65535L)"
+        f" * 2) > _nw, shiftleft(1L, {b}), 0L)"
+        for b in range(bits)))
     return votes.select("id", fp.alias("simhash"))
 
 
