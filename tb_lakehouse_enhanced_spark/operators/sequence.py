@@ -44,22 +44,33 @@ def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str,
     # sketch is seeded deterministically, so boundaries agree across
     # jobs) and the range shuffle itself is reused as a skipped stage.
     src = df.persist()
+    # One exchange total: the range shuffle. The in-partition ordinal
+    # comes from monotonically_increasing_id() on the locally-sorted
+    # partition — its documented layout is (partition id << 33) | ordinal
+    # — so no second hash exchange + WindowExec for row_number. The
+    # shuffle reader's row order is not guaranteed, hence the explicit
+    # sortWithinPartitions on both consumers of the exchange: with unique
+    # order keys the sorted order (and therefore every ordinal) is
+    # deterministic across jobs and task retries. Ordinal capacity is
+    # 2^33 rows per partition — size n accordingly.
     part = (src.repartitionByRange(n, *order_cols)
-            .withColumn(_PID, F.spark_partition_id()))
-    counts = {r[_PID]: r["cnt"] for r in
-              part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    acc, offsets = offset, {}
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])])
-        off_expr = F.coalesce(off_map[F.col(_PID)], F.lit(offset))
-    else:  # empty input: no partitions counted (map() would type as void)
-        off_expr = F.lit(offset)
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
-    return (part.withColumn(_LOCAL, F.row_number().over(w))
+            .sortWithinPartitions(*order_cols)
+            .withColumn(_LOCAL, F.monotonically_increasing_id())
+            .withColumn(_PID, F.shiftright(F.col(_LOCAL), 33).cast("int")))
+    # Cumulative offset per partition, computed LAZILY: a driver-side
+    # collect() here would force the whole upstream lineage (e.g. a
+    # merge's full-outer join) at plan-build time as a separate blocking
+    # job. Instead the P per-partition counts run a window over <=P rows
+    # (single tiny task) and broadcast-join back on partition id — the
+    # whole sequence fuses into the consumer's job, and its scan of the
+    # range exchange is a ReusedExchange.
+    wc = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_seq_cnt"))
+               .select(_PID,
+                       (F.coalesce(F.sum("_seq_cnt").over(wc), F.lit(0))
+                        + F.lit(offset)).alias("_seq_off")))
+    local_ord = F.col(_LOCAL).bitwiseAND(F.lit((1 << 33) - 1))
+    return (part.join(F.broadcast(offsets), _PID)
             .withColumn(out_col,
-                        (F.col(_LOCAL) + off_expr).cast("bigint"))
-            .drop(_PID, _LOCAL))
+                        (local_ord + F.col("_seq_off") + 1).cast("bigint"))
+            .drop(_PID, _LOCAL, "_seq_off"))
