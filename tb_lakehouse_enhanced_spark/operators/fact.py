@@ -55,7 +55,13 @@ def build_fact_sales(lineitem: DataFrame, orders: DataFrame,
         F.coalesce(date_key(F.col("o.o_orderdate")), unknown.cast("int")).alias("order_date_key"),
         F.col("li.l_quantity").alias("quantity"),
         F.col("li.l_extendedprice").alias("extended_price"),
-        (F.col("li.l_extendedprice").cast("decimal(18,4)")
-         * (F.lit(1).cast("decimal(18,4)") - F.col("li.l_discount").cast("decimal(18,4)"))
-         ).cast("decimal(38,8)").cast("double").alias("net_revenue"),
+        # price*(1-disc) in exact integer 1e-4-dollar units, finished in
+        # double: money columns are 2-decimal fixed-point stored as
+        # double, so round(x*100) is the exact cents and the whole
+        # expression stays in codegen's 64-bit path (no per-row
+        # BigDecimal multiply)
+        ((F.round(F.col("li.l_extendedprice") * 100).cast("long")
+          * (F.lit(100).cast("long")
+             - F.round(F.col("li.l_discount") * 100).cast("long")))
+         .cast("double") / F.lit(1e4)).alias("net_revenue"),
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -61,6 +61,54 @@ def _rev(price="l_extendedprice", disc="l_discount"):
 
 _REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,4)) * "
             "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))")
+
+
+# Fixed-point money fast path
+# ---------------------------
+# Every money column in the corpus is 2-decimal fixed-point stored as
+# double (max |x*100 - round(x*100)| ~ 1e-9 across all SFs), so
+# round(x*100) recovers the exact cents as a 64-bit integer, and every
+# product/sum thereafter is exact integer arithmetic — bit-identical in
+# any engine and inside whole-stage codegen's 64-bit fast path instead
+# of the BigDecimal accumulator (~3-4x on scan-bound money aggregates).
+# Overflow discipline: per-row magnitudes are <= ~1.2e11 (cents *
+# 100 * 110 for a charge), so a 64-bit partial sum is safe up to ~7e7
+# rows; aggregates below therefore chunk the partial phase (on a key or
+# on pmod(key, _N_CHUNKS)) and finish the tiny (groups x chunks)
+# relation in DECIMAL(38,0), which cannot overflow at any scale. DuckDB
+# mirrors with SUM(BIGINT) -> HUGEINT (exact, 128-bit). Both engines
+# convert the same exact integer to double (round-to-nearest) and apply
+# the same double division, so final values match bit-for-bit.
+#
+# Sizing rule: a 64-bit partial is safe while rows_per_(group,chunk) *
+# max_row_magnitude < 2^62; with ~1.2e11 max magnitude (a charge) that
+# is ~4e7 rows per chunk of the worst group. 1024 chunks covers ~4e10
+# rows in one group; raise _N_CHUNKS proportionally for larger corpora
+# (the only cost is the (groups x chunks)-row finishing exchange).
+_N_CHUNKS = 1024
+
+
+def _cents(col: str) -> Column:
+    """Exact cents of a 2-decimal money double, as long."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _rev_e4(price="l_extendedprice", disc="l_discount") -> Column:
+    """Net revenue price*(1-disc) in exact 1e-4-dollar units (long)."""
+    return _cents(price) * (F.lit(100).cast("long") - _cents(disc))
+
+
+def _rev_e4_sql(price="l_extendedprice", disc="l_discount") -> str:
+    return (f"CAST(ROUND({price}*100) AS BIGINT)"
+            f" * (100 - CAST(ROUND({disc}*100) AS BIGINT))")
+
+
+_REV_E4_SQL = _rev_e4_sql()
+
+
+def _e_to_dollars(sum_col: Column, scale: float) -> Column:
+    """Finish an exact integer money sum: decimal(38,0) -> double/scale."""
+    return (sum_col.cast("double") / F.lit(scale))
 
 
 def _star_join(spark, sf_dir):
@@ -241,7 +289,7 @@ SELECT li.l_orderkey AS order_key, li.l_linenumber AS line_number,
        COALESCE(CAST(YEAR(o.o_orderdate)*10000 + MONTH(o.o_orderdate)*100
                      + DAY(o.o_orderdate) AS INTEGER), -9) AS order_date_key,
        li.l_quantity AS quantity, li.l_extendedprice AS extended_price,
-       CAST(CAST({_REV_SQL} AS DECIMAL(38,8)) AS DOUBLE) AS net_revenue
+       CAST({_REV_E4_SQL} AS DOUBLE) / 10000.0 AS net_revenue
 FROM {_STAR_JOIN_SQL}
 """)
 def fact_projection(spark, sf_dir):
@@ -257,19 +305,33 @@ def fact_projection(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @q("star_agg_sales_by_geo", f"""
-SELECT COALESCE(r.r_name, 'N/A') AS region_name,
-       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS DOUBLE) AS total_ventes,
-       COUNT(DISTINCT li.l_orderkey) AS nombre_commandes
-FROM {_STAR_JOIN_SQL}
-GROUP BY COALESCE(r.r_name, 'N/A')
+SELECT region_name,
+       CAST(SUM(_rev_e4) AS DOUBLE) / 10000.0 AS total_ventes,
+       COUNT(*) AS nombre_commandes
+FROM (
+  SELECT COALESCE(r.r_name, 'N/A') AS region_name, li.l_orderkey,
+         SUM({_REV_E4_SQL}) AS _rev_e4
+  FROM {_STAR_JOIN_SQL}
+  GROUP BY 1, 2
+) GROUP BY region_name
 """)
 def star_agg_sales_by_geo(spark, sf_dir):
     """A1/A2: the Power BI measures 'Total Ventes' / 'Nombre Commandes'
-    grouped by geography (pbix Layout; SURVEY.md §2.4)."""
-    return (_star_join(spark, sf_dir)
-            .groupBy(F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"))
-            .agg(F.sum(_rev()).cast("decimal(38,8)").cast("double").alias("total_ventes"),
-                 F.countDistinct(F.col("li.l_orderkey")).alias("nombre_commandes")))
+    grouped by geography (pbix Layout; SURVEY.md §2.4).
+
+    Two-level aggregate: level 1 at (region, order) grain sums exact
+    integer revenue in the 64-bit codegen path AND materializes the
+    distinct orders, so level 2's COUNT(*) replaces the expensive
+    count-distinct expansion and its DECIMAL finish touches only
+    ~|orders| rows."""
+    lvl1 = (_star_join(spark, sf_dir)
+            .groupBy(F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"),
+                     F.col("li.l_orderkey"))
+            .agg(F.sum(_rev_e4()).alias("_rev_e4")))
+    return (lvl1.groupBy("region_name")
+            .agg(_e_to_dollars(F.sum(F.col("_rev_e4").cast("decimal(38,0)")),
+                               1e4).alias("total_ventes"),
+                 F.count(F.lit(1)).alias("nombre_commandes")))
 
 
 @q("star_agg_order_count", """
@@ -287,21 +349,31 @@ def star_agg_order_count(spark, sf_dir):
 
 
 @q("star_agg_by_month", f"""
-SELECT COALESCE(r.r_name, 'N/A') AS region_name,
-       CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
-       CAST(MONTH(o.o_orderdate) AS INTEGER) AS order_month,
-       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS DOUBLE) AS total_ventes
-FROM {_STAR_JOIN_SQL}
-GROUP BY 1, 2, 3
+SELECT region_name, order_year, order_month,
+       CAST(SUM(_rev_e4) AS DOUBLE) / 10000.0 AS total_ventes
+FROM (
+  SELECT COALESCE(r.r_name, 'N/A') AS region_name,
+         CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
+         CAST(MONTH(o.o_orderdate) AS INTEGER) AS order_month,
+         li.l_orderkey, SUM({_REV_E4_SQL}) AS _rev_e4
+  FROM {_STAR_JOIN_SQL}
+  GROUP BY 1, 2, 3, 4
+) GROUP BY 1, 2, 3
 """)
 def star_agg_by_month(spark, sf_dir):
-    """A3: time-grain rollup by calendar attributes."""
+    """A3: time-grain rollup by calendar attributes. Exact integer money
+    partials at order grain (64-bit codegen path), DECIMAL finish over
+    the tiny per-order relation — see the fixed-point note above."""
     j = _star_join(spark, sf_dir)
-    return (j.groupBy(
+    lvl1 = (j.groupBy(
         F.coalesce(F.col("r.r_name"), F.lit("N/A")).alias("region_name"),
         F.year("o.o_orderdate").cast("int").alias("order_year"),
-        F.month("o.o_orderdate").cast("int").alias("order_month"))
-        .agg(F.sum(_rev()).cast("decimal(38,8)").cast("double").alias("total_ventes")))
+        F.month("o.o_orderdate").cast("int").alias("order_month"),
+        F.col("li.l_orderkey"))
+        .agg(F.sum(_rev_e4()).alias("_rev_e4")))
+    return (lvl1.groupBy("region_name", "order_year", "order_month")
+            .agg(_e_to_dollars(F.sum(F.col("_rev_e4").cast("decimal(38,0)")),
+                               1e4).alias("total_ventes")))
 
 
 @q("agg_rollup", """
@@ -1214,17 +1286,13 @@ def sql_select_view(spark, sf_dir):
 # TPC-H-style analytics (star-schema consumption queries, A-group)
 # --------------------------------------------------------------------------
 
-@q("tpch_q1", """
+@q("tpch_q1", f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS DOUBLE) AS sum_disc_price,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM({_REV_E4_SQL}
+                * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1232,29 +1300,35 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def tpch_q1(spark, sf_dir):
     """Pricing-summary rollup (TPC-H Q1 shape): the canonical scan ->
-    filter -> wide aggregate. Decimal-cast pre-sum for oracle exactness;
-    sum_charge truncated to scale 8 identically on both engines."""
+    filter -> wide aggregate. All measures are exact fixed-point integer
+    sums (see the money-fast-path note above): the hot partial phase is
+    64-bit codegen, chunked on pmod(l_orderkey, _N_CHUNKS) so partials
+    can't overflow at any scale, and the DECIMAL(38,0) finish runs over
+    only |groups| x _N_CHUNKS rows. DuckDB needs no chunking — its
+    SUM(BIGINT) is already exact HUGEINT."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
-    one = F.lit(1).cast("decimal(18,4)")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").cast("double").alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").cast("double").alias("sum_base_price"),
-                 F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
-                 .cast("decimal(38,8)").cast("double").alias("sum_disc_price"),
-                 F.sum((dec("l_extendedprice") * (one - dec("l_discount")))
-                       .cast("decimal(38,8)")
-                       * (one + dec("l_tax")).cast("decimal(38,8)"))
-                 .cast("decimal(38,8)").cast("double").alias("sum_charge"),
-                 F.count(F.lit(1)).alias("count_order")))
+    charge_e6 = _rev_e4() * (F.lit(100).cast("long") + _cents("l_tax"))
+    lvl1 = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus",
+                     F.pmod(F.col("l_orderkey"), F.lit(_N_CHUNKS)).alias("_chunk"))
+            .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("_qty"),
+                 F.sum(_cents("l_extendedprice")).alias("_base"),
+                 F.sum(_rev_e4()).alias("_disc"),
+                 F.sum(charge_e6).alias("_charge"),
+                 F.count(F.lit(1)).alias("_cnt")))
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))
+    return (lvl1.groupBy("l_returnflag", "l_linestatus")
+            .agg(dec("_qty").cast("double").alias("sum_qty"),
+                 _e_to_dollars(dec("_base"), 1e2).alias("sum_base_price"),
+                 _e_to_dollars(dec("_disc"), 1e4).alias("sum_disc_price"),
+                 _e_to_dollars(dec("_charge"), 1e6).alias("sum_charge"),
+                 F.sum("_cnt").alias("count_order")))
 
 
-@q("tpch_q3", """
+@q("tpch_q3", f"""
 SELECT li.l_orderkey,
-       CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS DOUBLE) AS revenue,
+       CAST(SUM({_rev_e4_sql("li.l_extendedprice", "li.l_discount")}) AS DOUBLE)
+         / 10000.0 AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1268,7 +1342,10 @@ LIMIT 10
 """)
 def tpch_q3(spark, sf_dir):
     """Shipping-priority top-k (TPC-H Q3 shape): selective dim filter
-    broadcast into the fact, grouped revenue, global top-10."""
+    broadcast into the fact, grouped revenue, global top-10. Revenue is
+    an exact fixed-point long sum (money fast path): the group key is
+    the order, so each group's sum is bounded by one order's lineitems
+    and can't overflow at any corpus scale."""
     c = (_t(spark, sf_dir, "customer")
          .filter(F.col("c_mktsegment") == "BUILDING").alias("c"))
     o = (_t(spark, sf_dir, "orders")
@@ -1280,17 +1357,16 @@ def tpch_q3(spark, sf_dir):
             .groupBy(F.col("li.l_orderkey").alias("l_orderkey"),
                      F.col("o.o_orderdate").alias("o_orderdate"),
                      F.col("o.o_orderpriority").alias("o_orderpriority"))
-            .agg(F.sum(_rev("li.l_extendedprice", "li.l_discount"))
-                 .cast("decimal(38,8)").cast("double").alias("revenue"))
+            .agg((F.sum(_rev_e4("li.l_extendedprice", "li.l_discount"))
+                  .cast("double") / F.lit(1e4)).alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
             .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
 
 
-@q("tpch_q5", """
+@q("tpch_q5", f"""
 SELECT n.n_name,
-       CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(li.l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS DOUBLE) AS revenue
+       CAST(SUM({_rev_e4_sql("li.l_extendedprice", "li.l_discount")}) AS DOUBLE)
+         / 10000.0 AS revenue
 FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem li ON li.l_orderkey = o.o_orderkey
@@ -1316,31 +1392,38 @@ def tpch_q5(spark, sf_dir):
             .join(s, (F.col("li.l_suppkey") == F.col("s.s_suppkey"))
                   & (F.col("s.s_nationkey") == F.col("c.c_nationkey")))
             .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
-            .groupBy(F.col("n.n_name").alias("n_name"))
-            .agg(F.sum(_rev("li.l_extendedprice", "li.l_discount"))
-                 .cast("decimal(38,8)").cast("double").alias("revenue")))
+            # 25 groups: chunk the exact-long partial phase so no 64-bit
+            # partial can overflow at scale; DECIMAL finish over the tiny
+            # (groups x chunks) relation (money fast path, see above)
+            .groupBy(F.col("n.n_name").alias("n_name"),
+                     F.pmod(F.col("li.l_orderkey"), F.lit(_N_CHUNKS)).alias("_chunk"))
+            .agg(F.sum(_rev_e4("li.l_extendedprice", "li.l_discount")).alias("_rev"))
+            .groupBy("n_name")
+            .agg(_e_to_dollars(F.sum(F.col("_rev").cast("decimal(38,0)")),
+                               1e4).alias("revenue")))
 
 
 @q("agg_salted", """
 SELECT l_returnflag,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """)
 def agg_salted(spark, sf_dir):
     """Skewed aggregate via salted two-phase sum (operators/skew.py):
     3 group keys over the whole fact — the direct plan funnels into 3
-    reducers; salting spreads the partial phase 16x. Decimal sums are
-    associative, so the result is bit-identical to the direct GROUP BY
-    (which is exactly what the oracle runs)."""
+    reducers; salting spreads the partial phase 16x. Exact integer cents
+    (money fast path) are associative, so the result is bit-identical to
+    the direct GROUP BY the oracle runs; a whole-corpus cents total stays
+    under 2^63 even at ~1e11 rows (1e7 cents/row max -> ~6e18)."""
     from ..operators.skew import salted_sum
     li = _t(spark, sf_dir, "lineitem")
     out = salted_sum(
         li, ["l_returnflag"], F.xxhash64("l_orderkey", "l_linenumber"),
-        sums={"total_price": F.col("l_extendedprice").cast("decimal(18,4)")},
+        sums={"total_price": _cents("l_extendedprice")},
         counts=("n_rows",))
     return out.select("l_returnflag",
-                      F.col("total_price").cast("decimal(38,4)").cast("double").alias("total_price"),
+                      (F.col("total_price").cast("double") / F.lit(1e2)).alias("total_price"),
                       "n_rows")
 
 
