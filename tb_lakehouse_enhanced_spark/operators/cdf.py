@@ -1,0 +1,76 @@
+"""Change-data-feed: row-level diff between two table snapshots.
+
+The reference's lakehouse (Databricks Delta) exposes CDF via
+``table_changes()`` — downstream consumers read inserts/updates/deletes
+instead of re-scanning the full table (the incremental-consumption half
+of SURVEY.md §2.8's maintenance surface). ``delta-spark`` is absent
+here, so the same observable feed is computed from two snapshots as ONE
+full-outer join on the natural key — a single shuffle, narrow branch
+projections, the exact pattern ``operators/merge.py`` uses — emitting
+Delta's four change types: ``insert``, ``delete``,
+``update_preimage``, ``update_postimage``.
+
+At scale the join shuffles both snapshots once on the key; with the
+table partitioned/bucketed on the key the exchange is elided entirely.
+Keyless mode (no natural key) falls back to a multiset diff
+(two hash anti-joins via ``exceptAll``): inserts + deletes only, which
+is all that is well-defined without row identity.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_TYPE = "_change_type"
+
+
+def changes_between(before: DataFrame | None, after: DataFrame,
+                    keys: tuple[str, ...] | list[str] | None = None) -> DataFrame:
+    """Rows that changed from ``before`` to ``after``, Delta-CDF-shaped.
+
+    Returns the business columns of ``after`` plus ``_change_type``.
+    With ``keys``: insert / delete / update_preimage / update_postimage
+    (unchanged rows are filtered out null-safely). Without ``keys``:
+    insert / delete by multiset difference.
+    """
+    if before is None:
+        return after.withColumn(CHANGE_TYPE, F.lit("insert"))
+    cols = list(after.columns)
+    if not keys:
+        ins = after.exceptAll(before).withColumn(CHANGE_TYPE, F.lit("insert"))
+        dels = before.exceptAll(after).withColumn(CHANGE_TYPE, F.lit("delete"))
+        return ins.unionByName(dels)
+
+    keys = list(keys)
+    tracked = [c for c in cols if c not in keys]
+    t = before.withColumn("_b", F.lit(True)).alias("t")
+    s = after.withColumn("_a", F.lit(True)).alias("s")
+    on = reduce(lambda a, b: a & b,
+                (F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys))
+    j = t.join(s, on, "full_outer")
+
+    matched = F.col("t._b").isNotNull() & F.col("s._a").isNotNull()
+    changed = matched & reduce(
+        lambda a, b: a | b,
+        (~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in tracked),
+        F.lit(False))
+    inserted = F.col("t._b").isNull()
+    deleted = F.col("s._a").isNull()
+
+    # one pass over the join: each joined row emits 0-2 change rows via an
+    # exploded case-array, instead of four filter branches that would
+    # re-execute the join subtree once per change type
+    def img(prefix: str, change: str):
+        return F.struct(*[F.col(f"{prefix}.{c}").alias(c) for c in cols],
+                        F.lit(change).alias(CHANGE_TYPE))
+
+    change_rows = (F.when(inserted, F.array(img("s", "insert")))
+                   .when(deleted, F.array(img("t", "delete")))
+                   .when(changed, F.array(img("t", "update_preimage"),
+                                          img("s", "update_postimage")))
+                   .otherwise(F.array()))
+    return (j.select(F.explode(change_rows).alias("_c"))
+            .select("_c.*"))

@@ -60,6 +60,49 @@ class ScdConfig:
     extra: dict = field(default_factory=dict)
 
 
+def align_schemas(target: DataFrame, source: DataFrame,
+                  exclude: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
+    """Additive schema evolution (Delta ``mergeSchema`` semantics).
+
+    Columns present in ``source`` but not ``target`` are added to the
+    target as typed NULLs (historical rows read back NULL for the new
+    attribute, exactly as Delta backfills); columns the source stopped
+    shipping are added to the source as typed NULLs so a shrunken feed
+    still merges (the value then reads as "attribute became NULL" under
+    snapshot semantics). Metadata-only at the DataFrame level — no data
+    rewrite happens until the merged state is written.
+    """
+    t_fields = {f.name: f.dataType for f in target.schema.fields}
+    s_fields = {f.name: f.dataType for f in source.schema.fields}
+    for name, dtype in s_fields.items():
+        if name not in t_fields:
+            target = target.withColumn(name, F.lit(None).cast(dtype))
+    skip = set(TECH_COLS) | set(exclude)
+    for name, dtype in t_fields.items():
+        if name not in s_fields and name not in skip:
+            source = source.withColumn(name, F.lit(None).cast(dtype))
+    return target, source
+
+
+def _evolve(target: DataFrame, source: DataFrame,
+            cfg: ScdConfig) -> tuple[DataFrame, DataFrame, ScdConfig]:
+    """Align schemas and pull evolved source columns into the tracked set
+    (a newly-shipped attribute is a change worth a new version — without
+    this, a row whose only difference is the new column would silently
+    keep its old version and never surface the attribute)."""
+    from dataclasses import replace
+    evolved = [f.name for f in source.schema.fields
+               if f.name not in target.columns]
+    target, source = align_schemas(
+        target, source,
+        exclude=(cfg.surrogate_key,) if cfg.surrogate_key else ())
+    new_tracked = [c for c in evolved
+                   if c not in cfg.tracked and c not in cfg.keys]
+    if new_tracked:
+        cfg = replace(cfg, tracked=cfg.tracked + tuple(new_tracked))
+    return target, source, cfg
+
+
 def _changed_predicate(cfg: ScdConfig, t: str = "t", s: str = "s") -> Column:
     """OR-chain over tracked columns (reference 22:66-75 / 33:65-72)."""
     def one(c: str) -> Column:
@@ -95,7 +138,7 @@ def _with_surrogates(inserts: DataFrame, cfg: ScdConfig, offset_df: DataFrame | 
 
 
 def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
-               load_ts) -> DataFrame:
+               load_ts, evolve_schema: bool = False) -> DataFrame:
     """Return the post-merge SCD2 table state (two reference passes fused).
 
     ``target`` carries the source's business columns plus TECH_COLS (and
@@ -105,6 +148,8 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     (``WHEN NOT MATCHED BY SOURCE`` in the reference, 22:78-82).
     """
     load_ts = F.lit(load_ts).cast("timestamp")
+    if evolve_schema and target is not None and target.columns:
+        target, source, cfg = _evolve(target, source, cfg)
     business = list(source.columns)
 
     if target is None or not target.columns:
@@ -160,7 +205,7 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
 
 
 def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
-               load_ts) -> DataFrame:
+               load_ts, evolve_schema: bool = False) -> DataFrame:
     """SCD Type 1 upsert (reference 33_ETL_Gold_Dim_PySpark.py:61-184).
 
     Matched & changed rows take the source attributes and a fresh
@@ -169,6 +214,8 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     reference's SCD1 MERGE has no NOT-MATCHED-BY-SOURCE clause).
     """
     load_ts = F.lit(load_ts).cast("timestamp")
+    if evolve_schema and target is not None:
+        target, source, cfg = _evolve(target, source, cfg)
     business = list(source.columns)
 
     if target is None:
@@ -212,10 +259,10 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
 
 
 def keyed_upsert(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
-                 load_ts) -> DataFrame:
+                 load_ts, evolve_schema: bool = False) -> DataFrame:
     """Fact-table upsert (reference 34_ETL_Gold_Fact_PySpark.py:90-139).
 
     Identical routing to SCD1 but with no surrogate key: composite-keyed
     rows are replaced when any tracked column changed, inserted when new.
     """
-    return scd1_merge(target, source, cfg, load_ts)
+    return scd1_merge(target, source, cfg, load_ts, evolve_schema=evolve_schema)

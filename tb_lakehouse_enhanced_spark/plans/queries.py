@@ -1947,3 +1947,15 @@ def tpch_q14(spark, sf_dir):
 
 # Extended TPC-H-style surface (registers below the 50-query fold).
 from . import tpch  # noqa: E402,F401  (import for @q registration side effect)
+
+
+# --------------------------------------------------------------------------
+# Change-data-feed (ManagedTable.changes / Delta table_changes analogue)
+# --------------------------------------------------------------------------
+
+@q("table_changes", scd.CDF_ORACLE)
+def table_changes(spark, sf_dir):
+    """Row-level CDF between two snapshots: insert / delete /
+    update_preimage / update_postimage from ONE full-outer key join
+    (operators/cdf.py; consumed by ManagedTable.changes)."""
+    return scd.cdf_state(spark, sf_dir)

@@ -194,3 +194,44 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
        TIMESTAMP '{T1}' AS _tf_create_date, TIMESTAMP '{T1}' AS _tf_update_date
 FROM src1 WHERE l_linenumber > 5
 """
+
+
+# ------------------------------------------------------------- CDF ----------
+def cdf_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between the two SCD2 scenario source snapshots
+    (ManagedTable.changes() core, operators/cdf.py): inserts, deletes and
+    update pre/post images keyed on o_orderkey, one full-outer join."""
+    from ..operators.cdf import changes_between
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return changes_between(_orders_src(orders, 0), _orders_src(orders, 1),
+                           keys=("o_orderkey",))
+
+
+CDF_ORACLE = """
+WITH src0 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7
+), src1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 3
+), ins AS (
+  SELECT s.*, 'insert' AS _change_type FROM src1 s
+  WHERE NOT EXISTS (SELECT 1 FROM src0 t WHERE t.o_orderkey = s.o_orderkey)
+), del AS (
+  SELECT t.*, 'delete' AS _change_type FROM src0 t
+  WHERE NOT EXISTS (SELECT 1 FROM src1 s WHERE s.o_orderkey = t.o_orderkey)
+), chg AS (
+  SELECT t.o_orderkey FROM src0 t JOIN src1 s USING (o_orderkey)
+  WHERE t.o_custkey IS DISTINCT FROM s.o_custkey
+     OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+     OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+)
+SELECT * FROM ins
+UNION ALL SELECT * FROM del
+UNION ALL SELECT t.*, 'update_preimage' FROM src0 t
+  WHERE EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = t.o_orderkey)
+UNION ALL SELECT s.*, 'update_postimage' FROM src1 s
+  WHERE EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = s.o_orderkey)
+"""

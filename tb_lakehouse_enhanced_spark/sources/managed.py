@@ -24,7 +24,10 @@ are rewritten.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,8 +57,23 @@ class ManagedTable:
     def exists(self) -> bool:
         return self.current_version() >= 0
 
+    def _commit_file(self, v: int) -> str:
+        return os.path.join(self.path, f"_commit_v{v}.json")
+
+    def _commit(self, v: int) -> dict:
+        """Commit metadata for version ``v``.
+
+        Tables written before commit files existed fall back to the
+        implicit layout (data dir ``v{N}``, no operation recorded).
+        """
+        try:
+            with open(self._commit_file(v)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": v, "dir": f"v{v}", "op": "WRITE", "ts": None}
+
     def _version_dir(self, v: int) -> str:
-        return os.path.join(self.path, f"v{v}")
+        return os.path.join(self.path, self._commit(v)["dir"])
 
     # -- IO ------------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
@@ -64,18 +82,79 @@ class ManagedTable:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         return self.spark.read.parquet(self._version_dir(v))
 
-    def overwrite(self, df: DataFrame) -> "ManagedTable":
-        """Write ``df`` as the next snapshot and flip the pointer."""
-        v = self.current_version() + 1
-        writer = df.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self._version_dir(v))
+    def _publish(self, v: int, meta: dict) -> "ManagedTable":
+        """Record commit metadata for ``v`` and flip the pointer (atomic:
+        readers resolve the version through ``_CURRENT`` only, and the
+        commit file is fully written before the pointer moves)."""
+        with open(self._commit_file(v), "w") as f:
+            json.dump(meta, f)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer)  # atomic pointer flip
         return self
+
+    def overwrite(self, df: DataFrame, operation: str = "WRITE") -> "ManagedTable":
+        """Write ``df`` as the next snapshot and flip the pointer."""
+        v = self.current_version() + 1
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(os.path.join(self.path, f"v{v}"))
+        return self._publish(v, {"version": v, "dir": f"v{v}",
+                                 "op": operation, "ts": time.time()})
+
+    # -- history / time travel (Delta DESCRIBE HISTORY / RESTORE analogue) ---
+    def history(self) -> list[dict]:
+        """Commit log, newest first (``DESCRIBE HISTORY`` analogue)."""
+        cur = self.current_version()
+        return [self._commit(v) for v in range(cur, -1, -1)]
+
+    def restore(self, version: int) -> "ManagedTable":
+        """``RESTORE TABLE ... TO VERSION`` — metadata-only: the new commit
+        points at the restored version's existing data directory, so
+        restoring a 100 TB snapshot moves zero bytes (exactly Delta's
+        RESTORE, which re-adds the old files in a new commit)."""
+        src = self._commit(version)
+        if not os.path.isdir(os.path.join(self.path, src["dir"])):
+            raise FileNotFoundError(
+                f"version {version} of {self.path} was vacuumed")
+        v = self.current_version() + 1
+        return self._publish(v, {"version": v, "dir": src["dir"],
+                                 "op": f"RESTORE v{version}",
+                                 "ts": time.time()})
+
+    def vacuum(self, retain_last: int = 1) -> list[int]:
+        """Delete data of versions older than the ``retain_last`` most
+        recent commits (Delta ``VACUUM``'s role). Data dirs still
+        referenced by a retained commit (via ``restore``) survive.
+        Returns the versions whose data was removed."""
+        cur = self.current_version()
+        keep_versions = set(range(max(0, cur - retain_last + 1), cur + 1))
+        keep_dirs = {self._commit(v)["dir"] for v in keep_versions}
+        removed = []
+        for v in range(0, max(0, cur - retain_last + 1)):
+            d = self._commit(v)["dir"]
+            full = os.path.join(self.path, d)
+            if d not in keep_dirs and os.path.isdir(full):
+                shutil.rmtree(full)
+                removed.append(v)
+        return removed
+
+    # -- change data feed ----------------------------------------------------
+    def changes(self, from_version: int, to_version: int | None = None,
+                keys: tuple[str, ...] | None = None) -> DataFrame:
+        """Row-level changes between two snapshots (``table_changes()``
+        analogue): business columns + ``_change_type`` + ``_commit_version``.
+        See :mod:`tb_lakehouse_enhanced_spark.operators.cdf`."""
+        from pyspark.sql import functions as F
+
+        from ..operators.cdf import changes_between
+        to_version = self.current_version() if to_version is None else to_version
+        out = changes_between(self.read(from_version), self.read(to_version),
+                              keys=keys)
+        return out.withColumn("_commit_version",
+                              F.lit(to_version).cast("bigint"))
 
     # -- DML (reference notebooks/23_Testing_SCD2.py:40-64) ------------------
     def update(self, condition, assignments: dict) -> "ManagedTable":
@@ -90,11 +169,11 @@ class ManagedTable:
                 cols.append(F.when(condition, e).otherwise(F.col(c)).alias(c))
             else:
                 cols.append(F.col(c))
-        return self.overwrite(df.select(cols))
+        return self.overwrite(df.select(cols), operation="UPDATE")
 
     def delete(self, condition) -> "ManagedTable":
         """``DELETE FROM t WHERE cond`` as a snapshot rewrite."""
-        return self.overwrite(self.read().filter(~condition))
+        return self.overwrite(self.read().filter(~condition), operation="DELETE")
 
     # -- maintenance (Delta OPTIMIZE analogue, SURVEY.md §4) -----------------
     def compact(self, target_partitions: int = 8) -> "ManagedTable":
@@ -105,7 +184,7 @@ class ManagedTable:
         keeps scan task counts proportional to data size, not to the
         number of historical merges.
         """
-        return self.overwrite(self.read().coalesce(target_partitions))
+        return self.overwrite(self.read().coalesce(target_partitions), operation="OPTIMIZE")
 
     def optimize_layout(self, sort_cols: tuple[str, ...],
                         target_partitions: int = 8) -> "ManagedTable":
@@ -116,4 +195,4 @@ class ManagedTable:
         """
         df = self.read().repartitionByRange(target_partitions, *sort_cols) \
             .sortWithinPartitions(*sort_cols)
-        return self.overwrite(df)
+        return self.overwrite(df, operation="OPTIMIZE ZORDER")

@@ -45,3 +45,60 @@ def test_missing_table_raises(spark, tmp_base):
     assert not t.exists()
     with pytest.raises(FileNotFoundError):
         t.read()
+
+
+def test_history_records_operations(spark, mt):
+    mt.update(F.col("id") == 1, {"v": F.lit(99.0)})
+    mt.delete(F.col("id") == 2)
+    ops = [h["op"] for h in mt.history()]
+    assert ops == ["DELETE", "UPDATE", "WRITE"]
+    assert [h["version"] for h in mt.history()] == [2, 1, 0]
+
+
+def test_restore_is_metadata_only(spark, mt, tmp_base):
+    import os
+    mt.overwrite(mt.read().filter("id = 1"))          # v1
+    mt.restore(0)                                     # v2 -> v0's data
+    assert mt.current_version() == 2
+    assert mt.read().count() == 3
+    # no new data directory was written for the restore commit
+    assert not os.path.isdir(f"{tmp_base}/t/v2")
+    assert mt._commit(2)["dir"] == "v0"
+
+
+def test_vacuum_removes_old_data_but_keeps_referenced(spark, mt, tmp_base):
+    import os
+    mt.overwrite(mt.read().filter("id < 3"))          # v1
+    mt.restore(0)                                     # v2 references v0 dir
+    removed = mt.vacuum(retain_last=1)
+    # v0's dir is referenced by the retained commit v2 -> survives
+    assert os.path.isdir(f"{tmp_base}/t/v0")
+    assert not os.path.isdir(f"{tmp_base}/t/v1")
+    assert removed == [1]
+    assert mt.read().count() == 3
+    with pytest.raises(Exception):
+        mt.read(version=1).collect()
+
+
+def test_changes_keyed_cdf(spark, mt):
+    # v1: update id=1, delete id=2, insert id=4
+    v1 = spark.createDataFrame(
+        [(1, "a", 11.0), (3, "a", 30.0), (4, "c", 40.0)], ["id", "k", "v"])
+    mt.overwrite(v1)
+    ch = {(r["id"], r["_change_type"]): (r["k"], r["v"])
+          for r in mt.changes(0, 1, keys=("id",)).collect()}
+    assert ch == {
+        (1, "update_preimage"): ("a", 10.0),
+        (1, "update_postimage"): ("a", 11.0),
+        (2, "delete"): ("b", 20.0),
+        (4, "insert"): ("c", 40.0),
+    }
+    assert all(r["_commit_version"] == 1
+               for r in mt.changes(0, 1, keys=("id",)).collect())
+
+
+def test_changes_keyless_multiset_diff(spark, mt):
+    mt.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (5, "e", 50.0)], ["id", "k", "v"]))
+    ch = {(r["id"], r["_change_type"]) for r in mt.changes(0, 1).collect()}
+    assert ch == {(5, "insert"), (2, "delete"), (3, "delete")}
