@@ -134,3 +134,52 @@ def split_assign(key: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
     return (F.when(bucket < train_pct, "train")
             .when(bucket < train_pct + val_pct, "val")
             .otherwise("test"))
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", rare_max: int = 2) -> DataFrame:
+    """Corpus-bigram language-model quality signals per document.
+
+    The CCNet/Gopher-style perplexity gate of a pretraining pipeline:
+    fit a bigram LM on the corpus itself (two count aggregations), score
+    each document by its average negative log2 conditional probability
+    ``-log2 c(w1,w2)/c(w1)``, plus the fraction of its bigrams that are
+    corpus-rare (count <= ``rare_max``). High scores = improbable word
+    sequences = boilerplate/garbled/degenerate text.
+
+    Scale shape: the exploded bigram stream shuffles once per count
+    aggregation (vocabulary-sized outputs, map-side partial combine) and
+    once per count join; the per-doc finish groups by id. No UDFs, no
+    driver-side state — the LM "fit" IS the aggregation.
+
+    Determinism: counts and the rare fraction are exact integer math;
+    the log scores are IEEE doubles rounded to 6 dp so the DuckDB oracle
+    hash-matches (ln is the only non-exact op; 1-ulp engine differences
+    vanish at 6 dp).
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(toks)
+    base = docs.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_toks"), i).alias("w1"),
+            F.concat_ws(" ", F.element_at(F.col("_toks"), i),
+                        F.element_at(F.col("_toks"), i + 1)).alias("bigram")))
+    bg = (base.filter(F.col("_n") >= 2)
+          .select(id_col, F.explode(pairs).alias("_p"))
+          .select(id_col, "_p.w1", "_p.bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    scored = (bg.join(c2, "bigram").join(c1, "w1")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   (F.sum(F.when(F.col("_c2") <= rare_max, 1).otherwise(0))
+                    .cast("double") / F.count(F.lit(1))).alias("rare_bigram_frac"),
+                   F.round(F.avg((F.log(F.col("_c1")) - F.log(F.col("_c2")))
+                                 / F.log(F.lit(2.0))), 6).alias("avg_neg_log2p")))
+    return (base.select(id_col).join(scored, id_col, "left_outer")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("rare_bigram_frac", F.lit(0.0)).alias("rare_bigram_frac"),
+                    "avg_neg_log2p"))

@@ -74,3 +74,56 @@ def changes_between(before: DataFrame | None, after: DataFrame,
                    .otherwise(F.array()))
     return (j.select(F.explode(change_rows).alias("_c"))
             .select("_c.*"))
+
+
+def apply_changes(target: DataFrame | None, changes: DataFrame,
+                  keys: tuple[str, ...] | list[str]) -> DataFrame:
+    """Apply a CDF batch to a target state (the consumer half of CDC).
+
+    ``changes`` is ``changes_between`` output (or Delta ``table_changes``):
+    inserts and update postimages replace/extend the target, deletes drop
+    their keys, preimages are ignored. ONE shuffle join: the target left-joins
+    the distinct changed-key set, rows untouched by the batch pass through,
+    and the upsert images are unioned on. Incremental cost is proportional
+    to |changes|, not |target| — the point of consuming CDF instead of
+    re-scanning the source at 100 TB. (The target-side scan prunes to the
+    joined partitions when the table is partitioned/bucketed on the key.)
+    """
+    keys = list(keys)
+    cols = [c for c in changes.columns
+            if c not in (CHANGE_TYPE, "_commit_version")]
+    upserts = (changes.filter(F.col(CHANGE_TYPE).isin("insert", "update_postimage"))
+               .select(cols))
+    if target is None:
+        return upserts
+    touched = (changes.filter(F.col(CHANGE_TYPE) != "update_preimage")
+               .select(keys).dropDuplicates(keys)
+               .withColumn("_touched", F.lit(True)))
+    kept = (target.join(touched, keys, "left_outer")
+            .filter(F.col("_touched").isNull())
+            .drop("_touched"))
+    return kept.select(cols).unionByName(upserts)
+
+
+def sync_incremental(src, dst, keys: tuple[str, ...]) -> int:
+    """Propagate ``src``'s changes since the last sync into ``dst``
+    (both :class:`~..sources.managed.ManagedTable`).
+
+    The high-water mark (the src version last applied) rides in dst's own
+    commit metadata, so the sync is restart-safe: re-running after a crash
+    re-reads the mark from the last durable commit. First sync = full copy.
+    Returns the src version dst is now synced to.
+    """
+    cur = src.current_version()
+    mark = next((h.get("synced_to") for h in dst.history()
+                 if h.get("synced_to") is not None), None) if dst.exists() else None
+    if mark is None:
+        dst.overwrite(src.read(), operation=f"CDC_SYNC v{cur}",
+                      extra_meta={"synced_to": cur})
+        return cur
+    if mark == cur:
+        return cur
+    ch = src.changes(mark, cur, keys=keys).drop("_commit_version")
+    dst.overwrite(apply_changes(dst.read(), ch, keys),
+                  operation=f"CDC_SYNC v{cur}", extra_meta={"synced_to": cur})
+    return cur

@@ -124,17 +124,14 @@ def _with_surrogates(inserts: DataFrame, cfg: ScdConfig, offset_df: DataFrame | 
         return inserts
     sk = cfg.surrogate_key
     from .sequence import dense_sequence
-    seq = dense_sequence(inserts, list(cfg.keys), sk, offset=0)
     if offset_df is None:
-        return seq
-    # the current max key joins back as a 1-row broadcast instead of a
-    # driver collect: one fewer serial round-trip per merge, and the
-    # offset read happens inside the same job as the sequence assembly
+        return dense_sequence(inserts, list(cfg.keys), sk, offset=0)
+    # the current max key rides inside dense_sequence's own offsets
+    # broadcast (1-row cross join pre-broadcast): no driver collect, no
+    # separate broadcast-build job, no extra join in the output plan
     off = offset_df.agg(F.coalesce(F.max(sk), F.lit(0)).cast("bigint")
                         .alias("_sk_off"))
-    return (seq.join(F.broadcast(off))
-            .withColumn(sk, (F.col(sk) + F.col("_sk_off")).cast("bigint"))
-            .drop("_sk_off"))
+    return dense_sequence(inserts, list(cfg.keys), sk, offset_df=off)
 
 
 def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,

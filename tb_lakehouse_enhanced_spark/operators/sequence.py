@@ -31,9 +31,17 @@ _LOCAL = "_seq_local"
 
 
 def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str,
-                   offset: int = 0, num_partitions: int | None = None) -> DataFrame:
+                   offset: int = 0, num_partitions: int | None = None,
+                   offset_df: DataFrame | None = None) -> DataFrame:
     """Add ``out_col`` = offset + dense global rank of the row under
-    ``order_cols`` (1-based), without a single-task global window."""
+    ``order_cols`` (1-based), without a single-task global window.
+
+    ``offset_df``: optional 1-row relation whose single BIGINT column is
+    an additional dynamic offset (e.g. the target table's current max
+    surrogate). It is cross-joined into the per-partition offset relation
+    BEFORE the broadcast, so the dynamic offset costs zero extra jobs —
+    without this, callers pay a separate broadcast-build job just to add
+    a scalar."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     # Persist the INPUT, not the shuffled output: repartitionByRange runs
@@ -69,6 +77,11 @@ def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str,
                .select(_PID,
                        (F.coalesce(F.sum("_seq_cnt").over(wc), F.lit(0))
                         + F.lit(offset)).alias("_seq_off")))
+    if offset_df is not None:
+        extra = offset_df.toDF("_seq_extra")
+        offsets = (offsets.crossJoin(extra)
+                   .select(_PID, (F.col("_seq_off")
+                                  + F.col("_seq_extra")).alias("_seq_off")))
     local_ord = F.col(_LOCAL).bitwiseAND(F.lit((1 << 33) - 1))
     return (part.join(F.broadcast(offsets), _PID)
             .withColumn(out_col,

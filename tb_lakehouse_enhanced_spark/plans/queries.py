@@ -1959,3 +1959,35 @@ def table_changes(spark, sf_dir):
     update_preimage / update_postimage from ONE full-outer key join
     (operators/cdf.py; consumed by ManagedTable.changes)."""
     return scd.cdf_state(spark, sf_dir)
+
+
+@q("perplexity_score", """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks)-1),
+                               i -> toks[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(toks)-1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+), c2 AS (SELECT bigram, COUNT(*) AS _c2 FROM bg GROUP BY bigram),
+   c1 AS (SELECT w1, COUNT(*) AS _c1 FROM bg GROUP BY w1),
+   s AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN c2._c2 <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS rare_bigram_frac,
+         ROUND(AVG((ln(c1._c1) - ln(c2._c2)) / ln(2.0)), 6) AS avg_neg_log2p
+  FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
+  GROUP BY bg.doc_id
+)
+SELECT t.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.rare_bigram_frac, 0.0) AS rare_bigram_frac,
+       s.avg_neg_log2p
+FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+""")
+def perplexity_score(spark, sf_dir):
+    """Corpus-bigram LM perplexity + rare-bigram fraction per document —
+    the CCNet-style quality gate (functions/text.py::bigram_lm_scores)."""
+    from ..functions.text import bigram_lm_scores
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

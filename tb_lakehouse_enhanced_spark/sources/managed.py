@@ -94,15 +94,21 @@ class ManagedTable:
         os.replace(tmp, self._pointer)  # atomic pointer flip
         return self
 
-    def overwrite(self, df: DataFrame, operation: str = "WRITE") -> "ManagedTable":
-        """Write ``df`` as the next snapshot and flip the pointer."""
+    def overwrite(self, df: DataFrame, operation: str = "WRITE",
+                  extra_meta: dict | None = None) -> "ManagedTable":
+        """Write ``df`` as the next snapshot and flip the pointer.
+
+        ``extra_meta`` keys are stored in the commit record — e.g. a CDC
+        consumer's high-water mark (operators/cdf.py::sync_incremental),
+        making consumer state as durable/atomic as the data itself."""
         v = self.current_version() + 1
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(os.path.join(self.path, f"v{v}"))
-        return self._publish(v, {"version": v, "dir": f"v{v}",
-                                 "op": operation, "ts": time.time()})
+        meta = {"version": v, "dir": f"v{v}", "op": operation,
+                "ts": time.time(), **(extra_meta or {})}
+        return self._publish(v, meta)
 
     # -- history / time travel (Delta DESCRIBE HISTORY / RESTORE analogue) ---
     def history(self) -> list[dict]:
