@@ -147,6 +147,93 @@ class ManagedTable:
                 removed.append(v)
         return removed
 
+    # -- file-skipping stats (Delta data-skipping analogue) ------------------
+    @staticmethod
+    def _norm_stat(v):
+        """JSON-storable, order-preserving form of a min/max bound.
+
+        Numerics stay numeric; everything else (timestamps, dates,
+        strings) compares lexicographically via str() — ISO-formatted
+        temporal strings sort identically to their values."""
+        if v is None or isinstance(v, bool):
+            return v
+        if isinstance(v, (int, float)):
+            return float(v)
+        return str(v)
+
+    def _stats_file(self, v: int) -> str:
+        # keyed by DATA DIR, not version: a restore commit reuses the old
+        # dir and therefore its stats, unchanged
+        return os.path.join(self.path, f"_stats_{self._commit(v)['dir']}.json")
+
+    def analyze(self, stat_cols: tuple[str, ...],
+                version: int | None = None) -> dict:
+        """Collect per-file min/max for ``stat_cols`` (the stats half of
+        Delta's data skipping; parquet row-group stats cover intra-file
+        skipping, this covers whole-file pruning *before* any task is
+        scheduled). One tiny aggregate job: |files| rows to the driver —
+        at 100 TB the manifest is megabytes while the data is not."""
+        from pyspark.sql import functions as F
+        v = self.current_version() if version is None else version
+        df = self.read(v)
+        aggs = []
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        rows = (df.groupBy(F.col("_metadata.file_path").alias("file"))
+                .agg(*aggs).collect())
+        payload = {
+            "columns": list(stat_cols),
+            "files": [{"file": r["file"],
+                       **{f"min__{c}": self._norm_stat(r[f"min__{c}"]) for c in stat_cols},
+                       **{f"max__{c}": self._norm_stat(r[f"max__{c}"]) for c in stat_cols}}
+                      for r in rows],
+        }
+        with open(self._stats_file(v), "w") as f:
+            json.dump(payload, f)
+        return payload
+
+    def pruned_files(self, col: str, lo, hi,
+                     version: int | None = None) -> list[str] | None:
+        """Files whose [min, max] for ``col`` intersects [lo, hi], or
+        None when no stats cover the column (caller falls back to a full
+        scan). A file containing only NULLs for the column has null
+        stats and is skipped — a range predicate excludes NULL anyway."""
+        v = self.current_version() if version is None else version
+        try:
+            with open(self._stats_file(v)) as f:
+                stats = json.load(f)
+        except FileNotFoundError:
+            return None
+        if col not in stats["columns"]:
+            return None
+        lo, hi = self._norm_stat(lo), self._norm_stat(hi)
+        keep = []
+        for rec in stats["files"]:
+            mn, mx = rec[f"min__{col}"], rec[f"max__{col}"]
+            if mn is None or mx is None:
+                continue
+            if not (mx < lo or mn > hi):
+                keep.append(rec["file"])
+        return keep
+
+    def read_where(self, col: str, lo, hi,
+                   version: int | None = None) -> DataFrame:
+        """Range read with file skipping: scan only the files the stats
+        manifest says can contain [lo, hi], then apply the exact filter
+        (row groups inside kept files still prune via parquet stats).
+        Identical results to ``read().filter(between)``, touching a
+        cluster-scale-smaller file set when the layout is clustered on
+        ``col`` (``optimize_layout``)."""
+        from pyspark.sql import functions as F
+        cond = F.col(col).between(lo, hi)
+        files = self.pruned_files(col, lo, hi, version)
+        if files is None:
+            return self.read(version).filter(cond)
+        if not files:
+            # schema-stable empty relation without scheduling a scan
+            return self.read(version).filter(cond).limit(0).filter(F.lit(False))
+        return self.spark.read.parquet(*files).filter(cond)
+
     # -- change data feed ----------------------------------------------------
     def changes(self, from_version: int, to_version: int | None = None,
                 keys: tuple[str, ...] | None = None) -> DataFrame:

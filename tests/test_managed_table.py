@@ -102,3 +102,40 @@ def test_changes_keyless_multiset_diff(spark, mt):
         [(1, "a", 10.0), (5, "e", 50.0)], ["id", "k", "v"]))
     ch = {(r["id"], r["_change_type"]) for r in mt.changes(0, 1).collect()}
     assert ch == {(5, "insert"), (2, "delete"), (3, "delete")}
+
+
+def test_file_skipping_stats(spark, tmp_base):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = ManagedTable(spark, f"{tmp_base}/li")
+    t.overwrite(li)
+    t.optimize_layout(("l_shipdate",), target_partitions=8)
+    stats = t.analyze(("l_shipdate", "l_quantity"))
+    assert len(stats["files"]) >= 8
+
+    import datetime
+    lo_ts = t.read().agg(F.min("l_shipdate")).collect()[0][0]
+    hi_ts = lo_ts + datetime.timedelta(days=60)
+    kept = t.pruned_files("l_shipdate", lo_ts, hi_ts)
+    assert kept is not None and 0 < len(kept) < len(stats["files"])
+
+    full = t.read().filter(F.col("l_shipdate").between(lo_ts, hi_ts))
+    pruned = t.read_where("l_shipdate", lo_ts, hi_ts)
+    assert pruned.count() == full.count()
+    assert (pruned.agg(F.sum("l_quantity")).collect()[0][0]
+            == full.agg(F.sum("l_quantity")).collect()[0][0])
+
+    # un-analyzed column falls back to full scan, still correct
+    assert t.pruned_files("l_extendedprice", 0.0, 1.0) is None
+    fb = t.read_where("l_extendedprice", 0.0, 100.0)
+    assert fb.count() == t.read().filter(
+        F.col("l_extendedprice").between(0.0, 100.0)).count()
+
+    # stats survive a restore (same data dir, same manifest)
+    t.overwrite(t.read().limit(10))
+    t.restore(1)
+    assert t.pruned_files("l_shipdate", lo_ts, hi_ts) == kept
+
+    # out-of-range predicate prunes everything, schema intact
+    none = t.read_where("l_shipdate", datetime.datetime(2150, 1, 1),
+                        datetime.datetime(2151, 1, 1))
+    assert none.count() == 0 and none.columns == t.read().columns
