@@ -87,3 +87,44 @@ def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str,
             .withColumn(out_col,
                         (local_ord + F.col("_seq_off") + 1).cast("bigint"))
             .drop(_PID, _LOCAL, "_seq_off"))
+
+
+def running_total(df: DataFrame, order_cols: list[str], value_col: str,
+                  out_col: str, exclusive: bool = True,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Global prefix sum of ``value_col`` under ``order_cols`` without a
+    single-task global window — the distributed two-phase formulation:
+
+    1. range-repartition + local sort (one range shuffle, all cores);
+    2. per-partition local running sum (window PARTITIONED by the range
+       partition's id — parallel);
+    3. per-partition totals cumulated over <=P rows and broadcast-joined
+       back as offsets.
+
+    ``exclusive=True`` gives the sum of all STRICTLY preceding rows
+    (0 for the first row) — the natural "start offset" form consumed by
+    sequence packing. Deterministic whenever the order keys are unique.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    src = df.persist()
+    part = (src.repartitionByRange(n, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn(_LOCAL, F.monotonically_increasing_id())
+            .withColumn(_PID, F.shiftright(F.col(_LOCAL), 33).cast("int")))
+    # local inclusive running sum: partitioned window keyed on the stable
+    # precomputed partition id (hash exchange moves whole co-located
+    # groups; at scale this is the textbook parallel prefix-sum shape)
+    wl = (Window.partitionBy(_PID).orderBy(_LOCAL)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = part.withColumn("_rt_local", F.sum(F.col(value_col)).over(wl))
+    wo = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (part.groupBy(_PID).agg(F.sum(value_col).alias("_rt_cnt"))
+               .select(_PID,
+                       F.coalesce(F.sum("_rt_cnt").over(wo), F.lit(0))
+                       .alias("_rt_off")))
+    adj = (F.col("_rt_local") - F.col(value_col)) if exclusive \
+        else F.col("_rt_local")
+    return (local.join(F.broadcast(offsets), _PID)
+            .withColumn(out_col, (adj + F.col("_rt_off")).cast("bigint"))
+            .drop(_PID, _LOCAL, "_rt_local", "_rt_off"))

@@ -1793,6 +1793,55 @@ def resample_ffill(spark, sf_dir):
 # pytest/bench-only variant — still registered, still runnable.
 # --------------------------------------------------------------------------
 
+
+# --------------------------------------------------------------------------
+# Training-sequence assembly (operators/chunking.py)
+# --------------------------------------------------------------------------
+
+@q("doc_chunks", """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS n,
+         GREATEST(CAST(CEIL((len(toks) - 16) / 112.0) AS INTEGER), 1) AS k,
+         toks
+  FROM t
+)
+SELECT doc_id,
+       CAST(u.i AS BIGINT) AS chunk_id,
+       CAST(LEAST(n - u.i * 112, 128) AS BIGINT) AS n_tokens,
+       array_to_string(toks[u.i * 112 + 1 : u.i * 112 + 128], ' ') AS chunk_text
+FROM c, UNNEST(generate_series(0, k - 1)) AS u(i)
+""")
+def doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (128-token windows, 16 overlap):
+    per-row array build + explode, no shuffle (operators/chunking.py)."""
+    from ..operators.chunking import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=128, overlap=16)
+
+
+@q("pack_sequences", """
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+         AS BIGINT) AS seq_id
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+""")
+def pack_sequences_q(spark, sf_dir):
+    """Contiguous sequence packing into 2048-token training rows via the
+    distributed prefix-sum (no single-task global window)."""
+    from ..operators.chunking import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"), target_tokens=2048)
+
+
 # (priority reorder happens at END of module, after all registrations)
 
 
