@@ -44,13 +44,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as nanos-since-epoch and truncate
-    to microseconds — the same truncation DuckDB applies when it coerces
-    the column to its microsecond TIMESTAMP, so oracle values align."""
+    """events.parquet has stored ts either as parquet TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read as nanos-since-epoch
+    and truncate to micros, matching DuckDB's coercion to its microsecond
+    TIMESTAMP) or as a plain micro/NTZ timestamp (usable as-is, cast to
+    session-TZ timestamp so window() semantics match the oracle)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _rev(price="l_extendedprice", disc="l_discount"):
