@@ -48,11 +48,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which Spark's vectorized reader rejects — read as nanos-since-epoch
     and truncate to micros, matching DuckDB's coercion to its microsecond
     TIMESTAMP) or as a plain micro/NTZ timestamp (usable as-is, cast to
-    session-TZ timestamp so window() semantics match the oracle)."""
+    session-TZ timestamp so window() semantics match the oracle).
+
+    The conf.set is a deliberate defensive guard: session.py sets the
+    flag at build time, but the external driver and the verify recipe
+    construct bare SparkSessions that would otherwise fail on NANOS
+    files. It is idempotent for sessions built via get_session()."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(e.dtypes)["ts"]
     if ts_type == "bigint":
+        # An int64 ts column here can only come from the nanosAsLong
+        # coercion of a parquet TIMESTAMP(NANOS) logical type (the test
+        # generator writes either NANOS or micro/NTZ, never raw int64),
+        # so nanos-since-epoch is the only valid interpretation. A
+        # generator change to raw epoch-micros would surface immediately
+        # as a 1000x offset in every oracle diff.
         return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
