@@ -1,0 +1,299 @@
+"""Consumption-layer analytics operators: cohorts, funnels, profiling,
+data-quality expectations, cardinality sketches, histograms, quantiles
+and fuzzy entity matching.
+
+The reference's consumption layer is a BI dashboard over the gold star
+schema (reference dashboard_example.pbix; SURVEY.md §2.4) — these are
+the next queries such a deployment grows into: user-behavior analytics
+on the event stream, data-quality gates on the silver tables, and
+profile/cardinality panels an operator dashboard needs. All pure
+DataFrame compositions (no UDFs), each with a DuckDB-expressible oracle.
+
+Scale notes per operator are inline; the common theme is one shuffle on
+the natural key, broadcast for per-group scalars, and window functions
+always PARTITIONed (never a global single-task window).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+
+# ----------------------------------------------------------- cohorts --------
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    cohort_week = Monday of the user's first event; one output row per
+    (cohort_week, week_offset) with the distinct users active that week.
+
+    Scale: the first-seen aggregation shuffles on ``user_col`` once
+    (map-side partial min); the events←cohort join is a co-partitioned
+    shuffle join on the same key (at 100 TB the per-user relation is
+    ~|users| rows — far smaller than events — and AQE picks a broadcast
+    when it fits). The final count is a two-level agg on a small key
+    space (weeks x offsets).
+    """
+    wk = lambda c: F.date_trunc("week", c).cast("date")
+    first_seen = (events.groupBy(user_col)
+                  .agg(F.min(ts_col).alias("_first_ts"))
+                  .select(user_col, wk("_first_ts").alias("cohort_week")))
+    active = events.select(user_col, wk(ts_col).alias("_active_week"))
+    return (active.join(first_seen, user_col)
+            .groupBy("cohort_week",
+                     F.floor(F.datediff("_active_week", "cohort_week") / 7)
+                     .cast("int").alias("week_offset"))
+            .agg(F.countDistinct(user_col).alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+def funnel(events: DataFrame, steps: Sequence[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Strictly-ordered conversion funnel over an event stream.
+
+    A user reaches step *i* when an event of type ``steps[i]`` exists
+    with a timestamp strictly after the timestamp at which the user
+    reached step *i-1* (first-touch semantics: each step binds to the
+    EARLIEST qualifying event). Output: one row per step with the users
+    reaching it and the conversion rate vs step 1.
+
+    Scale: one filtered scan per step, each aggregated per user with a
+    map-side-combining min — shuffles are all on ``user_col`` so every
+    join after the first is co-partitioned (AQE reuses the exchange).
+    len(steps) is small and fixed; no window over the whole stream, no
+    per-user event arrays collected.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    by_type = {s: events.filter(F.col(type_col) == s)
+               .select(user_col, F.col(ts_col).alias("_ts")) for s in steps}
+
+    reached = (by_type[steps[0]].groupBy(user_col)
+               .agg(F.min("_ts").alias("_step_ts")))
+    stages = [reached]
+    for s in steps[1:]:
+        nxt = by_type[s].withColumnRenamed("_ts", "_cand_ts")
+        reached = (nxt.join(stages[-1], user_col)
+                   .filter(F.col("_cand_ts") > F.col("_step_ts"))
+                   .groupBy(user_col)
+                   .agg(F.min("_cand_ts").alias("_step_ts")))
+        stages.append(reached)
+
+    counts = [st.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit(i + 1).alias("step_index"),
+                      F.lit(steps[i]).alias("step"), "n_users")
+              for i, st in enumerate(stages)]
+    out = reduce(lambda a, b: a.unionByName(b), counts)
+    base = counts[0].select(F.col("n_users").alias("_base"))
+    return (out.crossJoin(F.broadcast(base))
+            .select("step_index", "step", "n_users",
+                    (F.col("n_users") / F.col("_base")).alias("conversion"))
+            .orderBy("step_index"))
+
+
+# ---------------------------------------------------- profiling / DQ --------
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile panel: rows, nulls, distincts, numeric min/max.
+
+    One wide aggregate computes every statistic in a single scan, then a
+    ``stack`` unpivot reshapes to one row per column. Numeric extremes
+    are reported as DOUBLE and string extremes as separate string
+    columns — never numeric-cast-to-string, whose formatting is
+    engine-specific and would poison cross-engine comparison.
+
+    Scale: multiple count(distinct) in one aggregate plan via Expand
+    (one scan, data replicated x|cols| into the shuffle). For very wide
+    tables at 100 TB, profile in column batches or swap the exact
+    distinct for ``kmv_distinct``'s estimator.
+    """
+    cols = list(cols or df.columns)
+    numeric = {f.name for f in df.schema.fields
+               if f.dataType.typeName() in
+               ("integer", "long", "short", "byte", "double", "float", "decimal")}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+                 F.count_distinct(F.col(c)).alias(f"_dist_{c}")]
+        if c in numeric:
+            aggs += [F.min(c).cast("double").alias(f"_min_{c}"),
+                     F.max(c).cast("double").alias(f"_max_{c}")]
+        else:
+            aggs += [F.min(c).cast("string").alias(f"_smin_{c}"),
+                     F.max(c).cast("string").alias(f"_smax_{c}")]
+    wide = df.agg(*aggs)
+
+    def _field(c: str, kind: str, num_tpl: str, str_tpl: str) -> str:
+        return (num_tpl.format(c=c) if c in numeric else str_tpl.format(c=c))
+
+    rows = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, "
+        + _field(c, "min", "_min_{c}, ", "CAST(NULL AS DOUBLE), ")
+        + _field(c, "max", "_max_{c}, ", "CAST(NULL AS DOUBLE), ")
+        + _field(c, "smin", "CAST(NULL AS STRING), ", "_smin_{c}, ")
+        + _field(c, "smax", "CAST(NULL AS STRING)", "_smax_{c}")
+        for c in cols)
+    return (wide.selectExpr(
+        "_n",
+        f"stack({len(cols)}, {rows}) AS "
+        "(column, n_null, n_distinct, min_num, max_num, min_str, max_str)")
+        .select(F.col("column"), F.col("_n").alias("n_rows"),
+                "n_null", "n_distinct", "min_num", "max_num",
+                "min_str", "max_str"))
+
+
+def dq_expectations(df: DataFrame,
+                    rules: Sequence[tuple[str, Column]]) -> DataFrame:
+    """Data-quality expectation report: one row per rule.
+
+    ``rules`` is ``[(rule_name, violation_predicate_column), ...]`` — the
+    predicate flags BAD rows. Output: rule, n_checked, n_violations,
+    passed. All rules evaluate in ONE scan (a sum(CASE) per rule inside
+    a single aggregate), then unpivot — adding a rule adds an expression,
+    not a pass over the data.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules:
+        aggs.append(F.sum(pred.cast("long")).alias(f"_v_{name}"))
+    wide = df.agg(*aggs)
+    rows = ", ".join(f"'{name}', _v_{name}" for name, _ in rules)
+    return (wide.selectExpr("_n", f"stack({len(rules)}, {rows}) AS (rule, n_violations)")
+            .select("rule", F.col("_n").alias("n_checked"),
+                    "n_violations",
+                    (F.col("n_violations") == 0).alias("passed"))
+            .orderBy("rule"))
+
+
+# ----------------------------------------------------------- sketches -------
+
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_distinct(df: DataFrame, group_cols: Sequence[str], col: str,
+                 k: int = 256, portable: bool = True) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et al.,
+    "Counting distinct elements in a data stream", RANDOM 2002).
+
+    Hash every value to a uniform 60-bit integer, keep the k smallest
+    DISTINCT hashes per group; if fewer than k hashes exist the count is
+    exact, else estimate (k-1) / (h_k / 2^60). Fully deterministic: the
+    estimator is arithmetic on an order statistic, so any engine hashing
+    with the same function produces the identical estimate — with
+    ``portable=True`` the hash is the md5-60bit family a SQL oracle can
+    mirror; production uses xxhash64.
+
+    Scale: the inner distinct and the top-k window both shuffle on
+    ``group_cols`` (the window is PARTITIONed — parallel across groups).
+    Sketch size k bounds per-group state; this is the mergeable-sketch
+    shape (union = min-merge of hash sets), so partial sketches from
+    independent partitions/days can be combined without rescanning.
+    """
+    h = portable_hash60(F.col(col).cast("string")) if portable \
+        else F.xxhash64(F.col(col).cast("string")).bitwiseAND(F.lit((1 << 60) - 1))
+    hashed = (df.select(*group_cols, h.alias("_h"))
+              .groupBy(*group_cols, "_h").agg(F.lit(1)))  # distinct hashes
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    ranked = hashed.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    return (ranked.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("_m"), F.max("_h").alias("_hk"))
+            .select(*group_cols,
+                    F.when(F.col("_m") < k, F.col("_m").cast("double"))
+                    .otherwise((F.lit(float(k - 1)))
+                               / (F.col("_hk") / F.lit(_KMV_SPACE)))
+                    .alias("est_distinct"))
+            .orderBy(*group_cols))
+
+
+def value_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                    nbins: int) -> DataFrame:
+    """Fixed-width histogram with clamped edge bins.
+
+    bucket i covers [lo + i*w, lo + (i+1)*w); values below ``lo`` land in
+    bucket 0, values at/above ``hi`` in bucket nbins-1 (explicit floor
+    arithmetic rather than ``width_bucket`` so the identical IEEE ops run
+    on any SQL engine). One scan + one small-key aggregation; empty
+    buckets are not emitted (join a bucket spine if a dense axis is
+    needed).
+    """
+    w = (hi - lo) / nbins
+    bucket = F.least(F.greatest(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nbins - 1)).cast("int")
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bucket",
+                    (F.lit(lo) + F.col("bucket") * F.lit(w)).alias("bin_lo"),
+                    (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("bin_hi"),
+                    "n")
+            .orderBy("bucket"))
+
+
+def quantile_panel(df: DataFrame, group_cols: Sequence[str], col: str,
+                   qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)) -> DataFrame:
+    """Exact discrete quantiles per group (``percentile_disc`` — returns
+    actual data values, so results are engine-portable; the continuous
+    variant interpolates and is kept engine-internal).
+
+    Scale: percentile_disc is a sort-based aggregate per group — one
+    shuffle on ``group_cols``; for heavy groups at 100 TB swap in
+    approx_percentile (t-digest) where cross-engine exactness is not
+    required.
+    """
+    aggs = [F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})")
+            .alias(f"q{int(q * 100)}") for q in qs]
+    return df.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)
+
+
+# ------------------------------------------------- fuzzy entity match -------
+
+def fuzzy_match(dirty: DataFrame, master: DataFrame, dirty_key: str,
+                master_key: str, dirty_name: str, master_name: str,
+                block_cols: Sequence[tuple[str, str]] = (),
+                max_distance: int | None = None) -> DataFrame:
+    """Entity resolution: nearest master record by Levenshtein distance.
+
+    For each dirty row, candidates are generated inside blocking
+    partitions (``block_cols`` = [(dirty_col, master_col), ...] plus an
+    implicit name-length band of ±2), scored with edit distance, and the
+    best match selected deterministically (min distance, then min master
+    key). ``max_distance`` optionally drops matches worse than the
+    threshold (row keeps NULL master — a left join).
+
+    Scale: the classic blocking design — the quadratic candidate space is
+    confined to blocks, the join is an equi-join on the blocking key
+    (shuffle on block), and the argmin is a PARTITIONed window per dirty
+    key. Block hard enough that the largest block's candidate product
+    fits a task; skewed blocks can be salted with
+    operators.skew.salted_join.
+    """
+    d = dirty.alias("d")
+    m = master.alias("m")
+    conds = [F.col(f"d.{a}") == F.col(f"m.{b}") for a, b in block_cols]
+    conds.append(
+        F.abs(F.length(F.col(f"d.{dirty_name}"))
+              - F.length(F.col(f"m.{master_name}"))) <= 2)
+    cand = d.join(m, reduce(lambda x, y: x & y, conds), "inner")
+    dist = F.levenshtein(F.col(f"d.{dirty_name}"), F.col(f"m.{master_name}"))
+    scored = cand.select(
+        F.col(f"d.{dirty_key}").alias("dirty_key"),
+        F.col(f"d.{dirty_name}").alias("dirty_name"),
+        F.col(f"m.{master_key}").alias("matched_key"),
+        F.col(f"m.{master_name}").alias("matched_name"),
+        dist.alias("distance"))
+    if max_distance is not None:
+        scored = scored.filter(F.col("distance") <= max_distance)
+    w = Window.partitionBy("dirty_key").orderBy("distance", "matched_key")
+    best = (scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1).drop("_r"))
+    return (dirty.select(F.col(dirty_key).alias("dirty_key"))
+            .join(best, "dirty_key", "left")
+            .orderBy("dirty_key"))

@@ -2019,6 +2019,228 @@ def perplexity_score(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Consumption analytics (operators/analytics.py): cohorts, funnels,
+# profiling, DQ gates, sketches, histograms, quantiles, entity matching
+# --------------------------------------------------------------------------
+
+@q("cohort_retention", """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.active_week - f.cohort_week) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def cohort_retention_q(spark, sf_dir):
+    """Weekly cohort retention matrix on the event stream
+    (operators/analytics.py::cohort_retention) — the classic BI follow-on
+    to the reference's dashboard layer (SURVEY.md §2.4)."""
+    from ..operators.analytics import cohort_retention
+    return cohort_retention(_events(spark, sf_dir))
+
+
+@q("funnel_steps", """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+), c AS (
+  SELECT CAST(1 AS INT) AS step_index, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT step_index, step, n_users,
+       n_users / (SELECT COUNT(*) FROM s1) AS conversion
+FROM c ORDER BY step_index
+""")
+def funnel_q(spark, sf_dir):
+    """Strictly-ordered view->click->purchase funnel with first-touch
+    binding (operators/analytics.py::funnel)."""
+    from ..operators.analytics import funnel
+    return funnel(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+@q("profile_columns", """
+WITH one(col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str) AS (
+  SELECT 'o_orderkey', COUNT(*), COUNT(*) FILTER (WHERE o_orderkey IS NULL),
+         COUNT(DISTINCT o_orderkey), CAST(MIN(o_orderkey) AS DOUBLE),
+         CAST(MAX(o_orderkey) AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*), COUNT(*) FILTER (WHERE o_custkey IS NULL),
+         COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS DOUBLE),
+         CAST(MAX(o_custkey) AS DOUBLE), NULL, NULL
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*), COUNT(*) FILTER (WHERE o_totalprice IS NULL),
+         COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+         COUNT(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+         COUNT(DISTINCT o_orderpriority), NULL, NULL,
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+SELECT * FROM one
+""")
+def profile_columns_q(spark, sf_dir):
+    """Single-scan per-column profile panel over orders
+    (operators/analytics.py::profile_table); numeric extremes stay DOUBLE
+    and string extremes stay VARCHAR — no engine-specific number
+    formatting in the output."""
+    from ..operators.analytics import profile_table
+    return (profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice",
+         "o_orderstatus", "o_orderpriority"])
+        .withColumnRenamed("column", "col_name"))
+
+
+@q("dq_expectations", """
+WITH agg AS (
+  SELECT COUNT(*) AS _n,
+         COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS v_null_orderkey,
+         COUNT(*) FILTER (WHERE l_quantity <= 0) AS v_nonpositive_qty,
+         COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.8) AS v_discount_range,
+         COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS v_nonpositive_price,
+         COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS v_returnflag_domain
+  FROM lineitem
+)
+SELECT 'null_orderkey' AS rule, _n AS n_checked, v_null_orderkey AS n_violations,
+       v_null_orderkey = 0 AS passed FROM agg
+UNION ALL SELECT 'nonpositive_qty', _n, v_nonpositive_qty, v_nonpositive_qty = 0 FROM agg
+UNION ALL SELECT 'discount_range', _n, v_discount_range, v_discount_range = 0 FROM agg
+UNION ALL SELECT 'nonpositive_price', _n, v_nonpositive_price, v_nonpositive_price = 0 FROM agg
+UNION ALL SELECT 'returnflag_domain', _n, v_returnflag_domain, v_returnflag_domain = 0 FROM agg
+ORDER BY rule
+""")
+def dq_expectations_q(spark, sf_dir):
+    """Data-quality expectation report on lineitem — all rules in ONE
+    scan (operators/analytics.py::dq_expectations)."""
+    from ..operators.analytics import dq_expectations
+    li = _t(spark, sf_dir, "lineitem")
+    return dq_expectations(li, [
+        ("null_orderkey", F.col("l_orderkey").isNull()),
+        ("nonpositive_qty", F.col("l_quantity") <= 0),
+        ("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.8)),
+        ("nonpositive_price", F.col("l_extendedprice") <= 0),
+        ("returnflag_domain", ~F.col("l_returnflag").isin("A", "N", "R")),
+    ])
+
+
+@q("kmv_distinct", """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+  FROM events
+), r AS (
+  SELECT event_type, _h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY _h) AS _r
+  FROM h
+)
+SELECT event_type,
+       CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE 63.0 / (MAX(_h) / 1152921504606846976.0) END AS est_distinct
+FROM r WHERE _r <= 64
+GROUP BY event_type ORDER BY event_type
+""")
+def kmv_distinct_q(spark, sf_dir):
+    """KMV (bottom-k) distinct-user sketch per event type, k=64
+    (operators/analytics.py::kmv_distinct) — the mergeable-sketch shape
+    for cardinality panels at 100 TB; portable md5-60bit hash so the
+    estimate is bit-identical in any engine."""
+    from ..operators.analytics import kmv_distinct
+    return kmv_distinct(_events(spark, sf_dir), ["event_type"], "user_id", k=64)
+
+
+@q("value_histogram", """
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - CAST(0.0 AS DOUBLE))
+                             / CAST(25000.0 AS DOUBLE)), 0), 19) AS INT) AS bucket
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT bucket,
+       CAST(0.0 AS DOUBLE) + bucket * CAST(25000.0 AS DOUBLE) AS bin_lo,
+       CAST(0.0 AS DOUBLE) + (bucket + 1) * CAST(25000.0 AS DOUBLE) AS bin_hi,
+       COUNT(*) AS n
+FROM b GROUP BY bucket ORDER BY bucket
+""")
+def value_histogram_q(spark, sf_dir):
+    """Fixed-width 20-bin histogram of order totals with clamped edge
+    bins (operators/analytics.py::value_histogram) — explicit floor
+    arithmetic, no engine-specific width_bucket."""
+    from ..operators.analytics import value_histogram
+    return value_histogram(_t(spark, sf_dir, "orders"), "o_totalprice",
+                           0.0, 500_000.0, 20)
+
+
+@q("quantile_panel", """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.25) AS q25,
+       quantile_disc(o_totalprice, 0.50) AS q50,
+       quantile_disc(o_totalprice, 0.75) AS q75,
+       quantile_disc(o_totalprice, 0.90) AS q90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def quantile_panel_q(spark, sf_dir):
+    """Exact discrete quantiles of order totals per priority
+    (operators/analytics.py::quantile_panel) — percentile_disc returns
+    actual data values, hence engine-portable."""
+    from ..operators.analytics import quantile_panel
+    return quantile_panel(_t(spark, sf_dir, "orders"),
+                          ["o_orderpriority"], "o_totalprice")
+
+
+@q("fuzzy_match", """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_key, translate(c_name, '0', 'O') AS dirty_name,
+         c_nationkey
+  FROM customer
+), cand AS (
+  SELECT d.dirty_key, d.dirty_name, m.c_custkey AS matched_key,
+         m.c_name AS matched_name,
+         CAST(levenshtein(d.dirty_name, m.c_name) AS INT) AS distance
+  FROM dirty d JOIN customer m
+    ON m.c_nationkey = d.c_nationkey
+   AND abs(length(d.dirty_name) - length(m.c_name)) <= 2
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_key
+                               ORDER BY distance, matched_key) AS _r
+  FROM cand
+)
+SELECT d.dirty_key, b.dirty_name, b.matched_key, b.matched_name, b.distance
+FROM dirty d LEFT JOIN best b ON b.dirty_key = d.dirty_key AND b._r = 1
+ORDER BY d.dirty_key
+""")
+def fuzzy_match_q(spark, sf_dir):
+    """Entity resolution: re-link a corrupted customer feed (zeros
+    mangled to 'O') to the master dim by blocked Levenshtein argmin
+    (operators/analytics.py::fuzzy_match)."""
+    from ..operators.analytics import fuzzy_match
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.translate("c_name", "0", "O").alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"))
+    return fuzzy_match(dirty, cust, "d_key", "c_custkey", "d_name", "c_name",
+                       block_cols=[("d_nation", "c_nationkey")])
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

@@ -1,0 +1,135 @@
+"""Consumption analytics operators — value-level semantic checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.operators.analytics import (
+    cohort_retention, dq_expectations, funnel, fuzzy_match, kmv_distinct,
+    profile_table, quantile_panel, value_histogram,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+def test_cohort_retention_offsets(spark):
+    # u1 first seen week of Jan 1 (Mon), active again week of Jan 8;
+    # u2 first seen week of Jan 8 only.
+    ev = _events(spark, [(1, 2, 0, "view"), (1, 9, 0, "view"),
+                         (2, 10, 0, "view")])
+    got = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1}
+
+
+def test_funnel_strict_ordering(spark):
+    # u1 completes view->click; u2 clicked BEFORE viewing (no step 2);
+    # u3 view->click->purchase.
+    ev = _events(spark, [
+        (1, 1, 1, "view"), (1, 1, 2, "click"),
+        (2, 2, 5, "click"), (2, 2, 6, "view"),
+        (3, 3, 1, "view"), (3, 3, 2, "click"), (3, 3, 3, "purchase")])
+    rows = {r["step"]: r for r in
+            funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert rows["view"]["n_users"] == 3
+    assert rows["click"]["n_users"] == 2
+    assert rows["purchase"]["n_users"] == 1
+    assert rows["purchase"]["conversion"] == 1 / 3
+
+
+def test_funnel_first_touch_binding(spark):
+    # the click at h2 binds (earliest after view); the later purchase at
+    # h3 counts even though another click happened at h4
+    ev = _events(spark, [(1, 1, 1, "view"), (1, 1, 2, "click"),
+                         (1, 1, 3, "purchase"), (1, 1, 4, "click")])
+    rows = {r["step"]: r["n_users"] for r in
+            funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert rows == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_profile_table_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (2, "b", None)],
+        "k long, s string, v double")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 2.0
+    assert got["k"]["min_str"] is None
+    assert got["s"]["n_null"] == 1 and got["s"]["min_str"] == "a"
+    assert got["s"]["min_num"] is None
+    assert got["v"]["n_null"] == 1 and got["v"]["max_num"] == 4.0
+
+
+def test_dq_expectations_single_scan(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0), (None, 2.0)],
+                               "k long, v double")
+    got = {r["rule"]: r for r in dq_expectations(df, [
+        ("null_key", F.col("k").isNull()),
+        ("neg_v", F.col("v") < 0),
+        ("huge_v", F.col("v") > 100)]).collect()}
+    assert got["null_key"]["n_violations"] == 1 and not got["null_key"]["passed"]
+    assert got["neg_v"]["n_violations"] == 1
+    assert got["huge_v"]["n_violations"] == 0 and got["huge_v"]["passed"]
+    assert all(r["n_checked"] == 3 for r in got.values())
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([("a", i % 7) for i in range(100)],
+                               "g string, v long")
+    [row] = kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert row["est_distinct"] == 7.0  # fewer than k hashes -> exact
+
+
+def test_kmv_estimates_above_k(spark):
+    df = spark.createDataFrame([("a", i) for i in range(5000)],
+                               "g string, v long")
+    [row] = kmv_distinct(df, ["g"], "v", k=256).collect()
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.2  # ~1/sqrt(k) error
+
+
+def test_value_histogram_clamps_edges(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,)],
+                               "x double")
+    got = {r["bucket"]: r for r in
+           value_histogram(df, "x", 0.0, 20.0, 2).collect()}
+    assert got[0]["n"] == 3          # -5 clamped in, 0, 9.9
+    assert got[1]["n"] == 2          # 10.0, 25.0 clamped in
+    assert got[0]["bin_lo"] == 0.0 and got[0]["bin_hi"] == 10.0
+    assert got[1]["bin_hi"] == 20.0
+
+
+def test_quantile_panel_exact_values(spark):
+    df = spark.createDataFrame([("a", float(v)) for v in range(1, 11)],
+                               "g string, v double")
+    [row] = quantile_panel(df, ["g"], "v", qs=(0.5, 0.9)).collect()
+    # percentile_disc returns actual members: 10 values 1..10
+    assert row["q50"] == 5.0 and row["q90"] == 9.0
+
+
+def test_fuzzy_match_picks_nearest(spark):
+    master = spark.createDataFrame(
+        [(1, "alpha", 0), (2, "beta", 0), (3, "gamma", 0)],
+        "id long, name string, blk int")
+    dirty = spark.createDataFrame([(10, "alphq", 0), (20, "betaa", 0)],
+                                  "dk long, dn string, blk int")
+    got = {r["dirty_key"]: r for r in
+           fuzzy_match(dirty, master, "dk", "id", "dn", "name",
+                       block_cols=[("blk", "blk")]).collect()}
+    assert got[10]["matched_key"] == 1 and got[10]["distance"] == 1
+    assert got[20]["matched_key"] == 2 and got[20]["distance"] == 1
+
+
+def test_fuzzy_match_threshold_leaves_null(spark):
+    master = spark.createDataFrame([(1, "alpha", 0)], "id long, name string, blk int")
+    dirty = spark.createDataFrame([(10, "zzzzz", 0)], "dk long, dn string, blk int")
+    [row] = fuzzy_match(dirty, master, "dk", "id", "dn", "name",
+                        block_cols=[("blk", "blk")], max_distance=2).collect()
+    assert row["matched_key"] is None and row["distance"] is None
