@@ -2241,6 +2241,114 @@ def fuzzy_match_q(spark, sf_dir):
                        block_cols=[("d_nation", "c_nationkey")])
 
 
+@q("window_panel", """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+  WHERE o_custkey % 100 = 0
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 9) AS pct_rank
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_panel(spark, sf_dir):
+    """Analytic-window panel: lag/lead/first_value/ntile/percent_rank in
+    one pass over a single PARTITIONed+sorted window (one shuffle on the
+    partition key; all five functions share the sort)."""
+    o = (_t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"))
+
+
+@q("agg_grouping_sets", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+ORDER BY 1, 2, 3, 4
+""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() indicators — the general
+    multi-grain aggregate (rollup/cube are special cases, `agg_rollup`);
+    Spark plans it as one Expand + one aggregation, not N scans."""
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS n_orders
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        ORDER BY 1, 2, 3, 4
+    """, o=_t(spark, sf_dir, "orders"))
+
+
+@q("window_time_range", """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_1h_value
+FROM events WHERE user_id % 10 = 0
+""")
+def window_time_range(spark, sf_dir):
+    """Time-based RANGE window frame: per-user rolling 1-hour sum — the
+    frame is defined on event-time VALUES (microsecond epoch), not row
+    counts (one shuffle on user, one sort). The frame sum runs in
+    DECIMAL: sliding-window aggregation orders float additions
+    differently per engine (segment trees vs frame rescans), so exact
+    arithmetic is the portable choice; the output returns to DOUBLE."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select("event_id", "user_id", "ts",
+                    F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+                    .cast("double").alias("rolling_1h_value"))
+
+
+@q("anomaly_zscore", """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu,
+         stddev_samp(value) AS sigma, COUNT(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sigma, 9) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sigma) > 2.0
+""")
+def anomaly_zscore(spark, sf_dir):
+    """Population z-score outlier flagging per event type: one
+    aggregation producing |types| rows of (mu, sigma), broadcast back
+    over the stream — the scalable two-pass anomaly shape (no window
+    over the full table). round(9) absorbs the one-ulp difference
+    engines may accumulate in parallel AVG/STDDEV partials."""
+    e = _events(spark, sf_dir)
+    stats = (e.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma"),
+                  F.count(F.lit(1)).alias("n")))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (e.join(F.broadcast(stats), "event_type")
+            .filter(F.abs(z) > 2.0)
+            .select("event_id", "event_type", "value",
+                    F.round(z, 9).alias("zscore")))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
