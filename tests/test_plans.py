@@ -284,3 +284,51 @@ def test_scd2_current_slice_prunes_partitions(spark, tmp_path):
     current = stored.filter(F.col("_tf_is_current") == "true")
     plan = _full(current)
     assert "_tf_is_current" in plan.split("PartitionFilters")[-1][:200]
+
+
+def test_analytics_windows_are_partitioned(spark):
+    # kmv top-k, fuzzy argmin and the analytic panel must never fall
+    # into a global single-task window ("No Partition Defined")
+    for name in ("kmv_distinct", "fuzzy_match", "window_panel",
+                 "window_time_range"):
+        plan = _executed(SPARK_QUERIES[name](spark, SF_DIR))
+        assert "Window" in plan, name
+        import re
+        for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
+            raise AssertionError(f"{name}: unpartitioned window: {m.group(0)}")
+
+
+def test_fuzzy_match_blocks_with_equi_join(spark):
+    # the candidate generator must be an equi-join on the blocking key,
+    # never a cartesian/broadcast-nested-loop over dirty x master
+    plan = _executed(SPARK_QUERIES["fuzzy_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the length band rides as a post-join filter/condition, the block
+    # equality as the join key: a BNLJ would mean blocking broke
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_and_dq_are_single_scan(spark):
+    # one wide aggregate = exactly one parquet scan of the input table
+    for name, table in (("profile_columns", "orders"),
+                        ("dq_expectations", "lineitem")):
+        plan = _executed(SPARK_QUERIES[name](spark, SF_DIR))
+        assert plan.count(f"{table}.parquet") == 1, (name, plan.count(f"{table}.parquet"))
+
+
+def test_funnel_reuses_user_exchange(spark):
+    # every step aggregates on user_id: the per-step joins must be
+    # hash/broadcast joins (no cartesian), and the final union of step
+    # counts is rows=len(steps), trivially cheap
+    plan = _executed(SPARK_QUERIES["funnel_steps"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "OK")  # the 1-row base crossJoin is fine
+
+
+def test_anomaly_stats_broadcast_back(spark):
+    # the per-type (mu, sigma) relation is tiny and must broadcast;
+    # the events scan must not shuffle for the join
+    plan = _executed(SPARK_QUERIES["anomaly_zscore"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
