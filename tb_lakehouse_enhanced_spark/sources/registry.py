@@ -86,3 +86,40 @@ def load_jdbc(spark: SparkSession, url: str, table: str,
                   .option("lowerBound", str(lower_bound))
                   .option("upperBound", str(upper_bound)))
     return reader.load()
+
+
+def load_jdbc_query(spark: SparkSession, url: str, query: str,
+                    **properties: str) -> DataFrame:
+    """JDBC scan with the relational work pushed INTO the source engine.
+
+    ``query`` runs remotely and only its result crosses the wire — the
+    right shape when the source can filter/aggregate 100x cheaper than
+    shipping the full table (e.g. a selective bronze ingest window).
+    Spark additionally pushes DataFrame filters applied on top of this
+    into the generated outer query.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def save_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+              num_partitions: int | None = None, batch_size: int = 10_000,
+              **properties: str) -> None:
+    """Prod-shaped JDBC sink (the writeback half of the bronze path).
+
+    Each of ``num_partitions`` tasks opens one connection and inserts in
+    ``batch_size`` batches — the two knobs that matter at scale: too many
+    partitions exhausts the DB's connection pool, too small a batch pays
+    a round-trip per row. Coalesce (narrow, no shuffle) rather than
+    repartition when reducing parallelism for the sink.
+    """
+    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+        df = df.coalesce(num_partitions)
+    writer = (df.write.format("jdbc").option("url", url)
+              .option("dbtable", table)
+              .option("batchsize", str(batch_size)).mode(mode))
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -51,3 +51,24 @@ def test_jdbc_feeds_scd2(spark, seeded):
                        "2024-01-01 00:00:00")
     assert state.count() == 100
     assert state.filter(F.col("_tf_valid_to").isNull()).count() == 100
+
+
+def test_query_pushdown_read(spark, seeded):
+    from tb_lakehouse_enhanced_spark.sources.registry import load_jdbc_query
+    got = load_jdbc_query(
+        spark, URL,
+        'SELECT "grp", COUNT(*) AS "n" FROM SRC WHERE "k" < 50 GROUP BY "grp"',
+        **PROPS)
+    rows = {r["grp"]: r["n"] for r in got.collect()}
+    assert sum(rows.values()) == 50  # the aggregate ran source-side
+    assert len(rows) == 7
+
+
+def test_jdbc_sink_roundtrip(spark, seeded):
+    from tb_lakehouse_enhanced_spark.sources.registry import load_jdbc, save_jdbc
+    src = load_jdbc(spark, URL, "SRC", **PROPS)
+    save_jdbc(src, URL, "SINK_COPY", mode="overwrite",
+              num_partitions=2, batch_size=25, **PROPS)
+    back = load_jdbc(spark, URL, "SINK_COPY", **PROPS)
+    assert back.count() == 100
+    assert back.agg(F.sum("K")).collect()[0][0] == sum(range(100))
