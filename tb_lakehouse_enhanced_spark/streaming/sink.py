@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..operators.merge import ScdConfig, keyed_upsert
+from ..operators.merge import ScdConfig, keyed_upsert, scd2_merge
 from ..sources.managed import ManagedTable
 
 
@@ -31,5 +31,28 @@ def stream_upsert_sink(stream: DataFrame, table: ManagedTable,
             return
         target = table.read() if table.exists() else None
         table.overwrite(keyed_upsert(target, batch_df, cfg, clock(batch_id)))
+
+    return stream.writeStream.foreachBatch(sink)
+
+
+def stream_scd2_sink(stream: DataFrame, table: ManagedTable,
+                     cfg: ScdConfig, clock=None):
+    """Streaming silver layer: each micro-batch runs the SCD2 merge, so
+    the table accumulates full version HISTORY (closed rows + current
+    rows) as batches arrive — the streaming twin of the batch silver
+    load (reference 22_ETL_Silver_PySpark.py:62-330, SURVEY.md §2.9).
+
+    Micro-batches here are treated as key-complete snapshots (absent
+    key = deletion), matching the reference's NOT-MATCHED-BY-SOURCE
+    close semantics; feed CDC upserts through ``stream_upsert_sink``
+    instead when batches are partial.
+    """
+    clock = clock or (lambda bid: f"2024-01-01 00:00:{bid:02d}")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target = table.read() if table.exists() else None
+        table.overwrite(scd2_merge(target, batch_df, cfg, clock(batch_id)))
 
     return stream.writeStream.foreachBatch(sink)
