@@ -105,6 +105,64 @@ def apply_changes(target: DataFrame | None, changes: DataFrame,
     return kept.select(cols).unionByName(upserts)
 
 
+def incremental_agg_update(state: DataFrame | None, changes: DataFrame,
+                           group_cols: list[str] | tuple[str, ...],
+                           sum_cols: dict[str, str],
+                           count_col: str = "n_rows") -> DataFrame:
+    """Incremental view maintenance for SUM/COUNT aggregates.
+
+    ``state`` is a materialized ``GROUP BY group_cols`` aggregate
+    (``count_col`` = COUNT(*), one column per ``sum_cols`` entry mapping
+    input column -> state column, summed in DECIMAL). ``changes`` is a
+    CDF batch (``changes_between`` / Delta ``table_changes``). The new
+    state is computed WITHOUT rescanning the base table:
+
+    - each change row carries a sign (+1 insert/update_postimage,
+      -1 delete/update_preimage), so per-group deltas are one
+      aggregation over |changes| rows;
+    - deltas full-outer-join the state on the group key (one shuffle,
+      proportional to |changed groups|, not |groups|);
+    - groups whose maintained count reaches 0 are dropped — SUM/COUNT
+      are self-inverse under signed deltas, which is why this works
+      with no per-group rescan (MIN/MAX are not: a deleted extremum
+      needs a rescan of that group, the classic IVM limitation).
+
+    This is the gold-layer answer to "the dashboard aggregate must not
+    re-read 100 TB because 0.1% of rows changed": cost scales with the
+    change feed, and the state join prunes to touched partitions when
+    the materialized aggregate is partitioned on the group key.
+    """
+    group_cols = list(group_cols)
+    sign = (F.when(F.col(CHANGE_TYPE).isin("delete", "update_preimage"), F.lit(-1))
+            .otherwise(F.lit(1)))
+    delta_aggs = [F.sum(sign).alias(f"_d_{count_col}")]
+    for src_col, out_col in sum_cols.items():
+        delta_aggs.append(
+            F.sum(sign * F.col(src_col).cast("decimal(28,6)")).alias(f"_d_{out_col}"))
+    deltas = changes.groupBy(*group_cols).agg(*delta_aggs)
+
+    if state is None:
+        zero = F.lit(0).cast("decimal(28,6)")
+        return (deltas.filter(F.col(f"_d_{count_col}") > 0)
+                .select(*group_cols,
+                        F.col(f"_d_{count_col}").alias(count_col),
+                        *[(zero + F.col(f"_d_{o}")).cast("decimal(28,6)").alias(o)
+                          for o in sum_cols.values()]))
+
+    s = state.alias("s")
+    d = deltas.alias("d")
+    joined = s.join(d, group_cols, "full_outer")
+    new_count = (F.coalesce(F.col(f"s.{count_col}"), F.lit(0))
+                 + F.coalesce(F.col(f"d._d_{count_col}"), F.lit(0)))
+    zero = F.lit(0).cast("decimal(28,6)")
+    out_sums = [
+        (F.coalesce(F.col(f"s.{o}"), zero)
+         + F.coalesce(F.col(f"d._d_{o}"), zero)).cast("decimal(28,6)").alias(o)
+        for o in sum_cols.values()]
+    return (joined.select(*group_cols, new_count.alias(count_col), *out_sums)
+            .filter(F.col(count_col) > 0))
+
+
 def sync_incremental(src, dst, keys: tuple[str, ...]) -> int:
     """Propagate ``src``'s changes since the last sync into ``dst``
     (both :class:`~..sources.managed.ManagedTable`).

@@ -2349,6 +2349,41 @@ def anomaly_zscore(spark, sf_dir):
                     F.round(z, 9).alias("zscore")))
 
 
+@q("incremental_agg", """
+WITH src1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 3
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM src1 GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: a materialized per-status aggregate
+    of the batch-0 orders snapshot is updated to the batch-1 state by
+    applying ONLY the change feed (signed per-group deltas + one join on
+    |changed groups|) — never rescanning the base table
+    (operators/cdf.py::incremental_agg_update). The oracle recomputes
+    from scratch; matching proves maintained == recomputed."""
+    from ..operators.cdf import changes_between, incremental_agg_update
+    orders = _t(spark, sf_dir, "orders")
+    src0 = scd._orders_src(orders, 0).persist()
+    src1 = scd._orders_src(orders, 1)
+    state0 = (src0.groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                   .cast("decimal(28,6)").alias("total_price")))
+    changes = changes_between(src0, src1, keys=("o_orderkey",))
+    new_state = incremental_agg_update(
+        state0, changes, ["o_orderstatus"],
+        {"o_totalprice": "total_price"})
+    return new_state.select(
+        "o_orderstatus", "n_rows",
+        F.col("total_price").cast("double").alias("total_price"))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
