@@ -2405,6 +2405,39 @@ def incremental_agg(spark, sf_dir):
         F.col("total_price").cast("double").alias("total_price"))
 
 
+@q("hof_array_funcs", """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> length(x) > 3)) AS INT) AS n_long_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+       array_to_string(list_transform(toks[1:3], x -> upper(x[1])), '') AS initials3
+FROM t
+""")
+def hof_array_funcs(spark, sf_dir):
+    """Higher-order array functions — lambda transform/filter/aggregate
+    running INSIDE codegen on the array without exploding it: no
+    shuffle, no row-count blowup, one scan. The per-row fold stays
+    integer-exact so the panel is engine-portable. (The explode-based
+    equivalent of n_long_tokens would 30x the row count through a
+    shuffle — HOFs are the scale answer for per-row array work.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long_tokens"),
+        F.aggregate(F.transform(toks, lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3),
+                        lambda x: F.upper(F.substring(x, 1, 1))),
+            "").alias("initials3"))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
