@@ -488,3 +488,74 @@ def tpch_q22_style(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.sum(_dec("c_acctbal")).cast("decimal(38,4)").cast("double")
                  .alias("totacctbal")))
+
+
+@q("tpch_q12_style", """
+SELECT l.l_linestatus AS l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1
+""")
+def tpch_q12_style(spark, sf_dir):
+    """Shipping-priority split (TPC-H Q12 shape; the mode/commit/receipt
+    columns are absent so the year band filters on l_shipdate and the
+    grouping key is l_linestatus). The plan shape is the point: the
+    selective fact filter reaches the scan, the join is fact->orders on
+    the key, and both counters come from ONE pass of conditional
+    aggregation — never two scans."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))))
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@q("tpch_q20_style", """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+), red_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+)
+SELECT s.s_name, CAST(s.s_nationkey AS INT) AS s_nationkey
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM shipped sh JOIN red_parts p ON p.p_partkey = sh.l_partkey
+  WHERE sh.l_suppkey = s.s_suppkey AND sh.qty > CAST(50.0 AS DECIMAL(18,4)))
+ORDER BY s.s_name
+""")
+def tpch_q20_style(spark, sf_dir):
+    """Suppliers with heavy shipments of red parts (TPC-H Q20 shape;
+    partsupp/availqty is absent so "excess stock" is adapted to shipped
+    quantity per (supplier, part) over a year exceeding a threshold).
+    The nested IN-subquery chain becomes: grouped HAVING on the fact,
+    semi-join to the filtered part list, semi-join up to supplier — the
+    canonical Q20 reduction, all equi-joins, threshold compared in
+    exact DECIMAL."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))))
+    shipped = (li.groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(_dec("l_quantity")).alias("qty"))
+               .filter(F.col("qty") > F.lit(50.0).cast(_D)))
+    red = (_t(spark, sf_dir, "part")
+           .filter(F.col("p_name").startswith("red"))
+           .select("p_partkey"))
+    heavy_supp = (shipped
+                  .join(F.broadcast(red),
+                        shipped["l_partkey"] == red["p_partkey"], "left_semi")
+                  .select("l_suppkey").dropDuplicates(["l_suppkey"]))
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(heavy_supp, s["s_suppkey"] == heavy_supp["l_suppkey"], "left_semi")
+            .select("s_name", F.col("s_nationkey").cast("int").alias("s_nationkey")))
