@@ -139,3 +139,35 @@ def test_file_skipping_stats(spark, tmp_base):
     none = t.read_where("l_shipdate", datetime.datetime(2150, 1, 1),
                         datetime.datetime(2151, 1, 1))
     assert none.count() == 0 and none.columns == t.read().columns
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_base):
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    import pyspark.sql.functions as F
+    # two independent uniform dims: lexicographic layout only prunes the
+    # leading column; z-order must prune selective filters on EITHER
+    df = spark.range(20_000).select(
+        (F.col("id") % 1000).alias("k1"),
+        ((F.col("id") * 7919) % 1000).alias("k2"))
+
+    lex = ManagedTable(spark, f"{tmp_base}/lex")
+    lex.overwrite(df)
+    lex.optimize_layout(("k1", "k2"), target_partitions=8)
+    lex.analyze(("k1", "k2"))
+
+    zt = ManagedTable(spark, f"{tmp_base}/z")
+    zt.overwrite(df)
+    zt.optimize_layout(("k1", "k2"), target_partitions=8, zorder=True)
+    zt.analyze(("k1", "k2"))
+
+    n_lex = len(lex.pruned_files("k1", 0, 0))  # leading col: lex is optimal
+    assert n_lex <= 2
+    assert len(lex.pruned_files("k2", 100, 120)) == 8  # trailing col: no pruning
+
+    z_k1 = len(zt.pruned_files("k1", 100, 120))
+    z_k2 = len(zt.pruned_files("k2", 100, 120))
+    assert z_k1 < 8 and z_k2 < 8  # both dimensions prune
+    # and results stay identical to a full-scan filter
+    got = zt.read_where("k2", 100, 120).count()
+    want = df.filter(F.col("k2").between(100, 120)).count()
+    assert got == want
