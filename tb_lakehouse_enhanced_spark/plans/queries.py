@@ -2438,6 +2438,35 @@ def hof_array_funcs(spark, sf_dir):
             "").alias("initials3"))
 
 
+@q("event_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       COUNT(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def event_transitions(spark, sf_dir):
+    """User-journey path analysis: first-order transition counts between
+    consecutive events per user (the Markov-chain input for funnel
+    discovery). One PARTITIONed lag window on (user, time) — the shuffle
+    key matches sessionize/funnel so a pipeline computing all three
+    reuses the exchange; the transition matrix is |types|^2 rows.
+    Tie-broken on event_id so ordering is total and engine-portable."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy(F.col("prev_type").alias("from_type"),
+                     F.col("event_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+            .orderBy("from_type", "to_type"))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
