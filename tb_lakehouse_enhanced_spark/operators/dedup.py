@@ -329,6 +329,73 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 12, w: int = 8,
+                        base_hash: str = "xxhash64") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003) — the rolling-hash fingerprint scheme: hash every character
+    k-gram of the normalized text, slide a window of ``w`` consecutive
+    gram hashes, keep each window's minimum. Any substring shared
+    between two documents of length >= w + k - 1 is GUARANTEED to share
+    at least one selected fingerprint (the winnowing theorem), which
+    whole-doc hashing (``functions.text.doc_fingerprint``) cannot see.
+
+    Spark-first shape: positions come from ``explode(sequence(...))``
+    and each k-gram hashes independently inside codegen — embarrassingly
+    parallel, unlike the literal sequential rolling recurrence (a Rabin
+    incremental hash saves per-gram work only in serial scans; here
+    every gram is one substring+hash in the same generated loop). The
+    window minimum is a PARTITIONed frame per document; everything
+    inherits one hash partitioning on the doc id.
+
+    Returns distinct ``(id, fp)`` rows.
+    """
+    from pyspark.sql import Window
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    g = (_spread(docs, by=id_col)
+         .select(F.col(id_col).alias("id"), norm.alias("_t"))
+         .select("id", "_t",
+                 F.explode(F.sequence(F.lit(1), F.length("_t") - k + 1))
+                 .alias("i"))
+         .select("id", "i",
+                 _base_hash(F.expr(f"substring(_t, i, {k})"),
+                            base_hash).alias("h")))
+    win = (Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1))
+    n_wins = F.col("_max_i") - (w - 1)  # windows exist while i <= max_i-(w-1)
+    fps = (g.withColumn("fp", F.min("h").over(win))
+           .withColumn("_max_i", F.max("i").over(Window.partitionBy("id")))
+           .filter(F.col("i") <= n_wins)
+           .select("id", "fp").dropDuplicates(["id", "fp"]))
+    return fps
+
+
+def winnow_pairs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 12, w: int = 8,
+                 max_df: int = 25, min_shared: int = 5,
+                 base_hash: str = "xxhash64") -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints.
+
+    The join key is the fingerprint (shuffle on fp — the LSH-bucket
+    shape); fingerprints occurring in more than ``max_df`` documents are
+    dropped first (the stop-gram analogue: a boilerplate gram shared by
+    everything would otherwise create a quadratic hot bucket), and pairs
+    must share ``min_shared`` fingerprints. Output: (id_a, id_b,
+    n_shared).
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w, base_hash).persist()
+    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df).select("fp"))
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = kept.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.5,

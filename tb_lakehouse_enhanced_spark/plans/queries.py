@@ -2467,6 +2467,47 @@ def event_transitions(spark, sf_dir):
             .orderBy("from_type", "to_type"))
 
 
+@q("dedup_winnow", """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(substr(t, CAST(i AS INT), 12)), 1, 15)) AS BIGINT) AS h
+  FROM norm, unnest(range(1, len(t) - 12 + 2)) AS u(i)
+), wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+         MAX(i) OVER (PARTITION BY doc_id) AS max_i
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= max_i - 7
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 25
+), kept AS (SELECT f.* FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+""")
+def dedup_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprinting via winnowing (SIGMOD 2003):
+    shared substrings >= w+k-1 chars guarantee shared fingerprints —
+    the substring-level near-dup detector whole-doc hashing can't
+    provide (operators/dedup.py::winnow_pairs; portable md5 variant for
+    the oracle, xxhash64 twin below for production/bench)."""
+    from ..operators.dedup import winnow_pairs
+    return winnow_pairs(_t(spark, sf_dir, "documents"), base_hash="md5")
+
+
+@q("dedup_winnow_fast")
+def dedup_winnow_fast(spark, sf_dir):
+    """Production-hash twin of dedup_winnow (xxhash64 base hash, same
+    plan; rows-only check — candidate sets differ by hash family)."""
+    from ..operators.dedup import winnow_pairs
+    return winnow_pairs(_t(spark, sf_dir, "documents"), base_hash="xxhash64")
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

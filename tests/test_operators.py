@@ -210,3 +210,26 @@ def test_dedup_tier_tolerates_nulls_and_empty(spark):
     inc = incremental_dedup(docs.filter(F.col("doc_id") >= 4),
                             docs.filter(F.col("doc_id") < 4))
     assert inc.count() == 2  # batch 4,5 not in corpus 1-3
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    from tb_lakehouse_enhanced_spark.operators.dedup import (
+        winnow_fingerprints, winnow_pairs)
+    # docs 1 and 2 share a substring of length >= w + k - 1 = 19 chars;
+    # doc 3 shares nothing that long -> winnowing THEOREM: 1-2 must
+    # share a fingerprint, 1-3/2-3 need not
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [(1, f"aaa {shared} bbb ccc ddd eee"),
+         (2, f"xxx yyy {shared} zzz www vvv"),
+         (3, "completely different content with no common run here")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=12, w=8)
+    by_doc = {r["id"]: set() for r in fps.collect()}
+    for r in fps.collect():
+        by_doc[r["id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2]          # guaranteed shared fingerprint
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_pairs(docs, k=12, w=8, max_df=10, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
