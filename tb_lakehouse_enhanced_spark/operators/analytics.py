@@ -172,6 +172,50 @@ def dq_expectations(df: DataFrame,
             .orderBy("rule"))
 
 
+class ExpectationError(Exception):
+    """Raised when a ``fail``-action expectation is violated."""
+
+    def __init__(self, failures: list[tuple[str, int]]):
+        self.failures = failures
+        super().__init__("expectations violated: " + ", ".join(
+            f"{name} ({n} rows)" for name, n in failures))
+
+
+def enforce_expectations(df: DataFrame,
+                         rules: Sequence[tuple[str, Column]],
+                         action: str = "fail"):
+    """Gate a write on data-quality expectations (the DLT pattern).
+
+    ``rules`` = [(name, violation_predicate)], ``action`` one of:
+
+    - ``"fail"``: any violation raises :class:`ExpectationError` listing
+      per-rule counts — nothing downstream sees bad rows;
+    - ``"drop"``: violating rows are filtered out (quarantine-by-drop);
+    - ``"warn"``: rows pass through untouched, the report records counts.
+
+    Returns ``(df_out, report)`` where ``report`` is the
+    :func:`dq_expectations` panel. The report is one scan and the drop
+    filter another — same shape as DLT (metrics + enforcement); reuse a
+    cached input when the extra scan matters. The drop filter treats a
+    NULL predicate as "not a violation" (null-safe), matching the
+    report's count semantics.
+    """
+    if action not in ("fail", "drop", "warn"):
+        raise ValueError(f"unknown action {action!r}")
+    report = dq_expectations(df, rules)
+    if action == "fail":
+        bad = [(r["rule"], r["n_violations"])
+               for r in report.collect() if r["n_violations"] > 0]
+        if bad:
+            raise ExpectationError(sorted(bad))
+        return df, report
+    if action == "drop":
+        keep = reduce(lambda a, b: a & b,
+                      (~pred.eqNullSafe(F.lit(True)) for _, pred in rules))
+        return df.filter(keep), report
+    return df, report
+
+
 # ----------------------------------------------------------- sketches -------
 
 _KMV_SPACE = float(1 << 60)

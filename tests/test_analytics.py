@@ -133,3 +133,37 @@ def test_fuzzy_match_threshold_leaves_null(spark):
     [row] = fuzzy_match(dirty, master, "dk", "id", "dn", "name",
                         block_cols=[("blk", "blk")], max_distance=2).collect()
     assert row["matched_key"] is None and row["distance"] is None
+
+
+def test_enforce_expectations_fail_lists_rules(spark):
+    import pytest
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        ExpectationError, enforce_expectations)
+    df = spark.createDataFrame([(1, 5.0), (None, -2.0)], "k long, v double")
+    rules = [("null_key", F.col("k").isNull()), ("neg_v", F.col("v") < 0)]
+    with pytest.raises(ExpectationError) as ei:
+        enforce_expectations(df, rules, action="fail")
+    assert ei.value.failures == [("neg_v", 1), ("null_key", 1)]
+
+
+def test_enforce_expectations_drop_quarantines(spark):
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        enforce_expectations)
+    df = spark.createDataFrame([(1, 5.0), (None, 2.0), (3, -1.0)],
+                               "k long, v double")
+    out, report = enforce_expectations(
+        df, [("null_key", F.col("k").isNull()), ("neg_v", F.col("v") < 0)],
+        action="drop")
+    assert [r["k"] for r in out.collect()] == [1]
+    assert {r["rule"]: r["n_violations"] for r in report.collect()} \
+        == {"null_key": 1, "neg_v": 1}
+
+
+def test_enforce_expectations_warn_passes_through(spark):
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        enforce_expectations)
+    df = spark.createDataFrame([(1, -5.0)], "k long, v double")
+    out, report = enforce_expectations(
+        df, [("neg_v", F.col("v") < 0)], action="warn")
+    assert out.count() == 1
+    assert report.collect()[0]["n_violations"] == 1
