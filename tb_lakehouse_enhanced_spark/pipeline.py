@@ -33,6 +33,12 @@ class PipelineConfig:
     sf_dir: str
     base_dir: str          # root for managed bronze/silver/gold tables
     load_ts: str = "2024-01-01 00:00:00"
+    # DLT-style gate on silver sources: "fail" stops the load with
+    # per-rule counts, "drop" quarantines bad rows, "warn" only reports,
+    # None disables
+    expect_action: str | None = "fail"
+    # maintain gold.mv_sales_by_customer incrementally off fact commits
+    maintain_mv: bool = True
 
 
 def _mt(spark, cfg: PipelineConfig, layer: str, name: str,
@@ -100,12 +106,19 @@ def _silver_source(spark, cfg, name) -> DataFrame:
 
 
 def run_silver(spark: SparkSession, cfg: PipelineConfig) -> None:
-    """SCD2 history load per table (reference 22_ETL_Silver:62-330)."""
+    """SCD2 history load per table (reference 22_ETL_Silver:62-330),
+    gated on data-quality expectations (non-null natural keys — a NULL
+    key would silently full-outer-join into its own version chain)."""
+    from .operators.analytics import enforce_expectations
     for name, spec in SILVER_SPECS.items():
+        src = _silver_source(spark, cfg, name)
+        if cfg.expect_action:
+            rules = [(f"null_{k}", F.col(k).isNull())
+                     for k in spec["cfg"].keys]
+            src, _ = enforce_expectations(src, rules, action=cfg.expect_action)
         mt = _mt(spark, cfg, "silver", name)
         target = mt.read() if mt.exists() else None
-        mt.overwrite(scd2_merge(target, _silver_source(spark, cfg, name),
-                                spec["cfg"], cfg.load_ts))
+        mt.overwrite(scd2_merge(target, src, spec["cfg"], cfg.load_ts))
 
 
 # ------------------------------------------------------------------ gold ----
@@ -192,15 +205,32 @@ def run_gold_fact(spark: SparkSession, cfg: PipelineConfig) -> None:
     mt.overwrite(keyed_upsert(target, src, FACT_CFG, cfg.load_ts))
 
 
-STAGES = (run_bronze, run_silver, run_gold_dims, run_gold_fact)
+def run_gold_mv(spark: SparkSession, cfg: PipelineConfig) -> None:
+    """Maintain the BI rollup (per-customer line count + net revenue) as
+    a materialized view refreshed from fact_sales' change feed — the
+    serving-layer upgrade over re-aggregating the fact per dashboard
+    query (SURVEY.md §2.4); refresh cost ~ |changed fact rows|."""
+    from .sources.matview import MaterializedAggView
+    fact = _mt(spark, cfg, "gold", "fact_sales", partition_by=FACT_PARTITION)
+    mv = MaterializedAggView(
+        spark, f"{cfg.base_dir}/gold/mv_sales_by_customer", fact,
+        keys=("order_id", "line_number"), group_cols=("customer_key",),
+        sum_cols={"net_revenue": "total_net_revenue"}, count_col="n_lines")
+    mv.refresh()
+
+
+STAGES = (run_bronze, run_silver, run_gold_dims, run_gold_fact, run_gold_mv)
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
-    """Execute the 4-stage DAG in dependency order
-    (reference finalize_databricks_deployment.py:383-431)."""
+    """Execute the staged DAG in dependency order
+    (reference finalize_databricks_deployment.py:383-431; the MV stage
+    is this engine's serving-layer extension)."""
     for stage in STAGES:
+        if stage is run_gold_mv and not cfg.maintain_mv:
+            continue
         stage(spark, cfg)
-    return {
+    out = {
         "silver.sales_order_header": _mt(spark, cfg, "silver", "sales_order_header").read(),
         "silver.customer": _mt(spark, cfg, "silver", "customer").read(),
         "silver.sales_order_detail": _mt(spark, cfg, "silver", "sales_order_detail").read(),
@@ -208,3 +238,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         "gold.dim_customer": _mt(spark, cfg, "gold", "dim_customer").read(),
         "gold.fact_sales": _mt(spark, cfg, "gold", "fact_sales").read(),
     }
+    if cfg.maintain_mv:
+        out["gold.mv_sales_by_customer"] = ManagedTable(
+            spark, f"{cfg.base_dir}/gold/mv_sales_by_customer").read()
+    return out

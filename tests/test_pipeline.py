@@ -67,3 +67,31 @@ def test_pipeline_rerun_is_idempotent(spark, tables):
     assert before == after
     assert (t2["silver.sales_order_header"]
             .filter(F.col("_tf_valid_to").isNotNull()).count() == 0)
+
+
+def test_gold_mv_matches_fact_rollup(tables):
+    _, t = tables
+    fact, mv = t["gold.fact_sales"], t["gold.mv_sales_by_customer"]
+    want = {r["customer_key"]: (r["n"], float(r["s"])) for r in
+            fact.groupBy("customer_key")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("net_revenue").cast("decimal(28,6)")).alias("s"))
+            .collect()}
+    got = {r["customer_key"]: (r["n_lines"], float(r["total_net_revenue"]))
+           for r in mv.collect()}
+    assert got == want
+
+
+def test_expectation_gate_blocks_bad_silver_source(spark, tmp_path):
+    from tb_lakehouse_enhanced_spark.operators.analytics import ExpectationError
+    from tb_lakehouse_enhanced_spark.pipeline import run_bronze, run_silver
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    cfg = PipelineConfig(sf_dir=SF_DIR, base_dir=str(tmp_path / "lake"))
+    run_bronze(spark, cfg)
+    # poison a bronze natural key
+    orders = ManagedTable(spark, f"{cfg.base_dir}/bronze/orders")
+    orders.overwrite(orders.read().withColumn(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 50 == 0, F.lit(None)).otherwise(F.col("o_orderkey"))))
+    with pytest.raises(ExpectationError):
+        run_silver(spark, cfg)
