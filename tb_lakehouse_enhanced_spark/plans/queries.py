@@ -2508,6 +2508,31 @@ def dedup_winnow_fast(spark, sf_dir):
     return winnow_pairs(_t(spark, sf_dir, "documents"), base_hash="xxhash64")
 
 
+@q("stats_moments", """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qty_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def stats_moments(spark, sf_dir):
+    """Statistical aggregate family: sample stddev / covariance /
+    correlation per group — single-pass co-moment aggregation with
+    map-side partials (Welford/Chan merging), one shuffle on the group
+    key. Rounded to absorb partial-merge-order ulp drift between
+    engines (the moments themselves are ~1e-12-stable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3)
+                 .alias("cov_qty_price"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("corr_qty_price"))
+            .orderBy("l_returnflag"))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
