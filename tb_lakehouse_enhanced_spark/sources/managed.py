@@ -28,6 +28,8 @@ import json
 import os
 import shutil
 import time
+from functools import reduce
+from operator import and_, or_
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -250,23 +252,102 @@ class ManagedTable:
                               F.lit(to_version).cast("bigint"))
 
     # -- DML (reference notebooks/23_Testing_SCD2.py:40-64) ------------------
-    def update(self, condition, assignments: dict) -> "ManagedTable":
-        """``UPDATE t SET c = expr WHERE cond`` as a snapshot rewrite."""
+    def _partial_rewrite(self, condition, rewrite_fn, operation: str) -> "ManagedTable":
+        """DML core: rewrite only the partitions containing matching rows.
+
+        Unpartitioned tables fall back to a full snapshot rewrite. For a
+        partitioned table this is Delta's "rewrite only files containing
+        matches" at partition granularity: the touched partition values
+        come from one pruned aggregate (tiny — partitions are
+        low-cardinality by design), ONLY those partitions' rows pass
+        through ``rewrite_fn`` and get rewritten, and every untouched
+        partition directory is HARDLINKED from the previous snapshot
+        into the new version dir — zero bytes copied, so UPDATE/DELETE
+        cost scales with the touched data, not the table. A condition
+        matching nothing commits nothing (no-op, like Delta).
+        """
         from pyspark.sql import functions as F
+        if not self.partition_by:
+            return self.overwrite(rewrite_fn(self.read()), operation)
         df = self.read()
-        cols = []
-        for c in df.columns:
-            if c in assignments:
-                e = assignments[c]
-                e = F.expr(e) if isinstance(e, str) else e
-                cols.append(F.when(condition, e).otherwise(F.col(c)).alias(c))
-            else:
-                cols.append(F.col(c))
-        return self.overwrite(df.select(cols), operation="UPDATE")
+        pb = list(self.partition_by)
+        touched = df.filter(condition).select(*pb).distinct().collect()
+        if not touched:
+            return self
+        member = reduce(or_, (
+            reduce(and_, (F.col(c).eqNullSafe(F.lit(r[c])) for c in pb))
+            for r in touched))
+        cur = self.current_version()
+        v = cur + 1
+        vdir = os.path.join(self.path, f"v{v}")
+        (rewrite_fn(df.filter(member)).write.mode("overwrite")
+         .partitionBy(*pb).parquet(vdir))
+        # hardlink every untouched partition dir from the old snapshot
+        touched_rel = {
+            "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
+            for r in touched}
+        prev = self._version_dir(cur)
+        for rel in self._leaf_partition_dirs(prev, depth=len(pb)):
+            if rel in touched_rel:
+                continue
+            src_dir, dst_dir = os.path.join(prev, rel), os.path.join(vdir, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+                if os.path.isfile(s) and not os.path.exists(d):
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)  # cross-device fallback
+        meta = {"version": v, "dir": f"v{v}", "op": operation,
+                "ts": time.time(),
+                "partitions_rewritten": sorted(touched_rel)}
+        return self._publish(v, meta)
+
+    @staticmethod
+    def _hive_val(v) -> str:
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        return str(v)
+
+    @staticmethod
+    def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
+        """Relative ``col=value[/col=value...]`` paths at ``depth``."""
+        out, stack = [], [("", 0)]
+        while stack:
+            rel, d = stack.pop()
+            full = os.path.join(root, rel) if rel else root
+            if d == depth:
+                out.append(rel)
+                continue
+            for name in os.listdir(full):
+                if "=" in name and os.path.isdir(os.path.join(full, name)):
+                    stack.append((os.path.join(rel, name) if rel else name, d + 1))
+        return out
+
+    def update(self, condition, assignments: dict) -> "ManagedTable":
+        """``UPDATE t SET c = expr WHERE cond``; partitioned tables
+        rewrite only the touched partitions (see _partial_rewrite)."""
+        from pyspark.sql import functions as F
+
+        def rewrite(df: DataFrame) -> DataFrame:
+            cols = []
+            for c in df.columns:
+                if c in assignments:
+                    e = assignments[c]
+                    e = F.expr(e) if isinstance(e, str) else e
+                    cols.append(F.when(condition, e).otherwise(F.col(c)).alias(c))
+                else:
+                    cols.append(F.col(c))
+            return df.select(cols)
+
+        return self._partial_rewrite(condition, rewrite, "UPDATE")
 
     def delete(self, condition) -> "ManagedTable":
-        """``DELETE FROM t WHERE cond`` as a snapshot rewrite."""
-        return self.overwrite(self.read().filter(~condition), operation="DELETE")
+        """``DELETE FROM t WHERE cond``; partitioned tables rewrite only
+        the touched partitions (see _partial_rewrite)."""
+        return self._partial_rewrite(
+            condition, lambda df: df.filter(~condition), "DELETE")
 
     # -- maintenance (Delta OPTIMIZE analogue, SURVEY.md §4) -----------------
     def compact(self, target_partitions: int = 8) -> "ManagedTable":

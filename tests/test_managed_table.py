@@ -171,3 +171,48 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_base):
     got = zt.read_where("k2", 100, 120).count()
     want = df.filter(F.col("k2").between(100, 120)).count()
     assert got == want
+
+
+def test_partitioned_dml_rewrites_only_touched_partitions(spark, tmp_base):
+    import os
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(k, k % 4, float(k)) for k in range(400)], "k long, pt int, v double")
+    t = ManagedTable(spark, f"{tmp_base}/pdml", partition_by=("pt",))
+    t.overwrite(df)
+    v0_dir = t._version_dir(t.current_version())
+
+    def inodes(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    # UPDATE touches only pt=1
+    t.update((F.col("pt") == 1) & (F.col("k") < 100), {"v": F.lit(-1.0)})
+    v1_dir = t._version_dir(t.current_version())
+    meta = t.history()[0]
+    assert meta["op"] == "UPDATE" and meta["partitions_rewritten"] == ["pt=1"]
+    # untouched partitions are hardlinks of the previous snapshot
+    for rel in ("pt=0", "pt=2", "pt=3"):
+        assert inodes(v1_dir, rel) == inodes(v0_dir, rel), rel
+    # touched partition was rewritten (fresh files)
+    assert not set(inodes(v1_dir, "pt=1")) & set(inodes(v0_dir, "pt=1")) \
+        or inodes(v1_dir, "pt=1") != inodes(v0_dir, "pt=1")
+    # data correct
+    assert t.read().filter("v = -1.0").count() == 25
+    assert t.read().count() == 400
+
+    # DELETE everything in pt=2: partition dir disappears
+    t.delete(F.col("pt") == 2)
+    assert t.history()[0]["partitions_rewritten"] == ["pt=2"]
+    assert t.read().count() == 300
+    assert t.read().filter("pt = 2").count() == 0
+
+    # no-match DML is a no-op commit-wise
+    before = t.current_version()
+    t.update(F.col("k") < 0, {"v": F.lit(0.0)})
+    assert t.current_version() == before
+
+    # time travel still sees the original snapshot
+    assert t.read(0).count() == 400
