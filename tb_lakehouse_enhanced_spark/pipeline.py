@@ -201,8 +201,10 @@ def run_gold_fact(spark: SparkSession, cfg: PipelineConfig) -> None:
         .otherwise((F.col("order_date_key") / 100).cast("int")))
 
     mt = _mt(spark, cfg, "gold", "fact_sales", partition_by=FACT_PARTITION)
-    target = mt.read() if mt.exists() else None
-    mt.overwrite(keyed_upsert(target, src, FACT_CFG, cfg.load_ts))
+    # partition-scoped merge: only months present in the batch (or that
+    # matched keys are moving OUT of — order dates can change upstream)
+    # are rewritten; the rest of the fact hardlinks forward untouched
+    mt.merge_into(src, FACT_CFG, cfg.load_ts, stable_partitions=False)
 
 
 def run_gold_mv(spark: SparkSession, cfg: PipelineConfig) -> None:

@@ -325,6 +325,87 @@ class ManagedTable:
                     stack.append((os.path.join(rel, name) if rel else name, d + 1))
         return out
 
+    def merge_into(self, source: DataFrame, cfg, load_ts,
+                   kind: str = "upsert",
+                   stable_partitions: bool = True) -> "ManagedTable":
+        """Partition-scoped MERGE: upsert ``source`` rewriting only the
+        partitions its rows land in.
+
+        ``kind``: ``"upsert"`` (keyed fact upsert) or ``"scd1"``. The
+        source must carry the partition columns. Target rows in
+        partitions the source never touches are preserved by HARDLINK
+        (zero bytes moved); rows in touched partitions that the source
+        doesn't match are preserved by the merge itself (neither kind
+        has a NOT-MATCHED-BY-SOURCE clause). SCD2 is deliberately NOT
+        offered here: its delete-close semantics treat absence from the
+        source as a deletion, which is only sound partition-scoped if
+        every touched partition ships a complete snapshot — route SCD2
+        through a full merge, or pre-close deletions explicitly.
+
+        ``stable_partitions=True`` asserts a row can never change its
+        partition value (the usual date-partitioned-fact contract);
+        touched partitions then come from the source alone. When a merge
+        CAN move rows across partitions, pass ``False``: the old
+        locations of matched keys are found with one semi-join against
+        the target (the partition-level analogue of Delta's
+        find-touched-files join) so the moved row's old copy is
+        rewritten away instead of surviving as a stale duplicate.
+
+        This is the 100 TB merge shape: cost ~ |source| + |touched
+        partitions|, with the untouched bulk of a date-partitioned fact
+        untouched on disk (Delta's file-pruned MERGE at partition
+        granularity).
+        """
+        from ..operators.merge import keyed_upsert, scd1_merge
+        merge_fn = {"upsert": keyed_upsert, "scd1": scd1_merge}[kind]
+        if not self.exists():
+            return self.overwrite(merge_fn(None, source, cfg, load_ts),
+                                  operation=f"MERGE_{kind.upper()}")
+        if not self.partition_by:
+            return self.overwrite(
+                merge_fn(self.read(), source, cfg, load_ts),
+                operation=f"MERGE_{kind.upper()}")
+        from pyspark.sql import functions as F
+        pb = list(self.partition_by)
+        touched_df = source.select(*pb).distinct()
+        if not stable_partitions:
+            keys = list(cfg.keys)
+            old_locs = (self.read()
+                        .join(source.select(keys).dropDuplicates(keys),
+                              keys, "left_semi")
+                        .select(*pb).distinct())
+            touched_df = touched_df.unionByName(old_locs).distinct()
+        touched = touched_df.collect()
+        if not touched:
+            return self
+        member = reduce(or_, (
+            reduce(and_, (F.col(c).eqNullSafe(F.lit(r[c])) for c in pb))
+            for r in touched))
+        cur = self.current_version()
+        v = cur + 1
+        vdir = os.path.join(self.path, f"v{v}")
+        merged = merge_fn(self.read().filter(member), source, cfg, load_ts)
+        merged.write.mode("overwrite").partitionBy(*pb).parquet(vdir)
+        touched_rel = {
+            "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
+            for r in touched}
+        prev = self._version_dir(cur)
+        for rel in self._leaf_partition_dirs(prev, depth=len(pb)):
+            if rel in touched_rel:
+                continue
+            src_dir, dst_dir = os.path.join(prev, rel), os.path.join(vdir, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+                if os.path.isfile(s) and not os.path.exists(d):
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+        return self._publish(v, {
+            "version": v, "dir": f"v{v}", "op": f"MERGE_{kind.upper()}",
+            "ts": time.time(), "partitions_rewritten": sorted(touched_rel)})
+
     def update(self, condition, assignments: dict) -> "ManagedTable":
         """``UPDATE t SET c = expr WHERE cond``; partitioned tables
         rewrite only the touched partitions (see _partial_rewrite)."""

@@ -216,3 +216,50 @@ def test_partitioned_dml_rewrites_only_touched_partitions(spark, tmp_base):
 
     # time travel still sees the original snapshot
     assert t.read(0).count() == 400
+
+
+def test_partition_scoped_merge_rewrites_only_source_months(spark, tmp_base):
+    import os
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    import pyspark.sql.functions as F
+    cfg = ScdConfig(keys=("k",), tracked=("v",))
+    base = spark.createDataFrame(
+        [(k, 202401 + (k % 3), float(k)) for k in range(300)],
+        "k long, month int, v double")
+    t = ManagedTable(spark, f"{tmp_base}/pmerge", partition_by=("month",))
+    t.merge_into(base, cfg, "2024-01-01 00:00:00")
+    v0 = t._version_dir(t.current_version())
+
+    # batch touching only month 202402: updates k=1, inserts k=1000
+    batch = spark.createDataFrame(
+        [(1, 202402, -5.0), (1000, 202402, 9.0)], "k long, month int, v double")
+    t.merge_into(batch, cfg, "2024-01-02 00:00:00")
+    v1 = t._version_dir(t.current_version())
+    assert t.history()[0]["partitions_rewritten"] == ["month=202402"]
+
+    def inodes(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    for rel in ("month=202401", "month=202403"):
+        assert inodes(v1, rel) == inodes(v0, rel), rel  # hardlinked, 0 bytes
+
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1] == -5.0 and got[1000] == 9.0 and len(got) == 301
+
+
+def test_partition_scoped_merge_handles_moved_rows(spark, tmp_base):
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    cfg = ScdConfig(keys=("k",), tracked=("v",))
+    t = ManagedTable(spark, f"{tmp_base}/pmove", partition_by=("month",))
+    t.merge_into(spark.createDataFrame(
+        [(1, 202401, 1.0), (2, 202402, 2.0)], "k long, month int, v double"),
+        cfg, "2024-01-01 00:00:00")
+    # k=1 MOVES from month 202401 to 202403
+    moved = spark.createDataFrame([(1, 202403, 7.0)], "k long, month int, v double")
+    t.merge_into(moved, cfg, "2024-01-02 00:00:00", stable_partitions=False)
+    rows = {(r["k"], r["month"]): r["v"] for r in t.read().collect()}
+    assert rows == {(1, 202403): 7.0, (2, 202402): 2.0}  # no stale dup in 202401
+    assert t.history()[0]["partitions_rewritten"] == ["month=202401", "month=202403"]
