@@ -42,6 +42,10 @@ def main():
     from tb_lakehouse_enhanced_spark.session import get_session
 
     spark = get_session("tb-lakehouse-bench")
+    # the bench tail is recorded verbatim: drop WARN chatter (e.g.
+    # WindowExec's note about the deliberate P-row offset windows) so
+    # the one JSON line and real errors are what's visible
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/codegen path and the input scans (parquet footers + OS
     # page cache) once so timings measure query execution, not startup
     spark.range(1000).selectExpr("sum(id)").collect()

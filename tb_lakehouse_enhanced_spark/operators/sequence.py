@@ -79,6 +79,12 @@ def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str,
     # (single tiny task) and broadcast-join back on partition id — the
     # whole sequence fuses into the consumer's job, and its scan of the
     # range exchange is a ReusedExchange.
+    # NOTE: this is a DELIBERATE unpartitioned window over <=P rows (P =
+    # shuffle width, never data-sized) — WindowExec's "No Partition
+    # Defined" warning fires but describes a p-row, not a data-sized,
+    # single task. Any constant partition key gets optimizer-eliminated
+    # (x*0, lit(0) both fold), so the warning cannot be silenced at the
+    # plan level without changing semantics.
     wc = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_seq_cnt"))
                .select(_PID,
