@@ -559,3 +559,103 @@ def tpch_q20_style(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     return (s.join(heavy_supp, s["s_suppkey"] == heavy_supp["l_suppkey"], "left_semi")
             .select("s_name", F.col("s_nationkey").cast("int").alias("s_nationkey")))
+
+
+@q("tpch_q2_style", """
+WITH cost AS (  -- ps_supplycost proxy: per-unit price observed on shipments
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), cand AS (
+  SELECT c.l_partkey, c.unit_cost, e.s_suppkey, e.s_name, e.n_name
+  FROM cost c JOIN eu e ON e.s_suppkey = c.l_suppkey
+), best AS (
+  SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cand GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, CAST(p.p_size AS INT) AS p_size,
+       c.s_name, c.n_name, c.unit_cost
+FROM cand c
+JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+JOIN part p ON p.p_partkey = c.l_partkey
+WHERE p.p_size IN (5, 10, 15)
+ORDER BY p.p_partkey, c.s_suppkey
+""")
+def tpch_q2_style(spark, sf_dir):
+    """Minimum-cost supplier per part in a region (TPC-H Q2 shape; the
+    partsupp supply cost is proxied by the minimum observed per-unit
+    shipment price). The correlated min-subquery decorrelates to a
+    grouped MIN joined back on (part, cost) — the classic Q2 plan. The
+    unit cost is a RATIO, so it stays in IEEE double (one shared
+    division — bit-portable; decimal division is NOT, its quotient
+    rounding depends on each engine's result-scale rules)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("unit_cost")))
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    n = _t(spark, sf_dir, "nation").alias("n")
+    r = _t(spark, sf_dir, "region").alias("r")
+    eu = (s.join(F.broadcast(n), F.col("s.s_nationkey") == F.col("n.n_nationkey"))
+          .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+          .select(F.col("s.s_suppkey").alias("s_suppkey"),
+                  F.col("s.s_name").alias("s_name"),
+                  F.col("n.n_name").alias("n_name")))
+    cand = cost.join(eu, cost["l_suppkey"] == eu["s_suppkey"])
+    best = cand.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_size").isin(5, 10, 15)).alias("p"))
+    return (cand.alias("c")
+            .join(best.alias("b"),
+                  (F.col("c.l_partkey") == F.col("b.l_partkey"))
+                  & (F.col("c.unit_cost") == F.col("b.min_cost")))
+            .join(p, F.col("p.p_partkey") == F.col("c.l_partkey"))
+            .select(F.col("p.p_partkey").alias("p_partkey"),
+                    F.col("p.p_brand").alias("p_brand"),
+                    F.col("p.p_size").cast("int").alias("p_size"),
+                    F.col("c.s_name").alias("s_name"),
+                    F.col("c.n_name").alias("n_name"),
+                    F.col("c.unit_cost").alias("unit_cost"))
+            .orderBy("p_partkey", "c.s_suppkey"))
+
+
+@q("tpch_q11_style", """
+WITH pv AS (  -- per (part, nation) shipped value
+  SELECT l.l_partkey, n.n_name,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+), de AS (SELECT l_partkey, val FROM pv WHERE n_name = 'NATION_7'),
+tot AS (SELECT SUM(val) AS total FROM de)
+SELECT d.l_partkey AS p_partkey, CAST(d.val AS DOUBLE) AS part_value
+FROM de d, tot
+WHERE d.val * 10000 > tot.total  -- value share > 0.01%, cross-multiplied
+ORDER BY 2 DESC, 1
+""")
+def tpch_q11_style(spark, sf_dir):
+    """Important-stock identification (TPC-H Q11 shape; partsupp value
+    proxied by shipped value per part from NATION_7 suppliers). The
+    HAVING-above-global-scalar-subquery decorrelates to a 1-row
+    broadcast; the share threshold is cross-multiplied in DECIMAL so no
+    engine divides."""
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    n = (_t(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_7").alias("n"))
+    de = (li.join(s, F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+          .join(F.broadcast(n), F.col("s.s_nationkey") == F.col("n.n_nationkey"))
+          .groupBy(F.col("l.l_partkey").alias("l_partkey"))
+          .agg(F.sum(_dec("l_extendedprice")).alias("val")))
+    tot = de.agg(F.sum("val").alias("total"))
+    return (de.crossJoin(F.broadcast(tot))
+            .filter(F.col("val") * 10000 > F.col("total"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("val").cast("double").alias("part_value"))
+            .orderBy(F.desc("part_value"), "p_partkey"))
