@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         hops: int = 1) -> DataFrame:
     """(vertex, component) with component = min vertex id in the group.
 
     ``edges`` are undirected pairs; isolated vertices (absent from
@@ -63,11 +64,20 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     for _ in range(max_iterations):
         # LAZY checkpoint: the convergence-sum action below materializes
         # the checkpointed partitions in the same job, so each iteration
-        # is ONE job (eager + separate sum was two serial jobs/round)
-        labels = (sym.join(labels.withColumnRenamed("v", "n"), "n")
-                  .groupBy("v").agg(F.min("label").alias("label"))
-                  .repartition(n_part, "v")
-                  .localCheckpoint(eager=False))
+        # is ONE job (eager + separate sum was two serial jobs/round).
+        # ``hops`` propagation steps run INSIDE the round's single plan
+        # (join+agg chained) before the checkpoint, so rounds ~
+        # diameter/hops at one fixed round cost each. Measured on the
+        # dense near-dup graphs this engine feeds it (diameter ~2-3),
+        # hops=2 does NOT pay: convergence still needs its confirming
+        # round and the doubled plan offsets the saved round — so the
+        # default stays 1; raise it for high-diameter graphs (chains,
+        # meshes) where round count, not round cost, dominates.
+        step = labels
+        for _h in range(hops):
+            step = (sym.join(step.withColumnRenamed("v", "n"), "n")
+                    .groupBy("v").agg(F.min("label").alias("label")))
+        labels = step.repartition(n_part, "v").localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             break
