@@ -224,14 +224,40 @@ def run_gold_mv(spark: SparkSession, cfg: PipelineConfig) -> None:
 STAGES = (run_bronze, run_silver, run_gold_dims, run_gold_fact, run_gold_mv)
 
 
-def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
+                 retries: int = 0,
+                 metrics: dict | None = None) -> dict[str, DataFrame]:
     """Execute the staged DAG in dependency order
     (reference finalize_databricks_deployment.py:383-431; the MV stage
-    is this engine's serving-layer extension)."""
+    is this engine's serving-layer extension).
+
+    ``retries``: per-stage retry count — safe because every stage is
+    idempotent (MERGE semantics; the reference gets the same property
+    from Databricks job retries). Data-quality failures
+    (:class:`~.operators.analytics.ExpectationError`) are deterministic
+    and never retried. ``metrics``: caller-supplied dict that receives
+    per-stage wall seconds and attempt counts.
+    """
+    import time as _time
+
+    from .operators.analytics import ExpectationError
     for stage in STAGES:
         if stage is run_gold_mv and not cfg.maintain_mv:
             continue
-        stage(spark, cfg)
+        t0 = _time.time()
+        for attempt in range(retries + 1):
+            try:
+                stage(spark, cfg)
+                break
+            except ExpectationError:
+                raise
+            except Exception:
+                if attempt == retries:
+                    raise
+        if metrics is not None:
+            metrics[stage.__name__] = {
+                "seconds": round(_time.time() - t0, 3),
+                "attempts": attempt + 1}
     out = {
         "silver.sales_order_header": _mt(spark, cfg, "silver", "sales_order_header").read(),
         "silver.customer": _mt(spark, cfg, "silver", "customer").read(),

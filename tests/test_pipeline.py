@@ -95,3 +95,12 @@ def test_expectation_gate_blocks_bad_silver_source(spark, tmp_path):
         F.when(F.col("o_custkey") % 50 == 0, F.lit(None)).otherwise(F.col("o_orderkey"))))
     with pytest.raises(ExpectationError):
         run_silver(spark, cfg)
+
+
+def test_pipeline_metrics_and_retry(spark, tmp_path):
+    metrics = {}
+    cfg = PipelineConfig(sf_dir=SF_DIR, base_dir=str(tmp_path / "lake2"))
+    run_pipeline(spark, cfg, retries=1, metrics=metrics)
+    assert set(metrics) == {"run_bronze", "run_silver", "run_gold_dims",
+                            "run_gold_fact", "run_gold_mv"}
+    assert all(m["attempts"] == 1 and m["seconds"] >= 0 for m in metrics.values())
