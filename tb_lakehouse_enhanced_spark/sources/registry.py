@@ -55,11 +55,21 @@ def load_files(spark: SparkSession, path: str, fmt: str = "parquet",
 
 def save_files(df: DataFrame, path: str, fmt: str = "parquet",
                mode: str = "overwrite",
-               partition_by: tuple[str, ...] = (), **options: str) -> None:
-    """Generic file sink, partitioned when asked."""
+               partition_by: tuple[str, ...] = (),
+               dynamic_overwrite: bool = False, **options: str) -> None:
+    """Generic file sink, partitioned when asked.
+
+    ``dynamic_overwrite=True`` switches ``mode="overwrite"`` from
+    truncate-the-table to replace-only-the-partitions-present-in-``df``
+    (``partitionOverwriteMode=dynamic``) — the idempotent daily-reload
+    shape: re-running a day's load rewrites that day's partitions and
+    leaves the other 10 years of a 100 TB table untouched.
+    """
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)

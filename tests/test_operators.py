@@ -233,3 +233,30 @@ def test_winnow_guarantee_shared_substring(spark):
              winnow_pairs(docs, k=12, w=8, max_df=10, min_shared=1).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_guarantee_property(spark):
+    """Winnowing theorem, property-based: ANY pair of documents sharing
+    a substring of length >= w + k - 1 shares a selected fingerprint."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from tb_lakehouse_enhanced_spark.operators.dedup import winnow_fingerprints
+
+    K, W = 6, 4
+    alpha = st.text(alphabet="abcd ", min_size=0, max_size=20)
+    shared = st.text(alphabet="wxyz", min_size=K + W - 1, max_size=K + W + 6)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(pre1=alpha, post1=alpha, pre2=alpha, post2=alpha, run=shared)
+    def check(pre1, post1, pre2, post2, run):
+        docs = spark.createDataFrame(
+            [(1, f"{pre1}{run}{post1}"), (2, f"{pre2}{run}{post2}")],
+            "doc_id long, text string")
+        fps = winnow_fingerprints(docs, k=K, w=W)
+        by_doc = {1: set(), 2: set()}
+        for r in fps.collect():
+            by_doc[r["id"]].add(r["fp"])
+        assert by_doc[1] & by_doc[2]
+
+    check()

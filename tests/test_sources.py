@@ -41,3 +41,17 @@ def test_optimize_layout_sorts_files(spark, tmp_base):
     # a selective filter reads a subset of files (row-group stats prune)
     got = mt.read().filter("id BETWEEN 10 AND 20").count()
     assert got == 11
+
+
+def test_dynamic_partition_overwrite_replaces_only_present_partitions(spark, tmp_base):
+    from tb_lakehouse_enhanced_spark.sources.registry import load_files, save_files
+    full = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)], "k long, day string, v double")
+    path = f"{tmp_base}/dyn"
+    save_files(full, path, partition_by=("day",))
+    # reload ONLY day d1 with corrected values
+    fix = spark.createDataFrame([(1, "d1", 10.0), (2, "d1", 20.0)],
+                                "k long, day string, v double")
+    save_files(fix, path, partition_by=("day",), dynamic_overwrite=True)
+    got = {r["k"]: r["v"] for r in load_files(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 3.0}  # d2 untouched
