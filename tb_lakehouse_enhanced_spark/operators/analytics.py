@@ -56,14 +56,17 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
 
 def funnel(events: DataFrame, steps: Sequence[str],
            user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type") -> DataFrame:
+           type_col: str = "event_type",
+           max_gap: Column | str | None = None) -> DataFrame:
     """Strictly-ordered conversion funnel over an event stream.
 
     A user reaches step *i* when an event of type ``steps[i]`` exists
     with a timestamp strictly after the timestamp at which the user
     reached step *i-1* (first-touch semantics: each step binds to the
-    EARLIEST qualifying event). Output: one row per step with the users
-    reaching it and the conversion rate vs step 1.
+    EARLIEST qualifying event). ``max_gap`` (an INTERVAL expression,
+    e.g. ``"INTERVAL 7 DAYS"``) additionally bounds each step-to-step
+    gap — the "converted within a week" funnel. Output: one row per
+    step with the users reaching it and the conversion rate vs step 1.
 
     Scale: one filtered scan per step, each aggregated per user with a
     map-side-combining min — shuffles are all on ``user_col`` so every
@@ -76,13 +79,17 @@ def funnel(events: DataFrame, steps: Sequence[str],
     by_type = {s: events.filter(F.col(type_col) == s)
                .select(user_col, F.col(ts_col).alias("_ts")) for s in steps}
 
+    gap = F.expr(max_gap) if isinstance(max_gap, str) else max_gap
     reached = (by_type[steps[0]].groupBy(user_col)
                .agg(F.min("_ts").alias("_step_ts")))
     stages = [reached]
     for s in steps[1:]:
         nxt = by_type[s].withColumnRenamed("_ts", "_cand_ts")
+        cond = F.col("_cand_ts") > F.col("_step_ts")
+        if gap is not None:
+            cond = cond & (F.col("_cand_ts") <= F.col("_step_ts") + gap)
         reached = (nxt.join(stages[-1], user_col)
-                   .filter(F.col("_cand_ts") > F.col("_step_ts"))
+                   .filter(cond)
                    .groupBy(user_col)
                    .agg(F.min("_cand_ts").alias("_step_ts")))
         stages.append(reached)
@@ -101,7 +108,8 @@ def funnel(events: DataFrame, steps: Sequence[str],
 
 # ---------------------------------------------------- profiling / DQ --------
 
-def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
     """Per-column profile panel: rows, nulls, distincts, numeric min/max.
 
     One wide aggregate computes every statistic in a single scan, then a
@@ -111,18 +119,23 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     engine-specific and would poison cross-engine comparison.
 
     Scale: multiple count(distinct) in one aggregate plan via Expand
-    (one scan, data replicated x|cols| into the shuffle). For very wide
-    tables at 100 TB, profile in column batches or swap the exact
-    distinct for ``kmv_distinct``'s estimator.
+    (one scan, data replicated x|cols| into the shuffle).
+    ``exact_distinct=False`` swaps in ``approx_count_distinct`` (HLL++),
+    which needs NO Expand — bounded sketch state per column, the right
+    default for very wide tables at 100 TB (engine-internal: approx
+    values are not cross-engine comparable, so the oracle-checked query
+    keeps exact).
     """
     cols = list(cols or df.columns)
     numeric = {f.name for f in df.schema.fields
                if f.dataType.typeName() in
                ("integer", "long", "short", "byte", "double", "float", "decimal")}
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    dist = (F.count_distinct if exact_distinct
+            else lambda c: F.approx_count_distinct(c).cast("long"))
     for c in cols:
         aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
-                 F.count_distinct(F.col(c)).alias(f"_dist_{c}")]
+                 dist(F.col(c)).alias(f"_dist_{c}")]
         if c in numeric:
             aggs += [F.min(c).cast("double").alias(f"_min_{c}"),
                      F.max(c).cast("double").alias(f"_max_{c}")]

@@ -2533,6 +2533,29 @@ def stats_moments(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("graph_triangles", f"""
+WITH {_minhash_cte_sql()},
+e AS (
+  SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+  FROM pairs WHERE id_a <> id_b GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_triangles
+FROM e ab JOIN e bc ON bc.a = ab.b
+WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.a = ab.a AND ac.b = bc.b)
+""")
+def graph_triangles(spark, sf_dir):
+    """Triangle count over the MinHash near-dup pair graph — the
+    clustering-coefficient diagnostic for dup clusters (dense clusters
+    close most wedges, chains close none). Canonical low->high
+    orientation counts each triangle once via two vertex-keyed
+    equi-joins + a semi-join closure (operators/cluster.py::
+    triangle_count); portable md5 pair generation for the oracle."""
+    from ..operators.cluster import triangle_count
+    docs = _t(spark, sf_dir, "documents")
+    return triangle_count(minhash_lsh_pairs(docs, threshold=0.5,
+                                            base_hash="md5"))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

@@ -167,3 +167,21 @@ def test_enforce_expectations_warn_passes_through(spark):
         df, [("neg_v", F.col("v") < 0)], action="warn")
     assert out.count() == 1
     assert report.collect()[0]["n_violations"] == 1
+
+
+def test_funnel_max_gap_bounds_conversion_window(spark):
+    from tb_lakehouse_enhanced_spark.operators.analytics import funnel
+    ev = _events(spark, [(1, 1, 1, "view"), (1, 1, 3, "click"),    # 2h gap
+                         (2, 1, 1, "view"), (2, 2, 1, "click")])   # 24h gap
+    rows = {r["step"]: r["n_users"] for r in
+            funnel(ev, ["view", "click"], max_gap="INTERVAL 6 HOURS").collect()}
+    assert rows == {"view": 2, "click": 1}  # only the 2h conversion counts
+
+
+def test_profile_approx_distinct_mode(spark):
+    df = spark.createDataFrame([(i % 50, "x") for i in range(1000)],
+                               "k long, s string")
+    got = {r["column"]: r for r in
+           profile_table(df, exact_distinct=False).collect()}
+    assert abs(got["k"]["n_distinct"] - 50) <= 5   # HLL++ approximation
+    assert got["s"]["n_distinct"] == 1

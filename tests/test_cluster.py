@@ -22,3 +22,15 @@ def test_dedup_clusters_with_singletons(spark):
             for r in dedup_clusters(docs, pairs).collect()}
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
                     7: (7, True), 9: (9, True)}
+
+
+def test_triangle_count_known_graph(spark):
+    from tb_lakehouse_enhanced_spark.operators.cluster import triangle_count
+    # K4 on {1,2,3,4} has 4 triangles; plus a pendant chain 4-5-6 adds 0
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (6, 5),        # chain, reversed orientation on purpose
+         (2, 1)],               # duplicate edge, other direction
+        "id_a long, id_b long")
+    [row] = triangle_count(edges).collect()
+    assert row["n_triangles"] == 4
