@@ -280,3 +280,80 @@ def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
     corpus = (spark.read.parquet(path)
               .filter(F.col("ivf_list").isin(lists)))
     return cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _pq_codebooks(sample: np.ndarray, m: int, nbits: int) -> np.ndarray:
+    """Per-subspace k-means codebooks: shape (m, 2**nbits, dim//m).
+
+    Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the vector splits into m
+    subvectors, each quantized independently against 2**nbits centroids,
+    so a d-dim float vector compresses to m*nbits bits while distances
+    remain computable from per-subspace lookup tables (ADC)."""
+    d = sample.shape[1]
+    sub = d // m
+    return np.stack([
+        _kmeans_centroids(sample[:, s * sub:(s + 1) * sub].copy(), 2 ** nbits)
+        for s in range(m)])
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, nbits: int = 8, rerank: int = 8,
+            sample_size: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization approximate top-k with exact re-ranking.
+
+    Corpus vectors are PQ-encoded per Arrow batch (argmin against each
+    subspace codebook — the 100 TB point: the INDEX is m*nbits bits per
+    vector, ~64x smaller than the float vector, so it fits in memory
+    where the vectors cannot). Queries score candidates by ADC: one
+    (m x 2**nbits) inner-product lookup table per query, approximate
+    score = sum of m table lookups. The top ``rerank*k`` ADC candidates
+    per batch are re-scored EXACTLY against the float vectors (still in
+    hand inside the batch), recovering most of the recall PQ loses —
+    the standard IVF-PQ serving layout's re-rank stage.
+
+    Deterministic (seeded codebooks, fixed iteration), but k-means
+    training is iterative — not SQL-expressible, so the query entry is
+    rows-only checked with a recall pytest against exact cosine_topk.
+    """
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    smp = _matrix(pd.Series([r[0] for r in sample_rows]))
+    books = _pq_codebooks(smp, m, nbits)                 # (m, C, sub)
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    d = qm.shape[1]
+    sub = d // m
+    # per-query ADC tables: table[j][s][c] = <q_j[s], books[s][c]>
+    tables = np.stack([
+        np.stack([books[s] @ qm[j, s * sub:(s + 1) * sub]
+                  for s in range(m)]) for j in range(len(qids))])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = _matrix(pdf[vec_col])
+            # encode: codes[i, s] = nearest codebook entry of subvector s
+            codes = np.empty((len(cm), m), dtype=np.int64)
+            for s in range(m):
+                block = cm[:, s * sub:(s + 1) * sub]
+                dist = ((block[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = dist.argmin(axis=1)
+            outs = []
+            for j, qid in enumerate(qids):
+                approx = tables[j][np.arange(m), codes].sum(axis=1)
+                r = min(rerank * (k + 1), len(ids))
+                cand = np.argpartition(-approx, r - 1)[:r]
+                exact = cm[cand] @ qm[j]                  # re-rank exactly
+                kk = min(k + 1, len(cand))
+                top = np.argpartition(-exact, kk - 1)[:kk]
+                outs.append(pd.DataFrame({
+                    "query_id": np.full(kk, qid, dtype=np.int64),
+                    "neighbor_id": ids[cand[top]], "cos": exact[top]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partials = (corpus.mapInPandas(score, _OUT_SCHEMA)
+                .filter(F.col("query_id") != F.col("neighbor_id")))
+    return _topk_merge(partials, k)

@@ -1634,8 +1634,9 @@ def corpus_splits(spark, sf_dir):
 
 @q("simsearch_approx")  # ANN candidate sets are probabilistic — rows-only
 def simsearch_approx(spark, sf_dir):
-    """Both approximate-NN paths (random-hyperplane LSH and IVF coarse
-    quantizer) in one tagged result."""
+    """All three approximate-NN paths (random-hyperplane LSH, IVF coarse
+    quantizer, and PQ with ADC scoring + exact re-rank) in one tagged
+    result."""
     from ..operators.similarity import ivf_topk, lsh_topk
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -1643,7 +1644,10 @@ def simsearch_approx(spark, sf_dir):
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank")
     ivf = ivf_topk(emb, queries, k=5).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
-    return lsh.unionByName(ivf)
+    from ..operators.similarity import pq_topk
+    pq = pq_topk(emb, queries, k=5).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank")
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 _H60 = "CAST(concat('0x', substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), '{salt}')), 1, 15)) AS BIGINT) % 1000000"

@@ -260,3 +260,18 @@ def test_winnow_guarantee_property(spark):
         assert by_doc[1] & by_doc[2]
 
     check()
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    from tb_lakehouse_enhanced_spark.operators.similarity import pq_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in pq_topk(emb, queries, k=5).collect()}
+    # ADC + exact re-rank should recover most exact neighbors
+    assert len(exact & approx) / len(exact) >= 0.6
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in pq_topk(emb, queries, k=5).collect()}
+    assert approx == again  # deterministic codebooks + rerank
