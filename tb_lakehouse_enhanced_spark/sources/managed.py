@@ -112,6 +112,48 @@ class ManagedTable:
                 "ts": time.time(), **(extra_meta or {})}
         return self._publish(v, meta)
 
+    def read_as_of(self, ts: float) -> DataFrame:
+        """``TIMESTAMP AS OF`` time travel: read the newest snapshot
+        whose commit time is <= ``ts`` (epoch seconds). Commits without
+        a recorded time (pre-metadata tables) are treated as oldest."""
+        candidates = [c for c in self.history()
+                      if (c.get("ts") or float("-inf")) <= ts]
+        if not candidates:
+            raise FileNotFoundError(
+                f"no snapshot of {self.path} at or before ts={ts}")
+        return self.read(max(c["version"] for c in candidates))
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata table: one row per data file of a snapshot (the
+        Iceberg ``table.files`` / Delta detail analogue) — path, size,
+        row count, partition values parsed from the path. One cheap
+        aggregate over file metadata columns; no data columns read."""
+        from pyspark.sql import functions as F
+        df = self.read(version)
+        out = (df.groupBy(F.col("_metadata.file_path").alias("file"))
+               .agg(F.first("_metadata.file_size").alias("size_bytes"),
+                    F.count(F.lit(1)).alias("n_rows")))
+        for pcol in self.partition_by:
+            out = out.withColumn(
+                pcol, F.regexp_extract("file", f"{pcol}=([^/]+)", 1))
+        return out
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Metadata table: per-partition file/row/byte summary (the
+        Iceberg ``table.partitions`` analogue) — the operator view for
+        spotting skewed or small-file partitions that need compaction."""
+        from pyspark.sql import functions as F
+        f = self.files(version)
+        if not self.partition_by:
+            return f.agg(F.count(F.lit(1)).alias("n_files"),
+                         F.sum("n_rows").alias("n_rows"),
+                         F.sum("size_bytes").alias("size_bytes"))
+        return (f.groupBy(*self.partition_by)
+                .agg(F.count(F.lit(1)).alias("n_files"),
+                     F.sum("n_rows").alias("n_rows"),
+                     F.sum("size_bytes").alias("size_bytes"))
+                .orderBy(*self.partition_by))
+
     # -- history / time travel (Delta DESCRIBE HISTORY / RESTORE analogue) ---
     def history(self) -> list[dict]:
         """Commit log, newest first (``DESCRIBE HISTORY`` analogue)."""

@@ -263,3 +263,34 @@ def test_partition_scoped_merge_handles_moved_rows(spark, tmp_base):
     rows = {(r["k"], r["month"]): r["v"] for r in t.read().collect()}
     assert rows == {(1, 202403): 7.0, (2, 202402): 2.0}  # no stale dup in 202401
     assert t.history()[0]["partitions_rewritten"] == ["month=202401", "month=202403"]
+
+
+def test_read_as_of_timestamp(spark, tmp_base):
+    import time as _t
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{tmp_base}/asof")
+    t.overwrite(spark.range(5).toDF("k"))
+    between = _t.time()
+    _t.sleep(0.05)
+    t.overwrite(spark.range(9).toDF("k"))
+    assert t.read_as_of(between).count() == 5
+    assert t.read_as_of(_t.time()).count() == 9
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        t.read_as_of(between - 1e6)
+
+
+def test_files_and_partitions_metadata_tables(spark, tmp_base):
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([(k, k % 3) for k in range(90)], "k long, pt int")
+    t = ManagedTable(spark, f"{tmp_base}/meta", partition_by=("pt",))
+    t.overwrite(df)
+    files = t.files().collect()
+    assert sum(r["n_rows"] for r in files) == 90
+    assert all(r["size_bytes"] > 0 for r in files)
+    assert {r["pt"] for r in files} == {"0", "1", "2"}
+    parts = {r["pt"]: r for r in t.partitions().collect()}
+    assert set(parts) == {"0", "1", "2"}
+    assert all(p["n_rows"] == 30 for p in parts.values())
+    assert all(p["n_files"] >= 1 for p in parts.values())
