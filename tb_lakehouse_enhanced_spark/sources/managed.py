@@ -44,6 +44,51 @@ class ManagedTable:
         self.partition_by = tuple(partition_by)
         os.makedirs(self.path, exist_ok=True)
 
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -------
+    @property
+    def _constraints_file(self) -> str:
+        return os.path.join(self.path, "_constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Registered CHECK constraints: name -> SQL predicate that every
+        row must satisfy."""
+        try:
+            with open(self._constraints_file) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def add_constraint(self, name: str, predicate_sql: str) -> "ManagedTable":
+        """Register a CHECK constraint (reference 01_Init.py:236-239's
+        constraint surface, upgraded from informational to ENFORCED).
+        Existing data is validated immediately; every subsequent commit
+        through ``overwrite`` re-validates in one scan and fails the
+        write atomically (the snapshot pointer never moves) — Delta's
+        ``ADD CONSTRAINT`` semantics on plain parquet."""
+        if self.exists():
+            self._validate({name: predicate_sql}, self.read())
+        cons = self.constraints()
+        cons[name] = predicate_sql
+        with open(self._constraints_file, "w") as f:
+            json.dump(cons, f)
+        return self
+
+    def drop_constraint(self, name: str) -> "ManagedTable":
+        cons = self.constraints()
+        cons.pop(name, None)
+        with open(self._constraints_file, "w") as f:
+            json.dump(cons, f)
+        return self
+
+    def _validate(self, cons: dict[str, str], df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.analytics import enforce_expectations
+        rules = [(name, ~F.expr(sql).eqNullSafe(F.lit(True)))
+                 for name, sql in cons.items()]
+        if rules:
+            enforce_expectations(df, rules, action="fail")
+
     # -- version bookkeeping -------------------------------------------------
     @property
     def _pointer(self) -> str:
@@ -102,7 +147,14 @@ class ManagedTable:
 
         ``extra_meta`` keys are stored in the commit record — e.g. a CDC
         consumer's high-water mark (operators/cdf.py::sync_incremental),
-        making consumer state as durable/atomic as the data itself."""
+        making consumer state as durable/atomic as the data itself.
+
+        Registered CHECK constraints validate ``df`` in one scan before
+        any data is written; a violation aborts with per-rule counts and
+        the current snapshot stays live."""
+        cons = self.constraints()
+        if cons:
+            self._validate(cons, df)
         v = self.current_version() + 1
         writer = df.write.mode("overwrite")
         if self.partition_by:
@@ -322,7 +374,14 @@ class ManagedTable:
         cur = self.current_version()
         v = cur + 1
         vdir = os.path.join(self.path, f"v{v}")
-        (rewrite_fn(df.filter(member)).write.mode("overwrite")
+        rewritten = rewrite_fn(df.filter(member))
+        # untouched partitions were validated at their own commits and
+        # add_constraint validates existing data, so checking only the
+        # rewritten subset preserves the whole-table invariant
+        cons = self.constraints()
+        if cons:
+            self._validate(cons, rewritten)
+        (rewritten.write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
         # hardlink every untouched partition dir from the old snapshot
         touched_rel = {
@@ -427,6 +486,9 @@ class ManagedTable:
         v = cur + 1
         vdir = os.path.join(self.path, f"v{v}")
         merged = merge_fn(self.read().filter(member), source, cfg, load_ts)
+        cons = self.constraints()
+        if cons:
+            self._validate(cons, merged)
         merged.write.mode("overwrite").partitionBy(*pb).parquet(vdir)
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)

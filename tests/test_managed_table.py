@@ -294,3 +294,42 @@ def test_files_and_partitions_metadata_tables(spark, tmp_base):
     assert set(parts) == {"0", "1", "2"}
     assert all(p["n_rows"] == 30 for p in parts.values())
     assert all(p["n_files"] >= 1 for p in parts.values())
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_base):
+    import pytest
+    from tb_lakehouse_enhanced_spark.operators.analytics import ExpectationError
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    import pyspark.sql.functions as F
+    t = ManagedTable(spark, f"{tmp_base}/cons", partition_by=("pt",))
+    t.overwrite(spark.createDataFrame([(1, 0, 5.0), (2, 1, 3.0)],
+                                      "k long, pt int, v double"))
+    t.add_constraint("v_positive", "v > 0")
+
+    # adding a constraint violated by existing data fails immediately
+    with pytest.raises(ExpectationError):
+        t.add_constraint("v_big", "v > 4")
+    assert "v_big" not in t.constraints()
+
+    # overwrite path enforced, snapshot pointer untouched on violation
+    before = t.current_version()
+    with pytest.raises(ExpectationError):
+        t.overwrite(spark.createDataFrame([(3, 0, -1.0)],
+                                          "k long, pt int, v double"))
+    assert t.current_version() == before
+
+    # partial-rewrite (UPDATE) path enforced
+    with pytest.raises(ExpectationError):
+        t.update(F.col("k") == 1, {"v": F.lit(-9.0)})
+    assert t.read().filter("v <= 0").count() == 0
+
+    # partition-scoped merge path enforced
+    bad = spark.createDataFrame([(9, 1, -2.0)], "k long, pt int, v double")
+    with pytest.raises(ExpectationError):
+        t.merge_into(bad, ScdConfig(keys=("k",), tracked=("v",)),
+                     "2024-01-02 00:00:00")
+
+    # valid writes still flow
+    t.update(F.col("k") == 1, {"v": F.lit(9.0)})
+    assert {r["v"] for r in t.read().collect()} == {9.0, 3.0}
