@@ -34,15 +34,33 @@ from operator import and_, or_
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(Exception):
+    """Another writer committed the version this writer was about to
+    publish (Delta's ConcurrentAppendException role)."""
+
+
 class ManagedTable:
     """A versioned parquet table identified by a directory path."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: tuple[str, ...] = ()):
+                 partition_by: tuple[str, ...] = (),
+                 generated_cols: dict[str, str] | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = tuple(partition_by)
+        # Delta GENERATED ALWAYS AS parity: column -> SQL expression,
+        # computed at write time when the column is absent from the
+        # batch (partition columns derived from business columns is the
+        # canonical use — writers never hand-maintain them)
+        self.generated_cols = dict(generated_cols or {})
         os.makedirs(self.path, exist_ok=True)
+
+    def _with_generated(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+        for name, expr in self.generated_cols.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -------
     @property
@@ -132,8 +150,21 @@ class ManagedTable:
     def _publish(self, v: int, meta: dict) -> "ManagedTable":
         """Record commit metadata for ``v`` and flip the pointer (atomic:
         readers resolve the version through ``_CURRENT`` only, and the
-        commit file is fully written before the pointer moves)."""
-        with open(self._commit_file(v), "w") as f:
+        commit file is fully written before the pointer moves).
+
+        Optimistic concurrency: the commit file is created with
+        O_EXCL — if another writer already published this version, the
+        create fails and this transaction aborts WITHOUT moving the
+        pointer (its orphaned data dir is reclaimable by vacuum), the
+        same first-writer-wins rule Delta's log commit provides."""
+        try:
+            fd = os.open(self._commit_file(v),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {v} of {self.path} was committed concurrently; "
+                "re-read and retry the mutation") from None
+        with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
@@ -152,6 +183,7 @@ class ManagedTable:
         Registered CHECK constraints validate ``df`` in one scan before
         any data is written; a violation aborts with per-rule counts and
         the current snapshot stays live."""
+        df = self._with_generated(df)
         cons = self.constraints()
         if cons:
             self._validate(cons, df)

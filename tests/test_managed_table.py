@@ -333,3 +333,36 @@ def test_check_constraints_gate_every_write_path(spark, tmp_base):
     # valid writes still flow
     t.update(F.col("k") == 1, {"v": F.lit(9.0)})
     assert {r["v"] for r in t.read().collect()} == {9.0, 3.0}
+
+
+def test_generated_columns_computed_at_write(spark, tmp_base):
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{tmp_base}/gen", partition_by=("month",),
+                     generated_cols={"month": "CAST(date_key / 100 AS INT)"})
+    t.overwrite(spark.createDataFrame([(1, 20240115), (2, 20240216)],
+                                      "k long, date_key long"))
+    rows = {r["k"]: r["month"] for r in t.read().collect()}
+    assert rows == {1: 202401, 2: 202402}
+    # caller-supplied values win over generation
+    t.overwrite(spark.createDataFrame([(3, 20240301, 999999)],
+                                      "k long, date_key long, month int"))
+    assert t.read().collect()[0]["month"] == 999999
+
+
+def test_concurrent_commit_first_writer_wins(spark, tmp_base):
+    import pytest
+    from tb_lakehouse_enhanced_spark.sources.managed import (
+        ConcurrentWriteError, ManagedTable)
+    a = ManagedTable(spark, f"{tmp_base}/cc")
+    b = ManagedTable(spark, f"{tmp_base}/cc")
+    a.overwrite(spark.range(3).toDF("k"))
+    # both handles observe v0; both try to commit v1
+    df_a = spark.range(10).toDF("k")
+    df_b = spark.range(20).toDF("k")
+    a.overwrite(df_a)
+    with pytest.raises(ConcurrentWriteError):
+        # b computed v = its stale current_version()+1 ... simulate by
+        # publishing the same version id directly
+        b._publish(a.current_version(), {"version": a.current_version(),
+                                         "dir": "v1", "op": "WRITE"})
+    assert a.read().count() == 10  # first writer's commit is live
