@@ -542,6 +542,67 @@ class ManagedTable:
             "version": v, "dir": f"v{v}", "op": f"MERGE_{kind.upper()}",
             "ts": time.time(), "partitions_rewritten": sorted(touched_rel)})
 
+    def scd2_merge_into(self, source: DataFrame, cfg, load_ts,
+                        flag_col: str = "_tf_is_current") -> "ManagedTable":
+        """Partition-scoped SCD2 merge: history is APPEND-ONLY on disk.
+
+        The table must be partitioned on ``flag_col`` (1 = current row,
+        0 = closed version). Each merge reads ONLY the current partition
+        (partition-pruned scan — the design claim plan-gated in
+        tests/test_plans.py), runs the standard one-join SCD2 merge
+        against the source snapshot, then writes:
+
+        - ``flag=1``: the new current slice (rewritten — it changed);
+        - ``flag=0``: ONLY the rows closed by THIS merge, appended next
+          to hardlinks of every existing history file (zero history
+          bytes rewritten, ever).
+
+        At 100 TB this is the property that makes SCD2 viable: the
+        history partition grows monotonically and is never touched by a
+        rewrite, so merge cost tracks the CURRENT slice + the batch,
+        not the accumulated history.
+        """
+        from pyspark.sql import functions as F
+
+        from ..operators.merge import VALID_TO, scd2_merge
+        if self.partition_by != (flag_col,):
+            raise ValueError(
+                f"table must be partitioned by ({flag_col},), "
+                f"got {self.partition_by}")
+        flag = (F.col(VALID_TO).isNull().cast("int")).alias(flag_col)
+        if not self.exists():
+            full = scd2_merge(None, source, cfg, load_ts)
+            return self.overwrite(full.withColumn(flag_col, flag),
+                                  operation="MERGE_SCD2")
+        cur = (self.read().filter(F.col(flag_col) == 1).drop(flag_col))
+        merged = scd2_merge(cur, source, cfg, load_ts)
+        out = merged.withColumn(flag_col, flag)
+        cons = self.constraints()
+        if cons:
+            self._validate(cons, out)
+        curv = self.current_version()
+        v = curv + 1
+        vdir = os.path.join(self.path, f"v{v}")
+        # writes flag=1 (new current) and flag=0 (ONLY newly closed:
+        # `merged` was built from the current slice, so every closed row
+        # in it closed just now)
+        out.write.mode("overwrite").partitionBy(flag_col).parquet(vdir)
+        src_hist = os.path.join(self._version_dir(curv), f"{flag_col}=0")
+        dst_hist = os.path.join(vdir, f"{flag_col}=0")
+        if os.path.isdir(src_hist):
+            os.makedirs(dst_hist, exist_ok=True)
+            for fn in os.listdir(src_hist):
+                s, d = os.path.join(src_hist, fn), os.path.join(dst_hist, fn)
+                if os.path.isfile(s) and not os.path.exists(d):
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+        return self._publish(v, {
+            "version": v, "dir": f"v{v}", "op": "MERGE_SCD2",
+            "ts": time.time(),
+            "partitions_rewritten": [f"{flag_col}=1"]})
+
     def update(self, condition, assignments: dict) -> "ManagedTable":
         """``UPDATE t SET c = expr WHERE cond``; partitioned tables
         rewrite only the touched partitions (see _partial_rewrite)."""

@@ -366,3 +366,43 @@ def test_concurrent_commit_first_writer_wins(spark, tmp_base):
         b._publish(a.current_version(), {"version": a.current_version(),
                                          "dir": "v1", "op": "WRITE"})
     assert a.read().count() == 10  # first writer's commit is live
+
+
+def test_scd2_merge_into_history_is_append_only(spark, tmp_base):
+    import os
+    from tb_lakehouse_enhanced_spark.operators.merge import (
+        VALID_TO, ScdConfig, scd2_merge)
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    import pyspark.sql.functions as F
+    cfg = ScdConfig(keys=("k",), tracked=("v",))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    b1 = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+    b2 = spark.createDataFrame([(1, "A"), (2, "B"), (4, "d")], "k long, v string")
+
+    t = ManagedTable(spark, f"{tmp_base}/scd2p", partition_by=("_tf_is_current",))
+    t.scd2_merge_into(b0, cfg, "2024-01-01 00:00:00")
+    t.scd2_merge_into(b1, cfg, "2024-01-02 00:00:00")
+    v1_dir = t._version_dir(t.current_version())
+    t.scd2_merge_into(b2, cfg, "2024-01-03 00:00:00")
+    v2_dir = t._version_dir(t.current_version())
+
+    # history files from the previous version survive as hardlinks
+    def hist_inodes(vdir):
+        d = os.path.join(vdir, "_tf_is_current=0")
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    old, new = hist_inodes(v1_dir), hist_inodes(v2_dir)
+    assert set(old) <= set(new)            # append-only
+    assert all(new[f] == old[f] for f in old)  # zero bytes rewritten
+
+    # end state equals the plain full-merge reference implementation
+    want = scd2_merge(
+        scd2_merge(scd2_merge(None, b0, cfg, "2024-01-01 00:00:00"),
+                   b1, cfg, "2024-01-02 00:00:00"),
+        b2, cfg, "2024-01-03 00:00:00")
+    got = t.read().drop("_tf_is_current")
+    w = {tuple(r) for r in want.select("k", "v", VALID_TO).collect()}
+    g = {tuple(r) for r in got.select("k", "v", VALID_TO).collect()}
+    assert g == w
+    # closed versions: b0->b1 closed {2 deleted? no: 2 changed, 3 deleted}; b1->b2 closed {1}
+    assert t.read().filter("_tf_is_current = 0").count() == 3
