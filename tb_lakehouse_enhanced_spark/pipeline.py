@@ -116,9 +116,12 @@ def run_silver(spark: SparkSession, cfg: PipelineConfig) -> None:
             rules = [(f"null_{k}", F.col(k).isNull())
                      for k in spec["cfg"].keys]
             src, _ = enforce_expectations(src, rules, action=cfg.expect_action)
-        mt = _mt(spark, cfg, "silver", name)
-        target = mt.read() if mt.exists() else None
-        mt.overwrite(scd2_merge(target, src, spec["cfg"], cfg.load_ts))
+        # silver tables partition on the is_current flag: the merge's
+        # current-slice read prunes to one partition and history stays
+        # append-only on disk (ManagedTable.scd2_merge_into)
+        mt = _mt(spark, cfg, "silver", name,
+                 partition_by=("_tf_is_current",))
+        mt.scd2_merge_into(src, spec["cfg"], cfg.load_ts)
 
 
 # ------------------------------------------------------------------ gold ----
@@ -129,6 +132,11 @@ DIM_CUSTOMER_CFG = ScdConfig(
 
 
 def _current(df: DataFrame) -> DataFrame:
+    # filter on the PARTITION flag when present (prunes the scan to the
+    # current partition); the valid_to predicate stays as the semantic
+    # guard either way
+    if "_tf_is_current" in df.columns:
+        df = df.filter(F.col("_tf_is_current") == 1)
     return df.filter(F.col("_tf_valid_to").isNull())
 
 
