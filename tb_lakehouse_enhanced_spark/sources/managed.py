@@ -638,6 +638,45 @@ class ManagedTable:
         """
         return self.overwrite(self.read().coalesce(target_partitions), operation="OPTIMIZE")
 
+    def compact_partitions(self, partition_rels: list[str],
+                           target_files: int = 4) -> "ManagedTable":
+        """Compact ONLY the named partition dirs (``col=value`` relative
+        paths); every other partition hardlinks forward untouched.
+
+        The maintenance counterpart of the append-only write paths: the
+        SCD2 history partition accrues one small file batch per merge,
+        so periodic targeted compaction keeps its file count bounded
+        WITHOUT rewriting the (rewritten-anyway) current slice or
+        paying a full-table OPTIMIZE.
+        """
+        from pyspark.sql import functions as F
+        if not self.partition_by:
+            raise ValueError("table is not partitioned")
+        curv = self.current_version()
+        v = curv + 1
+        vdir = os.path.join(self.path, f"v{v}")
+        prev = self._version_dir(curv)
+        os.makedirs(vdir, exist_ok=True)
+        todo = set(partition_rels)
+        for rel in self._leaf_partition_dirs(prev, depth=len(self.partition_by)):
+            src_dir, dst_dir = os.path.join(prev, rel), os.path.join(vdir, rel)
+            if rel in todo:
+                (self.spark.read.parquet(src_dir)
+                 .coalesce(target_files)
+                 .write.mode("overwrite").parquet(dst_dir))
+            else:
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in os.listdir(src_dir):
+                    s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+                    if os.path.isfile(s) and not os.path.exists(d):
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+        return self._publish(v, {
+            "version": v, "dir": f"v{v}", "op": "OPTIMIZE_PARTITIONS",
+            "ts": time.time(), "partitions_rewritten": sorted(todo)})
+
     def optimize_layout(self, sort_cols: tuple[str, ...],
                         target_partitions: int = 8,
                         zorder: bool = False, zorder_bits: int = 12) -> "ManagedTable":

@@ -406,3 +406,30 @@ def test_scd2_merge_into_history_is_append_only(spark, tmp_base):
     assert g == w
     # closed versions: b0->b1 closed {2 deleted? no: 2 changed, 3 deleted}; b1->b2 closed {1}
     assert t.read().filter("_tf_is_current = 0").count() == 3
+
+
+def test_compact_partitions_targets_history_only(spark, tmp_base):
+    import os
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    cfg = ScdConfig(keys=("k",), tracked=("v",))
+    t = ManagedTable(spark, f"{tmp_base}/hcomp", partition_by=("_tf_is_current",))
+    batches = [[(1, "a"), (2, "b")], [(1, "A"), (2, "b")], [(1, "A2"), (2, "B")]]
+    for i, rows in enumerate(batches):
+        t.scd2_merge_into(spark.createDataFrame(rows, "k long, v string"),
+                          cfg, f"2024-01-0{i+1} 00:00:00")
+    before = t.read().orderBy("k", "_tf_valid_from").collect()
+
+    def files(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    v_pre = t._version_dir(t.current_version())
+    assert len(files(v_pre, "_tf_is_current=0")) >= 2  # accumulated batches
+
+    t.compact_partitions(["_tf_is_current=0"], target_files=1)
+    v_post = t._version_dir(t.current_version())
+    assert len(files(v_post, "_tf_is_current=0")) == 1          # compacted
+    assert files(v_post, "_tf_is_current=1") == files(v_pre, "_tf_is_current=1")  # linked
+    after = t.read().orderBy("k", "_tf_valid_from").collect()
+    assert after == before                                       # data identical
