@@ -72,6 +72,14 @@ def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str,
             .sortWithinPartitions(*order_cols)
             .withColumn(_LOCAL, F.monotonically_increasing_id())
             .withColumn(_PID, F.shiftright(F.col(_LOCAL), 33).cast("int")))
+    # STRUCTURAL consistency, not assumed determinism: the offsets
+    # aggregate and the final join both consume this relation, and any
+    # divergence between their views of the range assignment (observed
+    # at narrow widths, where the two subtrees materialized the
+    # exchange separately with different sampled boundaries) silently
+    # corrupts ranks. localCheckpoint materializes the ranged+sorted+
+    # numbered partitions ONCE; every consumer reads those exact blocks.
+    part = part.localCheckpoint(eager=False)
     # Cumulative offset per partition, computed LAZILY: a driver-side
     # collect() here would force the whole upstream lineage (e.g. a
     # merge's full-outer join) at plan-build time as a separate blocking
@@ -124,7 +132,8 @@ def running_total(df: DataFrame, order_cols: list[str], value_col: str,
     part = (src.repartitionByRange(n, *order_cols)
             .sortWithinPartitions(*order_cols)
             .withColumn(_LOCAL, F.monotonically_increasing_id())
-            .withColumn(_PID, F.shiftright(F.col(_LOCAL), 33).cast("int")))
+            .withColumn(_PID, F.shiftright(F.col(_LOCAL), 33).cast("int"))
+            .localCheckpoint(eager=False))  # see dense_sequence note
     # local inclusive running sum: partitioned window keyed on the stable
     # precomputed partition id (hash exchange moves whole co-located
     # groups; at scale this is the textbook parallel prefix-sum shape)

@@ -89,7 +89,10 @@ WITH src0 AS (
 # ---------------------------------------------------------------- SCD1 ------
 SCD1_CFG = ScdConfig(keys=("c_custkey",),
                      tracked=("c_name", "c_mktsegment", "c_acctbal"),
-                     surrogate_key="_tf_id")
+                     surrogate_key="_tf_id",
+                     # customer is a DIMENSION: dim-sized surrogate sort
+                     # width (see ScdConfig.surrogate_partitions)
+                     surrogate_partitions=4)
 
 
 def _customer_src(customer: DataFrame, batch: int) -> DataFrame:
