@@ -275,3 +275,18 @@ def test_pq_topk_recall_vs_exact(spark):
     again = {(r["query_id"], r["neighbor_id"])
              for r in pq_topk(emb, queries, k=5).collect()}
     assert approx == again  # deterministic codebooks + rerank
+
+
+def test_dense_sequence_rank_invariant_to_width(spark):
+    """Regression: the offsets aggregate and the final join must observe
+    the SAME range assignment (they diverged at narrow widths before the
+    ranged relation was checkpointed) — ranks must equal ROW_NUMBER for
+    every partition count."""
+    from tb_lakehouse_enhanced_spark.operators.sequence import dense_sequence
+    df = (spark.range(0, 3000).selectExpr("id * 7 % 2999 AS k").distinct())
+    expect = {r["k"]: i + 1 for i, r in
+              enumerate(df.orderBy("k").collect())}
+    for n in (None, 8, 4, 1):
+        got = {r["k"]: r["_id"] for r in
+               dense_sequence(df, ["k"], "_id", num_partitions=n).collect()}
+        assert got == expect, f"width {n}"
