@@ -2560,6 +2560,31 @@ def graph_triangles(spark, sf_dir):
                                             base_hash="md5"))
 
 
+@q("reshape_unpivot", """
+SELECT l_orderkey, l_linenumber, charge, amount
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_tax, l_discount
+  FROM lineitem WHERE l_orderkey % 500 = 0
+)
+UNPIVOT (amount FOR charge IN (l_extendedprice, l_tax, l_discount))
+ORDER BY l_orderkey, l_linenumber, charge
+""")
+def reshape_unpivot(spark, sf_dir):
+    """Official wide->long reshape (DataFrame.unpivot / SQL UNPIVOT):
+    a narrow per-row transformation — no shuffle, rows x |value cols|
+    output, NULL measures dropped on both engines. (stack() is the
+    expression-level equivalent used by the profiling panel; this is
+    the first-class relational operator.)"""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 500 == 0)
+          .select("l_orderkey", "l_linenumber",
+                  "l_extendedprice", "l_tax", "l_discount"))
+    return (li.unpivot(["l_orderkey", "l_linenumber"],
+                       ["l_extendedprice", "l_tax", "l_discount"],
+                       "charge", "amount")
+            .orderBy("l_orderkey", "l_linenumber", "charge"))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
