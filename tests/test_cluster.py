@@ -11,8 +11,15 @@ def test_connected_components_chain_and_islands(spark):
     # components: {1,2,3,4} (chain), {10,11}, isolated vertices absent
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # driver-side union-find fast path (default for small edge lists) ...
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == expected
+    # ... and the distributed label-propagation loop (the 100 TB path)
+    # produce the identical labeling
+    got_dist = {r["id"]: r["component"]
+                for r in connected_components(edges, local_threshold=0).collect()}
+    assert got_dist == expected
 
 
 def test_dedup_clusters_with_singletons(spark):
