@@ -2585,6 +2585,139 @@ def reshape_unpivot(spark, sf_dir):
             .orderBy("l_orderkey", "l_linenumber", "charge"))
 
 
+@q("stream_session", """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), g AS (
+  SELECT user_id, ts, SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+""")
+def stream_session(spark, sf_dir):
+    """Native session-window aggregation (F.session_window) — the
+    engine-managed merging-session operator Structured Streaming uses
+    for stateful session aggs, batch-checkable here. Distinct codepath
+    from `sessionize` (which builds sessions with lag+running-sum
+    windows): this one is a single groupBy whose state merges windows
+    within the 30-min gap, the shape that runs under a watermark in
+    streaming mode. Window end = last event + gap; an event exactly at
+    the gap boundary starts a NEW session (Spark merges only events
+    strictly inside [start, last+gap)), mirrored by `>=` in the oracle.
+    """
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                    F.unix_micros(F.col("w.end")).alias("session_end_us"),
+                    "n_events"))
+
+
+@q("split_leakage_safe", f"""
+WITH RECURSIVE {_minhash_cte_sql()},
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+lbl(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, lbl.l FROM lbl JOIN edges e ON e.s = lbl.id WHERE lbl.l < e.t
+),
+clusters AS (SELECT id AS doc_id, MIN(l) AS cluster_id FROM lbl GROUP BY id)
+SELECT doc_id, cluster_id,
+       CASE WHEN (cluster_id % 2147483648) * 2654435761 % 100 < 80 THEN 'train'
+            WHEN (cluster_id % 2147483648) * 2654435761 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+""")
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split is assigned per
+    DUP-CLUSTER (hash of the cluster's canonical id), not per document,
+    so near-duplicates can never straddle the train/test boundary — the
+    standard guard against eval contamination in pretraining corpora.
+    Composes minhash-LSH pairs -> connected components -> deterministic
+    hash split; every stage is the scale path of its own operator."""
+    from ..functions.text import split_assign
+    from ..operators.cluster import dedup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, base_hash="md5")
+    return (dedup_clusters(docs, pairs)
+            .select(F.col("id").alias("doc_id"), "cluster_id",
+                    split_assign(F.col("cluster_id")).alias("split")))
+
+
+@q("corpus_shuffle", """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS shuffle_pos
+FROM documents
+""")
+def corpus_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: every document gets a stable global
+    shuffle position = its rank under a cryptographic hash of its id —
+    reproducible across runs/engines and independent of physical layout
+    (the 'seeded shuffle' a training data loader needs). Computed with
+    the two-phase range-partitioned sequence (operators/sequence.py),
+    NOT a single-task global window — the same operator that assigns
+    surrogate keys, so a 100 TB corpus shuffles at full parallelism."""
+    from ..operators.sequence import dense_sequence
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id")
+         .withColumn("_h", F.md5(F.col("doc_id").cast("string"))))
+    return (dense_sequence(d, ["_h", "doc_id"], "shuffle_pos")
+            .select("doc_id", "shuffle_pos"))
+
+
+@q("tokenizer_oov", """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM tok GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 1000
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+GROUP BY doc_id
+""")
+def tokenizer_oov(spark, sf_dir):
+    """Vocabulary-coverage profiling: per-document out-of-vocabulary
+    rate against the corpus top-1000 vocabulary (deterministic tie-break
+    on the word). The vocab relation is tiny and broadcast; the exploded
+    token stream joins it map-side, so the only shuffle is the per-doc
+    re-aggregation — the coverage signal a tokenizer-training pipeline
+    gates on before fitting BPE merges."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .orderBy(F.desc("freq"), F.asc("w")).limit(1000)
+             .select("w", F.lit(1).alias("_in_vocab")))
+    return (toks.join(F.broadcast(vocab), "w", "left_outer")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"))
+            .withColumn("oov_rate", F.col("n_oov").cast("double")
+                        / F.col("n_tokens").cast("double")))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
