@@ -332,3 +332,41 @@ def test_anomaly_stats_broadcast_back(spark):
     plan = _executed(SPARK_QUERIES["anomaly_zscore"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """A selective filter on one side of a shuffle join must inject a
+    bloom-filter runtime filter (might_contain) on the probe side's
+    scan — at 100 TB this skips shuffling fact rows whose keys cannot
+    match. Broadcast joins are forced off so the shuffle-join path (the
+    shape AQE picks once both sides outgrow the broadcast threshold) is
+    what's under test."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # sf0.001 files are far below the production creation/application
+    # size thresholds; lower them so the injection rule fires at test
+    # scale exactly as it would on real table sizes
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "0")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+             .filter(F.col("o_totalprice") > 400000))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("l_returnflag").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold")
