@@ -43,6 +43,23 @@ def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str,
     without this, callers pay a separate broadcast-build job just to add
     a scalar."""
     spark = df.sparkSession
+    if num_partitions == 1:
+        # Dim-sized fast path: one explicit shuffle into a single
+        # partition (upstream stays parallel — repartition, never
+        # coalesce, which would collapse the whole child plan into one
+        # task), local sort, ordinal is the id itself. No boundary
+        # sampling, no second consumer of the exchange — so none of the
+        # persist/checkpoint/offsets machinery below is needed; the
+        # optional dynamic offset rides a 1-row broadcast cross join.
+        part = (df.repartition(1).sortWithinPartitions(*order_cols)
+                .withColumn(_LOCAL, F.monotonically_increasing_id()))
+        seq = F.col(_LOCAL).bitwiseAND(F.lit((1 << 33) - 1)) \
+            + F.lit(offset) + F.lit(1)
+        if offset_df is not None:
+            part = part.crossJoin(F.broadcast(offset_df.toDF("_seq_extra")))
+            seq = seq + F.col("_seq_extra")
+        return (part.withColumn(out_col, seq.cast("bigint"))
+                .drop(_LOCAL, "_seq_extra"))
     # Persist the INPUT, not the shuffled output: repartitionByRange runs
     # a boundary-sampling pass over its child, and both the count job and
     # the final job re-plan from the same lineage — an unpersisted child

@@ -90,9 +90,10 @@ WITH src0 AS (
 SCD1_CFG = ScdConfig(keys=("c_custkey",),
                      tracked=("c_name", "c_mktsegment", "c_acctbal"),
                      surrogate_key="_tf_id",
-                     # customer is a DIMENSION: dim-sized surrogate sort
-                     # width (see ScdConfig.surrogate_partitions)
-                     surrogate_partitions=4)
+                     # customer is a DIMENSION: the 1-partition surrogate
+                     # fast path (no sampling/checkpoint/offset jobs; see
+                     # sequence.dense_sequence)
+                     surrogate_partitions=1)
 
 
 def _customer_src(customer: DataFrame, batch: int) -> DataFrame:
