@@ -2747,10 +2747,12 @@ _PRIORITY = [
     # DML / MERGE family + change data feed
     "dml_update_delete", "scd2_merge_state", "scd1_upsert", "fact_upsert",
     "table_changes",
-    # streaming (batch-checkable core)
-    "stream_tumbling",
-    # TPC-H consumption shapes
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    # streaming (batch-checkable core): tumbling windows + the
+    # engine-managed merging session windows (F.session_window)
+    "stream_tumbling", "stream_session",
+    # TPC-H consumption shapes (q6's single-table filter-agg shape is
+    # in-window via scan_source + tpch_q1; q6 itself below the fold)
+    "tpch_q1", "tpch_q3", "tpch_q5",
     # dedup tier
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_simhash", "dedup_clusters", "dedup_embedding",
