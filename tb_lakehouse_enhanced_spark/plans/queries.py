@@ -2585,6 +2585,72 @@ def reshape_unpivot(spark, sf_dir):
             .orderBy("l_orderkey", "l_linenumber", "charge"))
 
 
+@q("dedup_keep_best", f"""
+WITH RECURSIVE {_minhash_cte_sql()},
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+lbl(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, lbl.l FROM lbl JOIN edges e ON e.s = lbl.id WHERE lbl.l < e.t
+),
+clusters AS (SELECT id AS doc_id, MIN(l) AS cluster_id FROM lbl GROUP BY id),
+scored AS (
+  SELECT c.cluster_id, d.doc_id,
+         0.4 * (LEAST(CAST(length(d.text) AS DOUBLE), 400.0) / 400.0)
+       + 0.4 * (CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / GREATEST(CAST(length(d.text) AS DOUBLE), 1.0))
+       + 0.2 * (CASE WHEN regexp_matches(d.text, '\\b(the|and|of|is)\\b')
+                     THEN 1.0 ELSE 0.0 END) AS q
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+),
+best AS (SELECT cluster_id, MAX(q) AS best_quality FROM scored GROUP BY cluster_id)
+SELECT s.cluster_id, CAST(MIN(s.doc_id) AS BIGINT) AS survivor_id,
+       b.best_quality
+FROM scored s JOIN best b ON s.cluster_id = b.cluster_id AND s.q = b.best_quality
+GROUP BY s.cluster_id, b.best_quality
+""")
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware survivor selection: one document per near-dup
+    cluster, keeping the HIGHEST-quality member (min id on quality
+    ties) instead of dedup_clusters' min-id convention — how a corpus
+    pipeline actually picks which duplicate to train on. The argmax is
+    a single struct-MAX aggregate (map-side combinable, one shuffle on
+    cluster id) — no per-group window sort; quality ties break through
+    the negated id riding in the struct."""
+    from ..functions.text import quality_score
+    from ..operators.cluster import dedup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, base_hash="md5")
+    scored = (dedup_clusters(docs, pairs)
+              .join(docs.select(F.col("doc_id").alias("id"),
+                                quality_score(F.col("text")).alias("q")), "id"))
+    return (scored.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("q"),
+                                (-F.col("id")).alias("nid"))).alias("b"))
+            .select("cluster_id",
+                    (-F.col("b.nid")).cast("bigint").alias("survivor_id"),
+                    F.col("b.q").alias("best_quality")))
+
+
+@q("agg_cube", """
+SELECT c.c_mktsegment, o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE(c.c_mktsegment, o.o_orderstatus)
+""")
+def agg_cube(spark, sf_dir):
+    """CUBE lattice totals (all 2^k grouping combinations in one Expand
+    + one aggregation — the rollup's §2.4 sibling)."""
+    o = _t(spark, sf_dir, "orders").alias("o")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    return (o.join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+            .cube(F.col("c.c_mktsegment").alias("c_mktsegment"),
+                  F.col("o.o_orderstatus").alias("o_orderstatus"))
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
 @q("stream_session", """
 WITH s AS (
   SELECT user_id, ts,
