@@ -275,6 +275,43 @@ class ManagedTable:
                 removed.append(v)
         return removed
 
+    def clone(self, dest_path: str) -> "ManagedTable":
+        """``SHALLOW CLONE`` analogue: a new independent table at
+        ``dest_path`` whose v0 snapshot shares the source's current data
+        files via hardlinks — zero data bytes copied regardless of table
+        size. Constraints and table config (partitioning, generated
+        columns) carry over. Writers on either side only ever create NEW
+        version directories, so the shared immutable files can never be
+        mutated from the clone (same isolation Delta's shallow clone
+        gets from its copy-on-write log)."""
+        src_v = self.current_version()
+        if src_v < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        dst = ManagedTable(self.spark, dest_path,
+                           partition_by=self.partition_by,
+                           generated_cols=self.generated_cols)
+        if dst.exists():
+            raise FileExistsError(f"{dest_path} is already a managed table")
+        src_dir = self._version_dir(src_v)
+        dst_dir = os.path.join(dst.path, "v0")
+        for root, _dirs, fns in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            out = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            os.makedirs(out, exist_ok=True)
+            for fn in fns:
+                s, d = os.path.join(root, fn), os.path.join(out, fn)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)  # cross-device fallback
+        cons = self.constraints()
+        if cons:
+            with open(dst._constraints_file, "w") as f:
+                json.dump(cons, f)
+        return dst._publish(0, {"version": 0, "dir": "v0",
+                                "op": f"CLONE {self.path}@v{src_v}",
+                                "ts": time.time()})
+
     # -- file-skipping stats (Delta data-skipping analogue) ------------------
     @staticmethod
     def _norm_stat(v):

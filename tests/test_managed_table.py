@@ -433,3 +433,31 @@ def test_compact_partitions_targets_history_only(spark, tmp_base):
     assert files(v_post, "_tf_is_current=1") == files(v_pre, "_tf_is_current=1")  # linked
     after = t.read().orderBy("k", "_tf_valid_from").collect()
     assert after == before                                       # data identical
+
+
+def test_shallow_clone_shares_files_and_diverges(spark, mt, tmp_base):
+    import os
+    mt.add_constraint("v_pos", "v > 0")
+    cl = mt.clone(f"{tmp_base}/t_clone")
+    # same data, zero bytes copied (hardlinks: inode shared)
+    assert {r["id"] for r in cl.read().collect()} == {1, 2, 3}
+    src_dir = mt._version_dir(mt.current_version())
+    dst_dir = cl._version_dir(0)
+    src_inodes = {os.stat(os.path.join(src_dir, f)).st_ino
+                  for f in os.listdir(src_dir)
+                  if os.path.isfile(os.path.join(src_dir, f))}
+    dst_inodes = {os.stat(os.path.join(dst_dir, f)).st_ino
+                  for f in os.listdir(dst_dir)
+                  if os.path.isfile(os.path.join(dst_dir, f))}
+    assert src_inodes == dst_inodes
+    # constraints carried over and enforced on the clone
+    assert cl.constraints() == {"v_pos": "v > 0"}
+    # divergent writes: clone mutates, source untouched (and vice versa)
+    cl.delete(F.col("id") == 1)
+    assert cl.read().count() == 2
+    assert mt.read().count() == 3
+    mt.update(F.col("id") == 2, {"v": F.lit(99.0)})
+    assert {r["v"] for r in cl.read().filter("id = 2").collect()} == {20.0}
+    # cloning onto an existing table refuses
+    with pytest.raises(FileExistsError):
+        mt.clone(f"{tmp_base}/t_clone")
