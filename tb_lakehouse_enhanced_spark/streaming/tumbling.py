@@ -70,7 +70,8 @@ def interval_stream_join(left: DataFrame, right: DataFrame,
                          key: str = "user_id",
                          tolerance: str = "30 minutes",
                          left_watermark: str = "1 hour",
-                         right_watermark: str = "1 hour") -> DataFrame:
+                         right_watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
     """Stream-stream equi-join with an event-time interval condition.
 
     Both sides carry a watermark and the join adds a time-range bound
@@ -78,6 +79,11 @@ def interval_stream_join(left: DataFrame, right: DataFrame,
     Spark expire buffered state: without the range, each side's state
     would grow forever. Works identically in batch (the watermark is a
     no-op there), so the semantics are testable both ways.
+
+    ``how='left_outer'`` (or right/full) emits unmatched rows with NULLs
+    once the watermark proves no match can still arrive — the outer
+    result is therefore watermark-delayed in streaming mode, while batch
+    emits it immediately (same rows, different latency).
     """
     l, r = left.alias("l"), right.alias("r")
     if left.isStreaming:
@@ -89,7 +95,7 @@ def interval_stream_join(left: DataFrame, right: DataFrame,
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {tolerance}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def dedup_within_watermark(events: DataFrame, keys: list[str],

@@ -128,3 +128,50 @@ def test_sliding_stream_matches_batch(spark, tmp_base):
     # 00:10 click lands in starts 23:30 and 00:00
     assert got[("2023-12-31 23:30:00", "click")] == (1, 1.0)
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+
+
+def test_interval_stream_join_left_outer(spark, tmp_base):
+    """Left-outer stream-stream join: the unmatched click is emitted
+    with NULLs once the watermark passes; matched rows are identical to
+    the inner join."""
+    from tb_lakehouse_enhanced_spark.streaming.tumbling import interval_stream_join
+
+    src = f"{tmp_base}/ssj_lo"
+    rows_l = [("2024-01-01 00:00:00", 1, "click"),
+              ("2024-01-01 02:00:00", 2, "click"),
+              ("2024-01-01 02:00:00", 3, "click")]    # never matched
+    rows_r = [("2024-01-01 00:10:00", 1, "view"),
+              ("2024-01-01 02:05:00", 2, "view"),
+              ("2024-01-01 09:00:00", 9, "view")]     # advances watermark
+    mk = lambda rows: (spark.createDataFrame(rows, ["ts_s", "user_id", "ev"])
+                       .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "ev"))
+    mk(rows_l).repartition(1).write.parquet(f"{src}/left")
+    mk(rows_r).repartition(1).write.parquet(f"{src}/right")
+    schema = mk(rows_l).schema
+
+    ls = (spark.readStream.schema(schema).parquet(f"{src}/left")
+          .select("ts", "user_id"))
+    rs = (spark.readStream.schema(schema).parquet(f"{src}/right")
+          .selectExpr("ts AS view_ts", "user_id"))
+    j = interval_stream_join(ls, rs, left_ts="ts", right_ts="view_ts",
+                             key="user_id", tolerance="30 minutes",
+                             how="left_outer").select("l.user_id", "view_ts")
+    # multiple micro-batches so the watermark advances past the
+    # unmatched left row and the outer NULL row can be emitted
+    q = (j.writeStream.format("memory").queryName("ssj_lo_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["view_ts"] and str(r["view_ts"]))
+           for r in spark.sql("SELECT * FROM ssj_lo_test").collect()}
+    assert (1, "2024-01-01 00:10:00") in got
+    assert (2, "2024-01-01 02:05:00") in got
+    # batch mode emits the unmatched row immediately — same join, no wait
+    lb = mk(rows_l).select("ts", "user_id")
+    rb = mk(rows_r).selectExpr("ts AS view_ts", "user_id")
+    jb = interval_stream_join(lb, rb, left_ts="ts", right_ts="view_ts",
+                              key="user_id", tolerance="30 minutes",
+                              how="left_outer").select("l.user_id", "view_ts")
+    batch = {(r["user_id"], r["view_ts"] and str(r["view_ts"]))
+             for r in jb.collect()}
+    assert batch == {(1, "2024-01-01 00:10:00"),
+                     (2, "2024-01-01 02:05:00"), (3, None)}
