@@ -576,9 +576,14 @@ def json_extract(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def _lineitem_copy(spark, sf_dir, tag):
+    # partitioned on the DML predicate column so UPDATE/DELETE exercise
+    # the partition-scoped rewrite: only the matched partition's rows
+    # pass through the rewrite, untouched partitions hardlink forward
+    # (the path a 100 TB table's DML must take; managed.py)
     src = (_t(spark, sf_dir, "lineitem")
            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
-    mt = ManagedTable(spark, tempfile.mkdtemp(prefix=f"tb_dml_{tag}_"))
+    mt = ManagedTable(spark, tempfile.mkdtemp(prefix=f"tb_dml_{tag}_"),
+                      partition_by=("l_returnflag",))
     return mt.overwrite(src)
 
 
