@@ -2656,6 +2656,78 @@ def agg_cube(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders")))
 
 
+@q("corpus_pipeline", f"""
+WITH RECURSIVE {_minhash_cte_sql()},
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+lbl(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, lbl.l FROM lbl JOIN edges e ON e.s = lbl.id WHERE lbl.l < e.t
+),
+clusters AS (SELECT id AS doc_id, MIN(l) AS cluster_id FROM lbl GROUP BY id),
+scored AS (
+  SELECT c.cluster_id, d.doc_id,
+         CAST(len(string_split(trim(d.text), ' ')) AS INTEGER) AS n_tokens,
+         0.4 * (LEAST(CAST(length(d.text) AS DOUBLE), 400.0) / 400.0)
+       + 0.4 * (CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / GREATEST(CAST(length(d.text) AS DOUBLE), 1.0))
+       + 0.2 * (CASE WHEN regexp_matches(d.text, '\\b(the|and|of|is)\\b')
+                     THEN 1.0 ELSE 0.0 END) AS q
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+  WHERE length(d.text) BETWEEN 100 AND 2000
+    AND len(string_split(trim(d.text), ' ')) >= 20
+    AND regexp_matches(d.text, '[a-z]')
+),
+best AS (SELECT cluster_id, MAX(q) AS bq FROM scored GROUP BY cluster_id),
+surv AS (
+  SELECT s.cluster_id, CAST(MIN(s.doc_id) AS BIGINT) AS doc_id
+  FROM scored s JOIN best b ON s.cluster_id = b.cluster_id AND s.q = b.bq
+  GROUP BY s.cluster_id, b.bq
+)
+SELECT v.doc_id, v.cluster_id,
+       CASE WHEN (v.cluster_id % 2147483648) * 2654435761 % 100 < 80 THEN 'train'
+            WHEN (v.cluster_id % 2147483648) * 2654435761 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       s.n_tokens
+FROM surv v JOIN scored s ON s.doc_id = v.doc_id
+""")
+def corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus-prep composition — the training-data flow every
+    piece of §2.11 exists for, as ONE oracle-checked plan: quality gate
+    (length band + token floor + alphabetic content) -> near-dup
+    clustering (MinHash LSH -> connected components) -> best-quality
+    survivor per cluster -> leakage-safe split hashed on the cluster id.
+    Each stage is the same operator checked individually; the value here
+    is that the composition itself stays one lazy Catalyst plan (no
+    materialization between stages) and the only shuffles are the
+    clustering joins and the per-cluster argmax."""
+    from ..functions.text import quality_score, split_assign
+    from ..operators.cluster import dedup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, base_hash="md5")
+    ok = (docs.filter((F.length("text") >= 100) & (F.length("text") <= 2000)
+                      & (F.size(F.split(F.trim(F.col("text")), " ")) >= 20)
+                      & F.col("text").rlike("[a-z]"))
+          .select(F.col("doc_id").alias("id"),
+                  F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+                  quality_score(F.col("text")).alias("q")))
+    scored = dedup_clusters(docs, pairs).join(ok, "id")
+    surv = (scored.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("q"), (-F.col("id")).alias("nid")))
+                 .alias("b"))
+            .select("cluster_id",
+                    (-F.col("b.nid")).cast("bigint").alias("doc_id")))
+    return (surv
+            .join(scored.select(F.col("id").alias("doc_id"), "n_tokens"),
+                  "doc_id")
+            .select("doc_id", "cluster_id",
+                    split_assign(F.col("cluster_id")).alias("split"),
+                    "n_tokens"))
+
+
 @q("stream_session", """
 WITH s AS (
   SELECT user_id, ts,
