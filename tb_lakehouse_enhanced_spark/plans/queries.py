@@ -60,10 +60,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         # An int64 ts column here can only come from the nanosAsLong
         # coercion of a parquet TIMESTAMP(NANOS) logical type (the test
-        # generator writes either NANOS or micro/NTZ, never raw int64),
-        # so nanos-since-epoch is the only valid interpretation. A
-        # generator change to raw epoch-micros would surface immediately
-        # as a 1000x offset in every oracle diff.
+        # generator writes either NANOS or micro/NTZ, never raw int64).
+        # Assert that against the parquet footer before scaling, so a
+        # future generator writing raw epoch-micros as int64 fails loud
+        # here instead of surfacing as a silent 1000x offset downstream.
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+        path = f"{sf_dir}/events.parquet"
+        part = sorted(_glob.glob(f"{path}/*.parquet")) or [path]
+        logical = _pq.read_schema(part[0]).field("ts").type
+        if str(logical) != "timestamp[ns]":
+            raise ValueError(
+                f"events.ts read as int64 but parquet logical type is "
+                f"{logical}, not TIMESTAMP(NANOS) — refusing to guess the "
+                "epoch unit")
         return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
