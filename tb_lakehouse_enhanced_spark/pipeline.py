@@ -232,9 +232,39 @@ def run_gold_mv(spark: SparkSession, cfg: PipelineConfig) -> None:
 STAGES = (run_bronze, run_silver, run_gold_dims, run_gold_fact, run_gold_mv)
 
 
+def _ledger_file(cfg: PipelineConfig, batch_id: str) -> str:
+    import os
+    d = f"{cfg.base_dir}/_pipeline"
+    os.makedirs(d, exist_ok=True)
+    return f"{d}/{batch_id}.json"
+
+
+def _ledger_read(cfg: PipelineConfig, batch_id: str) -> list[str]:
+    import json
+    try:
+        with open(_ledger_file(cfg, batch_id)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return []
+
+
+def _ledger_mark(cfg: PipelineConfig, batch_id: str, stage_name: str) -> None:
+    import json
+    import os
+    done = _ledger_read(cfg, batch_id)
+    if stage_name not in done:
+        done.append(stage_name)
+    path = _ledger_file(cfg, batch_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(done, f)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn ledger
+
+
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
                  retries: int = 0,
-                 metrics: dict | None = None) -> dict[str, DataFrame]:
+                 metrics: dict | None = None,
+                 batch_id: str | None = None) -> dict[str, DataFrame]:
     """Execute the staged DAG in dependency order
     (reference finalize_databricks_deployment.py:383-431; the MV stage
     is this engine's serving-layer extension).
@@ -245,12 +275,25 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
     (:class:`~.operators.analytics.ExpectationError`) are deterministic
     and never retried. ``metrics``: caller-supplied dict that receives
     per-stage wall seconds and attempt counts.
+
+    ``batch_id``: enables crash-safe RESUME. Each completed stage is
+    recorded in an atomically-written run ledger under
+    ``base_dir/_pipeline/<batch_id>.json``; re-running the same batch
+    after a mid-DAG failure skips the stages that already committed and
+    continues from the failure point (stage idempotency makes re-running
+    the failed stage itself safe). A fresh batch_id re-runs everything.
     """
     import time as _time
 
     from .operators.analytics import ExpectationError
+    done = set(_ledger_read(cfg, batch_id)) if batch_id is not None else set()
     for stage in STAGES:
         if stage is run_gold_mv and not cfg.maintain_mv:
+            continue
+        if stage.__name__ in done:
+            if metrics is not None:
+                metrics[stage.__name__] = {"seconds": 0.0, "attempts": 0,
+                                           "skipped": True}
             continue
         t0 = _time.time()
         for attempt in range(retries + 1):
@@ -262,6 +305,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
             except Exception:
                 if attempt == retries:
                     raise
+        if batch_id is not None:
+            _ledger_mark(cfg, batch_id, stage.__name__)
         if metrics is not None:
             metrics[stage.__name__] = {
                 "seconds": round(_time.time() - t0, 3),

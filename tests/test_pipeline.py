@@ -104,3 +104,49 @@ def test_pipeline_metrics_and_retry(spark, tmp_path):
     assert set(metrics) == {"run_bronze", "run_silver", "run_gold_dims",
                             "run_gold_fact", "run_gold_mv"}
     assert all(m["attempts"] == 1 and m["seconds"] >= 0 for m in metrics.values())
+
+
+def test_pipeline_resume_skips_completed_stages(spark, tmp_path):
+    """Crash-safe resume: with a batch_id, completed stages are recorded
+    in the run ledger and a rerun of the same batch skips them; a mid-DAG
+    crash resumes from the failure point."""
+    from tb_lakehouse_enhanced_spark import pipeline as P
+
+    cfg = PipelineConfig(sf_dir=SF_DIR, base_dir=str(tmp_path / "lake"))
+    # simulate a crash in gold_dims on the first run
+    real_gold_dims = P.run_gold_dims
+    calls: list[str] = []
+
+    def exploding_gold_dims(spark_, cfg_):
+        calls.append("boom")
+        raise RuntimeError("simulated crash")
+
+    stages = tuple(exploding_gold_dims if s is P.run_gold_dims else s
+                   for s in P.STAGES)
+    orig = P.STAGES
+    P.STAGES = stages
+    try:
+        with pytest.raises(RuntimeError):
+            run_pipeline(spark, cfg, batch_id="b1")
+    finally:
+        P.STAGES = orig
+    # bronze + silver committed and are in the ledger
+    assert P._ledger_read(cfg, "b1") == ["run_bronze", "run_silver"]
+
+    # resume the SAME batch: bronze/silver skip, the rest run
+    metrics: dict = {}
+    out = run_pipeline(spark, cfg, metrics=metrics, batch_id="b1")
+    assert metrics["run_bronze"].get("skipped") is True
+    assert metrics["run_silver"].get("skipped") is True
+    assert metrics["run_gold_dims"]["attempts"] == 1
+    assert out["gold.fact_sales"].count() > 0
+
+    # running the finished batch again is a full no-op
+    metrics2: dict = {}
+    run_pipeline(spark, cfg, metrics=metrics2, batch_id="b1")
+    assert all(v.get("skipped") for v in metrics2.values())
+
+    # a new batch id re-runs everything
+    metrics3: dict = {}
+    run_pipeline(spark, cfg, metrics=metrics3, batch_id="b2")
+    assert all(not v.get("skipped") for v in metrics3.values())
