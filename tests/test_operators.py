@@ -290,3 +290,25 @@ def test_dense_sequence_rank_invariant_to_width(spark):
         got = {r["k"]: r["_id"] for r in
                dense_sequence(df, ["k"], "_id", num_partitions=n).collect()}
         assert got == expect, f"width {n}"
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark):
+    """The guarantee split_leakage_safe exists for: every near-dup pair
+    lands entirely inside one split, because the split is hashed on the
+    pair's shared cluster id."""
+    from tb_lakehouse_enhanced_spark.plans.queries import SPARK_QUERIES
+    from tb_lakehouse_enhanced_spark.operators.dedup import minhash_lsh_pairs
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    splits = SPARK_QUERIES["split_leakage_safe"](spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, base_hash="md5")
+    a = splits.selectExpr("doc_id AS id_a", "split AS split_a")
+    b = splits.selectExpr("doc_id AS id_b", "split AS split_b")
+    straddling = (pairs.join(a, "id_a").join(b, "id_b")
+                  .filter(F.col("split_a") != F.col("split_b")))
+    assert straddling.count() == 0
+    # sanity: the pair graph is non-trivial and more than one split exists
+    assert pairs.count() > 0
+    assert splits.select("split").distinct().count() >= 2
