@@ -1223,6 +1223,28 @@ def asof_join_q(spark, sf_dir):
                      payload=("event_id", "value"), prefix="prior_")
 
 
+@q("asof_join_forward", """
+SELECT a.event_id, a.user_id, a.ts,
+       b.event_id AS next_event_id, b.value AS next_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts >= a.ts
+""")
+def asof_join_forward(spark, sf_dir):
+    """Forward as-of join: the EARLIEST purchase at or after each click
+    (operators/asof.py direction='forward') — the click-to-conversion
+    binding. Same one-shuffle union-sort plan as backward, with the
+    first-following window instead of last-preceding."""
+    from ..operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return asof_join(clicks, purchases, key="user_id",
+                     payload=("event_id", "value"), prefix="next_",
+                     direction="forward")
+
+
 @q("range_join", """
 WITH ranges AS (
   SELECT o_orderkey, o_orderdate AS start_ts,

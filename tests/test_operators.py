@@ -312,3 +312,39 @@ def test_leakage_safe_split_never_straddles_near_dup_pairs(spark):
     # sanity: the pair graph is non-trivial and more than one split exists
     assert pairs.count() > 0
     assert splits.select("split").distinct().count() >= 2
+
+
+def test_asof_join_directions(spark):
+    """backward / forward / nearest as-of semantics on a known fixture."""
+    from tb_lakehouse_enhanced_spark.operators.asof import asof_join
+
+    mk = lambda rows, cols: (spark.createDataFrame(rows, cols)
+                             .selectExpr(f"CAST({cols[0]} AS TIMESTAMP) ts",
+                                         *cols[1:]))
+    left = mk([("2024-01-01 10:00:00", 1, "L1"),
+               ("2024-01-01 12:00:00", 1, "L2"),
+               ("2024-01-01 09:00:00", 2, "L3")], ["s", "k", "tag"])
+    right = mk([("2024-01-01 09:30:00", 1, 100.0),   # before L1/L2
+                ("2024-01-01 11:00:00", 1, 200.0),   # between L1 and L2
+                ("2024-01-01 10:00:00", 2, 300.0)],  # after L3
+               ["s", "k", "v"])
+
+    def got(direction):
+        out = asof_join(left, right, key="k", payload=("v",),
+                        prefix="m_", direction=direction)
+        return {r["tag"]: r["m_v"] for r in out.collect()}
+
+    # backward: latest right <= left.ts
+    assert got("backward") == {"L1": 100.0, "L2": 200.0, "L3": None}
+    # forward: earliest right >= left.ts
+    assert got("forward") == {"L1": 200.0, "L2": None, "L3": 300.0}
+    # nearest: L1 is 30min from 100.0 and 60min from 200.0 -> 100.0;
+    # L2 is 60min from 200.0 (backward only); L3 only has a forward match
+    assert got("nearest") == {"L1": 100.0, "L2": 200.0, "L3": 300.0}
+
+    # equal-timestamp tie: inclusive on both directions, nearest -> backward
+    r_eq = mk([("2024-01-01 10:00:00", 1, 42.0)], ["s", "k", "v"])
+    for d, want in (("backward", 42.0), ("forward", 42.0), ("nearest", 42.0)):
+        out = asof_join(left.filter("tag = 'L1'"), r_eq, key="k",
+                        payload=("v",), prefix="m_", direction=d)
+        assert out.collect()[0]["m_v"] == want, d
