@@ -8,13 +8,17 @@ nearest in time under a direction rule:
 - ``nearest``: whichever of the two is closer (ties -> backward)
 
 Implemented as the union-sort trick rather than a range join: tag both
-sides, sort within key by (ts, side) and carry the adjacent right
-payload across with an unbounded ``last/first(ignorenulls)`` window —
-ONE shuffle on the key, no range explosion, no skewed inequality join
-(a range join re-scans right rows per left row; the union-sort is
-linear in |left|+|right|). ``nearest`` runs both directional windows
-over the SAME sorted partition, so it still costs one shuffle + one
-sort.
+sides, sort within key by (ts, side) and carry the adjacent right row
+across with an unbounded ``last/first(ignorenulls)`` window — ONE
+shuffle on the key, no range explosion, no skewed inequality join (a
+range join re-scans right rows per left row; the union-sort is linear
+in |left|+|right|). ``nearest`` runs both directional windows over the
+SAME sorted partition, so it still costs one shuffle + one sort.
+
+The right row travels as ONE struct, so every payload column comes from
+the same matched row (ASOF semantics: the nearest row's NULL payload
+stays NULL — per-column ignorenulls windows would instead skip back to
+an older non-null value, silently mixing rows).
 
 At 100 TB both sides arrive partitioned by key; the union preserves
 that, so the window sort is per-key and spill-safe.
@@ -50,10 +54,15 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     l = (left
          .withColumn("_ts", F.col(left_ts))
          .withColumn("_side", F.lit(1)))
+    # the matched row travels as one struct (its ts + payload): non-null
+    # exactly on right rows, so last/first(ignorenulls) binds the whole
+    # row atomically
     r = right.select(
         F.col(key), F.col(right_ts).alias("_ts"),
         F.lit(r_side).alias("_side"),
-        *[F.col(p).alias(o) for p, o in zip(payload, out_payload)])
+        F.struct(F.col(right_ts).alias("_m_ts"),
+                 *[F.col(p).alias(o) for p, o in zip(payload, out_payload)]
+                 ).alias("_m"))
     both = l.unionByName(r, allowMissingColumns=True)
 
     wb = (Window.partitionBy(key).orderBy("_ts", "_side")
@@ -62,23 +71,26 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
     if direction == "backward":
-        for o in out_payload:
-            both = both.withColumn(o, F.last(o, ignorenulls=True).over(wb))
+        both = both.withColumn("_m", F.last("_m", ignorenulls=True).over(wb))
     elif direction == "forward":
-        for o in out_payload:
-            both = both.withColumn(o, F.first(o, ignorenulls=True).over(wf))
-    else:  # nearest: both directions over the one sorted partition
-        m_ts = F.when(F.col("_side") == r_side, F.col("_ts"))
-        both = (both
-                .withColumn("_mb", F.last(m_ts, ignorenulls=True).over(wb))
-                .withColumn("_mf", F.first(m_ts, ignorenulls=True).over(wf)))
+        both = both.withColumn("_m", F.first("_m", ignorenulls=True).over(wf))
+    else:  # nearest: both directions over the one sorted partition.
+        # Distances compare in the ts column's NATIVE precision
+        # (integer micros for timestamps) — a double cast would round
+        # independently per value and could flip exact-distance ties.
+        ts_type = dict(both.dtypes)["_ts"]
+        lin = (F.unix_micros if ts_type.startswith("timestamp")
+               else lambda c: c)
+        mb = F.last("_m", ignorenulls=True).over(wb)
+        mf = F.first("_m", ignorenulls=True).over(wf)
+        both = both.withColumn("_mb", mb).withColumn("_mf", mf)
         use_fwd = (F.col("_mf").isNotNull()
                    & (F.col("_mb").isNull()
-                      | (F.col("_mf").cast("double") - F.col("_ts").cast("double")
-                         < F.col("_ts").cast("double") - F.col("_mb").cast("double"))))
-        for o in out_payload:
-            b_val = F.last(o, ignorenulls=True).over(wb)
-            f_val = F.first(o, ignorenulls=True).over(wf)
-            both = both.withColumn(o, F.when(use_fwd, f_val).otherwise(b_val))
-        both = both.drop("_mb", "_mf")
-    return both.filter(F.col("_side") == 1).select(*left.columns, *out_payload)
+                      | (lin(F.col("_mf._m_ts")) - lin(F.col("_ts"))
+                         < lin(F.col("_ts")) - lin(F.col("_mb._m_ts")))))
+        both = (both.withColumn("_m", F.when(use_fwd, F.col("_mf"))
+                                .otherwise(F.col("_mb")))
+                .drop("_mb", "_mf"))
+    return (both.filter(F.col("_side") == 1)
+            .select(*left.columns,
+                    *[F.col(f"_m.{o}").alias(o) for o in out_payload]))

@@ -70,6 +70,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             return root
 
         for a, b in rows:
+            if a is None or b is None:
+                continue  # the distributed equi-joins drop null vertices
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -78,8 +80,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                     ra, rb = rb, ra
                 parent[rb] = ra
         out = [(v, find(v)) for v in parent]
-        return spark.createDataFrame(out, schema=schema) if out else \
-            spark.createDataFrame([], schema=schema)
+        return spark.createDataFrame(out, schema=schema)
     n_part = max(1, min(spark.sparkContext.defaultParallelism,
                         n_edges // 50_000 + 1))
     sym = (edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))

@@ -234,6 +234,14 @@ STAGES = (run_bronze, run_silver, run_gold_dims, run_gold_fact, run_gold_mv)
 
 def _ledger_file(cfg: PipelineConfig, batch_id: str) -> str:
     import os
+    import re
+    # fail BEFORE any stage runs: a separator or traversal in the id
+    # would otherwise surface only at the first _ledger_mark (after the
+    # stage's work is already paid for) or write outside base_dir
+    if not re.fullmatch(r"[A-Za-z0-9._=-]+", batch_id):
+        raise ValueError(
+            f"batch_id {batch_id!r} must match [A-Za-z0-9._=-]+ "
+            "(no path separators)")
     d = f"{cfg.base_dir}/_pipeline"
     os.makedirs(d, exist_ok=True)
     return f"{d}/{batch_id}.json"

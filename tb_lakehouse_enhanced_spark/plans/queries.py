@@ -66,11 +66,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # here instead of surfacing as a silent 1000x offset downstream.
         import glob as _glob
 
+        import pyarrow as _pa
         import pyarrow.parquet as _pq
         path = f"{sf_dir}/events.parquet"
         part = sorted(_glob.glob(f"{path}/*.parquet")) or [path]
         logical = _pq.read_schema(part[0]).field("ts").type
-        if str(logical) != "timestamp[ns]":
+        # type-API check, not string equality: a tz-adjusted
+        # TIMESTAMP(NANOS) stringifies as "timestamp[ns, tz=UTC]" but is
+        # equally valid nanos input
+        if not (_pa.types.is_timestamp(logical) and logical.unit == "ns"):
             raise ValueError(
                 f"events.ts read as int64 but parquet logical type is "
                 f"{logical}, not TIMESTAMP(NANOS) — refusing to guess the "
@@ -2875,13 +2879,16 @@ def tokenizer_oov(spark, sf_dir):
     """Vocabulary-coverage profiling: per-document out-of-vocabulary
     rate against the corpus top-1000 vocabulary (deterministic tie-break
     on the word). The vocab relation is tiny and broadcast; the exploded
-    token stream joins it map-side, so the only shuffle is the per-doc
-    re-aggregation — the coverage signal a tokenizer-training pipeline
-    gates on before fitting BPE merges."""
+    token stream joins it map-side, so beyond the vocab build's own
+    word-count shuffle the only exchange is the per-doc re-aggregation —
+    the coverage signal a tokenizer-training pipeline gates on before
+    fitting BPE merges. The token stream feeds both the vocab build and
+    the probe join, so it is persisted rather than re-scanned."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"))
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    ).persist()
     vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
              .orderBy(F.desc("freq"), F.asc("w")).limit(1000)
              .select("w", F.lit(1).alias("_in_vocab")))

@@ -294,6 +294,11 @@ class ManagedTable:
             raise FileExistsError(f"{dest_path} is already a managed table")
         src_dir = self._version_dir(src_v)
         dst_dir = os.path.join(dst.path, "v0")
+        # a crashed earlier clone leaves a partial v0 with no commit
+        # (dst.exists() is False): clear it so the retry re-links cleanly
+        # instead of tripping over its own leftover hardlinks
+        if os.path.isdir(dst_dir):
+            shutil.rmtree(dst_dir)
         for root, _dirs, fns in os.walk(src_dir):
             rel = os.path.relpath(root, src_dir)
             out = dst_dir if rel == "." else os.path.join(dst_dir, rel)

@@ -348,3 +348,25 @@ def test_asof_join_directions(spark):
         out = asof_join(left.filter("tag = 'L1'"), r_eq, key="k",
                         payload=("v",), prefix="m_", direction=d)
         assert out.collect()[0]["m_v"] == want, d
+
+
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """ASOF semantics: the matched row's NULL payload stays NULL — the
+    join must not skip back to an older non-null value (all payload
+    columns bind atomically to one matched row)."""
+    from tb_lakehouse_enhanced_spark.operators.asof import asof_join
+
+    mk = lambda rows, cols: (spark.createDataFrame(rows, cols)
+                             .selectExpr(f"CAST({cols[0]} AS TIMESTAMP) ts",
+                                         *cols[1:]))
+    left = mk([("2024-01-01 10:00:00", 1, "L1")], ["s", "k", "tag"])
+    right = (spark.createDataFrame(
+        [("2024-01-01 08:00:00", 1, 5.0, "old"),
+         ("2024-01-01 09:00:00", 1, None, "new")],
+        "s string, k long, v double, label string")
+        .selectExpr("CAST(s AS TIMESTAMP) ts", "k", "v", "label"))
+    [row] = asof_join(left, right, key="k", payload=("v", "label"),
+                      prefix="m_").collect()
+    # the matched row is the 09:00 one: its v is NULL and must stay NULL
+    assert row["m_label"] == "new"
+    assert row["m_v"] is None

@@ -149,22 +149,40 @@ def test_interval_stream_join_left_outer(spark, tmp_base):
     mk(rows_r).repartition(1).write.parquet(f"{src}/right")
     schema = mk(rows_l).schema
 
-    ls = (spark.readStream.schema(schema).parquet(f"{src}/left")
-          .select("ts", "user_id"))
-    rs = (spark.readStream.schema(schema).parquet(f"{src}/right")
-          .selectExpr("ts AS view_ts", "user_id"))
-    j = interval_stream_join(ls, rs, left_ts="ts", right_ts="view_ts",
-                             key="user_id", tolerance="30 minutes",
-                             how="left_outer").select("l.user_id", "view_ts")
-    # multiple micro-batches so the watermark advances past the
-    # unmatched left row and the outer NULL row can be emitted
-    q = (j.writeStream.format("memory").queryName("ssj_lo_test")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    got = {(r["user_id"], r["view_ts"] and str(r["view_ts"]))
-           for r in spark.sql("SELECT * FROM ssj_lo_test").collect()}
+    def run(_tag):
+        ls = (spark.readStream.schema(schema).parquet(f"{src}/left")
+              .select("ts", "user_id"))
+        rs = (spark.readStream.schema(schema).parquet(f"{src}/right")
+              .selectExpr("ts AS view_ts", "user_id"))
+        j = interval_stream_join(ls, rs, left_ts="ts", right_ts="view_ts",
+                                 key="user_id", tolerance="30 minutes",
+                                 how="left_outer").select("l.user_id",
+                                                          "view_ts")
+        # file sink (not memory): it supports restarting from the same
+        # checkpoint, which the second run below depends on
+        q = (j.writeStream.format("parquet")
+             .option("path", f"{src}/out")
+             .option("checkpointLocation", f"{src}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["user_id"], r["view_ts"] and str(r["view_ts"]))
+                for r in spark.read.parquet(f"{src}/out").collect()}
+
+    got = run("run1")
     assert (1, "2024-01-01 00:10:00") in got
     assert (2, "2024-01-01 02:05:00") in got
+    # the unmatched click's NULL row emits once the GLOBAL watermark
+    # (min of both sides) passes left.ts + tolerance AND a later batch
+    # runs the eviction: append late data to BOTH sides and restart on
+    # the same checkpoint twice — this is the watermark-delayed emission
+    # the outer mode exists for
+    for hour in ("12", "13"):
+        mk([(f"2024-01-01 {hour}:00:00", 9, "click")]).repartition(1) \
+            .write.mode("append").parquet(f"{src}/left")
+        mk([(f"2024-01-01 {hour}:00:00", 9, "view")]).repartition(1) \
+            .write.mode("append").parquet(f"{src}/right")
+    got2 = run("run2")
+    assert (3, None) in got2
     # batch mode emits the unmatched row immediately — same join, no wait
     lb = mk(rows_l).select("ts", "user_id")
     rb = mk(rows_r).selectExpr("ts AS view_ts", "user_id")
