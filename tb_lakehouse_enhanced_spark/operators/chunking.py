@@ -74,3 +74,43 @@ def pack_sequences(docs: DataFrame, target_tokens: int = 2048,
         id_col, "n_tokens", "start_offset",
         F.floor(F.col("start_offset") / F.lit(target_tokens))
         .cast("bigint").alias("seq_id"))
+
+
+def register_sentence_udtf(spark, name: str = "split_sentences"):
+    """Register the sentence-splitting Python UDTF (SQL: ``..., LATERAL
+    split_sentences(text) s``) and return the class.
+
+    This is the engine's documented UDTF EXTENSION POINT, not its
+    default path: a plain sentence split is expressible with
+    split+posexplode (JVM-side, preferred — see
+    ``sentence_split_builtin``). The UDTF slot exists for per-row
+    expansion logic built-ins genuinely can't express — a stateful BPE
+    tokenizer, a document-structure parser — and this reference
+    implementation pins the row-expansion contract (ordered 0-based
+    sent_no, trimmed non-empty sentences) that such plugins must keep.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            parts = (p.strip() for p in text.split("."))
+            for i, s in enumerate(p for p in parts if p):
+                yield i, s
+
+    spark.udtf.register(name, SplitSentences)
+    return SplitSentences
+
+
+def sentence_split_builtin(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The built-in equivalent of the sentence UDTF: split + filter +
+    posexplode, fully inside codegen — the shape to use unless the
+    expansion logic is genuinely not expressible."""
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), r"\."), lambda p: F.trim(p)),
+        lambda p: p != "")
+    return (docs.select(F.col(id_col),
+                        F.posexplode(parts).alias("sent_no", "sentence")))

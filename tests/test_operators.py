@@ -370,3 +370,24 @@ def test_asof_join_null_payload_comes_from_matched_row(spark):
     # the matched row is the 09:00 one: its v is NULL and must stay NULL
     assert row["m_label"] == "new"
     assert row["m_v"] is None
+
+
+def test_sentence_udtf_matches_builtin_path(spark):
+    """The UDTF extension point and the preferred built-in
+    split+posexplode path implement the same row-expansion contract."""
+    from tb_lakehouse_enhanced_spark.operators.chunking import (
+        register_sentence_udtf, sentence_split_builtin,
+    )
+
+    register_sentence_udtf(spark)
+    docs = spark.createDataFrame(
+        [(1, "Hello there. Bye now."), (2, "One."), (3, "  "), (4, None)],
+        "doc_id long, text string")
+    docs.createOrReplaceTempView("_udtf_docs")
+    via_udtf = {(r["doc_id"], r["sent_no"], r["sentence"]) for r in spark.sql(
+        "SELECT d.doc_id, s.* FROM _udtf_docs d, "
+        "LATERAL split_sentences(d.text) s").collect()}
+    via_builtin = {(r["doc_id"], r["sent_no"], r["sentence"])
+                   for r in sentence_split_builtin(docs).collect()}
+    assert via_udtf == via_builtin == {
+        (1, 0, "Hello there"), (1, 1, "Bye now"), (2, 0, "One")}
