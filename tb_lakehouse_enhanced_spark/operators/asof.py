@@ -94,3 +94,35 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     return (both.filter(F.col("_side") == 1)
             .select(*left.columns,
                     *[F.col(f"_m.{o}").alias(o) for o in out_payload]))
+
+
+def temporal_lookup(probe: DataFrame, history: DataFrame, key: str,
+                    probe_ts: str,
+                    payload: tuple[str, ...] = (),
+                    valid_from: str = "_tf_valid_from",
+                    valid_to: str = "_tf_valid_to",
+                    prefix: str = "ver_") -> DataFrame:
+    """SCD2 temporal join: for each probe row, the dimension version
+    valid AT its timestamp (``valid_from <= ts < valid_to``, open
+    ``valid_to`` = still current) — the query the SCD2 history exists to
+    answer, e.g. "the customer's segment when the order was placed".
+
+    Versions of one key are non-overlapping, so the covering version is
+    exactly the as-of (backward) match on ``valid_from`` — ONE shuffle
+    via the union-sort join, no interval range join. A probe falling in
+    a validity gap (key deleted at that time) gets NULLs, same as an
+    unmatched interval join. Payload columns come out as
+    ``{prefix}{col}``; both sides must share the ``key`` column name
+    (rename upstream for role-playing dims, reference 34:61-65).
+    """
+    vt = f"{prefix}{valid_to}"
+    j = asof_join(probe, history, key=key, left_ts=probe_ts,
+                  right_ts=valid_from, payload=(*payload, valid_to),
+                  prefix=prefix, direction="backward")
+    # the as-of match is the latest version STARTED at or before ts;
+    # it only covers ts if it had not ended yet
+    alive = F.col(vt).isNull() | (F.col(probe_ts) < F.col(vt))
+    out_cols = [f"{prefix}{p}" for p in payload]
+    for o in out_cols:
+        j = j.withColumn(o, F.when(alive, F.col(o)))
+    return j.drop(vt)

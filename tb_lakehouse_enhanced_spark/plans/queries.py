@@ -633,6 +633,44 @@ def scd2_merge_state(spark, sf_dir):
     return scd.scd2_state(spark, sf_dir)
 
 
+@q("scd2_temporal_lookup", scd.SCD2_ORACLE_BASE + f"""
+, probe AS (
+  SELECT DISTINCT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 2 = 0 THEN TIMESTAMP '{scd.T0}'
+              ELSE TIMESTAMP '{scd.T1}' END AS at_ts
+  FROM lineitem WHERE l_orderkey % 100 IN (0, 3)
+)
+SELECT p.l_orderkey, p.l_linenumber, p.at_ts,
+       f.o_totalprice AS ver_o_totalprice,
+       f._tf_valid_from AS ver_valid_from
+FROM probe p LEFT JOIN final f ON f.o_orderkey = p.l_orderkey
+  AND f._tf_valid_from <= p.at_ts
+  AND (f._tf_valid_to IS NULL OR p.at_ts < f._tf_valid_to)
+""")
+def scd2_temporal_lookup(spark, sf_dir):
+    """Temporal dimension join over the SCD2 history: each probe row
+    picks the version valid AT its timestamp (operators/asof.py::
+    temporal_lookup — as-of on valid_from + liveness check, one shuffle,
+    no interval range join). Probes alternate between the two load
+    times, so both versions AND the deleted-at-T1 validity gap are
+    exercised; the oracle is the literal interval LEFT JOIN."""
+    from ..operators.asof import temporal_lookup
+    hist = scd.scd2_state(spark, sf_dir).withColumnRenamed(
+        "o_orderkey", "l_orderkey")
+    probe = (_t(spark, sf_dir, "lineitem")
+             .filter((F.col("l_orderkey") % 100).isin(0, 3))
+             .select("l_orderkey", "l_linenumber").distinct()
+             .withColumn("at_ts",
+                         F.when(F.col("l_linenumber") % 2 == 0,
+                                F.lit(scd.T0)).otherwise(F.lit(scd.T1))
+                         .cast("timestamp")))
+    out = temporal_lookup(probe, hist, key="l_orderkey", probe_ts="at_ts",
+                          payload=("o_totalprice", "_tf_valid_from"))
+    return out.select("l_orderkey", "l_linenumber", "at_ts",
+                      F.col("ver_o_totalprice"),
+                      F.col("ver__tf_valid_from").alias("ver_valid_from"))
+
+
 @q("scd2_close", scd.SCD2_ORACLE_BASE
    + "SELECT * FROM final WHERE _tf_valid_to IS NOT NULL")
 def scd2_close(spark, sf_dir):
