@@ -391,3 +391,53 @@ def test_sentence_udtf_matches_builtin_path(spark):
                    for r in sentence_split_builtin(docs).collect()}
     assert via_udtf == via_builtin == {
         (1, 0, "Hello there"), (1, 1, "Bye now"), (2, 0, "One")}
+
+
+def test_asof_join_randomized_against_bruteforce(spark):
+    """All three as-of directions checked against a per-row brute-force
+    reference on a seeded random fixture (many keys, duplicate
+    timestamps, sparse right side)."""
+    import random
+
+    from tb_lakehouse_enhanced_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    left_rows = [(k, t, i) for i, (k, t) in enumerate(
+        (rng.randint(1, 5), rng.randint(0, 30)) for _ in range(80))]
+    right_rows = [(k, t, float(v)) for k, t, v in
+                  ((rng.randint(1, 5), rng.randint(0, 30), rng.randint(1, 99))
+                   for _ in range(40))]
+    # dedupe right on (k, ts): equal-ts duplicates make the matched row
+    # ambiguous in ANY asof implementation (engine picks one arbitrarily)
+    seen = set()
+    right_rows = [r for r in right_rows
+                  if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+
+    left = spark.createDataFrame(left_rows, "k long, ts long, rowid long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, v double")
+
+    def brute(direction):
+        out = {}
+        for k, t, rid in left_rows:
+            cands = [(rt, v) for rk, rt, v in right_rows if rk == k]
+            back = max((c for c in cands if c[0] <= t), default=None)
+            fwd = min((c for c in cands if c[0] >= t), default=None)
+            if direction == "backward":
+                pick = back
+            elif direction == "forward":
+                pick = fwd
+            else:
+                if back is None:
+                    pick = fwd
+                elif fwd is None:
+                    pick = back
+                else:
+                    pick = fwd if (fwd[0] - t) < (t - back[0]) else back
+            out[rid] = pick[1] if pick else None
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {r["rowid"]: r["m_v"] for r in
+               asof_join(left, right, key="k", payload=("v",), prefix="m_",
+                         direction=direction).collect()}
+        assert got == brute(direction), direction
