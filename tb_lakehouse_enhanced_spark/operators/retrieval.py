@@ -1,0 +1,142 @@
+"""Ranked keyword retrieval (BM25) over the document corpus.
+
+The missing piece between dedup/quality filtering and curation: given a
+small set of probe terms, score every document with Okapi BM25 and
+return the top-k — the standard lexical-retrieval primitive for corpus
+exploration, targeted curation ("find me the docs about X to
+upsample"), and benchmark-contamination triage.
+
+Shape (100 TB discipline):
+
+- Per-term tf is a higher-order ``filter`` over the token array —
+  whole-stage-codegen JVM expressions on the scan, no explode, no
+  shuffle, no UDF. The probe set is small by contract (a user query),
+  so tf columns are one expression per term.
+- Corpus stats (N, Σdl, per-term df) are ONE scalar aggregate (map-side
+  combined) broadcast back via crossJoin — two scans total, nothing
+  wide. At a fixed corpus the stats sub-plan is a natural candidate for
+  a materialized one-row table; the operator keeps it lazy so the whole
+  thing stays a single Catalyst plan.
+- Docs matching no term are filtered out BEFORE ranking, so the top-k
+  (TakeOrdered: per-partition heap + driver merge of p*k rows) sees
+  only the posting-list union, not the corpus.
+- For large probe sets this flips into the inverted-index formulation
+  (explode tokens -> (term, doc) postings join); the small-probe API
+  here is the interactive shape.
+
+Float policy (see ARCHITECTURE.md correctness gate): scores are double
+and never emitted — only (doc_id, rank). Two same-length docs whose tf
+mass is swapped between equal-df terms have MATHEMATICALLY equal scores
+that the left-assoc sum computes in different addition order (1-2 ulp
+apart), and ``ln`` itself is not correctly rounded (libm vs JVM may
+differ by 1 ulp on the idf constants) — so raw-double ordering is not
+engine-stable. Ranking therefore uses the micro-quantized score
+``floor(score * 1e6)`` with doc_id tie-break: quantization collapses
+ulp-noise ties into the same bucket in both engines (multiply and
+floor are exactly-rounded IEEE ops), while genuinely different (tf, dl)
+inputs land in different buckets. A boundary flip would need a true
+score within ~1 ulp of a 1e-6 grid line (~1e-9 per doc) — far below
+the flake budget the cosine/top-k family already carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 50,
+              k1: float = K1, b: float = B,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Okapi BM25 top-k: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Returns (doc_id, rank), rank 1..k by score desc, doc_id asc.
+    """
+    if not terms:
+        raise ValueError("need at least one probe term")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    base = base.withColumn("_dl", F.size("_toks").cast("double"))
+    def _eq(term):
+        # unary closure: F.filter treats a 2-arg callable as (value, index)
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(terms):
+        base = base.withColumn(
+            f"_tf{i}",
+            F.size(F.filter(F.col("_toks"), _eq(t))).cast("double"))
+    base = base.drop("_toks")
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("double")
+          .alias(f"_df{i}") for i in range(len(terms))])
+
+    hit = None
+    for i in range(len(terms)):
+        c = F.col(f"_tf{i}") > 0
+        hit = c if hit is None else (hit | c)
+    scored = base.filter(hit).crossJoin(F.broadcast(stats))
+
+    avgdl = F.col("_sumdl") / F.col("_n")
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("_n") - df + F.lit(0.5))
+                    / (df + F.lit(0.5)))
+        term = (idf * tf * F.lit(k1 + 1.0)
+                / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                     + F.lit(b) * F.col("_dl") / avgdl)))
+        score = term if score is None else (score + term)
+
+    bucket = F.floor(score * F.lit(1e6)).cast("bigint")
+    topk = (scored.select(F.col(id_col), bucket.alias("_score"))
+            .orderBy(F.desc("_score"), F.asc(id_col)).limit(k))
+    # rank the <=k survivors (tiny relation; single-task window is fine)
+    w = Window.orderBy(F.desc("_score"), F.asc(id_col))
+    return (topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select(id_col, "rank"))
+
+
+def bm25_oracle_sql(terms: list[str], k: int = 50,
+                    k1: float = K1, b: float = B) -> str:
+    """DuckDB mirror of ``bm25_topk`` over the ``documents`` view —
+    expression-for-expression the same double math (shared float
+    literals via repr so both engines parse identical constants)."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms)))
+    hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    score = "\n       + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0!r}"
+        f" / (tf{i} + {k1!r} * (1.0 - {b!r} + {b!r} * dl / (sumdl / n)))"
+        for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), tf AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         {tf_cols}
+  FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+         {df_cols}
+  FROM tf
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(({score}) * 1000000.0) AS BIGINT)
+         AS score
+  FROM tf, stats
+  WHERE {hit}
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""

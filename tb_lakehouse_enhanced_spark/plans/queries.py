@@ -2939,6 +2939,24 @@ def tokenizer_oov(spark, sf_dir):
                         / F.col("n_tokens").cast("double")))
 
 
+_BM25_TERMS = ["customer", "window", "merge", "slow"]
+
+from ..operators.retrieval import bm25_oracle_sql as _bm25_sql  # noqa: E402
+
+
+@q("search_bm25", _bm25_sql(_BM25_TERMS, k=50))
+def search_bm25(spark, sf_dir):
+    """Ranked keyword retrieval: Okapi BM25 top-50 for a 4-term probe
+    over the corpus (operators/retrieval.py). Per-term tf is a
+    higher-order array filter in codegen on the scan (no explode, no
+    UDF); corpus stats are one scalar aggregate broadcast back; only
+    posting-list hits reach the TakeOrdered top-k. Ranks are computed
+    on the micro-quantized score so they are engine-stable (see the
+    operator's float-policy note)."""
+    from ..operators.retrieval import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

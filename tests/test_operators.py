@@ -441,3 +441,27 @@ def test_asof_join_randomized_against_bruteforce(spark):
                asof_join(left, right, key="k", payload=("v",), prefix="m_",
                          direction=direction).collect()}
         assert got == brute(direction), direction
+
+
+def test_bm25_topk_ranking(spark):
+    from tb_lakehouse_enhanced_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark engine"),          # tf=3, short
+         (2, "spark engine for big data"),         # tf=1, short
+         (3, "engine only no probe term here"),    # no hit -> excluded
+         (4, "spark " + "filler " * 40)],          # tf=1 but long -> below d2
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["rank"]
+           for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    assert got == {1: 1, 2: 2, 4: 3}
+
+    # multi-term: matching both probe terms beats matching one at equal tf/dl
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha alpha gamma delta"),
+         (3, "gamma delta zeta eta")],
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r["rank"]
+            for r in bm25_topk(docs2, ["alpha", "beta"], k=10).collect()}
+    assert got2[1] == 1 and 3 not in got2
