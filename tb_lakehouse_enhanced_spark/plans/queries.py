@@ -2957,6 +2957,69 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
 
 
+# Recursive-hierarchy parity (operators/hierarchy.py): a synthetic
+# forest over documents — doc_id < 10 are roots, every other node's
+# parent is doc_id DIV 7 (chains strictly decrease, so the forest is
+# well-founded at any corpus size).
+_HIER_NODES_SQL = """
+  SELECT doc_id AS id,
+         CASE WHEN doc_id < 10 THEN NULL ELSE doc_id // 7 END AS parent_id,
+         n_chars
+  FROM documents
+"""
+
+
+def _hier_nodes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") < 10, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("doc_id DIV 7")).alias("parent_id"),
+        "n_chars")
+
+
+@q("hierarchy_flatten", f"""
+WITH RECURSIVE nodes AS ({_HIER_NODES_SQL}),
+walk AS (
+  SELECT id, id AS root_id, CAST(0 AS BIGINT) AS depth
+  FROM nodes WHERE parent_id IS NULL
+  UNION ALL
+  SELECT n.id, w.root_id, w.depth + 1
+  FROM nodes n JOIN walk w ON n.parent_id = w.id
+)
+SELECT id, root_id, depth FROM walk
+""")
+def hierarchy_flatten(spark, sf_dir):
+    """Recursive-CTE parity: flatten a parent-child forest to
+    (node, root, depth) by pointer doubling — O(log depth) self-joins,
+    each one shuffle, vs the oracle's WITH RECURSIVE walk."""
+    from ..operators.hierarchy import flatten_hierarchy
+    return flatten_hierarchy(_hier_nodes(spark, sf_dir).drop("n_chars"))
+
+
+@q("hierarchy_rollup", f"""
+WITH RECURSIVE nodes AS ({_HIER_NODES_SQL}),
+walk AS (
+  SELECT id, id AS root_id, CAST(0 AS BIGINT) AS depth
+  FROM nodes WHERE parent_id IS NULL
+  UNION ALL
+  SELECT n.id, w.root_id, w.depth + 1
+  FROM nodes n JOIN walk w ON n.parent_id = w.id
+)
+SELECT w.root_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MAX(w.depth) AS max_depth,
+       CAST(SUM(n.n_chars) AS BIGINT) AS sum_chars
+FROM walk w JOIN nodes n ON w.id = n.id
+GROUP BY w.root_id
+""")
+def hierarchy_rollup(spark, sf_dir):
+    """Subtree aggregation (the BOM-explosion shape): flatten the
+    forest once, then one grouped agg over each root's descendants."""
+    from ..operators.hierarchy import subtree_rollup
+    return subtree_rollup(_hier_nodes(spark, sf_dir),
+                          {"sum_chars": "n_chars"})
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

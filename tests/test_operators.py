@@ -465,3 +465,36 @@ def test_bm25_topk_ranking(spark):
     got2 = {r["doc_id"]: r["rank"]
             for r in bm25_topk(docs2, ["alpha", "beta"], k=10).collect()}
     assert got2[1] == 1 and 3 not in got2
+
+
+def test_flatten_hierarchy_chain_and_forest(spark):
+    from tb_lakehouse_enhanced_spark.operators.hierarchy import (
+        flatten_hierarchy, subtree_rollup,
+    )
+
+    # two roots: a 12-deep chain under 0, a star under 100
+    rows = [(0, None), (100, None)]
+    rows += [(i, i - 1) for i in range(1, 13)]          # chain 0<-1<-...<-12
+    rows += [(100 + i, 100) for i in range(1, 4)]       # star leaves
+    nodes = spark.createDataFrame(rows, "id long, parent_id long")
+
+    got = {r["id"]: (r["root_id"], r["depth"])
+           for r in flatten_hierarchy(nodes).collect()}
+    assert got[0] == (0, 0) and got[12] == (0, 12) and got[5] == (0, 5)
+    assert got[100] == (100, 0) and got[103] == (100, 1)
+    assert len(got) == len(rows)
+
+    roll = {r["root_id"]: (r["n_nodes"], r["max_depth"]) for r in
+            subtree_rollup(nodes.withColumn("w", F.lit(1)), {"s": "w"})
+            .collect()}
+    assert roll[0] == (13, 12) and roll[100] == (4, 1)
+
+
+def test_flatten_hierarchy_cycle_raises(spark):
+    from tb_lakehouse_enhanced_spark.operators.hierarchy import flatten_hierarchy
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None)], "id long, parent_id long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unresolved"):
+        flatten_hierarchy(cyc, max_iterations=5)
