@@ -354,3 +354,45 @@ def fuzzy_match(dirty: DataFrame, master: DataFrame, dirty_key: str,
     return (dirty.select(F.col(dirty_key).alias("dirty_key"))
             .join(best, "dirty_key", "left")
             .orderBy("dirty_key"))
+
+
+# ------------------------------------------------- time-weighted avg --------
+
+def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      tie_col: str = "event_id") -> DataFrame:
+    """Per-key time-weighted average of an irregularly-sampled measure
+    (each observation holds until the key's next event — the step
+    interpolation TWAP/billing/telemetry pipelines define).
+
+    Exact integer arithmetic end-to-end: the 2-decimal measure becomes
+    cents (long), durations are integer microseconds, per-row products
+    stay in 64-bit codegen, and the per-key accumulation is
+    DECIMAL(38,0) so no span/scale can overflow it. The emitted average
+    is integer milli-units: ``(10 * Σ cents·dur) DIV Σ dur`` — floor
+    division of non-negative exact integers, bit-identical in any
+    engine (no float, no decimal-division scale rules).
+
+    One shuffle total: the lead window partitions by key and the
+    grouped agg reuses the same hash partitioning (exchange reuse).
+    Keys with no positive-duration interval (single event, or all
+    timestamps tied) are dropped. Returns
+    (key, n_intervals, total_dur_us, twap_milli).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    stepped = (events.select(
+        F.col(key_col), F.col(ts_col), F.col(tie_col),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+        us.alias("_us"))
+        .withColumn("_dur", F.lead("_us").over(w) - F.col("_us"))
+        .filter(F.col("_dur").isNotNull()))
+    return (stepped.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("_dur").alias("total_dur_us"),
+                 F.sum((F.col("_cents") * F.col("_dur"))
+                       .cast("decimal(38,0)")).alias("_ws"))
+            .filter(F.col("total_dur_us") > 0)
+            .select(key_col, "n_intervals", "total_dur_us",
+                    F.expr("CAST((_ws * 10) DIV total_dur_us AS BIGINT)")
+                    .alias("twap_milli")))

@@ -3020,6 +3020,31 @@ def hierarchy_rollup(spark, sf_dir):
                           {"sum_chars": "n_chars"})
 
 
+@q("time_weighted_avg", """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), d AS (
+  SELECT user_id, cents,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+  FROM e
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+       CAST((SUM(cents * dur) * 10) // SUM(dur) AS BIGINT) AS twap_milli
+FROM d WHERE dur IS NOT NULL
+GROUP BY user_id HAVING SUM(dur) > 0
+""")
+def time_weighted_avg_q(spark, sf_dir):
+    """Step-interpolated time-weighted average of the event measure per
+    user (operators/analytics.py::time_weighted_avg) — exact integer
+    cents x microsecond arithmetic, one shuffle (the lead window and the
+    grouped agg share the user_id partitioning)."""
+    from ..operators.analytics import time_weighted_avg
+    return time_weighted_avg(_events(spark, sf_dir))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

@@ -185,3 +185,24 @@ def test_profile_approx_distinct_mode(spark):
            profile_table(df, exact_distinct=False).collect()}
     assert abs(got["k"]["n_distinct"] - 50) <= 5   # HLL++ approximation
     assert got["s"]["n_distinct"] == 1
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from datetime import datetime
+    from tb_lakehouse_enhanced_spark.operators.analytics import time_weighted_avg
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: 10.00 held 2s, 20.00 held 6s -> twap = (10*2+20*6)/8 = 17.5
+        (1, 1, t(0), 10.00), (2, 1, t(2), 20.00), (3, 1, t(8), 99.0),
+        # user 2: single event -> dropped
+        (4, 2, t(0), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r for r in time_weighted_avg(df).collect()}
+    assert 2 not in got
+    r1 = got[1]
+    assert r1["n_intervals"] == 2
+    assert r1["total_dur_us"] == 8_000_000
+    assert r1["twap_milli"] == 17_500
