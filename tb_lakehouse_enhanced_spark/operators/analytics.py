@@ -396,3 +396,50 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
             .select(key_col, "n_intervals", "total_dur_us",
                     F.expr("CAST((_ws * 10) DIV total_dur_us AS BIGINT)")
                     .alias("twap_milli")))
+
+
+# ------------------------------------------------ co-occurrence lift --------
+
+def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
+                      item_col: str = "event_type") -> DataFrame:
+    """Market-basket association: for every unordered item pair, how
+    much more often the two items share a key's basket than
+    independence predicts (lift), plus support and a→b confidence.
+
+    Shapes: baskets = DISTINCT (key, item) — one shuffle; the pair
+    build self-joins baskets on the key (co-partitioned, item_a <
+    item_b canonical orientation) and aggregates on the pair; per-item
+    counts are a tiny side aggregate broadcast back. All ratios are
+    emitted as exact integer milli-units via floor division —
+    numerators go through DECIMAL(38,0) so |keys| x |pairs| can't
+    overflow 64 bits at any scale.
+    """
+    baskets = (events.select(F.col(key_col).alias("k"),
+                             F.col(item_col).alias("item"))
+               .distinct().persist())
+    n_keys = baskets.select("k").distinct().count()
+
+    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(F.col("k"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("k").alias("k2"), F.col("item").alias("item_b"))
+    pair_counts = (a.join(b, (a["k"] == b["k2"])
+                          & (F.col("item_a") < F.col("item_b")))
+                   .groupBy("item_a", "item_b")
+                   .agg(F.count(F.lit(1)).alias("n_both")))
+
+    ia = item_counts.select(F.col("item").alias("item_a"),
+                            F.col("cnt").alias("n_a"))
+    ib = item_counts.select(F.col("item").alias("item_b"),
+                            F.col("cnt").alias("n_b"))
+    return (pair_counts
+            .join(F.broadcast(ia), "item_a").join(F.broadcast(ib), "item_b")
+            .withColumn("_n", F.lit(n_keys).cast("long"))
+            .select(
+                "item_a", "item_b", "n_both", "n_a", "n_b",
+                F.expr("CAST((n_both * 1000) DIV _n AS BIGINT)")
+                .alias("support_milli"),
+                F.expr("CAST((n_both * 1000) DIV n_a AS BIGINT)")
+                .alias("confidence_milli"),
+                F.expr("CAST((CAST(n_both AS DECIMAL(38,0)) * _n * 1000)"
+                       " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+                .alias("lift_milli")))

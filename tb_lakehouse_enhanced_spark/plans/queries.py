@@ -3045,6 +3045,34 @@ def time_weighted_avg_q(spark, sf_dir):
     return time_weighted_avg(_events(spark, sf_dir))
 
 
+@q("assoc_lift", """
+WITH b AS (SELECT DISTINCT user_id AS k, event_type AS item FROM events),
+n AS (SELECT COUNT(DISTINCT k) AS n_keys FROM b),
+ic AS (SELECT item, COUNT(*) AS cnt FROM b GROUP BY item),
+pc AS (
+  SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS n_both
+  FROM b a JOIN b b2 ON a.k = b2.k AND a.item < b2.item
+  GROUP BY 1, 2
+)
+SELECT pc.item_a, pc.item_b, CAST(pc.n_both AS BIGINT) AS n_both,
+       CAST(ia.cnt AS BIGINT) AS n_a, CAST(ib.cnt AS BIGINT) AS n_b,
+       CAST((pc.n_both * 1000) // n.n_keys AS BIGINT) AS support_milli,
+       CAST((pc.n_both * 1000) // ia.cnt AS BIGINT) AS confidence_milli,
+       CAST((CAST(pc.n_both AS HUGEINT) * n.n_keys * 1000)
+            // (CAST(ia.cnt AS HUGEINT) * ib.cnt) AS BIGINT) AS lift_milli
+FROM pc
+CROSS JOIN n
+JOIN ic ia ON pc.item_a = ia.item
+JOIN ic ib ON pc.item_b = ib.item
+""")
+def assoc_lift_q(spark, sf_dir):
+    """Market-basket co-occurrence over per-user event-type baskets
+    (operators/analytics.py::cooccurrence_lift): support / confidence /
+    lift as exact integer milli-ratios."""
+    from ..operators.analytics import cooccurrence_lift
+    return cooccurrence_lift(_events(spark, sf_dir))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

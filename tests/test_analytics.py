@@ -206,3 +206,22 @@ def test_time_weighted_avg_hand_case(spark):
     assert r1["n_intervals"] == 2
     assert r1["total_dur_us"] == 8_000_000
     assert r1["twap_milli"] == 17_500
+
+
+def test_cooccurrence_lift_hand_case(spark):
+    from tb_lakehouse_enhanced_spark.operators.analytics import cooccurrence_lift
+
+    # 4 users: {a,b} {a,b} {a} {b,c}  -> n_a=3 n_b=3 n_both(a,b)=2
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b"),
+            (3, "a"), (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {(r["item_a"], r["item_b"]): r
+           for r in cooccurrence_lift(df).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["support_milli"] == 500          # 2/4
+    assert ab["confidence_milli"] == 666       # 2/3 floored
+    assert ab["lift_milli"] == 888             # (2*4)/(3*3) = 0.888...
+    bc = got[("b", "c")]
+    assert bc["n_both"] == 1 and bc["lift_milli"] == 1333  # (1*4)/(3*1)
+    assert ("a", "c") not in got
