@@ -31,6 +31,9 @@ HEADLINE = [
     "simsearch_topk", "simsearch_lsh", "dedup_embedding", "dedup_clusters_fast",
     "asof_join", "sessionize", "vocab_topk", "contamination_check",
     "agg_salted", "tpch_q1", "tpch_q3", "tpch_q5",
+    # round-3 families: lexical retrieval, recursive hierarchy,
+    # temporal weighting, association mining
+    "search_bm25", "hierarchy_flatten", "time_weighted_avg", "assoc_lift",
 ]
 
 

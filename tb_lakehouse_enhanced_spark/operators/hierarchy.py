@@ -23,10 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Driver fast path ceiling, same rationale as cluster.py's union-find
+# shortcut: 1M (id, parent) pairs collect to tens of MB and resolve in
+# milliseconds of path-compressed pointer chasing, where the distributed
+# loop pays log(depth) scheduled join rounds. Above it (real 100 TB
+# forests) the pointer-doubling loop keeps everything distributed.
+_LOCAL_MAX_NODES = 1_000_000
+
 
 def flatten_hierarchy(nodes: DataFrame, id_col: str = "id",
                       parent_col: str = "parent_id",
-                      max_iterations: int = 40) -> DataFrame:
+                      max_iterations: int = 40,
+                      local_threshold: int | None = None) -> DataFrame:
     """Resolve each node's root ancestor and depth.
 
     ``nodes`` has one row per node; ``parent_col`` IS NULL marks roots.
@@ -37,6 +45,40 @@ def flatten_hierarchy(nodes: DataFrame, id_col: str = "id",
     """
     spark = nodes.sparkSession
     n_part = spark.sparkContext.defaultParallelism
+    if local_threshold is None:
+        local_threshold = _LOCAL_MAX_NODES
+
+    nodes = nodes.persist()
+    if nodes.count() <= local_threshold:
+        pairs = nodes.select(id_col, parent_col).collect()
+        nodes.unpersist()
+        parent = {r[0]: r[1] for r in pairs}
+        memo: dict = {}  # id -> (root, depth)
+
+        def resolve(x):
+            path = []
+            while x not in memo:
+                p = parent.get(x, "__missing__")
+                if p is None:
+                    memo[x] = (x, 0)
+                    break
+                if p == "__missing__" or len(path) > len(parent):
+                    raise ValueError(
+                        "cycle or dangling parent id at node "
+                        f"{x!r} — cannot flatten")
+                path.append(x)
+                x = p
+            while path:
+                y = path.pop()
+                r, d = memo[parent[y]]
+                memo[y] = (r, d + 1)
+
+        for i in parent:
+            resolve(i)
+        out = [(i, memo[i][0], memo[i][1]) for i in parent]
+        id_t = dict(nodes.dtypes)[id_col]
+        return spark.createDataFrame(
+            out, f"id {id_t}, root_id {id_t}, depth bigint")
 
     is_root = F.col(parent_col).isNull()
     # state: id -> (anc pointer, hops to anc, anc is a root)
@@ -48,6 +90,7 @@ def flatten_hierarchy(nodes: DataFrame, id_col: str = "id",
         .alias("d"),
         is_root.alias("fin"))
         .repartition(n_part, "id").localCheckpoint(eager=True))
+    nodes.unpersist()
 
     for _ in range(max_iterations):
         if state.filter(~F.col("fin")).limit(1).count() == 0:

@@ -3093,9 +3093,13 @@ _PRIORITY = [
     # the dense surrogate sequence is verified inside scd1_upsert, its
     # finer-grained sibling surrogate_keys stays below the fold)
     # window_time_range supersedes window_running_sum in-window
-    # (frames still covered — on event-time RANGE, the rarer kind)
-    "window_rank", "window_time_range",
-    "sessionize",
+    # (frames still covered — on event-time RANGE, the rarer kind);
+    # round 3 rotates window_rank below the fold (ranking also rides
+    # search_bm25/tpch shapes) for the recursive-hierarchy family
+    "window_time_range", "hierarchy_flatten",
+    # batch sessionize rotates below the fold (stream_session keeps the
+    # session family in-window) for time-weighted temporal aggregation
+    "time_weighted_avg",
     # set ops, scalar functions, SQL surface
     "set_ops", "dim_calendar_spine", "str_funcs", "json_extract",
     "sql_select_view",
@@ -3111,8 +3115,9 @@ _PRIORITY = [
     # dedup tier
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_simhash", "dedup_clusters", "dedup_embedding",
-    # text analysis / corpus prep
-    "text_metrics", "text_clean", "vocab_topk", "corpus_splits",
+    # text analysis / corpus prep (text_clean rotates below the fold —
+    # redact/normalize stay locally oracle-checked — for BM25 retrieval)
+    "text_metrics", "search_bm25", "vocab_topk", "corpus_splits",
     "contamination_check",
     # multimodal + similarity search
     "multimodal_features", "simsearch_topk", "simsearch_lsh",

@@ -478,8 +478,13 @@ def test_flatten_hierarchy_chain_and_forest(spark):
     rows += [(100 + i, 100) for i in range(1, 4)]       # star leaves
     nodes = spark.createDataFrame(rows, "id long, parent_id long")
 
+    # exercise BOTH the driver fast path (default) and the distributed
+    # pointer-doubling loop (local_threshold=0)
     got = {r["id"]: (r["root_id"], r["depth"])
            for r in flatten_hierarchy(nodes).collect()}
+    got_dist = {r["id"]: (r["root_id"], r["depth"])
+                for r in flatten_hierarchy(nodes, local_threshold=0).collect()}
+    assert got == got_dist
     assert got[0] == (0, 0) and got[12] == (0, 12) and got[5] == (0, 5)
     assert got[100] == (100, 0) and got[103] == (100, 1)
     assert len(got) == len(rows)
@@ -496,5 +501,7 @@ def test_flatten_hierarchy_cycle_raises(spark):
     cyc = spark.createDataFrame(
         [(1, 2), (2, 1), (3, None)], "id long, parent_id long")
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="unresolved"):
+    with _pytest.raises(ValueError, match="cycle"):
         flatten_hierarchy(cyc, max_iterations=5)
+    with _pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(cyc, max_iterations=5, local_threshold=0)
