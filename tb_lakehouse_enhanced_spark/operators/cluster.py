@@ -168,3 +168,66 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
             .select("id",
                     F.coalesce(F.col("component"), F.col("id")).alias("cluster_id"))
             .withColumn("is_canonical", F.col("id") == F.col("cluster_id")))
+
+
+def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+             iterations: int = 10, damping: float = 0.85) -> DataFrame:
+    """PageRank over a directed edge list — (vertex, rank), Σrank = 1.
+
+    The classic power iteration as pure DataFrame rounds: each round is
+    one join of the rank vector against the (static, persisted) edge
+    list on src and one grouped sum on dst; dangling-vertex mass (no
+    out-edges) is a scalar aggregate redistributed uniformly. The rank
+    state is localCheckpoint-ed per round (same lineage discipline as
+    the CC loop above). Fixed iteration count — at 100 TB this is the
+    GraphX/Pregel shape with the vertex state as a DataFrame; ranks are
+    float (summation order varies with partitioning), so the operator is
+    validated by invariants and known closed-form graphs, not the
+    value-hash oracle.
+    """
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().persist())
+    # ~50k edges per partition (same sizing rule as the CC loop): a
+    # billion-edge graph iterates at full parallelism, a small one
+    # avoids paying 32 scheduled empty tasks per round
+    n_edges = e.count()
+    n_part = max(1, min(spark.sparkContext.defaultParallelism,
+                        1 + n_edges // 50_000))
+    e = e.repartition(n_part, "src").persist()
+    verts = (e.select(F.col("src").alias("v"))
+             .union(e.select(F.col("dst").alias("v"))).distinct()
+             .repartition(n_part, "v").persist())
+    n = verts.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree rides with the rank state so each round joins ONLY the
+    # edge list (rank/deg is computed where the rank lives)
+    state = (verts.join(deg, verts["v"] == deg["src"], "left")
+             .select("v", F.coalesce("deg", F.lit(0)).alias("deg"),
+                     (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+             .repartition(n_part, "v").localCheckpoint(eager=True))
+
+    for _ in range(iterations):
+        # dangling mass as a broadcast 1-row aggregate INSIDE the round's
+        # plan — one scheduled job per round, not two
+        dang = state.agg(
+            F.sum(F.when(F.col("deg") == 0, F.col("rank"))
+                  .otherwise(F.lit(0.0))).alias("_dang"))
+        contrib = (state.filter(F.col("deg") > 0)
+                   .join(e, state["v"] == e["src"])
+                   .select(F.col("dst").alias("v"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        inflow = contrib.groupBy("v").agg(F.sum("c").alias("inflow"))
+        state = (state.select("v", "deg")
+                 .join(inflow, "v", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("v", "deg",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * F.col("_dang") / F.lit(float(n))
+                          + F.lit(damping)
+                          * F.coalesce("inflow", F.lit(0.0))).alias("rank"))
+                 .repartition(n_part, "v").localCheckpoint(eager=True))
+
+    e.unpersist()
+    verts.unpersist()
+    return state.select("v", "rank")

@@ -3073,6 +3073,95 @@ def assoc_lift_q(spark, sf_dir):
     return cooccurrence_lift(_events(spark, sf_dir))
 
 
+@q("resample_interp", """
+WITH ev AS (
+  SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts
+),
+bounds AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS mn, MAX(ts) AS mx
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS grid_ts
+  FROM bounds
+),
+b AS (
+  SELECT g.user_id, g.grid_ts, e.ts AS prev_ts, e.value AS prev_value
+  FROM grid g ASOF LEFT JOIN ev e
+    ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+),
+f AS (
+  SELECT b.user_id, b.grid_ts, b.prev_ts, b.prev_value,
+         e.ts AS next_ts, e.value AS next_value
+  FROM b ASOF LEFT JOIN ev e
+    ON b.user_id = e.user_id AND b.grid_ts <= e.ts
+)
+SELECT user_id, grid_ts,
+  CASE WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+       WHEN next_ts = prev_ts THEN prev_value
+       ELSE (ROUND(prev_value * 100)
+             + (ROUND(next_value * 100) - ROUND(prev_value * 100))
+               * (CAST(epoch_us(grid_ts) - epoch_us(prev_ts) AS DOUBLE)
+                  / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE)))
+            / CAST(100 AS DOUBLE)
+  END AS interp_value
+FROM f
+""")
+def resample_interp(spark, sf_dir):
+    """Time-series regularization with LINEAR interpolation: daily grid
+    per user, each grid point valued between its surrounding
+    observations. The bracketing samples come from one backward and one
+    forward as-of join (operators/asof.py union-sort — a user_id shuffle
+    each, no range explosion). The interpolation itself is a single
+    exact-integer (cents x integer-µs) multiply-divide chain in double —
+    every op is an exactly-rounded IEEE primitive shared
+    expression-for-expression with the oracle, so the emitted double is
+    bit-identical cross-engine. Grid edges (no sample on one side) stay
+    NULL; exact hits pass the observation through."""
+    from ..operators.asof import asof_join
+    ev = _events(spark, sf_dir)
+    evd = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("mn"),
+        F.max("ts").alias("mx"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day")))
+        .alias("grid_ts"))
+    b = asof_join(grid, evd, key="user_id", left_ts="grid_ts",
+                  right_ts="ts", payload=("ts", "value"), prefix="prev_",
+                  direction="backward")
+    both = asof_join(b, evd, key="user_id", left_ts="grid_ts",
+                     right_ts="ts", payload=("ts", "value"), prefix="next_",
+                     direction="forward")
+    c0 = F.round(F.col("prev_value") * 100)
+    c1 = F.round(F.col("next_value") * 100)
+    ratio = ((F.unix_micros("grid_ts") - F.unix_micros("prev_ts"))
+             .cast("double")
+             / (F.unix_micros("next_ts") - F.unix_micros("prev_ts"))
+             .cast("double"))
+    interp = (F.when(F.col("prev_ts").isNull() | F.col("next_ts").isNull(),
+                     F.lit(None).cast("double"))
+              .when(F.col("next_ts") == F.col("prev_ts"), F.col("prev_value"))
+              .otherwise((c0 + (c1 - c0) * ratio) / F.lit(100).cast("double")))
+    return both.select("user_id", "grid_ts", interp.alias("interp_value"))
+
+
+@q("graph_pagerank")  # float power iteration — invariant-tested, rows-only
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the document link forest (child -> parent edges of
+    the hierarchy scenario): operators/cluster.py::pagerank, 8 power
+    iterations. Ranks are floats whose summation order varies with
+    partitioning, so this is validated by closed-form/invariant tests
+    (test_cluster.py) and declared rows-only here."""
+    from ..operators.cluster import pagerank
+    edges = (_hier_nodes(spark, sf_dir)
+             .filter(F.col("parent_id").isNotNull())
+             .select(F.col("id").alias("id_a"),
+                     F.col("parent_id").alias("id_b")))
+    return pagerank(edges, iterations=8)
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",

@@ -41,3 +41,24 @@ def test_triangle_count_known_graph(spark):
         "id_a long, id_b long")
     [row] = triangle_count(edges).collect()
     assert row["n_triangles"] == 4
+
+
+def test_pagerank_cycle_uniform_and_star(spark):
+    from tb_lakehouse_enhanced_spark.operators.cluster import pagerank
+
+    # 3-cycle: symmetric -> uniform 1/3 regardless of damping
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "id_a long, id_b long")
+    got = {r["v"]: r["rank"] for r in pagerank(cyc, iterations=25).collect()}
+    assert all(abs(x - 1 / 3) < 1e-9 for x in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # star a->hub from 3 leaves: hub absorbs, leaves only get base mass.
+    # Closed form with dangling redistribution: solve two-state fixpoint.
+    star = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "id_a long, id_b long")
+    got = {r["v"]: r["rank"] for r in pagerank(star, iterations=60).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    leaf, hub, d, n = got[1], got[0], 0.85, 4
+    # fixpoint identities: leaf = (1-d)/n + d*hub/n ; hub = leaf*3*d + that base
+    assert abs(leaf - ((1 - d) / n + d * hub / n)) < 1e-9
+    assert abs(hub - (3 * d * leaf + (1 - d) / n + d * hub / n)) < 1e-9
+    assert hub > 3 * leaf
