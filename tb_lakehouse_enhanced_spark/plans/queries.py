@@ -3162,6 +3162,84 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=8)
 
 
+@q("histogram_equidepth", """
+WITH b AS (
+  SELECT quantile_disc(o_totalprice, 0.25) AS b1,
+         quantile_disc(o_totalprice, 0.50) AS b2,
+         quantile_disc(o_totalprice, 0.75) AS b3
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice <= b1 THEN 0
+            WHEN o_totalprice <= b2 THEN 1
+            WHEN o_totalprice <= b3 THEN 2 ELSE 3 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM orders CROSS JOIN b
+GROUP BY 1
+""")
+def histogram_equidepth(spark, sf_dir):
+    """Equi-depth (quantile-boundary) histogram — the companion of the
+    fixed-width value_histogram: bucket edges are exact discrete
+    quartiles (percentile_disc returns actual data values, so the
+    boundaries and every comparison are engine-portable doubles). The
+    1-row boundary aggregate broadcasts back over the scan; one grouped
+    agg finishes — two scans, no wide shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(*[F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                       f"(ORDER BY o_totalprice)").alias(f"b{i}")
+                for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))])
+    bucket = (F.when(F.col("o_totalprice") <= F.col("b1"), 0)
+              .when(F.col("o_totalprice") <= F.col("b2"), 1)
+              .when(F.col("o_totalprice") <= F.col("b3"), 2)
+              .otherwise(3))
+    return (o.crossJoin(F.broadcast(b))
+            .select(bucket.alias("bucket"), "o_totalprice")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
+
+
+@q("attribution_last_touch", """
+WITH t AS (
+  SELECT user_id, ts, MAX(event_type) AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(t.channel, '(none)') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(p.cents) AS BIGINT) AS revenue_cents
+FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
+GROUP BY 1
+""")
+def attribution_last_touch(spark, sf_dir):
+    """Marketing attribution: each purchase's value is credited to the
+    user's LAST preceding touch (click/view) — one backward as-of join
+    (operators/asof.py, single user_id shuffle) + a tiny grouped sum of
+    exact cents. Touches are pre-reduced to unique (user, ts) with a
+    string-MAX channel so equal-timestamp ties bind identically in both
+    engines; untouched purchases land in '(none)'."""
+    from ..operators.asof import asof_join
+    ev = _events(spark, sf_dir)
+    touches = (ev.filter(F.col("event_type").isin("click", "view"))
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_type").alias("channel")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("cents")))
+    att = asof_join(purchases, touches, key="user_id",
+                    payload=("channel",), prefix="t_")
+    return (att.groupBy(F.coalesce("t_channel", F.lit("(none)"))
+                        .alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("cents").alias("revenue_cents")))
+
+
 _PRIORITY = [
     # scans / projections / filters
     "scan_source", "project_rename", "project_cast_null",
