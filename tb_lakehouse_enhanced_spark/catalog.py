@@ -53,6 +53,19 @@ def validate_fk(spark: SparkSession, fact: str, fact_key: str,
             .count())
 
 
+def validate_unique(spark: SparkSession, table: str,
+                    key_cols: list[str]) -> int:
+    """PRIMARY KEY / UNIQUE integrity assertion: number of key tuples
+    that appear more than once (0 = constraint holds) — the OSS
+    substitute for the reference's informational PRIMARY KEY DDL
+    (reference notebooks/01_Init.py:59,236-239), same pattern as
+    ``validate_fk``. One grouped count, map-side combined."""
+    return (spark.table(table)
+            .groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .count())
+
+
 def save_table_bucketed(df: DataFrame, name: str, bucket_cols: list[str],
                         num_buckets: int = 32,
                         sort_cols: list[str] | None = None) -> None:

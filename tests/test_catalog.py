@@ -44,3 +44,16 @@ def test_drop_cascade(spark):
     dbs = {d.name for d in spark.catalog.listDatabases()}
     assert "silver" not in dbs
     catalog.bootstrap(spark)
+
+
+def test_validate_unique(spark, tmp_base):
+    from tb_lakehouse_enhanced_spark.catalog import validate_unique
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tvu")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .write.mode("overwrite").saveAsTable("tvu.ok")
+    spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string") \
+        .write.mode("overwrite").saveAsTable("tvu.dup")
+    assert validate_unique(spark, "tvu.ok", ["k"]) == 0
+    assert validate_unique(spark, "tvu.dup", ["k"]) == 1
+    assert validate_unique(spark, "tvu.dup", ["k", "v"]) == 0
