@@ -370,3 +370,29 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold")
+
+
+def test_bm25_tf_stays_in_codegen_no_explode(spark):
+    plan = _executed(SPARK_QUERIES["search_bm25"](spark, SF_DIR))
+    # per-term tf is an array-filter expression on the scan, not an
+    # exploded token stream, and the top-k is a per-partition heap
+    assert "Generate explode" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the 1-row stats aggregate broadcasts back (the only sane BNLJ)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    plan = _executed(SPARK_QUERIES["time_weighted_avg"](spark, SF_DIR))
+    # lead window + grouped agg share one hashpartitioning(user_id)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_asof_single_exchange(spark):
+    plan = _executed(SPARK_QUERIES["attribution_last_touch"](spark, SF_DIR))
+    # exactly three exchanges, each earning its keep: the (user, ts)
+    # tie-reduce of touches, the as-of union's single user_id exchange
+    # (no range join / per-row rescans), and the tiny channel rollup
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
