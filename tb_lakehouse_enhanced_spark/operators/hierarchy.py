@@ -137,3 +137,62 @@ def subtree_rollup(nodes: DataFrame, measures: dict[str, str],
     return (joined.groupBy("root_id")
             .agg(F.count(F.lit(1)).alias("n_nodes"),
                  F.max("depth").alias("max_depth"), *aggs))
+
+
+def ancestor_closure(nodes: DataFrame, id_col: str = "id",
+                     parent_col: str = "parent_id",
+                     max_iterations: int = 40) -> DataFrame:
+    """Full transitive ancestor closure: one row per (node, ancestor)
+    pair with the hop distance (>= 1; self pairs excluded).
+
+    Repeated squaring: P(1) = parent edges; each round unions
+    P <- P ∪ (P ∘ P), doubling the reachable distance, so a depth-d
+    forest closes in ceil(log2 d) rounds of one self-join + distinct
+    each (the output is Σ depth(v) rows — the closure IS the product,
+    there is no cheaper shape). This powers per-ANCESTOR subtree
+    rollups (BOM explosion: every assembly's total over all transitive
+    parts), where ``flatten_hierarchy`` only resolves roots.
+    """
+    pairs = (nodes.filter(F.col(parent_col).isNotNull())
+             .select(F.col(id_col).alias("id"),
+                     F.col(parent_col).alias("anc"),
+                     F.lit(1).cast("bigint").alias("dist"))
+             .localCheckpoint(eager=True))
+    for _ in range(max_iterations):
+        n_before = pairs.count()
+        hop = pairs.select(F.col("anc").alias("_j"), F.col("id"),
+                           F.col("dist").alias("_d1"))
+        ext = (hop.join(pairs.select(F.col("id").alias("_j"),
+                                     F.col("anc"),
+                                     F.col("dist").alias("_d2")), "_j")
+               .select("id", "anc", (F.col("_d1") + F.col("_d2"))
+                       .alias("dist")))
+        pairs = (pairs.unionByName(ext)
+                 .groupBy("id", "anc").agg(F.min("dist").alias("dist"))
+                 .localCheckpoint(eager=True))
+        if pairs.count() == n_before:
+            break
+    else:
+        raise ValueError(
+            f"closure still growing after {max_iterations} squaring "
+            "rounds — cycle in the parent graph")
+    return pairs
+
+
+def subtree_rollup_per_node(nodes: DataFrame, measures: dict[str, str],
+                            id_col: str = "id",
+                            parent_col: str = "parent_id") -> DataFrame:
+    """Aggregate measures over EVERY node's transitive subtree (the
+    node itself included) — the per-assembly BOM rollup. One closure +
+    one union (self pairs) + one grouped agg on the ancestor key."""
+    closure = ancestor_closure(nodes, id_col=id_col, parent_col=parent_col)
+    selfp = nodes.select(F.col(id_col).alias("id"),
+                         F.col(id_col).alias("anc"),
+                         F.lit(0).cast("bigint").alias("dist"))
+    membership = closure.unionByName(selfp)
+    joined = membership.join(
+        nodes.withColumnRenamed(id_col, "id"), "id")
+    aggs = [F.sum(src).alias(out) for out, src in measures.items()]
+    return (joined.groupBy(F.col("anc").alias("node_id"))
+            .agg(F.count(F.lit(1)).alias("n_desc"),
+                 F.max("dist").alias("max_depth"), *aggs))

@@ -3020,6 +3020,37 @@ def hierarchy_rollup(spark, sf_dir):
                           {"sum_chars": "n_chars"})
 
 
+@q("hierarchy_closure", f"""
+WITH RECURSIVE nodes AS ({_HIER_NODES_SQL}),
+anc AS (
+  SELECT id, parent_id AS anc, CAST(1 AS BIGINT) AS dist
+  FROM nodes WHERE parent_id IS NOT NULL
+  UNION ALL
+  SELECT a.id, n.parent_id, a.dist + 1
+  FROM anc a JOIN nodes n ON a.anc = n.id WHERE n.parent_id IS NOT NULL
+),
+membership AS (
+  SELECT id, anc, dist FROM anc
+  UNION ALL
+  SELECT id, id AS anc, CAST(0 AS BIGINT) AS dist FROM nodes
+)
+SELECT m.anc AS node_id, CAST(COUNT(*) AS BIGINT) AS n_desc,
+       MAX(m.dist) AS max_depth,
+       CAST(SUM(n.n_chars) AS BIGINT) AS sum_chars
+FROM membership m JOIN nodes n ON m.id = n.id
+GROUP BY m.anc
+""")
+def hierarchy_closure(spark, sf_dir):
+    """Per-NODE subtree rollup (the BOM-explosion shape: every
+    assembly's totals over all transitive parts) — the full ancestor
+    closure by repeated squaring (operators/hierarchy.py::
+    ancestor_closure, O(log depth) self-join rounds), then one grouped
+    agg on the ancestor key; the oracle is the textbook recursive walk."""
+    from ..operators.hierarchy import subtree_rollup_per_node
+    return subtree_rollup_per_node(_hier_nodes(spark, sf_dir),
+                                   {"sum_chars": "n_chars"})
+
+
 @q("time_weighted_avg", """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,

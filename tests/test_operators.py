@@ -505,3 +505,26 @@ def test_flatten_hierarchy_cycle_raises(spark):
         flatten_hierarchy(cyc, max_iterations=5)
     with _pytest.raises(ValueError, match="cycle"):
         flatten_hierarchy(cyc, max_iterations=5, local_threshold=0)
+
+
+def test_ancestor_closure_chain(spark):
+    from tb_lakehouse_enhanced_spark.operators.hierarchy import (
+        ancestor_closure, subtree_rollup_per_node,
+    )
+
+    # chain 0<-1<-2<-3 plus a side leaf 10 under 1
+    nodes = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 1), (3, 2), (10, 1)],
+        "id long, parent_id long")
+    pairs = {(r["id"], r["anc"]): r["dist"]
+             for r in ancestor_closure(nodes).collect()}
+    assert pairs[(3, 2)] == 1 and pairs[(3, 1)] == 2 and pairs[(3, 0)] == 3
+    assert pairs[(10, 1)] == 1 and pairs[(10, 0)] == 2
+    assert len(pairs) == 1 + 2 + 3 + 2  # sum of node depths
+
+    roll = {r["node_id"]: (r["n_desc"], r["max_depth"]) for r in
+            subtree_rollup_per_node(nodes.withColumn("w", F.lit(1)),
+                                    {"s": "w"}).collect()}
+    assert roll[0] == (5, 3)      # whole tree
+    assert roll[1] == (4, 2)      # 1,2,3,10
+    assert roll[3] == (1, 0)      # leaf
