@@ -86,3 +86,28 @@ def save_table_bucketed(df: DataFrame, name: str, bucket_cols: list[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive content checksum of a table — the replica /
+    migration verification primitive (does the copy equal the source
+    without moving either side?).
+
+    Each row serializes canonically (unit-separator chr(31) concat of
+    the given columns, NULLs as a reserved chr(0) sentinel) and hashes
+    with the portable md5-60bit; the table digest is the BIT_XOR of row
+    hashes plus the row count — commutative/associative, so partition
+    order, file layout, and engine never change it, and map-side
+    combine makes the whole check one scan + a 1-row exchange. Pass
+    only columns with engine-portable string casts (ints / strings /
+    dates — serialize money as exact cents first). ANSI mirror:
+    ``bit_xor(CAST(concat('0x', substr(md5(row),1,15)) AS BIGINT))``
+    over ``concat_ws(chr(31), COALESCE(CAST(c AS VARCHAR), chr(0)), …)``.
+    """
+    from .operators.dedup import portable_hash60
+    row = F.concat_ws(
+        chr(31),
+        *[F.coalesce(F.col(c).cast("string"), F.lit(chr(0))) for c in cols])
+    return (df.select(portable_hash60(row).alias("_h"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(_h)").cast("bigint").alias("checksum")))

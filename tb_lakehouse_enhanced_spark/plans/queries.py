@@ -3193,6 +3193,32 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=8)
 
 
+@q("table_checksum", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(concat('0x', substr(md5(row), 1, 15)) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM (
+  SELECT concat_ws(chr(31),
+           COALESCE(CAST(doc_id AS VARCHAR), chr(0)),
+           COALESCE(CAST(text AS VARCHAR), chr(0)),
+           COALESCE(CAST(lang AS VARCHAR), chr(0)),
+           COALESCE(CAST(source AS VARCHAR), chr(0)),
+           COALESCE(CAST(n_chars AS VARCHAR), chr(0))) AS row
+  FROM documents
+)
+""")
+def table_checksum_q(spark, sf_dir):
+    """Replica-verification digest of the documents table
+    (catalog.table_checksum): canonical row serialization -> portable
+    md5-60bit -> BIT_XOR + count. One scan, map-side combined, 1-row
+    exchange; any engine holding the same rows produces the same
+    digest."""
+    from ..catalog import table_checksum
+    return table_checksum(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 @q("histogram_equidepth", """
 WITH b AS (
   SELECT quantile_disc(o_totalprice, 0.25) AS b1,

@@ -57,3 +57,20 @@ def test_validate_unique(spark, tmp_base):
     assert validate_unique(spark, "tvu.ok", ["k"]) == 0
     assert validate_unique(spark, "tvu.dup", ["k"]) == 1
     assert validate_unique(spark, "tvu.dup", ["k", "v"]) == 0
+
+
+def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
+    from tb_lakehouse_enhanced_spark.catalog import table_checksum
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "k long, v string")
+    base = table_checksum(a, ["k", "v"]).collect()[0]
+    shuffled = table_checksum(a.repartition(5).sortWithinPartitions("v"),
+                              ["k", "v"]).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == \
+        (shuffled["n_rows"], shuffled["checksum"])
+
+    changed = spark.createDataFrame(
+        [(1, "x"), (2, "z"), (3, None)], "k long, v string")
+    got = table_checksum(changed, ["k", "v"]).collect()[0]
+    assert got["checksum"] != base["checksum"]
