@@ -3219,6 +3219,26 @@ def table_checksum_q(spark, sf_dir):
         ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+@q("quantile_cont_panel", """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS q25,
+       quantile_cont(o_totalprice, 0.50) AS q50,
+       quantile_cont(o_totalprice, 0.75) AS q75
+FROM orders GROUP BY o_orderpriority
+""")
+def quantile_cont_panel(spark, sf_dir):
+    """INTERPOLATED percentiles per group (percentile_cont), the
+    continuous sibling of quantile_panel's percentile_disc: both
+    engines place the quantile at rank p*(n-1) and linearly interpolate
+    lo + (hi-lo)*frac — exactly-rounded IEEE ops on the same data
+    doubles, so even the interpolated values are bit-identical."""
+    aggs = [F.expr(f"percentile_cont({q}) WITHIN GROUP "
+                   f"(ORDER BY o_totalprice)").alias(a)
+            for q, a in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"))]
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority").agg(*aggs))
+
+
 @q("histogram_equidepth", """
 WITH b AS (
   SELECT quantile_disc(o_totalprice, 0.25) AS b1,

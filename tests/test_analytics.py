@@ -225,3 +225,43 @@ def test_cooccurrence_lift_hand_case(spark):
     bc = got[("b", "c")]
     assert bc["n_both"] == 1 and bc["lift_milli"] == 1333  # (1*4)/(3*1)
     assert ("a", "c") not in got
+
+
+def test_time_weighted_avg_randomized_vs_reference(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    from tb_lakehouse_enhanced_spark.operators.analytics import time_weighted_avg
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(6):
+        for _ in range(rng.randrange(1, 15)):
+            ts = base + timedelta(seconds=rng.randrange(0, 10**6))
+            rows.append((eid, user, ts, rng.randrange(0, 50000) / 100))
+            eid += 1
+    # inject timestamp ties to exercise the (ts, event_id) tie-break
+    rows.append((eid, 0, rows[0][2], 123.45)); eid += 1
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r["user_id"]: (r["n_intervals"], r["total_dur_us"], r["twap_milli"])
+           for r in time_weighted_avg(df).collect()}
+
+    from collections import defaultdict
+    per = defaultdict(list)
+    for e, u, ts, v in rows:
+        per[u].append((ts, e, round(v * 100)))
+    for u, evs in per.items():
+        evs.sort()
+        ws = ds = 0
+        for (t0, _, c0), (t1, _, _) in zip(evs, evs[1:]):
+            dur = int((t1 - t0).total_seconds() * 1_000_000)
+            ws += c0 * dur
+            ds += dur
+        if ds > 0:
+            assert got[u] == (len(evs) - 1, ds, (ws * 10) // ds), u
+        else:
+            assert u not in got

@@ -528,3 +528,44 @@ def test_ancestor_closure_chain(spark):
     assert roll[0] == (5, 3)      # whole tree
     assert roll[1] == (4, 2)      # 1,2,3,10
     assert roll[3] == (1, 0)      # leaf
+
+
+def test_hierarchy_randomized_vs_reference(spark):
+    """Random forests: both flatten paths and the closure agree with a
+    driver-side reference implementation."""
+    import random
+
+    from tb_lakehouse_enhanced_spark.operators.hierarchy import (
+        ancestor_closure, flatten_hierarchy,
+    )
+
+    rng = random.Random(42)
+    n = 120
+    rows = []
+    for i in range(n):
+        parent = None if (i < 5 or rng.random() < 0.08) else rng.randrange(i)
+        rows.append((i, parent))
+    nodes = spark.createDataFrame(rows, "id long, parent_id long")
+    parent = dict(rows)
+
+    def ref_flat(i):
+        d = 0
+        while parent[i] is not None:
+            i, d = parent[i], d + 1
+        return i, d
+
+    expect = {i: ref_flat(i) for i, _ in rows}
+    for kw in ({}, {"local_threshold": 0}):
+        got = {r["id"]: (r["root_id"], r["depth"])
+               for r in flatten_hierarchy(nodes, **kw).collect()}
+        assert got == expect, kw
+
+    expect_pairs = {}
+    for i, _ in rows:
+        j, d = i, 0
+        while parent[j] is not None:
+            j, d = parent[j], d + 1
+            expect_pairs[(i, j)] = d
+    got_pairs = {(r["id"], r["anc"]): r["dist"]
+                 for r in ancestor_closure(nodes).collect()}
+    assert got_pairs == expect_pairs
