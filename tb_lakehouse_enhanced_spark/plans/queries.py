@@ -3219,6 +3219,63 @@ def table_checksum_q(spark, sf_dir):
         ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+@q("business_days_ship", """
+WITH cal AS (
+  SELECT d, SUM(CASE WHEN dayofweek(d) IN (0, 6) THEN 0 ELSE 1 END)
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS bidx
+  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2002-12-31',
+                                      INTERVAL 1 DAY))::DATE AS d)
+),
+ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority, c0.bidx AS b0, c1.bidx AS b1
+  FROM orders o
+  JOIN ship s ON o.o_orderkey = s.l_orderkey
+  JOIN cal c0 ON c0.d = CAST(o.o_orderdate AS DATE)
+  JOIN cal c1 ON c1.d = CAST(s.ship AS DATE)
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(b1 - b0) AS BIGINT) AS total_bus_days,
+       CAST((SUM(b1 - b0) * 1000) // COUNT(*) AS BIGINT) AS avg_bus_milli
+FROM j GROUP BY o_orderpriority
+""")
+def business_days_ship(spark, sf_dir):
+    """Business days from order to first ship, per priority — the
+    calendar-dimension JOIN workload (not just the spine build). The
+    trick is a cumulative business-day INDEX on the calendar: weekdays
+    between two dates = bidx(ship) - bidx(order), so the query is two
+    broadcast equi-joins against a ~2.9k-row dim instead of a per-order
+    date-range explosion. The cumsum window runs over the tiny calendar
+    only; the average is exact integer milli via floor division."""
+    from ..operators.calendar import calendar_spine
+    cal = calendar_spine(spark, "1995-01-01", "2002-12-31")
+    w = (Window.orderBy("cal_date")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cal = (cal.select("cal_date", "is_weekend")
+           .withColumn("bidx", F.sum(F.when(F.col("is_weekend"), 0)
+                                     .otherwise(1)).over(w))
+           .select("cal_date", "bidx"))
+    ship = (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship")))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    c0 = cal.select(F.col("cal_date").alias("_d0"), F.col("bidx").alias("b0"))
+    c1 = cal.select(F.col("cal_date").alias("_d1"), F.col("bidx").alias("b1"))
+    j = (o.join(ship, o["o_orderkey"] == ship["l_orderkey"])
+         .join(F.broadcast(c0),
+               F.col("o_orderdate").cast("date") == F.col("_d0"))
+         .join(F.broadcast(c1), F.col("ship").cast("date") == F.col("_d1")))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("b1") - F.col("b0")).alias("total_bus_days"))
+            .select("o_orderpriority", "n_orders", "total_bus_days",
+                    F.expr("CAST((total_bus_days * 1000) DIV n_orders"
+                           " AS BIGINT)").alias("avg_bus_milli")))
+
+
 @q("quantile_cont_panel", """
 SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.25) AS q25,
