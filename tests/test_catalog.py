@@ -49,7 +49,17 @@ def test_drop_cascade(spark):
 def test_validate_unique(spark, tmp_base):
     from tb_lakehouse_enhanced_spark.catalog import validate_unique
 
+    import shutil
+
     spark.sql("CREATE DATABASE IF NOT EXISTS tvu")
+    for t in ("ok", "dup"):
+        # a previous session's warehouse dir can survive its (in-memory)
+        # metastore entry — drop both the table and the orphan location
+        spark.sql(f"DROP TABLE IF EXISTS tvu.{t}")
+        loc = spark.sql("DESCRIBE DATABASE tvu").filter(
+            "info_name = 'Location'").collect()[0]["info_value"]
+        shutil.rmtree(f"{loc.removeprefix('file:')}/{t}",
+                      ignore_errors=True)
     spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
         .write.mode("overwrite").saveAsTable("tvu.ok")
     spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string") \
