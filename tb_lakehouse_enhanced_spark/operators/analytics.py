@@ -401,18 +401,23 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
 # ------------------------------------------------ co-occurrence lift --------
 
 def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
-                      item_col: str = "event_type") -> DataFrame:
+                      item_col: str = "event_type",
+                      method: str = "array") -> DataFrame:
     """Market-basket association: for every unordered item pair, how
     much more often the two items share a key's basket than
     independence predicts (lift), plus support and a→b confidence.
 
-    Shapes: baskets = DISTINCT (key, item) — one shuffle; the pair
-    build self-joins baskets on the key (co-partitioned, item_a <
-    item_b canonical orientation) and aggregates on the pair; per-item
-    counts are a tiny side aggregate broadcast back. All ratios are
-    emitted as exact integer milli-units via floor division —
-    numerators go through DECIMAL(38,0) so |keys| x |pairs| can't
-    overflow 64 bits at any scale.
+    ``method='array'`` (default): baskets collect to a sorted per-key
+    item array (one shuffle), pairs explode from 2-combinations of the
+    array IN the row (narrow, higher-order functions, no join), then one
+    small pair-count shuffle. Right whenever per-key item cardinality is
+    bounded (event types, product categories). ``method='join'``: the
+    co-partitioned self-join formulation — per-key state is O(1), use it
+    when single keys can hold unboundedly many distinct items. Both are
+    result-identical. Per-item counts are a tiny side aggregate
+    broadcast back; ratios are exact integer milli-units via floor
+    division, with numerators through DECIMAL(38,0) so |keys| x |pairs|
+    can't overflow 64 bits at any scale.
     """
     baskets = (events.select(F.col(key_col).alias("k"),
                              F.col(item_col).alias("item"))
@@ -420,12 +425,29 @@ def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
     n_keys = baskets.select("k").distinct().count()
 
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    a = baskets.select(F.col("k"), F.col("item").alias("item_a"))
-    b = baskets.select(F.col("k").alias("k2"), F.col("item").alias("item_b"))
-    pair_counts = (a.join(b, (a["k"] == b["k2"])
-                          & (F.col("item_a") < F.col("item_b")))
-                   .groupBy("item_a", "item_b")
-                   .agg(F.count(F.lit(1)).alias("n_both")))
+    if method == "array":
+        arr = baskets.groupBy("k").agg(
+            F.array_sort(F.collect_set("item")).alias("_items"))
+        combos = F.flatten(F.transform(
+            "_items",
+            lambda x, i: F.transform(
+                F.slice("_items", i + 2,
+                        F.size(F.col("_items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
+        pair_counts = (arr.select(F.explode(combos).alias("_p"))
+                       .select("_p.item_a", "_p.item_b")
+                       .groupBy("item_a", "item_b")
+                       .agg(F.count(F.lit(1)).alias("n_both")))
+    elif method == "join":
+        a = baskets.select(F.col("k"), F.col("item").alias("item_a"))
+        b = baskets.select(F.col("k").alias("k2"),
+                           F.col("item").alias("item_b"))
+        pair_counts = (a.join(b, (a["k"] == b["k2"])
+                              & (F.col("item_a") < F.col("item_b")))
+                       .groupBy("item_a", "item_b")
+                       .agg(F.count(F.lit(1)).alias("n_both")))
+    else:
+        raise ValueError(f"unknown method {method!r}")
 
     ia = item_counts.select(F.col("item").alias("item_a"),
                             F.col("cnt").alias("n_a"))

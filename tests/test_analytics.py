@@ -226,6 +226,11 @@ def test_cooccurrence_lift_hand_case(spark):
     assert bc["n_both"] == 1 and bc["lift_milli"] == 1333  # (1*4)/(3*1)
     assert ("a", "c") not in got
 
+    # the self-join formulation is result-identical to the array path
+    joined = {(r["item_a"], r["item_b"]): tuple(r)
+              for r in cooccurrence_lift(df, method="join").collect()}
+    assert joined == {k: tuple(v) for k, v in got.items()}
+
 
 def test_time_weighted_avg_randomized_vs_reference(spark):
     import random
