@@ -569,3 +569,19 @@ def test_hierarchy_randomized_vs_reference(spark):
     got_pairs = {(r["id"], r["anc"]): r["dist"]
                  for r in ancestor_closure(nodes).collect()}
     assert got_pairs == expect_pairs
+
+
+def test_flatten_hierarchy_deep_chain_distributed(spark):
+    """Depth-3000 chain through the DISTRIBUTED pointer-doubling path:
+    must resolve in ~log2(depth) rounds (iteration cap 15 would fail a
+    linear walk at 3000), with exact depths at the bottom."""
+    from tb_lakehouse_enhanced_spark.operators.hierarchy import flatten_hierarchy
+
+    n = 3000
+    nodes = spark.range(n).selectExpr(
+        "id", "CASE WHEN id = 0 THEN NULL ELSE id - 1 END AS parent_id")
+    flat = flatten_hierarchy(nodes, local_threshold=0, max_iterations=15)
+    got = {r["id"]: (r["root_id"], r["depth"])
+           for r in flat.filter(F.col("id").isin(0, 1, n - 2, n - 1)).collect()}
+    assert got[0] == (0, 0) and got[1] == (0, 1)
+    assert got[n - 1] == (0, n - 1) and got[n - 2] == (0, n - 2)
