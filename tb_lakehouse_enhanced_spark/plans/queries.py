@@ -3104,6 +3104,29 @@ def assoc_lift_q(spark, sf_dir):
     return cooccurrence_lift(_events(spark, sf_dir))
 
 
+@q("sample_per_group", """
+SELECT lang, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id)
+            AS INTEGER) AS rank
+FROM documents
+QUALIFY rank <= 20
+""")
+def sample_per_group(spark, sf_dir):
+    """Exactly-k uniform sample per group (the per-language corpus cap):
+    rank by a cryptographic hash of the row key instead of a score —
+    deterministic across runs/partitionings/engines, unbiased, and
+    reuses the salted two-phase exact top-k so no group funnels through
+    a single task. Complements sample_stratified (rate-based) with an
+    exact-count contract."""
+    from ..operators.skew import topk_per_group
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.md5(F.col("doc_id").cast("string")).alias("_h")))
+    return (topk_per_group(d, ["lang"], "_h", k=20, tie_col="doc_id")
+            .select("lang", "doc_id", "rank"))
+
+
 @q("resample_interp", """
 WITH ev AS (
   SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts
