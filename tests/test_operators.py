@@ -585,3 +585,31 @@ def test_flatten_hierarchy_deep_chain_distributed(spark):
            for r in flat.filter(F.col("id").isin(0, 1, n - 2, n - 1)).collect()}
     assert got[0] == (0, 0) and got[1] == (0, 1)
     assert got[n - 1] == (0, n - 1) and got[n - 2] == (0, n - 2)
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Every round-3 operator degrades to an empty result (not an
+    error) on empty input — the guard for empty partitions/filters
+    upstream in a composed pipeline."""
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        cooccurrence_lift, time_weighted_avg,
+    )
+    from tb_lakehouse_enhanced_spark.operators.hierarchy import (
+        ancestor_closure, flatten_hierarchy,
+    )
+    from tb_lakehouse_enhanced_spark.operators.retrieval import bm25_topk
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(no_docs, ["x"]).count() == 0
+
+    no_nodes = spark.createDataFrame([], "id long, parent_id long")
+    assert flatten_hierarchy(no_nodes).count() == 0
+    assert flatten_hierarchy(no_nodes, local_threshold=0).count() == 0
+    assert ancestor_closure(no_nodes).count() == 0
+
+    no_events = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double, "
+            "event_type string")
+    assert time_weighted_avg(no_events).count() == 0
+    assert cooccurrence_lift(no_events).count() == 0
+    assert cooccurrence_lift(no_events, method="join").count() == 0
