@@ -357,3 +357,111 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     partials = (corpus.mapInPandas(score, _OUT_SCHEMA)
                 .filter(F.col("query_id") != F.col("neighbor_id")))
     return _topk_merge(partials, k)
+
+
+def pq_write_index(corpus: DataFrame, path: str, m: int = 8, nbits: int = 8,
+                   sample_size: int = 2048, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Materialize the PQ index as TABLES: ``{path}/codes`` holds one
+    row per vector (id + m small ints, ~64x smaller than the floats)
+    and ``{path}/books`` holds the trained codebooks — the physical
+    form of ``pq_topk``'s claim that the index fits where the vectors
+    cannot. Training samples once on the driver; encoding is one
+    Arrow-batched pass over the corpus, never collected or shuffled.
+    """
+    spark = corpus.sparkSession
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    smp = _matrix(pd.Series([r[0] for r in sample_rows]))
+    books = _pq_codebooks(smp, m, nbits)                 # (m, C, sub)
+    d = smp.shape[1]
+    sub = d // m
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = _matrix(pdf[vec_col])
+            codes = np.empty((len(cm), m), dtype=np.int32)
+            for s in range(m):
+                block = cm[:, s * sub:(s + 1) * sub]
+                dist = ((block[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = dist.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(np.int64),
+                                "codes": list(codes)})
+
+    (corpus.select(id_col, vec_col)
+     .mapInPandas(encode, "vec_id long, codes array<int>")
+     .write.mode("overwrite").parquet(f"{path}/codes"))
+    book_rows = [(int(s), int(c), [float(x) for x in books[s, c]])
+                 for s in range(m) for c in range(books.shape[1])]
+    (spark.createDataFrame(book_rows, "s int, c int, vec array<float>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/books"))
+
+
+def pq_probe_index(spark, path: str, queries: DataFrame, corpus: DataFrame,
+                   k: int = 5, rerank: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Serve top-k from the persisted PQ index: ADC-score the COMPRESSED
+    codes table (the full vectors are never scanned), keep the top
+    ``rerank*k`` candidates per query, then fetch ONLY those vectors by
+    key (broadcast semi-join against the corpus) for the exact re-rank.
+    The 100 TB shape: the scan touches m bytes per vector, and the float
+    fetch is bounded by queries x rerank x k rows.
+    """
+    books_rows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["s"] for r in books_rows)
+    n_codes = 1 + max(r["c"] for r in books_rows)
+    sub = len(books_rows[0]["vec"])
+    books = np.zeros((m, n_codes, sub))
+    for r in books_rows:
+        books[r["s"], r["c"]] = np.asarray(r["vec"], dtype=np.float64)
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    tables = np.stack([
+        np.stack([books[s] @ qm[j, s * sub:(s + 1) * sub]
+                  for s in range(m)]) for j in range(len(qids))])
+    n_cand = rerank * k
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy())    # (n, m)
+            outs = []
+            for j, qid in enumerate(qids):
+                approx = tables[j][np.arange(m), codes].sum(axis=1)
+                kk = min(n_cand, len(ids))
+                top = np.argpartition(-approx, kk - 1)[:kk]
+                outs.append(pd.DataFrame({"query_id": qid,
+                                          "neighbor_id": ids[top]}))
+            yield pd.concat(outs)
+
+    cands = (spark.read.parquet(f"{path}/codes")
+             .mapInPandas(adc, "query_id long, neighbor_id long"))
+    # fetch only candidate vectors, exact-score, merge per query
+    fetch = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("_v"))
+             .join(F.broadcast(cands.select("neighbor_id").distinct()),
+                   "neighbor_id"))
+    pairs = cands.join(fetch, "neighbor_id")
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qix = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = _matrix(pdf["_v"])
+            qs = pdf["query_id"].to_numpy(np.int64)
+            cos = np.einsum("ij,ij->i", vm, qm[[qix[int(q)] for q in qs]])
+            yield pd.DataFrame({"query_id": qs,
+                                "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                                "cos": cos})
+
+    scored = pairs.mapInPandas(exact, "query_id long, neighbor_id long, cos double")
+    out = _topk_merge(scored, k + 1)
+    # drop self-matches, re-rank the rest 1..k
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (out.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -613,3 +613,26 @@ def test_new_operators_handle_empty_input(spark):
     assert time_weighted_avg(no_events).count() == 0
     assert cooccurrence_lift(no_events).count() == 0
     assert cooccurrence_lift(no_events, method="join").count() == 0
+
+
+def test_pq_index_write_probe_recall(spark, tmp_path):
+    """The persisted PQ serving path (codes table + codebook table ->
+    ADC scan -> keyed float fetch -> exact re-rank) recovers most exact
+    neighbors and is deterministic across probes."""
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        pq_probe_index, pq_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    path = str(tmp_path / "pq_index")
+    pq_write_index(emb, path, m=8, nbits=6)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    got1 = {(r["query_id"], r["neighbor_id"])
+            for r in pq_probe_index(spark, path, queries, emb, k=5).collect()}
+    assert len(exact & got1) / len(exact) >= 0.6
+    got2 = {(r["query_id"], r["neighbor_id"])
+            for r in pq_probe_index(spark, path, queries, emb, k=5).collect()}
+    assert got1 == got2
