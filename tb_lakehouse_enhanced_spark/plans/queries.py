@@ -3104,6 +3104,111 @@ def assoc_lift_q(spark, sf_dir):
     return cooccurrence_lift(_events(spark, sf_dir))
 
 
+@q("contamination_expand", """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+         AS s
+  FROM tok
+), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+   corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+   seeds AS (SELECT DISTINCT corpus.doc_id FROM corpus JOIN bench ON corpus.s = bench.s),
+   pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(list_distinct(string_split(lower(trim(a.text)), ' ')),
+                                list_distinct(string_split(lower(trim(b.text)), ' ')))) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(list_distinct(string_split(lower(trim(a.text)), ' ')),
+                                             list_distinct(string_split(lower(trim(b.text)), ' '))))) AS DOUBLE)
+        >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+), l1 AS (
+  SELECT e.b AS doc_id FROM edges e JOIN seeds s ON e.a = s.doc_id
+), l2 AS (
+  SELECT e.b AS doc_id FROM edges e JOIN l1 ON e.a = l1.doc_id
+), reach AS (
+  SELECT doc_id, 0 AS hops FROM seeds
+  UNION ALL SELECT doc_id, 1 FROM l1
+  UNION ALL SELECT doc_id, 2 FROM l2
+)
+SELECT doc_id, CAST(MIN(hops) AS INT) AS hops FROM reach GROUP BY doc_id
+""")
+def contamination_expand(spark, sf_dir):
+    """Contamination blast radius: benchmark-overlapping docs (the
+    contamination_check seeds) expanded 2 hops over the near-dup
+    Jaccard graph — the transitive-decontamination set (a near-dup of a
+    contaminated doc is itself suspect). Operators COMPOSE: shingle
+    equi-join seeds + blocked pair graph + two frontier joins with a
+    min-hop rollup; every shuffle is on doc ids or shingles, nothing
+    quadratic beyond the (oracle-parity) pair query itself."""
+    from ..operators.dedup import jaccard_near_dup
+    d = _t(spark, sf_dir, "documents")
+    seeds = (SPARK_QUERIES["contamination_check"](spark, sf_dir)
+             .select("doc_id").persist())
+    pairs = jaccard_near_dup(d, threshold=0.6).select("id_a", "id_b")
+    edges = (pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+             .toDF("a", "b").persist())
+    l0 = seeds.select("doc_id", F.lit(0).alias("hops"))
+    l1 = (edges.join(seeds, edges["a"] == seeds["doc_id"])
+          .select(F.col("b").alias("doc_id"), F.lit(1).alias("hops")))
+    l2 = (edges.join(l1.select(F.col("doc_id").alias("_f")),
+                     edges["a"] == F.col("_f"))
+          .select(F.col("b").alias("doc_id"), F.lit(2).alias("hops")))
+    return (l0.unionByName(l1).unionByName(l2)
+            .groupBy("doc_id").agg(F.min("hops").cast("int").alias("hops")))
+
+
+@q("funnel_latency", """
+WITH c AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, c.t0, MIN(e.ts) AS t1
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t0
+  GROUP BY e.user_id, c.t0
+),
+lat AS (
+  SELECT (epoch_us(t1) - epoch_us(t0)) // 1000000 AS latency_s FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(latency_s, 0.25) AS BIGINT) AS p25_s,
+       CAST(quantile_disc(latency_s, 0.50) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(latency_s, 0.75) AS BIGINT) AS p75_s,
+       CAST(quantile_disc(latency_s, 0.90) AS BIGINT) AS p90_s
+FROM lat
+""")
+def funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution for the click -> purchase funnel:
+    first-touch binding (first click, then first purchase at-or-after
+    it), integer-second latencies via exact µs floor division, and a
+    percentile_disc panel (data values — engine-portable). Both
+    per-user aggregations shuffle on user_id and reuse the exchange;
+    the final panel is a 1-row sort-based aggregate."""
+    ev = _events(spark, sf_dir)
+    c = (ev.filter(F.col("event_type") == "click")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t0"))
+         .groupBy("user_id", "t0").agg(F.min("ts").alias("t1")))
+    lat = p.select(
+        F.expr("(unix_micros(t1) - unix_micros(t0)) DIV 1000000")
+        .alias("latency_s"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        *[F.expr(f"CAST(percentile_disc({q}) WITHIN GROUP "
+                 f"(ORDER BY latency_s) AS BIGINT)").alias(a)
+          for q, a in ((0.25, "p25_s"), (0.50, "p50_s"),
+                       (0.75, "p75_s"), (0.90, "p90_s"))])
+
+
 @q("sample_per_group", """
 SELECT lang, doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY lang
