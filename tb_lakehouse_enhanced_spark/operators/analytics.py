@@ -422,7 +422,11 @@ def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
     baskets = (events.select(F.col(key_col).alias("k"),
                              F.col(item_col).alias("item"))
                .distinct().persist())
-    n_keys = baskets.select("k").distinct().count()
+    # |keys| rides the plan as a broadcast 1-row aggregate instead of a
+    # blocking driver count(): one job total, and the cached baskets
+    # relation feeds all three consumers (key count, item counts, pairs)
+    n_keys_df = baskets.agg(
+        F.count_distinct(F.col("k")).cast("long").alias("_n"))
 
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
     if method == "array":
@@ -455,7 +459,7 @@ def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
                             F.col("cnt").alias("n_b"))
     return (pair_counts
             .join(F.broadcast(ia), "item_a").join(F.broadcast(ib), "item_b")
-            .withColumn("_n", F.lit(n_keys).cast("long"))
+            .crossJoin(F.broadcast(n_keys_df))
             .select(
                 "item_a", "item_b", "n_both", "n_a", "n_b",
                 F.expr("CAST((n_both * 1000) DIV _n AS BIGINT)")
