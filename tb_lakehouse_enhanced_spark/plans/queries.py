@@ -2899,6 +2899,77 @@ def corpus_shuffle(spark, sf_dir):
             .select("doc_id", "shuffle_pos"))
 
 
+@q("pack_context", f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS s
+  FROM d WHERE n > 0
+), e AS (
+  SELECT doc_id, n, s,
+         unnest(generate_series(s // 256, (s + n - 1) // 256)) AS w
+  FROM c
+)
+SELECT doc_id, CAST(w AS BIGINT) AS window_id,
+       CAST(GREATEST(w * 256 - s, 0) AS BIGINT) AS tok_from,
+       CAST(LEAST((w + 1) * 256 - s, n) AS BIGINT) AS tok_to,
+       CAST(LEAST((w + 1) * 256 - s, n) - GREATEST(w * 256 - s, 0) AS BIGINT)
+         AS n_toks
+FROM e
+""")
+def pack_context(spark, sf_dir):
+    """Sequence packing: the corpus tokenized, concatenated in doc_id
+    order and chopped into fixed 256-token training windows, docs
+    spanning chunk boundaries split across adjacent windows. Emits the
+    packing MANIFEST (window -> doc slice), the plan a training-data
+    writer executes; built on the distributed prefix-sum (one range
+    shuffle + narrow explode — operators/packing.py), never a
+    single-task global window."""
+    from ..operators.packing import pack_context_windows
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n"))
+    return pack_context_windows(d, "n", 256, ["doc_id"])
+
+
+@q("shard_plan", f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS s
+  FROM d WHERE n > 0
+)
+SELECT CAST(s // 5000 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_toks,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY 1
+""")
+def shard_plan(spark, sf_dir):
+    """Balanced shard planning: whole docs assigned to ~5000-token
+    output shards by integer division of their global token offset
+    (operators/packing.py::plan_shards) — every shard lands within
+    one max-doc-length of the budget, and the assignment is a pure
+    function of the deterministic doc order."""
+    from ..operators.packing import plan_shards
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n"))
+    return (plan_shards(d, "n", 5000, ["doc_id"])
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("total_toks"),
+                 F.min("doc_id").cast("bigint").alias("first_doc")))
+
+
 @q("tokenizer_oov", """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
@@ -3535,9 +3606,11 @@ _PRIORITY = [
     # DML / MERGE family + change data feed
     "dml_update_delete", "scd2_merge_state", "scd1_upsert", "fact_upsert",
     "table_changes",
-    # streaming (batch-checkable core): tumbling windows + the
-    # engine-managed merging session windows (F.session_window)
-    "stream_tumbling", "stream_session",
+    # streaming (batch-checkable core): tumbling windows; round 3
+    # rotates stream_session below the fold (the session family stays
+    # oracle-checked locally and in batch `sessionize`) in favor of the
+    # sequence-packing family
+    "stream_tumbling",
     # TPC-H consumption shapes (q6's single-table filter-agg shape is
     # in-window via scan_source + tpch_q1; q6 itself below the fold)
     "tpch_q1", "tpch_q3", "tpch_q5",
@@ -3552,6 +3625,8 @@ _PRIORITY = [
     "multimodal_features", "simsearch_topk", "simsearch_lsh",
     # deterministic sampling / source mixing (corpus assembly)
     "sample_stratified",
+    # sequence packing: docs -> fixed-length training context windows
+    "pack_context",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert not set(_PRIORITY) - set(SPARK_QUERIES), set(_PRIORITY) - set(SPARK_QUERIES)
