@@ -2970,6 +2970,47 @@ def shard_plan(spark, sf_dir):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
+@q("bpe_pairs", """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
+), p AS (
+  SELECT substring(word, CAST(i AS INTEGER), 1) AS a,
+         substring(word, CAST(i AS INTEGER) + 1, 1) AS b, cnt
+  FROM (SELECT word, cnt,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wc)
+)
+SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p GROUP BY a, b
+""")
+def bpe_pairs(spark, sf_dir):
+    """One BPE training step's core aggregation: weighted adjacent
+    symbol-pair counts over the word vocabulary (operators/bpe.py).
+    The corpus collapses to (word, cnt) in one pass; pair extraction is
+    an in-row higher-order lambda over the symbol array — vocabulary-
+    sized work, no corpus-sized explode."""
+    from ..operators.bpe import pair_counts, to_symbols, word_counts
+    d = _t(spark, sf_dir, "documents")
+    return pair_counts(to_symbols(word_counts(d)))
+
+
+@q("bpe_learn")
+def bpe_learn(spark, sf_dir):
+    """Full BPE training loop, 8 merges (operators/bpe.py::bpe_train):
+    per-round argmax is a 1-row driver scalar, the vocabulary never
+    leaves the cluster. Iterative (driver-loop) => rows-only check;
+    the algorithm is differentially tested against a pure-Python
+    reference in test_bpe.py."""
+    from ..operators.bpe import bpe_train
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, 8)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "step int, a string, b string, cnt long")
+
+
 @q("tokenizer_oov", """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
