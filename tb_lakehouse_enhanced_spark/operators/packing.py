@@ -72,6 +72,39 @@ def pack_context_windows(docs: DataFrame, len_col: str, window: int,
             .withColumn("n_toks", (F.col("tok_to") - F.col("tok_from"))))
 
 
+def materialize_context_windows(tokens: DataFrame, manifest: DataFrame,
+                                id_col: str, toks_col: str) -> DataFrame:
+    """Turn the packing manifest into actual packed training samples.
+
+    ``tokens``: (id_col, toks_col array<string>) — the tokenized docs.
+    ``manifest``: output of :func:`pack_context_windows` keyed on the
+    same ``id_col``. Returns one row per window:
+    ``window_id, n_docs, n_toks, window_text`` (the window's tokens
+    joined with single spaces, doc slices in ``id_col`` order).
+
+    Two shuffles at any scale: the manifest→tokens equi-join on doc id
+    (manifest rows ≈ docs + boundary crossings, so co-partitioning on
+    id keeps it narrow) and the per-window assembly groupBy. Slicing is
+    in-row ``slice()``; assembly order is pinned by sorting the
+    collected (id, piece) structs, so the result is independent of
+    partitioning and task order.
+    """
+    sl = F.slice(F.col(toks_col), F.col("tok_from").cast("int") + 1,
+                 F.col("n_toks").cast("int"))
+    joined = (manifest.join(tokens, id_col)
+              .select("window_id", F.col(id_col).alias("_id"),
+                      "n_toks", sl.alias("_piece")))
+    assembled = F.array_join(
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_id"), F.col("_piece")))),
+            lambda s: s["_piece"])),
+        " ")
+    return (joined.groupBy("window_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("n_toks"),
+                 assembled.alias("window_text")))
+
+
 def plan_shards(docs: DataFrame, len_col: str, budget: int,
                 order_cols: list[str],
                 num_partitions: int | None = None) -> DataFrame:

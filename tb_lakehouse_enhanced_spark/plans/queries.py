@@ -2970,6 +2970,56 @@ def shard_plan(spark, sf_dir):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
+@q("pack_windows_text", f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS s
+  FROM d WHERE n > 0
+), e AS (
+  SELECT doc_id, toks, n, s,
+         unnest(generate_series(s // 256, (s + n - 1) // 256)) AS w
+  FROM c
+), sl AS (
+  SELECT w AS window_id, doc_id,
+         GREATEST(w * 256 - s, 0) AS f,
+         LEAST((w + 1) * 256 - s, n) AS t, toks
+  FROM e
+)
+SELECT CAST(window_id AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t - f) AS BIGINT) AS n_toks,
+       array_to_string(
+         flatten(list(list_transform(generate_series(f + 1, t), i -> toks[CAST(i AS INTEGER)])
+                      ORDER BY doc_id)), ' ') AS window_text
+FROM sl GROUP BY window_id
+""")
+def pack_windows_text(spark, sf_dir):
+    """Manifest -> materialized packed samples: each 256-token training
+    window's text assembled from its doc slices in doc order
+    (operators/packing.py::materialize_context_windows). The join is
+    equi on doc_id, the assembly one groupBy on window_id; slice order
+    is pinned by struct-sorting, so the output is partitioning-
+    independent and hash-compares across engines."""
+    from ..operators.packing import (
+        materialize_context_windows, pack_context_windows,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        .alias("toks"))
+    d = d.withColumn("n", F.size("toks").cast("bigint"))
+    manifest = pack_context_windows(d.select("doc_id", "n"), "n", 256,
+                                    ["doc_id"])
+    return materialize_context_windows(d.select("doc_id", "toks"), manifest,
+                                       "doc_id", "toks")
+
+
 @q("bpe_pairs", """
 WITH w AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word

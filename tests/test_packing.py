@@ -61,6 +61,24 @@ def test_pack_zero_len_dropped_and_validation(spark):
         pack_context_windows(df, "n", 0, ["doc"])
 
 
+def test_materialize_windows_exact(spark):
+    from tb_lakehouse_enhanced_spark.operators.packing import (
+        materialize_context_windows,
+    )
+    toks = spark.createDataFrame(
+        [(1, ["a1", "a2", "a3"]), (2, ["b1", "b2", "b3", "b4", "b5"]),
+         (3, ["c1", "c2", "c3", "c4"])],
+        "doc_id long, toks array<string>")
+    d = toks.withColumn("n", F.size("toks").cast("bigint"))
+    m = pack_context_windows(d.select("doc_id", "n"), "n", 4, ["doc_id"])
+    out = {r.window_id: (r.n_docs, r.n_toks, r.window_text)
+           for r in materialize_context_windows(toks, m, "doc_id", "toks")
+           .collect()}
+    assert out == {0: (2, 4, "a1 a2 a3 b1"),
+                   1: (1, 4, "b2 b3 b4 b5"),
+                   2: (1, 4, "c1 c2 c3 c4")}
+
+
 def test_shard_plan_budget_bound(spark):
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .select("doc_id", F.col("n_chars").alias("n")))
