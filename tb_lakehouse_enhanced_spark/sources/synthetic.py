@@ -1,0 +1,133 @@
+"""Custom Python DataSource (Spark 4 DataSource API): synthetic corpus.
+
+The reference ingests from JDBC only (SURVEY.md §2.1 S1); this module
+exercises Spark's NATIVE source-extension point — `pyspark.sql.
+datasource` — the idiomatic way to add a non-file, non-JDBC source to
+the engine without touching the JVM: a deterministic synthetic
+document corpus, usable both as a batch relation and as a micro-batch
+stream.
+
+Why a generator source: load-shaping. It materializes any row count at
+full partition parallelism with ZERO storage reads — the tool for
+soak-testing the dedup/packing/text tiers at sizes the parquet
+fixtures don't cover (each InputPartition generates its slice
+independently, so a 1000-executor cluster generates 1000-way parallel).
+
+Determinism: every row is a pure function of (seed, doc_id) via a
+splitmix64-style hash — same options, same rows, on any cluster
+layout, any number of partitions. The stream variant exposes the same
+rows through `SimpleDataSourceStreamReader` with replayable offsets
+({"index": n} row high-water mark), so a restarted query re-reads
+exactly the committed range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition, SimpleDataSourceStreamReader,
+)
+
+_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
+           "n_chars bigint")
+
+_VOCAB = ("the quick brown fox jumps over lazy dog data spark engine "
+          "corpus token window shuffle merge join scan filter group "
+          "stream batch delta table column row partition cluster "
+          "query plan hash sort broadcast exchange").split()
+_LANGS = ["en", "de", "fr", "es"]
+_SOURCES = ["src0", "src1", "src2"]
+
+_MASK = (1 << 64) - 1
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer — avalanche a 64-bit value."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+def _doc_row(seed: int, doc_id: int) -> tuple:
+    h = _mix(seed ^ _mix(doc_id))
+    n_words = 5 + h % 40
+    words = []
+    for i in range(n_words):
+        h = _mix(h + i + 1)
+        words.append(_VOCAB[h % len(_VOCAB)])
+    text = " ".join(words)
+    return (doc_id, text, _LANGS[_mix(h + 1) % len(_LANGS)],
+            _SOURCES[_mix(h + 2) % len(_SOURCES)], len(text))
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.numparts = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        n = max(1, self.numparts)
+        step = -(-self.rows // n)  # ceil
+        return [_RangePartition(i, min(i + step, self.rows))
+                for i in range(0, self.rows, step)]
+
+    def read(self, partition):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_row(self.seed, doc_id)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch view of the same deterministic corpus.
+
+    Offset = {"index": next_row}; each read() serves at most
+    ``rows_per_batch`` rows and the stream runs dry at ``rows`` total,
+    so `processAllAvailable()` terminates. readBetweenOffsets replays
+    any committed range bit-identically (generator determinism is the
+    replay log).
+    """
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        i = start["index"]
+        end = min(i + self.batch, self.rows)
+        return (iter([_doc_row(self.seed, d) for d in range(i, end)]),
+                {"index": end})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_doc_row(self.seed, d)
+                     for d in range(start["index"], end["index"])])
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_docs"
+
+    def schema(self):
+        return _SCHEMA
+
+    def reader(self, schema):
+        return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source; afterwards
+    ``spark.read.format("synthetic_docs").option("rows", N).load()`` and
+    ``spark.readStream.format("synthetic_docs")...`` both work."""
+    spark.dataSource.register(SyntheticDocsDataSource)
