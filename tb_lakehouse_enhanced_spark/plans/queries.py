@@ -2970,6 +2970,20 @@ def shard_plan(spark, sf_dir):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
+@q("join_cross", """
+SELECT r.r_name, s.c_mktsegment
+FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+""")
+def join_cross(spark, sf_dir):
+    """Deliberate Cartesian product of two tiny dims (the one shape
+    where BroadcastNestedLoopJoin is the RIGHT plan): the region x
+    segment scaffold a coverage report pivots on. Completes the
+    join-type matrix (inner/outer/semi/anti/asof/range/cross)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(s)
+
+
 @q("pack_windows_text", f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks,

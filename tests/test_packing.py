@@ -79,6 +79,28 @@ def test_materialize_windows_exact(spark):
                    2: (1, 4, "c1 c2 c3 c4")}
 
 
+def test_pack_soak_synthetic_50k(spark):
+    """Soak the packing prefix-sum on a 50k-doc generated corpus (the
+    synthetic DataSource's intended role): invariants must hold at a
+    size where range partitioning actually spreads over many tasks."""
+    from tb_lakehouse_enhanced_spark.sources.synthetic import register
+    register(spark)
+    docs = (spark.read.format("synthetic_docs")
+            .option("rows", 50_000).option("partitions", 8).load()
+            .select("doc_id", F.col("n_chars").alias("n")))
+    w = 4096
+    m = pack_context_windows(docs, "n", w, ["doc_id"])
+    agg = m.agg(F.sum("n_toks").alias("toks"),
+                F.countDistinct("window_id").alias("wins")).collect()[0]
+    total = docs.agg(F.sum("n")).collect()[0][0]
+    assert agg.toks == total
+    assert agg.wins == -(-total // w)  # ceil: windows are dense 0..W-1
+    # every window full except the last
+    per = (m.groupBy("window_id").agg(F.sum("n_toks").alias("t"))
+           .orderBy(F.desc("window_id")).limit(5).collect())
+    assert all(r.t == w for r in per[1:])
+
+
 def test_shard_plan_budget_bound(spark):
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .select("doc_id", F.col("n_chars").alias("n")))
