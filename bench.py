@@ -32,8 +32,9 @@ HEADLINE = [
     "asof_join", "sessionize", "vocab_topk", "contamination_check",
     "agg_salted", "tpch_q1", "tpch_q3", "tpch_q5",
     # round-3 families: lexical retrieval, recursive hierarchy,
-    # temporal weighting, association mining
+    # temporal weighting, association mining, sequence packing
     "search_bm25", "hierarchy_flatten", "time_weighted_avg", "assoc_lift",
+    "pack_context",
 ]
 
 
@@ -57,12 +58,13 @@ def main():
     for t in TABLES:
         _t(spark, sf_dir, t).count()
 
-    # Best-of-3: the host VM shows bursty CPU steal (identical full runs
-    # measured 41s / 45s / 63s back-to-back); the minimum reflects engine
-    # steady-state throughput rather than host-stall luck, and two passes
-    # were not enough to dodge a multi-second stall on every query.
+    # Best-of-4: the host VM shows bursty CPU steal (identical full runs
+    # measured 41s / 45s / 63s back-to-back; single queries swing 3x
+    # between runs with no code change); the minimum reflects engine
+    # steady-state throughput rather than host-stall luck, and three
+    # passes still let one long stall through on some query most runs.
     timings: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(4):
         for name in HEADLINE:
             fn = SPARK_QUERIES[name]
             t0 = time.time()

@@ -396,3 +396,15 @@ def test_attribution_asof_single_exchange(spark):
     # (no range join / per-row rescans), and the tiny channel rollup
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pack_context_no_global_window_one_range_exchange(spark):
+    plan = _executed(SPARK_QUERIES["pack_context"](spark, SF_DIR))
+    # the doc-offset prefix sum must NOT funnel the corpus through a
+    # single-task global window: exactly one range exchange orders the
+    # docs; the only SinglePartition exchange feeds the P-row offsets
+    # aggregate (P = shuffle width, never data-sized)
+    assert plan.count("Exchange rangepartitioning") <= 1
+    assert "CartesianProduct" not in plan
+    # the per-partition running sum is a PARTITIONED window
+    assert "windowspecdefinition(_seq_pid" in plan
