@@ -469,3 +469,38 @@ def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
                 F.expr("CAST((CAST(n_both AS DECIMAL(38,0)) * _n * 1000)"
                        " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
                 .alias("lift_milli")))
+
+
+def distribution_drift(items: DataFrame, item_col: str,
+                       flag_col: str) -> DataFrame:
+    """Per-item distribution drift between two sides of a corpus.
+
+    ``items``: one row per occurrence; ``flag_col`` boolean marks side A
+    (e.g. the train split) vs side B. For every distinct item the
+    smoothed occurrence probabilities p (side A) and q (side B) are
+    compared with the chi-square-style statistic
+    ``drift = (p - q)^2 / (p + q)`` — the additive term of the
+    triangular discrimination divergence. Deliberately NOT KL: the
+    statistic is pure ``+ - * /`` on exact integer counts, so every
+    double is exactly-rounded IEEE and the output hash-matches across
+    engines with no transcendental-libm or quantization caveats
+    (ARCHITECTURE.md round-3 notes; same dividing line as BM25).
+
+    Add-one smoothing over the joint vocabulary keeps items observed on
+    one side only finite and comparable. One shuffle (the item count);
+    the three totals ride a broadcast 1-row aggregate back in-plan.
+    """
+    f = F.col(flag_col).cast("long")
+    agg = (items.groupBy(F.col(item_col).alias("item"))
+           .agg(F.sum(f).cast("bigint").alias("cnt_a"),
+                F.sum(F.lit(1) - f).cast("bigint").alias("cnt_b")))
+    tot = agg.agg(F.sum("cnt_a").cast("bigint").alias("_na"),
+                  F.sum("cnt_b").cast("bigint").alias("_nb"),
+                  F.count(F.lit(1)).cast("bigint").alias("_v"))
+    p = ((F.col("cnt_a") + 1).cast("double")
+         / (F.col("_na") + F.col("_v")).cast("double"))
+    q = ((F.col("cnt_b") + 1).cast("double")
+         / (F.col("_nb") + F.col("_v")).cast("double"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("item", "cnt_a", "cnt_b",
+                    ((p - q) * (p - q) / (p + q)).alias("drift")))

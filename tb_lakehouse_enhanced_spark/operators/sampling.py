@@ -84,3 +84,43 @@ def mix_sources(df: DataFrame, weights: dict[str, float],
             .filter(F.col("_n") > 0)
             .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
             .drop("_n"))
+
+
+def allocate_quotas(df: DataFrame, group_col: str, budget: int) -> DataFrame:
+    """Proportional quota allocation with largest-remainder top-up.
+
+    Splits a total row ``budget`` across groups proportionally to their
+    sizes, entirely in integer arithmetic (Hamilton's method): each
+    group gets ``floor(budget * n_g / N)``, and the leftover seats go to
+    the largest remainders ``(budget * n_g) mod N`` (ties broken by
+    group value ascending — deterministic in every engine). Quotas sum
+    to exactly ``budget`` (or to N when the budget exceeds the
+    population) — the allocation step of balanced eval-set construction;
+    feed the result to ``skew.topk_per_group`` to draw the actual rows.
+
+    Spark shape: one count aggregate over the groups, a 1-row total
+    broadcast back in-plan, and a rank window over the GROUPS relation
+    (group-cardinality-sized, never data-sized).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("_N"),
+                     F.count(F.lit(1)).cast("bigint").alias("_G"))
+    b = F.lit(int(budget)).cast("bigint")
+    c = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("_floor", F.expr(f"({int(budget)} * n) DIV _N"))
+         .withColumn("_rem", (b * F.col("n")) % F.col("_N")))
+    from pyspark.sql import Window
+    # leftover seats = budget - sum(floors) <= G - 1: rank over the
+    # group-cardinality relation (tiny by construction)
+    w = Window.orderBy(F.desc("_rem"), F.asc("grp"))
+    leftover = b - F.sum("_floor").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (c.withColumn("_rk", F.row_number().over(w))
+            .withColumn("quota",
+                        F.least(F.col("n"),
+                                F.col("_floor")
+                                + (F.col("_rk") <= leftover).cast("bigint")))
+            .select("grp", "n", "quota"))

@@ -2970,6 +2970,75 @@ def shard_plan(spark, sf_dir):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
+@q("split_drift", """
+WITH tok AS (
+  SELECT CASE WHEN (doc_id % 2147483648) * 2654435761 % 100 < 80
+              THEN 1 ELSE 0 END AS is_train,
+         unnest(string_split(lower(trim(text)), ' ')) AS item
+  FROM documents
+), agg AS (
+  SELECT item, CAST(SUM(is_train) AS BIGINT) AS cnt_a,
+         CAST(SUM(1 - is_train) AS BIGINT) AS cnt_b
+  FROM tok GROUP BY item
+), tot AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS na, CAST(SUM(cnt_b) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS v FROM agg
+), pq AS (
+  SELECT item, cnt_a, cnt_b,
+         CAST(cnt_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p,
+         CAST(cnt_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS q
+  FROM agg, tot
+)
+SELECT item, cnt_a, cnt_b, (p - q) * (p - q) / (p + q) AS drift
+FROM pq
+""")
+def split_drift(spark, sf_dir):
+    """Token-distribution drift between the train split and the rest —
+    the 'did my split skew the corpus?' audit. Chi-square-style per-item
+    statistic (triangular discrimination term): pure +-*/ on exact
+    integer counts, so every double is exactly-rounded IEEE and
+    hash-compares with no transcendental or quantization caveats
+    (operators/analytics.py::distribution_drift)."""
+    from ..operators.analytics import distribution_drift
+    from ..functions.text import split_assign
+    d = _t(spark, sf_dir, "documents")
+    items = d.select(
+        (split_assign(F.col("doc_id")) == "train").alias("is_train"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("item"))
+    return distribution_drift(items, "item", "is_train")
+
+
+@q("sample_allocation", """
+WITH g AS (
+  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g
+), c AS (
+  SELECT grp, n, CAST((100 * n) // t.tot AS BIGINT) AS fl,
+         CAST((100 * n) % t.tot AS BIGINT) AS rem
+  FROM g, t
+), r AS (
+  SELECT grp, n, fl, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, grp ASC) AS rk,
+         (SELECT 100 - SUM(fl) FROM c) AS leftover
+  FROM c
+)
+SELECT grp, n,
+       CAST(LEAST(n, fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            AS BIGINT) AS quota
+FROM r
+""")
+def sample_allocation(spark, sf_dir):
+    """Proportional quota allocation (Hamilton largest-remainder) of a
+    100-row budget across language strata — integer-exact, quotas sum
+    to exactly the budget, deterministic tie-break
+    (operators/sampling.py::allocate_quotas). The allocation half of
+    balanced eval-set construction; topk_per_group draws the rows."""
+    from ..operators.sampling import allocate_quotas
+    d = _t(spark, sf_dir, "documents")
+    return allocate_quotas(d, "lang", 100)
+
+
 @q("join_cross", """
 SELECT r.r_name, s.c_mktsegment
 FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s

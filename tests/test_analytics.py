@@ -270,3 +270,21 @@ def test_time_weighted_avg_randomized_vs_reference(spark):
             assert got[u] == (len(evs) - 1, ds, (ws * 10) // ds), u
         else:
             assert u not in got
+
+
+def test_distribution_drift_exact(spark):
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        distribution_drift,
+    )
+    rows = ([("x", True)] * 3 + [("y", True)] * 1
+            + [("x", False)] * 1 + [("z", False)] * 2)
+    items = spark.createDataFrame(rows, "item string, flag boolean")
+    out = {r.item: r for r in
+           distribution_drift(items, "item", "flag").collect()}
+    # na=4, nb=3, v=3 -> denominators 7 and 6
+    assert (out["x"].cnt_a, out["x"].cnt_b) == (3, 1)
+    p, q = 4 / 7, 2 / 6
+    assert abs(out["x"].drift - (p - q) ** 2 / (p + q)) < 1e-15
+    # z absent from side A still finite via smoothing
+    p, q = 1 / 7, 3 / 6
+    assert abs(out["z"].drift - (p - q) ** 2 / (p + q)) < 1e-15

@@ -636,3 +636,28 @@ def test_pq_index_write_probe_recall(spark, tmp_path):
     got2 = {(r["query_id"], r["neighbor_id"])
             for r in pq_probe_index(spark, path, queries, emb, k=5).collect()}
     assert got1 == got2
+
+
+def test_allocate_quotas_hamilton(spark):
+    from collections import Counter
+
+    from tb_lakehouse_enhanced_spark.operators.sampling import allocate_quotas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 37
+    out = {r.grp: (r.n, r.quota) for r in
+           allocate_quotas(docs, "lang", budget).collect()}
+    # reference Hamilton allocation
+    counts = Counter(r.lang for r in docs.select("lang").collect())
+    N = sum(counts.values())
+    fl = {g: budget * n // N for g, n in counts.items()}
+    rem = sorted(counts, key=lambda g: (-(budget * counts[g] % N), g))
+    left = budget - sum(fl.values())
+    want = {g: fl[g] + (1 if i < left else 0) for i, g in enumerate(rem)}
+    assert {g: q for g, (_, q) in out.items()} == want
+    assert sum(q for _, q in out.values()) == budget
+    # degenerate budgets: 0 allocates nothing; budget > N caps at N
+    z = allocate_quotas(docs, "lang", 0).agg(F.sum("quota")).collect()[0][0]
+    assert z == 0
+    big = allocate_quotas(docs, "lang", 10 * N).agg(F.sum("quota")).collect()[0][0]
+    assert big == N
