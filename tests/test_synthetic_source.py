@@ -56,3 +56,25 @@ def test_stream_drains_and_matches_batch(spark, tmp_path):
     want = _load(spark, rows=350, seed=7)
     assert got.count() == 350
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_source_composes_with_streaming_tier(spark, tmp_path):
+    """The custom stream source feeding a real streaming aggregation:
+    per-lang doc counts accumulate across micro-batches into a sink
+    table (complete mode), matching the batch groupBy of the same rows."""
+    register(spark)
+    q = (spark.readStream.format("synthetic_docs")
+         .option("rows", 300).option("rows_per_batch", 75).option("seed", 3)
+         .load()
+         .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+         .writeStream.format("memory").queryName("synth_lang_counts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r.lang: r.n for r in spark.table("synth_lang_counts").collect()}
+    want = {r.lang: r.n for r in
+            _load(spark, rows=300, seed=3)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
