@@ -2970,6 +2970,61 @@ def shard_plan(spark, sf_dir):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
+@q("corpus_card", f"""
+WITH {_minhash_cte_sql()},
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT)
+           AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+         CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+         CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+         CAST(SUM(CAST(FLOOR((
+             0.4 * (LEAST(CAST(length(text) AS DOUBLE), 400.0) / 400.0)
+           + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+           + 0.2 * (CASE WHEN regexp_matches(text, '\\b(the|and|of|is)\\b')
+                         THEN 1.0 ELSE 0.0 END)) * 1000) AS BIGINT)) AS BIGINT)
+           AS quality_milli_sum,
+         CAST(SUM(CASE WHEN (doc_id % 2147483648) * 2654435761 % 100 < 80
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+  FROM documents
+),
+dups AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs FROM pairs)
+SELECT base.*, dups.n_near_dup_pairs,
+       CAST(quality_milli_sum // n_docs AS BIGINT) AS mean_quality_milli
+FROM base, dups
+""")
+def corpus_card(spark, sf_dir):
+    """The dataset card: one row summarizing the corpus — doc/token/char
+    totals, language mix, mean quality (exact integer milli), train-
+    split share, and MinHash near-dup pair count — composed as ONE lazy
+    plan (one documents scan for all base stats, the dedup pair count
+    cross-joined as a 1-row aggregate). What a data-governance page
+    renders for a 100 TB corpus, at the cost of a scan plus the
+    near-dup candidate join."""
+    from ..functions.text import split_assign
+    d = _t(spark, sf_dir, "documents")
+    lang = lambda v: F.sum((F.col("lang") == v).cast("long")).cast("bigint")
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        lang("en").alias("n_en"), lang("de").alias("n_de"),
+        lang("fr").alias("n_fr"), lang("es").alias("n_es"),
+        F.sum(F.floor(quality_score(F.col("text")) * 1000).cast("bigint"))
+        .cast("bigint").alias("quality_milli_sum"),
+        F.sum((split_assign(F.col("doc_id")) == "train").cast("long"))
+        .cast("bigint").alias("n_train"))
+    dups = (minhash_lsh_pairs(d, threshold=0.5, base_hash="md5")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_dup_pairs")))
+    return (base.crossJoin(F.broadcast(dups))
+            .withColumn("mean_quality_milli",
+                        F.expr("quality_milli_sum DIV n_docs").cast("bigint")))
+
+
 @q("split_drift", """
 WITH tok AS (
   SELECT CASE WHEN (doc_id % 2147483648) * 2654435761 % 100 < 80
