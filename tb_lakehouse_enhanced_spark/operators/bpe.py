@@ -122,8 +122,13 @@ def segment_words(words: DataFrame, merges: list[tuple[str, str, int]],
         "pieces",
         F.expr(f"transform(sequence(1, length({word_col})),"
                f" i -> substr({word_col}, i, 1))"))
-    for a, b, _ in merges:
+    for i, (a, b, _) in enumerate(merges):
         tmp = out.withColumnRenamed("pieces", "syms")
         tmp = merge_pair(tmp, a, b)
         out = tmp.withColumnRenamed("syms", "pieces")
+        # real vocabularies carry thousands of merges: flatten the plan
+        # every few folds or analysis/codegen chokes on the nested
+        # aggregate chain (same lineage discipline as bpe_train's loop)
+        if (i + 1) % 16 == 0:
+            out = out.localCheckpoint(eager=False)
     return out

@@ -72,6 +72,9 @@ class SyntheticDocsReader(DataSourceReader):
         self.seed = int(options.get("seed", 42))
 
     def partitions(self):
+        if self.rows <= 0:
+            # an empty relation is a valid request — one empty partition
+            return [_RangePartition(0, 0)]
         n = max(1, self.numparts)
         step = -(-self.rows // n)  # ceil
         return [_RangePartition(i, min(i + step, self.rows))

@@ -78,3 +78,8 @@ def test_stream_source_composes_with_streaming_tier(spark, tmp_path):
             _load(spark, rows=300, seed=3)
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_batch_zero_rows_is_empty_relation(spark):
+    register(spark)
+    assert _load(spark, rows=0).count() == 0

@@ -70,15 +70,20 @@ def main():
     for name in names:
         rows = audit(spark, sf_dir, name)
         print(f"== {name}")
-        total_bytes = 0
+        shuffle_bytes = broadcast_bytes = 0
         for node, vals in rows:
+            # metric keys are INTERNAL camelCase names
+            # (shuffleBytesWritten, shuffleRecordsWritten, dataSize...),
+            # not the display names the UI shows — match case-insensitively
             interesting = {k: v for k, v in vals.items()
-                           if any(s in k for s in
+                           if any(s in k.lower() for s in
                                   ("records", "bytes", "size", "rows"))}
-            total_bytes += sum(v for k, v in vals.items()
-                               if "bytes written" in k or k == "dataSize")
+            shuffle_bytes += vals.get("shuffleBytesWritten", 0)
+            broadcast_bytes += vals.get("dataSize", 0) \
+                if "Broadcast" in node else 0
             print(f"   {node}: {interesting}")
-        print(f"   TOTAL exchange bytes ~ {total_bytes:,}")
+        print(f"   TOTAL shuffle bytes written {shuffle_bytes:,}, "
+              f"broadcast build bytes {broadcast_bytes:,}")
 
 
 if __name__ == "__main__":
