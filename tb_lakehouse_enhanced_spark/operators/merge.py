@@ -62,6 +62,15 @@ class ScdConfig:
     # partitions than on 32 near-empty ones (measured in sequence.py);
     # None = defaultParallelism (the scale-safe fact-sized default)
     surrogate_partitions: int | None = None
+    # key matching: True = null-safe (<=>) so NULL natural keys match
+    # their own version rows; False = plain equality — the reference's
+    # literal `MERGE ON tgt.k = src.k` semantics AND the scale fast
+    # path: null-safe comparison wraps the join keys, so the child's
+    # hashpartitioning(keys) no longer satisfies the join's required
+    # distribution and BOTH sides re-shuffle (measured 8 exchanges vs 4,
+    # 3.6s vs 1.6s on the sf0.1 fact grain). Use False whenever keys
+    # are NOT NULL — true for every table in the reference's DDL.
+    null_safe_keys: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -141,6 +150,12 @@ def _with_surrogates(inserts: DataFrame, cfg: ScdConfig, offset_df: DataFrame | 
                           num_partitions=cfg.surrogate_partitions)
 
 
+def _key_eq(k: str, cfg: ScdConfig):
+    """One key term of the merge ON condition (see ScdConfig.null_safe_keys)."""
+    t, s = F.col(f"t.{k}"), F.col(f"s.{k}")
+    return t.eqNullSafe(s) if cfg.null_safe_keys else (t == s)
+
+
 def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
                load_ts, evolve_schema: bool = False) -> DataFrame:
     """Return the post-merge SCD2 table state (two reference passes fused).
@@ -170,7 +185,7 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     t = current.withColumn("_t_present", F.lit(True)).alias("t")
     s = source.withColumn("_s_present", F.lit(True)).alias("s")
     on = reduce(lambda a, b: a & b,
-                (F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in cfg.keys))
+                (_key_eq(k, cfg) for k in cfg.keys))
     j = t.join(s, on, "full_outer")
 
     matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
@@ -230,12 +245,42 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     t = target.withColumn("_t_present", F.lit(True)).alias("t")
     s = source.withColumn("_s_present", F.lit(True)).alias("s")
     on = reduce(lambda a, b: a & b,
-                (F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in cfg.keys))
+                (_key_eq(k, cfg) for k in cfg.keys))
     j = t.join(s, on, "full_outer")
 
     matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
     changed_true = _changed_predicate(cfg).eqNullSafe(F.lit(True))
     changed = matched & changed_true
+    t_absent = F.col("t._t_present").isNull()
+    out_cols = list(target.columns)
+
+    if cfg.surrogate_key is None:
+        # TRUE single pass: every joined row maps to exactly one output
+        # row (t-present -> kept/updated, t-absent -> insert), so the
+        # whole upsert is ONE projection over the join. The split-and-
+        # union formulation below looks equivalent, but its two branches
+        # prune DIFFERENT columns beneath the join, so Catalyst plans
+        # two non-identical subtrees and ReusedExchange cannot kick in —
+        # measured via tools/shuffle_audit.py as 3 extra data-sized
+        # exchanges on the fact-upsert scenario.
+        take_src = t_absent | changed
+
+        def pick(c: str):
+            if c in business:
+                return (F.when(take_src, F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}")).alias(c))
+            if c == UPDATE_DATE:
+                return (F.when(take_src, load_ts)
+                        .otherwise(F.col(f"t.{c}")).alias(c))
+            if c == CREATE_DATE:
+                return (F.when(t_absent, load_ts)
+                        .otherwise(F.col(f"t.{c}")).alias(c))
+            return F.col(f"t.{c}").alias(c)
+
+        return j.select(*[pick(c) for c in out_cols])
+
+    # surrogate path: inserts need the dense-sequence assignment, which
+    # only the t-absent slice enters — two branches are structural here
 
     # untouched, target-only and updated rows differ only in which side
     # supplies the business columns and the update stamp — one CASE per
@@ -256,7 +301,6 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
                .withColumn(UPDATE_DATE, load_ts))
     inserts = _with_surrogates(inserts, cfg, target)
 
-    out_cols = list(target.columns)
     parts = [existing, inserts]
     return reduce(lambda a, b: a.select(out_cols).unionByName(b.select(out_cols)),
                   parts)

@@ -26,8 +26,13 @@ T1 = "2024-01-02 00:00:00"
 
 
 # ---------------------------------------------------------------- SCD2 ------
+# null_safe_keys=False: natural keys here are non-null by construction,
+# and plain `=` is the reference's literal MERGE ON semantics — it also
+# lets the merge join reuse upstream hashpartitioning(keys) instead of
+# re-shuffling both sides (ScdConfig.null_safe_keys).
 SCD2_CFG = ScdConfig(keys=("o_orderkey",),
-                     tracked=("o_custkey", "o_orderstatus", "o_totalprice"))
+                     tracked=("o_custkey", "o_orderstatus", "o_totalprice"),
+                     null_safe_keys=False)
 
 
 def _orders_src(orders: DataFrame, batch: int) -> DataFrame:
@@ -96,7 +101,7 @@ SCD1_CFG = ScdConfig(keys=("c_custkey",),
                      # customer is a DIMENSION: the 1-partition surrogate
                      # fast path (no sampling/checkpoint/offset jobs; see
                      # sequence.dense_sequence)
-                     surrogate_partitions=1)
+                     surrogate_partitions=1, null_safe_keys=False)
 
 
 def _customer_src(customer: DataFrame, batch: int) -> DataFrame:
@@ -153,7 +158,8 @@ FROM (SELECT * FROM kept UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM
 
 # --------------------------------------------------------- fact upsert ------
 FACT_CFG = ScdConfig(keys=("l_orderkey", "l_linenumber"),
-                     tracked=("l_quantity", "l_extendedprice"))
+                     tracked=("l_quantity", "l_extendedprice"),
+                     null_safe_keys=False)
 
 
 def _lineitem_from(base: DataFrame, batch: int) -> DataFrame:
