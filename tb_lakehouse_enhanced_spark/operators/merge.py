@@ -197,12 +197,48 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     deleted = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNull()
     brand_new = F.col("t._t_present").isNull() & F.col("s._s_present").isNotNull()
 
+    close_now = changed | deleted
+    out_cols = list(target.columns)
+
+    if cfg.surrogate_key is None:
+        # SINGLE pass over the join: each joined row emits 1-2 output
+        # rows (existing version, and for changed/new keys the fresh
+        # open version) as an in-row struct array inlined back to
+        # columns — the join subtree appears ONCE in the plan. The
+        # union-of-filtered-branches form re-executes the join per
+        # branch with different column pruning (same ReusedExchange
+        # failure as scd1_merge; tools/shuffle_audit.py).
+        def exist_field(c: str) -> Column:
+            if c in (VALID_TO, UPDATE_DATE):
+                return (F.when(close_now, load_ts)
+                        .otherwise(F.col(f"t.{c}")).alias(c))
+            return F.col(f"t.{c}").alias(c)
+
+        def insert_field(c: str) -> Column:
+            if c in business:
+                return F.col(f"s.{c}").alias(c)
+            if c == VALID_TO:
+                return F.lit(None).cast("timestamp").alias(c)
+            return load_ts.alias(c)  # VALID_FROM / CREATE / UPDATE
+
+        e = F.struct(*[exist_field(c) for c in out_cols])
+        i = F.struct(*[insert_field(c) for c in out_cols])
+        t_present = F.col("t._t_present").isNotNull()
+        insert_too = brand_new | changed
+        arr = (F.when(t_present & insert_too, F.array(e, i))
+               .when(t_present, F.array(e))
+               .otherwise(F.array(i)))
+        merged = j.select(F.inline(arr))
+        return history.select(out_cols).unionByName(merged.select(out_cols))
+
+    # surrogate path: inserts flow through the dense-sequence
+    # assignment, which needs the insert slice as its own relation
+
     # close pass (M1), fused: closed (changed-or-deleted) and unchanged
     # current rows differ only in the valid_to/update stamps — one CASE
     # per stamp column in a single pass over the join, instead of a
     # filter-per-branch union that re-executes the join subtree per
     # branch (exchanges are reused, but join+filter CPU is paid again)
-    close_now = changed | deleted
     existing = j.filter(F.col("t._t_present").isNotNull()).select(
         *[F.when(close_now, load_ts).otherwise(F.col(f"t.{c}")).alias(c)
           if c in (VALID_TO, UPDATE_DATE) else F.col(f"t.{c}").alias(c)
@@ -217,7 +253,6 @@ def scd2_merge(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
                .withColumn(UPDATE_DATE, load_ts))
     inserts = _with_surrogates(inserts, cfg, target)
 
-    out_cols = list(target.columns)
     parts = [history, existing, inserts]
     return reduce(lambda a, b: a.select(out_cols).unionByName(b.select(out_cols)),
                   parts)
