@@ -57,3 +57,28 @@ def test_keyed_upsert_composite(spark):
     t1 = keyed_upsert(t0, src, cfg, T1)
     got = {(r["a"], r["b"]): (r["v"], str(r[UPDATE_DATE])) for r in t1.collect()}
     assert got == {(1, 1): (11.0, T1), (1, 2): (20.0, T0), (2, 1): (30.0, T1)}
+
+
+def test_null_key_matching_semantics(spark):
+    """null_safe_keys=True matches a NULL natural key to its own row;
+    False reproduces SQL `=` MERGE semantics (NULL never matches, so
+    the target row is retained and the source row re-inserts)."""
+    from tb_lakehouse_enhanced_spark.operators.merge import (
+        ScdConfig, scd1_merge,
+    )
+    t0, t1 = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+    src = spark.createDataFrame(
+        [(None, "x", 1.0), (7, "y", 2.0)], "k int, name string, v double")
+
+    safe = ScdConfig(keys=("k",), tracked=("name", "v"), null_safe_keys=True)
+    state0 = scd1_merge(None, src, safe, t0)
+    out = scd1_merge(state0, src, safe, t1)
+    assert out.count() == 2  # NULL key matched itself, unchanged
+
+    ref = ScdConfig(keys=("k",), tracked=("name", "v"), null_safe_keys=False)
+    state0 = scd1_merge(None, src, ref, t0)
+    out = scd1_merge(state0, src, ref, t1).collect()
+    # NULL never matches under plain `=`: old NULL-key row kept AND the
+    # source NULL-key row inserted again
+    assert len(out) == 3
+    assert sum(1 for r in out if r.k is None) == 2
