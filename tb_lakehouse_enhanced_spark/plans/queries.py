@@ -3094,6 +3094,56 @@ def sample_allocation(spark, sf_dir):
     return allocate_quotas(d, "lang", 100)
 
 
+@q("sample_balanced", """
+WITH g AS (
+  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g
+), c AS (
+  SELECT grp, n, CAST((100 * n) // t.tot AS BIGINT) AS fl,
+         CAST((100 * n) % t.tot AS BIGINT) AS rem
+  FROM g, t
+), r AS (
+  SELECT grp, n, fl, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, grp ASC) AS rk,
+         (SELECT 100 - SUM(fl) FROM c) AS leftover
+  FROM c
+), quotas AS (
+  SELECT grp,
+         CAST(LEAST(n, fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+              AS BIGINT) AS quota
+  FROM r
+), ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id) AS rnk
+  FROM documents
+)
+SELECT ranked.lang, ranked.doc_id
+FROM ranked JOIN quotas ON quotas.grp = ranked.lang
+WHERE ranked.rnk <= quotas.quota
+""")
+def sample_balanced(spark, sf_dir):
+    """Balanced eval-set draw: Hamilton quotas per language stratum
+    (sampling.allocate_quotas) joined onto a deterministic hash-ranked
+    draw within each stratum (same salted two-phase ranking as
+    topk_per_group) — exactly `budget` rows out, proportionally
+    stratified, reproducible on any partitioning/engine. Composition of
+    the allocation and draw operators as one lazy plan."""
+    from ..operators.sampling import allocate_quotas
+    from ..operators.skew import topk_per_group
+    d = _t(spark, sf_dir, "documents")
+    quotas = allocate_quotas(d, "lang", 100).select(
+        F.col("grp").alias("lang"), "quota")
+    ranked = topk_per_group(
+        d.select("lang", "doc_id",
+                 F.md5(F.col("doc_id").cast("string")).alias("_h")),
+        ["lang"], "_h", k=100, tie_col="doc_id")
+    return (ranked.join(F.broadcast(quotas), "lang")
+            .filter(F.col("rank") <= F.col("quota"))
+            .select("lang", "doc_id"))
+
+
 @q("join_cross", """
 SELECT r.r_name, s.c_mktsegment
 FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
