@@ -58,3 +58,48 @@ def test_scd2_invariants(spark, batches):
     again = scd2_merge(state, _df(spark, batches[-1]), CFG, TS[4])
     assert again.count() == state.count()
     assert again.filter(F.col(VALID_TO).isNull()).count() == len(batches[-1])
+
+
+UPS_SAFE = ScdConfig(keys=("k",), tracked=("v",))
+UPS_EQ = ScdConfig(keys=("k",), tracked=("v",), null_safe_keys=False)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(batches=st.lists(batch, min_size=1, max_size=3))
+def test_keyed_upsert_invariants(spark, batches):
+    """Invariants of the fused single-pass upsert, plus the equivalence
+    of null-safe and plain-equality key matching on null-free keys."""
+    from tb_lakehouse_enhanced_spark.operators.merge import keyed_upsert
+
+    state = state_eq = None
+    expected: dict[int, int] = {}
+    stamps: dict[int, str] = {}
+    for ts, b in zip(TS, batches):
+        for k, v in b.items():
+            if k not in expected or expected[k] != v:
+                stamps[k] = ts if k in expected else stamps.get(k, ts)
+                if k in expected and expected[k] != v:
+                    stamps[k] = ts
+            expected[k] = v
+        state = keyed_upsert(state, _df(spark, b), UPS_SAFE, ts).cache()
+        state_eq = keyed_upsert(state_eq, _df(spark, b), UPS_EQ, ts).cache()
+
+        rows = {r["k"]: r for r in state.collect()}
+        # U1: exactly one row per key ever seen
+        assert set(rows) == set(expected)
+        # U2: attributes equal the latest value per key
+        assert {k: r["v"] for k, r in rows.items()} == expected
+        # U3: update stamp moves only on actual change
+        for k, r in rows.items():
+            assert str(r["_tf_update_date"]).startswith(stamps[k][:10])
+        # U4: null-safe and plain-equality agree when keys are non-null
+        eq_rows = {r["k"]: r for r in state_eq.collect()}
+        assert {k: (r["v"], r["_tf_update_date"]) for k, r in rows.items()} \
+            == {k: (r["v"], r["_tf_update_date"]) for k, r in eq_rows.items()}
+
+    # U5: idempotence — re-merging the final batch changes nothing
+    last = _df(spark, batches[-1])
+    again = keyed_upsert(state, last, UPS_SAFE, TS[len(batches)])
+    diff = again.exceptAll(state).count() + state.exceptAll(again).count()
+    assert diff == 0
