@@ -64,6 +64,10 @@ def run_bronze(spark: SparkSession, cfg: PipelineConfig) -> None:
 
 # ---------------------------------------------------------------- silver ----
 # rename-projections (reference 22_ETL_Silver:46-56) + SCD2 configs
+# null_safe_keys=False on every pipeline config: natural keys are NOT
+# NULL per the reference's DDL (01_Init.py PRIMARY KEY columns), plain
+# `=` is the reference's literal MERGE ON semantics, and it lets merge
+# joins inherit upstream hashpartitioning (ScdConfig.null_safe_keys).
 SILVER_SPECS = {
     "sales_order_header": dict(
         source="orders",
@@ -72,7 +76,8 @@ SILVER_SPECS = {
                  "o_orderdate": "order_date", "o_orderpriority": "priority"},
         cfg=ScdConfig(keys=("order_id",),
                       tracked=("customer_id", "status", "total_due",
-                               "order_date", "priority"))),
+                               "order_date", "priority"),
+                      null_safe_keys=False)),
     "customer": dict(
         source="customer",
         renames={"c_custkey": "customer_id", "c_name": "customer_name",
@@ -80,7 +85,8 @@ SILVER_SPECS = {
                  "c_mktsegment": "market_segment"},
         cfg=ScdConfig(keys=("customer_id",),
                       tracked=("customer_name", "nation_id",
-                               "account_balance", "market_segment"))),
+                               "account_balance", "market_segment"),
+                      null_safe_keys=False)),
     "sales_order_detail": dict(
         source="lineitem",
         renames={"l_orderkey": "order_id", "l_linenumber": "line_number",
@@ -89,7 +95,8 @@ SILVER_SPECS = {
         # composite natural key (reference 22:203); the synthetic detail
         # table is non-unique on it, so dedupe at ingest with MAX
         cfg=ScdConfig(keys=("order_id", "line_number"),
-                      tracked=("quantity", "extended_price", "discount"))),
+                      tracked=("quantity", "extended_price", "discount"),
+                      null_safe_keys=False)),
 }
 
 
@@ -128,7 +135,7 @@ def run_silver(spark: SparkSession, cfg: PipelineConfig) -> None:
 DIM_CUSTOMER_CFG = ScdConfig(
     keys=("customer_id",),
     tracked=("customer_name", "market_segment", "nation_name", "region_name"),
-    surrogate_key="_tf_id")
+    surrogate_key="_tf_id", null_safe_keys=False)
 
 
 def _current(df: DataFrame) -> DataFrame:
@@ -171,7 +178,8 @@ def run_gold_dims(spark: SparkSession, cfg: PipelineConfig) -> None:
 
 FACT_CFG = ScdConfig(keys=("order_id", "line_number"),
                      tracked=("customer_key", "order_date_key", "quantity",
-                              "extended_price", "net_revenue"))
+                              "extended_price", "net_revenue"),
+                     null_safe_keys=False)
 # gold fact is hive-partitioned by order month (smart-key div 100): scans
 # filtered on a date range prune to the touched months, and incremental
 # merges rewrite only the partitions whose keys changed

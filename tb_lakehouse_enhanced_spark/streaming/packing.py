@@ -8,8 +8,8 @@ windows keep filling seamlessly at the batch boundary instead of
 restarting per batch.
 
 That carry is one number per source — textbook
-``applyInPandasWithState``: state = (next token offset, docs seen),
-keyed by source. Each micro-batch's docs for a source are processed in
+``applyInPandasWithState``: state = the next token offset, keyed by
+source. Each micro-batch's docs for a source are processed in
 (arrival batch, doc_id) order; the manifest rows they generate are
 identical to what the batch packer would emit for the same doc order,
 which the tests assert by replaying the same docs through both paths.
@@ -30,7 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("source string, doc_id bigint, window_id bigint, "
                  "tok_from bigint, tok_to bigint, n_toks bigint")
-STATE_SCHEMA = "off long, n_docs long"
+STATE_SCHEMA = "off long"
 
 
 def stream_pack(docs: DataFrame, window: int,
@@ -48,15 +48,18 @@ def stream_pack(docs: DataFrame, window: int,
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (source,) = key
-        off, seen = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
+        (off,) = state.get if state.exists else (0,)
+        # materialize the WHOLE group before sorting: the iterator
+        # yields Arrow chunks (arrow.maxRecordsPerBatch rows each) in
+        # arbitrary shuffle-read order, so a per-chunk sort would give
+        # a >chunk-size source nondeterministic offsets
+        pdf = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if not pdf.empty:
             pdf = pdf[pdf[len_col] > 0].sort_values(id_col)
-            if pdf.empty:
-                continue
+        if not pdf.empty:
             n = pdf[len_col].to_numpy(dtype=np.int64)
             starts = off + np.concatenate(([0], np.cumsum(n)[:-1]))
             off = int(starts[-1] + n[-1])
-            seen += len(n)
             w0 = starts // w
             w1 = (starts + n - 1) // w
             reps = (w1 - w0 + 1).astype(np.int64)
@@ -74,7 +77,7 @@ def stream_pack(docs: DataFrame, window: int,
                 "tok_to": tok_to,
                 "n_toks": tok_to - tok_from,
             })
-        state.update((off, seen))
+        state.update((off,))
 
     return (docs.groupBy(source_col)
             .applyInPandasWithState(fn, OUTPUT_SCHEMA, STATE_SCHEMA,

@@ -78,9 +78,7 @@ def test_keyed_upsert_invariants(spark, batches):
     for ts, b in zip(TS, batches):
         for k, v in b.items():
             if k not in expected or expected[k] != v:
-                stamps[k] = ts if k in expected else stamps.get(k, ts)
-                if k in expected and expected[k] != v:
-                    stamps[k] = ts
+                stamps[k] = ts  # new key or real change moves the stamp
             expected[k] = v
         state = keyed_upsert(state, _df(spark, b), UPS_SAFE, ts).cache()
         state_eq = keyed_upsert(state_eq, _df(spark, b), UPS_EQ, ts).cache()
