@@ -52,3 +52,41 @@ def test_stream_pack_matches_batch_and_carries_offsets(spark, tmp_path):
     # carry: with a per-batch restart it would begin at window 0 again
     a3 = [x for x in got if x[0] == "a" and x[1] == 3]
     assert a3 == [("a", 3, 2, 0, 4)]
+
+
+def test_stream_pack_multichunk_group_deterministic(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as several
+    chunks in arbitrary order — the packer must sort the WHOLE group,
+    not each chunk (regression for the per-chunk sort bug)."""
+    from tb_lakehouse_enhanced_spark.operators.packing import (
+        pack_context_windows,
+    )
+    from tb_lakehouse_enhanced_spark.streaming.packing import stream_pack
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        rows = [("a", i, (i * 37) % 11 + 1) for i in range(1, 101)]
+        src = str(tmp_path / "in")
+        _write_batch(spark, src, rows)
+        stream = (spark.readStream
+                  .schema("source string, doc_id long, n long").parquet(src))
+        q = (stream_pack(stream, window=16)
+             .writeStream.format("memory").queryName("pack_chunks")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.doc_id, r.window_id, r.tok_from, r.tok_to)
+               for r in spark.table("pack_chunks").collect()}
+        all_rows = spark.createDataFrame(
+            rows, "source string, doc_id long, n long")
+        want = {(r.doc_id, r.window_id, r.tok_from, r.tok_to)
+                for r in pack_context_windows(
+                    all_rows.select("doc_id", "n"), "n", 16,
+                    ["doc_id"]).collect()}
+        assert got == want
+    finally:
+        spark.conf.set(key, old)
