@@ -90,3 +90,44 @@ def test_stream_pack_multichunk_group_deterministic(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set(key, old)
+
+
+def test_stream_pack_offsets_survive_checkpoint_restart(spark, tmp_path):
+    """The per-source offset lives in the state store: a NEW query
+    restarted from the same checkpoint must continue packing exactly
+    where the stopped one left off (no window restart, no re-emission)."""
+    from tb_lakehouse_enhanced_spark.operators.packing import (
+        pack_context_windows,
+    )
+    from tb_lakehouse_enhanced_spark.streaming.packing import stream_pack
+
+    src, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    b1 = [("a", 1, 3), ("a", 2, 5)]
+    b2 = [("a", 3, 4), ("a", 4, 6)]
+
+    def run_until_drained():
+        stream = (spark.readStream
+                  .schema("source string, doc_id long, n long").parquet(src))
+        q = (stream_pack(stream, window=4)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    _write_batch(spark, src, b1)
+    run_until_drained()
+    _write_batch(spark, src, b2)
+    run_until_drained()  # fresh query object, same checkpoint
+
+    got = {(r.doc_id, r.window_id, r.tok_from, r.tok_to)
+           for r in spark.read.parquet(out).collect()}
+    all_rows = spark.createDataFrame(b1 + b2,
+                                     "source string, doc_id long, n long")
+    want = {(r.doc_id, r.window_id, r.tok_from, r.tok_to)
+            for r in pack_context_windows(
+                all_rows.select("doc_id", "n"), "n", 4, ["doc_id"]).collect()}
+    assert got == want
+    # doc 3 (offset 8) must land in window 2 — proof the restarted query
+    # resumed from the stored offset instead of restarting at zero
+    assert (3, 2, 0, 4) in got
