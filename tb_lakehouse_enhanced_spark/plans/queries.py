@@ -586,6 +586,27 @@ def json_extract(spark, sf_dir):
                     F.get_json_object("props", "$.k").cast("int").alias("prop_k")))
 
 
+@q("json_variant", """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+       CAST(NULL AS VARCHAR) AS missing_prop
+FROM events
+""")
+def json_variant(spark, sf_dir):
+    """The Spark 4 VARIANT path for semi-structured data: props parsed
+    ONCE into the binary variant encoding, then typed extraction with
+    try-semantics (absent path -> NULL, no error). At scale this is the
+    modern twin of get_json_object — the parse cost is paid once per
+    row instead of once per extracted path, and shredded variant
+    columns open the door to pushdown."""
+    v = F.parse_json("props")
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.try_variant_get(v, "$.k", "int").alias("prop_k"),
+                    F.try_variant_get(v, "$.nope", "string")
+                    .alias("missing_prop")))
+
+
 # --------------------------------------------------------------------------
 # §2.8 / §2.9  DML + merge family (state queries, SURVEY.md §7.4)
 # --------------------------------------------------------------------------
