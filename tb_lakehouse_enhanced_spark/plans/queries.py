@@ -3115,6 +3115,27 @@ def sample_allocation(spark, sf_dir):
     return allocate_quotas(d, "lang", 100)
 
 
+@q("blocklist_filter", r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '\b(slow|broken|crash)\b'))
+            AS BIGINT) AS n_blocked,
+       (len(regexp_extract_all(lower(text), '\b(slow|broken|crash)\b')) = 0)
+         AS keep
+FROM documents
+""")
+def blocklist_filter(spark, sf_dir):
+    """Safety/keyword blocklist gate: word-boundary hit count per doc
+    plus the keep flag — the filter stage every pretraining corpus runs
+    before quality scoring. Pure regexp in codegen on the scan (no UDF,
+    no shuffle); at 100 TB this is I/O-bound with the predicate pushed
+    to the reader."""
+    hits = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"\b(slow|broken|crash)\b"), F.lit(0)))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", hits.cast("bigint").alias("n_blocked"),
+                    (hits == 0).alias("keep")))
+
+
 @q("sample_balanced", """
 WITH g AS (
   SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
