@@ -419,12 +419,14 @@ def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
     division, with numerators through DECIMAL(38,0) so |keys| x |pairs|
     can't overflow 64 bits at any scale.
     """
+    # NO persist (measured 1.30s -> 0.62s at sf0.1): all three consumers
+    # (key count, item counts, pairs) reach the distinct through the same
+    # exchange, which ReusedExchange deduplicates — a cache only added
+    # block-manager overhead. |keys| rides the plan as a broadcast 1-row
+    # aggregate instead of a blocking driver count().
     baskets = (events.select(F.col(key_col).alias("k"),
                              F.col(item_col).alias("item"))
-               .distinct().persist())
-    # |keys| rides the plan as a broadcast 1-row aggregate instead of a
-    # blocking driver count(): one job total, and the cached baskets
-    # relation feeds all three consumers (key count, item counts, pairs)
+               .distinct())
     n_keys_df = baskets.agg(
         F.count_distinct(F.col("k")).cast("long").alias("_n"))
 
