@@ -506,3 +506,63 @@ def distribution_drift(items: DataFrame, item_col: str,
     return (agg.crossJoin(F.broadcast(tot))
             .select("item", "cnt_a", "cnt_b",
                     ((p - q) * (p - q) / (p + q)).alias("drift")))
+
+
+def countmin_sketch(items: DataFrame, item_col: str,
+                    width: int = 512, depth: int = 4,
+                    portable: bool = True) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan, J.Alg 2005).
+
+    One grouped count builds the whole sketch: every occurrence maps to
+    ``depth`` (row, bucket) cells via independent salted hashes, and the
+    sketch is the (depth x width) cell-count table — bounded state for
+    an unbounded item domain, and MERGEABLE (union = cell-wise sum), so
+    per-partition/per-day sketches combine without rescanning. Query an
+    item's estimate as min over its depth cells; overestimates only.
+
+    Deterministic: salted hashes of the value, so two engines (or two
+    cluster layouts) build bit-identical sketches — ``portable=True``
+    uses the md5-60bit family a SQL oracle mirrors.
+
+    Returns (row, bucket, cnt) — the sketch relation itself.
+    """
+    def h(row: int):
+        c = F.concat_ws("|", F.col(item_col).cast("string"),
+                        F.lit(f"cms{row}"))
+        base = portable_hash60(c) if portable else \
+            F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
+        return (base % width).cast("int")
+
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"), h(r).alias("bucket"))
+        for r in range(depth)])).alias("c")
+    return (items.select(cells)
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def countmin_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
+                      width: int = 512, depth: int = 4,
+                      portable: bool = True) -> DataFrame:
+    """Point-query the Count-Min sketch for each probe item: the
+    estimate is MIN over the item's depth cells (broadcast of the
+    bounded sketch, no shuffle of the probe side). Guaranteed
+    >= true count; the overestimate bound is eps*N with
+    eps = e/width at confidence 1 - (1/e)^depth."""
+    def h(row: int):
+        c = F.concat_ws("|", F.col(item_col).cast("string"),
+                        F.lit(f"cms{row}"))
+        base = portable_hash60(c) if portable else \
+            F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
+        return (base % width).cast("int")
+
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"), h(r).alias("bucket"))
+        for r in range(depth)])).alias("c")
+    probe_cells = probes.select(item_col, cells).select(
+        item_col, F.col("c.row").alias("row"),
+        F.col("c.bucket").alias("bucket"))
+    return (probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+            .groupBy(item_col)
+            .agg(F.min("cnt").cast("bigint").alias("cms_est")))

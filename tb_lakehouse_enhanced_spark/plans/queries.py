@@ -3115,6 +3115,51 @@ def sample_allocation(spark, sf_dir):
     return allocate_quotas(d, "lang", 100)
 
 
+@q("cms_freq", """
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+), cells AS (
+  SELECT t.r,
+         CAST(concat('0x', substr(md5(w || '|cms' || CAST(t.r AS VARCHAR)), 1, 15))
+              AS BIGINT) % 512 AS bucket
+  FROM tok, unnest([0, 1, 2, 3]) AS t(r)
+), sk AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+), top AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM tok GROUP BY w ORDER BY true_cnt DESC, w LIMIT 20
+), probe AS (
+  SELECT w, true_cnt, t.r,
+         CAST(concat('0x', substr(md5(w || '|cms' || CAST(t.r AS VARCHAR)), 1, 15))
+              AS BIGINT) % 512 AS bucket
+  FROM top, unnest([0, 1, 2, 3]) AS t(r)
+)
+SELECT probe.w AS item, probe.true_cnt,
+       CAST(MIN(sk.cnt) AS BIGINT) AS cms_est
+FROM probe JOIN sk ON sk.r = probe.r AND sk.bucket = probe.bucket
+GROUP BY 1, 2
+""")
+def cms_freq(spark, sf_dir):
+    """Count-Min frequency sketch over the corpus token stream
+    (operators/analytics.py): a (4 x 512)-cell mergeable sketch built in
+    ONE grouped count, point-queried for the top-20 words. Completes
+    the sketch family (KMV = distinct cardinality, CMS = frequency) —
+    the bounded-state shapes that survive unbounded item domains at
+    100 TB. Deterministic salted hashes make the sketch bit-identical
+    across engines; estimates are guaranteed overestimates."""
+    from ..operators.analytics import countmin_estimate, countmin_sketch
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"))
+    sketch = countmin_sketch(tok, "w")
+    top = (tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("true_cnt"))
+           .orderBy(F.desc("true_cnt"), F.asc("w")).limit(20))
+    est = countmin_estimate(sketch, top.select("w"), "w")
+    return (top.join(est, "w")
+            .select(F.col("w").alias("item"), "true_cnt", "cms_est"))
+
+
 @q("blocklist_filter", r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '\b(slow|broken|crash)\b'))

@@ -288,3 +288,30 @@ def test_distribution_drift_exact(spark):
     # z absent from side A still finite via smoothing
     p, q = 1 / 7, 3 / 6
     assert abs(out["z"].drift - (p - q) ** 2 / (p + q)) < 1e-15
+
+
+def test_countmin_overestimates_and_merges(spark):
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        countmin_estimate, countmin_sketch,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = docs.select(F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"))
+    sketch = countmin_sketch(tok, "w", width=128, depth=3)
+    truth = tok.groupBy("w").count()
+    probes = truth.limit(50).select("w")
+    est = countmin_estimate(sketch, probes, "w", width=128, depth=3)
+    joined = est.join(truth, "w").collect()
+    assert joined and all(r.cms_est >= r["count"] for r in joined)
+    # mergeability: cell-wise sum of two half-corpus sketches == full
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    def sk(d):
+        t = d.select(F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"))
+        return countmin_sketch(t, "w", width=128, depth=3)
+    merged = (sk(half_a).unionByName(sk(half_b))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    diff = (merged.exceptAll(sketch).count()
+            + sketch.exceptAll(merged).count())
+    assert diff == 0
