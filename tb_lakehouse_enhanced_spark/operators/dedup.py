@@ -442,3 +442,69 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                 .select(F.col("id").alias("_dup_id")).distinct())
     return exact_survivors.join(
         near_hit, F.col(id_col) == F.col("_dup_id"), "left_anti")
+
+
+def jaccard_prefix_join(docs: DataFrame, threshold: float = 0.6,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """EXACT word-set Jaccard pairs >= threshold via prefix filtering
+    (the PPJoin family — Xiao et al., "Efficient Similarity Joins for
+    Near Duplicate Detection", WWW 2008).
+
+    Same output as the all-pairs formulation (``jaccard_near_dup``
+    without blocking), but candidate generation is an equi-join on
+    PREFIX tokens instead of a quadratic self-join: order every doc's
+    tokens by ascending global document frequency (rarest first, total
+    order via the (df, token) tie-break), keep only the first
+    ``n - ceil(t*n) + 1`` tokens — any pair with J >= t must share at
+    least one prefix token (pigeonhole: an overlap confined to the
+    suffixes is at most ceil(t*n) - 1 < the t*n overlap J >= t
+    requires). A length filter (t * max <= min) prunes further;
+    survivors are verified exactly on the full sets.
+
+    Scale: two shuffles that matter — the token-frequency aggregation
+    and the prefix-token candidate join. Rare-first ordering makes
+    prefix buckets small by construction (the rarest token of a doc is
+    shared by few docs), so the join stays near-linear on real corpora;
+    output size itself is the floor on near-dup-dense data.
+    """
+    d = (_spread(docs)
+         .select(F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws"))
+         .withColumn("n", F.size("ws")))
+    tok = d.select("id", F.explode("ws").alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # order tokens rarest-first inside each doc: sort (df, w) structs
+    ranked = (tok.join(freq, "w")
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "w")))
+                   .alias("_o")))
+    t = float(threshold)
+    # epsilon guard on the ceil boundary: 0.6*5 in binary doubles is
+    # 3.0000000000000004, whose ceil (4) would shrink the prefix below
+    # the guarantee and silently DROP valid pairs; shaving 1e-9 first
+    # makes the ceil exact for every rational threshold in practice
+    # (filters may only loosen — verification is exact anyway)
+    prefix_len = F.expr(
+        f"size(_o) - CAST(ceil({t} * size(_o) - 1e-9) AS INT) + 1")
+    prefix = (ranked.select("id",
+                            F.explode(F.slice(F.col("_o"), 1, prefix_len))
+                            .alias("p"))
+              .select("id", F.col("p.w").alias("w")))
+    a = prefix.toDF("id_a", "w")
+    b = prefix.toDF("id_b", "w")
+    cand = (a.join(b, "w")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    da = d.select(F.col("id").alias("id_a"), F.col("ws").alias("_wa"),
+                  F.col("n").alias("_na"))
+    db = d.select(F.col("id").alias("id_b"), F.col("ws").alias("_wb"),
+                  F.col("n").alias("_nb"))
+    inter = F.size(F.array_intersect("_wa", "_wb"))
+    union = F.size(F.array_union("_wa", "_wb"))
+    return (cand.join(da, "id_a").join(db, "id_b")
+            .filter(F.lit(t) * F.greatest("_na", "_nb") - F.lit(1e-9)
+                    <= F.least("_na", "_nb"))
+            .select("id_a", "id_b",
+                    (inter.cast("double") / union.cast("double"))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= F.lit(t)))

@@ -3115,6 +3115,35 @@ def sample_allocation(spark, sf_dir):
     return allocate_quotas(d, "lang", 100)
 
 
+@q("dedup_jaccard_prefix", """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(a.text)), '\\s+')),
+                               list_distinct(string_split_regex(lower(trim(b.text)), '\\s+')))) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(
+             list_distinct(string_split_regex(lower(trim(a.text)), '\\s+')),
+             list_distinct(string_split_regex(lower(trim(b.text)), '\\s+'))))) AS DOUBLE)
+         AS jaccard
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(a.text)), '\\s+')),
+                              list_distinct(string_split_regex(lower(trim(b.text)), '\\s+')))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(
+            list_distinct(string_split_regex(lower(trim(a.text)), '\\s+')),
+            list_distinct(string_split_regex(lower(trim(b.text)), '\\s+'))))) AS DOUBLE)
+      >= 0.6
+""")
+def dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard similarity join via prefix filtering (PPJoin
+    family, WWW 2008; operators/dedup.py::jaccard_prefix_join):
+    identical output to the all-pairs formulation — which is what the
+    oracle computes — but candidates come from an equi-join on
+    rarest-first prefix tokens, so the engine side scales near-linearly
+    on real (near-dup-sparse) corpora instead of quadratically. The
+    exact counterpart of the MinHash approximate path."""
+    from ..operators.dedup import jaccard_prefix_join
+    return jaccard_prefix_join(_t(spark, sf_dir, "documents"),
+                               threshold=0.6)
+
+
 @q("cms_freq", """
 WITH tok AS (
   SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents

@@ -661,3 +661,28 @@ def test_allocate_quotas_hamilton(spark):
     assert z == 0
     big = allocate_quotas(docs, "lang", 10 * N).agg(F.sum("quota")).collect()[0][0]
     assert big == N
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark):
+    """Prefix filtering is pure pruning: output must be IDENTICAL to
+    the unblocked all-pairs formulation, including threshold-boundary
+    pairs (the epsilon-guarded ceil)."""
+    from tb_lakehouse_enhanced_spark.operators.dedup import (
+        jaccard_near_dup, jaccard_prefix_join,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.5, 0.6, 2 / 3):
+        brute = {(r.id_a, r.id_b) for r in
+                 jaccard_near_dup(docs, threshold=t, block_col=None)
+                 .collect()}
+        fast = {(r.id_a, r.id_b) for r in
+                jaccard_prefix_join(docs, threshold=t).collect()}
+        assert fast == brute and brute
+    # exact boundary: two 5-token sets sharing 3 tokens, J = 3/7; and
+    # subset pair with J = 3/5 exactly at t=0.6
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c"), (3, "x y z")],
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b) for r in
+           jaccard_prefix_join(tiny, threshold=0.6).collect()}
+    assert out == {(1, 2)}
