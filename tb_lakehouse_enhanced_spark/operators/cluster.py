@@ -39,23 +39,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     edges) are their own components and can be unioned in by the caller.
     """
     # the union scans `edges` twice; materialize the (usually expensive)
-    # candidate-pair plan once — the count also sizes the loop's
-    # partitioning: a near-dup graph is tiny relative to the corpus, and
-    # iterating 32-partition shuffles over a few hundred edges costs ~10x
-    # the actual work in scheduling. ~50k edges per partition keeps a
-    # billion-edge graph at full parallelism and a small one on one core.
+    # candidate-pair plan once. The local-vs-distributed decision rides
+    # ONE job: limit(threshold+1).collect() — if the result was not
+    # truncated it IS the complete edge set (CollectLimit stops early
+    # otherwise), so the small-graph case pays a single materialization
+    # instead of the previous count-then-collect pair of jobs.
     edges = edges.persist()
     spark = edges.sparkSession
-    n_edges = edges.count()
     if local_threshold is None:
         local_threshold = _LOCAL_CC_MAX_EDGES
-    if n_edges <= local_threshold:
-        # Small-graph fast path: the count above already materialized the
-        # (expensive) candidate-pair plan; the edge list itself is tiny
-        # relative to the corpus it came from, so finish it on the driver
-        # — same labeling, zero iterative jobs. GraphFrames/GraphX make
-        # the same small-graph shortcut; the loop below is the scale path.
-        rows = edges.select(F.col(src), F.col(dst)).collect()
+    probe = (edges.select(F.col(src), F.col(dst))
+             .limit(local_threshold + 1).collect())
+    if len(probe) <= local_threshold:
+        # Small-graph fast path: the edge list is tiny relative to the
+        # corpus it came from, so finish it on the driver — same
+        # labeling, zero iterative jobs. GraphFrames/GraphX make the
+        # same small-graph shortcut; the loop below is the scale path.
+        rows = probe
         edges.unpersist()
         schema = edges.select(F.col(src).alias("id"),
                               F.col(dst).alias("component")).schema
@@ -81,6 +81,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 parent[rb] = ra
         out = [(v, find(v)) for v in parent]
         return spark.createDataFrame(out, schema=schema)
+    # big-graph path: the probe was truncated, so size the loop's
+    # partitioning from a real count (the cache absorbs the extra scan)
+    n_edges = edges.count()
     n_part = max(1, min(spark.sparkContext.defaultParallelism,
                         n_edges // 50_000 + 1))
     sym = (edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
