@@ -508,6 +508,24 @@ def distribution_drift(items: DataFrame, item_col: str,
                     ((p - q) * (p - q) / (p + q)).alias("drift")))
 
 
+def _cms_cells(item_col: str, width: int, depth: int,
+               portable: bool) -> Column:
+    """The (row, bucket) cell array for one item — ONE definition shared
+    by sketch build and point query: the two must agree bit-for-bit on
+    the salt format and hash family, or estimates silently probe the
+    wrong buckets."""
+    def h(row: int):
+        c = F.concat_ws("|", F.col(item_col).cast("string"),
+                        F.lit(f"cms{row}"))
+        base = portable_hash60(c) if portable else \
+            F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
+        return (base % width).cast("int")
+
+    return F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"), h(r).alias("bucket"))
+        for r in range(depth)])).alias("c")
+
+
 def countmin_sketch(items: DataFrame, item_col: str,
                     width: int = 512, depth: int = 4,
                     portable: bool = True) -> DataFrame:
@@ -526,17 +544,7 @@ def countmin_sketch(items: DataFrame, item_col: str,
 
     Returns (row, bucket, cnt) — the sketch relation itself.
     """
-    def h(row: int):
-        c = F.concat_ws("|", F.col(item_col).cast("string"),
-                        F.lit(f"cms{row}"))
-        base = portable_hash60(c) if portable else \
-            F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
-        return (base % width).cast("int")
-
-    cells = F.explode(F.array(*[
-        F.struct(F.lit(r).alias("row"), h(r).alias("bucket"))
-        for r in range(depth)])).alias("c")
-    return (items.select(cells)
+    return (items.select(_cms_cells(item_col, width, depth, portable))
             .groupBy(F.col("c.row").alias("row"),
                      F.col("c.bucket").alias("bucket"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
@@ -549,20 +557,17 @@ def countmin_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
     estimate is MIN over the item's depth cells (broadcast of the
     bounded sketch, no shuffle of the probe side). Guaranteed
     >= true count; the overestimate bound is eps*N with
-    eps = e/width at confidence 1 - (1/e)^depth."""
-    def h(row: int):
-        c = F.concat_ws("|", F.col(item_col).cast("string"),
-                        F.lit(f"cms{row}"))
-        base = portable_hash60(c) if portable else \
-            F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
-        return (base % width).cast("int")
+    eps = e/width at confidence 1 - (1/e)^depth.
 
-    cells = F.explode(F.array(*[
-        F.struct(F.lit(r).alias("row"), h(r).alias("bucket"))
-        for r in range(depth)])).alias("c")
-    probe_cells = probes.select(item_col, cells).select(
+    LEFT join + coalesce(0): an empty cell means count 0, which must
+    win the MIN — an inner join would drop never-seen probe items from
+    the output entirely and inflate partially-collided ones.
+    """
+    probe_cells = probes.select(
+        item_col, _cms_cells(item_col, width, depth, portable)).select(
         item_col, F.col("c.row").alias("row"),
         F.col("c.bucket").alias("bucket"))
-    return (probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+    return (probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
             .groupBy(item_col)
-            .agg(F.min("cnt").cast("bigint").alias("cms_est")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("cms_est")))

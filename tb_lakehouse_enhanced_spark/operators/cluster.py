@@ -40,22 +40,31 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     """
     # the union scans `edges` twice; materialize the (usually expensive)
     # candidate-pair plan once. The local-vs-distributed decision rides
-    # ONE job: limit(threshold+1).collect() — if the result was not
-    # truncated it IS the complete edge set (CollectLimit stops early
-    # otherwise), so the small-graph case pays a single materialization
-    # instead of the previous count-then-collect pair of jobs.
+    # ONE job for the common (small) case: limit(cap+1).collect() — if
+    # the result was not truncated it IS the complete edge set
+    # (CollectLimit stops early otherwise). The probe cap is SMALL
+    # (10k rows ~ a few hundred KB) so a billion-edge graph never
+    # floods the driver just to learn "truncated"; mid-size graphs
+    # (cap < n <= local_threshold) fall back to count-then-collect.
     edges = edges.persist()
     spark = edges.sparkSession
     if local_threshold is None:
         local_threshold = _LOCAL_CC_MAX_EDGES
+    probe_cap = min(10_000, local_threshold)
     probe = (edges.select(F.col(src), F.col(dst))
-             .limit(local_threshold + 1).collect())
-    if len(probe) <= local_threshold:
+             .limit(probe_cap + 1).collect())
+    rows, n_edges = None, None
+    if len(probe) <= probe_cap:
+        rows = probe
+    else:
+        n_edges = edges.count()
+        if n_edges <= local_threshold:
+            rows = edges.select(F.col(src), F.col(dst)).collect()
+    if rows is not None:
         # Small-graph fast path: the edge list is tiny relative to the
         # corpus it came from, so finish it on the driver — same
         # labeling, zero iterative jobs. GraphFrames/GraphX make the
         # same small-graph shortcut; the loop below is the scale path.
-        rows = probe
         edges.unpersist()
         schema = edges.select(F.col(src).alias("id"),
                               F.col(dst).alias("component")).schema
@@ -81,9 +90,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 parent[rb] = ra
         out = [(v, find(v)) for v in parent]
         return spark.createDataFrame(out, schema=schema)
-    # big-graph path: the probe was truncated, so size the loop's
-    # partitioning from a real count (the cache absorbs the extra scan)
-    n_edges = edges.count()
+    # big-graph path: n_edges already counted above (probe truncated)
     n_part = max(1, min(spark.sparkContext.defaultParallelism,
                         n_edges // 50_000 + 1))
     sym = (edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))

@@ -468,9 +468,13 @@ def jaccard_prefix_join(docs: DataFrame, threshold: float = 0.6,
     shared by few docs), so the join stays near-linear on real corpora;
     output size itself is the floor on near-dup-dense data.
     """
+    # persist: four consumer branches (freq, ranked, verify-a, verify-b)
+    # all sit above the word_set tokenization, whose regex+distinct work
+    # would otherwise recompute per branch (the repartition exchange is
+    # reused, but the projection above it is not)
     d = (_spread(docs)
          .select(F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws"))
-         .withColumn("n", F.size("ws")))
+         .withColumn("n", F.size("ws"))).persist()
     tok = d.select("id", F.explode("ws").alias("w"))
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     # order tokens rarest-first inside each doc: sort (df, w) structs

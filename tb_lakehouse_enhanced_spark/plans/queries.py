@@ -599,7 +599,9 @@ def json_variant(spark, sf_dir):
     modern twin of get_json_object — the parse cost is paid once per
     row instead of once per extracted path, and shredded variant
     columns open the door to pushdown."""
-    v = F.parse_json("props")
+    # try_parse_json, not parse_json: malformed props must yield NULL
+    # like the get_json_object path does, not fail the scan
+    v = F.try_parse_json("props")
     return (_t(spark, sf_dir, "events")
             .select("event_id",
                     F.try_variant_get(v, "$.k", "int").alias("prop_k"),

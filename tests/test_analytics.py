@@ -315,3 +315,21 @@ def test_countmin_overestimates_and_merges(spark):
     diff = (merged.exceptAll(sketch).count()
             + sketch.exceptAll(merged).count())
     assert diff == 0
+
+
+def test_countmin_never_seen_probe_is_zero(spark):
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        countmin_estimate, countmin_sketch,
+    )
+    items = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2,
+                                  "w string")
+    sketch = countmin_sketch(items, "w", width=512, depth=4)
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-item-xyz",)], "w string")
+    out = {r.w: r.cms_est for r in
+           countmin_estimate(sketch, probes, "w", width=512, depth=4)
+           .collect()}
+    # the unseen item must appear with estimate 0 (empty cells win the
+    # MIN), not vanish from the output
+    assert out["never-seen-item-xyz"] == 0
+    assert out["a"] >= 5
