@@ -115,3 +115,34 @@ def test_shard_plan_budget_bound(spark):
         assert budget - max_doc < r.toks < budget + max_doc
     # docs are never split across shards
     assert a.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_pack_properties_random_lengths(spark):
+    """Hypothesis-style randomized invariants over adversarial length
+    mixes (window-multiples, ones, zeros, window-1/window+1)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(lens=st.lists(st.sampled_from([0, 1, 3, 4, 7, 8, 9, 16]),
+                         min_size=1, max_size=12),
+           w=st.sampled_from([4, 8]))
+    def run(lens, w):
+        rows = [(i, n) for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        m = pack_context_windows(df, "n", w, ["doc_id"]).collect()
+        total = sum(n for _, n in rows if n > 0)
+        assert sum(r.n_toks for r in m) == total
+        per_w = {}
+        for r in m:
+            assert 0 <= r.tok_from < r.tok_to
+            per_w[r.window_id] = per_w.get(r.window_id, 0) + r.n_toks
+        if total:
+            # dense window ids 0..ceil(total/w)-1; all full except last
+            assert sorted(per_w) == list(range(-(-total // w)))
+            last = max(per_w)
+            assert all(v == w for k, v in per_w.items() if k != last)
+            assert 0 < per_w[last] <= w
+
+    run()
