@@ -3117,6 +3117,48 @@ def sample_allocation(spark, sf_dir):
     return allocate_quotas(d, "lang", 100)
 
 
+@q("pseudonymize_join", """
+WITH c AS (
+  SELECT md5('tenant-key-7|' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+         c_mktsegment
+  FROM customer
+), o AS (
+  SELECT md5('tenant-key-7|' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(DISTINCT c.cust_token) AS BIGINT) AS n_customers,
+       CAST(COUNT(o.cust_token) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM c LEFT JOIN o ON o.cust_token = c.cust_token
+GROUP BY 1
+""")
+def pseudonymize_join(spark, sf_dir):
+    """Privacy-preserving analytics: natural keys replaced by a KEYED
+    deterministic token (md5 of secret salt || id) in BOTH tables —
+    datasets remain joinable and aggregable without ever exposing the
+    raw identifier, and rotating the salt unlinks every past release.
+    The governance twin of text-level redact_pii: same star-join
+    analytics, pseudonymous keys. Narrow per-row hashing in codegen;
+    the join behaves exactly like the raw-key join (same distribution,
+    same cardinality)."""
+    salt = "tenant-key-7"
+    tok = lambda c: F.md5(F.concat_ws("|", F.lit(salt), F.col(c).cast("string")))
+    c = (_t(spark, sf_dir, "customer")
+         .select(tok("c_custkey").alias("cust_token"), "c_mktsegment"))
+    o = (_t(spark, sf_dir, "orders")
+         .select(tok("o_custkey").alias("cust_token"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents")))
+    return (c.join(o, "cust_token", "left_outer")
+            .groupBy("c_mktsegment")
+            .agg(F.countDistinct("cust_token").cast("bigint")
+                 .alias("n_customers"),
+                 F.count(F.col("cents")).cast("bigint").alias("n_orders"),
+                 F.sum("cents").cast("bigint").alias("revenue_cents")))
+
+
 @q("dedup_jaccard_prefix", """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(a.text)), '\\s+')),
