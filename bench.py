@@ -63,24 +63,35 @@ def main():
     # between runs with no code change); the minimum reflects engine
     # steady-state throughput rather than host-stall luck, and three
     # passes still let one long stall through on some query most runs.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _pass in range(4):
         for name in HEADLINE:
             fn = SPARK_QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            samples.setdefault(name, []).append(round(time.time() - t0, 3))
             # drop per-query cached intermediates so later queries aren't
             # taxed by earlier queries' heap residue
             spark.catalog.clearCache()
 
+    # headline = min (steady-state engine throughput, per the host-steal
+    # rationale above); median reported alongside so a regression can't
+    # hide behind one lucky pass
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+    timings = {name: min(xs) for name, xs in samples.items()}
+    medians = {name: med(xs) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
         "sf": sf,
     }))
 

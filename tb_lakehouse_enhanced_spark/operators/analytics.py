@@ -418,6 +418,13 @@ def cooccurrence_lift(events: DataFrame, key_col: str = "user_id",
     broadcast back; ratios are exact integer milli-units via floor
     division, with numerators through DECIMAL(38,0) so |keys| x |pairs|
     can't overflow 64 bits at any scale.
+
+    NULL-key contract (matches the ANSI-SQL formulation, which is the
+    oracle spec): a NULL ``key_col`` basket contributes its rows to the
+    per-item counts but to neither ``n_keys`` (COUNT(DISTINCT k)
+    excludes NULL) nor any pair (equi-join on k drops NULL) — standard
+    SQL semantics in both engines. Pre-filter NULL keys upstream if a
+    different policy is wanted.
     """
     # NO persist (measured 1.30s -> 0.62s at sf0.1): all three consumers
     # (key count, item counts, pairs) reach the distinct through the same

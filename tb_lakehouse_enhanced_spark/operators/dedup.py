@@ -95,11 +95,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 def jaccard_near_dup(docs: DataFrame, threshold: float = 0.6,
                      text_col: str = "text", id_col: str = "doc_id",
                      block_col: str | None = "lang") -> DataFrame:
-    """Exact word-set Jaccard pairs >= threshold, blocked to stay sub-quadratic.
+    """Exact word-set Jaccard pairs >= threshold, blocked per-bucket.
 
-    Blocking on a low-cardinality column (language) bounds each join
-    bucket; at scale block on (lang, length-band) or feed LSH candidates
-    instead (``minhash_lsh_pairs``).
+    ORACLE-PARITY variant — per-bucket quadratic, bench-excluded by
+    design. The EXACT-at-scale default is ``jaccard_prefix_join``
+    (PPJoin prefix filtering: identical output, near-linear candidate
+    join); the approximate scale path is ``minhash_lsh_pairs``. Use
+    this one only for small blocked corpora / differential testing.
+
+    Caching note: the tokenized relation stays persisted for the
+    session (the return is lazy, so it cannot be unpersisted here);
+    long-lived sessions should ``spark.catalog.clearCache()`` after
+    consuming the result.
     """
     d = _spread(docs).select(F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws"),
                     *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] )).persist()
@@ -471,7 +478,10 @@ def jaccard_prefix_join(docs: DataFrame, threshold: float = 0.6,
     # persist: four consumer branches (freq, ranked, verify-a, verify-b)
     # all sit above the word_set tokenization, whose regex+distinct work
     # would otherwise recompute per branch (the repartition exchange is
-    # reused, but the projection above it is not)
+    # reused, but the projection above it is not). The cache lives for
+    # the session (the return is lazy, so it cannot be unpersisted
+    # here); long-lived sessions should spark.catalog.clearCache()
+    # after consuming the result — same contract as jaccard_near_dup.
     d = (_spread(docs)
          .select(F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws"))
          .withColumn("n", F.size("ws"))).persist()

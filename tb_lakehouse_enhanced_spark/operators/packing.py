@@ -89,6 +89,12 @@ def materialize_context_windows(tokens: DataFrame, manifest: DataFrame,
     collected (id, piece) structs, so the result is independent of
     partitioning and task order.
     """
+    # slice() takes int32 positions — safe by construction: Spark
+    # ArrayType is int32-indexed, so a single doc's token array can
+    # never hold >= 2^31 elements and the per-doc tok_from/n_toks
+    # (both < the doc's own length) always fit int. The bigint
+    # manifest columns protect the CROSS-doc arithmetic, which has no
+    # such bound.
     sl = F.slice(F.col(toks_col), F.col("tok_from").cast("int") + 1,
                  F.col("n_toks").cast("int"))
     joined = (manifest.join(tokens, id_col)

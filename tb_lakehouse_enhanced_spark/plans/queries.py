@@ -1255,15 +1255,81 @@ def simsearch_ivf_q(spark, sf_dir):
     return ivf_topk(emb, queries, k=5)
 
 
-@q("dedup_embedding", """
+def _embed_dedup_lsh_oracle_sql(threshold: float = 0.4, n_planes: int = 6,
+                                n_rotations: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of operators.similarity.embedding_near_dup_lsh.
+
+    Same compile-time-constant hyperplane trick as ``_lsh_oracle_sql``:
+    one bucket id per rotation (b0..bR-1), a pair is a candidate when
+    ANY rotation's buckets match, survivors filtered by exact cosine.
+    The oracle joins on the identical bucketed candidate set, so the
+    approximate semantics are pinned, not fuzzed."""
+    from ..operators.similarity import _planes
+    exprs = []
+    for r in range(n_rotations):
+        planes = _planes(dim, n_planes, seed=42 + r)
+        bits = " + ".join(
+            f"{1 << j}*(CASE WHEN list_dot_product(embedding, "
+            f"[{', '.join(repr(x) for x in planes[j])}]) >= 0 THEN 1 ELSE 0 END)"
+            for j in range(n_planes))
+        exprs.append(f"{bits} AS b{r}")
+    on = " OR ".join(f"a.b{r} = c.b{r}" for r in range(n_rotations))
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {', '.join(exprs)} FROM embeddings)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({on})
+WHERE list_cosine_similarity(a.embedding, c.embedding) >= {threshold}
+"""
+
+
+@q("dedup_embedding", _embed_dedup_lsh_oracle_sql())
+def dedup_embedding_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (ids only; §2.11) — LSH-bucketed
+    DEFAULT path: sign-LSH candidate join + exact-cosine verify, no
+    driver collect, no all-pairs. The all-pairs parity sibling is
+    ``dedup_embedding_allpairs`` below the fold."""
+    from ..operators.similarity import embedding_near_dup_lsh
+    return embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"),
+                                  threshold=0.4)
+
+
+@q("dedup_embedding_allpairs", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """)
-def dedup_embedding_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (ids only; §2.11)."""
+def dedup_embedding_allpairs_q(spark, sf_dir):
+    """All-pairs oracle-parity sibling of ``dedup_embedding`` (exact
+    ground truth; broadcast matmul, capped ~1M vectors — see
+    operators/similarity.py::embedding_near_dup docstring)."""
     from ..operators.similarity import embedding_near_dup
     return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@q("pysink_roundtrip", """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents WHERE doc_id % 5 = 0
+GROUP BY lang
+""")
+def pysink_roundtrip_q(spark, sf_dir):
+    """Python DataSource WRITER surface (sources/jsonl_store.py): a
+    slice of documents flows OUT through the custom sink (task part
+    files + atomic manifest commit) and back IN through its reader;
+    the aggregate over the read-back rows must equal the oracle's
+    aggregate over the original table — write path, manifest
+    visibility, and read path all on the line."""
+    from ..sources.jsonl_store import register
+    register(spark)
+    path = tempfile.mkdtemp(prefix="tb_pysink_")
+    (_t(spark, sf_dir, "documents")
+     .filter(F.col("doc_id") % 5 == 0)
+     .select("doc_id", "lang", "n_chars")
+     .write.format("jsonl_store").option("path", path)
+     .mode("overwrite").save())
+    return (spark.read.format("jsonl_store").option("path", path).load()
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,237 @@
+"""Custom Python DataSource WRITER (Spark 4 ``pyspark.sql.datasource``):
+a manifest-committed JSONL store, readable and writable.
+
+``sources/synthetic.py`` exercises the READER half of the Python
+DataSource extension point; this module completes the surface with the
+writer half — the idiomatic way to add a non-file, non-JDBC SINK to the
+engine without touching the JVM (the role the reference's managed-table
+``saveAsTable`` sink plays — reference notebooks/12_ETL_Bronze_PySpark
+.py:66 — re-expressed as a first-class Spark source/sink pair):
+
+- ``DataSourceWriter``: each task streams its rows to a uniquely-named
+  ``part-*.jsonl`` file and returns a commit message (file, row count).
+  The DRIVER commits by writing a ``_manifest.json`` listing exactly
+  the committed files (tmp + atomic rename), so readers never observe
+  a partial job: failed/zombie task files exist on disk but are
+  invisible until a manifest names them (the same visibility rule
+  Delta's log provides). ``abort`` deletes the named files.
+- ``DataSourceStreamWriter``: same task-side write; ``commit`` runs
+  once per micro-batch with the batch id and is IDEMPOTENT — a replayed
+  epoch (restart re-runs the last uncommitted batch) sees its marker in
+  ``_epochs/`` and re-commits the SAME file set recorded there rather
+  than appending duplicates, giving exactly-once table contents on at-
+  least-once batch delivery.
+- ``DataSourceReader``: schema comes from the manifest (recorded at
+  write time), one input partition per committed file — a 1000-file
+  table reads 1000-way parallel.
+
+Scale notes: tasks write directly to their own files (no driver data
+path); commit traffic is one tiny message per task; the manifest is
+O(files). JSONL is the demonstration encoding — the protocol (task
+files + manifest commit + epoch idempotence) is the part that carries
+to any backend.
+
+Supported field types for round-trip fidelity: long/int, double,
+string, boolean, date, timestamp, and arrays thereof (JSON-native
+encodings; date/timestamp as ISO strings, decoded via the manifest
+schema).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceStreamWriter, DataSourceWriter,
+    InputPartition, WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _encode(v):
+    if isinstance(v, _dt.datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"__date__": v.isoformat()}
+    if isinstance(v, list):
+        return [_encode(x) for x in v]
+    return v
+
+
+def _decode(v, dtype: str):
+    if v is None:
+        return None
+    if dtype.startswith("array<"):
+        return [_decode(x, dtype[6:-1]) for x in v]
+    if dtype == "timestamp":
+        return _dt.datetime.fromisoformat(v["__ts__"])
+    if dtype == "date":
+        return _dt.date.fromisoformat(v["__date__"])
+    return v
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_manifest.json")
+
+
+def _read_manifest(path: str) -> dict:
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"version": -1, "files": [], "schema": None}
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = _manifest_path(path) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(path))  # atomic visibility flip
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType, overwrite: bool):
+        self.path = path
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        """Task side: stream rows to a uniquely-named part file."""
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(
+                    {k: _encode(v) for k, v in row.asDict().items()}) + "\n")
+                n += 1
+        return _FileCommit(file=name, rows=n)
+
+    def commit(self, messages):
+        new_files = [m.file for m in messages if m is not None]
+        old = _read_manifest(self.path)
+        files = new_files if self.overwrite else old["files"] + new_files
+        _write_manifest(self.path, {
+            "version": old["version"] + 1, "files": files,
+            "schema": self.schema_json})
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except FileNotFoundError:
+                    pass
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Per-micro-batch append with epoch-marker idempotence."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema_json = schema.json()
+        os.makedirs(os.path.join(path, "_epochs"), exist_ok=True)
+
+    def write(self, iterator):
+        return JsonlWriter(self.path, StructType.fromJson(
+            json.loads(self.schema_json)), overwrite=False).write(iterator)
+
+    def _epoch_marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, "_epochs", f"{batch_id}.json")
+
+    def commit(self, messages, batchId):
+        marker = self._epoch_marker(batchId)
+        if os.path.exists(marker):
+            # replayed epoch: drop this attempt's files, keep the
+            # committed attempt's — table contents stay exactly-once
+            self.abort(messages, batchId)
+            return
+        new_files = [m.file for m in messages if m is not None]
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"batch": batchId, "files": new_files}, f)
+        old = _read_manifest(self.path)
+        _write_manifest(self.path, {
+            "version": old["version"] + 1,
+            "files": old["files"] + new_files,
+            "schema": self.schema_json})
+        os.replace(marker + ".tmp", marker)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except FileNotFoundError:
+                    pass
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.fields = [(f.name, f.dataType.simpleString())
+                       for f in schema.fields]
+
+    def partitions(self):
+        files = _read_manifest(self.path)["files"]
+        return [_FilePartition(f) for f in files] or [_FilePartition("")]
+
+    def read(self, partition):
+        if not partition.file:
+            return
+        with open(os.path.join(self.path, partition.file)) as f:
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(_decode(rec.get(name), dtype)
+                            for name, dtype in self.fields)
+
+
+class JsonlStoreDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonl_store"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_store requires a 'path' option")
+        return path
+
+    def schema(self):
+        stored = _read_manifest(self._path())["schema"]
+        if stored is None:
+            raise ValueError(
+                f"jsonl_store at {self._path()} has no manifest; write "
+                "first or pass an explicit schema")
+        return StructType.fromJson(json.loads(stored))
+
+    def reader(self, schema):
+        return JsonlReader(self._path(), schema)
+
+    def writer(self, schema, overwrite):
+        return JsonlWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return JsonlStreamWriter(self._path(), schema)
+
+
+def register(spark) -> None:
+    """Register; afterwards both directions work:
+    ``df.write.format("jsonl_store").option("path", p).save()`` and
+    ``spark.read.format("jsonl_store").option("path", p).load()`` plus
+    ``df.writeStream.format("jsonl_store")...``."""
+    spark.dataSource.register(JsonlStoreDataSource)

@@ -53,7 +53,11 @@ def stream_pack(docs: DataFrame, window: int,
         # yields Arrow chunks (arrow.maxRecordsPerBatch rows each) in
         # arbitrary shuffle-read order, so a per-chunk sort would give
         # a >chunk-size source nondeterministic offsets
-        pdf = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        # (list() first: the iterator itself is always truthy, so the
+        # empty-group guard must test the materialized list — an empty
+        # iterator otherwise reaches pd.concat([]) and raises)
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
         if not pdf.empty:
             pdf = pdf[pdf[len_col] > 0].sort_values(id_col)
         if not pdf.empty:

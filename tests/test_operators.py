@@ -122,6 +122,36 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert approx == again
 
 
+def test_embedding_near_dup_lsh_recall_and_subset(spark):
+    """LSH-bucketed near-dup (the default dedup_embedding path):
+    every emitted pair is a TRUE pair (exact-cosine verify => no false
+    positives vs the all-pairs ground truth), and recall on planted
+    high-cos duplicates is near-total (the regime near-dup targets;
+    the docstring's banding curve)."""
+    import numpy as np
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        embedding_near_dup, embedding_near_dup_lsh,
+    )
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(150, 64))
+    noise = rng.normal(size=(150, 64)) * 0.23      # copy at cos ~0.9
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in (v + noise[i])]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {(r.id_a, r.id_b)
+             for r in embedding_near_dup(df, threshold=0.8).collect()}
+    got = {(r.id_a, r.id_b)
+           for r in embedding_near_dup_lsh(df, threshold=0.8).collect()}
+    assert got <= truth                      # exact verify: no extras
+    assert len(got & truth) / len(truth) >= 0.95
+    # deterministic across runs (fixed LCG planes)
+    again = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_lsh(df, threshold=0.8).collect()}
+    assert got == again
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salted join is result-identical to the direct equi-join."""
     from tb_lakehouse_enhanced_spark.operators.skew import salted_join

@@ -83,3 +83,90 @@ def test_stream_source_composes_with_streaming_tier(spark, tmp_path):
 def test_batch_zero_rows_is_empty_relation(spark):
     register(spark)
     assert _load(spark, rows=0).count() == 0
+
+# ---------------------------------------------------------------- writer ----
+
+def _store(spark):
+    from tb_lakehouse_enhanced_spark.sources.jsonl_store import register as reg
+    reg(spark)
+
+
+def test_jsonl_store_batch_roundtrip(spark, tmp_path):
+    """Writer half of the Python DataSource API: write -> manifest
+    commit -> read back identical rows (types incl. date/timestamp/
+    arrays survive the trip via the manifest schema)."""
+    _store(spark)
+    path = str(tmp_path / "store")
+    df = spark.sql("""
+        SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS x,
+               concat('v', id) AS s, id % 2 = 0 AS flag,
+               DATE'2024-01-01' + CAST(id AS INT) AS d,
+               TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+               array(id, id + 1) AS arr
+        FROM range(100)""")
+    df.write.format("jsonl_store").option("path", path).mode("overwrite").save()
+    got = spark.read.format("jsonl_store").option("path", path).load()
+    assert got.schema == df.schema
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+    # append mode accumulates; overwrite replaces
+    df.write.format("jsonl_store").option("path", path).mode("append").save()
+    assert spark.read.format("jsonl_store").option("path", path).load().count() == 200
+    df.limit(10).write.format("jsonl_store").option("path", path).mode("overwrite").save()
+    assert spark.read.format("jsonl_store").option("path", path).load().count() == 10
+
+
+def test_jsonl_store_uncommitted_files_invisible(spark, tmp_path):
+    """Manifest visibility rule: a part file on disk that no manifest
+    names (zombie task / crashed job) is never read."""
+    _store(spark)
+    path = str(tmp_path / "store")
+    spark.range(5).selectExpr("id AS k").write.format("jsonl_store") \
+        .option("path", path).mode("overwrite").save()
+    # plant an orphan part file, as a failed task would leave behind
+    with open(f"{path}/part-orphan.jsonl", "w") as f:
+        f.write('{"k": 999}\n')
+    got = spark.read.format("jsonl_store").option("path", path).load()
+    assert got.count() == 5
+    assert got.filter("k = 999").count() == 0
+
+
+def test_jsonl_store_stream_writer_exactly_once(spark, tmp_path):
+    """DataSourceStreamWriter: the synthetic stream source feeds the
+    jsonl_store sink; contents equal the batch generation, and replaying
+    a committed epoch (idempotence marker) adds no duplicate rows."""
+    import glob
+    import json as _json
+
+    from tb_lakehouse_enhanced_spark.sources.jsonl_store import (
+        JsonlStreamWriter, _FileCommit, _read_manifest,
+    )
+    from tb_lakehouse_enhanced_spark.sources.synthetic import register as reg_synth
+    _store(spark)
+    reg_synth(spark)
+    path = str(tmp_path / "sink")
+    q = (spark.readStream.format("synthetic_docs")
+         .option("rows", 260).option("rows_per_batch", 100).option("seed", 11)
+         .load()
+         .writeStream.format("jsonl_store")
+         .option("path", path)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.format("jsonl_store").option("path", path).load()
+    want = _load(spark, rows=260, seed=11)
+    assert got.count() == 260
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # replay a committed epoch: same batchId, a fresh attempt file ->
+    # commit must drop the attempt and leave the manifest unchanged
+    epochs = sorted(glob.glob(f"{path}/_epochs/*.json"))
+    assert epochs, "stream committed no epochs"
+    batch_id = _json.load(open(epochs[0]))["batch"]
+    before = _read_manifest(path)
+    w = JsonlStreamWriter(path, got.schema)
+    with open(f"{path}/part-replayed.jsonl", "w") as f:
+        f.write('{"doc_id": 0}\n')
+    w.commit([_FileCommit(file="part-replayed.jsonl", rows=1)], batch_id)
+    after = _read_manifest(path)
+    assert after == before
+    assert spark.read.format("jsonl_store").option("path", path).load().count() == 260
