@@ -330,14 +330,21 @@ def ivf_write_partitioned(corpus: DataFrame, path: str, n_lists: int = 16,
 
     This is the physical form of the docstring claim in ``ivf_topk`` —
     at 100 TB a probe must touch ``n_probe`` partitions of the table,
-    not scan it. Returns the trained centroids (persist them next to
-    the table in production; they are the index metadata).
+    not scan it. Returns the trained centroids, and also PERSISTS them
+    (plus the training-time quantization baseline) next to the table in
+    ``_ivf_index.json`` — the index metadata that makes the layout
+    self-describing for ``ivf_append_partitioned`` (incremental ingest)
+    and ``ivf_check_drift`` (retrain trigger).
     """
     sample_rows = corpus.select(vec_col).limit(sample_size).collect()
     centroids = _kmeans_centroids(
         _matrix(pd.Series([r[0] for r in sample_rows])), n_lists)
     (ivf_assign(corpus, centroids, id_col, vec_col)
      .write.mode("overwrite").partitionBy("ivf_list").parquet(path))
+    written = corpus.sparkSession.read.parquet(path)
+    base = _mean_sq_dist(written, centroids, vec_col)
+    n = written.count()
+    _ivf_save_meta(path, centroids, base, n)
     return centroids
 
 
@@ -355,6 +362,85 @@ def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
     corpus = (spark.read.parquet(path)
               .filter(F.col("ivf_list").isin(lists)))
     return cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _ivf_meta_path(path: str) -> str:
+    import os
+    return os.path.join(path, "_ivf_index.json")
+
+
+def _ivf_save_meta(path: str, centroids: np.ndarray,
+                   mean_sq_dist: float, n: int) -> None:
+    """Persist the index metadata next to the table: the trained
+    centroids (they ARE the index) plus the training-time quantization
+    baseline the drift trigger compares against."""
+    import json
+    import os
+    os.makedirs(path, exist_ok=True)
+    tmp = _ivf_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"centroids": [[float(x) for x in c] for c in centroids],
+                   "baseline_mean_sq_dist": mean_sq_dist,
+                   "baseline_n": n}, f)
+    os.replace(tmp, _ivf_meta_path(path))
+
+
+def ivf_load_meta(path: str) -> tuple[np.ndarray, dict]:
+    import json
+    with open(_ivf_meta_path(path)) as f:
+        meta = json.load(f)
+    return np.asarray(meta["centroids"], dtype=np.float64), meta
+
+
+def _mean_sq_dist(df_assigned: DataFrame, centroids: np.ndarray,
+                  vec_col: str) -> float:
+    """Mean squared distance of (normalized) vectors to their assigned
+    centroid — the quantization-error statistic behind the drift
+    trigger. One Arrow-batched pass + a 2-value aggregate."""
+    def qerr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = _matrix(pdf[vec_col])
+            cl = pdf["ivf_list"].to_numpy(dtype=np.int64)
+            d = ((cm - centroids[cl]) ** 2).sum(axis=1)
+            yield pd.DataFrame({"sq": d})
+    agg = (df_assigned.mapInPandas(qerr, "sq double")
+           .agg(F.sum("sq").alias("s"), F.count(F.lit(1)).alias("n"))
+           .collect()[0])
+    return float(agg["s"] / agg["n"]) if agg["n"] else 0.0
+
+
+def ivf_append_partitioned(batch: DataFrame, path: str,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> None:
+    """INCREMENTAL index maintenance: assign a new batch to the
+    EXISTING centroids and append to the partitioned layout — one
+    Arrow-batched pass over the batch, zero touches of the existing
+    data (new files land inside the matching ``ivf_list=`` dirs, so
+    the probe's partition pruning keeps working unchanged). This is
+    the steady-state ingest path at 100 TB: only a drift-triggered
+    retrain (``ivf_check_drift`` / ``ivf_write_partitioned``) ever
+    rewrites the layout."""
+    centroids, _meta = ivf_load_meta(path)
+    (ivf_assign(batch, centroids, id_col, vec_col)
+     .write.mode("append").partitionBy("ivf_list").parquet(path))
+
+
+def ivf_check_drift(spark, path: str, threshold: float = 1.5,
+                    vec_col: str = "embedding") -> dict:
+    """Re-train trigger: current mean quantization error over the
+    whole layout vs the training-time baseline. A ratio above
+    ``threshold`` means the data distribution has moved away from the
+    centroids (appended batches land far from every list center) and
+    recall at fixed n_probe is degrading — time to retrain. Returns
+    {ratio, drifted, current, baseline}."""
+    centroids, meta = ivf_load_meta(path)
+    cur = _mean_sq_dist(spark.read.parquet(path), centroids, vec_col)
+    base = meta["baseline_mean_sq_dist"] or 1e-12
+    ratio = cur / base
+    return {"ratio": ratio, "drifted": ratio > threshold,
+            "current": cur, "baseline": base}
 
 
 def _pq_codebooks(sample: np.ndarray, m: int, nbits: int) -> np.ndarray:

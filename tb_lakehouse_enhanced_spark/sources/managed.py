@@ -166,11 +166,136 @@ class ManagedTable:
                 "re-read and retry the mutation") from None
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
+        self._emit_delta_log(v, meta)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer)  # atomic pointer flip
         return self
+
+    # -- Delta-protocol log mirror (format interop) --------------------------
+    #
+    # Every commit additionally appends a Delta-protocol-shaped entry to
+    # ``_delta_log/<version padded to 20>.json`` so EXTERNAL Delta readers
+    # (delta-rs, DuckDB's delta scanner, delta-spark) can open the table:
+    # the reference's tables are managed *Delta* tables (reference
+    # notebooks/12_ETL_Bronze_PySpark.py:66, 22_ETL_Silver_PySpark.py:62);
+    # ``delta-spark`` is absent from this environment, so the semantics
+    # live in ManagedTable and this mirror closes the on-disk FORMAT gap.
+    # Action shapes follow the open Delta Transaction Log Protocol spec
+    # (delta-io/delta PROTOCOL.md): commitInfo + protocol (v0) + metaData
+    # + remove (previous snapshot's files) + add (new snapshot's files,
+    # paths relative to the table root, partitionValues as strings).
+    # Because ManagedTable snapshots are full version directories, every
+    # commit is a whole-table replace in Delta terms — remove-all +
+    # add-all — which is always a correct (if conservative) description.
+    # Emission is pure-Python (os.walk + one pyarrow footer read): no
+    # Spark job, so mutation latency is unaffected.
+
+    def _delta_log_dir(self) -> str:
+        return os.path.join(self.path, "_delta_log")
+
+    def _delta_table_id(self) -> str:
+        """Stable table id (Delta metaData.id): minted once, persisted."""
+        import uuid
+        marker = os.path.join(self._delta_log_dir(), "_table_id")
+        try:
+            with open(marker) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            tid = str(uuid.uuid4())
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(tid)
+            os.replace(tmp, marker)
+            return tid
+
+    def _data_files(self, d: str) -> list[tuple[str, str]]:
+        """(path-relative-to-table-root, absolute path) per parquet file
+        of snapshot dir ``d``, sorted for deterministic logs."""
+        out = []
+        base = os.path.join(self.path, d)
+        for root, _dirs, fns in os.walk(base):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(root, fn)
+                    out.append((os.path.relpath(full, self.path), full))
+        return sorted(out)
+
+    @staticmethod
+    def _partition_values(rel_path: str) -> dict:
+        """Delta partitionValues map from hive-style path segments
+        (string-encoded per the protocol; hive's NULL sentinel -> null)."""
+        vals = {}
+        for seg in rel_path.split(os.sep)[1:-1]:  # skip vN/ and filename
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                vals[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+        return vals
+
+    def _delta_schema_string(self, files: list[tuple[str, str]]) -> str:
+        """Spark-schema JSON (Delta schemaString) from one parquet footer
+        plus the directory-encoded partition columns (typed by value
+        inference: all-int -> long, else string — partition values are
+        strings in the log either way)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StringType, StructField
+        struct = from_arrow_schema(pq.read_schema(files[0][1]))
+        seen = {f.name for f in struct.fields}
+        part_vals: dict[str, list] = {}
+        for rel, _full in files:
+            for k, val in self._partition_values(rel).items():
+                part_vals.setdefault(k, []).append(val)
+        for pcol in self.partition_by:
+            if pcol in seen:
+                continue
+            vals = [x for x in part_vals.get(pcol, []) if x is not None]
+            is_int = bool(vals) and all(
+                x.lstrip("-").isdigit() for x in vals)
+            struct = struct.add(StructField(
+                pcol, LongType() if is_int else StringType(), True))
+        return struct.json()
+
+    def _emit_delta_log(self, v: int, meta: dict) -> None:
+        log_dir = self._delta_log_dir()
+        os.makedirs(log_dir, exist_ok=True)
+        ts_ms = int((meta.get("ts") or time.time()) * 1000)
+        files = self._data_files(meta["dir"])
+        actions = [{"commitInfo": {
+            "timestamp": ts_ms, "operation": meta.get("op", "WRITE"),
+            "operationParameters": {},
+            "engineInfo": "tb-lakehouse-enhanced-spark"}}]
+        if v == 0:
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+        if files:
+            actions.append({"metaData": {
+                "id": self._delta_table_id(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": self._delta_schema_string(files),
+                "partitionColumns": list(self.partition_by),
+                "configuration": {},
+                "createdTime": ts_ms}})
+        if v > 0:
+            prev = self._commit(v - 1)
+            for rel, _full in self._data_files(prev["dir"]):
+                actions.append({"remove": {
+                    "path": rel, "deletionTimestamp": ts_ms,
+                    "dataChange": True}})
+        for rel, full in files:
+            st = os.stat(full)
+            actions.append({"add": {
+                "path": rel,
+                "partitionValues": self._partition_values(rel),
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True}})
+        entry = os.path.join(log_dir, f"{v:020d}.json")
+        tmp = entry + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        os.replace(tmp, entry)
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE",
                   extra_meta: dict | None = None) -> "ManagedTable":

@@ -84,3 +84,40 @@ def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
         [(1, "x"), (2, "z"), (3, None)], "k long, v string")
     got = table_checksum(changed, ["k", "v"]).collect()[0]
     assert got["checksum"] != base["checksum"]
+
+
+def test_identity_column_continues_across_loads(spark):
+    """GENERATED AS IDENTITY DDL surface (reference 01_Init.py:59):
+    successive loads continue the sequence past the table's max —
+    ids are dense 1..N on first load and never reused afterwards,
+    including across an overwrite (Delta's identity high-water mark)."""
+    df1 = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], ["name"])
+    catalog.save_table(df1, "silver.dim_ident", identity_col="sk",
+                       identity_order_cols=["name"])
+    got1 = {r["name"]: r["sk"] for r in spark.table("silver.dim_ident").collect()}
+    assert got1 == {"a": 1, "b": 2, "c": 3}
+    # append continues past the max
+    df2 = spark.createDataFrame([("d",), ("e",)], ["name"])
+    catalog.save_table(df2, "silver.dim_ident", identity_col="sk",
+                       identity_order_cols=["name"], mode="append")
+    got2 = {r["name"]: r["sk"] for r in spark.table("silver.dim_ident").collect()}
+    assert got2 == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+    # overwrite also never reuses ids (high-water mark semantics)
+    df3 = spark.createDataFrame([("z",)], ["name"])
+    catalog.save_table(df3, "silver.dim_ident", identity_col="sk",
+                       identity_order_cols=["name"], mode="overwrite")
+    got3 = {r["name"]: r["sk"] for r in spark.table("silver.dim_ident").collect()}
+    assert got3 == {"z": 6}
+    # a df that already carries the column keeps its values
+    df4 = spark.createDataFrame([(100, "q")], ["sk", "name"])
+    catalog.save_table(df4, "silver.dim_ident", identity_col="sk",
+                       identity_order_cols=["name"], mode="append")
+    assert {r["sk"] for r in spark.table("silver.dim_ident").collect()} == {6, 100}
+    # identity recorded as a table property
+    props = {r["key"]: r["value"] for r in spark.sql(
+        "SHOW TBLPROPERTIES silver.dim_ident").collect()}
+    assert props.get("identity_column") == "sk"
+    # missing order cols is a loud error
+    with pytest.raises(ValueError):
+        catalog.save_table(df1, "silver.dim_ident2", identity_col="sk")

@@ -1,0 +1,158 @@
+"""Delta-protocol log mirror (sources/managed.py::_emit_delta_log).
+
+No external Delta reader is installable in this container (verified:
+``import delta`` fails, DuckDB's delta extension needs a network
+download), so conformance is golden-tested against the published Delta
+Transaction Log Protocol shapes (delta-io/delta PROTOCOL.md): action
+key sets, version file naming, schemaString, partitionValues encoding,
+and — the strongest check — a protocol REPLAY: reconstructing the live
+file set the way a Delta reader would (adds minus removes, in version
+order) must reproduce the current table contents exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+
+
+def _log_entries(path: str) -> dict[int, list[dict]]:
+    out = {}
+    for fn in sorted(glob.glob(f"{path}/_delta_log/*.json")):
+        v = int(os.path.basename(fn).split(".")[0])
+        with open(fn) as f:
+            out[v] = [json.loads(line) for line in f if line.strip()]
+    return out
+
+
+def _replay_live_files(path: str) -> set[str]:
+    """What a Delta reader does: fold adds/removes in version order."""
+    live: set[str] = set()
+    for _v, actions in sorted(_log_entries(path).items()):
+        for a in actions:
+            if "remove" in a:
+                live.discard(a["remove"]["path"])
+            if "add" in a:
+                live.add(a["add"]["path"])
+    return live
+
+
+@pytest.fixture()
+def mt(spark, tmp_base):
+    t = ManagedTable(spark, f"{tmp_base}/dlt")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], ["id", "k", "v"]))
+    return t
+
+
+def test_log_file_naming_and_action_shapes(spark, mt):
+    mt.overwrite(mt.read().filter("id < 3"))
+    logs = _log_entries(mt.path)
+    assert sorted(logs) == [0, 1]
+    # version files use the 20-digit zero-padded protocol name
+    assert os.path.exists(
+        os.path.join(mt.path, "_delta_log", "0" * 20 + ".json"))
+
+    v0 = logs[0]
+    kinds = [next(iter(a)) for a in v0]
+    # protocol + metaData must appear in version 0
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    # exact spec field set for metaData
+    assert set(meta) == {"id", "format", "schemaString",
+                         "partitionColumns", "configuration", "createdTime"}
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    # schemaString is a Spark StructType JSON equal to the table schema
+    from pyspark.sql.types import StructType
+    assert StructType.fromJson(json.loads(meta["schemaString"])) == \
+        mt.read().schema
+
+    for a in v0:
+        if "add" in a:
+            assert set(a["add"]) == {"path", "partitionValues", "size",
+                                     "modificationTime", "dataChange"}
+            assert a["add"]["dataChange"] is True
+            full = os.path.join(mt.path, a["add"]["path"])
+            assert os.path.getsize(full) == a["add"]["size"]
+
+    v1 = logs[1]
+    removes = [a["remove"] for a in v1 if "remove" in a]
+    assert removes, "second commit must remove the previous snapshot"
+    for r in removes:
+        assert set(r) == {"path", "deletionTimestamp", "dataChange"}
+    # removed paths are exactly version 0's added paths
+    v0_adds = {a["add"]["path"] for a in v0 if "add" in a}
+    assert {r["path"] for r in removes} == v0_adds
+
+
+def test_metadata_id_stable_across_commits(spark, mt):
+    mt.overwrite(mt.read())
+    logs = _log_entries(mt.path)
+    ids = {a["metaData"]["id"]
+           for acts in logs.values() for a in acts if "metaData" in a}
+    assert len(ids) == 1
+
+
+def test_replay_reconstructs_current_table(spark, mt):
+    """Protocol replay (adds minus removes over all versions) names
+    exactly the files of the CURRENT snapshot, and reading those files
+    reproduces the table — what an external Delta reader would see,
+    across overwrite, UPDATE, DELETE, and RESTORE commits."""
+    mt.update(F.col("k") == "a", {"v": F.col("v") + 1})
+    mt.delete(F.col("id") == 2)
+    mt.restore(1)
+    live = _replay_live_files(mt.path)
+    assert live  # non-empty
+    paths = [os.path.join(mt.path, p) for p in sorted(live)]
+    got = spark.read.parquet(*paths)
+    want = mt.read()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_partitioned_table_partition_values(spark, tmp_base):
+    t = ManagedTable(spark, f"{tmp_base}/dltp", partition_by=("k",))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)], ["id", "k", "v"]))
+    logs = _log_entries(t.path)
+    adds = [a["add"] for a in logs[0] if "add" in a]
+    vals = {a["partitionValues"].get("k") for a in adds}
+    # string-encoded values per the protocol; hive NULL sentinel -> null
+    assert {"a", "b", None} <= vals
+    meta = next(a["metaData"] for a in logs[0] if "metaData" in a)
+    assert meta["partitionColumns"] == ["k"]
+    # partition column present in schemaString even though it is
+    # directory-encoded, not stored in the parquet files
+    fields = {f["name"] for f in
+              json.loads(meta["schemaString"])["fields"]}
+    assert "k" in fields
+    # replay works for partitioned layouts too (basePath keeps the
+    # partition column when reading explicit leaf files)
+    live = sorted(_replay_live_files(t.path))
+    got = (spark.read.option("basePath", os.path.join(t.path, "v0"))
+           .parquet(*[os.path.join(t.path, p) for p in live]))
+    assert got.count() == 3
+
+
+def test_merge_and_clone_continue_the_log(spark, tmp_base):
+    """Partition-scoped merge commits and shallow clones emit too: the
+    clone starts its own log at version 0 with protocol+metaData."""
+    t = ManagedTable(spark, f"{tmp_base}/dltm")
+    t.overwrite(spark.createDataFrame([(1, 10.0)], ["id", "v"]))
+    c = t.clone(f"{tmp_base}/dltm_clone")
+    logs = _log_entries(c.path)
+    assert sorted(logs) == [0]
+    kinds = [next(iter(a)) for a in logs[0]]
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    live = _replay_live_files(c.path)
+    got = spark.read.parquet(*[os.path.join(c.path, p) for p in sorted(live)])
+    assert got.collect() == c.read().collect()

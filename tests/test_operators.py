@@ -716,3 +716,51 @@ def test_jaccard_prefix_join_equals_bruteforce(spark):
     out = {(r.id_a, r.id_b) for r in
            jaccard_prefix_join(tiny, threshold=0.6).collect()}
     assert out == {(1, 2)}
+
+
+def test_ivf_incremental_append_and_drift(spark, tmp_path):
+    """Incremental IVF maintenance: batches appended against the
+    persisted centroids keep probe recall vs exact top-k; in-
+    distribution appends do NOT fire the drift trigger, a shifted
+    batch DOES, and retraining resets the baseline."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        cosine_topk, ivf_append_partitioned, ivf_check_drift,
+        ivf_load_meta, ivf_probe_partitioned, ivf_write_partitioned,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    # build from the first fifth, append the rest in 4 batches
+    ivf_write_partitioned(emb.filter("vec_id % 5 = 0"), path, n_lists=8)
+    for r in range(1, 5):
+        ivf_append_partitioned(emb.filter(f"vec_id % 5 = {r}"), path)
+    full = spark.read.parquet(path)
+    assert full.count() == emb.count()
+
+    centroids, _ = ivf_load_meta(path)
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_probe_partitioned(
+                  spark, path, centroids, queries, k=5, n_probe=4).collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+    # in-distribution data: drift trigger stays quiet
+    chk = ivf_check_drift(spark, path, threshold=1.5)
+    assert not chk["drifted"], chk
+
+    # a shifted batch (distribution moved) fires the trigger ...
+    shifted = emb.limit(200).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-1.0)).alias("embedding"))
+    ivf_append_partitioned(shifted, path)
+    chk2 = ivf_check_drift(spark, path, threshold=1.5)
+    assert chk2["ratio"] > chk["ratio"]
+
+    # ... and a retrain over the grown corpus resets the baseline
+    ivf_write_partitioned(spark.read.parquet(path).drop("ivf_list"),
+                          path + "2", n_lists=8)
+    chk3 = ivf_check_drift(spark, path + "2", threshold=1.5)
+    assert not chk3["drifted"], chk3
