@@ -1,0 +1,188 @@
+"""Delta-format table READER — log replay without ``delta-spark``.
+
+The write side (`managed.py::_emit_delta_log`) makes ManagedTable
+commits visible to external Delta readers; this module is the inverse:
+open any Delta-format directory (parquet data + ``_delta_log``) by
+replaying the transaction log the way the protocol specifies
+(delta-io/delta PROTOCOL.md):
+
+1. if ``_last_checkpoint`` exists, load the live file set from the
+   checkpoint parquet (one row per action, struct columns) and replay
+   only the JSON commits AFTER it — the reason checkpoints exist: at
+   100 TB of table history, replay cost stays bounded by checkpoint
+   cadence, not commit count;
+2. otherwise fold every ``<v>.json`` in version order: ``add`` inserts
+   a file, ``remove`` tombstones it, latest ``metaData`` wins;
+3. read exactly the live parquet files with the schema from
+   ``metaData.schemaString``; partition columns (directory-encoded,
+   absent from the files) are re-attached from each add action's
+   ``partitionValues`` via a broadcast map-side join on
+   ``_metadata.file_path`` — ONE scan regardless of partition count,
+   never a per-partition union.
+
+``checkpoint_delta_log`` writes the matching checkpoint (+
+``_last_checkpoint`` pointer) for tables this engine emits, enabling
+log truncation.
+
+Scope guard: tables using reader features beyond protocol
+``minReaderVersion`` 1 (column mapping, deletion vectors) are refused
+loudly rather than read wrongly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _commit_versions(path: str) -> list[int]:
+    return sorted(
+        int(os.path.basename(f).split(".")[0])
+        for f in glob.glob(os.path.join(_log_dir(path), "*.json"))
+        if os.path.basename(f).split(".")[0].isdigit())
+
+
+def _load_checkpoint(spark: SparkSession, path: str,
+                     max_version: int | None):
+    """(live adds dict, metaData dict|None, checkpoint version) from
+    ``_last_checkpoint``, or (None, None, -1) when absent/too new."""
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None, None, -1
+    with open(lc) as f:
+        v = json.load(f)["version"]
+    if max_version is not None and v > max_version:
+        return None, None, -1  # time travel before the checkpoint
+    cp = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
+    rows = spark.read.parquet(cp).collect()
+    adds, meta, proto = {}, None, None
+    for r in rows:
+        d = r.asDict(recursive=True)
+        if d.get("add"):
+            adds[d["add"]["path"]] = d["add"]
+        if d.get("metaData") and d["metaData"].get("id"):
+            meta = d["metaData"]
+        if d.get("protocol") and d["protocol"].get("minReaderVersion"):
+            proto = d["protocol"]
+    if proto and proto["minReaderVersion"] > 1:
+        raise ValueError(
+            f"unsupported Delta reader protocol {proto} (column mapping "
+            "/ deletion vectors not implemented)")
+    return adds, meta, v
+
+
+def _replay(spark: SparkSession, path: str,
+            version: int | None = None) -> tuple[dict, dict]:
+    """Fold the log into (live adds by path, latest metaData)."""
+    adds, meta, cp_v = _load_checkpoint(spark, path, version)
+    if adds is None:
+        adds, meta = {}, None
+    versions = [v for v in _commit_versions(path) if v > cp_v]
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    elif not versions and cp_v < 0:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    for v in versions:
+        with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a and a["protocol"]["minReaderVersion"] > 1:
+                    raise ValueError(
+                        f"unsupported Delta reader protocol "
+                        f"{a['protocol']}")
+                if "metaData" in a:
+                    meta = a["metaData"]
+                if "remove" in a:
+                    adds.pop(a["remove"]["path"], None)
+                if "add" in a:
+                    adds[a["add"]["path"]] = a["add"]
+    if meta is None:
+        raise ValueError(f"Delta log at {path} carries no metaData")
+    return adds, meta
+
+
+def read_delta(spark: SparkSession, path: str,
+               version: int | None = None) -> DataFrame:
+    """Open a Delta-format table (optionally ``VERSION AS OF``) by
+    protocol replay; returns the live rows with the log's schema,
+    partition columns included."""
+    adds, meta = _replay(spark, path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols])
+    if not adds:
+        return spark.createDataFrame([], schema)
+    files = sorted(adds)
+    paths = [os.path.join(path, p) for p in files]
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if not part_cols:
+        return df.select(*[f.name for f in schema.fields])
+    # re-attach partition values: tiny (file -> values) relation,
+    # broadcast-joined on the scan's _metadata.file_path — one scan,
+    # partition count never multiplies the plan
+    pv_rows = [(os.path.abspath(os.path.join(path, p)),
+                *[adds[p]["partitionValues"].get(c) for c in part_cols])
+               for p in files]
+    pv = spark.createDataFrame(
+        pv_rows, ["_dl_fp", *[f"_dl_{c}" for c in part_cols]])
+    # normalize the scan's file URI (file:/x, file:///x, hdfs://nn/x)
+    # down to the plain path so it matches the log-derived abspath
+    norm = F.regexp_replace(F.col("_metadata.file_path"),
+                            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    out = (df.withColumn("_dl_fp", norm)
+           .join(F.broadcast(pv), "_dl_fp"))
+    for c in part_cols:
+        typ = next(f.dataType for f in schema.fields if f.name == c)
+        out = out.withColumn(c, F.col(f"_dl_{c}").cast(typ))
+    return out.select(*[f.name for f in schema.fields])
+
+
+def checkpoint_delta_log(spark: SparkSession, path: str) -> int:
+    """Write a Delta checkpoint at the current latest version: one
+    parquet row per live action (protocol + metaData + adds) and the
+    ``_last_checkpoint`` pointer. Commits at or before the checkpoint
+    can then be truncated — replay cost stays O(commits since last
+    checkpoint). Returns the checkpointed version."""
+    versions = _commit_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    v = versions[-1]
+    adds, meta = _replay(spark, path)
+    proto_row = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                 "metaData": None, "add": None}
+    meta_row = {"protocol": None, "metaData": meta, "add": None}
+    add_rows = [{"protocol": None, "metaData": None, "add": a}
+                for _p, a in sorted(adds.items())]
+    schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>,"
+        "createdTime:bigint>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>")
+    cp = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
+    tmp = cp + ".tmp"
+    (spark.createDataFrame([proto_row, meta_row, *add_rows], schema)
+     .coalesce(1).write.mode("overwrite").parquet(tmp))
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.replace(part, cp)
+    import shutil
+    shutil.rmtree(tmp)
+    lc_tmp = os.path.join(_log_dir(path), "_last_checkpoint.tmp")
+    with open(lc_tmp, "w") as f:
+        json.dump({"version": v, "size": 2 + len(add_rows)}, f)
+    os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
+    return v
