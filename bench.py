@@ -28,7 +28,15 @@ HEADLINE = [
     "dml_update", "stream_tumbling", "dim_calendar_spine",
     "dedup_exact", "dedup_minhash_fast", "dedup_simhash_fast",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
-    "simsearch_topk", "simsearch_lsh", "dedup_embedding", "dedup_clusters_fast",
+    # dedup_embedding changed ALGORITHM in round 4: it now benches the
+    # LSH-bucketed default (sign-LSH candidate buckets + exact-cosine
+    # verify, no driver collect — the 100 TB path), not the broadcast
+    # all-pairs matmul rounds 1-3 measured. The all-pairs parity op
+    # stays benched under its own name for round-over-round continuity;
+    # at sf0.1 it is FASTER (one tiny broadcast beats shuffle+groups at
+    # 2000 vectors) but dies at the driver beyond ~1M vectors.
+    "simsearch_topk", "simsearch_lsh", "dedup_embedding",
+    "dedup_embedding_allpairs", "dedup_clusters_fast",
     "asof_join", "sessionize", "vocab_topk", "contamination_check",
     "agg_salted", "tpch_q1", "tpch_q3", "tpch_q5",
     # round-3 families: lexical retrieval, recursive hierarchy,

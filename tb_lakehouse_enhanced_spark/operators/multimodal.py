@@ -7,13 +7,18 @@ metadata MAP) while decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` stages on the executors, so bytes never hit the driver
 and each batch amortizes the Python crossing.
 
-The actual codec step is environment-dependent (no image/audio libs in
-this container); ``decode_fn`` is therefore pluggable:
+The decode step is REAL for the codec-free formats — binary netpbm
+images (P5/P6, pure numpy) and PCM WAV audio (stdlib ``wave``) — with
+typed feature extractors (``image_features``, ``audio_features``) and a
+real nearest-neighbor ``resize_images`` on top. Compressed formats
+(JPEG/PNG/MP3/H.264) need codec libraries absent from this container;
+``decode_fn`` stays pluggable for them:
 
 - ``fake_image_decoder``  deterministic stand-in (hash-seeded "pixels")
   that exercises the full plumbing — schema, batching, feature shapes;
-- the default decoder raises ``NotImplementedError`` with instructions,
-  clearly marking the stub boundary.
+- ``real_decoder`` dispatches netpbm/WAV natively and raises
+  ``NotImplementedError`` for compressed formats, clearly marking the
+  remaining stub boundary.
 
 Everything around the decode — schema handling, batch iteration, output
 shapes, partition fan-out — is real and tested (tests/test_multimodal.py).
@@ -36,15 +41,86 @@ FEATURE_DIM = 16
 _FEATURE_SCHEMA = f"media_id bigint, media_type string, feature array<float>, n_bytes int"
 
 
-def real_decoder(blob: bytes, media_type: str) -> np.ndarray:
-    """Decode media bytes into an array (pixels / samples / frames).
+def decode_netpbm(blob: bytes) -> np.ndarray:
+    """REAL image decode for binary netpbm: P5 (PGM grayscale) and P6
+    (PPM RGB) — the codec-free raster formats, parseable with numpy
+    alone. Returns float64 pixels in [0, 1]: (h, w) for P5,
+    (h, w, 3) for P6."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm image: {blob[:2]!r}")
+    # header: magic, width, height, maxval — whitespace/comment-separated
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i:i + 1].isspace():
+            i += 1
+        if blob[i:i + 1] == b"#":                 # comment to EOL
+            while i < len(blob) and blob[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(blob[i:j]))
+        i = j
+    i += 1                                        # single ws after maxval
+    w, h, maxval = tokens
+    channels = 3 if blob[:2] == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    pix = np.frombuffer(blob, dtype=dtype, count=w * h * channels, offset=i)
+    arr = pix.reshape((h, w, 3) if channels == 3 else (h, w))
+    return arr.astype(np.float64) / maxval
 
-    STUB: the container has no codec libraries (PIL/ffmpeg/torchaudio).
-    Plug a real implementation via ``extract_features(..., decode_fn=)``.
-    """
+
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """Inverse of ``decode_netpbm`` (8-bit): float [0,1] pixels ->
+    P5/P6 bytes — lets resize/transform stages re-emit storable blobs."""
+    a = np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+    if a.ndim == 3:
+        magic, (h, w) = b"P6", a.shape[:2]
+    else:
+        magic, (h, w) = b"P5", a.shape
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_wav(blob: bytes) -> np.ndarray:
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module
+    (8/16/32-bit int PCM). Returns float64 samples in [-1, 1], shape
+    (n_frames, n_channels)."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return x.reshape(-1, nch)
+
+
+def real_decoder(blob: bytes, media_type: str) -> np.ndarray:
+    """Decode media bytes into an array (pixels / samples).
+
+    REAL for the codec-free formats: binary netpbm images (P5/P6,
+    sniffed by magic or declared via media_type) and PCM WAV audio
+    (RIFF magic). Compressed formats (JPEG/PNG/MP3/H.264) require
+    codec libraries absent from this container — those raise
+    ``NotImplementedError`` (the documented stub boundary; inject a
+    decode_fn or use ``fake_image_decoder`` in tests)."""
+    if blob[:2] in (b"P5", b"P6") or media_type in (
+            "image/x-portable-graymap", "image/x-portable-pixmap"):
+        return decode_netpbm(blob)
+    if blob[:4] == b"RIFF" or media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav(blob)
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this "
-        "environment; inject a decode_fn (see fake_image_decoder)")
+        f"decode of {media_type!r} requires codec libraries not present "
+        "in this environment; netpbm (P5/P6) and PCM WAV decode natively "
+        "— inject a decode_fn for other formats")
 
 
 def fake_image_decoder(blob: bytes, media_type: str) -> np.ndarray:
@@ -94,11 +170,107 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes bytes through with updated declared dims.
 
     A real implementation decodes + resamples inside the same
-    mapInPandas pattern as ``extract_features``; the relational contract
+    mapInPandas pattern as ``extract_features`` (see ``resize_images``
+    for the REAL path on decodable formats); the relational contract
     (same schema, updated width/height metadata) is what matters here.
     """
     return media.withColumn("width", F.lit(width)) \
                 .withColumn("height", F.lit(height))
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for decodable (netpbm) blobs: decode ->
+    nearest-neighbor resample (pure numpy index grids — deterministic,
+    no interpolation-library variance) -> re-encode, all inside the
+    Arrow batch loop on the executors. Same schema out, bytes and
+    declared dims actually changed."""
+    cols = media.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_blobs = []
+            for blob in pdf["media"]:
+                arr = decode_netpbm(bytes(blob))
+                h, w = arr.shape[:2]
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                out_blobs.append(encode_netpbm(arr[yi][:, xi]))
+            out = pdf.copy()
+            out["media"] = out_blobs
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out[cols]
+
+    return media.mapInPandas(run, media.schema)
+
+
+IMAGE_FEATURE_SCHEMA = ("media_id bigint, width int, height int, "
+                        "mean_luma double, std_luma double, "
+                        "histogram array<double>")
+
+
+def image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
+    """REAL typed image features from decoded pixels: dimensions,
+    luminance mean/std, and an ``n_bins`` intensity histogram
+    (normalized to sum 1) — the dedup/quality-gate signals a media
+    corpus pipeline filters on."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                arr = decode_netpbm(bytes(blob))
+                luma = arr.mean(axis=2) if arr.ndim == 3 else arr
+                hist, _ = np.histogram(luma, bins=n_bins, range=(0.0, 1.0))
+                rows.append({
+                    "media_id": int(mid),
+                    "width": int(luma.shape[1]),
+                    "height": int(luma.shape[0]),
+                    "mean_luma": float(luma.mean()),
+                    "std_luma": float(luma.std()),
+                    "histogram": (hist / max(1, luma.size)).astype(
+                        np.float64)})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = ("media_id bigint, n_samples bigint, n_channels int, "
+                        "rms double, zero_cross_rate double, "
+                        "dominant_bin int")
+
+
+def audio_features(media: DataFrame, n_fft: int = 1024) -> DataFrame:
+    """REAL typed audio features from decoded PCM: sample/channel
+    counts, RMS level, zero-crossing rate, and the dominant FFT bin of
+    the first ``n_fft`` mono samples (numpy rfft) — silence/clipping/
+    tone gates for audio corpus prep."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                x = decode_wav(bytes(blob))
+                mono = x.mean(axis=1)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) \
+                    if len(mono) > 1 else 0.0
+                spec = np.abs(np.fft.rfft(mono[:n_fft]))
+                rows.append({
+                    "media_id": int(mid),
+                    "n_samples": int(x.shape[0]),
+                    "n_channels": int(x.shape[1]),
+                    "rms": float(np.sqrt((mono ** 2).mean())) if len(mono)
+                    else 0.0,
+                    "zero_cross_rate": zc,
+                    "dominant_bin": int(spec[1:].argmax()) + 1
+                    if len(spec) > 1 else 0})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -55,3 +55,97 @@ def test_frame_sample_explodes_video(spark, media):
         per_id.setdefault(r["media_id"], []).append(r["frame_index"])
     assert per_id[1] == [0]
     assert per_id[3] == [0, 10, 20]
+
+
+# ------------------------------------------------- real codec-free path ----
+
+def _ppm_bytes():
+    """2x2 P6 image with known pixels."""
+    import numpy as np
+    from tb_lakehouse_enhanced_spark.operators.multimodal import encode_netpbm
+    arr = np.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                    [[0.0, 0.0, 1.0], [1.0, 1.0, 1.0]]])
+    return encode_netpbm(arr)
+
+
+def _wav_bytes(freq_bin=8, n=1024, rate=8000):
+    """Mono 16-bit PCM sine whose frequency lands on FFT bin `freq_bin`
+    of the first 1024 samples."""
+    import io
+    import wave
+
+    import numpy as np
+    t = np.arange(n)
+    x = 0.5 * np.sin(2 * np.pi * freq_bin * t / 1024.0)
+    pcm = (x * 32767).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_netpbm_decode_roundtrip():
+    import numpy as np
+    from tb_lakehouse_enhanced_spark.operators.multimodal import (
+        decode_netpbm, encode_netpbm,
+    )
+    arr = decode_netpbm(_ppm_bytes())
+    assert arr.shape == (2, 2, 3)
+    assert np.allclose(arr[0, 0], [1, 0, 0]) and np.allclose(arr[1, 1], [1, 1, 1])
+    # grayscale P5 + comment header also parses
+    p5 = b"P5\n# a comment\n2 1\n255\n" + bytes([0, 255])
+    g = decode_netpbm(p5)
+    assert g.shape == (1, 2) and g[0, 0] == 0.0 and g[0, 1] == 1.0
+    # 8-bit re-encode is lossless for 8-bit-representable pixels
+    assert decode_netpbm(encode_netpbm(arr)).tolist() == arr.tolist()
+
+
+def test_real_decoder_dispatch_and_stub_boundary():
+    import numpy as np
+    import pytest
+    from tb_lakehouse_enhanced_spark.operators.multimodal import real_decoder
+    assert real_decoder(_ppm_bytes(), "image/x-portable-pixmap").shape == (2, 2, 3)
+    wav = real_decoder(_wav_bytes(), "audio/wav")
+    assert wav.shape == (1024, 1)
+    assert abs(float(np.sqrt((wav ** 2).mean())) - 0.5 / 2 ** 0.5) < 1e-3
+    with pytest.raises(NotImplementedError, match="codec"):
+        real_decoder(b"\xff\xd8\xff\xe0JFIF", "image/jpeg")  # JPEG magic
+
+
+def test_image_features_and_resize_through_spark(spark):
+    from tb_lakehouse_enhanced_spark.operators.multimodal import (
+        MEDIA_SCHEMA_DDL, image_features, resize_images,
+    )
+    rows = [(1, bytearray(_ppm_bytes()), "image/x-portable-pixmap", 2, 2, {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    f = image_features(media, n_bins=4).collect()[0]
+    # luma of the 4 pixels: 1/3, 1/3, 1/3, 1 -> mean 0.5
+    assert f["width"] == 2 and f["height"] == 2
+    assert abs(f["mean_luma"] - 0.5) < 1e-9
+    assert abs(sum(f["histogram"]) - 1.0) < 1e-9
+    # real resize: bytes change, redecode at the new dims, content kept
+    big = resize_images(media, 4, 4)
+    r = big.collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    f2 = image_features(big, n_bins=4).collect()[0]
+    assert (f2["width"], f2["height"]) == (4, 4)
+    # nearest-neighbor 2x upscale preserves the mean exactly
+    assert abs(f2["mean_luma"] - 0.5) < 1e-9
+
+
+def test_audio_features_known_tone(spark):
+    from tb_lakehouse_enhanced_spark.operators.multimodal import (
+        MEDIA_SCHEMA_DDL, audio_features,
+    )
+    rows = [(7, bytearray(_wav_bytes(freq_bin=8)), "audio/wav", 0, 0, {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    f = audio_features(media).collect()[0]
+    assert f["n_samples"] == 1024 and f["n_channels"] == 1
+    # sine RMS = amplitude/sqrt(2) = 0.3536
+    assert abs(f["rms"] - 0.35355) < 1e-3
+    # 8 cycles over 1024 samples -> 16 zero crossings/1023 diffs
+    assert abs(f["zero_cross_rate"] - 16 / 1023) < 2e-3
+    assert f["dominant_bin"] == 8
