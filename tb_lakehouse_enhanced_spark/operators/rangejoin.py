@@ -48,3 +48,43 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # unaffected — consume outer output through an aggregate, or use
     # how='inner' for row-level output.
     return joined.drop("_pb", "_ib")
+
+
+def _day_bucket(c: Column, width_days: int) -> Column:
+    return F.floor(F.unix_date(F.to_date(c)) / width_days).cast("long")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          bucket_width_days: int = 7,
+                          how: str = "inner") -> DataFrame:
+    """Interval-INTERVAL overlap join (both sides are ranges), still a
+    bucket equi-join — the temporal-database θ-join Spark lacks.
+
+    Both sides explode to the fixed-width buckets their span covers;
+    candidate pairs meet on a shared bucket; the exact half-open
+    overlap predicate ``l_start < r_end AND r_start < l_end`` is the
+    residual. A pair overlapping across k shared buckets would emit k
+    times, so the join condition also pins the FIRST shared bucket
+    (``max(bucket(l_start), bucket(r_start))``) — inner output is
+    exactly-once with no distinct exchange. Outer variants inherit
+    ``range_join``'s caveat: an interval exploded to k buckets yields
+    up to k-1 extra NULL-partner rows even when other buckets matched —
+    never-matched intervals ARE present (the predicates live inside the
+    join condition), so consume outer output through null-ignoring
+    aggregates, or use how='inner' for row-level output. Work scales
+    with sum-of-buckets-per-interval, never |left| x |right|; column
+    names must not collide (alias first).
+    """
+    lb = _day_bucket(F.col(l_start), bucket_width_days)
+    le = _day_bucket(F.col(l_end), bucket_width_days)
+    rb = _day_bucket(F.col(r_start), bucket_width_days)
+    re = _day_bucket(F.col(r_end), bucket_width_days)
+    l = left.withColumn("_lb", F.explode(F.sequence(lb, le)))
+    r = right.withColumn("_rb", F.explode(F.sequence(rb, re)))
+    cond = ((F.col("_lb") == F.col("_rb"))
+            & (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("_lb") == F.greatest(lb, rb)))
+    return l.join(r, cond, how).drop("_lb", "_rb")

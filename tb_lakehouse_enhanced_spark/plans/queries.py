@@ -1408,6 +1408,41 @@ def range_join_q(spark, sf_dir):
                  .cast("decimal(38,4)").cast("double").alias("total_qty")))
 
 
+@q("interval_overlap", """
+WITH ra AS (
+  SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+         o_orderdate + INTERVAL 14 DAY AS a_end
+  FROM orders WHERE o_orderkey % 97 = 0
+), rb AS (
+  SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+         o_orderdate + INTERVAL 21 DAY AS b_end
+  FROM orders WHERE o_orderkey % 89 = 0
+)
+SELECT ra.a_key, rb.b_key
+FROM ra JOIN rb ON ra.a_start < rb.b_end AND rb.b_start < ra.a_end
+""")
+def interval_overlap_q(spark, sf_dir):
+    """Interval-interval overlap join (operators/rangejoin.py::
+    interval_overlap_join): two sampled order-date window relations
+    joined on temporal overlap — a bucket equi-join with an in-join
+    first-shared-bucket dedupe, never a cross join, no distinct."""
+    from ..operators.rangejoin import interval_overlap_join
+    orders = _t(spark, sf_dir, "orders")
+    ra = (orders.filter(F.col("o_orderkey") % 97 == 0)
+          .select(F.col("o_orderkey").alias("a_key"),
+                  F.col("o_orderdate").alias("a_start"),
+                  (F.col("o_orderdate") + F.expr("INTERVAL 14 DAY"))
+                  .alias("a_end")))
+    rb = (orders.filter(F.col("o_orderkey") % 89 == 0)
+          .select(F.col("o_orderkey").alias("b_key"),
+                  F.col("o_orderdate").alias("b_start"),
+                  (F.col("o_orderdate") + F.expr("INTERVAL 21 DAY"))
+                  .alias("b_end")))
+    return (interval_overlap_join(ra, rb, "a_start", "a_end",
+                                  "b_start", "b_end")
+            .select("a_key", "b_key"))
+
+
 @q("sessionize", """
 SELECT event_id, user_id, CAST(SUM(new_sess) OVER (
          PARTITION BY user_id ORDER BY ts, event_id

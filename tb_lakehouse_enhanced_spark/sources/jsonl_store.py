@@ -180,11 +180,65 @@ class _FilePartition(InputPartition):
         self.file = file
 
 
+_PUSHABLE_TYPES = {"bigint", "int", "smallint", "tinyint", "double",
+                   "float", "string", "boolean"}
+
+
 class JsonlReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.fields = [(f.name, f.dataType.simpleString())
                        for f in schema.fields]
+        self._preds: list = []
+
+    # -- filter pushdown (Spark 4.1 Python DataSource API) -------------------
+    # Comparison/null/in filters on JSON-native columns evaluate inside
+    # the reader, so a selective scan emits only matching rows instead
+    # of shipping everything to Spark for re-filtering (enable
+    # spark.sql.python.filterPushdown.enabled). Temporal columns stay
+    # Spark-side: their raw JSON encoding differs from the typed filter
+    # value. Unsupported filters are returned, per the contract.
+    def _compile(self, f):
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+            IsNull, LessThan, LessThanOrEqual,
+        )
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            return None
+        col = attr[0]
+        dtype = dict(self.fields).get(col)
+        if dtype not in _PUSHABLE_TYPES:
+            return None
+        if isinstance(f, IsNull):
+            return lambda rec: rec.get(col) is None
+        if isinstance(f, IsNotNull):
+            return lambda rec: rec.get(col) is not None
+        if isinstance(f, In):
+            vals = set(f.value)
+            return lambda rec: rec.get(col) in vals
+        ops = {EqualTo: lambda a, b: a == b,
+               GreaterThan: lambda a, b: a > b,
+               GreaterThanOrEqual: lambda a, b: a >= b,
+               LessThan: lambda a, b: a < b,
+               LessThanOrEqual: lambda a, b: a <= b}
+        op = ops.get(type(f))
+        if op is None:
+            return None
+        v = f.value
+
+        def pred(rec, op=op, v=v):
+            x = rec.get(col)
+            return x is not None and op(x, v)
+        return pred
+
+    def pushFilters(self, filters):
+        for f in filters:
+            compiled = self._compile(f)
+            if compiled is None:
+                yield f                      # Spark evaluates it
+            else:
+                self._preds.append(compiled)
 
     def partitions(self):
         files = _read_manifest(self.path)["files"]
@@ -196,8 +250,9 @@ class JsonlReader(DataSourceReader):
         with open(os.path.join(self.path, partition.file)) as f:
             for line in f:
                 rec = json.loads(line)
-                yield tuple(_decode(rec.get(name), dtype)
-                            for name, dtype in self.fields)
+                if all(p(rec) for p in self._preds):
+                    yield tuple(_decode(rec.get(name), dtype)
+                                for name, dtype in self.fields)
 
 
 class JsonlStoreDataSource(DataSource):
@@ -233,5 +288,9 @@ def register(spark) -> None:
     """Register; afterwards both directions work:
     ``df.write.format("jsonl_store").option("path", p).save()`` and
     ``spark.read.format("jsonl_store").option("path", p).load()`` plus
-    ``df.writeStream.format("jsonl_store")...``."""
+    ``df.writeStream.format("jsonl_store")...``. Spark refuses any
+    reader that implements ``pushFilters`` while the pushdown flag is
+    off, so registration enables it (it only affects sources that opt
+    into the API)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlStoreDataSource)

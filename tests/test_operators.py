@@ -764,3 +764,40 @@ def test_ivf_incremental_append_and_drift(spark, tmp_path):
                           path + "2", n_lists=8)
     chk3 = ivf_check_drift(spark, path + "2", threshold=1.5)
     assert not chk3["drifted"], chk3
+
+
+def test_interval_overlap_join_differential_and_outer(spark):
+    """Bucketed interval-overlap join equals the brute-force overlap
+    predicate, with pairs emitted exactly once even when they share
+    many buckets; the left-outer variant keeps never-matched rows."""
+    from tb_lakehouse_enhanced_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    a = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-03-01"),   # long: spans many buckets
+         (2, "2024-02-10", "2024-02-12"),
+         (3, "2025-01-01", "2025-01-02")],  # matches nothing
+        ["a_key", "s", "e"]).selectExpr(
+        "a_key", "CAST(s AS DATE) AS a_start", "CAST(e AS DATE) AS a_end")
+    b = spark.createDataFrame(
+        [(10, "2024-01-15", "2024-02-20"),  # long overlap with 1 and 2
+         (20, "2024-02-11", "2024-02-11"),  # zero-length (SQL predicate
+         (30, "2024-02-29", "2024-03-05")],  # convention: still joins 2)
+        ["b_key", "s", "e"]).selectExpr(
+        "b_key", "CAST(s AS DATE) AS b_start", "CAST(e AS DATE) AS b_end")
+    got = sorted((r.a_key, r.b_key) for r in
+                 interval_overlap_join(a, b, "a_start", "a_end",
+                                       "b_start", "b_end").collect())
+    want = sorted((ra.a_key, rb.b_key)
+                  for ra in a.collect() for rb in b.collect()
+                  if ra.a_start < rb.b_end and rb.b_start < ra.a_end)
+    assert got == want == [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20)]
+    assert len(got) == len(set(got))        # exactly once each
+    # left-outer: never-matched intervals are present (consume through
+    # null-ignoring aggregates per the docstring — matched intervals'
+    # extra bucket copies contribute NULL-partner rows too)
+    outer = interval_overlap_join(a, b, "a_start", "a_end",
+                                  "b_start", "b_end", how="left_outer")
+    per_key = (outer.groupBy("a_key")
+               .agg(F.count("b_key").alias("n_matches")).collect())
+    assert {r.a_key: r.n_matches for r in per_key} == {1: 3, 2: 2, 3: 0}

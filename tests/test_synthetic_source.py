@@ -170,3 +170,39 @@ def test_jsonl_store_stream_writer_exactly_once(spark, tmp_path):
     after = _read_manifest(path)
     assert after == before
     assert spark.read.format("jsonl_store").option("path", path).load().count() == 260
+
+
+def test_jsonl_store_filter_pushdown(spark, tmp_path):
+    """Spark 4.1 Python DataSource pushFilters: supported predicates
+    evaluate inside the reader (unit-checked), unsupported ones are
+    handed back to Spark, and end-to-end results stay correct with
+    pushdown enabled."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, IsNotNull, StringContains,
+    )
+    from tb_lakehouse_enhanced_spark.sources.jsonl_store import JsonlReader
+    _store(spark)
+    path = str(tmp_path / "store")
+    df = spark.sql("""
+        SELECT id AS k, concat('v', id % 3) AS s,
+               DATE'2024-01-01' + CAST(id AS INT) AS d
+        FROM range(20)""")
+    df.write.format("jsonl_store").option("path", path).mode("overwrite").save()
+
+    got = spark.read.format("jsonl_store").option("path", path).load()
+    r = JsonlReader(path, got.schema)
+    leftover = list(r.pushFilters([
+        EqualTo(("s",), "v1"),
+        GreaterThan(("k",), 10),
+        IsNotNull(("k",)),
+        GreaterThan(("d",), None),        # temporal: must NOT push
+        StringContains(("s",), "v"),      # unsupported type: hand back
+    ]))
+    assert len(leftover) == 2             # date filter + StringContains
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert rows and all(row[0] > 10 and row[1] == "v1" for row in rows)
+
+    # end-to-end (register() enabled the pushdown conf): results exact
+    out = (spark.read.format("jsonl_store").option("path", path).load()
+           .filter("k > 10 AND s = 'v1'").collect())
+    assert sorted(row.k for row in out) == [13, 16, 19]
