@@ -1408,6 +1408,49 @@ def range_join_q(spark, sf_dir):
                  .cast("decimal(38,4)").cast("double").alias("total_qty")))
 
 
+@q("delta_roundtrip", """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY lang
+""")
+def delta_roundtrip_q(spark, sf_dir):
+    """Delta-format interop on the correctness gate: a documents slice
+    commits through ManagedTable (which mirrors every commit into
+    _delta_log) and comes back through sources/deltaread.py::read_delta
+    — a PROTOCOL.md log replay, no delta-spark — so the emitter and the
+    reader must agree with the oracle's direct aggregate."""
+    from ..sources.deltaread import read_delta
+    from ..sources.managed import ManagedTable
+    path = tempfile.mkdtemp(prefix="tb_delta_rt_")
+    mt = ManagedTable(spark, path)
+    mt.overwrite(_t(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id") % 3 == 0)
+                 .select("doc_id", "lang", "n_chars"))
+    return (read_delta(spark, path)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+@q("identity_dim", """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS nation_sk,
+       n_name
+FROM nation
+""")
+def identity_dim_q(spark, sf_dir):
+    """GENERATED AS IDENTITY DDL surface (catalog.save_table; reference
+    01_Init.py:59): a dimension load assigns dense surrogate ids via the
+    two-phase range-partitioned sequence — oracle = ROW_NUMBER over the
+    same order."""
+    import uuid
+    from .. import catalog
+    name = f"idq_{uuid.uuid4().hex[:10]}"
+    dim = _t(spark, sf_dir, "nation").select("n_name")
+    catalog.save_table(dim, name, identity_col="nation_sk",
+                       identity_order_cols=["n_name"])
+    return spark.table(name).select("nation_sk", "n_name")
+
+
 @q("interval_overlap", """
 WITH ra AS (
   SELECT o_orderkey AS a_key, o_orderdate AS a_start,
