@@ -140,3 +140,77 @@ WITH base AS (
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def hybrid_rrf_topk(docs: DataFrame, embeddings: DataFrame,
+                    terms: list[str], query_vec_id: int, k: int = 20,
+                    depth: int = 50, c: float = 60.0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    vec_id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher, SIGIR 2009): BM25 top-``depth`` and
+    cosine top-``depth`` lists fuse as score(d) = sum over lists of
+    1/(c + rank_d), then the fused top-``k`` re-ranks — the standard
+    way to combine keyword and embedding recall without calibrating
+    incomparable score scales (RRF uses only RANKS, which also makes
+    it cross-engine exact: 1/(c+rank) is one correctly-rounded
+    division per list and one addition, identical doubles everywhere).
+
+    Plan shape: both branches end in bounded top-``depth`` relations
+    (TakeOrdered / windowed rank over partial top-k merges), so the
+    fusion join + final rank run over <= 2*depth rows regardless of
+    corpus size — the corpus is scanned once per branch and nothing
+    wide ever shuffles.
+    """
+    from .similarity import cosine_topk
+    lex = bm25_topk(docs, terms, k=depth, id_col=id_col, text_col=text_col)
+    q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    sem = (cosine_topk(embeddings, q, k=depth,
+                       id_col=vec_id_col, vec_col=vec_col)
+           .select(F.col("neighbor_id").alias(id_col),
+                   F.col("rank").alias("_sem_rank")))
+    lexr = lex.select(id_col, F.col("rank").alias("_lex_rank"))
+    fused = (lexr.join(sem, id_col, "full_outer")
+             .select(id_col,
+                     (F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_lex_rank")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_sem_rank")),
+                                   F.lit(0.0))).alias("_score")))
+    w = Window.orderBy(F.desc("_score"), F.asc(id_col))
+    # bounded window: <= 2*depth rows by construction
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank"))
+
+
+def hybrid_rrf_oracle_sql(terms: list[str], query_vec_id: int = 0,
+                          k: int = 20, depth: int = 50,
+                          c: float = 60.0) -> str:
+    """DuckDB mirror of ``hybrid_rrf_topk``: the bm25 oracle as a CTE,
+    the cosine rank list as in the simsearch_topk oracle, RRF-fused
+    with identical double arithmetic."""
+    bm25 = bm25_oracle_sql(terms, k=depth).strip().rstrip()
+    return f"""
+WITH lex AS (
+  {bm25}
+), sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT cde.vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(qv.embedding, cde.embedding) DESC,
+                      cde.vec_id) AS BIGINT) AS rank
+    FROM embeddings cde,
+         (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) qv
+    WHERE cde.vec_id <> {query_vec_id}
+  ) WHERE rank <= {depth}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         COALESCE(1.0 / ({c!r} + lex.rank), 0.0)
+         + COALESCE(1.0 / ({c!r} + sem.rank), 0.0) AS score
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM fused ORDER BY score DESC, doc_id LIMIT {k}
+"""

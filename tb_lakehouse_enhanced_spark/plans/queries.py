@@ -3611,6 +3611,22 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
 
 
+from ..operators.retrieval import hybrid_rrf_oracle_sql as _hybrid_sql  # noqa: E402
+
+
+@q("search_hybrid", _hybrid_sql(_BM25_TERMS, query_vec_id=0, k=20, depth=50))
+def search_hybrid(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 and cosine top-50 (query = doc 0's
+    embedding) fused by Reciprocal Rank Fusion — rank-only arithmetic,
+    so the fusion is cross-engine exact; both branches are bounded
+    top-depth relations, the fusion join sees <= 100 rows
+    (operators/retrieval.py::hybrid_rrf_topk)."""
+    from ..operators.retrieval import hybrid_rrf_topk
+    return hybrid_rrf_topk(_t(spark, sf_dir, "documents"),
+                           _t(spark, sf_dir, "embeddings"),
+                           _BM25_TERMS, query_vec_id=0, k=20, depth=50)
+
+
 # Recursive-hierarchy parity (operators/hierarchy.py): a synthetic
 # forest over documents — doc_id < 10 are roots, every other node's
 # parent is doc_id DIV 7 (chains strictly decrease, so the forest is
