@@ -662,3 +662,153 @@ def pq_probe_index(spark, path: str, queries: DataFrame, corpus: DataFrame,
     return (out.filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------- IVF-PQ ----
+
+def ivfpq_write_index(corpus: DataFrame, path: str, n_lists: int = 16,
+                      m: int = 8, nbits: int = 8, sample_size: int = 2048,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """The production ANN serving layout — IVF + PQ combined (Jégou et
+    al., TPAMI 2011): the coarse quantizer prunes WHICH partitions a
+    probe reads (``ivf_list=`` partition dirs, like
+    ``ivf_write_partitioned``), and inside each list vectors are stored
+    as m-byte PQ codes of their RESIDUAL against the list centroid
+    (residual encoding: the quantization error concentrates around the
+    centroid, so the same codebook bits buy more accuracy than coding
+    raw vectors). A probe therefore reads n_probe partitions of a table
+    that is ~dim*4/m times smaller than the float vectors — at 100 TB
+    of embeddings the scan is partition-pruned AND byte-compressed.
+
+    Training (one bounded driver sample): k-means centroids, then
+    per-subspace codebooks over the sample's residuals. Encoding is one
+    Arrow pass over the corpus. Index metadata (centroids + codebooks)
+    persists beside the table.
+    """
+    import json
+    import os
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    smp = _matrix(pd.Series([r[0] for r in sample_rows]))
+    centroids = _kmeans_centroids(smp, n_lists)
+    d = ((smp[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    resid = smp - centroids[d.argmin(axis=1)]
+    books = _pq_codebooks(resid, m, nbits)               # (m, C, sub)
+    dim = smp.shape[1]
+    sub = dim // m
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = _matrix(pdf[vec_col])
+            dd = ((cm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            lists = dd.argmin(axis=1)
+            rr = cm - centroids[lists]
+            codes = np.empty((len(cm), m), dtype=np.int32)
+            for s in range(m):
+                block = rr[:, s * sub:(s + 1) * sub]
+                dist = ((block[:, None, :] - books[s][None, :, :]) ** 2
+                        ).sum(axis=2)
+                codes[:, s] = dist.argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(np.int64),
+                "ivf_list": lists.astype(np.int32),
+                "codes": list(codes)})
+
+    (corpus.select(id_col, vec_col)
+     .mapInPandas(encode, "vec_id long, ivf_list int, codes array<int>")
+     .write.mode("overwrite").partitionBy("ivf_list")
+     .parquet(f"{path}/codes"))
+    os.makedirs(path, exist_ok=True)
+    meta = {"centroids": [[float(x) for x in c] for c in centroids],
+            "books": [[[float(x) for x in bc] for bc in books[s]]
+                      for s in range(m)],
+            "m": m, "nbits": nbits, "dim": dim}
+    tmp = os.path.join(path, "_ivfpq_index.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_ivfpq_index.json"))
+
+
+def ivfpq_probe(spark, path: str, queries: DataFrame, corpus: DataFrame,
+                k: int = 5, n_probe: int = 4, rerank: int = 8,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Serve top-k from the IVF-PQ layout: the ``ivf_list IN (...)``
+    predicate is a PARTITION filter (only probed lists' files are
+    read), ADC scores the m-byte codes — approx(q, v in list l) =
+    <q, centroid_l> + sum_s table_q[s][code_s] with the table built
+    over the RESIDUAL codebooks — and the top ``rerank*k`` candidates
+    per query re-rank EXACTLY via a bounded keyed fetch of their float
+    vectors. Scan bytes ~ m per vector over n_probe partitions; exact
+    work ~ queries * rerank * k rows.
+    """
+    import json
+    import os
+    with open(os.path.join(path, "_ivfpq_index.json")) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"])
+    books = np.asarray(meta["books"])                    # (m, C, sub)
+    m = meta["m"]
+    sub = meta["dim"] // m
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = qd.argsort(axis=1)[:, :n_probe]        # (nq, n_probe)
+    lists = sorted({int(x) for row in probe_lists for x in row})
+    qc = qm @ centroids.T                                # (nq, n_lists)
+    tables = np.stack([
+        np.stack([books[s] @ qm[j, s * sub:(s + 1) * sub]
+                  for s in range(m)]) for j in range(len(qids))])
+    n_cand = rerank * k
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            ls = pdf["ivf_list"].to_numpy(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy())    # (n, m)
+            outs = []
+            for j, qid in enumerate(qids):
+                mask = np.isin(ls, probe_lists[j])
+                if not mask.any():
+                    continue
+                approx = (qc[j, ls[mask]]
+                          + tables[j][np.arange(m), codes[mask]].sum(axis=1))
+                kk = min(n_cand, int(mask.sum()))
+                top = np.argpartition(-approx, kk - 1)[:kk]
+                outs.append(pd.DataFrame({
+                    "query_id": np.full(kk, qid, dtype=np.int64),
+                    "neighbor_id": ids[mask][top]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cands = (spark.read.parquet(f"{path}/codes")
+             .filter(F.col("ivf_list").isin(lists))      # PartitionFilter
+             .mapInPandas(adc, "query_id long, neighbor_id long"))
+    fetch = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("_v"))
+             .join(F.broadcast(cands.select("neighbor_id").distinct()),
+                   "neighbor_id"))
+    pairs = cands.join(fetch, "neighbor_id")
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qix = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = _matrix(pdf["_v"])
+            qs = pdf["query_id"].to_numpy(np.int64)
+            cos = np.einsum("ij,ij->i", vm, qm[[qix[int(q)] for q in qs]])
+            yield pd.DataFrame({
+                "query_id": qs,
+                "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                "cos": cos})
+
+    scored = pairs.mapInPandas(exact, _OUT_SCHEMA)
+    out = _topk_merge(scored, k + 1)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (out.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1282,6 +1282,21 @@ WHERE list_cosine_similarity(a.embedding, c.embedding) >= {threshold}
 """
 
 
+@q("simsearch_ivfpq")  # iterative k-means training — rows-only check
+def simsearch_ivfpq_q(spark, sf_dir):
+    """IVF-PQ serving index end-to-end: build the residual-encoded,
+    list-partitioned codes table in a temp dir, then probe it
+    (partition-pruned ADC scan + bounded exact re-rank). Recall and the
+    PartitionFilters gate live in test_operators.py::
+    test_ivfpq_index_recall_and_prune."""
+    from ..operators.similarity import ivfpq_probe, ivfpq_write_index
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="tb_ivfpq_")
+    ivfpq_write_index(emb, path, n_lists=16, m=8, nbits=6)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_probe(spark, path, queries, emb, k=5, n_probe=4)
+
+
 @q("dedup_embedding", _embed_dedup_lsh_oracle_sql())
 def dedup_embedding_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs (ids only; §2.11) — LSH-bucketed

@@ -801,3 +801,31 @@ def test_interval_overlap_join_differential_and_outer(spark):
     per_key = (outer.groupBy("a_key")
                .agg(F.count("b_key").alias("n_matches")).collect())
     assert {r.a_key: r.n_matches for r in per_key} == {1: 3, 2: 2, 3: 0}
+
+
+def test_ivfpq_index_recall_and_prune(spark, tmp_path):
+    """IVF-PQ serving index: probe recall vs exact top-k after the
+    compressed partition-pruned scan + exact re-rank, and the probe's
+    ivf_list predicate reaches the scan as a PartitionFilter."""
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        cosine_topk, ivfpq_probe, ivfpq_write_index,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, path, n_lists=8, m=8, nbits=6)
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx_df = ivfpq_probe(spark, path, queries, emb, k=5, n_probe=4,
+                            rerank=8)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+    # deterministic across runs
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ivfpq_probe(spark, path, queries, emb, k=5,
+                                  n_probe=4, rerank=8).collect()}
+    assert approx == again
+    # partition pruning: the codes scan carries a PartitionFilters
+    # entry on ivf_list (not a post-scan filter)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan
