@@ -383,13 +383,60 @@ class ManagedTable:
                                  "op": f"RESTORE v{version}",
                                  "ts": time.time()})
 
+    # -- named refs (Iceberg tag analogue) -----------------------------------
+    @property
+    def _tags_file(self) -> str:
+        return os.path.join(self.path, "_tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named refs: tag name -> pinned version."""
+        try:
+            with open(self._tags_file) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> "ManagedTable":
+        """Pin a named tag to a version (default: current) — Iceberg's
+        tag ref on the snapshot model: a stable, human-named handle for
+        reproducibility ("the corpus release we trained run X on").
+        Tagged versions survive ``vacuum`` until the tag is dropped."""
+        v = self.current_version() if version is None else version
+        if not os.path.isdir(self._version_dir(v)):
+            raise FileNotFoundError(
+                f"version {v} of {self.path} has no data (vacuumed?)")
+        tags = self.tags()
+        tags[name] = v
+        tmp = self._tags_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_file)
+        return self
+
+    def drop_tag(self, name: str) -> "ManagedTable":
+        tags = self.tags()
+        tags.pop(name, None)
+        tmp = self._tags_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_file)
+        return self
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} on {self.path}; "
+                           f"have {sorted(tags)}")
+        return self.read(version=tags[name])
+
     def vacuum(self, retain_last: int = 1) -> list[int]:
         """Delete data of versions older than the ``retain_last`` most
         recent commits (Delta ``VACUUM``'s role). Data dirs still
-        referenced by a retained commit (via ``restore``) survive.
-        Returns the versions whose data was removed."""
+        referenced by a retained commit (via ``restore``) or pinned by
+        a tag survive. Returns the versions whose data was removed."""
         cur = self.current_version()
         keep_versions = set(range(max(0, cur - retain_last + 1), cur + 1))
+        keep_versions |= set(self.tags().values())
         keep_dirs = {self._commit(v)["dir"] for v in keep_versions}
         removed = []
         for v in range(0, max(0, cur - retain_last + 1)):

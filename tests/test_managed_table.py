@@ -461,3 +461,27 @@ def test_shallow_clone_shares_files_and_diverges(spark, mt, tmp_base):
     # cloning onto an existing table refuses
     with pytest.raises(FileExistsError):
         mt.clone(f"{tmp_base}/t_clone")
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, mt):
+    """Named refs (Iceberg tag analogue): a tag reads its pinned
+    version forever, pins it through vacuum, and dropping the tag
+    releases it."""
+    mt.tag("release-1")                      # pins v0 (3 rows)
+    mt.overwrite(mt.read().filter("id = 1"))
+    mt.overwrite(mt.read())
+    mt.overwrite(mt.read())
+    assert mt.read_tag("release-1").count() == 3
+    removed = mt.vacuum(retain_last=1)
+    assert 0 not in removed                  # tagged version kept
+    assert mt.read_tag("release-1").count() == 3
+    assert mt.tags() == {"release-1": 0}
+    mt.drop_tag("release-1")
+    removed2 = mt.vacuum(retain_last=1)
+    assert 0 in removed2                     # released after drop
+    import pytest as _p
+    with _p.raises(KeyError):
+        mt.read_tag("release-1")
+    # tagging a vacuumed version is a loud error
+    with _p.raises(FileNotFoundError):
+        mt.tag("bad", version=0)
