@@ -1423,6 +1423,29 @@ def range_join_q(spark, sf_dir):
                  .cast("decimal(38,4)").cast("double").alias("total_qty")))
 
 
+@q("dml_delete_mor", """
+SELECT o_orderkey, o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey % 7 = 0 AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+""")
+def dml_delete_mor_q(spark, sf_dir):
+    """Merge-on-read DELETE (ManagedTable.delete_mor): tombstone keys
+    written, ZERO data files rewritten, deletes resolved by one
+    scan-side anti-join — the GDPR-erasure shape at 100 TB. Oracle =
+    the surviving rows directly."""
+    from ..sources.managed import ManagedTable
+    mt = ManagedTable(spark, tempfile.mkdtemp(prefix="tb_mor_"))
+    mt.overwrite(_t(spark, sf_dir, "orders")
+                 .filter(F.col("o_orderkey") % 7 == 0)
+                 .select("o_orderkey", "o_orderstatus",
+                         F.round(F.col("o_totalprice") * 100).cast("bigint")
+                         .alias("price_cents")))
+    mt.delete_mor((F.col("o_orderstatus") == "F")
+                  & (F.col("o_orderkey") % 3 == 0),
+                  key_cols=("o_orderkey",))
+    return mt.read()
+
+
 @q("delta_roundtrip", """
 SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
 FROM documents WHERE doc_id % 3 = 0

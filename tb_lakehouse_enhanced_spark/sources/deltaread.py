@@ -53,15 +53,16 @@ def _commit_versions(path: str) -> list[int]:
 
 def _load_checkpoint(spark: SparkSession, path: str,
                      max_version: int | None):
-    """(live adds dict, metaData dict|None, checkpoint version) from
-    ``_last_checkpoint``, or (None, None, -1) when absent/too new."""
+    """(live adds dict, metaData dict|None, protocol dict|None,
+    checkpoint version) from ``_last_checkpoint``, or
+    (None, None, None, -1) when absent/too new."""
     lc = os.path.join(_log_dir(path), "_last_checkpoint")
     if not os.path.exists(lc):
-        return None, None, -1
+        return None, None, None, -1
     with open(lc) as f:
         v = json.load(f)["version"]
     if max_version is not None and v > max_version:
-        return None, None, -1  # time travel before the checkpoint
+        return None, None, None, -1  # time travel before the checkpoint
     cp = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
     rows = spark.read.parquet(cp).collect()
     adds, meta, proto = {}, None, None
@@ -73,19 +74,20 @@ def _load_checkpoint(spark: SparkSession, path: str,
             meta = d["metaData"]
         if d.get("protocol") and d["protocol"].get("minReaderVersion"):
             proto = d["protocol"]
-    if proto and proto["minReaderVersion"] > 1:
-        raise ValueError(
-            f"unsupported Delta reader protocol {proto} (column mapping "
-            "/ deletion vectors not implemented)")
-    return adds, meta, v
+    return adds, meta, proto, v
 
 
 def _replay(spark: SparkSession, path: str,
-            version: int | None = None) -> tuple[dict, dict]:
-    """Fold the log into (live adds by path, latest metaData)."""
-    adds, meta, cp_v = _load_checkpoint(spark, path, version)
+            version: int | None = None) -> tuple[dict, dict, dict | None]:
+    """Fold the log into (live adds by path, latest metaData, latest
+    protocol). Protocol is LATEST-WINS per the spec: a table that
+    passed through a reader-feature episode (e.g. a merge-on-read
+    delete marked with deletionVectors) and then returned to protocol
+    v1 via a copy-on-write commit is readable again — callers enforce
+    the FINAL protocol, not transient ones."""
+    adds, meta, proto, cp_v = _load_checkpoint(spark, path, version)
     if adds is None:
-        adds, meta = {}, None
+        adds, meta, proto = {}, None, None
     versions = [v for v in _commit_versions(path) if v > cp_v]
     if version is not None:
         versions = [v for v in versions if v <= version]
@@ -97,10 +99,8 @@ def _replay(spark: SparkSession, path: str,
                 if not line.strip():
                     continue
                 a = json.loads(line)
-                if "protocol" in a and a["protocol"]["minReaderVersion"] > 1:
-                    raise ValueError(
-                        f"unsupported Delta reader protocol "
-                        f"{a['protocol']}")
+                if "protocol" in a:
+                    proto = a["protocol"]
                 if "metaData" in a:
                     meta = a["metaData"]
                 if "remove" in a:
@@ -109,7 +109,7 @@ def _replay(spark: SparkSession, path: str,
                     adds[a["add"]["path"]] = a["add"]
     if meta is None:
         raise ValueError(f"Delta log at {path} carries no metaData")
-    return adds, meta
+    return adds, meta, proto
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -117,7 +117,13 @@ def read_delta(spark: SparkSession, path: str,
     """Open a Delta-format table (optionally ``VERSION AS OF``) by
     protocol replay; returns the live rows with the log's schema,
     partition columns included."""
-    adds, meta = _replay(spark, path, version)
+    adds, meta, proto = _replay(spark, path, version)
+    if proto and proto.get("minReaderVersion", 1) > 1:
+        raise ValueError(
+            f"unsupported Delta reader protocol {proto} (column mapping "
+            "/ deletion vectors not implemented) — for this engine's own "
+            "merge-on-read tables, compact/overwrite first or use "
+            "ManagedTable.read")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_schema = StructType(
@@ -159,14 +165,18 @@ def checkpoint_delta_log(spark: SparkSession, path: str) -> int:
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
     v = versions[-1]
-    adds, meta = _replay(spark, path)
-    proto_row = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+    adds, meta, proto = _replay(spark, path)
+    proto_row = {"protocol": proto or {"minReaderVersion": 1,
+                                       "minWriterVersion": 2,
+                                       "readerFeatures": None,
+                                       "writerFeatures": None},
                  "metaData": None, "add": None}
     meta_row = {"protocol": None, "metaData": meta, "add": None}
     add_rows = [{"protocol": None, "metaData": None, "add": a}
                 for _p, a in sorted(adds.items())]
     schema = (
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
         "metaData struct<id:string,format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>,"

@@ -145,7 +145,64 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
-        return self.spark.read.parquet(self._version_dir(v))
+        meta = self._commit(v)
+        df = self.spark.read.parquet(self._version_dir(v))
+        tombs = meta.get("tombstones") or []
+        if tombs:
+            # merge-on-read: logical deletes resolve at scan time via
+            # ONE anti-join against the union of tombstone key files
+            # (AQE broadcasts it while small). Physical data files are
+            # untouched until the next copy-on-write commit purges.
+            keys = list(meta["tombstone_keys"])
+            tomb = self.spark.read.parquet(
+                *[os.path.join(self.path, t) for t in tombs])
+            df = df.join(tomb.select(*keys), keys, "left_anti")
+        return df
+
+    def delete_mor(self, condition, key_cols: tuple[str, ...]) -> "ManagedTable":
+        """MERGE-ON-READ delete: rows matching ``condition`` are
+        logically deleted by writing their ``key_cols`` tuples as a
+        tombstone file — ZERO data files rewritten (contrast
+        ``delete``, the copy-on-write path that rewrites touched
+        partitions). ``read`` applies tombstones with one anti-join;
+        the next copy-on-write commit (``overwrite``/``compact``/merge)
+        purges them physically. The 100 TB trade: deletes cost
+        O(|deleted keys|) write + one scan-side anti-join, instead of
+        rewriting every touched partition — right for frequent small
+        deletes (GDPR erasure, bad-document takedowns) between
+        compactions.
+
+        Semantics are KEY-based (Iceberg equality deletes, not
+        positional DVs): every row sharing a matched row's key tuple is
+        deleted — exact row-level deletion requires ``key_cols`` to be
+        unique. Stacked MOR deletes must use the same key columns.
+
+        Delta-mirror note: a tombstoned state cannot be described with
+        add/remove actions, so the mirror marks these commits with the
+        deletionVectors reader feature (protocol v3) — external readers
+        (and ``read_delta``) correctly REFUSE instead of returning
+        undeleted rows; the next copy-on-write commit resets the
+        protocol and the mirror is fully readable again.
+        """
+        cur = self.current_version()
+        if cur < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        parent = self._commit(cur)
+        prev_keys = parent.get("tombstone_keys")
+        if prev_keys and tuple(prev_keys) != tuple(key_cols):
+            raise ValueError(
+                f"stacked MOR deletes must share key columns; table has "
+                f"{prev_keys}, got {list(key_cols)}")
+        v = cur + 1
+        tomb_dir = f"tomb_v{v}"
+        (self.read().filter(condition).select(*key_cols)
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.path, tomb_dir)))
+        tombs = list(parent.get("tombstones") or []) + [tomb_dir]
+        return self._publish(v, {
+            "version": v, "dir": parent["dir"],
+            "op": "DELETE (merge-on-read)", "ts": time.time(),
+            "tombstones": tombs, "tombstone_keys": list(key_cols)})
 
     def _publish(self, v: int, meta: dict) -> "ManagedTable":
         """Record commit metadata for ``v`` and flip the pointer (atomic:
@@ -261,14 +318,32 @@ class ManagedTable:
         log_dir = self._delta_log_dir()
         os.makedirs(log_dir, exist_ok=True)
         ts_ms = int((meta.get("ts") or time.time()) * 1000)
-        files = self._data_files(meta["dir"])
         actions = [{"commitInfo": {
             "timestamp": ts_ms, "operation": meta.get("op", "WRITE"),
             "operationParameters": {},
             "engineInfo": "tb-lakehouse-enhanced-spark"}}]
-        if v == 0:
-            actions.append({"protocol": {"minReaderVersion": 1,
-                                         "minWriterVersion": 2}})
+        if meta.get("tombstones"):
+            # merge-on-read state: add/remove actions cannot describe
+            # key-based tombstones, so mark the commit with the
+            # deletionVectors reader feature — protocol-correct readers
+            # refuse rather than return undeleted rows. The next
+            # copy-on-write commit emits protocol v1 again (latest
+            # protocol wins on replay) and the mirror is readable.
+            actions.append({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}})
+            entry = os.path.join(log_dir, f"{v:020d}.json")
+            tmp = entry + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            os.replace(tmp, entry)
+            return
+        files = self._data_files(meta["dir"])
+        # emitted every commit (latest wins): resets the reader
+        # requirements after a merge-on-read episode ends
+        actions.append({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}})
         if files:
             actions.append({"metaData": {
                 "id": self._delta_table_id(),
@@ -438,6 +513,9 @@ class ManagedTable:
         keep_versions = set(range(max(0, cur - retain_last + 1), cur + 1))
         keep_versions |= set(self.tags().values())
         keep_dirs = {self._commit(v)["dir"] for v in keep_versions}
+        keep_tombs: set[str] = set()
+        for v in keep_versions:
+            keep_tombs |= set(self._commit(v).get("tombstones") or [])
         removed = []
         for v in range(0, max(0, cur - retain_last + 1)):
             d = self._commit(v)["dir"]
@@ -445,6 +523,10 @@ class ManagedTable:
             if d not in keep_dirs and os.path.isdir(full):
                 shutil.rmtree(full)
                 removed.append(v)
+        # sweep tombstone dirs no retained commit references
+        for d in os.listdir(self.path):
+            if d.startswith("tomb_v") and d not in keep_tombs:
+                shutil.rmtree(os.path.join(self.path, d))
         return removed
 
     def clone(self, dest_path: str) -> "ManagedTable":
@@ -485,9 +567,26 @@ class ManagedTable:
         if cons:
             with open(dst._constraints_file, "w") as f:
                 json.dump(cons, f)
-        return dst._publish(0, {"version": 0, "dir": "v0",
-                                "op": f"CLONE {self.path}@v{src_v}",
-                                "ts": time.time()})
+        # a merge-on-read source state clones its tombstones too (still
+        # zero data bytes copied) so the clone's logical rows match
+        src_meta = self._commit(src_v)
+        meta0 = {"version": 0, "dir": "v0",
+                 "op": f"CLONE {self.path}@v{src_v}", "ts": time.time()}
+        for t in src_meta.get("tombstones") or []:
+            s_dir = os.path.join(self.path, t)
+            d_dir = os.path.join(dst.path, t)
+            os.makedirs(d_dir, exist_ok=True)
+            for fn in os.listdir(s_dir):
+                s, d = os.path.join(s_dir, fn), os.path.join(d_dir, fn)
+                if os.path.isfile(s):
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+        if src_meta.get("tombstones"):
+            meta0["tombstones"] = src_meta["tombstones"]
+            meta0["tombstone_keys"] = src_meta["tombstone_keys"]
+        return dst._publish(0, meta0)
 
     # -- file-skipping stats (Delta data-skipping analogue) ------------------
     @staticmethod

@@ -485,3 +485,66 @@ def test_tags_pin_versions_and_survive_vacuum(spark, mt):
     # tagging a vacuumed version is a loud error
     with _p.raises(FileNotFoundError):
         mt.tag("bad", version=0)
+
+
+def test_delete_mor_logical_delete_without_rewrite(spark, mt):
+    """Merge-on-read delete: rows vanish logically, data files stay
+    physically identical; tombstones stack; time travel unaffected;
+    the next copy-on-write commit purges."""
+    import glob
+    import os
+    v0_files = sorted(glob.glob(os.path.join(mt.path, "v0", "**", "*.parquet"),
+                                recursive=True))
+    mt.delete_mor(F.col("k") == "a", key_cols=("id",))
+    assert mt.current_version() == 1
+    assert [r["id"] for r in mt.read().collect()] == [2]
+    # zero rewrite: version dir unchanged, commit points at v0's data
+    assert sorted(glob.glob(os.path.join(mt.path, "v0", "**", "*.parquet"),
+                            recursive=True)) == v0_files
+    assert mt._commit(1)["dir"] == mt._commit(0)["dir"]
+    # time travel to the pre-delete snapshot still sees all rows
+    assert mt.read(version=0).count() == 3
+    # stacked MOR delete
+    mt.delete_mor(F.col("id") == 2, key_cols=("id",))
+    assert mt.read().count() == 0
+    # differing key cols fail loudly
+    with pytest.raises(ValueError, match="key columns"):
+        mt.delete_mor(F.col("id") == 1, key_cols=("k",))
+    # copy-on-write commit purges tombstones
+    mt.overwrite(spark.createDataFrame([(9, "z", 1.0)], ["id", "k", "v"]))
+    assert "tombstones" not in mt._commit(mt.current_version())
+    assert mt.read().count() == 1
+
+
+def test_delete_mor_delta_mirror_protocol_episode(spark, mt):
+    """The Delta mirror marks MOR commits with the deletionVectors
+    reader feature (external readers refuse rather than see undeleted
+    rows) and resets to protocol v1 at the next copy-on-write commit
+    (latest protocol wins on replay)."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    mt.delete_mor(F.col("k") == "a", key_cols=("id",))
+    with pytest.raises(ValueError, match="unsupported Delta reader"):
+        read_delta(spark, mt.path)
+    # time travel to the clean v0 still reads (protocol at v0 is 1)
+    assert read_delta(spark, mt.path, version=0).count() == 3
+    # compaction ends the episode: mirror readable and purged
+    mt.compact(target_partitions=1)
+    got = read_delta(spark, mt.path)
+    assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_delete_mor_vacuum_and_clone(spark, mt, tmp_base):
+    """Tombstones ride clones (logical rows preserved, zero data bytes
+    copied) and orphan tombstone dirs are swept by vacuum once no
+    retained commit references them."""
+    import os
+    mt.delete_mor(F.col("id") == 1, key_cols=("id",))
+    c = mt.clone(f"{tmp_base}/mor_clone")
+    assert sorted(r["id"] for r in c.read().collect()) == [2, 3]
+    # purge + vacuum on the source: tombstone dir swept
+    mt.overwrite(mt.read())
+    assert any(d.startswith("tomb_v") for d in os.listdir(mt.path))
+    mt.vacuum(retain_last=1)
+    assert not any(d.startswith("tomb_v") for d in os.listdir(mt.path))
+    # the clone's hardlinked tombstone survives the source vacuum
+    assert sorted(r["id"] for r in c.read().collect()) == [2, 3]
