@@ -1446,6 +1446,39 @@ def dml_delete_mor_q(spark, sf_dir):
     return mt.read()
 
 
+@q("merge_mor", """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 11 = 0
+), batch AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, price_cents + 1 AS price_cents
+  FROM base WHERE o_orderkey % 3 = 0
+)
+SELECT * FROM batch
+UNION ALL
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+""")
+def merge_mor_q(spark, sf_dir):
+    """Merge-on-read UPSERT (ManagedTable.upsert_mor): the batch lands
+    as an appended delta file, zero base files rewritten; the read
+    resolves last-writer-wins per key. Oracle = batch rows shadowing
+    base rows directly."""
+    from ..sources.managed import ManagedTable
+    mt = ManagedTable(spark, tempfile.mkdtemp(prefix="tb_umor_"))
+    base = (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 11 == 0)
+            .select("o_orderkey", "o_orderstatus",
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("price_cents")))
+    mt.overwrite(base)
+    batch = (base.filter(F.col("o_orderkey") % 3 == 0)
+             .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                     (F.col("price_cents") + 1).alias("price_cents")))
+    mt.upsert_mor(batch, key_cols=("o_orderkey",))
+    return mt.read()
+
+
 @q("delta_roundtrip", """
 SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
 FROM documents WHERE doc_id % 3 = 0

@@ -148,16 +148,92 @@ class ManagedTable:
         meta = self._commit(v)
         df = self.spark.read.parquet(self._version_dir(v))
         tombs = meta.get("tombstones") or []
-        if tombs:
-            # merge-on-read: logical deletes resolve at scan time via
-            # ONE anti-join against the union of tombstone key files
-            # (AQE broadcasts it while small). Physical data files are
-            # untouched until the next copy-on-write commit purges.
-            keys = list(meta["tombstone_keys"])
+        deltas = meta.get("deltas") or []
+        if not tombs and not deltas:
+            return df
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        keys = list(meta["tombstone_keys"])
+        if not deltas:
+            # deletes only — the cheap fast path: ONE anti-join against
+            # the union of tombstone key files (AQE broadcasts it while
+            # small). Physical data files untouched until the next
+            # copy-on-write commit purges.
             tomb = self.spark.read.parquet(
                 *[os.path.join(self.path, t) for t in tombs])
-            df = df.join(tomb.select(*keys), keys, "left_anti")
-        return df
+            return df.join(tomb.select(*keys), keys, "left_anti")
+        # full merge-on-read resolution: base rows carry sequence 0,
+        # each delta (upsert) batch its commit version; the newest row
+        # per key wins, then a tombstone NEWER than the winning row
+        # deletes it (so delete->reinsert and insert->delete interleave
+        # correctly). This is the classic MOR read amplification — one
+        # window shuffle on the key — purged by the next copy-on-write
+        # commit (compact/overwrite materialize through this read).
+        def seq_of(d: str) -> int:
+            return int(d.rsplit("_v", 1)[1])
+        rows = df.withColumn("_mor_seq", F.lit(0).cast("long"))
+        for d in deltas:
+            rows = rows.unionByName(
+                self.spark.read.parquet(os.path.join(self.path, d))
+                .withColumn("_mor_seq", F.lit(seq_of(d)).cast("long")))
+        w = Window.partitionBy(*keys).orderBy(F.desc("_mor_seq"))
+        winner = (rows.withColumn("_mor_rn", F.row_number().over(w))
+                  .filter(F.col("_mor_rn") == 1))
+        if tombs:
+            tomb = None
+            for t in tombs:
+                part = (self.spark.read.parquet(os.path.join(self.path, t))
+                        .select(*keys)
+                        .withColumn("_mor_tseq",
+                                    F.lit(seq_of(t)).cast("long")))
+                tomb = part if tomb is None else tomb.unionByName(part)
+            tomb = tomb.groupBy(*keys).agg(
+                F.max("_mor_tseq").alias("_mor_tseq"))
+            winner = (winner.join(tomb, keys, "left_outer")
+                      .filter(F.col("_mor_tseq").isNull()
+                              | (F.col("_mor_tseq") < F.col("_mor_seq"))))
+        return winner.drop("_mor_seq", "_mor_rn", "_mor_tseq")
+
+    def upsert_mor(self, source: DataFrame,
+                   key_cols: tuple[str, ...]) -> "ManagedTable":
+        """MERGE-ON-READ upsert: the source batch lands as an APPENDED
+        delta file — zero existing data rewritten; ``read`` resolves
+        last-writer-wins per key (newest commit's row shadows older
+        ones, interleaved ``delete_mor`` tombstones respected by
+        sequence). The streaming-CDC apply shape at 100 TB: ingest cost
+        is O(|batch|) regardless of table size, paid back as one
+        window shuffle per read until the next copy-on-write commit
+        (``compact``/``overwrite``) materializes the resolved state.
+
+        Requires unique ``key_cols`` per batch and in the base (upsert
+        semantics); the source must carry exactly the table's columns.
+        """
+        cur = self.current_version()
+        if cur < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        parent = self._commit(cur)
+        prev_keys = parent.get("tombstone_keys")
+        if prev_keys and tuple(prev_keys) != tuple(key_cols):
+            raise ValueError(
+                f"stacked MOR commits must share key columns; table has "
+                f"{prev_keys}, got {list(key_cols)}")
+        base_cols = self.spark.read.parquet(
+            os.path.join(self.path, parent["dir"])).columns
+        if set(source.columns) != set(base_cols):
+            raise ValueError(
+                f"MOR upsert source columns {sorted(source.columns)} != "
+                f"table columns {sorted(base_cols)}")
+        v = cur + 1
+        delta_dir = f"delta_v{v}"
+        (source.select(*base_cols).write.mode("overwrite")
+         .parquet(os.path.join(self.path, delta_dir)))
+        deltas = list(parent.get("deltas") or []) + [delta_dir]
+        meta = {"version": v, "dir": parent["dir"],
+                "op": "UPSERT (merge-on-read)", "ts": time.time(),
+                "deltas": deltas, "tombstone_keys": list(key_cols)}
+        if parent.get("tombstones"):
+            meta["tombstones"] = parent["tombstones"]
+        return self._publish(v, meta)
 
     def delete_mor(self, condition, key_cols: tuple[str, ...]) -> "ManagedTable":
         """MERGE-ON-READ delete: rows matching ``condition`` are
@@ -199,10 +275,12 @@ class ManagedTable:
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
-        return self._publish(v, {
-            "version": v, "dir": parent["dir"],
-            "op": "DELETE (merge-on-read)", "ts": time.time(),
-            "tombstones": tombs, "tombstone_keys": list(key_cols)})
+        meta = {"version": v, "dir": parent["dir"],
+                "op": "DELETE (merge-on-read)", "ts": time.time(),
+                "tombstones": tombs, "tombstone_keys": list(key_cols)}
+        if parent.get("deltas"):
+            meta["deltas"] = parent["deltas"]
+        return self._publish(v, meta)
 
     def _publish(self, v: int, meta: dict) -> "ManagedTable":
         """Record commit metadata for ``v`` and flip the pointer (atomic:
@@ -322,7 +400,7 @@ class ManagedTable:
             "timestamp": ts_ms, "operation": meta.get("op", "WRITE"),
             "operationParameters": {},
             "engineInfo": "tb-lakehouse-enhanced-spark"}}]
-        if meta.get("tombstones"):
+        if meta.get("tombstones") or meta.get("deltas"):
             # merge-on-read state: add/remove actions cannot describe
             # key-based tombstones, so mark the commit with the
             # deletionVectors reader feature — protocol-correct readers
@@ -515,7 +593,9 @@ class ManagedTable:
         keep_dirs = {self._commit(v)["dir"] for v in keep_versions}
         keep_tombs: set[str] = set()
         for v in keep_versions:
-            keep_tombs |= set(self._commit(v).get("tombstones") or [])
+            c = self._commit(v)
+            keep_tombs |= set(c.get("tombstones") or [])
+            keep_tombs |= set(c.get("deltas") or [])
         removed = []
         for v in range(0, max(0, cur - retain_last + 1)):
             d = self._commit(v)["dir"]
@@ -523,9 +603,10 @@ class ManagedTable:
             if d not in keep_dirs and os.path.isdir(full):
                 shutil.rmtree(full)
                 removed.append(v)
-        # sweep tombstone dirs no retained commit references
+        # sweep tombstone/delta dirs no retained commit references
         for d in os.listdir(self.path):
-            if d.startswith("tomb_v") and d not in keep_tombs:
+            if (d.startswith("tomb_v") or d.startswith("delta_v")) \
+                    and d not in keep_tombs:
                 shutil.rmtree(os.path.join(self.path, d))
         return removed
 
@@ -572,7 +653,8 @@ class ManagedTable:
         src_meta = self._commit(src_v)
         meta0 = {"version": 0, "dir": "v0",
                  "op": f"CLONE {self.path}@v{src_v}", "ts": time.time()}
-        for t in src_meta.get("tombstones") or []:
+        for t in (list(src_meta.get("tombstones") or [])
+                  + list(src_meta.get("deltas") or [])):
             s_dir = os.path.join(self.path, t)
             d_dir = os.path.join(dst.path, t)
             os.makedirs(d_dir, exist_ok=True)
@@ -585,6 +667,9 @@ class ManagedTable:
                         shutil.copy2(s, d)
         if src_meta.get("tombstones"):
             meta0["tombstones"] = src_meta["tombstones"]
+        if src_meta.get("deltas"):
+            meta0["deltas"] = src_meta["deltas"]
+        if src_meta.get("tombstone_keys"):
             meta0["tombstone_keys"] = src_meta["tombstone_keys"]
         return dst._publish(0, meta0)
 

@@ -548,3 +548,44 @@ def test_delete_mor_vacuum_and_clone(spark, mt, tmp_base):
     assert not any(d.startswith("tomb_v") for d in os.listdir(mt.path))
     # the clone's hardlinked tombstone survives the source vacuum
     assert sorted(r["id"] for r in c.read().collect()) == [2, 3]
+
+
+def test_upsert_mor_last_writer_wins_and_interleave(spark, mt):
+    """MOR upserts append delta files (zero base rewrite); newest
+    commit wins per key; deletes and re-inserts interleave by
+    sequence; compaction materializes the resolved state."""
+    import glob
+    import os
+    v0_files = sorted(glob.glob(os.path.join(mt.path, "v0", "**", "*.parquet"),
+                                recursive=True))
+    # v1: update id=1, insert id=4
+    mt.upsert_mor(spark.createDataFrame(
+        [(1, "a", 11.0), (4, "d", 40.0)], ["id", "k", "v"]), key_cols=("id",))
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0, 4: 40.0}
+    assert sorted(glob.glob(os.path.join(mt.path, "v0", "**", "*.parquet"),
+                            recursive=True)) == v0_files  # base untouched
+    # v2: delete id=4 (tombstone newer than its delta row)
+    mt.delete_mor(F.col("id") == 4, key_cols=("id",))
+    assert sorted(r["id"] for r in mt.read().collect()) == [1, 2, 3]
+    # v3: re-insert id=4 (delta newer than the tombstone)
+    mt.upsert_mor(spark.createDataFrame(
+        [(4, "d", 44.0)], ["id", "k", "v"]), key_cols=("id",))
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0, 4: 44.0}
+    # newest upsert shadows the older one for the same key
+    mt.upsert_mor(spark.createDataFrame(
+        [(1, "a", 111.0)], ["id", "k", "v"]), key_cols=("id",))
+    assert {r["id"]: r["v"] for r in mt.read().collect()}[1] == 111.0
+    # time travel re-resolves each historical MOR state
+    assert {r["id"]: r["v"] for r in mt.read(version=1).collect()}[1] == 11.0
+    assert sorted(r["id"] for r in mt.read(version=2).collect()) == [1, 2, 3]
+    # schema mismatch is loud
+    with pytest.raises(ValueError, match="columns"):
+        mt.upsert_mor(spark.createDataFrame([(5,)], ["id"]), key_cols=("id",))
+    # compaction purges deltas+tombstones and preserves the state
+    before = sorted(map(tuple, mt.read().collect()))
+    mt.compact(target_partitions=1)
+    meta = mt._commit(mt.current_version())
+    assert "deltas" not in meta and "tombstones" not in meta
+    assert sorted(map(tuple, mt.read().collect())) == before
