@@ -4257,19 +4257,28 @@ _PRIORITY = [
     # windows / sorts / sequences (sort+limit also exercised by tpch_q3;
     # the dense surrogate sequence is verified inside scd1_upsert, its
     # finer-grained sibling surrogate_keys stays below the fold)
-    # window_time_range supersedes window_running_sum in-window
-    # (frames still covered — on event-time RANGE, the rarer kind);
-    # round 3 rotates window_rank below the fold (ranking also rides
-    # search_bm25/tpch shapes) for the recursive-hierarchy family
-    "window_time_range", "hierarchy_flatten",
+    # round 3 rotated window_rank below the fold (ranking also rides
+    # search_bm25/tpch shapes) for the recursive-hierarchy family;
+    # round 4 rotates window_time_range below the fold too (RANGE
+    # frames stay locally oracle-checked; window coverage in-window
+    # rides time_weighted_avg + quantile_panel) for the
+    # interval-interval overlap join
+    "interval_overlap", "hierarchy_flatten",
     # batch sessionize rotates below the fold (stream_session keeps the
     # session family in-window) for time-weighted temporal aggregation
     "time_weighted_avg",
-    # set ops, scalar functions, SQL surface
-    "set_ops", "dim_calendar_spine", "str_funcs", "json_extract",
-    "sql_select_view",
-    # DML / MERGE family + change data feed
-    "dml_update_delete", "scd2_merge_state", "scd1_upsert", "fact_upsert",
+    # set ops, scalar functions, SQL surface: round 4 rotates set_ops,
+    # str_funcs, json_extract, and sql_select_view below the fold (all
+    # stay locally oracle-checked; scalar-function coverage stays
+    # in-window via dim_calendar_spine/text_metrics, SQL-view and
+    # set-op shapes ride the tpch entries) in favor of the
+    # merge-on-read + format-interop + hybrid-retrieval families
+    "dim_calendar_spine",
+    # DML / MERGE family + change data feed — now including the
+    # merge-on-read paths (key-tombstone delete, appended-delta upsert)
+    # and the Delta-log emit->replay roundtrip
+    "dml_update_delete", "dml_delete_mor", "merge_mor", "delta_roundtrip",
+    "scd2_merge_state", "scd1_upsert", "fact_upsert",
     "table_changes",
     # streaming (batch-checkable core): tumbling windows; round 3
     # rotates stream_session below the fold (the session family stays
@@ -4283,9 +4292,10 @@ _PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_simhash", "dedup_clusters", "dedup_embedding",
     # text analysis / corpus prep (text_clean rotates below the fold —
-    # redact/normalize stay locally oracle-checked — for BM25 retrieval)
-    "text_metrics", "search_bm25", "vocab_topk", "corpus_splits",
-    "contamination_check",
+    # redact/normalize stay locally oracle-checked — for BM25 retrieval;
+    # round 4 adds the BM25+vector reciprocal-rank fusion)
+    "text_metrics", "search_bm25", "search_hybrid", "vocab_topk",
+    "corpus_splits", "contamination_check",
     # multimodal + similarity search
     "multimodal_features", "simsearch_topk", "simsearch_lsh",
     # deterministic sampling / source mixing (corpus assembly)
