@@ -235,6 +235,18 @@ class ManagedTable:
             meta["tombstones"] = parent["tombstones"]
         return self._publish(v, meta)
 
+    def update_mor(self, condition, assignments: dict,
+                   key_cols: tuple[str, ...]) -> "ManagedTable":
+        """MERGE-ON-READ update: the matched rows, with ``assignments``
+        applied, land as an upsert delta batch (``upsert_mor``) — zero
+        existing files rewritten; the updated rows shadow their old
+        versions at read time. Cost is O(|matched rows|) write."""
+        from pyspark.sql import functions as F  # noqa: F401
+        batch = self.read().filter(condition)
+        for col, expr in assignments.items():
+            batch = batch.withColumn(col, expr)
+        return self.upsert_mor(batch, key_cols=key_cols)
+
     def delete_mor(self, condition, key_cols: tuple[str, ...]) -> "ManagedTable":
         """MERGE-ON-READ delete: rows matching ``condition`` are
         logically deleted by writing their ``key_cols`` tuples as a

@@ -589,3 +589,14 @@ def test_upsert_mor_last_writer_wins_and_interleave(spark, mt):
     meta = mt._commit(mt.current_version())
     assert "deltas" not in meta and "tombstones" not in meta
     assert sorted(map(tuple, mt.read().collect())) == before
+
+
+def test_update_mor_shadows_without_rewrite(spark, mt):
+    """MOR update: assignments land as an upsert delta; unmatched rows
+    untouched; stacking with MOR delete still resolves correctly."""
+    mt.update_mor(F.col("k") == "a", {"v": F.col("v") + 100}, key_cols=("id",))
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert got == {1: 110.0, 2: 20.0, 3: 130.0}
+    mt.delete_mor(F.col("id") == 3, key_cols=("id",))
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert got == {1: 110.0, 2: 20.0}
