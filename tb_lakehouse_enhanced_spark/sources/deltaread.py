@@ -1,7 +1,12 @@
 """Delta-format table READER — log replay without ``delta-spark``.
 
-The write side (`managed.py::_emit_delta_log`) makes ManagedTable
-commits visible to external Delta readers; this module is the inverse:
+The reference's tables are Databricks-managed *Delta* tables
+(reference notebooks/12_ETL_Bronze_PySpark.py:66 ``saveAsTable``,
+22_ETL_Silver_PySpark.py:62 ``MERGE INTO``); ``delta-spark`` is absent
+from this environment, so format interop is implemented directly
+against the open protocol. The write side
+(`managed.py::_emit_delta_log`) makes ManagedTable commits visible to
+external Delta readers; this module is the inverse:
 open any Delta-format directory (parquet data + ``_delta_log``) by
 replaying the transaction log the way the protocol specifies
 (delta-io/delta PROTOCOL.md):
