@@ -194,8 +194,8 @@ class ManagedTable:
                               | (F.col("_mor_tseq") < F.col("_mor_seq"))))
         return winner.drop("_mor_seq", "_mor_rn", "_mor_tseq")
 
-    def upsert_mor(self, source: DataFrame,
-                   key_cols: tuple[str, ...]) -> "ManagedTable":
+    def upsert_mor(self, source: DataFrame, key_cols: tuple[str, ...],
+                   extra_meta: dict | None = None) -> "ManagedTable":
         """MERGE-ON-READ upsert: the source batch lands as an APPENDED
         delta file — zero existing data rewritten; ``read`` resolves
         last-writer-wins per key (newest commit's row shadows older
@@ -230,7 +230,8 @@ class ManagedTable:
         deltas = list(parent.get("deltas") or []) + [delta_dir]
         meta = {"version": v, "dir": parent["dir"],
                 "op": "UPSERT (merge-on-read)", "ts": time.time(),
-                "deltas": deltas, "tombstone_keys": list(key_cols)}
+                "deltas": deltas, "tombstone_keys": list(key_cols),
+                **(extra_meta or {})}
         if parent.get("tombstones"):
             meta["tombstones"] = parent["tombstones"]
         return self._publish(v, meta)

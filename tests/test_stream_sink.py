@@ -80,3 +80,68 @@ def test_enrich_stream_static_broadcast(spark, tmp_base):
     q.awaitTermination(120)
     rows = {r["ck"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()}
     assert rows == {1: "gold", 2: "basic", 9: None}  # left join keeps orphans
+
+
+def test_stream_mor_sink_exactly_once_and_no_rewrite(spark, tmp_path):
+    """Streaming CDC into a merge-on-read table: each micro-batch is
+    one appended delta (base files never rewritten), a replayed batch
+    id is skipped via the commit-metadata high-water mark, and the
+    resolved table equals last-writer-wins over all batches."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    from tb_lakehouse_enhanced_spark.streaming.sink import stream_mor_sink
+
+    src = str(tmp_path / "in")
+
+    def write(rows):
+        spark.createDataFrame(rows, "id long, v double") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    table = ManagedTable(spark, str(tmp_path / "mor_tbl"))
+
+    def start():
+        stream = (spark.readStream.schema("id long, v double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return (stream_mor_sink(stream, table, key_cols=("id",))
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .outputMode("update").start())
+
+    write([(1, 1.0), (2, 2.0)])          # batch 0 -> initial overwrite
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    base_files = sorted(glob.glob(os.path.join(table.path, "v0", "*.parquet")))
+
+    write([(2, 22.0), (3, 3.0)])         # batch 1 -> delta
+    write([(1, 11.0)])                   # batch 2 -> delta
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert got == {1: 11.0, 2: 22.0, 3: 3.0}
+    # base snapshot untouched by the CDC batches
+    assert sorted(glob.glob(os.path.join(table.path, "v0", "*.parquet"))) \
+        == base_files
+    meta = table._commit(table.current_version())
+    assert len(meta.get("deltas", [])) == 2
+    last_batch = meta["stream_batch_id"]
+    v_before = table.current_version()
+    # an at-least-once REPLAY: foreachBatch hands the same batch id
+    # again after a failure — the sink must skip it entirely
+    from tb_lakehouse_enhanced_spark.streaming.sink import mor_batch_sink
+    sink = mor_batch_sink(table, key_cols=("id",))
+    sink(spark.createDataFrame([(1, 999.0)], "id long, v double"),
+         last_batch)
+    assert table.current_version() == v_before        # no new commit
+    assert {r["id"]: r["v"] for r in table.read().collect()} == got
+    # a genuinely NEW batch still applies
+    sink(spark.createDataFrame([(4, 4.0)], "id long, v double"),
+         last_batch + 1)
+    assert table.current_version() == v_before + 1
+    assert {r["id"]: r["v"] for r in table.read().collect()} == \
+        {**got, 4: 4.0}
