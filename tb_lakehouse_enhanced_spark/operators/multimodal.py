@@ -7,17 +7,18 @@ metadata MAP) while decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` stages on the executors, so bytes never hit the driver
 and each batch amortizes the Python crossing.
 
-The decode step is REAL for the codec-free formats — binary netpbm
-images (P5/P6, pure numpy) and PCM WAV audio (stdlib ``wave``) — with
+The decode step is REAL for the codec-free formats — 8-bit PNG
+(stdlib zlib + numpy unfiltering), binary netpbm images (P5/P6, pure
+numpy) and PCM WAV audio (stdlib ``wave``) — with
 typed feature extractors (``image_features``, ``audio_features``) and a
-real nearest-neighbor ``resize_images`` on top. Compressed formats
-(JPEG/PNG/MP3/H.264) need codec libraries absent from this container;
+real nearest-neighbor ``resize_images`` on top. Lossy formats
+(JPEG/MP3/H.264) need codec libraries absent from this container;
 ``decode_fn`` stays pluggable for them:
 
 - ``fake_image_decoder``  deterministic stand-in (hash-seeded "pixels")
   that exercises the full plumbing — schema, batching, feature shapes;
-- ``real_decoder`` dispatches netpbm/WAV natively and raises
-  ``NotImplementedError`` for compressed formats, clearly marking the
+- ``real_decoder`` dispatches PNG/netpbm/WAV natively and raises
+  ``NotImplementedError`` for the lossy formats, clearly marking the
   remaining stub boundary.
 
 Everything around the decode — schema handling, batch iteration, output
@@ -82,6 +83,103 @@ def encode_netpbm(arr: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
+def decode_png(blob: bytes) -> np.ndarray:
+    """REAL image decode for 8-bit non-interlaced PNG (gray / RGB /
+    RGBA) — pure stdlib zlib + numpy: parse chunks, inflate IDAT,
+    undo the per-row filters (None/Sub/Up/Average/Paeth). Returns
+    float64 pixels in [0, 1]: (h, w) gray, (h, w, c) otherwise."""
+    import struct
+    import zlib
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(blob):
+        (length,), ctype = struct.unpack(">I", blob[pos:pos + 4]), \
+            blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth}/interlace={interlace} unsupported "
+                    "(8-bit non-interlaced only)")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color} "
+                                          "(palette) unsupported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.int64)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.int64)
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            out[y] = line
+        elif f == 2:                                  # Up
+            out[y] = (line + prior) & 0xFF
+        else:                                         # Sub/Average/Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prior[x]
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + (a + b) // 2
+                else:                                 # Paeth
+                    c = prior[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+    arr = out.astype(np.float64).reshape(height, width, channels) / 255.0
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Inverse of ``decode_png`` (8-bit, filter 0 rows): float [0,1]
+    pixels -> PNG bytes. Gray (h,w), RGB (h,w,3), RGBA (h,w,4)."""
+    import struct
+    import zlib
+    a = np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _decode_image(blob: bytes) -> np.ndarray:
+    """Dispatch over the natively-decodable raster formats."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(blob)
+    return decode_netpbm(blob)
+
+
 def decode_wav(blob: bytes) -> np.ndarray:
     """REAL audio decode for PCM WAV via the stdlib ``wave`` module
     (8/16/32-bit int PCM). Returns float64 samples in [-1, 1], shape
@@ -106,12 +204,15 @@ def decode_wav(blob: bytes) -> np.ndarray:
 def real_decoder(blob: bytes, media_type: str) -> np.ndarray:
     """Decode media bytes into an array (pixels / samples).
 
-    REAL for the codec-free formats: binary netpbm images (P5/P6,
-    sniffed by magic or declared via media_type) and PCM WAV audio
-    (RIFF magic). Compressed formats (JPEG/PNG/MP3/H.264) require
+    REAL for the codec-free formats: 8-bit PNG (stdlib zlib inflate +
+    numpy unfiltering), binary netpbm images (P5/P6) and PCM WAV audio
+    — sniffed by magic or declared via media_type. Other compressed
+    formats (JPEG/MP3/H.264) require
     codec libraries absent from this container — those raise
     ``NotImplementedError`` (the documented stub boundary; inject a
     decode_fn or use ``fake_image_decoder`` in tests)."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" or media_type == "image/png":
+        return decode_png(blob)
     if blob[:2] in (b"P5", b"P6") or media_type in (
             "image/x-portable-graymap", "image/x-portable-pixmap"):
         return decode_netpbm(blob)
@@ -119,8 +220,8 @@ def real_decoder(blob: bytes, media_type: str) -> np.ndarray:
         return decode_wav(blob)
     raise NotImplementedError(
         f"decode of {media_type!r} requires codec libraries not present "
-        "in this environment; netpbm (P5/P6) and PCM WAV decode natively "
-        "— inject a decode_fn for other formats")
+        "in this environment; PNG (8-bit), netpbm (P5/P6) and PCM WAV "
+        "decode natively — inject a decode_fn for other formats")
 
 
 def fake_image_decoder(blob: bytes, media_type: str) -> np.ndarray:
@@ -192,11 +293,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 continue
             out_blobs = []
             for blob in pdf["media"]:
-                arr = decode_netpbm(bytes(blob))
+                raw = bytes(blob)
+                is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
+                arr = _decode_image(raw)
                 h, w = arr.shape[:2]
                 yi = (np.arange(height) * h) // height
                 xi = (np.arange(width) * w) // width
-                out_blobs.append(encode_netpbm(arr[yi][:, xi]))
+                resized = arr[yi][:, xi]
+                out_blobs.append(encode_png(resized) if is_png
+                                 else encode_netpbm(resized))
             out = pdf.copy()
             out["media"] = out_blobs
             out["width"] = np.int32(width)
@@ -222,8 +327,9 @@ def image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
                 continue
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                arr = decode_netpbm(bytes(blob))
-                luma = arr.mean(axis=2) if arr.ndim == 3 else arr
+                arr = _decode_image(bytes(blob))
+                # alpha (if any) excluded from luminance
+                luma = arr[:, :, :3].mean(axis=2) if arr.ndim == 3 else arr
                 hist, _ = np.histogram(luma, bins=n_bins, range=(0.0, 1.0))
                 rows.append({
                     "media_id": int(mid),

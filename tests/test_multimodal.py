@@ -27,8 +27,9 @@ def media(spark):
 
 
 def test_real_decoder_is_explicit_stub():
+    # PNG decodes natively now; the stub boundary is the lossy formats
     with pytest.raises(NotImplementedError):
-        real_decoder(b"abc", "image/png")
+        real_decoder(b"abc", "image/jpeg")
 
 
 def test_extract_features_shapes_and_determinism(spark, media):
@@ -149,3 +150,74 @@ def test_audio_features_known_tone(spark):
     # 8 cycles over 1024 samples -> 16 zero crossings/1023 diffs
     assert abs(f["zero_cross_rate"] - 16 / 1023) < 2e-3
     assert f["dominant_bin"] == 8
+
+
+def test_png_decode_all_filters_and_spark_path(spark):
+    """PNG decode: round-trip via our encoder (filter 0), plus
+    hand-built Sub/Up/Average/Paeth filtered rows decode correctly
+    (cross-checked against a reference unfiltering), RGBA alpha
+    excluded from luminance, and the Spark feature/resize path accepts
+    PNG blobs and re-encodes PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from tb_lakehouse_enhanced_spark.operators.multimodal import (
+        MEDIA_SCHEMA_DDL, decode_png, encode_png, image_features,
+        real_decoder, resize_images,
+    )
+    rng = np.random.default_rng(5)
+    arr = rng.random((6, 5, 3))
+    got = decode_png(encode_png(arr))
+    assert got.shape == (6, 5, 3)
+    assert np.array_equal(got, np.round(arr * 255) / 255)
+
+    # hand-build a PNG whose rows use filters 1..4 over known bytes
+    pix = (rng.random((5, 4, 3)) * 255).astype(np.uint8)
+    stride = 4 * 3
+
+    def filt(y, ftype):
+        cur = pix[y].reshape(-1).astype(int)
+        prior = pix[y - 1].reshape(-1).astype(int) if y else [0] * stride
+        out = []
+        for x in range(stride):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prior[x]
+            c = (prior[x - 3] if x >= 3 else 0)
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[x] - pred) & 0xFF)
+        return bytes([ftype]) + bytes(out)
+
+    raw = filt(0, 1) + filt(1, 2) + filt(2, 3) + filt(3, 4) + filt(4, 1)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    dec = decode_png(blob)
+    assert np.array_equal((dec * 255).round().astype(np.uint8), pix)
+
+    # RGBA: alpha present in decode, excluded from luminance features
+    rgba = np.dstack([np.full((2, 2), 0.5)] * 3 + [np.ones((2, 2))])
+    assert real_decoder(encode_png(rgba), "image/png").shape == (2, 2, 4)
+    rows = [(1, bytearray(encode_png(rgba)), "image/png", 2, 2, {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    f = image_features(media, n_bins=4).collect()[0]
+    assert abs(f["mean_luma"] - 0.5) < 0.01   # alpha=1 not averaged in
+    r = resize_images(media, 4, 4).collect()[0]
+    assert bytes(r["media"])[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (r["width"], r["height"]) == (4, 4)
