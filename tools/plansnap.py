@@ -80,6 +80,22 @@ COMMENTARY = {
     "pairs come from an in-task matmul with first-colliding-rotation "
     "dedupe — no corpus broadcast, no driver collect, no cross join, "
     "no distinct exchange over the pair set.",
+    "interval_overlap": "Interval-interval overlap as a bucket "
+    "equi-join: both sides explode to shared-width buckets, the join "
+    "condition carries the exact overlap residual AND the "
+    "first-shared-bucket dedupe — no CartesianProduct, no "
+    "BroadcastNestedLoopJoin, no distinct exchange; exactly-once "
+    "pairs straight out of the join.",
+    "search_hybrid": "Both retrieval branches end bounded: BM25's "
+    "TakeOrderedAndProject top-depth and the cosine partial-top-k "
+    "merge; the RRF fusion joins <= 2*depth rows and the final "
+    "row_number window ranks that tiny relation — corpus scanned once "
+    "per branch, nothing wide shuffles.",
+    "merge_mor": "Merge-on-read upsert read path: base + delta files "
+    "union under ONE hash exchange on the key for the "
+    "last-writer-wins window — the documented MOR read amplification; "
+    "the WRITE that produced it appended one delta file and rewrote "
+    "nothing.",
 }
 
 
