@@ -773,6 +773,92 @@ class ManagedTable:
             return self.read(version).filter(cond).limit(0).filter(F.lit(False))
         return self.spark.read.parquet(*files).filter(cond)
 
+    # -- bloom-filter file index (Delta bloom index analogue) ----------------
+    #
+    # min/max stats prune RANGE predicates but are useless for point
+    # lookups on a column the layout is not clustered on (every file's
+    # [min, max] spans the value). A per-file Bloom filter answers
+    # "can file F contain col = v?" probabilistically-no/definitely-
+    # maybe: the 100 TB needle-in-haystack shape (find one document id,
+    # one user, one hash) touches the handful of files whose filters
+    # fire instead of the whole table. Build is one exploded aggregate
+    # (k bit positions per row, BIT_OR per (file, word)); the manifest
+    # is |files| * m_bits/8 bytes — megabytes where the data is not.
+
+    def _bloom_file(self, v: int, col: str) -> str:
+        return os.path.join(self.path, f"_bloom_v{v}_{col}.json")
+
+    def _bloom_positions(self, col_expr, m_bits: int, k: int):
+        """k bit positions per row: pmod(xxhash64(seed_i, col), m)."""
+        from pyspark.sql import functions as F
+        return F.array(*[
+            F.pmod(F.xxhash64(F.lit(i), col_expr), F.lit(m_bits))
+            for i in range(k)])
+
+    def analyze_bloom(self, col: str, m_bits: int = 1024, k: int = 4,
+                      version: int | None = None) -> dict:
+        """Build the per-file Bloom manifest for point lookups on
+        ``col``. False-positive rate ~ (1 - e^(-k*n/m))^k; size the
+        bits per expected distinct values per file."""
+        from pyspark.sql import functions as F
+        v = self.current_version() if version is None else version
+        df = self.read(v).filter(F.col(col).isNotNull())
+        words = (df.select(F.col("_metadata.file_path").alias("file"),
+                           F.explode(self._bloom_positions(
+                               F.col(col), m_bits, k)).alias("p"))
+                 .select("file", (F.col("p") / 64).cast("int").alias("w"),
+                         F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                "CAST(pmod(p, 64) AS INT))").alias("bit"))
+                 .groupBy("file", "w")
+                 .agg(F.expr("bit_or(bit)").alias("bits"))
+                 .collect())
+        n_words = m_bits // 64
+        files: dict[str, list[int]] = {}
+        for r in words:
+            files.setdefault(r["file"], [0] * n_words)[r["w"]] = int(r["bits"])
+        payload = {"column": col, "m_bits": m_bits, "k": k, "files": files}
+        with open(self._bloom_file(v, col), "w") as f:
+            json.dump(payload, f)
+        return payload
+
+    def bloom_pruned_files(self, col: str, value,
+                           version: int | None = None) -> list[str] | None:
+        """Files that may contain ``col = value`` per the Bloom
+        manifest (None when no manifest exists — caller full-scans).
+        The probe value hashes through the SAME Spark expression the
+        build used (one 1-row job), so engine hash semantics can never
+        diverge between build and probe."""
+        from pyspark.sql import functions as F
+        v = self.current_version() if version is None else version
+        try:
+            with open(self._bloom_file(v, col)) as f:
+                bloom = json.load(f)
+        except FileNotFoundError:
+            return None
+        positions = self.spark.range(1).select(
+            self._bloom_positions(F.lit(value), bloom["m_bits"], bloom["k"])
+            .alias("p")).collect()[0]["p"]
+        keep = []
+        for file, words in bloom["files"].items():
+            if all(words[p // 64] & (1 << (p % 64)) for p in positions):
+                keep.append(file)
+        return keep
+
+    def read_where_eq(self, col: str, value,
+                      version: int | None = None) -> DataFrame:
+        """Point lookup with Bloom file skipping: scan only the files
+        whose filter fires, then apply the exact predicate (false
+        positives are filtered, never returned). Identical results to
+        ``read().filter(col = value)``."""
+        from pyspark.sql import functions as F
+        cond = F.col(col) == F.lit(value)
+        files = self.bloom_pruned_files(col, value, version)
+        if files is None:
+            return self.read(version).filter(cond)
+        if not files:
+            return self.read(version).filter(cond).limit(0).filter(F.lit(False))
+        return self.spark.read.parquet(*files).filter(cond)
+
     # -- change data feed ----------------------------------------------------
     def changes(self, from_version: int, to_version: int | None = None,
                 keys: tuple[str, ...] | None = None) -> DataFrame:

@@ -600,3 +600,39 @@ def test_update_mor_shadows_without_rewrite(spark, mt):
     mt.delete_mor(F.col("id") == 3, key_cols=("id",))
     got = {r["id"]: r["v"] for r in mt.read().collect()}
     assert got == {1: 110.0, 2: 20.0}
+
+
+def test_bloom_index_point_lookup_prunes_files(spark, tmp_base):
+    """Bloom file index: a point lookup on a non-clustered column
+    touches only the files whose filter fires (superset of the truly
+    matching files — no false negatives), and results equal the full
+    scan; a value absent from the table prunes to zero files."""
+    import pyspark.sql.functions as F
+    t = ManagedTable(spark, f"{tmp_base}/bloomt")
+    # 16 files, doc_hash scattered so min/max stats are useless
+    df = (spark.range(4000)
+          .select(F.col("id"),
+                  F.concat(F.lit("h"), (F.col("id") * 2654435761 % 4000)
+                           .cast("string")).alias("doc_hash"))
+          .repartition(16))
+    t.overwrite(df)
+    t.analyze_bloom("doc_hash", m_bits=4096, k=4)
+
+    probe = "h123"
+    files = t.bloom_pruned_files("doc_hash", probe)
+    all_files = [r["file"] for r in t.files().collect()]
+    assert files is not None and 0 < len(files) < len(all_files)
+    # no false negatives: files actually holding the value are kept
+    truly = {r["f"] for r in
+             t.read().filter(F.col("doc_hash") == probe)
+             .select(F.col("_metadata.file_path").alias("f")).collect()}
+    assert truly <= set(files)
+    got = sorted(map(tuple, t.read_where_eq("doc_hash", probe).collect()))
+    want = sorted(map(tuple,
+                      t.read().filter(F.col("doc_hash") == probe).collect()))
+    assert got == want and len(got) == 1
+    # absent value: near-empty file set, empty exact result
+    assert t.read_where_eq("doc_hash", "nope-xyz").count() == 0
+    # no manifest for another column -> full-scan fallback
+    assert t.bloom_pruned_files("id", 7) is None
+    assert t.read_where_eq("id", 7).count() == 1
