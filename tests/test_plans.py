@@ -408,3 +408,62 @@ def test_pack_context_no_global_window_one_range_exchange(spark):
     assert "CartesianProduct" not in plan
     # the per-partition running sum is a PARTITIONED window
     assert "windowspecdefinition(_seq_pid" in plan
+
+
+def test_interval_overlap_is_bucket_equijoin(spark):
+    """Interval-interval overlap must plan as an equi-join on the
+    shared bucket (with the overlap residual), never a cartesian or
+    nested-loop join."""
+    from tb_lakehouse_enhanced_spark.plans.queries import SPARK_QUERIES
+    df = SPARK_QUERIES["interval_overlap"](spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert df.count() >= 0
+
+
+def test_search_hybrid_branches_are_bounded(spark):
+    """RRF fusion: the BM25 branch ends in TakeOrderedAndProject (a
+    per-partition heap, not a global sort of the corpus) before the
+    tiny fusion join/window."""
+    from tb_lakehouse_enhanced_spark.plans.queries import SPARK_QUERIES
+    df = SPARK_QUERIES["search_hybrid"](spark, SF_DIR)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_read_delta_partition_join_is_broadcast(spark, tmp_path):
+    """The Delta reader's partition-value re-attachment must be a
+    broadcast join on the scan's file path — partition count can never
+    force a sort-merge shuffle of the data."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, str(tmp_path / "dlt"), partition_by=("k",))
+    t.overwrite(spark.createDataFrame(
+        [(i, f"k{i % 4}", float(i)) for i in range(100)], ["id", "k", "v"]))
+    df = read_delta(spark, t.path)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert df.count() == 100
+
+
+def test_mor_read_single_exchange_resolution(spark, tmp_path):
+    """Merge-on-read resolution: ONE hash exchange on the key feeds the
+    last-writer-wins window (plus the tombstone join) — the documented
+    read amplification, not N exchanges for N stacked deltas."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, str(tmp_path / "mor"))
+    t.overwrite(spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "v"]))
+    for r in range(3):
+        t.upsert_mor(spark.createDataFrame(
+            [(r * 10 + j, 1000.0 + r) for j in range(5)], ["id", "v"]),
+            key_cols=("id",))
+    df = t.read()
+    plan = _executed(df)
+    # window exchange: exactly one hashpartitioning on id feeds Window
+    n_exchanges = plan.count("Exchange hashpartitioning(id")
+    assert n_exchanges == 1, plan[:2000]
+    assert df.count() == 100
