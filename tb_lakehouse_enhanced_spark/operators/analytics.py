@@ -578,3 +578,50 @@ def countmin_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
             .groupBy(item_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("bigint").alias("cms_est")))
+
+
+# ------------------------------------------------------- grouped OLS --------
+
+def grouped_ols(df: DataFrame, x_col, y_col, by: list[str],
+                scale: int = 100) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope / intercept / r2)
+    from EXACT sufficient statistics: x and y are fixed-point money/
+    quantity doubles, so ``round(v * scale)`` recovers exact integers
+    and the five sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    DECIMAL(38,0) — bit-identical in any engine, map-side combinable,
+    ONE shuffle on the group key. The closed forms
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` etc. then run in IEEE
+    double over identical inputs with an identical expression tree, so
+    the outputs hash-match cross-engine (rounded to absorb any
+    reassociation ulp). The 100 TB story: a regression over trillions
+    of rows costs exactly one grouped aggregate — no second pass, no
+    centering pass.
+    """
+    xs = F.round(F.col(x_col) * scale).cast("long")
+    ys = F.round(F.col(y_col) * scale).cast("long")
+    d = F.lit(float(scale))
+    agg = (df.groupBy(*by)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(xs.cast("decimal(38,0)")).alias("_sx"),
+                F.sum(ys.cast("decimal(38,0)")).alias("_sy"),
+                F.sum((xs.cast("decimal(19,0)") * ys.cast("decimal(19,0)"))
+                      .cast("decimal(38,0)")).alias("_sxy"),
+                F.sum((xs.cast("decimal(19,0)") * xs.cast("decimal(19,0)"))
+                      .cast("decimal(38,0)")).alias("_sxx"),
+                F.sum((ys.cast("decimal(19,0)") * ys.cast("decimal(19,0)"))
+                      .cast("decimal(38,0)")).alias("_syy")))
+    n = F.col("n").cast("double")
+    sx = (F.col("_sx").cast("double") / d)
+    sy = (F.col("_sy").cast("double") / d)
+    sxy = (F.col("_sxy").cast("double") / (d * d))
+    sxx = (F.col("_sxx").cast("double") / (d * d))
+    syy = (F.col("_syy").cast("double") / (d * d))
+    cov_n = n * sxy - sx * sy          # n^2 * covariance
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return (agg.select(*by, "n",
+                       F.round(slope, 9).alias("slope"),
+                       F.round((sy - slope * sx) / n, 9).alias("intercept"),
+                       F.round(cov_n * cov_n / (var_x * var_y), 9)
+                       .alias("r2")))

@@ -2855,6 +2855,39 @@ def stats_moments(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("trend_ols", """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0 AS sx,
+         CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0 AS sy,
+         CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS HUGEINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (100.0 * 100.0) AS sxy,
+         CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS HUGEINT)
+                  * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (100.0 * 100.0) AS sxx,
+         CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (100.0 * 100.0) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+FROM s ORDER BY l_returnflag
+""")
+def trend_ols_q(spark, sf_dir):
+    """Grouped OLS trend (operators/analytics.py::grouped_ols): price
+    regressed on quantity per returnflag from exact-integer sufficient
+    statistics — one grouped aggregate, no second pass; closed forms
+    over identical doubles in both engines."""
+    from ..operators.analytics import grouped_ols
+    li = _t(spark, sf_dir, "lineitem")
+    return (grouped_ols(li, "l_quantity", "l_extendedprice",
+                        by=["l_returnflag"])
+            .orderBy("l_returnflag"))
+
+
 @q("graph_triangles", f"""
 WITH {_minhash_cte_sql()},
 e AS (

@@ -333,3 +333,27 @@ def test_countmin_never_seen_probe_is_zero(spark):
     # MIN), not vanish from the output
     assert out["never-seen-item-xyz"] == 0
     assert out["a"] >= 5
+
+
+def test_grouped_ols_matches_closed_form(spark):
+    """OLS on a hand-built exact line plus one noisy group."""
+    import numpy as np
+    from tb_lakehouse_enhanced_spark.operators.analytics import grouped_ols
+    rows = [("exact", float(x), 2.0 * x + 5.0) for x in range(1, 21)]
+    rng = np.random.default_rng(3)
+    xs = rng.integers(1, 100, 50)
+    noise = rng.integers(-300, 300, 50) / 100.0
+    rows += [("noisy", float(x), round(float(3.0 * x - 7.0 + e), 2))
+             for x, e in zip(xs, noise)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in
+           grouped_ols(df, "x", "y", by=["g"]).collect()}
+    assert abs(out["exact"]["slope"] - 2.0) < 1e-9
+    assert abs(out["exact"]["intercept"] - 5.0) < 1e-9
+    assert abs(out["exact"]["r2"] - 1.0) < 1e-9
+    # numpy polyfit reference for the noisy group
+    b, a = np.polyfit(xs.astype(float),
+                      np.array([r[2] for r in rows if r[0] == "noisy"]), 1)
+    assert abs(out["noisy"]["slope"] - b) < 1e-6
+    assert abs(out["noisy"]["intercept"] - a) < 1e-5
+    assert 0.9 < out["noisy"]["r2"] <= 1.0
