@@ -2855,6 +2855,43 @@ def stats_moments(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("period_over_period", f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(LAG(rev_cents) OVER (ORDER BY month) AS DOUBLE) / 100.0 AS prev_revenue,
+       ROUND(CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY month) AS DOUBLE)
+             / (CAST(LAG(rev_cents) OVER (ORDER BY month) AS DOUBLE) / 100.0) / 100.0, 9)
+       AS mom_change
+FROM m ORDER BY month
+""")
+def period_over_period_q(spark, sf_dir):
+    """Month-over-month revenue deltas — the BI period-comparison
+    shape: an exact-cents month rollup (one grouped aggregate), then a
+    lag window over the TINY month relation (bounded by calendar
+    months, never data-sized — the deliberate unpartitioned window is
+    ~84 rows at any corpus size). Change ratio computed in double from
+    identical exact inputs on both engines."""
+    m = (_t(spark, sf_dir, "orders")
+         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("_mo"))
+         .agg(F.sum(_cents("o_totalprice").cast("decimal(38,0)"))
+              .alias("_rev_cents")))
+    w = Window.orderBy("_mo")
+    prev = F.lag("_rev_cents").over(w)
+    return (m.select(
+        F.col("_mo").cast("date").alias("month"),
+        (F.col("_rev_cents").cast("double") / 100.0).alias("revenue"),
+        (prev.cast("double") / 100.0).alias("prev_revenue"),
+        F.round((F.col("_rev_cents") - prev).cast("double")
+                / (prev.cast("double") / 100.0) / 100.0, 9)
+        .alias("mom_change"))
+        .orderBy("month"))
+
+
 @q("trend_ols", """
 WITH s AS (
   SELECT l_returnflag,
