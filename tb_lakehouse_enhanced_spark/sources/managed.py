@@ -773,6 +773,36 @@ class ManagedTable:
             return self.read(version).filter(cond).limit(0).filter(F.lit(False))
         return self.spark.read.parquet(*files).filter(cond)
 
+    def maintain(self, max_files: int = 64, max_mor_commits: int = 8,
+                 target_partitions: int = 8) -> str:
+        """Autonomous table maintenance — the policy half of OPTIMIZE:
+        compact when EITHER debt signal fires, else do nothing.
+
+        - small-file debt: the current snapshot's file count exceeds
+          ``max_files`` (every merge/append leaves one file per shuffle
+          partition; scan task count should track data size, not
+          mutation history);
+        - merge-on-read debt: stacked tombstone+delta commits exceed
+          ``max_mor_commits`` (each one adds read-side resolution work;
+          compaction folds them back into a clean snapshot).
+
+        Returns the action taken ('compact' | 'noop') so schedulers can
+        log it. Cheap to call every batch: the checks read commit
+        metadata and file names only — no data scan unless compaction
+        actually runs.
+        """
+        meta = self._commit(self.current_version())
+        mor_debt = len(meta.get("tombstones") or []) \
+            + len(meta.get("deltas") or [])
+        if mor_debt > max_mor_commits:
+            self.compact(target_partitions)
+            return "compact"
+        n_files = len(self._data_files(meta["dir"]))
+        if n_files > max_files:
+            self.compact(target_partitions)
+            return "compact"
+        return "noop"
+
     # -- bloom-filter file index (Delta bloom index analogue) ----------------
     #
     # min/max stats prune RANGE predicates but are useless for point

@@ -636,3 +636,22 @@ def test_bloom_index_point_lookup_prunes_files(spark, tmp_base):
     # no manifest for another column -> full-scan fallback
     assert t.bloom_pruned_files("id", 7) is None
     assert t.read_where_eq("id", 7).count() == 1
+
+
+def test_maintain_policy_triggers_on_debt(spark, mt):
+    """maintain(): no-op on a healthy table, compacts when stacked MOR
+    commits exceed the budget (folding deltas back into a clean
+    snapshot), and compacts on small-file debt."""
+    assert mt.maintain(max_files=64, max_mor_commits=8) == "noop"
+    for i in range(4):
+        mt.upsert_mor(spark.createDataFrame(
+            [(100 + i, "m", float(i))], ["id", "k", "v"]), key_cols=("id",))
+    before = sorted(map(tuple, mt.read().collect()))
+    assert mt.maintain(max_mor_commits=3) == "compact"
+    meta = mt._commit(mt.current_version())
+    assert "deltas" not in meta and "tombstones" not in meta
+    assert sorted(map(tuple, mt.read().collect())) == before
+    # small-file debt
+    mt.overwrite(mt.read().repartition(16))
+    assert mt.maintain(max_files=4, target_partitions=2) == "compact"
+    assert len(mt._data_files(mt._commit(mt.current_version())["dir"])) <= 2
