@@ -655,3 +655,32 @@ def test_maintain_policy_triggers_on_debt(spark, mt):
     mt.overwrite(mt.read().repartition(16))
     assert mt.maintain(max_files=4, target_partitions=2) == "compact"
     assert len(mt._data_files(mt._commit(mt.current_version())["dir"])) <= 2
+
+
+def test_concurrent_mor_commits_first_writer_wins(spark, mt):
+    """Optimistic concurrency covers the merge-on-read paths: two
+    writers racing to publish the same next version — the loser's
+    upsert_mor/delete_mor raises ConcurrentWriteError and the pointer
+    still names the winner's commit."""
+    from tb_lakehouse_enhanced_spark.sources.managed import (
+        ConcurrentWriteError, ManagedTable,
+    )
+    other = ManagedTable(spark, mt.path)     # second writer, same table
+    batch = spark.createDataFrame([(9, "z", 9.0)], ["id", "k", "v"])
+    mt.upsert_mor(batch, key_cols=("id",))   # winner publishes v1
+    # loser computed against v0 and races for v1: the O_EXCL commit
+    # file must reject it (emulate by forcing the stale parent view)
+    import pytest as _p
+    with _p.raises(ConcurrentWriteError):
+        other._publish(1, {"version": 1, "dir": "v0", "op": "X",
+                           "ts": 0.0})
+    # table state is the winner's
+    assert mt.current_version() == 1
+    assert 9 in {r["id"] for r in mt.read().collect()}
+    # a REAL stale-view race: freeze the loser's version view at v0
+    # and let delete_mor run — its v1 commit file already exists, so
+    # the O_EXCL publish must reject it without moving the pointer
+    other.current_version = lambda: 0
+    with _p.raises(ConcurrentWriteError):
+        other.delete_mor(F.col("id") == 1, key_cols=("id",))
+    assert mt.current_version() == 1
