@@ -1322,7 +1322,8 @@ def dedup_embedding_allpairs_q(spark, sf_dir):
 
 
 @q("pysink_roundtrip", """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id % 5 = 0
 GROUP BY lang
 """)
@@ -1480,7 +1481,8 @@ def merge_mor_q(spark, sf_dir):
 
 
 @q("delta_roundtrip", """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id % 3 = 0
 GROUP BY lang
 """)

@@ -141,12 +141,31 @@ class ManagedTable:
         return os.path.join(self.path, self._commit(v)["dir"])
 
     # -- IO ------------------------------------------------------------------
+    @staticmethod
+    def _has_mor(meta: dict) -> bool:
+        """True when the commit carries merge-on-read state (tombstone
+        and/or delta files) that a raw scan of its data dir would miss."""
+        return bool(meta.get("tombstones") or meta.get("deltas"))
+
     def read(self, version: int | None = None) -> DataFrame:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         meta = self._commit(v)
         df = self.spark.read.parquet(self._version_dir(v))
+        return self._resolve_mor(df, meta)
+
+    def _resolve_mor(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Apply a commit's merge-on-read state on top of a BASE scan.
+
+        ``df`` may be any subset of the base data dir's rows (e.g. a
+        stats- or bloom-pruned file set): delta and tombstone files are
+        always read in full here, and dropping base rows can never
+        change which row wins a key (base rows all carry sequence 0 and
+        keys are unique per batch), so pruned-base resolution followed
+        by the caller's exact filter returns exactly what full
+        resolution + filter would.
+        """
         tombs = meta.get("tombstones") or []
         deltas = meta.get("deltas") or []
         if not tombs and not deltas:
@@ -502,9 +521,20 @@ class ManagedTable:
         """Metadata table: one row per data file of a snapshot (the
         Iceberg ``table.files`` / Delta detail analogue) — path, size,
         row count, partition values parsed from the path. One cheap
-        aggregate over file metadata columns; no data columns read."""
+        aggregate over file metadata columns; no data columns read.
+
+        On a merge-on-read commit this lists the physical base + delta
+        data files (tombstone key files are delete metadata, not data),
+        matching Iceberg's data-file listing; logical row counts come
+        from ``read()``."""
         from pyspark.sql import functions as F
-        df = self.read(version)
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        meta = self._commit(v)
+        paths = [self._version_dir(v)] + [
+            os.path.join(self.path, d) for d in (meta.get("deltas") or [])]
+        df = self.spark.read.parquet(*paths)
         out = (df.groupBy(F.col("_metadata.file_path").alias("file"))
                .agg(F.first("_metadata.file_size").alias("size_bytes"),
                     F.count(F.lit(1)).alias("n_rows")))
@@ -544,10 +574,23 @@ class ManagedTable:
         if not os.path.isdir(os.path.join(self.path, src["dir"])):
             raise FileNotFoundError(
                 f"version {version} of {self.path} was vacuumed")
+        # a merge-on-read commit's logical state = base dir + tombstone/
+        # delta files; the restore commit must reference ALL of them or
+        # deleted rows resurrect and upserted rows vanish
+        mor_refs = (list(src.get("tombstones") or [])
+                    + list(src.get("deltas") or []))
+        for d in mor_refs:
+            if not os.path.isdir(os.path.join(self.path, d)):
+                raise FileNotFoundError(
+                    f"version {version} of {self.path} references {d}, "
+                    f"which was vacuumed")
         v = self.current_version() + 1
-        return self._publish(v, {"version": v, "dir": src["dir"],
-                                 "op": f"RESTORE v{version}",
-                                 "ts": time.time()})
+        meta = {"version": v, "dir": src["dir"],
+                "op": f"RESTORE v{version}", "ts": time.time()}
+        for k in ("tombstones", "deltas", "tombstone_keys"):
+            if src.get(k):
+                meta[k] = src[k]
+        return self._publish(v, meta)
 
     # -- named refs (Iceberg tag analogue) -----------------------------------
     @property
@@ -711,10 +754,18 @@ class ManagedTable:
         Delta's data skipping; parquet row-group stats cover intra-file
         skipping, this covers whole-file pruning *before* any task is
         scheduled). One tiny aggregate job: |files| rows to the driver —
-        at 100 TB the manifest is megabytes while the data is not."""
+        at 100 TB the manifest is megabytes while the data is not.
+
+        Stats are built from (and keyed by) the BASE data dir: on a
+        merge-on-read commit they describe the base files only, and the
+        pruned readers (``read_where``/``read_where_eq``) re-apply the
+        commit's tombstones/deltas on top of the pruned base scan — see
+        ``_resolve_mor`` for why that composition is exact."""
         from pyspark.sql import functions as F
         v = self.current_version() if version is None else version
-        df = self.read(v)
+        if v < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        df = self.spark.read.parquet(self._version_dir(v))
         aggs = []
         for c in stat_cols:
             aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
@@ -762,16 +813,38 @@ class ManagedTable:
         (row groups inside kept files still prune via parquet stats).
         Identical results to ``read().filter(between)``, touching a
         cluster-scale-smaller file set when the layout is clustered on
-        ``col`` (``optimize_layout``)."""
+        ``col`` (``optimize_layout``). On a merge-on-read commit the
+        stats prune the BASE files only and the tombstone/delta
+        resolution is applied on top of the pruned scan (delta files
+        are always read in full), so logically-deleted rows never leak
+        and delta-upserted matches are never missed."""
         from pyspark.sql import functions as F
         cond = F.col(col).between(lo, hi)
-        files = self.pruned_files(col, lo, hi, version)
+        return self._pruned_read(self.pruned_files(col, lo, hi, version),
+                                 cond, version)
+
+    def _pruned_read(self, files: list[str] | None, cond,
+                     version: int | None) -> DataFrame:
+        """Shared tail of the stats-/bloom-pruned readers: scan the kept
+        base files, re-apply any merge-on-read state, exact-filter."""
+        from pyspark.sql import functions as F
+        v = self.current_version() if version is None else version
         if files is None:
-            return self.read(version).filter(cond)
-        if not files:
-            # schema-stable empty relation without scheduling a scan
-            return self.read(version).filter(cond).limit(0).filter(F.lit(False))
-        return self.spark.read.parquet(*files).filter(cond)
+            return self.read(v).filter(cond)
+        meta = self._commit(v)
+        if not self._has_mor(meta):
+            if not files:
+                # schema-stable empty relation without scheduling a scan
+                return (self.read(v).filter(cond)
+                        .limit(0).filter(F.lit(False)))
+            return self.spark.read.parquet(*files).filter(cond)
+        # MOR: even with zero kept base files, delta files may hold
+        # matching rows — resolve over an (empty) base of the right
+        # schema; Catalyst folds filter(false) to an empty relation.
+        base = (self.spark.read.parquet(*files) if files else
+                self.spark.read.parquet(self._version_dir(v))
+                .filter(F.lit(False)))
+        return self._resolve_mor(base, meta).filter(cond)
 
     def maintain(self, max_files: int = 64, max_mor_commits: int = 8,
                  target_partitions: int = 8) -> str:
@@ -816,7 +889,11 @@ class ManagedTable:
     # is |files| * m_bits/8 bytes — megabytes where the data is not.
 
     def _bloom_file(self, v: int, col: str) -> str:
-        return os.path.join(self.path, f"_bloom_v{v}_{col}.json")
+        # keyed by DATA DIR like the stats manifest: merge-on-read and
+        # restore commits reuse their parent's base dir, whose files —
+        # the only thing the filter describes — are unchanged
+        return os.path.join(
+            self.path, f"_bloom_{self._commit(v)['dir']}_{col}.json")
 
     def _bloom_positions(self, col_expr, m_bits: int, k: int):
         """k bit positions per row: pmod(xxhash64(seed_i, col), m)."""
@@ -829,10 +906,19 @@ class ManagedTable:
                       version: int | None = None) -> dict:
         """Build the per-file Bloom manifest for point lookups on
         ``col``. False-positive rate ~ (1 - e^(-k*n/m))^k; size the
-        bits per expected distinct values per file."""
+        bits per expected distinct values per file.
+
+        Built from the BASE data dir (like ``analyze``): on a
+        merge-on-read commit the filter describes base files only and
+        ``read_where_eq`` re-applies tombstones/deltas on the pruned
+        scan."""
         from pyspark.sql import functions as F
         v = self.current_version() if version is None else version
-        df = self.read(v).filter(F.col(col).isNotNull())
+        if v < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        df = (self.spark.read.parquet(self._version_dir(v))
+              .filter(F.col(col).isNotNull()))
+        col_type = dict(df.dtypes)[col]
         words = (df.select(F.col("_metadata.file_path").alias("file"),
                            F.explode(self._bloom_positions(
                                F.col(col), m_bits, k)).alias("p"))
@@ -846,7 +932,8 @@ class ManagedTable:
         files: dict[str, list[int]] = {}
         for r in words:
             files.setdefault(r["file"], [0] * n_words)[r["w"]] = int(r["bits"])
-        payload = {"column": col, "m_bits": m_bits, "k": k, "files": files}
+        payload = {"column": col, "col_type": col_type,
+                   "m_bits": m_bits, "k": k, "files": files}
         with open(self._bloom_file(v, col), "w") as f:
             json.dump(payload, f)
         return payload
@@ -865,8 +952,14 @@ class ManagedTable:
                 bloom = json.load(f)
         except FileNotFoundError:
             return None
+        # cast the probe literal to the COLUMN's type: xxhash64 is
+        # type-sensitive (int 45 and bigint 45 hash differently), and
+        # the build hashed column-typed values
+        probe = F.lit(value)
+        if bloom.get("col_type"):
+            probe = probe.cast(bloom["col_type"])
         positions = self.spark.range(1).select(
-            self._bloom_positions(F.lit(value), bloom["m_bits"], bloom["k"])
+            self._bloom_positions(probe, bloom["m_bits"], bloom["k"])
             .alias("p")).collect()[0]["p"]
         keep = []
         for file, words in bloom["files"].items():
@@ -879,15 +972,13 @@ class ManagedTable:
         """Point lookup with Bloom file skipping: scan only the files
         whose filter fires, then apply the exact predicate (false
         positives are filtered, never returned). Identical results to
-        ``read().filter(col = value)``."""
+        ``read().filter(col = value)`` — including on merge-on-read
+        commits, where the pruned base scan goes through the same
+        tombstone/delta resolution as ``read`` (see ``_pruned_read``)."""
         from pyspark.sql import functions as F
         cond = F.col(col) == F.lit(value)
-        files = self.bloom_pruned_files(col, value, version)
-        if files is None:
-            return self.read(version).filter(cond)
-        if not files:
-            return self.read(version).filter(cond).limit(0).filter(F.lit(False))
-        return self.spark.read.parquet(*files).filter(cond)
+        return self._pruned_read(self.bloom_pruned_files(col, value, version),
+                                 cond, version)
 
     # -- change data feed ----------------------------------------------------
     def changes(self, from_version: int, to_version: int | None = None,
@@ -918,8 +1009,17 @@ class ManagedTable:
         into the new version dir — zero bytes copied, so UPDATE/DELETE
         cost scales with the touched data, not the table. A condition
         matching nothing commits nothing (no-op, like Delta).
+
+        A parent commit carrying merge-on-read state cannot take the
+        hardlink shortcut: untouched partition dirs hold UNRESOLVED base
+        files (tombstoned rows still present, delta rows absent), so the
+        rewrite materializes the full resolved snapshot instead — one
+        compaction-priced commit that also purges the MOR debt. Run
+        ``compact()`` first to keep DML partition-scoped.
         """
         from pyspark.sql import functions as F
+        if self.exists() and self._has_mor(self._commit(self.current_version())):
+            return self.overwrite(rewrite_fn(self.read()), operation)
         if not self.partition_by:
             return self.overwrite(rewrite_fn(self.read()), operation)
         df = self.read()
@@ -1021,7 +1121,13 @@ class ManagedTable:
         if not self.exists():
             return self.overwrite(merge_fn(None, source, cfg, load_ts),
                                   operation=f"MERGE_{kind.upper()}")
-        if not self.partition_by:
+        # merge-on-read parent: untouched partitions would hardlink
+        # UNRESOLVED base files (resurrecting tombstoned rows, dropping
+        # delta upserts) — materialize the full resolved merge instead,
+        # which also purges the MOR debt. compact() first keeps the
+        # merge partition-scoped.
+        if not self.partition_by \
+                or self._has_mor(self._commit(self.current_version())):
             return self.overwrite(
                 merge_fn(self.read(), source, cfg, load_ts),
                 operation=f"MERGE_{kind.upper()}")
@@ -1101,6 +1207,11 @@ class ManagedTable:
             full = scd2_merge(None, source, cfg, load_ts)
             return self.overwrite(full.withColumn(flag_col, flag),
                                   operation="MERGE_SCD2")
+        if self._has_mor(self._commit(self.current_version())):
+            # the history-hardlink step below copies RAW base files;
+            # fold outstanding tombstones/deltas into a clean snapshot
+            # first so no merge-on-read state is silently dropped
+            self.compact()
         cur = (self.read().filter(F.col(flag_col) == 1).drop(flag_col))
         merged = scd2_merge(cur, source, cfg, load_ts)
         out = merged.withColumn(flag_col, flag)
@@ -1180,6 +1291,14 @@ class ManagedTable:
         if not self.partition_by:
             raise ValueError("table is not partitioned")
         curv = self.current_version()
+        if self._has_mor(self._commit(curv)):
+            # per-partition dirs hold UNRESOLVED base files; compacting
+            # some and hardlinking the rest would drop tombstones/deltas
+            # everywhere. The MOR debt is table-wide — resolve it first.
+            raise ValueError(
+                f"{self.path} has merge-on-read state (tombstones/deltas); "
+                f"run compact() to materialize it before "
+                f"compact_partitions()")
         v = curv + 1
         vdir = os.path.join(self.path, f"v{v}")
         prev = self._version_dir(curv)

@@ -684,3 +684,120 @@ def test_concurrent_mor_commits_first_writer_wins(spark, mt):
     with _p.raises(ConcurrentWriteError):
         other.delete_mor(F.col("id") == 1, key_cols=("id",))
     assert mt.current_version() == 1
+
+
+def test_pruned_reads_respect_mor_state(spark, tmp_base):
+    """Stats/bloom file skipping must compose with merge-on-read state:
+    manifests built BEFORE a MOR commit (they key on the base data dir,
+    which MOR commits reuse) prune base files only, and the pruned scan
+    re-applies tombstones/deltas — deleted rows never leak, upserted
+    rows are never missed."""
+    t = ManagedTable(spark, f"{tmp_base}/morstats")
+    t.overwrite(spark.range(0, 200).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v").repartition(4))
+    t.analyze(("id",))
+    t.analyze_bloom("id", m_bits=4096, k=4)
+
+    # MOR delete of ids [50, 60): stats built at v0 still resolve
+    t.delete_mor((F.col("id") >= 50) & (F.col("id") < 60), key_cols=("id",))
+    got = sorted(r["id"] for r in t.read_where("id", 40, 70).collect())
+    assert got == list(range(40, 50)) + list(range(60, 71))
+    assert t.read_where_eq("id", 55).count() == 0           # tombstoned
+    assert t.read_where_eq("id", 45).count() == 1
+
+    # MOR upsert shadows id=45 and inserts id=1000 (out of any base
+    # file's stats range — must still be found)
+    t.upsert_mor(spark.createDataFrame(
+        [(45, -1.0), (1000, 7.0)], "id long, v double"), key_cols=("id",))
+    assert t.read_where("id", 40, 50).filter("id = 45") \
+        .collect()[0]["v"] == -1.0
+    assert t.read_where("id", 900, 1100).collect()[0]["id"] == 1000
+    assert t.read_where_eq("id", 1000).count() == 1
+    assert t.read_where_eq("id", 55).count() == 0
+    # pruned reads match the unpruned reference exactly
+    ref = sorted(map(tuple, t.read().filter(
+        F.col("id").between(0, 2000)).collect()))
+    assert sorted(map(tuple, t.read_where("id", 0, 2000).collect())) == ref
+
+    # manifests are buildable AT a MOR version too (base-dir scan —
+    # no ambiguous _metadata through the resolution joins)
+    t.analyze(("v",))
+    t.analyze_bloom("v", m_bits=2048, k=4)
+    assert t.read_where_eq("v", -1.0).collect()[0]["id"] == 45
+
+    # files() on a MOR commit lists base + delta data files
+    files = [r["file"] for r in t.files().collect()]
+    assert any("delta_v" in f for f in files)
+    assert any("/v0/" in f for f in files)
+
+
+def test_partitioned_cow_paths_materialize_mor_state(spark, tmp_base):
+    """Partition-scoped UPDATE/DELETE/MERGE on a table holding
+    merge-on-read state must not resurrect tombstoned rows or drop
+    delta upserts via the untouched-partition hardlinks: they
+    materialize the resolved snapshot (and purge the MOR debt)."""
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    t = ManagedTable(spark, f"{tmp_base}/morcow", partition_by=("pt",))
+    t.overwrite(spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(90)],
+        "k long, pt int, v double"))
+    # MOR state: delete k=0 (pt=0), upsert k=1 (pt=1) with v=-1
+    t.delete_mor(F.col("k") == 0, key_cols=("k",))
+    t.upsert_mor(spark.createDataFrame([(1, 1, -1.0)],
+                                       "k long, pt int, v double"),
+                 key_cols=("k",))
+
+    # UPDATE touching ONLY pt=2 — pt=0/pt=1 are "untouched", yet the
+    # tombstone and the delta row must survive
+    t.update(F.col("pt") == 2, {"v": F.col("v") + 100})
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 0 not in rows                 # tombstone not resurrected
+    assert rows[1] == -1.0               # delta upsert not dropped
+    assert rows[2] == 102.0              # the update itself applied
+    meta = t.history()[0]
+    assert not meta.get("tombstones") and not meta.get("deltas")
+
+    # same for partition-scoped MERGE
+    t.delete_mor(F.col("k") == 3, key_cols=("k",))
+    cfg = ScdConfig(keys=("k",), tracked=("v",))
+    t.merge_into(spark.createDataFrame([(4, 1, -4.0)],
+                                       "k long, pt int, v double"),
+                 cfg, "2024-01-01 00:00:00")
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 3 not in rows and rows[4] == -4.0
+    assert not t.history()[0].get("tombstones")
+
+    # compact_partitions refuses while MOR debt is outstanding
+    t.delete_mor(F.col("k") == 5, key_cols=("k",))
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t.compact_partitions(["pt=0"])
+    t.compact()
+    t.compact_partitions(["pt=0"])       # clean again
+    assert 5 not in {r["k"] for r in t.read().collect()}
+
+
+def test_restore_to_mor_version_preserves_state(spark, mt):
+    """RESTORE to a merge-on-read commit carries its tombstones/deltas
+    into the new commit — the restored logical rows, not the raw base
+    files."""
+    mt.delete_mor(F.col("id") == 1, key_cols=("id",))            # v1
+    mt.upsert_mor(spark.createDataFrame([(4, "d", 40.0)],
+                                        ["id", "k", "v"]),
+                  key_cols=("id",))                              # v2
+    mor_rows = sorted(r["id"] for r in mt.read().collect())
+    assert mor_rows == [2, 3, 4]
+    mt.overwrite(spark.createDataFrame([(9, "x", 9.0)],
+                                       ["id", "k", "v"]))        # v3
+    mt.restore(2)                                                # v4
+    assert sorted(r["id"] for r in mt.read().collect()) == [2, 3, 4]
+    meta = mt.history()[0]
+    assert meta["tombstones"] and meta["deltas"]
+    # the delta mirror marks the restored MOR state as unreadable for
+    # plain readers (protocol v3), same as the original MOR commits
+    import json as _json
+    import os as _os
+    entry = _os.path.join(mt.path, "_delta_log", f"{4:020d}.json")
+    with open(entry) as f:
+        acts = [_json.loads(line) for line in f if line.strip()]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
