@@ -34,7 +34,11 @@ def range_join(points: DataFrame, intervals: DataFrame,
     i = intervals.withColumn(
         "_buckets",
         F.sequence(day_bucket(F.col(start_col)), day_bucket(F.col(end_col))))
-    i = i.withColumn("_ib", F.explode("_buckets")).drop("_buckets")
+    # explode_OUTER: a NULL-bounded interval (sequence -> NULL) keeps
+    # one row with a NULL bucket — it can never equi-match (correct:
+    # SQL comparison against its NULL bound is never true) but it stays
+    # present for outer joins instead of silently vanishing
+    i = i.withColumn("_ib", F.explode_outer("_buckets")).drop("_buckets")
 
     # the interval predicate lives INSIDE the join condition: with an
     # outer join a post-filter would silently drop never-matched
@@ -76,13 +80,18 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     aggregates, or use how='inner' for row-level output. Work scales
     with sum-of-buckets-per-interval, never |left| x |right|; column
     names must not collide (alias first).
+
+    NULL-bounded intervals match nothing (SQL semantics: a comparison
+    against the NULL bound is never true) but are PRESERVED under outer
+    joins as never-matched rows — the outer explode keeps them on a
+    NULL bucket instead of dropping them with the empty sequence.
     """
     lb = _day_bucket(F.col(l_start), bucket_width_days)
     le = _day_bucket(F.col(l_end), bucket_width_days)
     rb = _day_bucket(F.col(r_start), bucket_width_days)
     re = _day_bucket(F.col(r_end), bucket_width_days)
-    l = left.withColumn("_lb", F.explode(F.sequence(lb, le)))
-    r = right.withColumn("_rb", F.explode(F.sequence(rb, re)))
+    l = left.withColumn("_lb", F.explode_outer(F.sequence(lb, le)))
+    r = right.withColumn("_rb", F.explode_outer(F.sequence(rb, re)))
     cond = ((F.col("_lb") == F.col("_rb"))
             & (F.col(l_start) < F.col(r_end))
             & (F.col(r_start) < F.col(l_end))

@@ -16,11 +16,12 @@ engine without touching the JVM (the role the reference's managed-table
   invisible until a manifest names them (the same visibility rule
   Delta's log provides). ``abort`` deletes the named files.
 - ``DataSourceStreamWriter``: same task-side write; ``commit`` runs
-  once per micro-batch with the batch id and is IDEMPOTENT — a replayed
-  epoch (restart re-runs the last uncommitted batch) sees its marker in
-  ``_epochs/`` and re-commits the SAME file set recorded there rather
-  than appending duplicates, giving exactly-once table contents on at-
-  least-once batch delivery.
+  once per micro-batch with the batch id and is IDEMPOTENT — the
+  applied-batch high-water mark is recorded INSIDE the manifest, in the
+  same atomic rename that publishes the batch's files, so a replayed
+  epoch (restart re-runs the last uncommitted batch) is detected and
+  dropped instead of appending duplicates — exactly-once table contents
+  on at-least-once batch delivery, with no two-file commit window.
 - ``DataSourceReader``: schema comes from the manifest (recorded at
   write time), one input partition per committed file — a 1000-file
   table reads 1000-way parallel.
@@ -135,36 +136,41 @@ class JsonlWriter(DataSourceWriter):
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
-    """Per-micro-batch append with epoch-marker idempotence."""
+    """Per-micro-batch append with manifest-recorded idempotence.
+
+    The applied-batch high-water mark lives INSIDE the manifest, so a
+    batch's files and its applied marker become visible in the same
+    atomic rename — there is no window where a crash leaves the files
+    committed but the batch unmarked (which would make the replayed
+    epoch append duplicates). Batch ids are monotonic within a
+    checkpoint lineage, so `batchId <= last_batch` means already
+    applied; one sink path therefore binds to one checkpoint lineage
+    (restarting with a FRESH checkpoint against the same path must use
+    a new path, as with any idempotent sink keyed by batch id).
+    """
 
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.schema_json = schema.json()
-        os.makedirs(os.path.join(path, "_epochs"), exist_ok=True)
+        os.makedirs(path, exist_ok=True)
 
     def write(self, iterator):
         return JsonlWriter(self.path, StructType.fromJson(
             json.loads(self.schema_json)), overwrite=False).write(iterator)
 
-    def _epoch_marker(self, batch_id: int) -> str:
-        return os.path.join(self.path, "_epochs", f"{batch_id}.json")
-
     def commit(self, messages, batchId):
-        marker = self._epoch_marker(batchId)
-        if os.path.exists(marker):
+        old = _read_manifest(self.path)
+        if batchId <= old.get("last_batch", -1):
             # replayed epoch: drop this attempt's files, keep the
             # committed attempt's — table contents stay exactly-once
             self.abort(messages, batchId)
             return
         new_files = [m.file for m in messages if m is not None]
-        with open(marker + ".tmp", "w") as f:
-            json.dump({"batch": batchId, "files": new_files}, f)
-        old = _read_manifest(self.path)
         _write_manifest(self.path, {
             "version": old["version"] + 1,
             "files": old["files"] + new_files,
-            "schema": self.schema_json})
-        os.replace(marker + ".tmp", marker)
+            "schema": self.schema_json,
+            "last_batch": batchId})
 
     def abort(self, messages, batchId):
         for m in messages:

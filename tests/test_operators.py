@@ -802,6 +802,39 @@ def test_interval_overlap_join_differential_and_outer(spark):
                .agg(F.count("b_key").alias("n_matches")).collect())
     assert {r.a_key: r.n_matches for r in per_key} == {1: 3, 2: 2, 3: 0}
 
+    # NULL-bounded intervals: match nothing (SQL comparison with the
+    # NULL bound is never true) yet SURVIVE outer joins — the outer
+    # explode keeps them on a NULL bucket instead of dropping the row
+    # with the empty sequence
+    an = a.unionByName(spark.createDataFrame(
+        [(4, None, "2024-02-01"), (5, "2024-02-01", None)],
+        ["a_key", "s", "e"]).selectExpr(
+        "a_key", "CAST(s AS DATE) AS a_start", "CAST(e AS DATE) AS a_end"))
+    inner_n = sorted(set((r.a_key, r.b_key) for r in
+                         interval_overlap_join(an, b, "a_start", "a_end",
+                                               "b_start", "b_end").collect()))
+    assert inner_n == [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20)]
+    outer_n = interval_overlap_join(an, b, "a_start", "a_end",
+                                    "b_start", "b_end", how="left_outer")
+    per_key = {r.a_key: r.n_matches for r in
+               outer_n.groupBy("a_key")
+               .agg(F.count("b_key").alias("n_matches")).collect()}
+    assert per_key == {1: 3, 2: 2, 3: 0, 4: 0, 5: 0}
+
+    # same contract for the point-in-interval range_join
+    from tb_lakehouse_enhanced_spark.operators.rangejoin import range_join
+    pts = spark.createDataFrame([(100, "2024-02-11")], ["p_key", "t"]) \
+        .selectExpr("p_key", "CAST(t AS TIMESTAMP) AS pt")
+    iv = spark.createDataFrame(
+        [(1, "2024-02-01", "2024-03-01"), (2, None, "2024-03-01")],
+        ["i_key", "s", "e"]).selectExpr(
+        "i_key", "CAST(s AS TIMESTAMP) AS i_start",
+        "CAST(e AS TIMESTAMP) AS i_end")
+    ro = range_join(pts, iv, "pt", "i_start", "i_end", how="right_outer")
+    per_iv = {r.i_key: r.n for r in
+              ro.groupBy("i_key").agg(F.count("p_key").alias("n")).collect()}
+    assert per_iv == {1: 1, 2: 0}
+
 
 def test_ivfpq_index_recall_and_prune(spark, tmp_path):
     """IVF-PQ serving index: probe recall vs exact top-k after the

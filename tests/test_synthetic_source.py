@@ -133,10 +133,8 @@ def test_jsonl_store_uncommitted_files_invisible(spark, tmp_path):
 def test_jsonl_store_stream_writer_exactly_once(spark, tmp_path):
     """DataSourceStreamWriter: the synthetic stream source feeds the
     jsonl_store sink; contents equal the batch generation, and replaying
-    a committed epoch (idempotence marker) adds no duplicate rows."""
-    import glob
-    import json as _json
-
+    a committed epoch (batch id recorded atomically in the manifest)
+    adds no duplicate rows."""
     from tb_lakehouse_enhanced_spark.sources.jsonl_store import (
         JsonlStreamWriter, _FileCommit, _read_manifest,
     )
@@ -158,11 +156,12 @@ def test_jsonl_store_stream_writer_exactly_once(spark, tmp_path):
     assert got.count() == 260
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     # replay a committed epoch: same batchId, a fresh attempt file ->
-    # commit must drop the attempt and leave the manifest unchanged
-    epochs = sorted(glob.glob(f"{path}/_epochs/*.json"))
-    assert epochs, "stream committed no epochs"
-    batch_id = _json.load(open(epochs[0]))["batch"]
+    # commit must drop the attempt and leave the manifest unchanged.
+    # The applied mark and the file list commit in ONE atomic rename,
+    # so no crash window can commit files without marking the batch.
     before = _read_manifest(path)
+    batch_id = before["last_batch"]
+    assert batch_id >= 0, "stream committed no batches"
     w = JsonlStreamWriter(path, got.schema)
     with open(f"{path}/part-replayed.jsonl", "w") as f:
         f.write('{"doc_id": 0}\n')
