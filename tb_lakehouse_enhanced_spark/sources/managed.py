@@ -188,26 +188,27 @@ class ManagedTable:
         # correctly). This is the classic MOR read amplification — one
         # window shuffle on the key — purged by the next copy-on-write
         # commit (compact/overwrite materialize through this read).
-        def seq_of(d: str) -> int:
-            return int(d.rsplit("_v", 1)[1])
-        rows = df.withColumn("_mor_seq", F.lit(0).cast("long"))
-        for d in deltas:
-            rows = rows.unionByName(
-                self.spark.read.parquet(os.path.join(self.path, d))
-                .withColumn("_mor_seq", F.lit(seq_of(d)).cast("long")))
+        #
+        # ALL stacked delta dirs are read by ONE multi-path scan (and
+        # tombstone dirs by another), with each row's commit sequence
+        # parsed from its file path — so k stacked MOR commits cost one
+        # extra scan node, not a k-way union lineage.
+        seq_from_path = F.regexp_extract(
+            F.col("_metadata.file_path"), r"(?:delta|tomb)_v(\d+)/", 1) \
+            .cast("long")
+        delta_rows = (self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in deltas])
+            .withColumn("_mor_seq", seq_from_path))
+        rows = df.withColumn("_mor_seq", F.lit(0).cast("long")) \
+            .unionByName(delta_rows)
         w = Window.partitionBy(*keys).orderBy(F.desc("_mor_seq"))
         winner = (rows.withColumn("_mor_rn", F.row_number().over(w))
                   .filter(F.col("_mor_rn") == 1))
         if tombs:
-            tomb = None
-            for t in tombs:
-                part = (self.spark.read.parquet(os.path.join(self.path, t))
-                        .select(*keys)
-                        .withColumn("_mor_tseq",
-                                    F.lit(seq_of(t)).cast("long")))
-                tomb = part if tomb is None else tomb.unionByName(part)
-            tomb = tomb.groupBy(*keys).agg(
-                F.max("_mor_tseq").alias("_mor_tseq"))
+            tomb = (self.spark.read.parquet(
+                *[os.path.join(self.path, t) for t in tombs])
+                .withColumn("_mor_tseq", seq_from_path)
+                .groupBy(*keys).agg(F.max("_mor_tseq").alias("_mor_tseq")))
             winner = (winner.join(tomb, keys, "left_outer")
                       .filter(F.col("_mor_tseq").isNull()
                               | (F.col("_mor_tseq") < F.col("_mor_seq"))))
