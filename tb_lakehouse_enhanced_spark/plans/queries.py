@@ -2586,6 +2586,41 @@ def fuzzy_match_q(spark, sf_dir):
                        block_cols=[("d_nation", "c_nationkey")])
 
 
+@q("edit_distance_join", """
+WITH clean AS (
+  SELECT MIN(p_partkey) AS c_id, p_name FROM part GROUP BY p_name
+), dirty AS (
+  SELECT c_id + 100000 AS d_id,
+         CASE WHEN length(p_name) % 2 = 0
+              THEN substring(p_name, 1, length(p_name) - 1)
+              ELSE p_name || 'x' END AS d_name
+  FROM clean
+)
+SELECT d.d_id, c.c_id,
+       CAST(levenshtein(d.d_name, c.p_name) AS INT) AS distance
+FROM dirty d, clean c
+WHERE levenshtein(d.d_name, c.p_name) <= 1
+""")
+def edit_distance_join_q(spark, sf_dir):
+    """Exact edit-distance similarity join WITHOUT user blocking
+    (operators/editjoin.py::edit_distance_join): a typo'd product feed
+    re-links to the clean name list via PassJoin-style lossless segment
+    blocking. The oracle is the brute-force all-pairs Levenshtein
+    filter — the engine's blocked plan must reproduce it exactly."""
+    from ..operators.editjoin import edit_distance_join
+    clean = (_t(spark, sf_dir, "part")
+             .groupBy("p_name")
+             .agg(F.min("p_partkey").alias("c_id")))
+    dirty = clean.select(
+        (F.col("c_id") + 100000).alias("d_id"),
+        F.when(F.length("p_name") % 2 == 0,
+               F.expr("substring(p_name, 1, length(p_name) - 1)"))
+        .otherwise(F.concat(F.col("p_name"), F.lit("x")))
+        .alias("d_name"))
+    return edit_distance_join(dirty, clean, "d_id", "d_name",
+                              "c_id", "p_name", max_distance=1)
+
+
 @q("window_panel", """
 WITH o AS (
   SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders

@@ -862,3 +862,40 @@ def test_ivfpq_index_recall_and_prune(spark, tmp_path):
     # entry on ivf_list (not a post-scan filter)
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_list" in plan
+
+
+def test_edit_distance_join_differential(spark):
+    """PassJoin-style segment-blocked edit-distance join equals the
+    brute-force all-pairs filter at d = 0, 1, 2 — including the short-
+    and empty-string edge cases where the pigeonhole argument needs the
+    dedicated direct-pair branch."""
+    import functools
+    import random
+
+    from tb_lakehouse_enhanced_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    @functools.lru_cache(maxsize=None)
+    def lev(a, b):
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        return min(lev(a[1:], b) + 1, lev(a, b[1:]) + 1,
+                   lev(a[1:], b[1:]) + (a[0] != b[0]))
+
+    rng = random.Random(7)
+    words = ["", "a", "b", "ab", "ba", "abc", "abcd", "xabc", "abca"] + \
+        ["".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+         for _ in range(60)]
+    L = list(enumerate(dict.fromkeys(words)))
+    R = [(j + 1000, w) for j, (_, w) in enumerate(L)]
+    ldf = spark.createDataFrame(L, "lid long, ls string")
+    rdf = spark.createDataFrame(R, "rid long, rs string")
+    for d in (0, 1, 2):
+        got = sorted(tuple(r) for r in edit_distance_join(
+            ldf, rdf, "lid", "ls", "rid", "rs", d).collect())
+        want = sorted((i, j, lev(a, b))
+                      for i, a in L for j, b in R if lev(a, b) <= d)
+        assert got == want, f"d={d}"
