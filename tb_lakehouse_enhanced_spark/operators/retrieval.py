@@ -214,3 +214,140 @@ SELECT doc_id,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM fused ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------- index -----
+#
+# bm25_topk recomputes tf/df/dl from the corpus per query — right for
+# exploration, wrong for SERVING many queries against a fixed corpus.
+# The persisted formulation mirrors what the IVF-PQ index does for
+# dense vectors (operators/similarity.py): pay one indexing pass, then
+# answer each probe from a partition-pruned fraction of the index.
+#
+# Layout: one parquet posting list partitioned by term_bucket =
+# pmod(xxhash64(term), n_buckets) with rows (term, doc_id, tf, dl, df)
+# — df and dl are denormalized onto each posting so a probe needs NO
+# join — plus a tiny JSON for the corpus constants (N, Σdl). A probe
+# hashes its terms through the SAME Spark expression the build used,
+# scans only the matching bucket directories (PartitionFilters — the
+# plan gate asserts it), and aggregates per doc.
+#
+# Determinism: the serving score quantizes each posting's contribution
+# to floor(contrib * 1e6) BEFORE the per-doc sum, so the aggregate is
+# an integer sum — order-independent, engine-exact — where bm25_topk
+# quantizes after its fixed-order expression sum. The two rankings can
+# therefore differ in ulp-tie corners; each is deterministic and each
+# has its own oracle mirror.
+
+def _bucket_expr(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets))
+
+
+def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> dict:
+    """One indexing pass: explode tokens -> (term, doc) tf counts,
+    per-term df joined on (one shuffle on term — the posting-list
+    grain), written bucket-partitioned. Returns the stats dict."""
+    import json as _json
+    import os as _os
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    base = base.withColumn("dl", F.size("_toks").cast("double"))
+    posts = (base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+             .groupBy("term", "doc_id", "dl")
+             .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    stats_row = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dl").alias("sumdl")).collect()[0]
+    (posts.join(dfreq, "term")
+     .withColumn("term_bucket", _bucket_expr(F.col("term"), n_buckets))
+     .write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(_os.path.join(path, "postings")))
+    stats = {"n": float(stats_row["n"]), "sumdl": float(stats_row["sumdl"]),
+             "n_buckets": n_buckets}
+    with open(_os.path.join(path, "_bm25_stats.json"), "w") as f:
+        _json.dump(stats, f)
+    return stats
+
+
+def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
+               k1: float = K1, b: float = B) -> DataFrame:
+    """Serve one query from the persisted index: scan ONLY the probe
+    terms' bucket partitions, score each posting, integer-sum per doc.
+
+    Returns (doc_id, rank) like ``bm25_topk`` (see the determinism
+    note above on why the two rankings may differ at ulp ties)."""
+    import json as _json
+    import os as _os
+    if not terms:
+        raise ValueError("need at least one probe term")
+    with open(_os.path.join(path, "_bm25_stats.json")) as f:
+        stats = _json.load(f)
+    n, sumdl = stats["n"], stats["sumdl"]
+    # hash probe terms through the build's own Spark expression (never
+    # reimplement the engine hash driver-side — same rule as the bloom
+    # index probe)
+    buckets = sorted({r["b"] for r in spark.createDataFrame(
+        [(t,) for t in terms], "term string")
+        .select(_bucket_expr(F.col("term"), stats["n_buckets"]).alias("b"))
+        .collect()})
+    posts = (spark.read.parquet(_os.path.join(path, "postings"))
+             .filter(F.col("term_bucket").isin(buckets)
+                     & F.col("term").isin(terms)))
+    avgdl = sumdl / n
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = (idf * F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                             + F.lit(b) * F.col("dl")
+                                             / F.lit(avgdl))))
+    qcontrib = F.floor(contrib * F.lit(1e6)).cast("bigint")
+    scored = (posts.select("doc_id", qcontrib.alias("_qc"))
+              .groupBy("doc_id").agg(F.sum("_qc").alias("_score")))
+    topk = (scored.orderBy(F.desc("_score"), F.asc("doc_id")).limit(k))
+    w = Window.orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("doc_id", "rank"))
+
+
+def bm25_indexed_oracle_sql(terms: list[str], k: int = 50,
+                            k1: float = K1, b: float = B) -> str:
+    """DuckDB mirror of ``bm25_probe`` semantics computed from the raw
+    ``documents`` view (the oracle needs no index — same postings, same
+    per-posting quantization, same integer sum)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), toks AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS term FROM base
+), posts AS (
+  SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ({term_list})
+  GROUP BY term, doc_id, dl
+), dfreq AS (
+  -- df over the FULL corpus posting list, like the index build
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(len(t) AS DOUBLE)) AS sumdl
+  FROM base
+), contrib AS (
+  SELECT p.doc_id,
+         CAST(floor(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * {k1 + 1.0!r}
+           / (p.tf + {k1!r} * (1.0 - {b!r} + {b!r} * p.dl / (s.sumdl / s.n)))
+           * 1000000.0) AS BIGINT) AS qc
+  FROM posts p JOIN dfreq d ON d.term = p.term, stats s
+), scored AS (
+  SELECT doc_id, SUM(qc) AS score FROM contrib GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""

@@ -3789,6 +3789,28 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
 
 
+from ..operators.retrieval import (  # noqa: E402
+    bm25_indexed_oracle_sql as _bm25_idx_sql,
+)
+
+
+@q("search_bm25_indexed", _bm25_idx_sql(_BM25_TERMS, k=50))
+def search_bm25_indexed(spark, sf_dir):
+    """BM25 SERVING path: the corpus indexes ONCE into a bucket-
+    partitioned posting list (term_bucket = pmod(xxhash64(term), B)),
+    then the probe scans only its terms' bucket directories
+    (PartitionFilters — plan-gated in test_plans.py) and integer-sums
+    per-posting quantized contributions — the lexical mirror of the
+    IVF-PQ dense serving index. Oracle computes the same posting
+    algebra from the raw table."""
+    import tempfile as _tf
+
+    from ..operators.retrieval import bm25_probe, build_bm25_index
+    path = _tf.mkdtemp(prefix="tb_bm25_idx_")
+    build_bm25_index(_t(spark, sf_dir, "documents"), path, n_buckets=64)
+    return bm25_probe(spark, path, _BM25_TERMS, k=50)
+
+
 from ..operators.retrieval import hybrid_rrf_oracle_sql as _hybrid_sql  # noqa: E402
 
 

@@ -467,3 +467,29 @@ def test_mor_read_single_exchange_resolution(spark, tmp_path):
     n_exchanges = plan.count("Exchange hashpartitioning(id")
     assert n_exchanges == 1, plan[:2000]
     assert df.count() == 100
+
+
+def test_bm25_index_probe_prunes_partitions(spark, tmp_path):
+    """The BM25 serving-index scale claim made physical: postings are
+    written partitioned by term_bucket and a probe's bucket predicate
+    must land as a PartitionFilter — the scan reads the probe terms'
+    buckets, never the whole posting list."""
+    from tb_lakehouse_enhanced_spark.operators.retrieval import (
+        bm25_probe, bm25_topk, build_bm25_index,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    build_bm25_index(docs, path, n_buckets=32)
+    terms = ["customer", "window", "merge", "slow"]
+    df = bm25_probe(spark, path, terms, k=20)
+    plan = _full(df)
+    assert "term_bucket" in plan.split("PartitionFilters")[-1][:300]
+    rows = df.collect()
+    assert len(rows) == 20 and all(r.rank <= 20 for r in rows)
+    # serving ranks agree with the per-query scan formulation up to
+    # quantization-order ties: identical top sets on this corpus
+    direct = {r.doc_id for r in bm25_topk(docs, terms, k=20).collect()}
+    assert {r.doc_id for r in rows} == direct
+    # deterministic across probes
+    again = sorted(map(tuple, bm25_probe(spark, path, terms, k=20).collect()))
+    assert sorted(map(tuple, rows)) == again
