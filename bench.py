@@ -43,6 +43,10 @@ HEADLINE = [
     # temporal weighting, association mining, sequence packing
     "search_bm25", "hierarchy_flatten", "time_weighted_avg", "assoc_lift",
     "pack_context",
+    # round-5 families: persisted bucket-pruned BM25 serving index
+    # (build + probe measured together) and the lossless segment-blocked
+    # edit-distance join
+    "search_bm25_indexed", "edit_distance_join",
 ]
 
 

@@ -4374,15 +4374,20 @@ _PRIORITY = [
     # the tpch shapes; finer filter_where_in moved below the fold in
     # favor of incremental view maintenance
     "filter_current", "incremental_agg",
-    # joins
+    # joins — round 5 rotates range_join below the fold (the bucketed
+    # range-join family stays in-window via interval_overlap, and
+    # range_join stays locally oracle-checked) in favor of the new
+    # lossless edit-distance similarity join
     "join_fact_chain", "join_dim_lookup", "join_semi_anti",
-    "asof_join", "range_join",
+    "asof_join", "edit_distance_join",
     # fact build + star aggregates
     "fact_projection", "star_agg_sales_by_geo", "star_agg_by_month",
     # aggregation family
     # quantile_panel supersedes agg_median in-window (same
-    # percentile family, four exact grains per group)
-    "agg_rollup", "agg_pivot", "quantile_panel", "agg_salted",
+    # percentile family, four exact grains per group); round 5 rotates
+    # agg_pivot below the fold (rollup keeps the multi-grain family
+    # in-window) for the chunking stage of the training pipeline
+    "agg_rollup", "doc_chunks", "quantile_panel", "agg_salted",
     # windows / sorts / sequences (sort+limit also exercised by tpch_q3;
     # the dense surrogate sequence is verified inside scd1_upsert, its
     # finer-grained sibling surrogate_keys stays below the fold)
@@ -4417,13 +4422,18 @@ _PRIORITY = [
     # TPC-H consumption shapes (q6's single-table filter-agg shape is
     # in-window via scan_source + tpch_q1; q6 itself below the fold)
     "tpch_q1", "tpch_q3", "tpch_q5",
-    # dedup tier
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+    # dedup tier — round 5 rotates dedup_ngram_jaccard below the fold
+    # (it is the DELIBERATELY-quadratic oracle-parity op; the exact
+    # near-dup family stays in-window via minhash/simhash and the
+    # scalable exact-similarity slot goes to edit_distance_join above)
+    "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_clusters", "dedup_embedding",
     # text analysis / corpus prep (text_clean rotates below the fold —
     # redact/normalize stay locally oracle-checked — for BM25 retrieval;
-    # round 4 adds the BM25+vector reciprocal-rank fusion)
-    "text_metrics", "search_bm25", "search_hybrid", "vocab_topk",
+    # round 4 adds the BM25+vector reciprocal-rank fusion; round 5 adds
+    # the persisted bucket-pruned BM25 serving index
+    "text_metrics", "search_bm25", "search_bm25_indexed",
+    "search_hybrid", "vocab_topk",
     "corpus_splits", "contamination_check",
     # multimodal + similarity search
     "multimodal_features", "simsearch_topk", "simsearch_lsh",

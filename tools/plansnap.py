@@ -96,6 +96,24 @@ COMMENTARY = {
     "last-writer-wins window — the documented MOR read amplification; "
     "the WRITE that produced it appended one delta file and rewrote "
     "nothing.",
+    "edit_distance_join":
+    "Lossless segment-blocked edit-distance join: both sides explode "
+    "to (length, slot, segment text) rows and candidates meet in a "
+    "hash equi-join ON THE SEGMENT KEY (BroadcastHashJoin at this "
+    "size, shuffle join at scale), then the exact levenshtein "
+    "residual filters candidate pairs — the main path is never a "
+    "cross product. The one BroadcastNestedLoopJoin below it is the "
+    "deliberate short-string branch: strings shorter than d+1 chars "
+    "(where the pigeonhole proof cannot apply) pair directly against "
+    "the equally tiny <=2d-char right set.",
+    "search_bm25_indexed":
+    "BM25 serving probe against the persisted posting index: the scan "
+    "carries the term_bucket predicate as a PartitionFilter (only the "
+    "probe terms' bucket dirs are read), per-posting contributions "
+    "quantize to integers BEFORE the per-doc hash aggregate (order-"
+    "independent sum), and the top-k is a TakeOrdered over the "
+    "aggregated docs — index build cost is excluded here (one-time), "
+    "the probe is the serving-path shape.",
 }
 
 
