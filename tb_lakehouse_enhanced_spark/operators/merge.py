@@ -349,3 +349,50 @@ def keyed_upsert(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
     rows are replaced when any tracked column changed, inserted when new.
     """
     return scd1_merge(target, source, cfg, load_ts, evolve_schema=evolve_schema)
+
+
+def keyed_sync(target: DataFrame | None, source: DataFrame, cfg: ScdConfig,
+               load_ts) -> DataFrame:
+    """Full-sync keyed MERGE: ``keyed_upsert`` plus Delta MERGE's third
+    clause, ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` — the source is
+    a complete snapshot and target keys absent from it are dropped
+    (the hard-sync shape for mirroring an upstream system of record;
+    SCD2's delete-as-close is the soft-history sibling).
+
+    Single pass: the deletion is a FILTER on the same full-outer join
+    the upsert already performs (s-side absent -> row dropped) — no
+    second source scan, no anti-join, and the projection stays the
+    one-CASE-per-column form scd1_merge uses, so the whole sync is one
+    join + one projection. Surrogate-keyed dims are out of scope
+    (deletes would hole the sequence); use keys-only facts/dims.
+    """
+    if cfg.surrogate_key is not None:
+        raise ValueError("keyed_sync supports keys-only tables; "
+                         "surrogate-keyed dims route through scd1/scd2")
+    load_ts = F.lit(load_ts).cast("timestamp")
+    business = list(source.columns)
+    if target is None or not target.columns:
+        return (source.withColumn(CREATE_DATE, load_ts)
+                .withColumn(UPDATE_DATE, load_ts))
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    on = reduce(lambda a, b: a & b, (_key_eq(k, cfg) for k in cfg.keys))
+    j = (t.join(s, on, "full_outer")
+         .filter(F.col("s._s_present").isNotNull()))  # the DELETE clause
+    changed_true = _changed_predicate(cfg).eqNullSafe(F.lit(True))
+    t_absent = F.col("t._t_present").isNull()
+    take_src = t_absent | (F.col("t._t_present").isNotNull() & changed_true)
+
+    def pick(c: str):
+        if c in business:
+            return (F.when(take_src, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}")).alias(c))
+        if c == UPDATE_DATE:
+            return (F.when(take_src, load_ts)
+                    .otherwise(F.col(f"t.{c}")).alias(c))
+        if c == CREATE_DATE:
+            return (F.when(t_absent, load_ts)
+                    .otherwise(F.col(f"t.{c}")).alias(c))
+        return F.col(f"t.{c}").alias(c)
+
+    return j.select(*[pick(c) for c in target.columns])

@@ -720,6 +720,17 @@ def fact_upsert(spark, sf_dir):
     return scd.fact_upsert_state(spark, sf_dir)
 
 
+@q("merge_sync", scd.MERGE_SYNC_ORACLE)
+def merge_sync(spark, sf_dir):
+    """Full-sync MERGE (operators/merge.py::keyed_sync): Delta MERGE's
+    WHEN NOT MATCHED BY SOURCE THEN DELETE clause — the source is the
+    complete snapshot and target keys absent from it are hard-deleted,
+    in the SAME single full-outer-join pass as the upsert (the delete
+    is one filter, not an extra anti-join). Stamps prove the clause
+    that touched each row; SCD2's delete-as-close is the soft sibling."""
+    return scd.merge_sync_state(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # §2.10  streaming (batch-equivalent tumbling window)
 # --------------------------------------------------------------------------

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import ScdConfig, keyed_upsert, scd1_merge, scd2_merge
+from ..operators.merge import (
+    ScdConfig, keyed_sync, keyed_upsert, scd1_merge, scd2_merge,
+)
 
 T0 = "2024-01-01 00:00:00"
 T1 = "2024-01-02 00:00:00"
@@ -251,3 +253,62 @@ UNION ALL SELECT t.*, 'update_preimage' FROM src0 t
 UNION ALL SELECT s.*, 'update_postimage' FROM src1 s
   WHERE EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = s.o_orderkey)
 """
+
+
+# ------------------------------------------------------------ full sync -----
+SYNC_CFG = ScdConfig(keys=("o_orderkey",),
+                     tracked=("o_orderstatus", "price_cents"),
+                     null_safe_keys=False)
+
+
+def _sync_src(orders: DataFrame, batch: int) -> DataFrame:
+    """batch 0: every order as (key, status, price_cents). batch 1 is the
+    complete NEW snapshot: keys %10==3 gone (-> hard DELETE under sync),
+    price bumped +1 cent for keys %7==0 (-> UPDATE), and a fresh key
+    range +10_000_000 for keys %13==0 (-> INSERT)."""
+    base = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"))
+    if batch == 0:
+        return base
+    kept = (base.filter(F.col("o_orderkey") % 10 != 3)
+            .withColumn("price_cents",
+                        F.col("price_cents")
+                        + F.when(F.col("o_orderkey") % 7 == 0, 1)
+                        .otherwise(0)))
+    new = (base.filter(F.col("o_orderkey") % 13 == 0)
+           .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                   F.lit("N").alias("o_orderstatus"), "price_cents"))
+    return kept.unionByName(new)
+
+
+def merge_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync MERGE (upsert + WHEN NOT MATCHED BY SOURCE THEN
+    DELETE): after batch 1 the table IS the batch-1 snapshot, with
+    create/update stamps proving which clause touched each row."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    state0 = keyed_sync(None, _sync_src(orders, 0), SYNC_CFG, T0)
+    return keyed_sync(state0, _sync_src(orders, 1), SYNC_CFG, T1)
+
+
+MERGE_SYNC_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus,
+       price_cents + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+         AS price_cents,
+       TIMESTAMP '{{T0}}' AS _tf_create_date,
+       CASE WHEN o_orderkey % 7 = 0 THEN TIMESTAMP '{{T1}}'
+            ELSE TIMESTAMP '{{T0}}' END AS _tf_update_date
+FROM base WHERE o_orderkey % 10 <> 3
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+       price_cents,
+       TIMESTAMP '{{T1}}' AS _tf_create_date,
+       TIMESTAMP '{{T1}}' AS _tf_update_date
+FROM base WHERE o_orderkey % 13 = 0
+""".replace("{T0}", T0).replace("{T1}", T1)

@@ -665,6 +665,16 @@ class ManagedTable:
             if (d.startswith("tomb_v") or d.startswith("delta_v")) \
                     and d not in keep_tombs:
                 shutil.rmtree(os.path.join(self.path, d))
+        # sweep stats/bloom manifests whose data dir is gone (they key
+        # on the dir, so a vacuumed dir's manifests are unreachable)
+        for f in os.listdir(self.path):
+            d = None
+            if f.startswith("_stats_") and f.endswith(".json"):
+                d = f[len("_stats_"):-len(".json")]
+            elif f.startswith("_bloom_") and f.endswith(".json"):
+                d = f[len("_bloom_"):-len(".json")].split("_", 1)[0]
+            if d is not None and d not in keep_dirs:
+                os.remove(os.path.join(self.path, f))
         return removed
 
     def clone(self, dest_path: str) -> "ManagedTable":
@@ -864,18 +874,38 @@ class ManagedTable:
         log it. Cheap to call every batch: the checks read commit
         metadata and file names only — no data scan unless compaction
         actually runs.
+
+        Self-healing indexes: when compaction runs, every stats/bloom
+        manifest registered on the OLD data dir is rebuilt for the new
+        snapshot (same columns / same bloom sizing), so file-skipping
+        keeps working across autonomous maintenance without anyone
+        re-running analyze by hand.
         """
         meta = self._commit(self.current_version())
         mor_debt = len(meta.get("tombstones") or []) \
             + len(meta.get("deltas") or [])
-        if mor_debt > max_mor_commits:
-            self.compact(target_partitions)
-            return "compact"
         n_files = len(self._data_files(meta["dir"]))
-        if n_files > max_files:
-            self.compact(target_partitions)
-            return "compact"
-        return "noop"
+        if mor_debt <= max_mor_commits and n_files <= max_files:
+            return "noop"
+        self.compact(target_partitions)
+        self._rebuild_manifests(meta["dir"])
+        return "compact"
+
+    def _rebuild_manifests(self, prev_dir: str) -> None:
+        """Re-derive the stats/bloom manifests that existed for
+        ``prev_dir`` against the CURRENT snapshot (post-compaction)."""
+        stats_f = os.path.join(self.path, f"_stats_{prev_dir}.json")
+        if os.path.isfile(stats_f):
+            with open(stats_f) as f:
+                cols = json.load(f)["columns"]
+            self.analyze(tuple(cols))
+        prefix = f"_bloom_{prev_dir}_"
+        for fn in os.listdir(self.path):
+            if fn.startswith(prefix) and fn.endswith(".json"):
+                with open(os.path.join(self.path, fn)) as f:
+                    b = json.load(f)
+                self.analyze_bloom(b["column"], m_bits=b["m_bits"],
+                                   k=b["k"])
 
     # -- bloom-filter file index (Delta bloom index analogue) ----------------
     #

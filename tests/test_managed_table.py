@@ -801,3 +801,40 @@ def test_restore_to_mor_version_preserves_state(spark, mt):
         acts = [_json.loads(line) for line in f if line.strip()]
     protos = [a["protocol"] for a in acts if "protocol" in a]
     assert protos and protos[0]["minReaderVersion"] == 3
+
+
+def test_vacuum_sweeps_orphaned_manifests(spark, mt):
+    """Stats/bloom manifests key on the data dir; once vacuum removes a
+    dir its manifests are unreachable and must be swept with it."""
+    import os
+    mt.analyze(("id",))
+    mt.analyze_bloom("id", m_bits=512, k=3)
+    assert os.path.isfile(f"{mt.path}/_stats_v0.json")
+    mt.overwrite(mt.read().filter("id < 3"))           # v1
+    mt.analyze(("id",))                                # stats for v1
+    mt.vacuum(retain_last=1)
+    names = set(os.listdir(mt.path))
+    assert "_stats_v0.json" not in names
+    assert not any(n.startswith("_bloom_v0_") for n in names)
+    assert "_stats_v1.json" in names                   # current survives
+
+
+def test_maintain_rebuilds_manifests_after_compaction(spark, mt):
+    """Autonomous maintenance is index-preserving: the stats and bloom
+    manifests registered on the old snapshot are rebuilt for the
+    compacted one, so file skipping keeps working without a manual
+    re-analyze."""
+    mt.analyze(("id",))
+    mt.analyze_bloom("id", m_bits=512, k=3)
+    for i in range(4):
+        mt.upsert_mor(spark.createDataFrame(
+            [(10 + i, "m", float(i))], ["id", "k", "v"]), key_cols=("id",))
+    assert mt.maintain(max_mor_commits=2) == "compact"
+    # fresh manifests exist for the compacted dir: pruned reads resolve
+    # without falling back to the stats-less full-scan path
+    assert mt.pruned_files("id", 10, 13) is not None
+    assert mt.bloom_pruned_files("id", 12) is not None
+    assert {r["id"] for r in mt.read_where("id", 10, 13).collect()} \
+        == {10, 11, 12, 13}
+    assert mt.read_where_eq("id", 12).count() == 1
+    assert mt.maintain(max_mor_commits=2) == "noop"

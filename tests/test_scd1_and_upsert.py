@@ -82,3 +82,27 @@ def test_null_key_matching_semantics(spark):
     # source NULL-key row inserted again
     assert len(out) == 3
     assert sum(1 for r in out if r.k is None) == 2
+
+
+def test_keyed_sync_deletes_absent_keys(spark):
+    """keyed_sync = upsert + WHEN NOT MATCHED BY SOURCE THEN DELETE:
+    absent keys drop, changed rows re-stamp, unchanged keep stamps,
+    new keys insert; an empty source snapshot empties the table."""
+    from tb_lakehouse_enhanced_spark.operators.merge import (
+        ScdConfig, keyed_sync,
+    )
+    cfg = ScdConfig(keys=("k",), tracked=("v",))
+    t0, t1 = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+    s0 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int")
+    state = keyed_sync(None, s0, cfg, t0)
+    s1 = spark.createDataFrame([(1, 10), (2, 99), (4, 40)], "k int, v int")
+    state = keyed_sync(state, s1, cfg, t1)
+    rows = {r["k"]: (r["v"], str(r["_tf_create_date"]),
+                     str(r["_tf_update_date"])) for r in state.collect()}
+    assert rows == {
+        1: (10, t0, t0),      # unchanged: stamps preserved
+        2: (99, t0, t1),      # updated: fresh update stamp
+        4: (40, t1, t1),      # inserted
+    }                          # 3 deleted
+    empty = s1.filter("k < 0")
+    assert keyed_sync(state, empty, cfg, t1).count() == 0
