@@ -225,12 +225,16 @@ FROM fused ORDER BY score DESC, doc_id LIMIT {k}
 # answer each probe from a partition-pruned fraction of the index.
 #
 # Layout: one parquet posting list partitioned by term_bucket =
-# pmod(xxhash64(term), n_buckets) with rows (term, doc_id, tf, dl, df)
-# — df and dl are denormalized onto each posting so a probe needs NO
-# join — plus a tiny JSON for the corpus constants (N, Σdl). A probe
-# hashes its terms through the SAME Spark expression the build used,
-# scans only the matching bucket directories (PartitionFilters — the
-# plan gate asserts it), and aggregates per doc.
+# pmod(xxhash64(term), n_buckets) with rows (term, doc_id, tf, dl),
+# plus a tiny JSON for the corpus constants (N, Σdl). df is NOT stored:
+# a probe's pruned scan contains EVERY posting of its terms (bucket
+# partitioning guarantees it), so per-term df is one tiny aggregate
+# over the rows already scanned — which is what makes the index
+# APPEND-ONLY maintainable (appending documents changes existing
+# terms' df; stored df would go stale on every append). A probe hashes
+# its terms through the SAME Spark expression the build used, scans
+# only the matching bucket directories (PartitionFilters — the plan
+# gate asserts it), and aggregates per doc.
 #
 # Determinism: the serving score quantizes each posting's contribution
 # to floor(contrib * 1e6) BEFORE the per-doc sum, so the aggregate is
@@ -243,33 +247,69 @@ def _bucket_expr(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets))
 
 
-def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
-                     id_col: str = "doc_id",
-                     text_col: str = "text") -> dict:
-    """One indexing pass: explode tokens -> (term, doc) tf counts,
-    per-term df joined on (one shuffle on term — the posting-list
-    grain), written bucket-partitioned. Returns the stats dict."""
-    import json as _json
-    import os as _os
+def _postings(docs: DataFrame, n_buckets: int,
+              id_col: str, text_col: str):
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     base = base.withColumn("dl", F.size("_toks").cast("double"))
     posts = (base.select("doc_id", "dl", F.explode("_toks").alias("term"))
              .groupBy("term", "doc_id", "dl")
-             .agg(F.count(F.lit(1)).cast("double").alias("tf")))
-    dfreq = posts.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df"))
+             .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+             .withColumn("term_bucket",
+                         _bucket_expr(F.col("term"), n_buckets)))
+    return base, posts
+
+
+def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> dict:
+    """One indexing pass: explode tokens -> (term, doc) tf counts (one
+    shuffle on the posting grain), written bucket-partitioned. Returns
+    the stats dict."""
+    import json as _json
+    import os as _os
+    base, posts = _postings(docs, n_buckets, id_col, text_col)
     stats_row = base.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("dl").alias("sumdl")).collect()[0]
-    (posts.join(dfreq, "term")
-     .withColumn("term_bucket", _bucket_expr(F.col("term"), n_buckets))
-     .write.mode("overwrite").partitionBy("term_bucket")
+    (posts.write.mode("overwrite").partitionBy("term_bucket")
      .parquet(_os.path.join(path, "postings")))
     stats = {"n": float(stats_row["n"]), "sumdl": float(stats_row["sumdl"]),
              "n_buckets": n_buckets}
     with open(_os.path.join(path, "_bm25_stats.json"), "w") as f:
         _json.dump(stats, f)
+    return stats
+
+
+def append_bm25_index(docs: DataFrame, path: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> dict:
+    """Incremental maintenance: index a NEW batch of documents into an
+    existing index — postings append into the same bucket partitions
+    (zero existing files rewritten, O(|batch|) cost at any index size)
+    and the corpus constants update in the stats JSON. Works because
+    df is computed at probe time from the pruned scan, never stored;
+    batch doc ids must be new (same contract as any doc store).
+
+    After the append, a probe is IDENTICAL to one against an index
+    rebuilt from scratch over the full corpus (asserted in
+    test_operators.py)."""
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_bm25_stats.json")) as f:
+        stats = _json.load(f)
+    base, posts = _postings(docs, stats["n_buckets"], id_col, text_col)
+    stats_row = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dl").alias("sumdl")).collect()[0]
+    (posts.write.mode("append").partitionBy("term_bucket")
+     .parquet(_os.path.join(path, "postings")))
+    stats["n"] = float(stats["n"] + stats_row["n"])
+    stats["sumdl"] = float(stats["sumdl"] + stats_row["sumdl"])
+    tmp = _os.path.join(path, "_bm25_stats.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(stats, f)
+    _os.replace(tmp, _os.path.join(path, "_bm25_stats.json"))
     return stats
 
 
@@ -297,6 +337,13 @@ def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
     posts = (spark.read.parquet(_os.path.join(path, "postings"))
              .filter(F.col("term_bucket").isin(buckets)
                      & F.col("term").isin(terms)))
+    # df from the pruned scan itself: bucket partitioning guarantees
+    # every posting of a probe term was scanned, so this tiny per-term
+    # aggregate equals the full-corpus df — and nothing stored goes
+    # stale when append_bm25_index adds documents
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    posts = posts.join(F.broadcast(dfreq), "term")
     avgdl = sumdl / n
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))

@@ -899,3 +899,27 @@ def test_edit_distance_join_differential(spark):
         want = sorted((i, j, lev(a, b))
                       for i, a in L for j, b in R if lev(a, b) <= d)
         assert got == want, f"d={d}"
+
+
+def test_bm25_index_incremental_append_equals_rebuild(spark, tmp_path):
+    """append_bm25_index: probes after N appends are IDENTICAL to a
+    fresh full-corpus rebuild — df is derived at probe time from the
+    pruned scan, so nothing stored goes stale, and the stats constants
+    accumulate exactly (integer-valued doubles)."""
+    from tb_lakehouse_enhanced_spark.operators.retrieval import (
+        append_bm25_index, bm25_probe, build_bm25_index,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["customer", "window", "merge", "slow"]
+
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full, n_buckets=16)
+
+    inc = str(tmp_path / "inc")
+    build_bm25_index(docs.filter("doc_id % 3 = 0"), inc, n_buckets=16)
+    append_bm25_index(docs.filter("doc_id % 3 = 1"), inc)
+    append_bm25_index(docs.filter("doc_id % 3 = 2"), inc)
+
+    want = sorted(map(tuple, bm25_probe(spark, full, terms, k=30).collect()))
+    got = sorted(map(tuple, bm25_probe(spark, inc, terms, k=30).collect()))
+    assert got == want and len(got) == 30

@@ -109,7 +109,9 @@ COMMENTARY = {
     "search_bm25_indexed":
     "BM25 serving probe against the persisted posting index: the scan "
     "carries the term_bucket predicate as a PartitionFilter (only the "
-    "probe terms' bucket dirs are read), per-posting contributions "
+    "probe terms' bucket dirs are read), per-term df is a tiny "
+    "broadcast-joined aggregate over the SAME pruned scan (nothing "
+    "stored to go stale on appends), per-posting contributions "
     "quantize to integers BEFORE the per-doc hash aggregate (order-"
     "independent sum), and the top-k is a TakeOrdered over the "
     "aggregated docs — index build cost is excluded here (one-time), "
