@@ -260,56 +260,78 @@ def _postings(docs: DataFrame, n_buckets: int,
     return base, posts
 
 
+def _write_stats(path: str, stats: dict) -> None:
+    import json as _json
+    import os as _os
+    tmp = _os.path.join(path, "_bm25_stats.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(stats, f)
+    _os.replace(tmp, _os.path.join(path, "_bm25_stats.json"))
+
+
 def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> dict:
     """One indexing pass: explode tokens -> (term, doc) tf counts (one
-    shuffle on the posting grain), written bucket-partitioned. Returns
-    the stats dict."""
-    import json as _json
+    shuffle on the posting grain), written partitioned by
+    (ingest_batch, term_bucket) — the batch level exists so appends
+    land in their OWN directory and the stats JSON's ``last_batch``
+    high-water mark can make them atomic/replay-safe. Returns the
+    stats dict."""
     import os as _os
     base, posts = _postings(docs, n_buckets, id_col, text_col)
     stats_row = base.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("dl").alias("sumdl")).collect()[0]
     (posts.write.mode("overwrite").partitionBy("term_bucket")
-     .parquet(_os.path.join(path, "postings")))
-    stats = {"n": float(stats_row["n"]), "sumdl": float(stats_row["sumdl"]),
-             "n_buckets": n_buckets}
-    with open(_os.path.join(path, "_bm25_stats.json"), "w") as f:
-        _json.dump(stats, f)
+     .parquet(_os.path.join(path, "postings", "ingest_batch=0")))
+    stats = {"n": float(stats_row["n"]),
+             "sumdl": float(stats_row["sumdl"] or 0.0),
+             "n_buckets": n_buckets, "last_batch": 0}
+    _write_stats(path, stats)
     return stats
 
 
 def append_bm25_index(docs: DataFrame, path: str,
+                      batch_id: int | None = None,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> dict:
     """Incremental maintenance: index a NEW batch of documents into an
-    existing index — postings append into the same bucket partitions
-    (zero existing files rewritten, O(|batch|) cost at any index size)
-    and the corpus constants update in the stats JSON. Works because
-    df is computed at probe time from the pruned scan, never stored;
-    batch doc ids must be new (same contract as any doc store).
+    existing index — postings land in their own
+    ``ingest_batch=<id>/term_bucket=*`` directories (zero existing
+    files rewritten, O(|batch|) cost at any index size) and the corpus
+    constants update in the stats JSON. Works because df is computed
+    at probe time from the pruned scan, never stored; batch doc ids
+    must be new (same contract as any doc store).
 
-    After the append, a probe is IDENTICAL to one against an index
-    rebuilt from scratch over the full corpus (asserted in
+    Exactly-once on replay (the streaming-sink contract): a batch id
+    at or below the recorded ``last_batch`` is skipped, and because the
+    batch dir is OVERWRITTEN before the high-water mark advances, a
+    crash between the two leaves a dir the probe's
+    ``ingest_batch <= last_batch`` filter cannot see — the retry
+    rewrites it cleanly and only then commits the mark.
+
+    After any number of appends, a probe is IDENTICAL to one against
+    an index rebuilt from scratch over the full corpus (asserted in
     test_operators.py)."""
     import json as _json
     import os as _os
     with open(_os.path.join(path, "_bm25_stats.json")) as f:
         stats = _json.load(f)
+    last = int(stats.get("last_batch", 0))
+    bid = last + 1 if batch_id is None else int(batch_id)
+    if bid <= last:
+        return stats                     # replayed batch: already applied
     base, posts = _postings(docs, stats["n_buckets"], id_col, text_col)
     stats_row = base.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("dl").alias("sumdl")).collect()[0]
-    (posts.write.mode("append").partitionBy("term_bucket")
-     .parquet(_os.path.join(path, "postings")))
+    (posts.write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(_os.path.join(path, "postings", f"ingest_batch={bid}")))
     stats["n"] = float(stats["n"] + stats_row["n"])
-    stats["sumdl"] = float(stats["sumdl"] + stats_row["sumdl"])
-    tmp = _os.path.join(path, "_bm25_stats.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(stats, f)
-    _os.replace(tmp, _os.path.join(path, "_bm25_stats.json"))
+    stats["sumdl"] = float(stats["sumdl"] + (stats_row["sumdl"] or 0.0))
+    stats["last_batch"] = bid
+    _write_stats(path, stats)
     return stats
 
 
@@ -327,6 +349,10 @@ def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
     with open(_os.path.join(path, "_bm25_stats.json")) as f:
         stats = _json.load(f)
     n, sumdl = stats["n"], stats["sumdl"]
+    if n == 0:
+        # empty bootstrap index (streaming sink before its first
+        # append): nothing to scan, schema-stable empty result
+        return spark.createDataFrame([], "doc_id long, rank bigint")
     # hash probe terms through the build's own Spark expression (never
     # reimplement the engine hash driver-side — same rule as the bloom
     # index probe)
@@ -334,8 +360,12 @@ def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
         [(t,) for t in terms], "term string")
         .select(_bucket_expr(F.col("term"), stats["n_buckets"]).alias("b"))
         .collect()})
+    # ingest_batch <= last_batch excludes any batch dir written by a
+    # crashed append whose high-water commit never happened (see
+    # append_bm25_index); both predicates are PartitionFilters
     posts = (spark.read.parquet(_os.path.join(path, "postings"))
              .filter(F.col("term_bucket").isin(buckets)
+                     & (F.col("ingest_batch") <= stats.get("last_batch", 0))
                      & F.col("term").isin(terms)))
     # df from the pruned scan itself: bucket partitioning guarantees
     # every posting of a probe term was scanned, so this tiny per-term

@@ -834,6 +834,37 @@ class ManagedTable:
         return self._pruned_read(self.pruned_files(col, lo, hi, version),
                                  cond, version)
 
+    def read_where_all(self, ranges: dict,
+                       version: int | None = None) -> DataFrame:
+        """Conjunctive multi-column range read: ``{col: (lo, hi), ...}``
+        — a file survives only if EVERY predicate's [min, max] interval
+        intersects its range, so the kept set is the INTERSECTION of the
+        per-column prunings. This is the read shape Z-order layouts
+        exist for (``optimize_layout(zorder=True)``): each file covers a
+        small hyper-box, so a selective filter on any subset of the
+        clustered columns multiplies the skipping. Columns without
+        stats simply don't prune (their predicate still filters
+        exactly). Identical results to ``read().filter(AND of
+        betweens)``, merge-on-read state included."""
+        from functools import reduce
+        from operator import and_
+        from pyspark.sql import functions as F
+        if not ranges:
+            raise ValueError("need at least one column range")
+        cond = reduce(and_, (F.col(c).between(lo, hi)
+                             for c, (lo, hi) in ranges.items()))
+        kept: set[str] | None = None
+        any_stats = False
+        for c, (lo, hi) in ranges.items():
+            files = self.pruned_files(c, lo, hi, version)
+            if files is None:
+                continue
+            any_stats = True
+            kept = set(files) if kept is None else (kept & set(files))
+        if not any_stats:
+            return self.read(version).filter(cond)
+        return self._pruned_read(sorted(kept), cond, version)
+
     def _pruned_read(self, files: list[str] | None, cond,
                      version: int | None) -> DataFrame:
         """Shared tail of the stats-/bloom-pruned readers: scan the kept

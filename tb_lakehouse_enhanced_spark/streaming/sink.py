@@ -97,3 +97,47 @@ def mor_batch_sink(table: ManagedTable, key_cols: tuple[str, ...]):
         table.upsert_mor(batch_df, key_cols=key_cols,
                          extra_meta={"stream_batch_id": batch_id})
     return sink
+
+
+def stream_bm25_index_sink(stream: DataFrame, path: str,
+                           n_buckets: int = 64,
+                           id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Streaming corpus -> searchable BM25 index: each micro-batch of
+    documents indexes into the persisted posting list via
+    ``append_bm25_index`` — O(|batch|) sink cost at any index size,
+    and probes between batches always see a consistent committed
+    prefix (the stats JSON's ``last_batch`` mark gates visibility).
+
+    Exactly-once on at-least-once delivery: the foreachBatch batch id
+    IS the ingest_batch id (offset by the build's batch 0), so a
+    replayed batch is skipped by the high-water check, and a batch
+    that crashed mid-write left only an invisible directory that the
+    retry overwrites before the mark advances.
+    """
+    return stream.writeStream.foreachBatch(
+        bm25_batch_sink(path, n_buckets, id_col, text_col))
+
+
+def bm25_batch_sink(path: str, n_buckets: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """The per-batch function behind ``stream_bm25_index_sink`` —
+    exposed so the replay guard is directly testable."""
+    import os
+
+    from ..operators.retrieval import append_bm25_index, build_bm25_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.isfile(os.path.join(path, "_bm25_stats.json")):
+            # bootstrap an EMPTY index as ingest batch 0; every stream
+            # batch then appends at batch_id + 1 uniformly, so a replay
+            # of ANY batch (including the first) hits the high-water
+            # skip instead of double-indexing
+            build_bm25_index(batch_df.limit(0), path, n_buckets=n_buckets,
+                             id_col=id_col, text_col=text_col)
+        append_bm25_index(batch_df, path, batch_id=batch_id + 1,
+                          id_col=id_col, text_col=text_col)
+
+    return sink

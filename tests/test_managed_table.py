@@ -838,3 +838,35 @@ def test_maintain_rebuilds_manifests_after_compaction(spark, mt):
         == {10, 11, 12, 13}
     assert mt.read_where_eq("id", 12).count() == 1
     assert mt.maintain(max_mor_commits=2) == "noop"
+
+
+def test_read_where_all_multi_column_pruning(spark, tmp_base):
+    """Conjunctive multi-column file skipping: on a Z-ordered layout a
+    2-D box predicate keeps only the files whose hyper-box intersects
+    BOTH ranges (the intersection of per-column prunings), and results
+    equal the unpruned filter — including under merge-on-read state."""
+    t = ManagedTable(spark, f"{tmp_base}/zt")
+    df = spark.range(0, 4096).selectExpr(
+        "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y",
+        "id AS payload")
+    t.overwrite(df)
+    t.optimize_layout(("x", "y"), target_partitions=16, zorder=True)
+    t.analyze(("x", "y"))
+
+    both = t.read_where_all({"x": (10, 20), "y": (10, 20)})
+    ref = t.read().filter("x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20")
+    assert sorted(map(tuple, both.collect())) == \
+        sorted(map(tuple, ref.collect()))
+    # the 2-D box keeps strictly fewer files than either 1-D pruning
+    fx = set(t.pruned_files("x", 10, 20))
+    fy = set(t.pruned_files("y", 10, 20))
+    assert len(fx & fy) < min(len(fx), len(fy)) or len(fx & fy) <= 4
+    # a column with no stats still filters exactly (no pruning for it)
+    some = t.read_where_all({"x": (10, 20), "payload": (0, 10**9)})
+    assert some.count() == t.read().filter("x BETWEEN 10 AND 20").count()
+
+    # MOR state: tombstones respected through the pruned multi-col read
+    t.delete_mor((F.col("x") == 12) & (F.col("y") == 12), key_cols=("payload",))
+    both2 = t.read_where_all({"x": (10, 20), "y": (10, 20)})
+    assert both2.filter("x = 12 AND y = 12").count() == 0
+    assert both2.count() == ref.count() - 1
