@@ -327,7 +327,8 @@ def append_bm25_index(docs: DataFrame, path: str,
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("dl").alias("sumdl")).collect()[0]
     (posts.write.mode("overwrite").partitionBy("term_bucket")
-     .parquet(_os.path.join(path, "postings", f"ingest_batch={bid}")))
+     .parquet(_os.path.join(path, _postings_dir(stats),
+                            f"ingest_batch={bid}")))
     stats["n"] = float(stats["n"] + stats_row["n"])
     stats["sumdl"] = float(stats["sumdl"] + (stats_row["sumdl"] or 0.0))
     stats["last_batch"] = bid
@@ -362,8 +363,10 @@ def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
         .collect()})
     # ingest_batch <= last_batch excludes any batch dir written by a
     # crashed append whose high-water commit never happened (see
-    # append_bm25_index); both predicates are PartitionFilters
-    posts = (spark.read.parquet(_os.path.join(path, "postings"))
+    # append_bm25_index); both predicates are PartitionFilters. The
+    # postings dir name comes from the stats JSON so compaction can
+    # flip to a fresh layout atomically.
+    posts = (spark.read.parquet(_os.path.join(path, _postings_dir(stats)))
              .filter(F.col("term_bucket").isin(buckets)
                      & (F.col("ingest_batch") <= stats.get("last_batch", 0))
                      & F.col("term").isin(terms)))
@@ -428,3 +431,61 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def _postings_dir(stats: dict) -> str:
+    return stats.get("dir", "postings")
+
+
+def compact_bm25_index(spark, path: str) -> dict:
+    """Fold the accumulated ingest-batch directories into one — the
+    OPTIMIZE of the posting list. Streaming appends leave one directory
+    (with one file set) per micro-batch; probe scan task counts should
+    track index size, not ingest history.
+
+    Atomic for concurrent probes: the compacted postings land in a NEW
+    versioned directory (``postings_v<k>``) holding everything under a
+    single ``ingest_batch=<last_batch>`` partition, and the stats JSON
+    flips to it in one rename — a probe reads either the old layout or
+    the new one, never a mix. ``last_batch`` is deliberately UNCHANGED
+    so the streaming sink's replay guard keeps rejecting already-
+    applied batch ids after compaction. The old directory is removed
+    after the flip (POSIX keeps in-flight readers' open files alive).
+    """
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    with open(_os.path.join(path, "_bm25_stats.json")) as f:
+        stats = _json.load(f)
+    old_dir = _postings_dir(stats)
+    last = int(stats.get("last_batch", 0))
+    committed = (spark.read.parquet(_os.path.join(path, old_dir))
+                 .filter(F.col("ingest_batch") <= last)
+                 .drop("ingest_batch"))
+    ver = int(old_dir.rsplit("_v", 1)[1]) if "_v" in old_dir else 0
+    new_dir = f"postings_v{ver + 1}"
+    (committed.coalesce(max(1, stats["n_buckets"] // 8))
+     .write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(_os.path.join(path, new_dir, f"ingest_batch={last}")))
+    stats["dir"] = new_dir
+    _write_stats(path, stats)
+    _sh.rmtree(_os.path.join(path, old_dir), ignore_errors=True)
+    return stats
+
+
+def maintain_bm25_index(spark, path: str, max_batches: int = 16) -> str:
+    """Autonomous posting-list maintenance (the ManagedTable.maintain
+    twin): compact when the committed ingest-batch count exceeds
+    ``max_batches``, else do nothing. Metadata-only check (directory
+    listing); returns 'compact' | 'noop' for scheduler logs."""
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_bm25_stats.json")) as f:
+        stats = _json.load(f)
+    root = _os.path.join(path, _postings_dir(stats))
+    n_batches = sum(1 for d in _os.listdir(root)
+                    if d.startswith("ingest_batch="))
+    if n_batches <= max_batches:
+        return "noop"
+    compact_bm25_index(spark, path)
+    return "compact"

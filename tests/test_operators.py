@@ -923,3 +923,43 @@ def test_bm25_index_incremental_append_equals_rebuild(spark, tmp_path):
     want = sorted(map(tuple, bm25_probe(spark, full, terms, k=30).collect()))
     got = sorted(map(tuple, bm25_probe(spark, inc, terms, k=30).collect()))
     assert got == want and len(got) == 30
+
+
+def test_bm25_index_compaction_preserves_probes(spark, tmp_path):
+    """compact_bm25_index folds the per-batch ingest dirs into one
+    versioned layout with an atomic stats flip: probes are unchanged,
+    the replay guard still rejects applied batch ids, and the maintain
+    policy fires on batch-count debt then goes quiet."""
+    import json
+    import os
+
+    from tb_lakehouse_enhanced_spark.operators.retrieval import (
+        append_bm25_index, bm25_probe, build_bm25_index,
+        compact_bm25_index, maintain_bm25_index,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs.filter("doc_id % 4 = 0"), idx, n_buckets=16)
+    for m in (1, 2, 3):
+        append_bm25_index(docs.filter(f"doc_id % 4 = {m}"), idx)
+    terms = ["customer", "window", "merge", "slow"]
+    want = sorted(map(tuple, bm25_probe(spark, idx, terms, k=25).collect()))
+
+    assert maintain_bm25_index(spark, idx, max_batches=2) == "compact"
+    stats = json.load(open(os.path.join(idx, "_bm25_stats.json")))
+    assert stats["dir"] == "postings_v1"
+    assert not os.path.isdir(os.path.join(idx, "postings"))
+    assert sorted(map(tuple, bm25_probe(spark, idx, terms, k=25)
+                  .collect())) == want
+    # one committed batch dir remains -> policy goes quiet
+    assert maintain_bm25_index(spark, idx, max_batches=2) == "noop"
+    # replay guard survives compaction: last_batch unchanged
+    before = stats["n"]
+    append_bm25_index(docs.limit(10), idx, batch_id=stats["last_batch"])
+    after = json.load(open(os.path.join(idx, "_bm25_stats.json")))
+    assert after["n"] == before
+    # appends continue into the NEW layout
+    extra = docs.limit(0)  # empty batch appends change nothing further
+    compact_bm25_index(spark, idx)
+    assert sorted(map(tuple, bm25_probe(spark, idx, terms, k=25)
+                  .collect())) == want
