@@ -963,3 +963,30 @@ def test_bm25_index_compaction_preserves_probes(spark, tmp_path):
     compact_bm25_index(spark, idx)
     assert sorted(map(tuple, bm25_probe(spark, idx, terms, k=25)
                   .collect())) == want
+
+
+def test_range_join_auto_tunes_width_and_matches_manual(spark):
+    """Auto bucket width = median interval length (one aggregate);
+    results are identical to the manual-width join, and degenerate
+    inputs (all-NULL bounds / empty) fall back safely."""
+    from tb_lakehouse_enhanced_spark.operators.rangejoin import (
+        range_join, range_join_auto, tune_bucket_width_days,
+    )
+    iv = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 20) + 1:02d}", f"2024-02-{(i % 20) + 1:02d}")
+         for i in range(40)], ["i_key", "s", "e"]).selectExpr(
+        "i_key", "CAST(s AS TIMESTAMP) AS i_start",
+        "CAST(e AS TIMESTAMP) AS i_end")
+    assert tune_bucket_width_days(iv, "i_start", "i_end") == 31
+    pts = spark.createDataFrame(
+        [(j, f"2024-01-{(j % 28) + 1:02d}") for j in range(50)],
+        ["p_key", "t"]).selectExpr("p_key", "CAST(t AS TIMESTAMP) AS pt")
+    auto = sorted((r.p_key, r.i_key) for r in
+                  range_join_auto(pts, iv, "pt", "i_start", "i_end").collect())
+    manual = sorted((r.p_key, r.i_key) for r in
+                    range_join(pts, iv, "pt", "i_start", "i_end",
+                               bucket_width_days=31).collect())
+    assert auto == manual and auto
+    nulls = iv.selectExpr("i_key", "CAST(NULL AS TIMESTAMP) AS i_start",
+                          "i_end")
+    assert tune_bucket_width_days(nulls, "i_start", "i_end") == 1
