@@ -124,3 +124,45 @@ def allocate_quotas(df: DataFrame, group_col: str, budget: int) -> DataFrame:
                                 F.col("_floor")
                                 + (F.col("_rk") <= leftover).cast("bigint")))
             .select("grp", "n", "quota"))
+
+
+def diversity_sample(embeddings: DataFrame, budget: int,
+                     n_clusters: int = 16, sample_size: int = 2048,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cluster-balanced draw: sample ``budget`` rows whose
+    CLUSTER distribution mirrors the corpus — the diversity-aware
+    cousin of language/source stratification, for when the strata you
+    care about (topics, styles) have no column and live only in the
+    embedding geometry.
+
+    Composition of existing machinery, one lazy plan after training:
+    k-means centroids from a bounded driver sample
+    (similarity._kmeans_centroids — same quantizer IVF uses), one
+    Arrow-batched nearest-centroid assignment pass (ivf_assign), exact
+    Hamilton quotas per cluster (allocate_quotas), and the
+    deterministic hash-ranked per-cluster draw (topk_per_group) —
+    exactly ``budget`` rows out (when the corpus has that many),
+    reproducible across runs, partitionings and cluster sizes.
+
+    Returns (id, cluster) rows. Training is the only non-relational
+    step (iterative), so the registered query is rows-only checked;
+    the pytest invariants pin quota exactness and determinism.
+    """
+    import numpy as np
+
+    from .similarity import _kmeans_centroids, ivf_assign
+    from .skew import topk_per_group
+    sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    mat = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centroids = _kmeans_centroids(mat, n_clusters)
+    assigned = (ivf_assign(embeddings, centroids, id_col, vec_col)
+                .select(id_col, F.col("ivf_list").alias("cluster")))
+    quotas = allocate_quotas(assigned, "cluster", budget).select(
+        F.col("grp").alias("cluster"), "quota")
+    ranked = topk_per_group(
+        assigned.withColumn("_h", F.md5(F.col(id_col).cast("string"))),
+        ["cluster"], "_h", k=budget, tie_col=id_col)
+    return (ranked.join(F.broadcast(quotas), "cluster")
+            .filter(F.col("rank") <= F.col("quota"))
+            .select(id_col, "cluster"))

@@ -3637,6 +3637,19 @@ def sample_balanced(spark, sf_dir):
             .select("lang", "doc_id"))
 
 
+@q("sample_diverse")
+def sample_diverse(spark, sf_dir):
+    """Embedding-cluster-balanced sampling
+    (operators/sampling.py::diversity_sample): k-means strata from the
+    embedding geometry -> exact Hamilton quotas -> deterministic
+    hash-ranked draw. Rows-only check (the k-means training loop is
+    iterative, not SQL-expressible); quota exactness, uniqueness and
+    determinism are pinned in test_operators.py."""
+    from ..operators.sampling import diversity_sample
+    return diversity_sample(_t(spark, sf_dir, "embeddings"),
+                            budget=120, n_clusters=8)
+
+
 @q("join_cross", """
 SELECT r.r_name, s.c_mktsegment
 FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s

@@ -990,3 +990,39 @@ def test_range_join_auto_tunes_width_and_matches_manual(spark):
     nulls = iv.selectExpr("i_key", "CAST(NULL AS TIMESTAMP) AS i_start",
                           "i_end")
     assert tune_bucket_width_days(nulls, "i_start", "i_end") == 1
+
+
+def test_diversity_sample_quota_exact_and_deterministic(spark):
+    """Embedding-cluster-balanced sampling: exactly `budget` rows out,
+    per-cluster counts equal the Hamilton quotas of the full cluster
+    distribution (within-1 proportionality), ids unique, and the draw
+    is bit-stable across runs."""
+    from tb_lakehouse_enhanced_spark.operators.sampling import (
+        allocate_quotas, diversity_sample,
+    )
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        _kmeans_centroids, ivf_assign,
+    )
+    import numpy as np
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = diversity_sample(emb, budget=120, n_clusters=8)
+    rows = out.collect()
+    assert len(rows) == 120
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 120
+    # per-cluster counts match the quotas computed from the same
+    # assignment (proportionality within the largest-remainder rule)
+    sample = emb.select("embedding").limit(2048).collect()
+    cents = _kmeans_centroids(
+        np.array([r["embedding"] for r in sample], dtype=np.float64), 8)
+    assigned = ivf_assign(emb, cents).select(
+        "vec_id", F.col("ivf_list").alias("cluster"))
+    want = {r["grp"]: r["quota"] for r in
+            allocate_quotas(assigned, "cluster", 120).collect()}
+    got = {r["cluster"]: 0 for r in rows}
+    for r in rows:
+        got[r["cluster"]] += 1
+    assert got == {k: v for k, v in want.items() if v > 0}
+    again = sorted(map(tuple, diversity_sample(
+        emb, budget=120, n_clusters=8).collect()))
+    assert sorted(map(tuple, rows)) == again

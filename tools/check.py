@@ -35,6 +35,44 @@ def row_multiset(cols, rows):
     return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+# DuckDB types that land as int64 in a pandas conversion; everything
+# else numeric (HUGEINT, DECIMAL, DOUBLE) becomes float64/object there
+_DUCK_INT = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+_SPARK_INT = {"bigint", "int", "smallint", "tinyint"}
+
+
+def dtype_asymmetries(spark_dtypes: dict, con, sql: str) -> list[str]:
+    """Flag column-type pairs that hash-match HERE but diverge in a
+    pandas-based compare (the external driver's): DuckDB SUM(BIGINT)
+    yields HUGEINT -> float64 while Spark stays int64, and a Spark
+    DECIMAL output stays Decimal while DuckDB's becomes float64. Both
+    sides fetch as plain Python ints/Decimals in this harness, so the
+    value multiset can't catch it — the type plan can (DESCRIBE is
+    planning-only, no second execution)."""
+    try:
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+    except Exception:
+        return []
+    od = {r[0]: str(r[1]).upper() for r in desc}
+    out = []
+    for c, st in spark_dtypes.items():
+        o = od.get(c)
+        if o is None:
+            continue
+        if st in _SPARK_INT and o not in _DUCK_INT:
+            out.append(f"driver-dtype: {c} spark {st} vs oracle {o} "
+                       f"(pandas float64) — CAST the oracle to BIGINT")
+        elif st in ("double", "float") and o in _DUCK_INT:
+            out.append(f"driver-dtype: {c} spark {st} vs oracle {o} "
+                       f"(pandas int64) — CAST one side")
+        elif st.startswith("decimal"):
+            out.append(f"driver-dtype: {c} spark {st} stays Decimal in "
+                       f"pandas while DuckDB's becomes float64 — emit "
+                       f"DOUBLE on both sides")
+    return out
+
+
 def main():
     import duckdb
     from tb_lakehouse_enhanced_spark.plans.queries import ORACLE_SQL, SPARK_QUERIES
@@ -79,6 +117,8 @@ def main():
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        problems += dtype_asymmetries(dict(sdf.dtypes), con,
+                                      ORACLE_SQL[name])
         if not problems:
             sm, om = row_multiset(scols, [tuple(r) for r in srows]), row_multiset(ocols, orows)
             if sm != om:
