@@ -394,14 +394,18 @@ def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
 
 
 def bm25_indexed_oracle_sql(terms: list[str], k: int = 50,
-                            k1: float = K1, b: float = B) -> str:
+                            k1: float = K1, b: float = B,
+                            source: str = "documents") -> str:
     """DuckDB mirror of ``bm25_probe`` semantics computed from the raw
-    ``documents`` view (the oracle needs no index — same postings, same
-    per-posting quantization, same integer sum)."""
+    corpus (the oracle needs no index — same postings, same per-posting
+    quantization, same integer sum). ``source`` is any relation
+    exposing (doc_id, text) — a table name or a parenthesized
+    subquery — so composed corpora (e.g. chunked documents) mirror
+    with the same algebra."""
     term_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH base AS (
-  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM {source}
 ), toks AS (
   SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS term FROM base
 ), posts AS (

@@ -1516,6 +1516,60 @@ def delta_roundtrip_q(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+_RAG_CHUNK_SRC = """(
+  WITH tt AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  ), cc AS (
+    SELECT doc_id, len(toks) AS n,
+           GREATEST(CAST(CEIL((len(toks) - 16) / 48.0) AS INTEGER), 1) AS k,
+           toks
+    FROM tt
+  )
+  SELECT doc_id * 1000 + u.i AS doc_id,
+         array_to_string(toks[u.i * 48 + 1 : u.i * 48 + 64], ' ') AS text
+  FROM cc, UNNEST(generate_series(0, k - 1)) AS u(i)
+) AS src"""
+
+from ..operators.retrieval import (  # noqa: E402
+    bm25_indexed_oracle_sql as _bm25_idx_sql,
+)
+
+
+@q("rag_chunk_search", f"""
+WITH hits AS ({{bm25}})
+SELECT CAST(doc_id // 1000 AS BIGINT) AS doc_id,
+       CAST(doc_id % 1000 AS BIGINT) AS chunk_id, rank
+FROM hits
+""".replace("{bm25}", _bm25_idx_sql(["customer", "window", "merge", "slow"],
+                                    k=40, source=_RAG_CHUNK_SRC)))
+def rag_chunk_search(spark, sf_dir):
+    """RAG retrieval composition, end to end as engine operators: the
+    corpus chunks into 64-token overlapping windows
+    (operators/chunking.py), the CHUNKS index into the persisted
+    bucket-partitioned BM25 posting list, and the probe returns ranked
+    (doc, chunk) provenance — chunk-granular retrieval over
+    arbitrarily long documents, the serving shape a retrieval-augmented
+    pipeline needs. Oracle mirrors the same chunk algebra + posting
+    algebra from the raw table."""
+    import tempfile as _tf
+
+    from ..operators.chunking import chunk_documents
+    from ..operators.retrieval import bm25_probe, build_bm25_index
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"),
+                             chunk_tokens=64, overlap=16)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        F.col("chunk_text").alias("text"))
+    path = _tf.mkdtemp(prefix="tb_rag_idx_")
+    build_bm25_index(keyed, path, n_buckets=32, id_col="chunk_key")
+    hits = bm25_probe(spark, path,
+                      ["customer", "window", "merge", "slow"], k=40)
+    return hits.select(
+        F.expr("CAST(doc_id DIV 1000 AS BIGINT)").alias("doc_id"),
+        F.expr("CAST(doc_id % 1000 AS BIGINT)").alias("chunk_id"),
+        "rank")
+
+
 @q("identity_dim", """
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS nation_sk,
        n_name
