@@ -1516,6 +1516,34 @@ def delta_roundtrip_q(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+@q("zorder_read", """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 9000
+  AND o_custkey BETWEEN 100 AND 700
+""")
+def zorder_read_q(spark, sf_dir):
+    """Z-order clustering + conjunctive multi-column file skipping on
+    the correctness gate: the table rewrites into bit-interleaved
+    Z-value order (ManagedTable.optimize_layout(zorder=True)), min/max
+    stats are collected, and read_where_all prunes with the
+    INTERSECTION of both columns' file sets before the exact box
+    filter — identical answers to the raw filter, which is the
+    oracle."""
+    from ..sources.managed import ManagedTable
+    mt = ManagedTable(spark, tempfile.mkdtemp(prefix="tb_zr_"))
+    mt.overwrite(_t(spark, sf_dir, "orders")
+                 .select("o_orderkey", "o_custkey",
+                         F.round(F.col("o_totalprice") * 100).cast("bigint")
+                         .alias("price_cents")))
+    mt.optimize_layout(("o_orderkey", "o_custkey"),
+                       target_partitions=16, zorder=True)
+    mt.analyze(("o_orderkey", "o_custkey"))
+    return mt.read_where_all({"o_orderkey": (1000, 9000),
+                              "o_custkey": (100, 700)})
+
+
 _RAG_CHUNK_SRC = """(
   WITH tt AS (
     SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
@@ -2671,7 +2699,11 @@ def edit_distance_join_q(spark, sf_dir):
     (operators/editjoin.py::edit_distance_join): a typo'd product feed
     re-links to the clean name list via PassJoin-style lossless segment
     blocking. The oracle is the brute-force all-pairs Levenshtein
-    filter — the engine's blocked plan must reproduce it exactly."""
+    filter — the engine's blocked plan must reproduce it exactly. The
+    corpus is ASCII by construction: Spark's levenshtein is
+    codepoint-based while DuckDB's is byte-based, so they agree only
+    on ASCII (the operator itself is codepoint-exact on unicode —
+    pinned in test_operators.py)."""
     from ..operators.editjoin import edit_distance_join
     clean = (_t(spark, sf_dir, "part")
              .groupBy("p_name")

@@ -1026,3 +1026,40 @@ def test_diversity_sample_quota_exact_and_deterministic(spark):
     again = sorted(map(tuple, diversity_sample(
         emb, budget=120, n_clusters=8).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_edit_distance_join_unicode_codepoints(spark):
+    """Unicode contract: Spark's levenshtein (and substr/length, which
+    the segment blocking uses) are CODEPOINT-based, so the join is
+    exact at codepoint granularity — 'café'~'cafe' is distance 1 even
+    though é is 2 UTF-8 bytes. (DuckDB's levenshtein is byte-based,
+    which is why the registered query's oracle corpus is ASCII.)"""
+    import functools
+
+    from tb_lakehouse_enhanced_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    @functools.lru_cache(maxsize=None)
+    def lev(a, b):
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        return min(lev(a[1:], b) + 1, lev(a, b[1:]) + 1,
+                   lev(a[1:], b[1:]) + (a[0] != b[0]))
+
+    words = ["café", "cafe", "caffé", "müller", "muller", "mülier",
+             "北京大学", "北京大字", "日本語", "日本话", "ñandú", "nandú",
+             "héllo wörld", "hello world"]
+    L = list(enumerate(words))
+    R = [(i + 100, w) for i, w in enumerate(words)]
+    ldf = spark.createDataFrame(L, "lid long, ls string")
+    rdf = spark.createDataFrame(R, "rid long, rs string")
+    got = sorted(tuple(r) for r in edit_distance_join(
+        ldf, rdf, "lid", "ls", "rid", "rs", 1).collect())
+    want = sorted((i, j + 100, lev(a, b))
+                  for i, a in L for j, b in enumerate(words)
+                  if lev(a, b) <= 1)
+    assert got == want
+    assert (0, 101, 1) in got          # café ~ cafe: codepoint distance 1
