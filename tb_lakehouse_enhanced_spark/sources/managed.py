@@ -324,7 +324,16 @@ class ManagedTable:
         O_EXCL — if another writer already published this version, the
         create fails and this transaction aborts WITHOUT moving the
         pointer (its orphaned data dir is reclaimable by vacuum), the
-        same first-writer-wins rule Delta's log commit provides."""
+        same first-writer-wins rule Delta's log commit provides.
+
+        Crash window: a writer dying BETWEEN the commit-file create and
+        the pointer flip leaves an orphan commit that every later
+        writer's O_EXCL create collides with — readers are unaffected
+        (visibility is pointer-only) but writes are blocked until
+        ``repair_orphan_commit`` rolls the never-visible commit back.
+        The repair is deliberately explicit, not automatic: an
+        automatic rollback could race a live writer that is one
+        instruction away from flipping the pointer."""
         try:
             fd = os.open(self._commit_file(v),
                          os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -340,6 +349,41 @@ class ManagedTable:
             f.write(str(v))
         os.replace(tmp, self._pointer)  # atomic pointer flip
         return self
+
+    def repair_orphan_commit(self) -> int | None:
+        """Roll back a crashed writer's never-visible commit so writes
+        can proceed (see ``_publish``'s crash-window note).
+
+        Only the version AFTER the pointer can be orphaned (higher ones
+        are unreachable: each O_EXCL create requires the previous
+        commit file to have blocked or succeeded first). If that commit
+        file exists, it, its delta-mirror entry, and any data/tombstone
+        /delta dirs no OTHER commit references are removed. Run only
+        when no writer is active — a live writer about to flip the
+        pointer would be rolled back mid-publish. Returns the repaired
+        version, or None when the table is clean."""
+        cur = self.current_version()
+        v = cur + 1
+        cf = self._commit_file(v)
+        if not os.path.isfile(cf):
+            return None
+        orphan = self._commit(v)
+        referenced: set[str] = set()
+        for ver in range(0, cur + 1):
+            c = self._commit(ver)
+            referenced.add(c["dir"])
+            referenced |= set(c.get("tombstones") or [])
+            referenced |= set(c.get("deltas") or [])
+        os.remove(cf)
+        mirror = os.path.join(self._delta_log_dir(), f"{v:020d}.json")
+        if os.path.isfile(mirror):
+            os.remove(mirror)
+        for d in ([orphan["dir"]] + list(orphan.get("tombstones") or [])
+                  + list(orphan.get("deltas") or [])):
+            full = os.path.join(self.path, d)
+            if d not in referenced and os.path.isdir(full):
+                shutil.rmtree(full)
+        return v
 
     # -- Delta-protocol log mirror (format interop) --------------------------
     #

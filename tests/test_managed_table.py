@@ -870,3 +870,44 @@ def test_read_where_all_multi_column_pruning(spark, tmp_base):
     both2 = t.read_where_all({"x": (10, 20), "y": (10, 20)})
     assert both2.filter("x = 12 AND y = 12").count() == 0
     assert both2.count() == ref.count() - 1
+
+
+def test_repair_orphan_commit_unblocks_writers(spark, mt):
+    """A writer crashing between its O_EXCL commit create and the
+    pointer flip leaves an orphan commit: readers are unaffected, but
+    every later write collides with the orphan. repair_orphan_commit
+    rolls the never-visible commit back (file, mirror entry, and its
+    unreferenced dirs) and writes proceed."""
+    import json
+    import os
+
+    from tb_lakehouse_enhanced_spark.sources.managed import (
+        ConcurrentWriteError,
+    )
+    # simulate the crash: commit file + data dir exist, pointer did not move
+    v = mt.current_version() + 1
+    os.makedirs(os.path.join(mt.path, f"v{v}"))
+    with open(os.path.join(mt.path, f"v{v}", "junk.parquet"), "w") as f:
+        f.write("x")
+    with open(mt._commit_file(v), "w") as f:
+        json.dump({"version": v, "dir": f"v{v}", "op": "WRITE",
+                   "ts": 0.0}, f)
+    assert mt.current_version() == v - 1          # readers unaffected
+    assert mt.read().count() == 3
+    with pytest.raises(ConcurrentWriteError):      # writers blocked
+        mt.overwrite(mt.read())
+    assert mt.repair_orphan_commit() == v
+    assert not os.path.isdir(os.path.join(mt.path, f"v{v}"))
+    mt.overwrite(mt.read().filter("id < 3"))       # writes proceed
+    assert mt.current_version() == v
+    assert mt.repair_orphan_commit() is None       # clean table: no-op
+    # repair never touches dirs other commits still reference: orphan a
+    # RESTORE-style commit that points at the live data dir
+    cur = mt.current_version()
+    live_dir = mt._commit(cur)["dir"]
+    with open(mt._commit_file(cur + 1), "w") as f:
+        json.dump({"version": cur + 1, "dir": live_dir,
+                   "op": "RESTORE v0", "ts": 0.0}, f)
+    assert mt.repair_orphan_commit() == cur + 1
+    assert os.path.isdir(os.path.join(mt.path, live_dir))
+    assert mt.read().count() == 2
