@@ -193,8 +193,10 @@ class ManagedTable:
         # tombstone dirs by another), with each row's commit sequence
         # parsed from its file path — so k stacked MOR commits cost one
         # extra scan node, not a k-way union lineage.
+        # no trailing slash in the pattern: partial-rewrite carries
+        # rename dirs to e.g. `delta_v3_rw7`, whose sequence is STILL 3
         seq_from_path = F.regexp_extract(
-            F.col("_metadata.file_path"), r"(?:delta|tomb)_v(\d+)/", 1) \
+            F.col("_metadata.file_path"), r"(?:delta|tomb)_v(\d+)", 1) \
             .cast("long")
         delta_rows = (self.spark.read.parquet(
             *[os.path.join(self.path, d) for d in deltas])
@@ -1102,7 +1104,8 @@ class ManagedTable:
                               F.lit(to_version).cast("bigint"))
 
     # -- DML (reference notebooks/23_Testing_SCD2.py:40-64) ------------------
-    def _partial_rewrite(self, condition, rewrite_fn, operation: str) -> "ManagedTable":
+    def _partial_rewrite(self, condition, rewrite_fn, operation: str,
+                         stable_partitions: bool = False) -> "ManagedTable":
         """DML core: rewrite only the partitions containing matching rows.
 
         Unpartitioned tables fall back to a full snapshot rewrite. For a
@@ -1117,14 +1120,35 @@ class ManagedTable:
         matching nothing commits nothing (no-op, like Delta).
 
         A parent commit carrying merge-on-read state cannot take the
-        hardlink shortcut: untouched partition dirs hold UNRESOLVED base
-        files (tombstoned rows still present, delta rows absent), so the
-        rewrite materializes the full resolved snapshot instead — one
-        compaction-priced commit that also purges the MOR debt. Run
-        ``compact()`` first to keep DML partition-scoped.
+        hardlink shortcut naively: untouched partition dirs hold
+        UNRESOLVED base files (tombstoned rows still present, delta
+        rows absent). Two behaviors:
+
+        - default (``stable_partitions=False``): materialize the full
+          resolved snapshot — one compaction-priced commit that also
+          purges the MOR debt (run ``compact()`` first to keep DML
+          partition-scoped);
+        - ``stable_partitions=True`` (the same contract
+          ``merge_into`` offers: a key's rows NEVER change partition
+          value across commits): the rewrite stays partition-scoped
+          even mid-MOR. Touched partitions rewrite from the RESOLVED
+          rows; untouched partitions hardlink raw; and the carried
+          delta/tombstone files are re-written MINUS the touched
+          partitions' rows/keys — without that subtraction a carried
+          delta would re-shadow the rewritten rows with stale values,
+          and a carried tombstone (always newer than the rewritten
+          base's sequence 0) would delete a legitimately re-inserted
+          key. Delta/tombstone files are small by the MOR premise, so
+          the subtraction is O(|MOR state|), not O(table). Stability
+          matters: a key whose rows span partitions would leave a
+          stale base row (or stale delta) in an untouched partition
+          that the subtraction cannot see.
         """
         from pyspark.sql import functions as F
-        if self.exists() and self._has_mor(self._commit(self.current_version())):
+        cur = self.current_version() if self.exists() else -1
+        meta0 = self._commit(cur) if cur >= 0 else {}
+        mor = self._has_mor(meta0)
+        if mor and not stable_partitions:
             return self.overwrite(rewrite_fn(self.read()), operation)
         if not self.partition_by:
             return self.overwrite(rewrite_fn(self.read()), operation)
@@ -1136,7 +1160,6 @@ class ManagedTable:
         member = reduce(or_, (
             reduce(and_, (F.col(c).eqNullSafe(F.lit(r[c])) for c in pb))
             for r in touched))
-        cur = self.current_version()
         v = cur + 1
         vdir = os.path.join(self.path, f"v{v}")
         rewritten = rewrite_fn(df.filter(member))
@@ -1168,6 +1191,35 @@ class ManagedTable:
         meta = {"version": v, "dir": f"v{v}", "op": operation,
                 "ts": time.time(),
                 "partitions_rewritten": sorted(touched_rel)}
+        if mor:
+            keys = list(meta0["tombstone_keys"])
+            # touched keys, resolved: exactly the keys the rewrite
+            # materialized (or removed) at sequence 0
+            touched_keys = df.filter(member).select(*keys)
+            new_deltas, new_tombs = [], []
+            for d in (meta0.get("deltas") or []):
+                kept = (self.spark.read
+                        .parquet(os.path.join(self.path, d))
+                        .filter(~member))
+                # dir name keeps the ORIGINAL `delta_vN` prefix so the
+                # resolver parses the same commit sequence from it
+                name = f"{d}_rw{v}"
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(self.path, name))
+                new_deltas.append(name)
+            for t in (meta0.get("tombstones") or []):
+                kept = (self.spark.read
+                        .parquet(os.path.join(self.path, t))
+                        .join(touched_keys, keys, "left_anti"))
+                name = f"{t}_rw{v}"
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(self.path, name))
+                new_tombs.append(name)
+            if new_deltas:
+                meta["deltas"] = new_deltas
+            if new_tombs:
+                meta["tombstones"] = new_tombs
+            meta["tombstone_keys"] = keys
         return self._publish(v, meta)
 
     @staticmethod
@@ -1347,9 +1399,13 @@ class ManagedTable:
             "ts": time.time(),
             "partitions_rewritten": [f"{flag_col}=1"]})
 
-    def update(self, condition, assignments: dict) -> "ManagedTable":
+    def update(self, condition, assignments: dict,
+               stable_partitions: bool = False) -> "ManagedTable":
         """``UPDATE t SET c = expr WHERE cond``; partitioned tables
-        rewrite only the touched partitions (see _partial_rewrite)."""
+        rewrite only the touched partitions (see _partial_rewrite).
+        Pass ``stable_partitions=True`` (asserting a key never changes
+        partition value) to keep the rewrite partition-scoped even when
+        the table carries merge-on-read state."""
         from pyspark.sql import functions as F
 
         def rewrite(df: DataFrame) -> DataFrame:
@@ -1363,13 +1419,18 @@ class ManagedTable:
                     cols.append(F.col(c))
             return df.select(cols)
 
-        return self._partial_rewrite(condition, rewrite, "UPDATE")
+        return self._partial_rewrite(condition, rewrite, "UPDATE",
+                                     stable_partitions=stable_partitions)
 
-    def delete(self, condition) -> "ManagedTable":
+    def delete(self, condition,
+               stable_partitions: bool = False) -> "ManagedTable":
         """``DELETE FROM t WHERE cond``; partitioned tables rewrite only
-        the touched partitions (see _partial_rewrite)."""
+        the touched partitions (see _partial_rewrite; the
+        ``stable_partitions`` contract keeps it partition-scoped under
+        merge-on-read state)."""
         return self._partial_rewrite(
-            condition, lambda df: df.filter(~condition), "DELETE")
+            condition, lambda df: df.filter(~condition), "DELETE",
+            stable_partitions=stable_partitions)
 
     # -- maintenance (Delta OPTIMIZE analogue, SURVEY.md §4) -----------------
     def compact(self, target_partitions: int = 8) -> "ManagedTable":

@@ -911,3 +911,61 @@ def test_repair_orphan_commit_unblocks_writers(spark, mt):
     assert mt.repair_orphan_commit() == cur + 1
     assert os.path.isdir(os.path.join(mt.path, live_dir))
     assert mt.read().count() == 2
+
+
+def test_partitioned_dml_mor_carry_stays_partition_scoped(spark, tmp_base):
+    """With stable_partitions=True, UPDATE/DELETE on a table holding
+    merge-on-read state stay partition-scoped: untouched partitions
+    hardlink (zero bytes), the commit still carries the MOR state with
+    the touched partitions' rows/keys subtracted, and delete->reinsert
+    interleaves resolve exactly."""
+    import os
+    t = ManagedTable(spark, f"{tmp_base}/morcarry", partition_by=("pt",))
+    t.overwrite(spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(90)],
+        "k long, pt int, v double"))
+    # MOR state touching pt=0 and pt=1: delete k=3 (pt=0), delete->
+    # reinsert k=4 (pt=1) with v=-4, upsert k=7 (pt=1) with v=-7
+    t.delete_mor(F.col("k").isin(3, 4), key_cols=("k",))
+    t.upsert_mor(spark.createDataFrame(
+        [(4, 1, -4.0), (7, 1, -7.0)], "k long, pt int, v double"),
+        key_cols=("k",))
+    v_before = t.current_version()
+    prev_dir = t._version_dir(v_before)
+
+    def inodes(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    # UPDATE touches ONLY pt=1 — pt=0 and pt=2 must hardlink raw
+    t.update((F.col("pt") == 1) & (F.col("k") < 10),
+             {"v": F.col("v") + 100}, stable_partitions=True)
+    vdir = t._version_dir(t.current_version())
+    for rel in ("pt=0", "pt=2"):
+        assert inodes(vdir, rel) == inodes(prev_dir, rel), rel
+    meta = t.history()[0]
+    assert meta["partitions_rewritten"] == ["pt=1"]
+    assert meta["tombstones"] and meta["deltas"]         # carried
+    assert meta["deltas"][0].startswith("delta_v")       # seq preserved
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 3 not in rows                  # pt=0 tombstone still applies
+    assert rows[4] == 96.0                # reinserted -4 + 100 (touched)
+    assert rows[7] == 93.0                # upserted -7 + 100 (touched)
+    assert rows[1] == 101.0 and rows[2] == 2.0 and rows[0] == 0.0
+    # the touched partition's rows no longer re-shadow or re-delete:
+    # carried delta/tombstone files exclude pt=1 rows / touched keys
+    delta = spark.read.parquet(
+        os.path.join(t.path, meta["deltas"][0]))
+    assert delta.filter("pt = 1").count() == 0
+    tomb = spark.read.parquet(
+        os.path.join(t.path, meta["tombstones"][0]))
+    assert {r["k"] for r in tomb.collect()} == {3}
+    # DELETE in pt=0 with the carry: tombstoned key stays gone, and a
+    # later compaction folds everything cleanly
+    t.delete((F.col("pt") == 0) & (F.col("k") == 6),
+             stable_partitions=True)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 6 not in rows and 3 not in rows and rows[4] == 96.0
+    t.compact()
+    assert {r["k"]: r["v"] for r in t.read().collect()} == rows

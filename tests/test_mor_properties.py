@@ -91,3 +91,64 @@ def test_mor_sequences_match_dict_model(spark, tmp_path_factory, cmds):
     got = {r["k"]: r["v"]
            for r in t.read_where("k", 2, 6).collect()}
     assert got == {k: v for k, v in model.items() if 2 <= k <= 6}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(cmds=st.lists(cmd, min_size=2, max_size=7))
+def test_mor_sequences_partitioned_stable_carry(spark, tmp_path_factory,
+                                                cmds):
+    """Same dict-model drive, but on a PARTITIONED table with a stable
+    key->partition mapping and ``stable_partitions=True`` DML — the
+    merge-on-read CARRY path: copy-on-write UPDATE/DELETE stay
+    partition-scoped mid-MOR by subtracting the touched partitions'
+    rows/keys from the carried delta and tombstone files. Every
+    interleaving (delete->reinsert, shadowed upserts, restore to a
+    carried commit) must still match the model."""
+    path = str(tmp_path_factory.mktemp("morprop_pt") / "t")
+    t = ManagedTable(spark, path, partition_by=("pt",))
+
+    def _pdf(d):
+        return spark.createDataFrame(
+            [(k, k % 3, v) for k, v in sorted(d.items())],
+            "k int, pt int, v int")
+
+    t.overwrite(_pdf({0: 0, 1: 1, 2: 2}))
+    model = {0: 0, 1: 1, 2: 2}
+    # partitioned DML with no matching rows is a genuine no-op (no
+    # commit), so snapshots key on the table's ACTUAL version
+    snaps = {0: dict(model)}
+
+    def read_state(version=None):
+        return {r["k"]: r["v"] for r in t.read(version).collect()}
+
+    for op, arg in cmds:
+        if op == "overwrite":
+            t.overwrite(_pdf(arg))
+            model = dict(arg)
+        elif op == "upsert_mor":
+            t.upsert_mor(_pdf(arg), key_cols=("k",))
+            model.update(arg)
+        elif op == "delete_mor":
+            t.delete_mor(F.col("v") == arg, key_cols=("k",))
+            model = {k: v for k, v in model.items() if v != arg}
+        elif op == "update":
+            t.update(F.col("v") == arg, {"v": F.lit(99)},
+                     stable_partitions=True)
+            model = {k: (99 if v == arg else v) for k, v in model.items()}
+        elif op == "delete":
+            t.delete(F.col("v") == arg, stable_partitions=True)
+            model = {k: v for k, v in model.items() if v != arg}
+        elif op == "compact":
+            t.compact(target_partitions=2)
+        elif op == "restore":
+            v = arg % (t.current_version() + 1)
+            t.restore(v)
+            model = dict(snaps[v])
+        snaps[t.current_version()] = dict(model)
+        assert read_state() == model, f"after {op}({arg})"
+        got_pt = {r["k"]: r["pt"] for r in t.read().collect()}
+        assert all(got_pt[k] == k % 3 for k in got_pt)   # partition stable
+
+    for v, snap in snaps.items():
+        assert read_state(version=v) == snap, f"time travel v{v}"
