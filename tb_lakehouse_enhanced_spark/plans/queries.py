@@ -3723,6 +3723,34 @@ def sample_balanced(spark, sf_dir):
             .select("lang", "doc_id"))
 
 
+@q("quality_model_fit")
+def quality_model_fit(spark, sf_dir):
+    """Quality-classifier training ON the engine
+    (operators/mlfit.py::logistic_fit): aggregate-based Newton/IRLS —
+    each iteration ships only d + d(d+1)/2 sufficient-statistic sums,
+    the driver solves a tiny system, and the fitted model scores the
+    corpus in pure codegen. Rows-only check (training is iterative);
+    the NumPy differential test pins the arithmetic to 1e-6."""
+    from ..functions.text import token_count
+    from ..operators.mlfit import logistic_fit, logistic_score
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.col("n_chars").cast("double").alias("f_chars"),
+                 token_count(F.col("text")).cast("double")
+                 .alias("f_tokens"),
+                 (F.length("text") - F.length(F.replace(
+                     F.col("text"), F.lit(" "), F.lit(""))))
+                 .cast("double").alias("f_spaces"))
+         .withColumn("y", (F.col("lang") == "en").cast("double")))
+    model = logistic_fit(d, ["f_chars", "f_tokens", "f_spaces"], "y",
+                         iters=6)
+    return (logistic_score(d, model)
+            .select("doc_id",
+                    F.floor(F.col("score") * 1000).cast("bigint")
+                    .alias("score_mil"),
+                    (F.col("score") > 0.5).cast("int").alias("pred")))
+
+
 @q("sample_diverse")
 def sample_diverse(spark, sf_dir):
     """Embedding-cluster-balanced sampling
