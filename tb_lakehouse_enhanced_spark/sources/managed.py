@@ -1192,35 +1192,52 @@ class ManagedTable:
                 "ts": time.time(),
                 "partitions_rewritten": sorted(touched_rel)}
         if mor:
-            keys = list(meta0["tombstone_keys"])
-            # touched keys, resolved: exactly the keys the rewrite
-            # materialized (or removed) at sequence 0
-            touched_keys = df.filter(member).select(*keys)
-            new_deltas, new_tombs = [], []
-            for d in (meta0.get("deltas") or []):
-                kept = (self.spark.read
-                        .parquet(os.path.join(self.path, d))
-                        .filter(~member))
-                # dir name keeps the ORIGINAL `delta_vN` prefix so the
-                # resolver parses the same commit sequence from it
-                name = f"{d}_rw{v}"
-                kept.write.mode("overwrite").parquet(
-                    os.path.join(self.path, name))
-                new_deltas.append(name)
-            for t in (meta0.get("tombstones") or []):
-                kept = (self.spark.read
-                        .parquet(os.path.join(self.path, t))
-                        .join(touched_keys, keys, "left_anti"))
-                name = f"{t}_rw{v}"
-                kept.write.mode("overwrite").parquet(
-                    os.path.join(self.path, name))
-                new_tombs.append(name)
-            if new_deltas:
-                meta["deltas"] = new_deltas
-            if new_tombs:
-                meta["tombstones"] = new_tombs
-            meta["tombstone_keys"] = keys
+            meta.update(self._carry_mor_minus_touched(
+                meta0, member, df.filter(member), v))
         return self._publish(v, meta)
+
+    def _carry_mor_minus_touched(self, meta0: dict, member,
+                                 touched_content, v: int) -> dict:
+        """Carry a parent commit's MOR state forward across a
+        partition-scoped rewrite, MINUS the touched partitions.
+
+        Delta files drop their touched-partition rows (they were
+        materialized into the new base at sequence 0 — a surviving copy
+        would re-shadow with stale values); tombstone files drop the
+        keys present in ``touched_content`` — the NEW/OLD content of
+        the touched partitions whose post-tombstone state the rewrite
+        materialized (a carried tombstone — always newer than sequence
+        0 — would otherwise delete a legitimately re-inserted or
+        merge-inserted key). Dir names keep the ORIGINAL
+        `delta_vN`/`tomb_vN` prefix so the resolver parses the same
+        commit sequence. Sound ONLY under the stable-partitions
+        contract (a key's rows never span partition values)."""
+        from pyspark.sql import functions as F  # noqa: F401
+        keys = list(meta0["tombstone_keys"])
+        touched_keys = touched_content.select(*keys)
+        out: dict = {"tombstone_keys": keys}
+        new_deltas, new_tombs = [], []
+        for d in (meta0.get("deltas") or []):
+            kept = (self.spark.read
+                    .parquet(os.path.join(self.path, d))
+                    .filter(~member))
+            name = f"{d}_rw{v}"
+            kept.write.mode("overwrite").parquet(
+                os.path.join(self.path, name))
+            new_deltas.append(name)
+        for t in (meta0.get("tombstones") or []):
+            kept = (self.spark.read
+                    .parquet(os.path.join(self.path, t))
+                    .join(touched_keys, keys, "left_anti"))
+            name = f"{t}_rw{v}"
+            kept.write.mode("overwrite").parquet(
+                os.path.join(self.path, name))
+            new_tombs.append(name)
+        if new_deltas:
+            out["deltas"] = new_deltas
+        if new_tombs:
+            out["tombstones"] = new_tombs
+        return out
 
     @staticmethod
     def _hive_val(v) -> str:
@@ -1281,11 +1298,15 @@ class ManagedTable:
                                   operation=f"MERGE_{kind.upper()}")
         # merge-on-read parent: untouched partitions would hardlink
         # UNRESOLVED base files (resurrecting tombstoned rows, dropping
-        # delta upserts) — materialize the full resolved merge instead,
-        # which also purges the MOR debt. compact() first keeps the
-        # merge partition-scoped.
-        if not self.partition_by \
-                or self._has_mor(self._commit(self.current_version())):
+        # delta upserts). With ``stable_partitions=True`` the merge
+        # stays partition-scoped by carrying the MOR state forward
+        # minus the touched partitions (see _carry_mor_minus_touched);
+        # without the contract it materializes the full resolved merge,
+        # which also purges the MOR debt (compact() first keeps the
+        # merge partition-scoped).
+        parent = self._commit(self.current_version())
+        mor = self._has_mor(parent)
+        if not self.partition_by or (mor and not stable_partitions):
             return self.overwrite(
                 merge_fn(self.read(), source, cfg, load_ts),
                 operation=f"MERGE_{kind.upper()}")
@@ -1329,9 +1350,15 @@ class ManagedTable:
                         os.link(s, d)
                     except OSError:
                         shutil.copy2(s, d)
-        return self._publish(v, {
+        meta = {
             "version": v, "dir": f"v{v}", "op": f"MERGE_{kind.upper()}",
-            "ts": time.time(), "partitions_rewritten": sorted(touched_rel)})
+            "ts": time.time(), "partitions_rewritten": sorted(touched_rel)}
+        if mor:
+            # merged = the touched partitions' NEW content — including
+            # merge-INSERTED keys, whose carried tombstones must drop
+            meta.update(self._carry_mor_minus_touched(
+                parent, member, merged, v))
+        return self._publish(v, meta)
 
     def scd2_merge_into(self, source: DataFrame, cfg, load_ts,
                         flag_col: str = "_tf_is_current") -> "ManagedTable":

@@ -757,7 +757,9 @@ def test_partitioned_cow_paths_materialize_mor_state(spark, tmp_base):
     meta = t.history()[0]
     assert not meta.get("tombstones") and not meta.get("deltas")
 
-    # same for partition-scoped MERGE
+    # partition-scoped MERGE: under its default stable-partitions
+    # contract the MOR state is CARRIED (minus touched keys), still
+    # never resurrecting the tombstoned row
     t.delete_mor(F.col("k") == 3, key_cols=("k",))
     cfg = ScdConfig(keys=("k",), tracked=("v",))
     t.merge_into(spark.createDataFrame([(4, 1, -4.0)],
@@ -765,6 +767,13 @@ def test_partitioned_cow_paths_materialize_mor_state(spark, tmp_base):
                  cfg, "2024-01-01 00:00:00")
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert 3 not in rows and rows[4] == -4.0
+    assert t.history()[0].get("tombstones") == ["tomb_v4_rw5"]
+    # without the contract the merge materializes (purging MOR debt)
+    t.merge_into(spark.createDataFrame([(5, 2, -5.0)],
+                                       "k long, pt int, v double"),
+                 cfg, "2024-01-02 00:00:00", stable_partitions=False)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 3 not in rows and rows[5] == -5.0
     assert not t.history()[0].get("tombstones")
 
     # compact_partitions refuses while MOR debt is outstanding
@@ -969,3 +978,70 @@ def test_partitioned_dml_mor_carry_stays_partition_scoped(spark, tmp_base):
     assert 6 not in rows and 3 not in rows and rows[4] == 96.0
     t.compact()
     assert {r["k"]: r["v"] for r in t.read().collect()} == rows
+
+
+def test_partition_scoped_merge_mor_carry(spark, tmp_base):
+    """merge_into with stable_partitions=True on a table holding
+    merge-on-read state stays partition-scoped: untouched partitions
+    hardlink raw, the carried tombstones/deltas subtract the touched
+    months, and resolution stays exact for touched and untouched keys
+    alike."""
+    import os
+
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    cfg = ScdConfig(keys=("k",), tracked=("v",))
+    t = ManagedTable(spark, f"{tmp_base}/pmergemor", partition_by=("month",))
+    base = spark.createDataFrame(
+        [(k, 202401 + (k % 3), float(k)) for k in range(300)],
+        "k long, month int, v double")
+    t.merge_into(base, cfg, "2024-01-01 00:00:00")
+    # MOR state in month 202401 (k%3==0) and 202403 (k%3==2):
+    # delete k=3, delete->reinsert k=6 with v=-6, upsert k=8 with v=-8
+    t.delete_mor(F.col("k").isin(3, 6), key_cols=("k",))
+    # the merge-built table carries the _tf tech columns; build the
+    # upsert batch from the table itself so schemas match
+    delta = (t.read(0).filter(F.col("k").isin(6, 8))
+             .withColumn("v", F.when(F.col("k") == 6, F.lit(-6.0))
+                         .otherwise(F.lit(-8.0))))
+    t.upsert_mor(delta, key_cols=("k",))
+    prev_dir = t._version_dir(t.current_version())
+
+    # batch touching ONLY month 202402: update k=1, insert k=1000
+    batch = spark.createDataFrame(
+        [(1, 202402, -5.0), (1000, 202402, 9.0)],
+        "k long, month int, v double")
+    t.merge_into(batch, cfg, "2024-01-02 00:00:00",
+                 stable_partitions=True)
+    vdir = t._version_dir(t.current_version())
+
+    def inodes(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    for rel in ("month=202401", "month=202403"):
+        assert inodes(vdir, rel) == inodes(prev_dir, rel), rel
+    meta = t.history()[0]
+    assert meta["partitions_rewritten"] == ["month=202402"]
+    assert meta["tombstones"] and meta["deltas"]
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1] == -5.0 and got[1000] == 9.0          # the merge
+    assert 3 not in got                                 # tombstone holds
+    assert got[6] == -6.0 and got[8] == -8.0            # deltas hold
+    assert len(got) == 300                              # 300-1+1
+    # merge-INSERT of a tombstoned key into a touched partition: the
+    # carried tombstone must not kill the fresh insert (the carry
+    # subtracts the NEW content's keys, not just the old resolved ones)
+    t.merge_into(spark.createDataFrame(
+        [(3, 202401, 33.0)], "k long, month int, v double"),
+        cfg, "2024-01-02 12:00:00", stable_partitions=True)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 33.0 and got[6] == -6.0 and got[8] == -8.0
+
+    # a second MOR round then an UNSTABLE merge materializes cleanly
+    t.delete_mor(F.col("k") == 9, key_cols=("k",))
+    t.merge_into(spark.createDataFrame(
+        [(12, 202401, -12.0)], "k long, month int, v double"),
+        cfg, "2024-01-03 00:00:00", stable_partitions=False)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 9 not in got and got[12] == -12.0 and got[6] == -6.0
+    assert not t.history()[0].get("tombstones")
