@@ -229,6 +229,38 @@ def enforce_expectations(df: DataFrame,
     return df, report
 
 
+def observe_expectations(df: DataFrame,
+                         rules: Sequence[tuple[str, Column]],
+                         name: str = "expectations"):
+    """Zero-extra-scan expectation metrics via Spark's ``Observation``
+    API: violation counters ride the SAME job that consumes ``df``
+    (the write, the aggregate, whatever runs it) instead of a separate
+    report scan — the metrics half of DLT's warn mode at true
+    one-pass cost, and the right shape when ``enforce_expectations``'s
+    extra scan matters (a 100 TB write should not be scanned twice for
+    counters).
+
+    Returns ``(df_observed, observation)``; after ANY action on the
+    returned frame, ``observation.get`` yields
+    ``{"n_rows": N, "viol__<rule>": count, ...}``. Gate-AFTER-write
+    semantics: callers that must abort on violations check the counts
+    post-action and compensate (e.g. ManagedTable.restore) — pre-write
+    gating inherently needs its own pass, which is what
+    ``enforce_expectations(action="fail")`` is for.
+
+    NULL predicate counts as "not a violation" (same null-safe
+    semantics as the report panel).
+    """
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.sum(pred.eqNullSafe(F.lit(True)).cast("long"))
+        .alias(f"viol__{rule}")
+        for rule, pred in rules]
+    return df.observe(obs, *metrics), obs
+
+
 # ----------------------------------------------------------- sketches -------
 
 _KMV_SPACE = float(1 << 60)

@@ -396,3 +396,28 @@ def test_logistic_fit_matches_numpy_reference(spark):
     auc_proxy = (scored.filter("y = 1.0").agg(F.avg("score")).collect()[0][0]
                  - scored.filter("y = 0.0").agg(F.avg("score")).collect()[0][0])
     assert auc_proxy > 0.2                # classes clearly separated
+
+
+def test_observe_expectations_one_pass_metrics(spark, tmp_path):
+    """Observation-based expectations: violation counters ride the
+    consuming job itself (a parquet write here) — same counts as the
+    report panel, no second scan."""
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        dq_expectations, observe_expectations,
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 8.0)], "id int, v double")
+    rules = [("v_nonnull", F.col("v").isNull()),
+             ("v_positive", F.col("v") < 0)]
+    observed, obs = observe_expectations(df, rules)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["viol__v_nonnull"] == 1
+    assert got["viol__v_positive"] == 1
+    # identical counts to the scan-based report panel
+    panel = {r["rule"]: r["n_violations"]
+             for r in dq_expectations(df, rules).collect()}
+    assert panel == {"v_nonnull": 1, "v_positive": 1}
+    # and the written data is untouched (metrics-only, no filtering)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
