@@ -54,6 +54,35 @@ class ManagedTable:
         # canonical use — writers never hand-maintain them)
         self.generated_cols = dict(generated_cols or {})
         os.makedirs(self.path, exist_ok=True)
+        # table config is DURABLE (Delta keeps it in metaData for the
+        # same reason): a caller reopening the table must not need to
+        # repeat — or be able to contradict — the partition layout and
+        # generated columns it was created with
+        cfg_file = os.path.join(self.path, "_table_config.json")
+        stored = None
+        try:
+            with open(cfg_file) as f:
+                stored = json.load(f)
+        except FileNotFoundError:
+            pass
+        if stored is not None:
+            s_pb = tuple(stored.get("partition_by") or ())
+            s_gen = dict(stored.get("generated_cols") or {})
+            if not self.partition_by and not self.generated_cols:
+                self.partition_by, self.generated_cols = s_pb, s_gen
+            elif (self.partition_by, self.generated_cols) != (s_pb, s_gen):
+                raise ValueError(
+                    f"{self.path} was created with partition_by={list(s_pb)}"
+                    f", generated_cols={s_gen}; got partition_by="
+                    f"{list(self.partition_by)}, generated_cols="
+                    f"{self.generated_cols} — open without arguments to "
+                    f"use the stored config")
+        elif self.partition_by or self.generated_cols:
+            tmp = cfg_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"partition_by": list(self.partition_by),
+                           "generated_cols": self.generated_cols}, f)
+            os.replace(tmp, cfg_file)
 
     def _with_generated(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F

@@ -1045,3 +1045,23 @@ def test_partition_scoped_merge_mor_carry(spark, tmp_base):
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert 9 not in got and got[12] == -12.0 and got[6] == -6.0
     assert not t.history()[0].get("tombstones")
+
+
+def test_table_config_is_durable(spark, tmp_base):
+    """Partition layout and generated columns persist with the table:
+    reopening without arguments restores them, and contradicting the
+    stored config is refused instead of silently mislaying data."""
+    t = ManagedTable(spark, f"{tmp_base}/cfg", partition_by=("pt",),
+                     generated_cols={"pt": "CAST(k % 2 AS INT)"})
+    t.overwrite(spark.createDataFrame([(k, float(k)) for k in range(10)],
+                                      "k long, v double"))
+    # bare reopen: config restored, partition-dependent surfaces work
+    t2 = ManagedTable(spark, f"{tmp_base}/cfg")
+    assert t2.partition_by == ("pt",)
+    assert t2.generated_cols == {"pt": "CAST(k % 2 AS INT)"}
+    assert {r["pt"] for r in t2.partitions().collect()} == {"0", "1"}
+    t2.update(F.col("pt") == 1, {"v": F.lit(-1.0)})
+    assert t2.history()[0]["partitions_rewritten"] == ["pt=1"]
+    # contradicting config is an error, not silent corruption
+    with pytest.raises(ValueError, match="created with"):
+        ManagedTable(spark, f"{tmp_base}/cfg", partition_by=("k",))
