@@ -122,9 +122,15 @@ class JsonlWriter(DataSourceWriter):
         new_files = [m.file for m in messages if m is not None]
         old = _read_manifest(self.path)
         files = new_files if self.overwrite else old["files"] + new_files
-        _write_manifest(self.path, {
+        manifest = {
             "version": old["version"] + 1, "files": files,
-            "schema": self.schema_json})
+            "schema": self.schema_json}
+        # preserve the stream writer's applied-batch high-water mark:
+        # a batch commit interleaved with streaming must not drop the
+        # replay guard, or a later replayed epoch would double-append
+        if "last_batch" in old:
+            manifest["last_batch"] = old["last_batch"]
+        _write_manifest(self.path, manifest)
 
     def abort(self, messages):
         for m in messages:

@@ -205,3 +205,74 @@ def test_jsonl_store_filter_pushdown(spark, tmp_path):
     out = (spark.read.format("jsonl_store").option("path", path).load()
            .filter("k > 10 AND s = 'v1'").collect())
     assert sorted(row.k for row in out) == [13, 16, 19]
+
+
+def test_jsonl_store_commit_protocol_model(spark, tmp_path):
+    """Model-based drive of the manifest commit protocol: random
+    interleavings of batch commits (overwrite/append), stream-batch
+    commits, REPLAYED stream batches, and aborted attempts must keep
+    the manifest equal to a dict model — files never double-commit,
+    replays drop their attempt files, aborts leave no trace."""
+    import random
+
+    from tb_lakehouse_enhanced_spark.sources.jsonl_store import (
+        JsonlStreamWriter, JsonlWriter, _FileCommit, _read_manifest,
+    )
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(
+        {"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}}]})
+    path = str(tmp_path / "store")
+    rng = random.Random(13)
+    model_files: list[str] = []
+    last_batch = -1
+    counter = 0
+
+    def mk_files(n):
+        nonlocal counter
+        out = []
+        for _ in range(n):
+            name = f"part-model-{counter}.jsonl"
+            counter += 1
+            with open(f"{path}/{name}", "w") as f:
+                f.write('{"k": 1}\n')
+            out.append(name)
+        return out
+
+    import os
+    os.makedirs(path, exist_ok=True)
+    for _ in range(40):
+        op = rng.choice(["overwrite", "append", "stream", "replay",
+                         "abort"])
+        files = mk_files(rng.randint(0, 3))
+        msgs = [_FileCommit(file=f, rows=1) for f in files]
+        if op == "overwrite":
+            JsonlWriter(path, schema, overwrite=True).commit(msgs)
+            model_files = list(files)
+        elif op == "append":
+            JsonlWriter(path, schema, overwrite=False).commit(msgs)
+            model_files += files
+        elif op == "stream":
+            last_batch += 1
+            JsonlStreamWriter(path, schema).commit(msgs, last_batch)
+            model_files += files
+        elif op == "replay" and last_batch >= 0:
+            replay_id = rng.randint(0, last_batch)
+            JsonlStreamWriter(path, schema).commit(msgs, replay_id)
+            # model unchanged; the attempt's files must be gone
+            for f in files:
+                assert not os.path.exists(f"{path}/{f}"), f
+        else:
+            JsonlWriter(path, schema, overwrite=False).abort(msgs)
+            for f in files:
+                assert not os.path.exists(f"{path}/{f}"), f
+        man = _read_manifest(path)
+        assert man["files"] == model_files, op
+        assert man.get("last_batch", -1) == last_batch
+    # the committed table reads exactly the model's row count
+    from tb_lakehouse_enhanced_spark.sources.jsonl_store import register
+    register(spark)
+    got = (spark.read.format("jsonl_store").option("path", path)
+           .load().count())
+    assert got == len(model_files)
