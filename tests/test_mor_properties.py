@@ -152,3 +152,52 @@ def test_mor_sequences_partitioned_stable_carry(spark, tmp_path_factory,
 
     for v, snap in snaps.items():
         assert read_state(version=v) == snap, f"time travel v{v}"
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(cmds=st.lists(st.one_of(
+    st.tuples(st.just("overwrite"),
+              st.dictionaries(st.sampled_from(KEYS), st.integers(0, 5),
+                              min_size=1, max_size=8)),
+    st.tuples(st.just("update"), st.integers(0, 5)),
+    st.tuples(st.just("delete"), st.integers(0, 5)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("restore"), st.integers(0, 100)),
+), min_size=2, max_size=6))
+def test_delta_mirror_tracks_table_through_cow_sequences(
+        spark, tmp_path_factory, cmds):
+    """Format-interop property: after ANY copy-on-write command
+    sequence, replaying the table's _delta_log mirror with the
+    no-dependency Delta reader returns exactly what read() returns —
+    current state after every step, and VERSION AS OF for every
+    version at the end."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    path = str(tmp_path_factory.mktemp("mirror") / "t")
+    t = ManagedTable(spark, path)
+    t.overwrite(_df(spark, {0: 0, 1: 1, 2: 2}))
+    versions = [0]
+
+    def table_state(version=None):
+        return sorted(map(tuple, t.read(version).collect()))
+
+    for op, arg in cmds:
+        if op == "overwrite":
+            t.overwrite(_df(spark, arg))
+        elif op == "update":
+            t.update(F.col("v") == arg, {"v": F.lit(99)})
+        elif op == "delete":
+            t.delete(F.col("v") == arg)
+        elif op == "compact":
+            t.compact(target_partitions=2)
+        elif op == "restore":
+            t.restore(arg % (t.current_version() + 1))
+        versions.append(t.current_version())
+        mirror = sorted(map(tuple,
+                            read_delta(spark, path).collect()))
+        assert mirror == table_state(), f"after {op}({arg})"
+
+    for v in set(versions):
+        assert sorted(map(tuple,
+                          read_delta(spark, path, version=v).collect())) \
+            == table_state(version=v), f"VERSION AS OF {v}"
