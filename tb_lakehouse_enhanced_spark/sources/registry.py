@@ -39,11 +39,12 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def load_files(spark: SparkSession, path: str, fmt: str = "parquet",
                schema=None, **options: str) -> DataFrame:
-    """Generic file-format source (parquet / csv / json / orc / text).
+    """Generic file-format source (parquet / csv / json / orc / text /
+    xml — XML is Spark-4 native, pass ``rowTag``).
 
-    Parquet/ORC carry their own schema; for CSV/JSON pass ``schema``
-    explicitly in production — ``inferSchema`` scans the data twice and
-    is banned at 100 TB.
+    Parquet/ORC carry their own schema; for CSV/JSON/XML pass
+    ``schema`` explicitly in production — ``inferSchema`` scans the
+    data twice and is banned at 100 TB.
     """
     reader = spark.read.format(fmt)
     if schema is not None:

@@ -19,6 +19,13 @@ def test_csv_json_roundtrip(spark, tmp_base):
     back_json = load_files(spark, f"{tmp_base}/json", fmt="json", schema=df.schema)
     assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, df.collect()))
 
+    # Spark-4 native XML rides the same generic registry
+    save_files(df, f"{tmp_base}/xml", fmt="xml",
+               rootTag="rows", rowTag="row")
+    back_xml = load_files(spark, f"{tmp_base}/xml", fmt="xml",
+                          schema=df.schema, rowTag="row")
+    assert sorted(map(tuple, back_xml.collect())) == sorted(map(tuple, df.collect()))
+
 
 def test_partitioned_save(spark, tmp_base):
     df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], ["id", "part"])
