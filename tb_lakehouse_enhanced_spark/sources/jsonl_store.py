@@ -306,3 +306,38 @@ def register(spark) -> None:
     into the API)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlStoreDataSource)
+
+
+def compact_jsonl_store(spark, path: str, target_files: int = 4) -> dict:
+    """Fold the store's committed part files into ``target_files`` — the
+    OPTIMIZE of the JSONL table. Every batch/stream commit leaves one
+    part file per task; read parallelism should track data size, not
+    commit history (the reader schedules one InputPartition per file).
+
+    Implementation is the store's own write path: read -> coalesce ->
+    overwrite-save, so the new files become visible in the same atomic
+    manifest flip every commit uses (a concurrent reader sees the old
+    file set or the new one, never a mix), and the stream writer's
+    ``last_batch`` high-water mark is preserved — replayed epochs are
+    still rejected after compaction. Superseded part files (invisible
+    the moment the manifest flips) are swept afterwards; like the other
+    stores' maintenance, run with no concurrent writer.
+    """
+    old = _read_manifest(path)
+    if not old["files"]:
+        return old
+    before = set(old["files"])
+    (spark.read.format("jsonl_store").option("path", path).load()
+     .coalesce(max(1, int(target_files)))
+     .write.format("jsonl_store").option("path", path)
+     .mode("overwrite").save())
+    new = _read_manifest(path)
+    live = set(new["files"])
+    for fn in os.listdir(path):
+        if fn.startswith("part-") and fn.endswith(".jsonl") \
+                and fn not in live and fn in before:
+            try:
+                os.remove(os.path.join(path, fn))
+            except FileNotFoundError:
+                pass
+    return new

@@ -276,3 +276,48 @@ def test_jsonl_store_commit_protocol_model(spark, tmp_path):
     got = (spark.read.format("jsonl_store").option("path", path)
            .load().count())
     assert got == len(model_files)
+
+
+def test_jsonl_store_compaction(spark, tmp_path):
+    """compact_jsonl_store folds many per-commit part files into a few,
+    preserves contents and the stream replay guard, and sweeps the
+    superseded (already invisible) files."""
+    import glob
+    import os
+
+    from tb_lakehouse_enhanced_spark.sources.jsonl_store import (
+        JsonlStreamWriter, _FileCommit, _read_manifest,
+        compact_jsonl_store,
+    )
+    _store(spark)
+    path = str(tmp_path / "store")
+    for i in range(6):   # six commits -> many part files
+        spark.range(i * 10, i * 10 + 10).selectExpr("id AS k") \
+            .repartition(3).write.format("jsonl_store") \
+            .option("path", path).mode("append").save()
+    # simulate a prior stream epoch so the guard has something to keep
+    man = _read_manifest(path)
+    assert len(man["files"]) >= 12
+    w = JsonlStreamWriter(path, spark.range(1).selectExpr("id AS k").schema)
+    with open(f"{path}/part-stream.jsonl", "w") as f:
+        f.write('{"k": 999}\n')
+    w.commit([_FileCommit(file="part-stream.jsonl", rows=1)], 5)
+
+    before = sorted(r.k for r in spark.read.format("jsonl_store")
+                    .option("path", path).load().collect())
+    new = compact_jsonl_store(spark, path, target_files=2)
+    assert len(new["files"]) <= 2
+    assert new["last_batch"] == 5                    # guard preserved
+    after = sorted(r.k for r in spark.read.format("jsonl_store")
+                   .option("path", path).load().collect())
+    assert after == before
+    # superseded files swept; only the live ones remain on disk
+    on_disk = {os.path.basename(f)
+               for f in glob.glob(f"{path}/part-*.jsonl")}
+    assert on_disk == set(new["files"])
+    # a replayed epoch after compaction still drops its attempt
+    with open(f"{path}/part-replay.jsonl", "w") as f:
+        f.write('{"k": 1000}\n')
+    w.commit([_FileCommit(file="part-replay.jsonl", rows=1)], 4)
+    assert sorted(r.k for r in spark.read.format("jsonl_store")
+                  .option("path", path).load().collect()) == before
