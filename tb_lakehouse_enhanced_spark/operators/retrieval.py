@@ -256,7 +256,13 @@ def _postings(docs: DataFrame, n_buckets: int,
              .groupBy("term", "doc_id", "dl")
              .agg(F.count(F.lit(1)).cast("double").alias("tf"))
              .withColumn("term_bucket",
-                         _bucket_expr(F.col("term"), n_buckets)))
+                         _bucket_expr(F.col("term"), n_buckets))
+             # cluster each bucket's file by term: parquet row-group
+             # min/max stats then prune `term IN (...)` INSIDE the kept
+             # bucket files too — one extra build-time shuffle, paid
+             # once on a write-once/probe-many index
+             .repartition("term_bucket")
+             .sortWithinPartitions("term", "doc_id"))
     return base, posts
 
 
