@@ -499,3 +499,67 @@ def maintain_bm25_index(spark, path: str, max_batches: int = 16) -> str:
         return "noop"
     compact_bm25_index(spark, path)
     return "compact"
+
+
+def bm25_probe_many(spark, path: str, queries: DataFrame, k: int = 50,
+                    k1: float = K1, b: float = B,
+                    max_terms: int = 100_000) -> DataFrame:
+    """Batch serving: score MANY queries against the persisted index in
+    ONE job — the offline-eval / reranking-pipeline shape, where
+    thousands of probes one-at-a-time would pay per-query scheduling.
+
+    ``queries`` carries (query_id, terms array<string>). The distinct
+    term set (bounded by ``max_terms`` — it is the probe vocabulary,
+    not the corpus) resolves to bucket literals exactly like the
+    single probe, the pruned posting scan joins the exploded
+    (query_id, term) relation once, per-posting contributions quantize
+    BEFORE the per-(query, doc) integer sum, and the per-query top-k
+    is a rank window PARTITIONED BY query_id — never a global funnel.
+    Returns (query_id, doc_id, rank).
+    """
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_bm25_stats.json")) as f:
+        stats = _json.load(f)
+    n, sumdl = stats["n"], stats["sumdl"]
+    if n == 0:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank bigint")
+    qt = (queries.select(F.col(queries.columns[0]).alias("query_id"),
+                         F.explode(F.col(queries.columns[1]))
+                         .alias("term"))
+          .dropDuplicates(["query_id", "term"]))
+    terms = qt.select("term").distinct().limit(max_terms + 1).collect()
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"probe vocabulary exceeds max_terms={max_terms}; raise the "
+            f"cap or shard the query set")
+    term_list = [r["term"] for r in terms]
+    buckets = sorted({r["b"] for r in spark.createDataFrame(
+        [(t,) for t in term_list], "term string")
+        .select(_bucket_expr(F.col("term"), stats["n_buckets"]).alias("b"))
+        .collect()})
+    posts = (spark.read.parquet(_os.path.join(path, _postings_dir(stats)))
+             .filter(F.col("term_bucket").isin(buckets)
+                     & (F.col("ingest_batch") <= stats.get("last_batch", 0))
+                     & F.col("term").isin(term_list)))
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    posts = posts.join(F.broadcast(dfreq), "term")
+    avgdl = sumdl / n
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = (idf * F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                             + F.lit(b) * F.col("dl")
+                                             / F.lit(avgdl))))
+    qc = F.floor(contrib * F.lit(1e6)).cast("bigint")
+    scored = (posts.join(qt, "term")
+              .select("query_id", "doc_id", qc.alias("_qc"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("_qc").alias("_score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank"))

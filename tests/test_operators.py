@@ -1063,3 +1063,26 @@ def test_edit_distance_join_unicode_codepoints(spark):
                   if lev(a, b) <= 1)
     assert got == want
     assert (0, 101, 1) in got          # café ~ cafe: codepoint distance 1
+
+
+def test_bm25_probe_many_equals_single_probes(spark, tmp_path):
+    """Batch probing: one job over N queries returns exactly what N
+    single probes return, with the rank window partitioned by query."""
+    from tb_lakehouse_enhanced_spark.operators.retrieval import (
+        bm25_probe, bm25_probe_many, build_bm25_index,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx, n_buckets=16)
+    qsets = {0: ["customer", "window"], 1: ["merge", "slow"],
+             2: ["spark", "table", "value"]}
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in qsets.items()],
+        "query_id long, terms array<string>")
+    many = bm25_probe_many(spark, idx, qdf, k=15)
+    got = {(r.query_id, r.doc_id, r.rank) for r in many.collect()}
+    want = set()
+    for qid, terms in qsets.items():
+        for r in bm25_probe(spark, idx, terms, k=15).collect():
+            want.add((qid, r.doc_id, r.rank))
+    assert got == want and len(got) == 45
