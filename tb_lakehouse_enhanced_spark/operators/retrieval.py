@@ -293,7 +293,11 @@ def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
      .parquet(_os.path.join(path, "postings", "ingest_batch=0")))
     stats = {"n": float(stats_row["n"]),
              "sumdl": float(stats_row["sumdl"] or 0.0),
-             "n_buckets": n_buckets, "last_batch": 0}
+             "n_buckets": n_buckets, "last_batch": 0,
+             # the id column's Spark type, so probes against an EMPTY
+             # bootstrap index return the same doc_id schema a
+             # non-empty probe would (string-keyed corpora included)
+             "id_type": base.schema["doc_id"].dataType.simpleString()}
     _write_stats(path, stats)
     return stats
 
@@ -358,8 +362,11 @@ def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
     n, sumdl = stats["n"], stats["sumdl"]
     if n == 0:
         # empty bootstrap index (streaming sink before its first
-        # append): nothing to scan, schema-stable empty result
-        return spark.createDataFrame([], "doc_id long, rank bigint")
+        # append): nothing to scan, schema-stable empty result — the
+        # doc_id type comes from the build-time stats, not a hardcoded
+        # long, so string-keyed corpora stay schema-consistent
+        return spark.createDataFrame(
+            [], f"doc_id {stats.get('id_type', 'bigint')}, rank bigint")
     # hash probe terms through the build's own Spark expression (never
     # reimplement the engine hash driver-side — same rule as the bloom
     # index probe)
@@ -459,14 +466,23 @@ def compact_bm25_index(spark, path: str) -> dict:
     flips to it in one rename — a probe reads either the old layout or
     the new one, never a mix. ``last_batch`` is deliberately UNCHANGED
     so the streaming sink's replay guard keeps rejecting already-
-    applied batch ids after compaction. The old directory is removed
-    after the flip (POSIX keeps in-flight readers' open files alive).
+    applied batch ids after compaction.
+
+    The superseded directory is NOT removed here: a probe that loaded
+    the stats JSON just before the flip lists the old directory's
+    parquet files LAZILY (Spark defers file listing to job launch), so
+    an immediate delete could fail that probe mid-flight — open file
+    handles are not enough, the listing itself must still succeed.
+    Superseded ``postings*`` dirs are swept by the NEXT maintenance
+    pass (``maintain_bm25_index`` / the next ``compact``), by which
+    point any probe that could have referenced them has long resolved
+    — the same deferred-removal grace the managed table's vacuum uses.
     """
     import json as _json
     import os as _os
-    import shutil as _sh
     with open(_os.path.join(path, "_bm25_stats.json")) as f:
         stats = _json.load(f)
+    _sweep_superseded_postings(path, stats)
     old_dir = _postings_dir(stats)
     last = int(stats.get("last_batch", 0))
     committed = (spark.read.parquet(_os.path.join(path, old_dir))
@@ -479,8 +495,26 @@ def compact_bm25_index(spark, path: str) -> dict:
      .parquet(_os.path.join(path, new_dir, f"ingest_batch={last}")))
     stats["dir"] = new_dir
     _write_stats(path, stats)
-    _sh.rmtree(_os.path.join(path, old_dir), ignore_errors=True)
+    # old_dir is now superseded; removal is deferred (see docstring)
     return stats
+
+
+def _sweep_superseded_postings(path: str, stats: dict) -> list[str]:
+    """Remove ``postings*`` directories superseded by an EARLIER
+    compaction (anything other than the stats JSON's current dir).
+    Called from maintenance entry points only, never inline with a
+    flip, so concurrent probes get a full maintenance-interval grace
+    before their layout disappears."""
+    import os as _os
+    import shutil as _sh
+    cur = _postings_dir(stats)
+    gone = []
+    for d in _os.listdir(path):
+        if d.startswith("postings") and d != cur \
+                and _os.path.isdir(_os.path.join(path, d)):
+            _sh.rmtree(_os.path.join(path, d), ignore_errors=True)
+            gone.append(d)
+    return gone
 
 
 def maintain_bm25_index(spark, path: str, max_batches: int = 16) -> str:
@@ -492,11 +526,12 @@ def maintain_bm25_index(spark, path: str, max_batches: int = 16) -> str:
     import os as _os
     with open(_os.path.join(path, "_bm25_stats.json")) as f:
         stats = _json.load(f)
+    swept = _sweep_superseded_postings(path, stats)
     root = _os.path.join(path, _postings_dir(stats))
     n_batches = sum(1 for d in _os.listdir(root)
                     if d.startswith("ingest_batch="))
     if n_batches <= max_batches:
-        return "noop"
+        return "sweep" if swept else "noop"
     compact_bm25_index(spark, path)
     return "compact"
 
@@ -524,7 +559,8 @@ def bm25_probe_many(spark, path: str, queries: DataFrame, k: int = 50,
     n, sumdl = stats["n"], stats["sumdl"]
     if n == 0:
         return spark.createDataFrame(
-            [], "query_id long, doc_id long, rank bigint")
+            [], f"query_id long, doc_id {stats.get('id_type', 'bigint')}, "
+                f"rank bigint")
     qt = (queries.select(F.col(queries.columns[0]).alias("query_id"),
                          F.explode(F.col(queries.columns[1]))
                          .alias("term"))

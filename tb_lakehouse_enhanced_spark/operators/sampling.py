@@ -151,10 +151,14 @@ def diversity_sample(embeddings: DataFrame, budget: int,
     """
     import numpy as np
 
-    from .similarity import _kmeans_centroids, ivf_assign
+    from .similarity import _kmeans_centroids, _train_sample_rows, ivf_assign
     from .skew import topk_per_group
-    sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
-    mat = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    # deterministic hash-bottom-n draw (see _train_sample_rows): the
+    # training sample — and hence the centroids and the whole draw —
+    # is a pure function of corpus contents, invariant under
+    # repartitioning, as the docstring's reproducibility claim needs
+    mat = np.array(_train_sample_rows(embeddings, vec_col, sample_size),
+                   dtype=np.float64)
     centroids = _kmeans_centroids(mat, n_clusters)
     assigned = (ivf_assign(embeddings, centroids, id_col, vec_col)
                 .select(id_col, F.col("ivf_list").alias("cluster")))

@@ -41,6 +41,24 @@ def _matrix(col: pd.Series) -> np.ndarray:
     return m / norms
 
 
+def _train_sample_rows(df: DataFrame, vec_col: str, n: int) -> list:
+    """Deterministic, partitioning-invariant uniform draw of ``n``
+    vectors for quantizer training: bottom-``n`` by
+    ``xxhash64(vector)`` (a TakeOrdered — per-partition heap + driver
+    merge, never a full sort), tie-broken on the vector itself so the
+    result is a pure function of the corpus CONTENTS. An unordered
+    ``limit(n)`` takes whatever partitions answer first — at 100 TB
+    that is a PREFIX of the first file(s), a biased sample that
+    degrades IVF/PQ recall; the hash-bottom-n costs the same bounded
+    collect and is unbiased at any scale (pytest pins invariance
+    under ``repartition``)."""
+    rows = (df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)).asc(),
+                     F.col(vec_col).asc())
+            .limit(n).collect())
+    return [r[0] for r in rows]
+
+
 _MAX_QUERIES = 100_000  # probe sets are driver-collected by contract
 
 
@@ -125,9 +143,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     partitioned by list id, so a probe touches n_probe partitions; the
     per-batch kernel below mirrors that pruning locally.
     """
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
     centroids = _kmeans_centroids(
-        _matrix(pd.Series([r[0] for r in sample_rows])), n_lists)
+        _matrix(pd.Series(_train_sample_rows(corpus, vec_col, sample_size))),
+        n_lists)
     qids, qm = _collect_queries(queries, id_col, vec_col)
     # each query probes its n_probe nearest lists
     qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -372,9 +390,9 @@ def ivf_write_partitioned(corpus: DataFrame, path: str, n_lists: int = 16,
     self-describing for ``ivf_append_partitioned`` (incremental ingest)
     and ``ivf_check_drift`` (retrain trigger).
     """
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
     centroids = _kmeans_centroids(
-        _matrix(pd.Series([r[0] for r in sample_rows])), n_lists)
+        _matrix(pd.Series(_train_sample_rows(corpus, vec_col, sample_size))),
+        n_lists)
     (ivf_assign(corpus, centroids, id_col, vec_col)
      .write.mode("overwrite").partitionBy("ivf_list").parquet(path))
     written = corpus.sparkSession.read.parquet(path)
@@ -514,8 +532,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     training is iterative — not SQL-expressible, so the query entry is
     rows-only checked with a recall pytest against exact cosine_topk.
     """
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
-    smp = _matrix(pd.Series([r[0] for r in sample_rows]))
+    smp = _matrix(pd.Series(_train_sample_rows(corpus, vec_col, sample_size)))
     books = _pq_codebooks(smp, m, nbits)                 # (m, C, sub)
     qids, qm = _collect_queries(queries, id_col, vec_col)
     d = qm.shape[1]
@@ -567,8 +584,7 @@ def pq_write_index(corpus: DataFrame, path: str, m: int = 8, nbits: int = 8,
     Arrow-batched pass over the corpus, never collected or shuffled.
     """
     spark = corpus.sparkSession
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
-    smp = _matrix(pd.Series([r[0] for r in sample_rows]))
+    smp = _matrix(pd.Series(_train_sample_rows(corpus, vec_col, sample_size)))
     books = _pq_codebooks(smp, m, nbits)                 # (m, C, sub)
     d = smp.shape[1]
     sub = d // m
@@ -688,8 +704,7 @@ def ivfpq_write_index(corpus: DataFrame, path: str, n_lists: int = 16,
     """
     import json
     import os
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
-    smp = _matrix(pd.Series([r[0] for r in sample_rows]))
+    smp = _matrix(pd.Series(_train_sample_rows(corpus, vec_col, sample_size)))
     centroids = _kmeans_centroids(smp, n_lists)
     d = ((smp[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     resid = smp - centroids[d.argmin(axis=1)]

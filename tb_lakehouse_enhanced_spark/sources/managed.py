@@ -222,10 +222,15 @@ class ManagedTable:
         # tombstone dirs by another), with each row's commit sequence
         # parsed from its file path — so k stacked MOR commits cost one
         # extra scan node, not a k-way union lineage.
-        # no trailing slash in the pattern: partial-rewrite carries
-        # rename dirs to e.g. `delta_v3_rw7`, whose sequence is STILL 3
+        # anchored to the file's PARENT directory (delta/tomb dirs are
+        # flat parquet writes, so every data file sits directly inside
+        # `delta_vN[...]/`): an unanchored match would mis-parse a table
+        # ROOTED under a path that happens to contain `delta_v2`. The
+        # `[^/]*` tail covers partial-rewrite carry dirs like
+        # `delta_v3_rw7`, whose sequence is STILL 3.
         seq_from_path = F.regexp_extract(
-            F.col("_metadata.file_path"), r"(?:delta|tomb)_v(\d+)", 1) \
+            F.col("_metadata.file_path"),
+            r"/(?:delta|tomb)_v(\d+)[^/]*/[^/]+$", 1) \
             .cast("long")
         delta_rows = (self.spark.read.parquet(
             *[os.path.join(self.path, d) for d in deltas])

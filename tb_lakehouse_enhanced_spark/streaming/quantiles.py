@@ -69,9 +69,16 @@ def stream_quantile_sketch(events: DataFrame, key_col: str = "source",
                            qs: tuple[float, ...] = _DEFAULT_QS
                            ) -> DataFrame:
     """events stream (key, id, value) -> one row per (key, micro-batch)
-    with cumulative row count, retained-sample size, exactness flag
-    (sample not yet saturated => quantiles are exact), and the
-    quantile panel ``q_<pct>``."""
+    with cumulative DELIVERED non-null row count, retained-sample size,
+    exactness flag (sample not yet saturated => quantiles are exact),
+    and the quantile panel ``q_<pct>``.
+
+    ``n_rows`` counts deliveries: the sample fold itself is
+    replay-idempotent (hash-bottom-k is a function of the ids seen),
+    but a replayed micro-batch increments the counter again — an exact
+    replay-safe distinct count would need unbounded id state, which is
+    what the sibling KMV-distinct sketch estimates. Null-valued rows
+    (dropped before folding) are NOT counted."""
     qcols = [f"q_{int(q * 100)}" for q in qs]
     out_schema = ("key string, n_rows bigint, sample_n bigint, "
                   "is_exact boolean, "
@@ -93,7 +100,7 @@ def stream_quantile_sketch(events: DataFrame, key_col: str = "source",
             hashes, vals = reservoir_fold(
                 hashes, vals, keep[id_col].astype(str),
                 keep[value_col].astype(float), k)
-            n_rows += int(len(pdf))
+            n_rows += int(len(keep))
 
         state.update((hashes, vals, n_rows))
         panel = sample_quantiles(vals, qs)

@@ -1065,3 +1065,26 @@ def test_table_config_is_durable(spark, tmp_base):
     # contradicting config is an error, not silent corruption
     with pytest.raises(ValueError, match="created with"):
         ManagedTable(spark, f"{tmp_base}/cfg", partition_by=("k",))
+
+
+def test_mor_seq_parse_anchored_to_dir_component(spark, tmp_path):
+    """The MOR resolver parses commit sequence from the data file's
+    PARENT directory only — a table ROOTED under a path that itself
+    contains 'delta_v2' must not leak that token into every row's
+    sequence (which would corrupt last-writer-wins resolution)."""
+    root = tmp_path / "archive_delta_v2_zone" / "tbl"
+    t = ManagedTable(spark, str(root))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "k", "v"]))
+    # stacked MOR: upsert then delete then re-upsert the same key —
+    # correctness here depends entirely on per-file sequence parsing
+    t.upsert_mor(spark.createDataFrame([(1, "a", 11.0)],
+                                       ["id", "k", "v"]),
+                 key_cols=("id",))
+    t.delete_mor(F.col("id") == 2, key_cols=("id",))
+    t.upsert_mor(spark.createDataFrame([(2, "b2", 22.0)],
+                                       ["id", "k", "v"]),
+                 key_cols=("id",))
+    rows = {r["id"]: (r["k"], r["v"]) for r in t.read().collect()}
+    assert rows == {1: ("a", 11.0), 2: ("b2", 22.0), 3: ("c", 30.0)}

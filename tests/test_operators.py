@@ -948,10 +948,15 @@ def test_bm25_index_compaction_preserves_probes(spark, tmp_path):
     assert maintain_bm25_index(spark, idx, max_batches=2) == "compact"
     stats = json.load(open(os.path.join(idx, "_bm25_stats.json")))
     assert stats["dir"] == "postings_v1"
-    assert not os.path.isdir(os.path.join(idx, "postings"))
+    # deferred removal: the superseded layout survives the flip so a
+    # probe that loaded the PRE-flip stats can still list its files;
+    # the next maintenance pass sweeps it
+    assert os.path.isdir(os.path.join(idx, "postings"))
     assert sorted(map(tuple, bm25_probe(spark, idx, terms, k=25)
                   .collect())) == want
-    # one committed batch dir remains -> policy goes quiet
+    assert maintain_bm25_index(spark, idx, max_batches=2) == "sweep"
+    assert not os.path.isdir(os.path.join(idx, "postings"))
+    # nothing superseded and one committed batch dir -> policy quiet
     assert maintain_bm25_index(spark, idx, max_batches=2) == "noop"
     # replay guard survives compaction: last_batch unchanged
     before = stats["n"]
@@ -1086,3 +1091,58 @@ def test_bm25_probe_many_equals_single_probes(spark, tmp_path):
         for r in bm25_probe(spark, idx, terms, k=15).collect():
             want.add((qid, r.doc_id, r.rank))
     assert got == want and len(got) == 45
+
+
+def test_quantizer_training_sample_partitioning_invariant(spark):
+    """Quantizer training draws the hash-bottom-n sample, not an
+    unordered limit() prefix: the sample — and hence centroids and IVF
+    results — is identical under any repartitioning of the corpus
+    (the unbiased-at-100TB contract; a prefix draw trains on whatever
+    files answer first)."""
+    import numpy as np
+
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        _kmeans_centroids, _matrix, _train_sample_rows, ivf_topk,
+    )
+    import pandas as pd
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    s1 = _train_sample_rows(emb, "embedding", 256)
+    s2 = _train_sample_rows(emb.repartition(13), "embedding", 256)
+    s3 = _train_sample_rows(emb.repartition(3, "vec_id"), "embedding", 256)
+    assert [list(v) for v in s1] == [list(v) for v in s2] \
+        == [list(v) for v in s3]
+    c1 = _kmeans_centroids(_matrix(pd.Series(s1)), 8)
+    c2 = _kmeans_centroids(_matrix(pd.Series(s2)), 8)
+    assert np.array_equal(c1, c2)
+    q = emb.filter("vec_id < 3")
+    r1 = sorted(map(tuple, ivf_topk(emb, q, k=5).collect()))
+    r2 = sorted(map(tuple, ivf_topk(emb.repartition(13), q, k=5).collect()))
+    assert r1 == r2 and r1
+
+
+def test_bm25_empty_index_preserves_string_id_schema(spark, tmp_path):
+    """A probe against an empty bootstrap index returns the SAME doc_id
+    type the build recorded — string-keyed corpora must not get a
+    schema-inconsistent 'long' empty frame (the type is read from
+    _bm25_stats.json, not hardcoded)."""
+    from tb_lakehouse_enhanced_spark.operators.retrieval import (
+        append_bm25_index, bm25_probe, bm25_probe_many, build_bm25_index,
+    )
+    docs = spark.createDataFrame(
+        [("d-1", "alpha beta"), ("d-2", "beta gamma")],
+        "doc_id string, text string")
+    idx = str(tmp_path / "sidx")
+    build_bm25_index(docs.limit(0), idx, n_buckets=4)
+    empty = bm25_probe(spark, idx, ["beta"])
+    assert empty.schema["doc_id"].dataType.simpleString() == "string"
+    assert empty.count() == 0
+    qs = spark.createDataFrame([(0, ["beta"])],
+                               "query_id long, terms array<string>")
+    many = bm25_probe_many(spark, idx, qs)
+    assert many.schema["doc_id"].dataType.simpleString() == "string"
+    # after appending, probe schema matches the empty-probe schema
+    append_bm25_index(docs, idx)
+    got = bm25_probe(spark, idx, ["beta"])
+    assert [(f.name, f.dataType) for f in got.schema] == \
+        [(f.name, f.dataType) for f in empty.schema]
+    assert got.count() == 2
