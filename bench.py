@@ -47,6 +47,12 @@ HEADLINE = [
     # (build + probe measured together) and the lossless segment-blocked
     # edit-distance join
     "search_bm25_indexed", "edit_distance_join",
+    # round 6: probe-only BM25 serving latency (the index builds once
+    # per process on the first pass and is reused by passes 2-4, so the
+    # best-of min isolates the steady-state probe — the serving metric;
+    # search_bm25_indexed above keeps the build+probe pipeline view)
+    # and the SQL-statement MERGE front-end driving the SCD2 scenario
+    "search_bm25_probe", "sql_merge_scd2",
 ]
 
 

@@ -499,6 +499,45 @@ def compact_bm25_index(spark, path: str) -> dict:
     return stats
 
 
+def rebucket_bm25_index(spark, path: str, n_buckets: int) -> dict:
+    """Re-spread the posting list over a NEW bucket count — the rebucket
+    ride on the compaction machinery for an index that has outgrown its
+    build-time ``n_buckets`` (bucket file sizes grow with the corpus;
+    probe pruning stays proportional to |probe terms| / n_buckets).
+
+    Same atomicity contract as ``compact_bm25_index``: the rebucketed
+    postings land in a fresh versioned directory under a single
+    committed ingest batch, ``n_buckets`` and ``dir`` flip together in
+    the one stats-JSON rename (a probe hashes its terms with whichever
+    bucket count it read — old stats prune the old layout, new stats
+    the new one, never a mix), ``last_batch`` is preserved so the
+    streaming sink's replay guard survives, and the superseded
+    directory is swept by the next maintenance pass."""
+    import json as _json
+    import os as _os
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    with open(_os.path.join(path, "_bm25_stats.json")) as f:
+        stats = _json.load(f)
+    old_dir = _postings_dir(stats)
+    last = int(stats.get("last_batch", 0))
+    committed = (spark.read.parquet(_os.path.join(path, old_dir))
+                 .filter(F.col("ingest_batch") <= last)
+                 .drop("ingest_batch")
+                 .withColumn("term_bucket",
+                             _bucket_expr(F.col("term"), n_buckets))
+                 .repartition("term_bucket")
+                 .sortWithinPartitions("term", "doc_id"))
+    ver = int(old_dir.rsplit("_v", 1)[1]) if "_v" in old_dir else 0
+    new_dir = f"postings_v{ver + 1}"
+    (committed.write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(_os.path.join(path, new_dir, f"ingest_batch={last}")))
+    stats["dir"] = new_dir
+    stats["n_buckets"] = n_buckets
+    _write_stats(path, stats)
+    return stats
+
+
 def _sweep_superseded_postings(path: str, stats: dict) -> list[str]:
     """Remove ``postings*`` directories superseded by an EARLIER
     compaction (anything other than the stats JSON's current dir).

@@ -656,6 +656,17 @@ def scd2_merge_state(spark, sf_dir):
     return scd.scd2_state(spark, sf_dir)
 
 
+@q("sql_merge_scd2", scd.SCD2_ORACLE_BASE + "SELECT * FROM final")
+def sql_merge_scd2(spark, sf_dir):
+    """The same SCD2 scenario driven through the reference's ACTUAL
+    user surface: the two-pass MERGE statement TEXTS (reference
+    22_ETL_Silver_PySpark.py:62-101), parsed by sqlfront.py and
+    executed as the engine's single full-outer-join merge against a
+    managed table. Hash-equal to scd2_merge_state's oracle — the
+    front-end adds zero semantics."""
+    return scd.sql_scd2_state(spark, sf_dir)
+
+
 @q("scd2_temporal_lookup", scd.SCD2_ORACLE_BASE + f"""
 , probe AS (
   SELECT DISTINCT l_orderkey, l_linenumber,
@@ -1516,6 +1527,40 @@ def delta_roundtrip_q(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+@q("delta_external_read", """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 = 1
+GROUP BY lang
+""")
+def delta_external_read_q(spark, sf_dir):
+    """delta_roundtrip's MODERN-WRITER sibling: the fixture is a
+    'name'-mode COLUMN-MAPPED Delta table (reader protocol 2 — physical
+    col-<id> names in the parquet, logical names only in the log;
+    sources/synthetic.py::write_external_delta) checkpointed as a
+    classic MULTI-PART checkpoint, with the JSON commit deleted so the
+    read can ONLY come from the sharded checkpoint + physical->logical
+    rename path in sources/deltaread.py."""
+    import glob as _glob
+    import os as _os
+
+    from ..sources.deltaread import checkpoint_delta_log, read_delta
+    from ..sources.synthetic import write_external_delta
+    path = tempfile.mkdtemp(prefix="tb_delta_ext_")
+    write_external_delta(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "lang", "n_chars"), path)
+    v = checkpoint_delta_log(spark, path, parts=2)
+    for fn in _glob.glob(_os.path.join(path, "_delta_log", "*.json")):
+        if int(_os.path.basename(fn).split(".")[0]) <= v:
+            _os.remove(fn)
+    return (read_delta(spark, path)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
 @q("zorder_read", """
 SELECT o_orderkey, o_custkey,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
@@ -1957,6 +2002,32 @@ def dml_update_delete(spark, sf_dir):
               {"l_quantity": F.col("l_quantity") + 5, "l_returnflag": F.lit("X")})
     mt.delete(F.col("l_returnflag") == "A")
     return mt.read()
+
+
+@q("sql_update_delete", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+       CASE WHEN l_returnflag = 'R' THEN 'X' ELSE l_returnflag END AS l_returnflag
+FROM lineitem WHERE l_returnflag <> 'A'
+""")
+def sql_update_delete(spark, sf_dir):
+    """dml_update_delete driven through the reference's actual user
+    surface: UPDATE / DELETE statement TEXTS (reference
+    23_Testing_SCD2.py:40-50 shapes) routed by sqlfront.py to the
+    managed table's partition-scoped rewrites — including the
+    partition-moving case (the UPDATE rewrites the partition column)."""
+    from ..sqlfront import LakehouseSql
+    lake = LakehouseSql(spark, tempfile.mkdtemp(prefix="tb_sqlfront_ud_"))
+    src = (_t(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_linenumber", "l_quantity",
+                   "l_returnflag"))
+    ManagedTable(spark, f"{lake.root}/bronze/lineitem",
+                 partition_by=("l_returnflag",)).overwrite(src)
+    lake.sql("UPDATE bronze.lineitem "
+             "SET l_quantity = l_quantity + 5, l_returnflag = 'X' "
+             "WHERE l_returnflag = 'R'")
+    lake.sql("DELETE FROM bronze.lineitem WHERE l_returnflag = 'A'")
+    return lake.table("bronze.lineitem").read()
 
 
 @q("text_metrics", f"""
@@ -3949,6 +4020,41 @@ def search_bm25_indexed(spark, sf_dir):
     return bm25_probe(spark, path, _BM25_TERMS, k=50)
 
 
+# serving-index cache for the probe-only entry: the index is
+# write-once/probe-many BY DESIGN — building it inside every query call
+# (as search_bm25_indexed does, deliberately, to measure the full
+# pipeline) conflates build and serve. One build per (process, sf_dir)
+# is the serving deployment shape.
+_BM25_INDEX_CACHE: dict = {}
+
+
+def _bm25_index_for(spark, sf_dir: str) -> str:
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.retrieval import build_bm25_index
+    path = _BM25_INDEX_CACHE.get(sf_dir)
+    if path is None or not _os.path.exists(
+            _os.path.join(path, "_bm25_stats.json")):
+        path = _tf.mkdtemp(prefix="tb_bm25_srv_")
+        build_bm25_index(_t(spark, sf_dir, "documents"), path, n_buckets=64)
+        _BM25_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@q("search_bm25_probe", _bm25_idx_sql(_BM25_TERMS, k=50))
+def search_bm25_probe(spark, sf_dir):
+    """PROBE-ONLY serving latency against the persisted BM25 index
+    (built once per process via the cache above): the metric a serving
+    deployment cares about — bucket-pruned scan, per-posting quantized
+    contributions, integer per-doc sum, top-k. search_bm25_indexed
+    keeps measuring build+probe for the pipeline view; this entry
+    isolates the steady-state probe."""
+    from ..operators.retrieval import bm25_probe
+    return bm25_probe(spark, _bm25_index_for(spark, sf_dir),
+                      _BM25_TERMS, k=50)
+
+
 from ..operators.retrieval import hybrid_rrf_oracle_sql as _hybrid_sql  # noqa: E402
 
 
@@ -4516,7 +4622,10 @@ _PRIORITY = [
     # range-join family stays in-window via interval_overlap, and
     # range_join stays locally oracle-checked) in favor of the new
     # lossless edit-distance similarity join
-    "join_fact_chain", "join_dim_lookup", "join_semi_anti",
+    # round 6 rotates join_semi_anti below the fold (semi/anti shapes
+    # also ride tpch + filter entries and stay locally oracle-checked)
+    # in favor of the SQL-statement DML surface
+    "join_fact_chain", "join_dim_lookup",
     "asof_join", "edit_distance_join",
     # fact build + star aggregates
     "fact_projection", "star_agg_sales_by_geo", "star_agg_by_month",
@@ -4549,23 +4658,31 @@ _PRIORITY = [
     # DML / MERGE family + change data feed — now including the
     # merge-on-read paths (key-tombstone delete, appended-delta upsert)
     # and the Delta-log emit->replay roundtrip
-    "dml_update_delete", "dml_delete_mor", "merge_mor", "delta_roundtrip",
-    "scd2_merge_state", "scd1_upsert", "fact_upsert",
+    # round 6: the SQL-statement front-end entries REPLACE their
+    # operator-path twins in-window (sql_merge_scd2 shares
+    # scd2_merge_state's oracle verbatim; sql_update_delete shares
+    # dml_update_delete's — both twins stay locally oracle-checked
+    # below the fold, so the window now proves statement-text parity
+    # on top of the same state oracles)
+    "sql_update_delete", "dml_delete_mor", "merge_mor", "delta_roundtrip",
+    "sql_merge_scd2", "scd1_upsert", "fact_upsert",
     "table_changes",
-    # streaming (batch-checkable core): tumbling windows; round 3
-    # rotates stream_session below the fold (the session family stays
-    # oracle-checked locally and in batch `sessionize`) in favor of the
-    # sequence-packing family
-    "stream_tumbling",
-    # TPC-H consumption shapes (q6's single-table filter-agg shape is
-    # in-window via scan_source + tpch_q1; q6 itself below the fold)
-    "tpch_q1", "tpch_q3", "tpch_q5",
+    # streaming (batch-checkable core): tumbling + sliding windows
+    # (stream_sliding rotates IN for round 6 — overlapping-window
+    # emission was below the fold since round 4)
+    "stream_tumbling", "stream_sliding",
+    # TPC-H consumption shapes (q5's join-chain shape stays exercised
+    # by q3 + join_fact_chain; q5 itself rotates below the fold in
+    # round 6 for the incremental-dedup family)
+    "tpch_q1", "tpch_q3",
     # dedup tier — round 5 rotates dedup_ngram_jaccard below the fold
     # (it is the DELIBERATELY-quadratic oracle-parity op; the exact
     # near-dup family stays in-window via minhash/simhash and the
     # scalable exact-similarity slot goes to edit_distance_join above)
     "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_clusters", "dedup_embedding",
+    # round 6 rotates IN the batch-vs-corpus incremental dedup
+    "dedup_incremental",
     # text analysis / corpus prep (text_clean rotates below the fold —
     # redact/normalize stay locally oracle-checked — for BM25 retrieval;
     # round 4 adds the BM25+vector reciprocal-rank fusion; round 5 adds
@@ -4573,8 +4690,11 @@ _PRIORITY = [
     "text_metrics", "search_bm25", "search_bm25_indexed",
     "search_hybrid", "vocab_topk",
     "corpus_splits", "contamination_check",
-    # multimodal + similarity search
-    "multimodal_features", "simsearch_topk", "simsearch_lsh",
+    # multimodal + similarity search — round 6 rotates simsearch_lsh
+    # below the fold (the LSH family stays in-window via
+    # dedup_embedding; simsearch_lsh stays locally oracle-checked) in
+    # favor of the chunk-granular RAG retrieval composition
+    "multimodal_features", "simsearch_topk", "rag_chunk_search",
     # deterministic sampling / source mixing (corpus assembly)
     "sample_stratified",
     # sequence packing: docs -> fixed-length training context windows

@@ -312,3 +312,71 @@ SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
        TIMESTAMP '{{T1}}' AS _tf_update_date
 FROM base WHERE o_orderkey % 13 = 0
 """.replace("{T0}", T0).replace("{T1}", T1)
+
+
+# ------------------------------------------------- SQL-text front-end ------
+#
+# The same SCD2 scenario driven through the reference's ACTUAL user
+# surface: MERGE statement TEXTS (reference notebooks/
+# 22_ETL_Silver_PySpark.py:62-101 — two passes, close-then-insert),
+# executed by the sqlfront statement-shape parser against a managed
+# table. Must land hash-equal to scd2_state / SCD2_ORACLE_BASE: the
+# front-end adds zero semantics of its own.
+
+SQL_SCD2_CLOSE = """
+MERGE INTO silver.orders AS tgt
+USING src_orders_sqlfront AS src
+ON tgt.o_orderkey = src.o_orderkey AND tgt._tf_valid_to IS NULL
+WHEN MATCHED AND (
+       tgt.o_custkey != src.o_custkey OR
+       tgt.o_orderstatus != src.o_orderstatus OR
+       tgt.o_totalprice != src.o_totalprice
+) THEN UPDATE SET
+    tgt._tf_valid_to = current_timestamp(),
+    tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED BY SOURCE AND tgt._tf_valid_to IS NULL THEN
+  UPDATE SET
+    tgt._tf_valid_to = current_timestamp(),
+    tgt._tf_update_date = current_timestamp()
+"""
+
+SQL_SCD2_INSERT = """
+MERGE INTO silver.orders AS tgt
+USING src_orders_sqlfront AS src
+ON tgt.o_orderkey = src.o_orderkey AND tgt._tf_valid_to IS NULL
+WHEN NOT MATCHED THEN
+  INSERT (
+    o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    _tf_valid_from, _tf_valid_to, _tf_create_date, _tf_update_date
+  )
+  VALUES (
+    src.o_orderkey, src.o_custkey, src.o_orderstatus, src.o_totalprice,
+    current_timestamp(), NULL, current_timestamp(), current_timestamp()
+  )
+"""
+
+
+def sql_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the reference's two-pass SCD2 MERGE texts through the SQL
+    front-end against a managed table; returns the final table state
+    (same oracle as ``scd2_state``). ``current_timestamp()`` is pinned
+    through the front-end's ``now`` seam, the statement-text analogue
+    of the operators' injected ``load_ts``."""
+    import tempfile
+
+    from ..sqlfront import LakehouseSql
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lake = LakehouseSql(spark, tempfile.mkdtemp(prefix="tb_sqlfront_"))
+    src0 = _orders_src(orders, 0)
+    empty = src0.limit(0)
+    for c in ("_tf_valid_from", "_tf_valid_to",
+              "_tf_create_date", "_tf_update_date"):
+        empty = empty.withColumn(c, F.lit(None).cast("timestamp"))
+    lake.table("silver.orders").overwrite(empty)
+    for now, batch in ((T0, 0), (T1, 1)):
+        lake.now = now
+        _orders_src(orders, batch) \
+            .createOrReplaceTempView("src_orders_sqlfront")
+        lake.sql(SQL_SCD2_CLOSE)
+        lake.sql(SQL_SCD2_INSERT)
+    return lake.table("silver.orders").read()

@@ -29,9 +29,15 @@ replaying the transaction log the way the protocol specifies
 ``_last_checkpoint`` pointer) for tables this engine emits, enabling
 log truncation.
 
-Scope guard: tables using reader features beyond protocol
-``minReaderVersion`` 1 (column mapping, deletion vectors) are refused
-loudly rather than read wrongly.
+Modern-writer coverage: classic MULTI-PART checkpoints
+(``<v>.checkpoint.<i>.<n>.parquet`` + ``parts`` in
+``_last_checkpoint``) and COLUMN MAPPING (reader protocol 2 /
+the ``columnMapping`` reader feature, modes ``name``/``id``: parquet
+files carry ``delta.columnMapping.physicalName`` columns, renamed back
+to the log schema's logical names; partitionValues keyed physically)
+are read natively. Reader features this module cannot honor
+(deletion vectors, v2 checkpoints) are refused loudly rather than
+read wrongly.
 """
 
 from __future__ import annotations
@@ -65,11 +71,30 @@ def _load_checkpoint(spark: SparkSession, path: str,
     if not os.path.exists(lc):
         return None, None, None, -1
     with open(lc) as f:
-        v = json.load(f)["version"]
+        lc_meta = json.load(f)
+    v = lc_meta["version"]
     if max_version is not None and v > max_version:
         return None, None, None, -1  # time travel before the checkpoint
-    cp = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
-    rows = spark.read.parquet(cp).collect()
+    parts = lc_meta.get("parts")
+    if parts:
+        # classic MULTI-PART checkpoint (PROTOCOL.md: the actions are
+        # sharded over `parts` files named
+        # <v>.checkpoint.<i>.<parts>.parquet) — large tables' writers
+        # emit these so no single checkpoint file needs the whole
+        # action set; the union of the parts is the checkpoint
+        cps = [os.path.join(
+            _log_dir(path),
+            f"{v:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet")
+            for i in range(1, int(parts) + 1)]
+        missing = [p for p in cps if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"multi-part checkpoint v{v} incomplete: missing "
+                f"{os.path.basename(missing[0])}")
+        rows = spark.read.parquet(*cps).collect()
+    else:
+        cp = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
+        rows = spark.read.parquet(cp).collect()
     adds, meta, proto = {}, None, None
     for r in rows:
         d = r.asDict(recursive=True)
@@ -117,34 +142,78 @@ def _replay(spark: SparkSession, path: str,
     return adds, meta, proto
 
 
+_READABLE_FEATURES = {"columnMapping", "timestampNtz"}
+
+
+def _check_protocol(proto: dict | None, cm_mode: str) -> None:
+    """Refuse reader requirements this module cannot honor, loudly.
+    Reader v1 = plain; v2 = column mapping (handled); v3 = feature
+    list — readable iff every feature is in _READABLE_FEATURES
+    (deletionVectors / v2Checkpoint would silently produce wrong or
+    unreadable rows, so they raise)."""
+    if not proto:
+        return
+    v = proto.get("minReaderVersion", 1)
+    if v <= 2:
+        return
+    # reader v3 REQUIRES readerFeatures (PROTOCOL.md); absent or
+    # unknown-version protocols are refused, not guessed at
+    feats = set(proto["readerFeatures"]) \
+        if proto.get("readerFeatures") is not None else None
+    unsupported = (feats - _READABLE_FEATURES) if feats is not None \
+        else {"<missing readerFeatures>"}
+    if v > 3 or unsupported:
+        raise ValueError(
+            f"unsupported Delta reader protocol {proto} (features "
+            f"{sorted(unsupported) or v} not implemented) — for this "
+            "engine's own merge-on-read tables, compact/overwrite first "
+            "or use ManagedTable.read")
+
+
 def read_delta(spark: SparkSession, path: str,
                version: int | None = None) -> DataFrame:
     """Open a Delta-format table (optionally ``VERSION AS OF``) by
     protocol replay; returns the live rows with the log's schema,
     partition columns included."""
     adds, meta, proto = _replay(spark, path, version)
-    if proto and proto.get("minReaderVersion", 1) > 1:
-        raise ValueError(
-            f"unsupported Delta reader protocol {proto} (column mapping "
-            "/ deletion vectors not implemented) — for this engine's own "
-            "merge-on-read tables, compact/overwrite first or use "
-            "ManagedTable.read")
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    _check_protocol(proto, cm_mode)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # column mapping (reader protocol 2 / the columnMapping reader
+    # feature): parquet files carry PHYSICAL column names
+    # (delta.columnMapping.physicalName in each field's metadata —
+    # typically col-<uuid>), the log schema carries the logical ones.
+    # Read under the physical schema, then alias physical -> logical.
+    # 'id' mode tables written by mainstream writers also record
+    # physicalName (ids are the matching KEY only), so the same rename
+    # path serves both; top-level mapping only (nested struct
+    # remapping is refused by _check_protocol's schema scan upstream
+    # writers don't emit for the reference's flat tables).
+    phys = {f.name: ((f.metadata or {})
+                     .get("delta.columnMapping.physicalName", f.name))
+            for f in schema.fields}
     part_cols = meta.get("partitionColumns") or []
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols])
+    data_schema = StructType([
+        type(f)(phys[f.name], f.dataType, f.nullable)
+        for f in schema.fields if f.name not in part_cols])
     if not adds:
         return spark.createDataFrame([], schema)
     files = sorted(adds)
     paths = [os.path.join(path, p) for p in files]
     df = spark.read.schema(data_schema).parquet(*paths)
+    logical = [F.col(phys[f.name]).alias(f.name)
+               for f in schema.fields if f.name not in part_cols]
     if not part_cols:
-        return df.select(*[f.name for f in schema.fields])
+        return df.select(*logical).select(
+            *[f.name for f in schema.fields])
     # re-attach partition values: tiny (file -> values) relation,
     # broadcast-joined on the scan's _metadata.file_path — one scan,
-    # partition count never multiplies the plan
+    # partition count never multiplies the plan. partitionValues are
+    # keyed by PHYSICAL name under column mapping (PROTOCOL.md).
     pv_rows = [(os.path.abspath(os.path.join(path, p)),
-                *[adds[p]["partitionValues"].get(c) for c in part_cols])
+                *[adds[p]["partitionValues"].get(phys[c])
+                  for c in part_cols])
                for p in files]
     pv = spark.createDataFrame(
         pv_rows, ["_dl_fp", *[f"_dl_{c}" for c in part_cols]])
@@ -153,19 +222,24 @@ def read_delta(spark: SparkSession, path: str,
     norm = F.regexp_replace(F.col("_metadata.file_path"),
                             "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
     out = (df.withColumn("_dl_fp", norm)
-           .join(F.broadcast(pv), "_dl_fp"))
+           .join(F.broadcast(pv), "_dl_fp")
+           .select(*logical, *[f"_dl_{c}" for c in part_cols]))
     for c in part_cols:
         typ = next(f.dataType for f in schema.fields if f.name == c)
         out = out.withColumn(c, F.col(f"_dl_{c}").cast(typ))
     return out.select(*[f.name for f in schema.fields])
 
 
-def checkpoint_delta_log(spark: SparkSession, path: str) -> int:
+def checkpoint_delta_log(spark: SparkSession, path: str,
+                         parts: int | None = None) -> int:
     """Write a Delta checkpoint at the current latest version: one
     parquet row per live action (protocol + metaData + adds) and the
     ``_last_checkpoint`` pointer. Commits at or before the checkpoint
     can then be truncated — replay cost stays O(commits since last
-    checkpoint). Returns the checkpointed version."""
+    checkpoint). ``parts`` shards the actions over a classic
+    MULTI-PART checkpoint (``<v>.checkpoint.<i>.<n>.parquet``) the way
+    large tables' writers do, so no single file carries the whole
+    action set. Returns the checkpointed version."""
     versions = _commit_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
@@ -188,16 +262,33 @@ def checkpoint_delta_log(spark: SparkSession, path: str) -> int:
         "createdTime:bigint>, "
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:bigint,modificationTime:bigint,dataChange:boolean>")
-    cp = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
-    tmp = cp + ".tmp"
-    (spark.createDataFrame([proto_row, meta_row, *add_rows], schema)
-     .coalesce(1).write.mode("overwrite").parquet(tmp))
-    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-    os.replace(part, cp)
     import shutil
-    shutil.rmtree(tmp)
+    all_rows = [proto_row, meta_row, *add_rows]
+
+    def _write_one(rows: list, dest: str) -> None:
+        tmp = dest + ".tmp"
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, dest)
+        shutil.rmtree(tmp)
+
+    lc = {"version": v, "size": len(all_rows)}
+    if parts and parts > 1:
+        n = int(parts)
+        chunks = [all_rows[i::n] for i in range(n)]
+        for i, chunk in enumerate(chunks, start=1):
+            _write_one(chunk or [  # a part may be empty; keep schema
+                {"protocol": None, "metaData": None, "add": None}],
+                os.path.join(_log_dir(path),
+                             f"{v:020d}.checkpoint.{i:010d}"
+                             f".{n:010d}.parquet"))
+        lc["parts"] = n
+    else:
+        _write_one(all_rows, os.path.join(
+            _log_dir(path), f"{v:020d}.checkpoint.parquet"))
     lc_tmp = os.path.join(_log_dir(path), "_last_checkpoint.tmp")
     with open(lc_tmp, "w") as f:
-        json.dump({"version": v, "size": 2 + len(add_rows)}, f)
+        json.dump(lc, f)
     os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
     return v

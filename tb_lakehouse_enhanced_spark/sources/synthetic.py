@@ -134,3 +134,62 @@ def register(spark) -> None:
     ``spark.read.format("synthetic_docs").option("rows", N).load()`` and
     ``spark.readStream.format("synthetic_docs")...`` both work."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+def write_external_delta(df, path: str, table_id: str = "ext-cm") -> list:
+    """Emit ``df`` as the kind of Delta table a MODERN EXTERNAL WRITER
+    produces: 'name'-mode column mapping (reader protocol 2) — parquet
+    files carry physical ``col-<id>`` column names, the log schema the
+    logical names with ``delta.columnMapping.physicalName`` field
+    metadata. Interop fixture for sources/deltaread.py (the engine's
+    own mirror in managed.py deliberately emits plain protocol-1
+    tables); unpartitioned by design — partition re-attach under
+    mapping is pytest-covered separately. Returns the data file names.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    phys = {f.name: f"col-{i + 1}"
+            for i, f in enumerate(df.schema.fields)}
+    tmp = _os.path.join(path, "_tmp_write")
+    (df.select(*[F.col(c).alias(phys[c]) for c in df.columns])
+     .write.mode("overwrite").parquet(tmp))
+    _os.makedirs(path, exist_ok=True)
+    rels = []
+    for i, part in enumerate(sorted(
+            _glob.glob(_os.path.join(tmp, "part-*.parquet")))):
+        rel = f"part-{i:05d}.parquet"
+        _os.replace(part, _os.path.join(path, rel))
+        rels.append(rel)
+    _shutil.rmtree(tmp)
+    fields = [{"name": f.name, "type": f.dataType.jsonValue(),
+               "nullable": True,
+               "metadata": {"delta.columnMapping.id": i + 1,
+                            "delta.columnMapping.physicalName":
+                                phys[f.name]}}
+              for i, f in enumerate(df.schema.fields)]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(fields))},
+            "createdTime": 0}},
+        *[{"add": {"path": rel, "partitionValues": {}, "size": 1,
+                   "modificationTime": 0, "dataChange": True}}
+          for rel in rels],
+    ]
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    with open(_os.path.join(log, "0" * 20 + ".json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    return rels

@@ -1,0 +1,580 @@
+"""SQL-string DML front-end: MERGE / UPDATE / DELETE / INSERT texts
+routed to the managed-table executors.
+
+The reference's entire write surface is ``spark.sql()`` statement
+strings — SCD2 silver loads as two-pass MERGE texts (reference
+notebooks/22_ETL_Silver_PySpark.py:62-101), SCD1 gold dims
+(33_ETL_Gold_Dim_PySpark.py:61-184), the keyed fact upsert
+(34_ETL_Gold_Fact_PySpark.py:90-139), ad-hoc UPDATE/DELETE
+(23_Testing_SCD2.py:40-50) and seed INSERT VALUES
+(01_Init.py:265-321). The engine already implements those SEMANTICS
+behind a Python API (operators/merge.py, sources/managed.py); this
+module closes the API-fidelity gap: a user coming from the reference
+pastes the same statement text and it executes against managed tables.
+
+Design: a STATEMENT-SHAPE parser, not a SQL grammar. The parser splits
+the statement into its structural slots (target, source, ON, WHEN
+clauses, SET lists) at top level — tracking parentheses, quotes and
+CASE..END so embedded expressions never confuse it — and every
+expression inside a slot passes through VERBATIM to ``F.expr`` /
+``spark.sql``, i.e. Catalyst keeps full expression semantics and this
+module never re-implements SQL evaluation.
+
+MERGE executes as the engine's canonical single-shuffle shape (the same
+plan ``operators/merge.py`` uses, and the join Delta's
+``MergeIntoCommand`` runs internally): ONE full-outer join of target
+and source on the verbatim ON condition, a first-match-wins branch
+index over the WHEN clauses, one projection for the surviving
+target-derived rows, one for the inserts, union. At 100 TB that is one
+key shuffle; small sources broadcast under AQE exactly as in the
+hand-built merges.
+
+Determinism seam: the reference stamps rows with
+``current_timestamp()``, which is untestable; ``LakehouseSql(now=...)``
+rewrites that call to a literal — the statement-text analogue of the
+injected ``load_ts`` every merge operator takes (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.managed import ManagedTable
+
+__all__ = ["LakehouseSql", "MergeSpec", "MergeClause",
+           "parse_merge", "parse_update", "parse_delete", "parse_insert",
+           "apply_merge", "MergeCardinalityError"]
+
+
+class MergeCardinalityError(Exception):
+    """A target row matched multiple source rows under an UPDATE/DELETE
+    clause — the merge would be non-deterministic (Delta raises the
+    same error)."""
+
+
+# ------------------------------------------------------------ tokenizing ---
+#
+# The only lexical structure the parser needs: where do the TOP-LEVEL
+# occurrences of a keyword / separator sit? "Top level" = outside
+# single-quoted strings, outside parentheses, and outside CASE..END
+# blocks (a WHEN MATCHED condition may contain CASE WHEN .. THEN ..,
+# which must not be mistaken for the clause's own THEN).
+
+def _scan(s: str):
+    """Yield (index, char, depth) with depth counting '(' and CASE."""
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":                           # skip string literal
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2                     # escaped quote
+                elif s[j] == "'":
+                    break
+                else:
+                    j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c.isalpha() and (i == 0 or not (s[i - 1].isalnum()
+                                             or s[i - 1] in "_.")):
+            w = re.match(r"[A-Za-z_]+", s[i:]).group(0).upper()
+            if w == "CASE":
+                depth += 1
+            elif w == "END":
+                depth -= 1
+            yield i, w, depth - (1 if w == "CASE" else 0) \
+                + (1 if w == "END" else 0)
+            i += len(w)
+            continue
+        yield i, c, depth
+        i += 1
+
+
+def _find_word(s: str, word: str, start: int = 0) -> int:
+    """Index of the first top-level occurrence of keyword ``word``
+    (case-insensitive) in ``s`` at or after ``start``, else -1."""
+    for i, tok, depth in _scan(s):
+        if i >= start and depth == 0 and tok == word.upper():
+            return i
+    return -1
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on top-level ``sep`` characters."""
+    parts, last = [], 0
+    for i, tok, depth in _scan(s):
+        if tok == sep and depth == 0:
+            parts.append(s[last:i].strip())
+            last = i + 1
+    parts.append(s[last:].strip())
+    return [p for p in parts if p]
+
+
+def _norm(sql: str) -> str:
+    """Collapse whitespace runs to single spaces OUTSIDE string
+    literals (statement shapes become regex-friendly; literals with
+    embedded whitespace survive)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif c.isspace():
+            out.append(" ")
+            while i < n and sql[i].isspace():
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out).strip()
+
+
+def _strip_alias(name: str, aliases: tuple[str, ...]) -> str:
+    head, _, tail = name.partition(".")
+    if tail and head in aliases:
+        return tail
+    return name
+
+
+def _parse_assignments(text: str, aliases: tuple[str, ...]) -> dict:
+    """``a = e1, tgt.b = e2`` -> {'a': 'e1', 'b': 'e2'} (exprs
+    verbatim)."""
+    out = {}
+    for item in _split_top(text):
+        # first top-level '=' that isn't part of != <= >= <=> ==
+        eq = -1
+        for i, tok, depth in _scan(item):
+            if tok == "=" and depth == 0:
+                prev = item[i - 1] if i else ""
+                nxt = item[i + 1] if i + 1 < len(item) else ""
+                if prev not in "!<>=" and nxt != "=" and nxt != ">":
+                    eq = i
+                    break
+        if eq < 0:
+            raise ValueError(f"cannot parse assignment: {item!r}")
+        lhs = _strip_alias(item[:eq].strip(), aliases)
+        out[lhs] = item[eq + 1:].strip()
+    return out
+
+
+# --------------------------------------------------------------- parsing ---
+
+@dataclass(frozen=True)
+class MergeClause:
+    """One WHEN clause. ``kind``: matched_update | matched_delete |
+    nmbs_update | nmbs_delete (not-matched-by-source) | insert.
+    ``cond`` is the clause's AND condition text (None = uncondition),
+    ``assigns`` the SET map, ``insert_cols``/``insert_vals`` the INSERT
+    lists (``insert_cols is None`` = INSERT *)."""
+    kind: str
+    cond: str | None = None
+    assigns: dict = field(default_factory=dict)
+    insert_cols: tuple[str, ...] | None = None
+    insert_vals: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    target: str
+    t_alias: str
+    source: str
+    s_alias: str
+    on: str
+    clauses: tuple[MergeClause, ...]
+
+
+_MERGE_HEAD = re.compile(
+    r"^MERGE INTO (?P<tgt>[\w.]+)(?: AS)? (?P<talias>\w+) "
+    r"USING (?P<src>\([^)]*\)|[\w.]+)(?: AS)? (?P<salias>\w+) ON ",
+    re.IGNORECASE)
+
+
+def parse_merge(sql: str) -> MergeSpec:
+    """Parse the reference's MERGE statement shape
+    (22_ETL_Silver_PySpark.py:62-101 et al.)."""
+    s = _norm(sql)
+    m = _MERGE_HEAD.match(s)
+    if not m:
+        raise ValueError(f"unrecognized MERGE shape: {s[:80]!r}")
+    rest = s[m.end():]
+    first_when = _find_word(rest, "WHEN")
+    if first_when < 0:
+        raise ValueError("MERGE has no WHEN clauses")
+    on = rest[:first_when].strip()
+    aliases = (m.group("talias"), m.group("salias"))
+    clauses, text = [], rest[first_when:]
+    # split into WHEN..-delimited segments at top level
+    bounds = []
+    pos = 0
+    while True:
+        i = _find_word(text, "WHEN", pos)
+        if i < 0:
+            break
+        bounds.append(i)
+        pos = i + 4
+    bounds.append(len(text))
+    for b0, b1 in zip(bounds, bounds[1:]):
+        clauses.append(_parse_when(text[b0:b1].strip(), aliases))
+    return MergeSpec(target=m.group("tgt"), t_alias=aliases[0],
+                     source=m.group("src"), s_alias=aliases[1],
+                     on=on, clauses=tuple(clauses))
+
+
+def _parse_when(seg: str, aliases: tuple[str, str]) -> MergeClause:
+    u = seg.upper()
+    then = _find_word(seg, "THEN")
+    if then < 0:
+        raise ValueError(f"WHEN clause without THEN: {seg[:60]!r}")
+    head, action = seg[:then].strip(), seg[then + 4:].strip()
+    if u.startswith("WHEN MATCHED"):
+        base, kindp = head[len("WHEN MATCHED"):].strip(), "matched"
+    elif u.startswith("WHEN NOT MATCHED BY SOURCE"):
+        base = head[len("WHEN NOT MATCHED BY SOURCE"):].strip()
+        kindp = "nmbs"
+    elif u.startswith("WHEN NOT MATCHED BY TARGET"):
+        base = head[len("WHEN NOT MATCHED BY TARGET"):].strip()
+        kindp = "insert"
+    elif u.startswith("WHEN NOT MATCHED"):
+        base, kindp = head[len("WHEN NOT MATCHED"):].strip(), "insert"
+    else:
+        raise ValueError(f"unrecognized WHEN clause: {seg[:60]!r}")
+    cond = None
+    if base.upper().startswith("AND "):
+        cond = base[4:].strip()
+    elif base:
+        raise ValueError(f"unexpected text after WHEN: {base[:60]!r}")
+    au = action.upper()
+    if kindp == "insert":
+        if au == "INSERT *":
+            return MergeClause("insert", cond, insert_cols=None)
+        mm = re.match(r"INSERT \((?P<cols>[^)]*)\) VALUES \(", action,
+                      re.IGNORECASE)
+        if not mm:
+            raise ValueError(f"unrecognized INSERT action: {action[:60]!r}")
+        cols = tuple(c.strip() for c in mm.group("cols").split(","))
+        vals_txt = action[mm.end() - 1:]
+        close = _matching_paren(vals_txt)
+        vals = tuple(_split_top(vals_txt[1:close]))
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"INSERT column/value arity mismatch: {len(cols)} vs "
+                f"{len(vals)}")
+        return MergeClause("insert", cond, insert_cols=cols,
+                           insert_vals=vals)
+    if au == "DELETE":
+        return MergeClause(f"{kindp}_delete", cond)
+    if au.startswith("UPDATE SET "):
+        return MergeClause(
+            f"{kindp}_update", cond,
+            assigns=_parse_assignments(action[len("UPDATE SET "):],
+                                       aliases))
+    raise ValueError(f"unrecognized merge action: {action[:60]!r}")
+
+
+def _matching_paren(s: str) -> int:
+    """Index of the ')' closing the '(' at s[0]."""
+    assert s[0] == "("
+    for i, tok, depth in _scan(s):
+        if tok == ")" and depth == 0 and i > 0:
+            return i
+    raise ValueError("unbalanced parentheses")
+
+
+_UPDATE_RE = re.compile(r"^UPDATE (?P<tbl>[\w.]+) SET ", re.IGNORECASE)
+_DELETE_RE = re.compile(r"^DELETE FROM (?P<tbl>[\w.]+)\s*", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^INSERT INTO (?P<tbl>[\w.]+)(?: \((?P<cols>[^)]*)\))? "
+    r"(?P<body>VALUES |SELECT )", re.IGNORECASE)
+
+
+def parse_update(sql: str):
+    """``UPDATE t SET a = e [, ...] [WHERE cond]`` (reference
+    23_Testing_SCD2.py:40-44) -> (table, assigns, where|None)."""
+    s = _norm(sql)
+    m = _UPDATE_RE.match(s)
+    if not m:
+        raise ValueError(f"unrecognized UPDATE shape: {s[:60]!r}")
+    rest = s[m.end():]
+    w = _find_word(rest, "WHERE")
+    assigns_txt, where = (rest, None) if w < 0 else \
+        (rest[:w], rest[w + 5:].strip())
+    return m.group("tbl"), _parse_assignments(assigns_txt, ()), where
+
+
+def parse_delete(sql: str):
+    """``DELETE FROM t [WHERE cond]`` (reference 23:50)."""
+    s = _norm(sql)
+    m = _DELETE_RE.match(s)
+    if not m:
+        raise ValueError(f"unrecognized DELETE shape: {s[:60]!r}")
+    rest = s[m.end():].strip()
+    if not rest:
+        return m.group("tbl"), None
+    if not rest.upper().startswith("WHERE "):
+        raise ValueError(f"unexpected text after DELETE: {rest[:60]!r}")
+    return m.group("tbl"), rest[6:].strip()
+
+
+def parse_insert(sql: str):
+    """``INSERT INTO t [(cols)] VALUES (...)[, ...]`` or ``INSERT INTO
+    t [(cols)] SELECT ...`` (reference 01_Init.py:265-321) ->
+    (table, cols|None, select_sql)."""
+    s = _norm(sql)
+    m = _INSERT_RE.match(s)
+    if not m:
+        raise ValueError(f"unrecognized INSERT shape: {s[:60]!r}")
+    cols = None
+    if m.group("cols"):
+        cols = tuple(c.strip() for c in m.group("cols").split(","))
+    body = s[m.end() - len(m.group("body")):]
+    if body.upper().startswith("VALUES"):
+        select_sql = f"SELECT * FROM ({body})"
+        if cols:
+            select_sql = (f"SELECT * FROM ({body}) AS _ins"
+                          f"({', '.join(cols)})")
+    else:
+        select_sql = body
+    return m.group("tbl"), cols, select_sql
+
+
+# -------------------------------------------------------------- executor ---
+
+def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
+                check_cardinality: bool = True) -> DataFrame:
+    """Compute the post-MERGE target state as ONE full-outer join +
+    per-branch projections (the Delta ``MergeIntoCommand`` join,
+    SURVEY.md §3 E2 — same plan shape as operators/merge.py).
+
+    First-match-wins across WHEN clauses, per the MERGE standard: a
+    branch-index column picks the first clause whose condition holds,
+    every UPDATE column is a CASE over that index, DELETE branches
+    drop at the filter, unmatched-by-clause rows pass through, and
+    NOT MATCHED inserts project the VALUES expressions cast to the
+    target's types. ``check_cardinality`` enforces Delta's
+    multiple-source-match error with one extra aggregate over the
+    matched slice.
+    """
+    t, s = spec.t_alias, spec.s_alias
+    out_cols = target.columns
+    dtypes = {f.name: f.dataType for f in target.schema.fields}
+
+    m_clauses = [c for c in spec.clauses if c.kind.startswith("matched")]
+    n_clauses = [c for c in spec.clauses if c.kind.startswith("nmbs")]
+    i_clauses = [c for c in spec.clauses if c.kind == "insert"]
+
+    if not m_clauses and not n_clauses:
+        # insert-only merge: the target is untouched; new rows are the
+        # source anti-joined on the ON condition (the same file-skipping
+        # shape Delta's insert-only MERGE special-cases) — no outer
+        # join, no cardinality concern, duplicates impossible.
+        anti = (source.alias(s)
+                .join(target.alias(t), F.expr(spec.on), "left_anti"))
+        out = target
+        for cl in i_clauses:
+            rows = anti.filter(F.expr(cl.cond)) if cl.cond else anti
+            if cl.insert_cols is None:      # INSERT *
+                vals = {c: f"{s}.{c}" for c in source.columns
+                        if c in dtypes}
+            else:
+                vals = {_strip_alias(c, (t, s)): v
+                        for c, v in zip(cl.insert_cols, cl.insert_vals)}
+            unknown = set(vals) - set(out_cols)
+            if unknown:
+                raise ValueError(f"INSERT targets unknown columns: "
+                                 f"{sorted(unknown)}")
+            proj = [(F.expr(vals[c]) if c in vals else F.lit(None))
+                    .cast(dtypes[c]).alias(c) for c in out_cols]
+            out = out.unionByName(rows.select(*proj))
+        return out
+
+    tgt = (target
+           .withColumn("__t_present", F.lit(True))
+           .withColumn("__t_rid", F.monotonically_increasing_id())
+           .alias(t))
+    src = source.withColumn("__s_present", F.lit(True)).alias(s)
+    joined = tgt.join(src, F.expr(spec.on), "full_outer")
+    t_here = F.coalesce(F.col(f"{t}.__t_present"), F.lit(False))
+    s_here = F.coalesce(F.col(f"{s}.__s_present"), F.lit(False))
+    matched = t_here & s_here
+
+    def branch(clauses, base):
+        w = None
+        for i, c in enumerate(clauses):
+            cnd = base & (F.expr(c.cond) if c.cond else F.lit(True))
+            w = F.when(cnd, F.lit(i)) if w is None else w.when(cnd, F.lit(i))
+        return w.otherwise(F.lit(-1)) if w is not None else F.lit(-1)
+
+    mbr = branch(m_clauses, matched)
+    nbr = branch(n_clauses, t_here & ~s_here)
+
+    if check_cardinality:
+        # ANY multi-source match duplicates the target row through the
+        # outer join, so the strict form of Delta's ambiguity error is
+        # also the duplication guard: raise whenever a target row
+        # matches more than one source row. (Delta raises only when a
+        # clause would MODIFY the row; passthrough multi-matches are
+        # indistinguishable from modification here without a dedupe
+        # shuffle, so the strictness is deliberate and documented.)
+        dupes = (joined.filter(matched)
+                 .groupBy(F.col(f"{t}.__t_rid"))
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") > 1).limit(1).count())
+        if dupes:
+            raise MergeCardinalityError(
+                "MERGE: a target row matched multiple source rows; the "
+                "result would be non-deterministic (dedupe the source "
+                "on the ON keys)")
+
+    deleted = F.lit(False)
+    for i, c in enumerate(m_clauses):
+        if c.kind == "matched_delete":
+            deleted = deleted | (mbr == i)
+    for i, c in enumerate(n_clauses):
+        if c.kind == "nmbs_delete":
+            deleted = deleted | (nbr == i)
+
+    def col_value(c: str):
+        v = F.col(f"{t}.{c}")
+        for i, cl in enumerate(m_clauses):
+            if cl.kind == "matched_update" and c in cl.assigns:
+                v = F.when(mbr == i, F.expr(cl.assigns[c])).otherwise(v)
+        for i, cl in enumerate(n_clauses):
+            if cl.kind == "nmbs_update" and c in cl.assigns:
+                v = F.when(nbr == i, F.expr(cl.assigns[c])).otherwise(v)
+        return v.cast(dtypes[c]).alias(c)
+
+    kept = (joined.filter(t_here & ~deleted)
+            .select(*[col_value(c) for c in out_cols]))
+
+    if not i_clauses:
+        return kept
+    ibr = branch(i_clauses, ~t_here & s_here)
+    inserts = []
+    for i, cl in enumerate(i_clauses):
+        if cl.insert_cols is None:          # INSERT *
+            vals = {c: f"{s}.{c}" for c in source.columns if c in dtypes}
+        else:
+            vals = {_strip_alias(c, (t, s)): v
+                    for c, v in zip(cl.insert_cols, cl.insert_vals)}
+        unknown = set(vals) - set(out_cols)
+        if unknown:
+            raise ValueError(f"INSERT targets unknown columns: "
+                             f"{sorted(unknown)}")
+        proj = [(F.expr(vals[c]) if c in vals else F.lit(None))
+                .cast(dtypes[c]).alias(c) for c in out_cols]
+        inserts.append(joined.filter(ibr == i).select(*proj))
+    out = kept
+    for ins in inserts:
+        out = out.unionByName(ins)
+    return out
+
+
+# ------------------------------------------------------------- front-end ---
+
+class LakehouseSql:
+    """Execute the reference's DML statement texts against managed
+    tables rooted under ``root`` (``db.table`` ->
+    ``<root>/<db>/<table>``).
+
+    Non-DML statements pass through to ``spark.sql`` untouched, so the
+    reference's full notebook flow (temp views, SELECT checks, USE)
+    runs against one entry point. ``now`` (optional ``'YYYY-MM-DD
+    HH:MM:SS'``) rewrites ``current_timestamp()`` to a literal — the
+    statement-text form of the injected-clock seam every merge operator
+    has; leave it None for wall-clock semantics."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 now: str | None = None,
+                 check_cardinality: bool = True):
+        self.spark = spark
+        self.root = root
+        self.now = now
+        self.check_cardinality = check_cardinality
+
+    def table(self, name: str) -> ManagedTable:
+        rel = name.replace(".", os.sep)
+        return ManagedTable(self.spark, os.path.join(self.root, rel))
+
+    def _source_df(self, source: str) -> DataFrame:
+        if source.startswith("("):
+            return self.spark.sql(source[1:-1])
+        t = self.table(source)
+        if "." in source and t.exists():
+            return t.read()
+        return self.spark.table(source)
+
+    def sql(self, statement: str):
+        """Dispatch one statement. DML returns the ManagedTable written
+        (UPDATE/DELETE/INSERT/MERGE); everything else returns
+        ``spark.sql``'s DataFrame."""
+        s = _norm(statement)
+        if self.now is not None:
+            s = re.sub(r"current_timestamp\(\)",
+                       f"TIMESTAMP '{self.now}'", s, flags=re.IGNORECASE)
+        head = s.split(" ", 1)[0].upper()
+        if head == "MERGE":
+            return self._merge(s)
+        if head == "UPDATE":
+            tbl, assigns, where = parse_update(s)
+            cond = F.expr(where) if where else F.lit(True)
+            return self.table(tbl).update(cond, assigns)
+        if head == "DELETE":
+            tbl, where = parse_delete(s)
+            cond = F.expr(where) if where else F.lit(True)
+            return self.table(tbl).delete(cond)
+        if head == "INSERT":
+            return self._insert(s)
+        return self.spark.sql(statement)
+
+    def _merge(self, s: str) -> ManagedTable:
+        spec = parse_merge(s)
+        tbl = self.table(spec.target)
+        if not tbl.exists():
+            raise FileNotFoundError(
+                f"MERGE target {spec.target} does not exist under "
+                f"{self.root}")
+        result = apply_merge(tbl.read(), self._source_df(spec.source),
+                             spec, self.check_cardinality)
+        return tbl.overwrite(result, operation="MERGE")
+
+    def _insert(self, s: str) -> ManagedTable:
+        tbl_name, cols, select_sql = parse_insert(s)
+        tbl = self.table(tbl_name)
+        new = self.spark.sql(select_sql)
+        if not tbl.exists():
+            raise FileNotFoundError(
+                f"INSERT target {tbl_name} does not exist under "
+                f"{self.root}")
+        cur = tbl.read()
+        dtypes = {f.name: f.dataType for f in cur.schema.fields}
+        if cols is None:
+            if len(new.columns) != len(cur.columns):
+                raise ValueError(
+                    f"INSERT arity mismatch: {len(new.columns)} values "
+                    f"vs {len(cur.columns)} table columns")
+            cols = tuple(cur.columns)
+        new = new.toDF(*cols)
+        proj = [(F.col(c) if c in cols else F.lit(None))
+                .cast(dtypes[c]).alias(c) for c in cur.columns]
+        return tbl.overwrite(cur.unionByName(new.select(*proj)),
+                             operation="INSERT")

@@ -227,3 +227,121 @@ def test_read_delta_refuses_advanced_protocol(spark, mt, tmp_base):
         f.write("\n".join(out) + "\n")
     with _pytest.raises(ValueError, match="unsupported Delta reader"):
         read_delta(spark, mt.path)
+
+
+def _cm_schema_string() -> str:
+    """Logical (k long, v double, p string) with columnMapping
+    physical names, as a 'name'-mode writer emits."""
+    def fld(name, typ, fid, phys):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+    return json.dumps({"type": "struct", "fields": [
+        fld("k", "long", 1, "col-aaa"),
+        fld("v", "double", 2, "col-bbb"),
+        fld("p", "string", 3, "col-ccc")]})
+
+
+def _write_cm_fixture(spark, root: str) -> list[tuple[str, str]]:
+    """Emit a 'name'-mode column-mapped partitioned Delta table the way
+    an external modern writer would: data files carry PHYSICAL column
+    names, partitionValues are keyed physically. Returns
+    [(rel_path, partition_value)]."""
+    import shutil
+    files = []
+    for p in ("x", "y"):
+        rows = [(i, float(i) * 2.0) for i in range(5)] if p == "x" \
+            else [(i, float(i) * 3.0) for i in range(5, 8)]
+        tmp = os.path.join(root, f"_tmp_{p}")
+        (spark.createDataFrame(rows, "`col-aaa` long, `col-bbb` double")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        rel = f"part-{p}.parquet"
+        os.makedirs(root, exist_ok=True)
+        os.replace(part, os.path.join(root, rel))
+        shutil.rmtree(tmp)
+        files.append((rel, p))
+    return files
+
+
+def test_read_delta_column_mapping_name_mode(spark, tmp_base):
+    """An external 'name'-mode column-mapped table (reader protocol 2:
+    physical col-<id> names in the files, logical names in the log,
+    partitionValues keyed physically) reads back under its LOGICAL
+    schema."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    root = f"{tmp_base}/ext_cm"
+    files = _write_cm_fixture(spark, root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "ext-cm-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _cm_schema_string(),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 0}},
+        *[{"add": {"path": rel, "partitionValues": {"col-ccc": p},
+                   "size": 1, "modificationTime": 0, "dataChange": True}}
+          for rel, p in files],
+    ]
+    with open(os.path.join(log, "0" * 20 + ".json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    got = read_delta(spark, root)
+    assert got.columns == ["k", "v", "p"]
+    rows = sorted(map(tuple, got.collect()))
+    want = sorted([(i, float(i) * 2.0, "x") for i in range(5)]
+                  + [(i, float(i) * 3.0, "y") for i in range(5, 8)])
+    assert rows == want
+
+
+def test_read_delta_multipart_checkpoint(spark, tmp_base):
+    """A classic multi-part checkpoint (`parts` in _last_checkpoint,
+    <v>.checkpoint.<i>.<n>.parquet shards) replays as the union of its
+    parts — commit JSONs at or before it are not needed; an incomplete
+    part set is refused, not silently partial."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    root = f"{tmp_base}/ext_mp"
+    t = ManagedTable(spark, root)
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (4, "d")], "k long, s string"))
+    want = sorted(map(tuple, read_delta(spark, root).collect()))
+
+    # split the engine-written single checkpoint into two parts
+    from tb_lakehouse_enhanced_spark.sources.deltaread import (
+        checkpoint_delta_log,
+    )
+    v = checkpoint_delta_log(spark, root)
+    log = os.path.join(root, "_delta_log")
+    single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    cp = spark.read.parquet(single)
+    half = [cp.filter(F.col("add").isNull()),
+            cp.filter(F.col("add").isNotNull())]
+    n = cp.count()
+    for i, part_df in enumerate(half, start=1):
+        tmp = single + f".tmp{i}"
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(src, os.path.join(
+            log, f"{v:020d}.checkpoint.{i:010d}.{2:010d}.parquet"))
+        import shutil
+        shutil.rmtree(tmp)
+    os.remove(single)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": n, "parts": 2}, f)
+    # commit JSONs <= checkpoint removed: replay must come from parts
+    for fn in glob.glob(os.path.join(log, "*.json")):
+        if int(os.path.basename(fn).split(".")[0]) <= v:
+            os.remove(fn)
+    assert sorted(map(tuple, read_delta(spark, root).collect())) == want
+
+    # an incomplete part set raises instead of reading half a table
+    os.remove(os.path.join(
+        log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with pytest.raises(FileNotFoundError, match="multi-part checkpoint"):
+        read_delta(spark, root)

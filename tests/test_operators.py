@@ -1146,3 +1146,40 @@ def test_bm25_empty_index_preserves_string_id_schema(spark, tmp_path):
     assert [(f.name, f.dataType) for f in got.schema] == \
         [(f.name, f.dataType) for f in empty.schema]
     assert got.count() == 2
+
+
+def test_bm25_rebucket_preserves_probes_and_appends(spark, tmp_path):
+    """rebucket_bm25_index re-spreads postings over a new bucket count
+    with the compaction machinery's atomic flip: probes are unchanged,
+    appends keep working against the NEW bucket count, and the replay
+    guard survives."""
+    import json
+    import os
+
+    from tb_lakehouse_enhanced_spark.operators.retrieval import (
+        append_bm25_index, bm25_probe, build_bm25_index,
+        maintain_bm25_index, rebucket_bm25_index,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "rb")
+    build_bm25_index(docs.filter("doc_id % 2 = 0"), idx, n_buckets=8)
+    append_bm25_index(docs.filter("doc_id % 4 = 1"), idx)
+    terms = ["customer", "window", "merge", "slow"]
+    want = sorted(map(tuple, bm25_probe(spark, idx, terms, k=25).collect()))
+
+    stats = rebucket_bm25_index(spark, idx, n_buckets=32)
+    assert stats["n_buckets"] == 32 and stats["dir"] == "postings_v1"
+    assert stats["last_batch"] == 1            # replay guard preserved
+    assert sorted(map(tuple, bm25_probe(spark, idx, terms, k=25)
+                  .collect())) == want
+    # appends continue under the new bucket count; final probes equal a
+    # from-scratch rebuild over the full corpus
+    append_bm25_index(docs.filter("doc_id % 4 = 3"), idx)
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full, n_buckets=32)
+    assert sorted(map(tuple, bm25_probe(spark, idx, terms, k=25)
+                  .collect())) == \
+        sorted(map(tuple, bm25_probe(spark, full, terms, k=25).collect()))
+    # superseded layout swept by maintenance
+    assert maintain_bm25_index(spark, idx, max_batches=8) == "sweep"
+    assert not os.path.isdir(os.path.join(idx, "postings"))

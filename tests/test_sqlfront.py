@@ -1,0 +1,272 @@
+"""SQL-string DML front-end: the reference's statement texts against
+managed tables (sqlfront.py).
+
+The statement texts here are the reference's user surface, quoted as
+behavior specs (reference notebooks/22_ETL_Silver_PySpark.py:62-101,
+23_Testing_SCD2.py:40-50, 01_Init.py:265-321) with columns renamed to
+the driver test tables; the assertion is that executing them through
+``LakehouseSql`` reproduces the hand-built operators' state exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.sqlfront import (
+    LakehouseSql, MergeCardinalityError, apply_merge, parse_delete,
+    parse_insert, parse_merge, parse_update,
+)
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-01-02 00:00:00"
+
+SCD2_CLOSE = """
+MERGE INTO silver.orders AS tgt
+USING src_orders AS src
+ON tgt.o_orderkey = src.o_orderkey AND tgt._tf_valid_to IS NULL
+WHEN MATCHED AND (
+       tgt.o_custkey != src.o_custkey OR
+       tgt.o_orderstatus != src.o_orderstatus OR
+       tgt.o_totalprice != src.o_totalprice
+) THEN UPDATE SET
+    tgt._tf_valid_to = current_timestamp(),
+    tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED BY SOURCE AND tgt._tf_valid_to IS NULL THEN
+  UPDATE SET
+    tgt._tf_valid_to = current_timestamp(),
+    tgt._tf_update_date = current_timestamp()
+"""
+
+SCD2_INSERT = """
+MERGE INTO silver.orders AS tgt
+USING src_orders AS src
+ON tgt.o_orderkey = src.o_orderkey AND tgt._tf_valid_to IS NULL
+WHEN NOT MATCHED THEN
+  INSERT (
+    o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    _tf_valid_from, _tf_valid_to, _tf_create_date, _tf_update_date
+  )
+  VALUES (
+    src.o_orderkey, src.o_custkey, src.o_orderstatus, src.o_totalprice,
+    current_timestamp(), NULL, current_timestamp(), current_timestamp()
+  )
+"""
+
+
+def test_parse_merge_reference_scd2_shape():
+    spec = parse_merge(SCD2_CLOSE)
+    assert spec.target == "silver.orders"
+    assert (spec.t_alias, spec.s_alias) == ("tgt", "src")
+    assert spec.on == \
+        "tgt.o_orderkey = src.o_orderkey AND tgt._tf_valid_to IS NULL"
+    assert [c.kind for c in spec.clauses] == ["matched_update",
+                                              "nmbs_update"]
+    assert "tgt.o_custkey != src.o_custkey" in spec.clauses[0].cond
+    assert spec.clauses[0].assigns == {
+        "_tf_valid_to": "current_timestamp()",
+        "_tf_update_date": "current_timestamp()"}
+    assert spec.clauses[1].cond == "tgt._tf_valid_to IS NULL"
+
+    ins = parse_merge(SCD2_INSERT)
+    (cl,) = ins.clauses
+    assert cl.kind == "insert" and cl.cond is None
+    assert cl.insert_cols[:2] == ("o_orderkey", "o_custkey")
+    assert cl.insert_vals[4] == "current_timestamp()"
+    assert len(cl.insert_cols) == len(cl.insert_vals) == 8
+
+
+def test_parse_case_then_inside_condition():
+    """A CASE..THEN..END inside a WHEN condition must not be mistaken
+    for the clause's own THEN."""
+    spec = parse_merge("""
+MERGE INTO db.t AS tgt USING v AS src ON tgt.k = src.k
+WHEN MATCHED AND (CASE WHEN src.x > 1 THEN 1 ELSE 0 END) = 1
+THEN UPDATE SET tgt.v = src.v
+""")
+    (cl,) = spec.clauses
+    assert cl.kind == "matched_update"
+    assert cl.cond == "(CASE WHEN src.x > 1 THEN 1 ELSE 0 END) = 1"
+    assert cl.assigns == {"v": "src.v"}
+
+
+def test_parse_update_delete_insert_shapes():
+    # reference 23_Testing_SCD2.py:40-44
+    tbl, assigns, where = parse_update("""
+UPDATE address
+SET PostalCode = '12345', ModifiedDate = current_timestamp()
+WHERE City = 'Bothell'
+""")
+    assert tbl == "address"
+    assert assigns == {"PostalCode": "'12345'",
+                       "ModifiedDate": "current_timestamp()"}
+    assert where == "City = 'Bothell'"
+    # reference 23:50
+    assert parse_delete("DELETE FROM address WHERE City = 'Surrey'") == \
+        ("address", "City = 'Surrey'")
+    tbl, cols, sel = parse_insert(
+        "INSERT INTO gold.dim_customer (cust_id, cust_name) "
+        "VALUES (-9, 'N/A')")
+    assert tbl == "gold.dim_customer" and cols == ("cust_id", "cust_name")
+    assert sel.startswith("SELECT * FROM (VALUES")
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return LakehouseSql(spark, str(tmp_path / "lake"))
+
+
+def _orders_src(orders, batch):
+    base = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice")
+    if batch == 0:
+        return base.filter(F.col("o_orderkey") % 10 != 7)
+    return (base.filter(F.col("o_orderkey") % 10 != 3)
+            .withColumn("o_totalprice",
+                        F.col("o_totalprice")
+                        + F.when(F.col("o_orderkey") % 7 == 0,
+                                 F.lit(100.0)).otherwise(F.lit(0.0))))
+
+
+def test_reference_scd2_merge_text_equals_operator(spark, lake):
+    """The reference's two-pass SCD2 MERGE texts
+    (22_ETL_Silver_PySpark.py:62-101 shape), executed verbatim through
+    the front-end (with the current_timestamp() seam pinned), produce
+    state identical to operators/merge.scd2_merge on the same
+    batches."""
+    from tb_lakehouse_enhanced_spark.operators.merge import (
+        ScdConfig, scd2_merge,
+    )
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src0, src1 = _orders_src(orders, 0), _orders_src(orders, 1)
+
+    # bootstrap the managed target empty with the SCD2 schema (the
+    # reference's 01_Init DDL step)
+    empty = (src0.limit(0)
+             .withColumn("_tf_valid_from", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_valid_to", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_create_date", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_update_date", F.lit(None).cast("timestamp")))
+    lake.table("silver.orders").overwrite(empty)
+
+    for now, src in ((T0, src0), (T1, src1)):
+        lake.now = now
+        src.createOrReplaceTempView("src_orders")
+        lake.sql(SCD2_CLOSE)
+        lake.sql(SCD2_INSERT)
+
+    cfg = ScdConfig(keys=("o_orderkey",),
+                    tracked=("o_custkey", "o_orderstatus", "o_totalprice"),
+                    null_safe_keys=False)
+    want_df = scd2_merge(scd2_merge(None, src0, cfg, T0), src1, cfg, T1)
+    cols = sorted(want_df.columns)
+    got = sorted(map(tuple, lake.table("silver.orders").read()
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, want_df.select(*cols).collect()))
+    assert got == want and len(got) > 1000
+
+
+def test_update_delete_statements_against_managed_table(spark, lake):
+    t = lake.table("bronze.address")
+    t.overwrite(spark.createDataFrame(
+        [(1, "Bothell", "98011"), (2, "Surrey", "V3S"),
+         (3, "Bothell", "98012"), (4, "Irving", "75061")],
+        "AddressID int, City string, PostalCode string"))
+    # reference 23_Testing_SCD2.py:40-50 statement shapes
+    lake.sql("""
+UPDATE bronze.address
+SET PostalCode = '12345'
+WHERE City = 'Bothell'
+""")
+    lake.sql("DELETE FROM bronze.address WHERE City = 'Surrey'")
+    rows = {r["AddressID"]: (r["City"], r["PostalCode"])
+            for r in lake.table("bronze.address").read().collect()}
+    assert rows == {1: ("Bothell", "12345"), 3: ("Bothell", "12345"),
+                    4: ("Irving", "75061")}
+
+
+def test_insert_values_unknown_member(spark, lake):
+    """The -9 unknown-member seed INSERT (reference 01_Init.py:306-321
+    shape): explicit column list, remaining columns NULL-filled."""
+    t = lake.table("gold.dim_customer")
+    t.overwrite(spark.createDataFrame(
+        [(1, "Ann", "a@x.com")],
+        "cust_id int, cust_name string, cust_email string"))
+    lake.sql("INSERT INTO gold.dim_customer (cust_id, cust_name) "
+             "VALUES (-9, 'N/A')")
+    rows = {r["cust_id"]: (r["cust_name"], r["cust_email"])
+            for r in t.read().collect()}
+    assert rows == {1: ("Ann", "a@x.com"), -9: ("N/A", None)}
+
+
+def test_merge_matched_delete_clause(spark, lake):
+    lake.table("db.t").overwrite(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"))
+    spark.createDataFrame([(2, 0.0), (3, 99.0)], "k int, v double") \
+        .createOrReplaceTempView("src_del")
+    lake.sql("""
+MERGE INTO db.t AS tgt USING src_del AS src ON tgt.k = src.k
+WHEN MATCHED AND src.v = 0.0 THEN DELETE
+WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+""")
+    rows = {r["k"]: r["v"] for r in lake.table("db.t").read().collect()}
+    assert rows == {1: 10.0, 3: 99.0}
+
+
+def test_merge_cardinality_error_and_insert_only_multimatch(spark, lake):
+    lake.table("db.c").overwrite(spark.createDataFrame(
+        [(1, 1.0)], "k int, v double"))
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0), (5, 5.0)],
+                                "k int, v double")
+    dup.createOrReplaceTempView("src_dup")
+    with pytest.raises(MergeCardinalityError):
+        lake.sql("""
+MERGE INTO db.c AS tgt USING src_dup AS src ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+""")
+    # insert-only merges take the anti-join fast path: multi-matches
+    # are fine and the matched target row is neither duplicated nor
+    # modified
+    lake.sql("""
+MERGE INTO db.c AS tgt USING src_dup AS src ON tgt.k = src.k
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+""")
+    rows = sorted(map(tuple, lake.table("db.c").read().collect()))
+    assert rows == [(1, 1.0), (5, 5.0)]
+
+
+def test_merge_insert_star_and_subquery_source(spark, lake):
+    lake.table("db.s").overwrite(spark.createDataFrame(
+        [(1, "a")], "k int, name string"))
+    spark.createDataFrame([(1, "a2"), (7, "g")], "k int, name string") \
+        .createOrReplaceTempView("src_star")
+    lake.sql("""
+MERGE INTO db.s AS tgt
+USING (SELECT * FROM src_star WHERE k > 1) AS src
+ON tgt.k = src.k
+WHEN NOT MATCHED THEN INSERT *
+""")
+    rows = sorted(map(tuple, lake.table("db.s").read().collect()))
+    assert rows == [(1, "a"), (7, "g")]
+
+
+def test_apply_merge_passthrough_of_history_rows(spark):
+    """Rows matching no clause pass through unchanged — the SCD2
+    history slice (valid_to NOT NULL) is 'not matched by source' under
+    the current-row ON condition but must survive the guarded NMBS
+    clause untouched."""
+    tgt = spark.createDataFrame(
+        [(1, 5.0, "2023"), (1, 6.0, None), (2, 7.0, None)],
+        "k int, v double, closed string")
+    src = spark.createDataFrame([(1, 8.0)], "k int, v double")
+    spec = parse_merge("""
+MERGE INTO x AS t USING y AS s ON t.k = s.k AND t.closed IS NULL
+WHEN MATCHED AND t.v != s.v THEN UPDATE SET t.closed = 'now'
+WHEN NOT MATCHED BY SOURCE AND t.closed IS NULL THEN
+  UPDATE SET t.closed = 'now'
+""")
+    got = sorted(map(tuple, apply_merge(tgt, src, spec).collect()))
+    assert got == [(1, 5.0, "2023"),      # history: untouched
+                   (1, 6.0, "now"),       # current, changed: closed
+                   (2, 7.0, "now")]       # current, deleted: closed
