@@ -110,6 +110,13 @@ def main():
         "queries": timings,
         "queries_median": medians,
         "total_median": round(sum(medians.values()), 3),
+        # the COMPARABLE series round-over-round is the best-of min
+        # ("queries"/"value"): this host shows bursty CPU steal that
+        # swings medians ~25% between identical runs while the min
+        # moves only with real plan changes. Medians are published so a
+        # regression cannot hide behind one lucky pass.
+        "series": {"primary": "queries (best-of-4 min per query)",
+                   "secondary": "queries_median (per-query median of 4)"},
         "sf": sf,
     }))
 

@@ -656,6 +656,15 @@ def scd2_merge_state(spark, sf_dir):
     return scd.scd2_state(spark, sf_dir)
 
 
+@q("sql_merge_fact", scd.FACT_UPSERT_ORACLE)
+def sql_merge_fact(spark, sf_dir):
+    """The gold-fact keyed upsert driven by the reference's
+    single-statement MERGE text (34_ETL_Gold_Fact_PySpark.py:90-139
+    shape — change-detected UPDATE + INSERT in one statement), routed
+    through sqlfront.py; shares fact_upsert's oracle verbatim."""
+    return scd.sql_fact_upsert_state(spark, sf_dir)
+
+
 @q("sql_merge_scd2", scd.SCD2_ORACLE_BASE + "SELECT * FROM final")
 def sql_merge_scd2(spark, sf_dir):
     """The same SCD2 scenario driven through the reference's ACTUAL

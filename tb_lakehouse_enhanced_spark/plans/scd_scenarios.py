@@ -380,3 +380,55 @@ def sql_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake.sql(SQL_SCD2_CLOSE)
         lake.sql(SQL_SCD2_INSERT)
     return lake.table("silver.orders").read()
+
+
+# The gold fact MERGE shape (reference 34_ETL_Gold_Fact_PySpark.py:
+# 90-139): ONE statement with a change-detected UPDATE clause and an
+# INSERT clause — the keyed-upsert twin of keyed_upsert/FACT_CFG, so it
+# shares FACT_UPSERT_ORACLE verbatim.
+SQL_FACT_MERGE = """
+MERGE INTO gold.fact_li AS tgt
+USING src_li_sqlfront AS src
+ON tgt.l_orderkey = src.l_orderkey AND tgt.l_linenumber = src.l_linenumber
+WHEN MATCHED AND (
+    tgt.l_quantity != src.l_quantity OR
+    tgt.l_extendedprice != src.l_extendedprice
+) THEN
+  UPDATE SET
+    tgt.l_quantity = src.l_quantity,
+    tgt.l_extendedprice = src.l_extendedprice,
+    tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED THEN
+  INSERT (
+    l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+    _tf_create_date, _tf_update_date
+  )
+  VALUES (
+    src.l_orderkey, src.l_linenumber, src.l_quantity, src.l_extendedprice,
+    current_timestamp(), current_timestamp()
+  )
+"""
+
+
+def sql_fact_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_upsert_state driven by the reference's single-statement
+    gold-fact MERGE text through the SQL front-end; shares
+    FACT_UPSERT_ORACLE."""
+    import tempfile
+
+    from ..sqlfront import LakehouseSql
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = (li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.max("l_quantity").alias("l_quantity"),
+                 F.max("l_extendedprice").alias("l_extendedprice")))
+    lake = LakehouseSql(spark, tempfile.mkdtemp(prefix="tb_sqlfront_f_"))
+    empty = _lineitem_from(base, 0).limit(0)
+    for c in ("_tf_create_date", "_tf_update_date"):
+        empty = empty.withColumn(c, F.lit(None).cast("timestamp"))
+    lake.table("gold.fact_li").overwrite(empty)
+    for now, batch in ((T0, 0), (T1, 1)):
+        lake.now = now
+        _lineitem_from(base, batch) \
+            .createOrReplaceTempView("src_li_sqlfront")
+        lake.sql(SQL_FACT_MERGE)
+    return lake.table("gold.fact_li").read()

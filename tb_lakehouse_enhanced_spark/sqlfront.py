@@ -357,6 +357,39 @@ def parse_insert(sql: str):
     return m.group("tbl"), cols, select_sql
 
 
+_EQ_PAIR = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
+
+
+def _equi_source_keys(on: str, t: str, s: str) -> list[str] | None:
+    """If the ON condition is a top-level AND of ``t.col = s.col``
+    equality pairs plus predicates referencing ONLY the target, return
+    the source-side key columns (cardinality then reduces to source
+    uniqueness on those keys). Return None for anything else —
+    range/expression joins fall back to the join-based check."""
+    # split on top-level AND keywords
+    cuts, conjs, last = [], [], 0
+    for i, tok, depth in _scan(on):
+        if tok == "AND" and depth == 0:
+            cuts.append(i)
+    for i in cuts:
+        conjs.append(on[last:i].strip())
+        last = i + 3
+    conjs.append(on[last:].strip())
+    keys = []
+    for conj in conjs:
+        m = _EQ_PAIR.match(conj)
+        if m:
+            a_al, a_c, b_al, b_c = m.groups()
+            if {a_al, b_al} == {t, s}:
+                keys.append(a_c if a_al == s else b_c)
+                continue
+        refs = set(re.findall(r"\b(\w+)\.", conj))
+        if refs <= {t}:
+            continue                  # target-only guard: cannot widen
+        return None                   # source refs / expressions: punt
+    return keys or None
+
+
 # -------------------------------------------------------------- executor ---
 
 def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
@@ -431,19 +464,30 @@ def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
         # ANY multi-source match duplicates the target row through the
         # outer join, so the strict form of Delta's ambiguity error is
         # also the duplication guard: raise whenever a target row
-        # matches more than one source row. (Delta raises only when a
-        # clause would MODIFY the row; passthrough multi-matches are
-        # indistinguishable from modification here without a dedupe
-        # shuffle, so the strictness is deliberate and documented.)
-        dupes = (joined.filter(matched)
-                 .groupBy(F.col(f"{t}.__t_rid"))
-                 .agg(F.count(F.lit(1)).alias("__n"))
-                 .filter(F.col("__n") > 1).limit(1).count())
+        # COULD match more than one source row. Two tiers:
+        # - equi-key ON (every reference statement): a target row can
+        #   multi-match ONLY if the source duplicates its join-key
+        #   tuple, so the check is one grouped count on the SOURCE
+        #   alone — no second join, negligible at any scale (and the
+        #   contract it states — "merge sources are keyed" — is the
+        #   one Delta users already live by);
+        # - general ON: fall back to counting matches per target row
+        #   (recomputes the join once; the price of a non-equi merge).
+        src_keys = _equi_source_keys(spec.on, t, s)
+        if src_keys is not None:
+            dupes = (source.groupBy(*src_keys)
+                     .agg(F.count(F.lit(1)).alias("__n"))
+                     .filter(F.col("__n") > 1).limit(1).count())
+        else:
+            dupes = (joined.filter(matched)
+                     .groupBy(F.col(f"{t}.__t_rid"))
+                     .agg(F.count(F.lit(1)).alias("__n"))
+                     .filter(F.col("__n") > 1).limit(1).count())
         if dupes:
             raise MergeCardinalityError(
-                "MERGE: a target row matched multiple source rows; the "
-                "result would be non-deterministic (dedupe the source "
-                "on the ON keys)")
+                "MERGE: a target row can match multiple source rows; "
+                "the result would be non-deterministic (dedupe the "
+                "source on the ON keys)")
 
     deleted = F.lit(False)
     for i, c in enumerate(m_clauses):

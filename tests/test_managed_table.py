@@ -1088,3 +1088,46 @@ def test_mor_seq_parse_anchored_to_dir_component(spark, tmp_path):
                  key_cols=("id",))
     rows = {r["id"]: (r["k"], r["v"]) for r in t.read().collect()}
     assert rows == {1: ("a", 11.0), 2: ("b2", 22.0), 3: ("c", 30.0)}
+
+
+def test_partitioned_mor_update_delete_stay_partition_scoped(spark, tmp_path):
+    """VERDICT follow-through: UPDATE/DELETE on a partitioned table IN
+    MERGE-ON-READ STATE, under the stable-partitions contract, rewrite
+    only the touched partitions — untouched partition files HARDLINK
+    forward (same inode, zero bytes moved) and the carried MOR debt
+    still resolves correctly."""
+    import glob
+    import os
+    t = ManagedTable(spark, str(tmp_path / "pm"), partition_by=("pt",))
+    t.overwrite(spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(9)],
+        "k int, pt int, v double"))
+    # enter MOR state: a tombstone + a delta shadowing key 4 (pt=1)
+    t.delete_mor(F.col("k") == 1, key_cols=("k",))
+    t.upsert_mor(spark.createDataFrame([(4, 1, 40.0)],
+                                       "k int, pt int, v double"),
+                 key_cols=("k",))
+
+    def inodes(version, pt):
+        d = os.path.join(t.path, f"v{version}")
+        return {os.path.basename(p): os.stat(p).st_ino for p in glob.glob(
+            os.path.join(d, f"pt={pt}", "*.parquet"))}
+
+    base_v = int(t._commit(t.current_version())["dir"].lstrip("v"))
+    before = {pt: inodes(base_v, pt) for pt in (0, 2)}
+    # UPDATE touches only pt=1 rows
+    t.update((F.col("k") == 7), {"v": F.lit(-7.0)}, stable_partitions=True)
+    new_v = int(t._commit(t.current_version())["dir"].lstrip("v"))
+    assert new_v != base_v
+    for pt in (0, 2):
+        after = inodes(new_v, pt)
+        assert after and after == before[pt], f"pt={pt} was rewritten"
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[7] == -7.0 and rows[4] == 40.0 and 1 not in rows
+    # DELETE likewise: only pt=2 rewritten, MOR carry preserved
+    before = {pt: inodes(new_v, pt) for pt in (0,)}
+    t.delete(F.col("k") == 8, stable_partitions=True)
+    final_v = int(t._commit(t.current_version())["dir"].lstrip("v"))
+    assert inodes(final_v, 0) == before[0]
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert set(rows) == {0, 2, 3, 4, 5, 6, 7} and rows[4] == 40.0

@@ -1017,9 +1017,14 @@ def test_diversity_sample_quota_exact_and_deterministic(spark):
     assert len(set(ids)) == 120
     # per-cluster counts match the quotas computed from the same
     # assignment (proportionality within the largest-remainder rule)
-    sample = emb.select("embedding").limit(2048).collect()
+    # recompute the expected centroids with the SAME deterministic
+    # hash-bottom-n draw diversity_sample now trains on
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        _train_sample_rows,
+    )
     cents = _kmeans_centroids(
-        np.array([r["embedding"] for r in sample], dtype=np.float64), 8)
+        np.array(_train_sample_rows(emb, "embedding", 2048),
+                 dtype=np.float64), 8)
     assigned = ivf_assign(emb, cents).select(
         "vec_id", F.col("ivf_list").alias("cluster"))
     want = {r["grp"]: r["quota"] for r in
