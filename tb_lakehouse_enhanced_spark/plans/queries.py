@@ -656,6 +656,17 @@ def scd2_merge_state(spark, sf_dir):
     return scd.scd2_state(spark, sf_dir)
 
 
+@q("sql_merge_scd1", scd.SCD1_ORACLE)
+def sql_merge_scd1(spark, sf_dir):
+    """The gold-dim SCD1 upsert driven ENTIRELY by statement texts:
+    CREATE TABLE with a GENERATED ... AS IDENTITY surrogate
+    (01_Init.py:283-302 shape) + the update/insert MERGE WITHOUT the
+    identity column (33_ETL_Gold_Dim_PySpark.py:130-184 shape) — the
+    front-end assigns surrogate ids deterministically past the
+    high-water mark, matching scd1_upsert's oracle verbatim."""
+    return scd.sql_scd1_state(spark, sf_dir)
+
+
 @q("sql_merge_fact", scd.FACT_UPSERT_ORACLE)
 def sql_merge_fact(spark, sf_dir):
     """The gold-fact keyed upsert driven by the reference's
@@ -4673,8 +4684,13 @@ _PRIORITY = [
     # dml_update_delete's — both twins stay locally oracle-checked
     # below the fold, so the window now proves statement-text parity
     # on top of the same state oracles)
+    # sql_merge_scd1 additionally drives the IDENTITY surface (CREATE
+    # TABLE ... GENERATED AS IDENTITY + id-less INSERT clause) through
+    # statement texts; its operator twin scd1_upsert (same oracle)
+    # moves below the fold. fact_upsert stays in-window so the
+    # operator-path merge family remains directly driver-checked too.
     "sql_update_delete", "dml_delete_mor", "merge_mor", "delta_roundtrip",
-    "sql_merge_scd2", "scd1_upsert", "fact_upsert",
+    "sql_merge_scd2", "sql_merge_scd1", "fact_upsert",
     "table_changes",
     # streaming (batch-checkable core): tumbling + sliding windows
     # (stream_sliding rotates IN for round 6 — overlapping-window

@@ -432,3 +432,72 @@ def sql_fact_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .createOrReplaceTempView("src_li_sqlfront")
         lake.sql(SQL_FACT_MERGE)
     return lake.table("gold.fact_li").read()
+
+
+# SCD1 gold-dim through statement texts, INCLUDING the identity DDL:
+# the reference creates the dim with a GENERATED ... AS IDENTITY
+# surrogate (01_Init.py:283-302) and merges WITHOUT the identity column
+# (33_ETL_Gold_Dim_PySpark.py:130-184) — Delta assigns ids. The
+# front-end assigns them DETERMINISTICALLY (dense past the high-water
+# mark, ordered by the merge key), which is exactly what SCD1_ORACLE's
+# ROW_NUMBER() OVER (ORDER BY c_custkey) specifies.
+
+SQL_SCD1_DDL = """
+CREATE OR REPLACE TABLE gold.dim_customer (
+  -- Incremental surrogate key
+  _tf_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1) PRIMARY KEY NOT NULL,
+
+  -- Attributes
+  c_custkey BIGINT,
+  c_name STRING,
+  c_mktsegment STRING,
+  c_acctbal DOUBLE,
+
+  -- Technical columns
+  _tf_create_date TIMESTAMP,
+  _tf_update_date TIMESTAMP
+)
+"""
+
+SQL_SCD1_MERGE = """
+MERGE INTO gold.dim_customer AS tgt
+USING src_cust_sqlfront AS src
+ON tgt.c_custkey = src.c_custkey
+WHEN MATCHED AND (
+    tgt.c_name != src.c_name OR
+    tgt.c_mktsegment != src.c_mktsegment OR
+    tgt.c_acctbal != src.c_acctbal
+) THEN
+  UPDATE SET
+    tgt.c_name = src.c_name,
+    tgt.c_mktsegment = src.c_mktsegment,
+    tgt.c_acctbal = src.c_acctbal,
+    tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED THEN
+  INSERT (
+    c_custkey, c_name, c_mktsegment, c_acctbal,
+    _tf_create_date, _tf_update_date
+  )
+  VALUES (
+    src.c_custkey, src.c_name, src.c_mktsegment, src.c_acctbal,
+    current_timestamp(), current_timestamp()
+  )
+"""
+
+
+def sql_scd1_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE-with-identity + two MERGE texts through the SQL
+    front-end; shares scd1_upsert's oracle (SCD1_ORACLE) verbatim,
+    identity ids included."""
+    import tempfile
+
+    from ..sqlfront import LakehouseSql
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lake = LakehouseSql(spark, tempfile.mkdtemp(prefix="tb_sqlfront_d_"))
+    lake.sql(SQL_SCD1_DDL)
+    for now, batch in ((T0, 0), (T1, 1)):
+        lake.now = now
+        _customer_src(customer, batch) \
+            .createOrReplaceTempView("src_cust_sqlfront")
+        lake.sql(SQL_SCD1_MERGE)
+    return lake.table("gold.dim_customer").read()

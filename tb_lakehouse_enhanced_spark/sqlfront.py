@@ -122,9 +122,10 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _norm(sql: str) -> str:
-    """Collapse whitespace runs to single spaces OUTSIDE string
-    literals (statement shapes become regex-friendly; literals with
-    embedded whitespace survive)."""
+    """Collapse whitespace runs to single spaces and strip ``--``
+    line comments, both OUTSIDE string literals (statement shapes
+    become regex-friendly; literals with embedded whitespace survive;
+    the reference's DDL texts carry inline comments)."""
     out, i, n = [], 0, len(sql)
     while i < n:
         c = sql[i]
@@ -139,6 +140,9 @@ def _norm(sql: str) -> str:
                     j += 1
             out.append(sql[i:j + 1])
             i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
         elif c.isspace():
             out.append(" ")
             while i < n and sql[i].isspace():
@@ -357,6 +361,75 @@ def parse_insert(sql: str):
     return m.group("tbl"), cols, select_sql
 
 
+_CREATE_TABLE_RE = re.compile(
+    r"^CREATE (?P<replace>OR REPLACE )?TABLE (?P<ine>IF NOT EXISTS )?"
+    r"(?P<tbl>[\w.]+) ?(?P<body>\(|AS SELECT )", re.IGNORECASE)
+_CREATE_DB_RE = re.compile(
+    r"^CREATE (?:DATABASE|SCHEMA) (?P<ine>IF NOT EXISTS )?(?P<db>[\w.]+)$",
+    re.IGNORECASE)
+_DROP_DB_RE = re.compile(
+    r"^DROP (?:DATABASE|SCHEMA) (?P<ie>IF EXISTS )?(?P<db>[\w.]+)"
+    r"(?P<cascade> CASCADE)?$", re.IGNORECASE)
+_DROP_TABLE_RE = re.compile(
+    r"^DROP TABLE (?P<ie>IF EXISTS )?(?P<tbl>[\w.]+)$", re.IGNORECASE)
+
+_COL_MODIFIERS = re.compile(
+    r"(?P<identity> GENERATED (?:ALWAYS|BY DEFAULT) AS IDENTITY"
+    r"(?: \([^)]*\))?)|(?P<pk> PRIMARY KEY)|(?P<nn> NOT NULL)",
+    re.IGNORECASE)
+
+
+def parse_create_table(sql: str):
+    """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t ( coldefs )``
+    (the reference's typed DDL with identity/PK/NOT NULL modifiers,
+    01_Init.py:46-355) or ``CREATE ... TABLE db.t AS SELECT ...``
+    (CTAS). Returns (table, schema_ddl|None, ddl_info, or_replace,
+    if_not_exists, ctas_select|None); ``ddl_info`` records identity /
+    primary-key / not-null columns (informational constraints, the
+    Databricks stance — validated by assertion, not enforced
+    in-engine)."""
+    s = _norm(sql)
+    m = _CREATE_TABLE_RE.match(s)
+    if not m:
+        raise ValueError(f"unrecognized CREATE TABLE shape: {s[:70]!r}")
+    tbl = m.group("tbl")
+    or_replace = bool(m.group("replace"))
+    if_not_exists = bool(m.group("ine"))
+    if m.group("body").upper() == "AS SELECT ":
+        return (tbl, None, {}, or_replace, if_not_exists,
+                s[m.end() - len("SELECT "):])
+    body = s[m.end() - 1:]
+    close = _matching_paren(body)
+    info: dict = {"identity": None, "primary_key": [], "not_null": []}
+    fields = []
+    for coldef in _split_top(body[1:close]):
+        rest = coldef
+        mods = {"identity": False, "pk": False, "nn": False}
+        while True:
+            mm = _COL_MODIFIERS.search(rest)
+            if not mm:
+                break
+            for k in mods:
+                if mm.group(k):
+                    mods[k] = True
+            rest = (rest[:mm.start()] + rest[mm.end():]).strip()
+        name, _, typ = rest.partition(" ")
+        if not typ:
+            raise ValueError(f"cannot parse column definition: {coldef!r}")
+        # CHAR(n)/VARCHAR(n) surface as STRING at runtime (Spark's own
+        # read-side semantics; char/varchar are DDL-only annotations)
+        typ = re.sub(r"^(?:CHAR|VARCHAR)\s*\(\d+\)$", "STRING", typ,
+                     flags=re.IGNORECASE)
+        fields.append(f"{name} {typ}")
+        if mods["identity"]:
+            info["identity"] = name
+        if mods["pk"]:
+            info["primary_key"].append(name)
+        if mods["nn"]:
+            info["not_null"].append(name)
+    return tbl, ", ".join(fields), info, or_replace, if_not_exists, None
+
+
 _EQ_PAIR = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 
 
@@ -533,6 +606,24 @@ def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
     return out
 
 
+def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
+                     order_cols: list[str]) -> DataFrame:
+    """Fill NULL ``ident`` values (merge-inserted rows) with a dense
+    sequence continuing past the pre-merge target's max — the
+    identity high-water mark as a 1-row broadcast riding
+    dense_sequence's dynamic offset (zero extra driver jobs)."""
+    from .operators.sequence import dense_sequence
+    ident_t = target.schema[ident].dataType
+    have = result.filter(F.col(ident).isNotNull())
+    need = result.filter(F.col(ident).isNull()).drop(ident)
+    hwm = target.agg(
+        F.coalesce(F.max(ident), F.lit(0)).cast("bigint").alias("_hwm"))
+    seq = dense_sequence(need, order_cols, ident, offset_df=hwm)
+    return have.unionByName(
+        seq.withColumn(ident, F.col(ident).cast(ident_t))
+        .select(*result.columns))
+
+
 # ------------------------------------------------------------- front-end ---
 
 class LakehouseSql:
@@ -588,7 +679,76 @@ class LakehouseSql:
             return self.table(tbl).delete(cond)
         if head == "INSERT":
             return self._insert(s)
+        if head in ("CREATE", "DROP"):
+            handled = self._ddl(s)
+            if handled is not None:
+                return handled
         return self.spark.sql(statement)
+
+    # ------------------------------------------------------------- DDL --
+    def _ddl(self, s: str):
+        """CREATE/DROP DATABASE|TABLE against the managed root
+        (reference 01_Init.py:27-29,38-40,46-355). Returns None for
+        CREATE shapes this front-end does not own (temp views etc.) so
+        the caller can fall through to spark.sql."""
+        import shutil
+        m = _CREATE_DB_RE.match(s)
+        if m:
+            db = os.path.join(self.root, m.group("db").replace(".", os.sep))
+            if os.path.isdir(db) and not m.group("ine"):
+                raise ValueError(f"database exists: {m.group('db')}")
+            os.makedirs(db, exist_ok=True)
+            return db
+        m = _DROP_DB_RE.match(s)
+        if m:
+            db = os.path.join(self.root, m.group("db").replace(".", os.sep))
+            if os.path.isdir(db):
+                if os.listdir(db) and not m.group("cascade"):
+                    raise ValueError(
+                        f"database {m.group('db')} is not empty "
+                        f"(use CASCADE)")
+                shutil.rmtree(db)
+            elif not m.group("ie"):
+                raise ValueError(f"no such database: {m.group('db')}")
+            return db
+        m = _DROP_TABLE_RE.match(s)
+        if m:
+            t = self.table(m.group("tbl"))
+            if t.exists():
+                shutil.rmtree(t.path)
+            elif not m.group("ie"):
+                raise ValueError(f"no such table: {m.group('tbl')}")
+            return t.path
+        if _CREATE_TABLE_RE.match(s):
+            return self._create_table(s)
+        return None
+
+    def _create_table(self, s: str) -> ManagedTable:
+        import json as _json
+        tbl_name, schema_ddl, info, or_replace, ine, ctas = \
+            parse_create_table(s)
+        tbl = self.table(tbl_name)
+        if tbl.exists() and not or_replace:
+            if ine:
+                return tbl
+            raise ValueError(f"table exists: {tbl_name}")
+        df = self.spark.sql(ctas) if ctas else \
+            self.spark.createDataFrame([], schema_ddl)
+        tbl.overwrite(df, operation="CREATE TABLE")
+        if any(info.get(k) for k in ("identity", "primary_key",
+                                     "not_null")):
+            with open(os.path.join(tbl.path, "_ddl_info.json"),
+                      "w") as f:
+                _json.dump(info, f)
+        return tbl
+
+    def _ddl_info(self, tbl: ManagedTable) -> dict:
+        import json as _json
+        p = os.path.join(tbl.path, "_ddl_info.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.load(f)
 
     def _merge(self, s: str) -> ManagedTable:
         spec = parse_merge(s)
@@ -597,8 +757,25 @@ class LakehouseSql:
             raise FileNotFoundError(
                 f"MERGE target {spec.target} does not exist under "
                 f"{self.root}")
-        result = apply_merge(tbl.read(), self._source_df(spec.source),
+        target = tbl.read()
+        result = apply_merge(target, self._source_df(spec.source),
                              spec, self.check_cardinality)
+        # GENERATED ... AS IDENTITY (reference 01_Init.py:59): an
+        # INSERT clause that omits the identity column gets ids
+        # assigned past the table's current max — Delta's high-water
+        # behavior, but DETERMINISTIC: new ids are dense in the order
+        # of the merge's source key columns (documented deviation from
+        # Delta's arbitrary-but-unique allocation; testable, and what
+        # the scd1/dim oracles already specify).
+        ident = self._ddl_info(tbl).get("identity")
+        if ident and ident in target.columns and any(
+                c.kind == "insert"
+                and (c.insert_cols is None or ident not in c.insert_cols)
+                for c in spec.clauses):
+            order_cols = (_equi_source_keys(spec.on, spec.t_alias,
+                                            spec.s_alias)
+                          or [c for c in target.columns if c != ident])
+            result = _assign_identity(result, target, ident, order_cols)
         return tbl.overwrite(result, operation="MERGE")
 
     def _insert(self, s: str) -> ManagedTable:

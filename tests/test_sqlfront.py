@@ -270,3 +270,86 @@ WHEN NOT MATCHED BY SOURCE AND t.closed IS NULL THEN
     assert got == [(1, 5.0, "2023"),      # history: untouched
                    (1, 6.0, "now"),       # current, changed: closed
                    (2, 7.0, "now")]       # current, deleted: closed
+
+
+def test_create_table_reference_ddl_shape(spark, lake):
+    """The reference's typed DDL (01_Init.py:46-355 shape — inline
+    comments, identity, PK, NOT NULL modifiers) creates an empty typed
+    managed table and records the informational constraints."""
+    t = lake.sql("""
+CREATE OR REPLACE TABLE silver.address (
+    _tf_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1) PRIMARY KEY NOT NULL, -- Incremental surrogate key
+
+    -- Source table columns
+    address_id INT,
+    city STRING,
+    rowguid CHAR(36),
+    modified_date TIMESTAMP,
+
+    -- Technical columns
+    _tf_valid_from TIMESTAMP,
+    _tf_valid_to TIMESTAMP -- NULL indicates current record
+)
+""")
+    df = t.read()
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "_tf_id", "address_id", "city", "rowguid", "modified_date",
+        "_tf_valid_from", "_tf_valid_to"]
+    assert df.schema["address_id"].dataType.simpleString() == "int"
+    assert df.schema["rowguid"].dataType.simpleString() == "string"
+    assert lake._ddl_info(t) == {"identity": "_tf_id",
+                                 "primary_key": ["_tf_id"],
+                                 "not_null": ["_tf_id"]}
+    # plain CREATE on an existing table errors; IF NOT EXISTS no-ops
+    with pytest.raises(ValueError, match="table exists"):
+        lake.sql("CREATE TABLE silver.address (x INT)")
+    lake.sql("CREATE TABLE IF NOT EXISTS silver.address (x INT)")
+    assert len(lake.table("silver.address").read().columns) == 7
+
+
+def test_create_drop_database_and_table(spark, lake):
+    import os
+    lake.sql("CREATE DATABASE IF NOT EXISTS bronze")
+    assert os.path.isdir(os.path.join(lake.root, "bronze"))
+    lake.sql("CREATE TABLE bronze.t AS SELECT 1 AS k, 'a' AS s")
+    assert lake.table("bronze.t").read().collect() == [(1, "a")]
+    with pytest.raises(ValueError, match="not empty"):
+        lake.sql("DROP DATABASE bronze")
+    lake.sql("DROP TABLE bronze.t")
+    assert not lake.table("bronze.t").exists()
+    lake.sql("DROP DATABASE IF EXISTS bronze CASCADE")
+    assert not os.path.isdir(os.path.join(lake.root, "bronze"))
+
+
+def test_merge_assigns_identity_deterministically(spark, lake):
+    """A MERGE whose INSERT omits the identity column gets dense ids
+    past the high-water mark, ordered by the merge key — re-merging
+    never reuses ids, matched rows keep theirs."""
+    lake.sql("""
+CREATE TABLE gold.dim (
+  _tf_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY NOT NULL,
+  k INT, v STRING
+)
+""")
+    merge = """
+MERGE INTO gold.dim AS tgt USING src_idm AS src ON tgt.k = src.k
+WHEN MATCHED AND tgt.v != src.v THEN UPDATE SET tgt.v = src.v
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+"""
+    spark.createDataFrame([(30, "c"), (10, "a"), (20, "b")],
+                          "k int, v string") \
+        .createOrReplaceTempView("src_idm")
+    lake.sql(merge)
+    rows = {r["k"]: (r["_tf_id"], r["v"])
+            for r in lake.table("gold.dim").read().collect()}
+    assert rows == {10: (1, "a"), 20: (2, "b"), 30: (3, "c")}
+    # second batch: update k=20, insert k=5 and k=40 -> ids 4 and 5
+    spark.createDataFrame([(40, "d"), (20, "B"), (5, "e")],
+                          "k int, v string") \
+        .createOrReplaceTempView("src_idm")
+    lake.sql(merge)
+    rows = {r["k"]: (r["_tf_id"], r["v"])
+            for r in lake.table("gold.dim").read().collect()}
+    assert rows == {10: (1, "a"), 20: (2, "B"), 30: (3, "c"),
+                    5: (4, "e"), 40: (5, "d")}
