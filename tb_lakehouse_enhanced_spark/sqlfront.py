@@ -658,17 +658,23 @@ class LakehouseSql:
             return t.read()
         return self.spark.table(source)
 
-    def sql(self, statement: str):
+    def sql(self, statement: str, extra_meta: dict | None = None,
+            source_df: DataFrame | None = None):
         """Dispatch one statement. DML returns the ManagedTable written
         (UPDATE/DELETE/INSERT/MERGE); everything else returns
-        ``spark.sql``'s DataFrame."""
+        ``spark.sql``'s DataFrame. ``extra_meta`` rides the MERGE
+        commit's metadata (the streaming sink's replay high-water
+        mark); ``source_df`` overrides the MERGE's USING relation with
+        an in-hand DataFrame — the foreachBatch case, where the
+        micro-batch lives in a CLONED session whose temp views the
+        outer session cannot see."""
         s = _norm(statement)
         if self.now is not None:
             s = re.sub(r"current_timestamp\(\)",
                        f"TIMESTAMP '{self.now}'", s, flags=re.IGNORECASE)
         head = s.split(" ", 1)[0].upper()
         if head == "MERGE":
-            return self._merge(s)
+            return self._merge(s, extra_meta, source_df)
         if head == "UPDATE":
             tbl, assigns, where = parse_update(s)
             cond = F.expr(where) if where else F.lit(True)
@@ -750,7 +756,8 @@ class LakehouseSql:
         with open(p) as f:
             return _json.load(f)
 
-    def _merge(self, s: str) -> ManagedTable:
+    def _merge(self, s: str, extra_meta: dict | None = None,
+               source_df: DataFrame | None = None) -> ManagedTable:
         spec = parse_merge(s)
         tbl = self.table(spec.target)
         if not tbl.exists():
@@ -758,7 +765,9 @@ class LakehouseSql:
                 f"MERGE target {spec.target} does not exist under "
                 f"{self.root}")
         target = tbl.read()
-        result = apply_merge(target, self._source_df(spec.source),
+        source = source_df if source_df is not None \
+            else self._source_df(spec.source)
+        result = apply_merge(target, source,
                              spec, self.check_cardinality)
         # GENERATED ... AS IDENTITY (reference 01_Init.py:59): an
         # INSERT clause that omits the identity column gets ids
@@ -776,7 +785,8 @@ class LakehouseSql:
                                             spec.s_alias)
                           or [c for c in target.columns if c != ident])
             result = _assign_identity(result, target, ident, order_cols)
-        return tbl.overwrite(result, operation="MERGE")
+        return tbl.overwrite(result, operation="MERGE",
+                             extra_meta=extra_meta)
 
     def _insert(self, s: str) -> ManagedTable:
         tbl_name, cols, select_sql = parse_insert(s)
@@ -797,5 +807,9 @@ class LakehouseSql:
         new = new.toDF(*cols)
         proj = [(F.col(c) if c in cols else F.lit(None))
                 .cast(dtypes[c]).alias(c) for c in cur.columns]
-        return tbl.overwrite(cur.unionByName(new.select(*proj)),
-                             operation="INSERT")
+        result = cur.unionByName(new.select(*proj))
+        ident = self._ddl_info(tbl).get("identity")
+        if ident and ident in cur.columns and ident not in cols:
+            result = _assign_identity(result, cur, ident,
+                                      [c for c in cols])
+        return tbl.overwrite(result, operation="INSERT")

@@ -141,3 +141,41 @@ def bm25_batch_sink(path: str, n_buckets: int = 64,
                           id_col=id_col, text_col=text_col)
 
     return sink
+
+
+def sql_merge_batch_sink(lake, merge_sql: str):
+    """Per-batch executor: each micro-batch binds as the statement's
+    USING relation and the MERGE TEXT runs through the SQL front-end —
+    streaming ingestion driven by the SAME statement string the batch
+    pipeline uses (reference 22_ETL_Silver_PySpark.py:62-101 texts,
+    unchanged).
+
+    Exactly-once on at-least-once delivery, the ``mor_batch_sink``
+    pattern: the applied batch id rides the target's own commit
+    metadata (``stream_batch_id``), atomically with the merge result
+    it describes, and replayed batch ids are skipped. The target table
+    must exist (the reference's DDL-first flow; create it via
+    ``lake.sql("CREATE TABLE ...")``)."""
+    from ..sqlfront import parse_merge
+    spec = parse_merge(merge_sql)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tbl = lake.table(spec.target)
+        last = tbl._commit(tbl.current_version()) \
+            .get("stream_batch_id", -1)
+        if batch_id <= last:
+            return                      # replayed batch: already applied
+        # the micro-batch IS the USING relation: foreachBatch hands it
+        # over in a CLONED session whose temp views the outer session
+        # cannot resolve, so it binds directly instead of via a view
+        lake.sql(merge_sql, extra_meta={"stream_batch_id": batch_id},
+                 source_df=batch_df)
+    return sink
+
+
+def stream_sql_merge_sink(stream: DataFrame, lake, merge_sql: str):
+    """writeStream wiring for ``sql_merge_batch_sink``."""
+    return stream.writeStream.foreachBatch(
+        sql_merge_batch_sink(lake, merge_sql))

@@ -145,3 +145,58 @@ def test_stream_mor_sink_exactly_once_and_no_rewrite(spark, tmp_path):
     assert table.current_version() == v_before + 1
     assert {r["id"]: r["v"] for r in table.read().collect()} == \
         {**got, 4: 4.0}
+
+
+def test_stream_sql_merge_sink_statement_text_exactly_once(spark, tmp_path):
+    """Streaming ingestion driven by the reference's MERGE statement
+    TEXT: micro-batches register as the USING view and the text
+    executes through the SQL front-end; replayed batch ids are skipped
+    via the commit-metadata high-water mark, and a checkpoint restart
+    continues cleanly."""
+    from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
+    from tb_lakehouse_enhanced_spark.streaming.sink import (
+        sql_merge_batch_sink, stream_sql_merge_sink,
+    )
+    lake = LakehouseSql(spark, str(tmp_path / "lake"),
+                        now="2024-01-01 00:00:00")
+    lake.sql("CREATE TABLE silver.kv (k INT, v STRING, "
+             "_tf_update_date TIMESTAMP)")
+    merge_sql = """
+MERGE INTO silver.kv AS tgt USING kv_batch AS src ON tgt.k = src.k
+WHEN MATCHED AND tgt.v != src.v THEN
+  UPDATE SET tgt.v = src.v, tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED THEN
+  INSERT (k, v, _tf_update_date)
+  VALUES (src.k, src.v, current_timestamp())
+"""
+    src_dir = str(tmp_path / "in")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k int, v string") \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    def start():
+        stream = (spark.readStream.schema("k int, v string")
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        return (stream_sql_merge_sink(stream, lake, merge_sql)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start())
+
+    write([(1, "a"), (2, "b")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # restart with an update + an insert
+    write([(2, "B"), (3, "c")])
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    rows = {r["k"]: r["v"] for r in lake.table("silver.kv").read().collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    # direct replay of an applied batch id is a no-op (at-least-once)
+    v_before = lake.table("silver.kv").current_version()
+    sink = sql_merge_batch_sink(lake, merge_sql)
+    sink(spark.createDataFrame([(9, "z")], "k int, v string"), 0)
+    assert lake.table("silver.kv").current_version() == v_before
+    assert 9 not in {r["k"]
+                     for r in lake.table("silver.kv").read().collect()}
