@@ -756,6 +756,14 @@ class LakehouseSql:
         with open(p) as f:
             return _json.load(f)
 
+    def run_script(self, script: str) -> list:
+        """Execute a ``;``-separated statement sequence (the reference
+        notebooks are exactly such sequences). Statements split at
+        TOP-LEVEL semicolons only — literals, parens, and CASE..END
+        are respected — and run in order; returns the per-statement
+        results."""
+        return [self.sql(stmt) for stmt in _split_top(_norm(script), ";")]
+
     def _merge(self, s: str, extra_meta: dict | None = None,
                source_df: DataFrame | None = None) -> ManagedTable:
         spec = parse_merge(s)

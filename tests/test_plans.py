@@ -493,3 +493,40 @@ def test_bm25_index_probe_prunes_partitions(spark, tmp_path):
     # deterministic across probes
     again = sorted(map(tuple, bm25_probe(spark, path, terms, k=20).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_sqlfront_merge_degenerates_to_broadcast_outer_joins(spark):
+    """The SQL front-end declares MERGE as one full-outer join + two
+    filtered projections, and Catalyst does the rest: the kept
+    branch's target-present filter rewrites its copy to a LEFT outer,
+    the insert branch's to a RIGHT outer, and a broadcastable source
+    turns both into BroadcastHashJoins with column-pruned scans —
+    ZERO shuffle exchanges for the dim-merge case. (With both sides
+    large the branches become sort-merge joins whose exchanges
+    deduplicate via ReusedExchange — still one shuffle per side.)
+    Clause branching never adds joins: first-match-wins is projection
+    CASEs."""
+    from tb_lakehouse_enhanced_spark.sqlfront import apply_merge, parse_merge
+    tgt = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    src = tgt.filter("o_orderkey % 3 = 0") \
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    spec = parse_merge("""
+MERGE INTO x AS t USING y AS s ON t.o_orderkey = s.o_orderkey
+WHEN MATCHED AND t.o_totalprice != s.o_totalprice THEN
+  UPDATE SET t.o_totalprice = s.o_totalprice
+WHEN NOT MATCHED THEN
+  INSERT (o_orderkey, o_custkey, o_totalprice)
+  VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)
+""")
+    out = apply_merge(tgt, src, spec, check_cardinality=False)
+    plan = _executed(out)
+    assert "Exchange hashpartitioning" not in plan, plan   # no shuffle
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "FullOuter" not in plan, plan    # both branches degenerated
+    # and the result is correct: every matched key updated, none lost
+    n_tgt = tgt.count()
+    assert out.count() == n_tgt
+    changed = (out.alias("o").join(tgt.alias("t"), "o_orderkey")
+               .filter("o.o_totalprice != t.o_totalprice").count())
+    assert changed == src.count()

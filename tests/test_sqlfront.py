@@ -353,3 +353,22 @@ WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
             for r in lake.table("gold.dim").read().collect()}
     assert rows == {10: (1, "a"), 20: (2, "B"), 30: (3, "c"),
                     5: (4, "e"), 40: (5, "d")}
+
+
+def test_run_script_statement_sequence(spark, lake):
+    """The notebook flow: a ;-separated DDL + seed + DML sequence runs
+    in order through one entry point (01_Init.py shape)."""
+    lake.run_script("""
+CREATE DATABASE IF NOT EXISTS gold;
+CREATE OR REPLACE TABLE gold.dim_geo (
+  _tf_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY NOT NULL,
+  geo_city STRING,
+  note STRING
+);
+INSERT INTO gold.dim_geo (_tf_id, geo_city, note)
+VALUES (-9, 'N/A', 'seed; unknown member');
+UPDATE gold.dim_geo SET note = 'n/a' WHERE geo_city = 'N/A'
+""")
+    rows = sorted(map(tuple, lake.table("gold.dim_geo").read().collect()))
+    # the literal containing ';' survived the split
+    assert rows == [(-9, "N/A", "n/a")]
