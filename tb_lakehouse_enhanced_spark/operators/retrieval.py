@@ -247,6 +247,30 @@ def _bucket_expr(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets))
 
 
+# (term, n_buckets) -> bucket id. The probe must hash its terms with
+# the ENGINE's xxhash64 (never a driver-side reimplementation), which
+# costs one tiny local-relation job — measured ~0.2s, MORE than the
+# pruned probe scan itself at sf0.1. The mapping is a pure function of
+# (term, n_buckets) for a given engine build, so it memoizes safely for
+# the process lifetime; repeat probes (the serving pattern) skip the
+# job entirely, and only UNSEEN terms are ever hashed.
+_BUCKET_MEMO: dict = {}
+
+
+def _term_buckets(spark, terms, n_buckets: int) -> list[int]:
+    missing = [t for t in dict.fromkeys(terms)
+               if (t, n_buckets) not in _BUCKET_MEMO]
+    if missing:
+        rows = (spark.createDataFrame([(t,) for t in missing],
+                                      "term string")
+                .select("term",
+                        _bucket_expr(F.col("term"), n_buckets).alias("b"))
+                .collect())
+        for r in rows:
+            _BUCKET_MEMO[(r["term"], n_buckets)] = int(r["b"])
+    return sorted({_BUCKET_MEMO[(t, n_buckets)] for t in terms})
+
+
 def _postings(docs: DataFrame, n_buckets: int,
               id_col: str, text_col: str):
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
@@ -369,11 +393,8 @@ def bm25_probe(spark, path: str, terms: list[str], k: int = 50,
             [], f"doc_id {stats.get('id_type', 'bigint')}, rank bigint")
     # hash probe terms through the build's own Spark expression (never
     # reimplement the engine hash driver-side — same rule as the bloom
-    # index probe)
-    buckets = sorted({r["b"] for r in spark.createDataFrame(
-        [(t,) for t in terms], "term string")
-        .select(_bucket_expr(F.col("term"), stats["n_buckets"]).alias("b"))
-        .collect()})
+    # index probe); memoized per process, see _term_buckets
+    buckets = _term_buckets(spark, terms, stats["n_buckets"])
     # ingest_batch <= last_batch excludes any batch dir written by a
     # crashed append whose high-water commit never happened (see
     # append_bm25_index); both predicates are PartitionFilters. The
@@ -610,10 +631,7 @@ def bm25_probe_many(spark, path: str, queries: DataFrame, k: int = 50,
             f"probe vocabulary exceeds max_terms={max_terms}; raise the "
             f"cap or shard the query set")
     term_list = [r["term"] for r in terms]
-    buckets = sorted({r["b"] for r in spark.createDataFrame(
-        [(t,) for t in term_list], "term string")
-        .select(_bucket_expr(F.col("term"), stats["n_buckets"]).alias("b"))
-        .collect()})
+    buckets = _term_buckets(spark, term_list, stats["n_buckets"])
     posts = (spark.read.parquet(_os.path.join(path, _postings_dir(stats)))
              .filter(F.col("term_bucket").isin(buckets)
                      & (F.col("ingest_batch") <= stats.get("last_batch", 0))
