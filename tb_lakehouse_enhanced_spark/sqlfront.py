@@ -689,7 +689,26 @@ class LakehouseSql:
             handled = self._ddl(s)
             if handled is not None:
                 return handled
+        if head in ("SELECT", "WITH"):
+            return self.spark.sql(self._bind_managed_tables(s))
         return self.spark.sql(statement)
+
+    def _bind_managed_tables(self, s: str) -> str:
+        """Make ``SELECT ... FROM db.table`` read managed tables (the
+        reference's ad-hoc check queries, 23_Testing_SCD2.py:39,49):
+        every ``db.tbl`` token naming an EXISTING managed table under
+        the root is registered as a temp view and the reference
+        rewritten to it. Alias-qualified column refs never collide —
+        they don't name managed directories."""
+        out = s
+        for db, tb in set(re.findall(r"\b(\w+)\.(\w+)\b", s)):
+            name = f"{db}.{tb}"
+            t = self.table(name)
+            if t.exists():
+                view = f"__lake_{db}__{tb}"
+                t.read().createOrReplaceTempView(view)
+                out = re.sub(rf"\b{db}\.{tb}\b", view, out)
+        return out
 
     # ------------------------------------------------------------- DDL --
     def _ddl(self, s: str):

@@ -372,3 +372,24 @@ UPDATE gold.dim_geo SET note = 'n/a' WHERE geo_city = 'N/A'
     rows = sorted(map(tuple, lake.table("gold.dim_geo").read().collect()))
     # the literal containing ';' survived the split
     assert rows == [(-9, "N/A", "n/a")]
+
+
+def test_select_reads_managed_tables(spark, lake):
+    """The reference's ad-hoc SELECT checks (23_Testing_SCD2.py:39,49)
+    work against managed tables: db.table references bind to the
+    current snapshot at query time."""
+    lake.sql("CREATE TABLE bronze.addr AS SELECT 1 AS id, 'Bothell' AS city")
+    rows = lake.sql(
+        "SELECT * FROM bronze.addr WHERE city = 'Bothell'").collect()
+    assert rows == [(1, "Bothell")]
+    lake.sql("UPDATE bronze.addr SET city = 'Surrey' WHERE id = 1")
+    # re-binding picks up the NEW snapshot
+    assert lake.sql("SELECT city FROM bronze.addr").collect() == [("Surrey",)]
+    # a WITH query and a join across two managed tables
+    lake.sql("CREATE TABLE bronze.x AS SELECT 1 AS id, 10 AS v")
+    got = lake.sql("""
+WITH j AS (
+  SELECT a.city, x.v FROM bronze.addr a JOIN bronze.x x ON a.id = x.id
+) SELECT * FROM j
+""").collect()
+    assert got == [("Surrey", 10)]
