@@ -691,7 +691,36 @@ class LakehouseSql:
                 return handled
         if head in ("SELECT", "WITH"):
             return self.spark.sql(self._bind_managed_tables(s))
+        handled = self._utility(s)
+        if handled is not None:
+            return handled
         return self.spark.sql(statement)
+
+    def _utility(self, s: str):
+        """Delta's table-service SQL (the OPTIMIZE/VACUUM/RESTORE/
+        DESCRIBE HISTORY command family), mapped 1:1 onto the managed
+        table's maintenance methods."""
+        m = re.match(r"^OPTIMIZE ([\w.]+)$", s, re.IGNORECASE)
+        if m:
+            return self.table(m.group(1)).compact()
+        m = re.match(r"^VACUUM ([\w.]+)(?: RETAIN (\d+) VERSIONS?)?$",
+                     s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            t.vacuum(retain_last=int(m.group(2) or 1))
+            return t
+        m = re.match(r"^RESTORE TABLE ([\w.]+) TO VERSION AS OF (\d+)$",
+                     s, re.IGNORECASE)
+        if m:
+            return self.table(m.group(1)).restore(int(m.group(2)))
+        m = re.match(r"^DESCRIBE HISTORY ([\w.]+)$", s, re.IGNORECASE)
+        if m:
+            hist = self.table(m.group(1)).history()
+            return self.spark.createDataFrame(
+                [(int(h["version"]), str(h.get("op", "")),
+                  float(h.get("ts", 0.0))) for h in hist],
+                "version bigint, operation string, timestamp double")
+        return None
 
     def _bind_managed_tables(self, s: str) -> str:
         """Make ``SELECT ... FROM db.table`` read managed tables (the
@@ -701,7 +730,31 @@ class LakehouseSql:
         rewritten to it. Alias-qualified column refs never collide —
         they don't name managed directories."""
         out = s
-        for db, tb in set(re.findall(r"\b(\w+)\.(\w+)\b", s)):
+        # time travel first (Delta's SELECT syntax), so the generic
+        # rewrite below doesn't strand the AS OF suffix
+        for db, tb, ver in set(re.findall(
+                r"\b(\w+)\.(\w+) VERSION AS OF (\d+)", out,
+                re.IGNORECASE)):
+            t = self.table(f"{db}.{tb}")
+            if t.exists():
+                view = f"__lake_{db}__{tb}__v{ver}"
+                t.read(version=int(ver)).createOrReplaceTempView(view)
+                out = re.sub(
+                    rf"\b{db}\.{tb} VERSION AS OF {ver}\b", view, out,
+                    flags=re.IGNORECASE)
+        for db, tb, ts in set(re.findall(
+                r"\b(\w+)\.(\w+) TIMESTAMP AS OF '([^']+)'", out,
+                re.IGNORECASE)):
+            t = self.table(f"{db}.{tb}")
+            if t.exists():
+                import datetime as _dt
+                epoch = _dt.datetime.fromisoformat(ts).timestamp()
+                view = f"__lake_{db}__{tb}__ts{int(epoch)}"
+                t.read_as_of(epoch).createOrReplaceTempView(view)
+                out = re.sub(
+                    rf"\b{db}\.{tb} TIMESTAMP AS OF '{re.escape(ts)}'",
+                    view, out, flags=re.IGNORECASE)
+        for db, tb in set(re.findall(r"\b(\w+)\.(\w+)\b", out)):
             name = f"{db}.{tb}"
             t = self.table(name)
             if t.exists():

@@ -393,3 +393,22 @@ WITH j AS (
 ) SELECT * FROM j
 """).collect()
     assert got == [("Surrey", 10)]
+
+
+def test_utility_sql_and_time_travel(spark, lake):
+    """The Delta table-service command family as SQL texts: OPTIMIZE /
+    VACUUM / RESTORE / DESCRIBE HISTORY, plus VERSION AS OF time
+    travel inside SELECT."""
+    lake.sql("CREATE TABLE db.tt AS SELECT 1 AS k, 'a' AS v")
+    lake.sql("UPDATE db.tt SET v = 'b' WHERE k = 1")
+    assert lake.sql(
+        "SELECT v FROM db.tt VERSION AS OF 0").collect() == [("a",)]
+    assert lake.sql("SELECT v FROM db.tt").collect() == [("b",)]
+    hist = lake.sql("DESCRIBE HISTORY db.tt").collect()
+    assert [r["version"] for r in hist][:2] == [1, 0] or \
+        sorted(r["version"] for r in hist) == [0, 1]
+    lake.sql("RESTORE TABLE db.tt TO VERSION AS OF 0")
+    assert lake.sql("SELECT v FROM db.tt").collect() == [("a",)]
+    lake.sql("OPTIMIZE db.tt")
+    lake.sql("VACUUM db.tt RETAIN 1 VERSIONS")
+    assert lake.sql("SELECT v FROM db.tt").collect() == [("a",)]
