@@ -606,6 +606,42 @@ def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
     return out
 
 
+def _segments(s: str):
+    """Split into (is_literal, text) segments on single-quoted string
+    literals (escaped '' respected)."""
+    out, i, n, last = [], 0, len(s), 0
+    while i < n:
+        if s[i] == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                elif s[j] == "'":
+                    break
+                else:
+                    j += 1
+            if last < i:
+                out.append((False, s[last:i]))
+            out.append((True, s[i:j + 1]))
+            i = last = j + 1
+        else:
+            i += 1
+    if last < n:
+        out.append((False, s[last:]))
+    return out
+
+
+def _sub_code(pattern: str, repl: str, s: str, flags=0) -> str:
+    """re.sub applied ONLY outside string literals."""
+    return "".join(seg if lit else re.sub(pattern, repl, seg, flags=flags)
+                   for lit, seg in _segments(s))
+
+
+def _findall_code(pattern: str, s: str, flags=0) -> list:
+    return [m for lit, seg in _segments(s) if not lit
+            for m in re.findall(pattern, seg, flags)]
+
+
 def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
                      order_cols: list[str]) -> DataFrame:
     """Fill NULL ``ident`` values (merge-inserted rows) with a dense
@@ -731,20 +767,21 @@ class LakehouseSql:
         they don't name managed directories."""
         out = s
         # time travel first (Delta's SELECT syntax), so the generic
-        # rewrite below doesn't strand the AS OF suffix
-        for db, tb, ver in set(re.findall(
+        # rewrite below doesn't strand the AS OF suffix; all matching
+        # and rewriting happens OUTSIDE string literals only
+        for db, tb, ver in set(_findall_code(
                 r"\b(\w+)\.(\w+) VERSION AS OF (\d+)", out,
                 re.IGNORECASE)):
             t = self.table(f"{db}.{tb}")
             if t.exists():
                 view = f"__lake_{db}__{tb}__v{ver}"
                 t.read(version=int(ver)).createOrReplaceTempView(view)
-                out = re.sub(
+                out = _sub_code(
                     rf"\b{db}\.{tb} VERSION AS OF {ver}\b", view, out,
                     flags=re.IGNORECASE)
         for db, tb, ts in set(re.findall(
                 r"\b(\w+)\.(\w+) TIMESTAMP AS OF '([^']+)'", out,
-                re.IGNORECASE)):
+                re.IGNORECASE)):  # the quoted ts IS part of the syntax
             t = self.table(f"{db}.{tb}")
             if t.exists():
                 import datetime as _dt
@@ -754,13 +791,13 @@ class LakehouseSql:
                 out = re.sub(
                     rf"\b{db}\.{tb} TIMESTAMP AS OF '{re.escape(ts)}'",
                     view, out, flags=re.IGNORECASE)
-        for db, tb in set(re.findall(r"\b(\w+)\.(\w+)\b", out)):
+        for db, tb in set(_findall_code(r"\b(\w+)\.(\w+)\b", out)):
             name = f"{db}.{tb}"
             t = self.table(name)
             if t.exists():
                 view = f"__lake_{db}__{tb}"
                 t.read().createOrReplaceTempView(view)
-                out = re.sub(rf"\b{db}\.{tb}\b", view, out)
+                out = _sub_code(rf"\b{db}\.{tb}\b", view, out)
         return out
 
     # ------------------------------------------------------------- DDL --

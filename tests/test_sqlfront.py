@@ -412,3 +412,12 @@ def test_utility_sql_and_time_travel(spark, lake):
     lake.sql("OPTIMIZE db.tt")
     lake.sql("VACUUM db.tt RETAIN 1 VERSIONS")
     assert lake.sql("SELECT v FROM db.tt").collect() == [("a",)]
+
+
+def test_select_binding_ignores_string_literals(spark, lake):
+    """A literal containing a managed-table name must not be rewritten
+    by the SELECT binder."""
+    lake.sql("CREATE TABLE db.lit AS SELECT 1 AS k, 'db.lit' AS note")
+    rows = lake.sql(
+        "SELECT note FROM db.lit WHERE note = 'db.lit'").collect()
+    assert rows == [("db.lit",)]
