@@ -421,3 +421,141 @@ def test_select_binding_ignores_string_literals(spark, lake):
     rows = lake.sql(
         "SELECT note FROM db.lit WHERE note = 'db.lit'").collect()
     assert rows == [("db.lit",)]
+
+
+def test_full_medallion_flow_by_statement_texts(spark, lake):
+    """Capstone: the reference's whole notebook flow — typed DDL,
+    silver SCD2 two-pass MERGE, gold dim SCD1 MERGE with an identity
+    surrogate, gold fact MERGE joining silver current rows — executed
+    END TO END as statement texts against one managed root, with the
+    catalog validators asserting the result's integrity."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .limit(2000).cache()
+    customer = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet")
+    lake.now = T0
+    lake.run_script("""
+CREATE DATABASE IF NOT EXISTS silver;
+CREATE DATABASE IF NOT EXISTS gold;
+CREATE OR REPLACE TABLE silver.orders (
+  o_orderkey BIGINT,
+  o_custkey BIGINT,
+  o_totalprice DOUBLE,
+  _tf_valid_from TIMESTAMP,
+  _tf_valid_to TIMESTAMP,
+  _tf_create_date TIMESTAMP,
+  _tf_update_date TIMESTAMP
+);
+CREATE OR REPLACE TABLE gold.dim_customer (
+  _tf_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY NOT NULL,
+  cust_customer_id BIGINT,
+  cust_name STRING,
+  _tf_create_date TIMESTAMP,
+  _tf_update_date TIMESTAMP
+);
+CREATE OR REPLACE TABLE gold.fact_orders (
+  sales_order_id BIGINT,
+  _tf_dim_customer_id BIGINT,
+  sales_total DOUBLE,
+  _tf_create_date TIMESTAMP,
+  _tf_update_date TIMESTAMP
+)
+""")
+    silver_close = """
+MERGE INTO silver.orders AS tgt
+USING src_orders AS src
+ON tgt.o_orderkey = src.o_orderkey AND tgt._tf_valid_to IS NULL
+WHEN MATCHED AND (tgt.o_totalprice != src.o_totalprice) THEN
+  UPDATE SET tgt._tf_valid_to = current_timestamp(),
+             tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED BY SOURCE AND tgt._tf_valid_to IS NULL THEN
+  UPDATE SET tgt._tf_valid_to = current_timestamp(),
+             tgt._tf_update_date = current_timestamp()
+"""
+    silver_insert = """
+MERGE INTO silver.orders AS tgt
+USING src_orders AS src
+ON tgt.o_orderkey = src.o_orderkey AND tgt._tf_valid_to IS NULL
+WHEN NOT MATCHED THEN
+  INSERT (o_orderkey, o_custkey, o_totalprice,
+          _tf_valid_from, _tf_valid_to, _tf_create_date, _tf_update_date)
+  VALUES (src.o_orderkey, src.o_custkey, src.o_totalprice,
+          current_timestamp(), NULL, current_timestamp(),
+          current_timestamp())
+"""
+    dim_merge = """
+MERGE INTO gold.dim_customer AS tgt
+USING src_cust AS src
+ON tgt.cust_customer_id = src.cust_customer_id
+WHEN MATCHED AND (tgt.cust_name != src.cust_name) THEN
+  UPDATE SET tgt.cust_name = src.cust_name,
+             tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED THEN
+  INSERT (cust_customer_id, cust_name, _tf_create_date, _tf_update_date)
+  VALUES (src.cust_customer_id, src.cust_name,
+          current_timestamp(), current_timestamp())
+"""
+    fact_merge = """
+MERGE INTO gold.fact_orders AS tgt
+USING src_fact AS src
+ON tgt.sales_order_id = src.sales_order_id
+WHEN MATCHED AND (tgt.sales_total != src.sales_total OR
+                  tgt._tf_dim_customer_id != src._tf_dim_customer_id) THEN
+  UPDATE SET tgt.sales_total = src.sales_total,
+             tgt._tf_dim_customer_id = src._tf_dim_customer_id,
+             tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED THEN
+  INSERT (sales_order_id, _tf_dim_customer_id, sales_total,
+          _tf_create_date, _tf_update_date)
+  VALUES (src.sales_order_id, src._tf_dim_customer_id, src.sales_total,
+          current_timestamp(), current_timestamp())
+"""
+
+    def load(batch_filter, now):
+        lake.now = now
+        orders.filter(batch_filter) \
+            .select("o_orderkey", "o_custkey", "o_totalprice") \
+            .createOrReplaceTempView("src_orders")
+        lake.sql(silver_close)
+        lake.sql(silver_insert)
+        customer.select(
+            F.col("c_custkey").alias("cust_customer_id"),
+            F.col("c_name").alias("cust_name")) \
+            .createOrReplaceTempView("src_cust")
+        lake.sql(dim_merge)
+        # fact from silver CURRENT rows joined to the dim surrogate
+        lake.sql("""
+SELECT s.o_orderkey AS sales_order_id,
+       d._tf_id AS _tf_dim_customer_id,
+       s.o_totalprice AS sales_total
+FROM silver.orders s
+LEFT JOIN gold.dim_customer d ON d.cust_customer_id = s.o_custkey
+WHERE s._tf_valid_to IS NULL
+""").createOrReplaceTempView("src_fact")
+        lake.sql(fact_merge)
+
+    load("o_orderkey % 10 != 7", T0)
+    load("o_orderkey % 10 != 3", T1)
+
+    silver = lake.table("silver.orders").read()
+    current = silver.filter("_tf_valid_to IS NULL")
+    fact = lake.table("gold.fact_orders").read()
+    n_current = current.count()
+    assert n_current > 100
+    # the fact carries every current order exactly once
+    assert fact.count() >= n_current
+    dup = fact.groupBy("sales_order_id").count().filter("count > 1").count()
+    assert dup == 0
+    # surrogate FK integrity: every fact row's dim id exists
+    dim = lake.table("gold.dim_customer").read()
+    orphans = (fact.join(dim, fact._tf_dim_customer_id == dim._tf_id,
+                         "left_anti").count())
+    assert orphans == 0
+    # identity ids are unique and dense from 1
+    ids = sorted(r["_tf_id"] for r in dim.collect())
+    assert ids == list(range(1, len(ids) + 1))
+    # SCD2 history exists for keys whose price changed... (batch 2 kept
+    # prices equal, so closed rows come from the deleted keys %10==3)
+    closed = silver.filter("_tf_valid_to IS NOT NULL")
+    assert closed.count() > 0
+    assert {r["o_orderkey"] % 10 for r in closed.collect()} == {3}
