@@ -136,3 +136,44 @@ def test_merge_duplicate_source_keys_raise_for_modifying_clauses(spark):
         "WHEN MATCHED THEN UPDATE SET tgt.v = src.v")
     with pytest.raises(MergeCardinalityError):
         apply_merge(tgt, src, spec)
+
+
+# ---------------------------------------------------------- parser fuzz ----
+#
+# Whitespace/comment mutations of the reference statement shapes must
+# parse to the SAME spec: the parser normalizes lexically, so layout
+# and inline comments are semantically inert. Pure-Python (no Spark).
+
+_REF_MERGE = (
+    "MERGE INTO silver.address AS tgt USING src_address AS src "
+    "ON tgt.address_id = src.address_id AND tgt._tf_valid_to IS NULL "
+    "WHEN MATCHED AND ( tgt.city != src.city OR tgt.postal_code != "
+    "src.postal_code ) THEN UPDATE SET tgt._tf_valid_to = "
+    "current_timestamp(), tgt._tf_update_date = current_timestamp() "
+    "WHEN NOT MATCHED BY SOURCE AND tgt._tf_valid_to IS NULL THEN "
+    "UPDATE SET tgt._tf_valid_to = current_timestamp() "
+    "WHEN NOT MATCHED THEN INSERT (address_id, city) "
+    "VALUES (src.address_id, src.city)")
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(seed=st.randoms(use_true_random=False))
+def test_parser_invariant_under_layout_mutations(seed):
+    from tb_lakehouse_enhanced_spark.sqlfront import parse_merge
+    want = parse_merge(_REF_MERGE)
+    toks = _REF_MERGE.split(" ")
+    mutated = []
+    for tok in toks:
+        mutated.append(tok)
+        r = seed.random()
+        if r < 0.15:
+            mutated.append("\n  ")
+        elif r < 0.25:
+            mutated.append("\t")
+        elif r < 0.32:
+            mutated.append("-- a comment; WHEN MATCHED THEN noise\n")
+        else:
+            mutated.append(" ")
+    got = parse_merge("".join(mutated))
+    assert got == want
