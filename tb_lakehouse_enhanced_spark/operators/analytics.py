@@ -175,7 +175,12 @@ def dq_expectations(df: DataFrame,
     """
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, pred in rules:
-        aggs.append(F.sum(pred.cast("long")).alias(f"_v_{name}"))
+        # coalesce: SUM over zero rows (an EMPTY table being validated,
+        # e.g. add_constraint right after CREATE TABLE) or all-NULL
+        # predicates is NULL — which is zero violations, not a crash in
+        # the fail-action comparison
+        aggs.append(F.coalesce(F.sum(pred.cast("long")), F.lit(0))
+                    .alias(f"_v_{name}"))
     wide = df.agg(*aggs)
     rows = ", ".join(f"'{name}', _v_{name}" for name, _ in rules)
     return (wide.selectExpr("_n", f"stack({len(rules)}, {rows}) AS (rule, n_violations)")

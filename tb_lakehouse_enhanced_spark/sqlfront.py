@@ -855,6 +855,12 @@ class LakehouseSql:
             with open(os.path.join(tbl.path, "_ddl_info.json"),
                       "w") as f:
                 _json.dump(info, f)
+        # NOT NULL modifiers become ENFORCED constraints (the managed
+        # table validates every write path in one scan and aborts
+        # atomically) — stricter than Databricks' informational PK but
+        # exactly what NOT NULL means there
+        for col in info.get("not_null", []):
+            tbl.add_constraint(f"nn_{col}", f"{col} IS NOT NULL")
         return tbl
 
     def _ddl_info(self, tbl: ManagedTable) -> dict:

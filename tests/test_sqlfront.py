@@ -559,3 +559,28 @@ WHERE s._tf_valid_to IS NULL
     closed = silver.filter("_tf_valid_to IS NOT NULL")
     assert closed.count() > 0
     assert {r["o_orderkey"] % 10 for r in closed.collect()} == {3}
+
+
+def test_ddl_not_null_is_enforced(spark, lake):
+    """NOT NULL column modifiers in the DDL become enforced managed-
+    table constraints: a write carrying NULLs aborts atomically."""
+    lake.sql("CREATE TABLE db.nn (k INT NOT NULL, v STRING)")
+    spark.createDataFrame([(1, "a")], "k int, v string") \
+        .createOrReplaceTempView("src_nn_ok")
+    lake.sql("""
+MERGE INTO db.nn AS tgt USING src_nn_ok AS src ON tgt.k = src.k
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+""")
+    assert lake.sql("SELECT * FROM db.nn").collect() == [(1, "a")]
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        ExpectationError,
+    )
+    spark.createDataFrame([(None, "bad")], "k int, v string") \
+        .createOrReplaceTempView("src_nn_bad")
+    with pytest.raises(ExpectationError, match="nn_k"):
+        lake.sql("""
+MERGE INTO db.nn AS tgt USING src_nn_bad AS src ON tgt.k = src.k
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+""")
+    # the failed write left the table untouched
+    assert lake.sql("SELECT * FROM db.nn").collect() == [(1, "a")]
