@@ -1327,9 +1327,40 @@ class ManagedTable:
         """
         from ..operators.merge import keyed_upsert, scd1_merge
         merge_fn = {"upsert": keyed_upsert, "scd1": scd1_merge}[kind]
+        return self.merge_into_generic(
+            source, lambda t, s: merge_fn(t, s, cfg, load_ts),
+            operation=f"MERGE_{kind.upper()}",
+            keys=list(cfg.keys), stable_partitions=stable_partitions,
+            bootstrap=lambda s: merge_fn(None, s, cfg, load_ts))
+
+    def merge_into_generic(self, source: DataFrame, combine,
+                           operation: str = "MERGE",
+                           keys: list | None = None,
+                           stable_partitions: bool = True,
+                           bootstrap=None,
+                           extra_meta: dict | None = None
+                           ) -> "ManagedTable":
+        """The partition-scoped merge MACHINERY behind ``merge_into``,
+        parameterized by an arbitrary ``combine(target_slice, source)``
+        -> merged-slice function — so other merge semantics (e.g. the
+        SQL statement front-end's WHEN-clause executor) get the same
+        cost shape: only source-touched partitions rewritten, the rest
+        hardlinked, MOR state carried under the stable-partitions
+        contract.
+
+        ``combine`` must preserve rows it does not change and must emit
+        every output row in its input rows' partition (the caller's
+        contract; the front-end verifies it statically from the
+        statement before routing here). ``keys`` enables the
+        moved-key semi-join when ``stable_partitions=False``;
+        ``bootstrap(source)`` builds the initial state for a
+        nonexistent table."""
         if not self.exists():
-            return self.overwrite(merge_fn(None, source, cfg, load_ts),
-                                  operation=f"MERGE_{kind.upper()}")
+            if bootstrap is None:
+                raise FileNotFoundError(
+                    f"managed table {self.path} does not exist")
+            return self.overwrite(bootstrap(source), operation,
+                                  extra_meta=extra_meta)
         # merge-on-read parent: untouched partitions would hardlink
         # UNRESOLVED base files (resurrecting tombstoned rows, dropping
         # delta upserts). With ``stable_partitions=True`` the merge
@@ -1341,14 +1372,16 @@ class ManagedTable:
         parent = self._commit(self.current_version())
         mor = self._has_mor(parent)
         if not self.partition_by or (mor and not stable_partitions):
-            return self.overwrite(
-                merge_fn(self.read(), source, cfg, load_ts),
-                operation=f"MERGE_{kind.upper()}")
+            return self.overwrite(combine(self.read(), source),
+                                  operation, extra_meta=extra_meta)
         from pyspark.sql import functions as F
         pb = list(self.partition_by)
         touched_df = source.select(*pb).distinct()
         if not stable_partitions:
-            keys = list(cfg.keys)
+            if not keys:
+                raise ValueError(
+                    "stable_partitions=False needs the merge keys for "
+                    "the moved-key semi-join")
             old_locs = (self.read()
                         .join(source.select(keys).dropDuplicates(keys),
                               keys, "left_semi")
@@ -1363,7 +1396,7 @@ class ManagedTable:
         cur = self.current_version()
         v = cur + 1
         vdir = os.path.join(self.path, f"v{v}")
-        merged = merge_fn(self.read().filter(member), source, cfg, load_ts)
+        merged = combine(self.read().filter(member), source)
         cons = self.constraints()
         if cons:
             self._validate(cons, merged)
@@ -1385,8 +1418,9 @@ class ManagedTable:
                     except OSError:
                         shutil.copy2(s, d)
         meta = {
-            "version": v, "dir": f"v{v}", "op": f"MERGE_{kind.upper()}",
-            "ts": time.time(), "partitions_rewritten": sorted(touched_rel)}
+            "version": v, "dir": f"v{v}", "op": operation,
+            "ts": time.time(), "partitions_rewritten": sorted(touched_rel),
+            **(extra_meta or {})}
         if mor:
             # merged = the touched partitions' NEW content — including
             # merge-INSERTED keys, whose carried tombstones must drop

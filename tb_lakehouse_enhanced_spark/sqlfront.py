@@ -890,8 +890,7 @@ class LakehouseSql:
         target = tbl.read()
         source = source_df if source_df is not None \
             else self._source_df(spec.source)
-        result = apply_merge(target, source,
-                             spec, self.check_cardinality)
+
         # GENERATED ... AS IDENTITY (reference 01_Init.py:59): an
         # INSERT clause that omits the identity column gets ids
         # assigned past the table's current max — Delta's high-water
@@ -900,16 +899,66 @@ class LakehouseSql:
         # Delta's arbitrary-but-unique allocation; testable, and what
         # the scd1/dim oracles already specify).
         ident = self._ddl_info(tbl).get("identity")
-        if ident and ident in target.columns and any(
-                c.kind == "insert"
-                and (c.insert_cols is None or ident not in c.insert_cols)
-                for c in spec.clauses):
-            order_cols = (_equi_source_keys(spec.on, spec.t_alias,
-                                            spec.s_alias)
-                          or [c for c in target.columns if c != ident])
-            result = _assign_identity(result, target, ident, order_cols)
-        return tbl.overwrite(result, operation="MERGE",
+        needs_ident = ident and ident in target.columns and any(
+            c.kind == "insert"
+            and (c.insert_cols is None or ident not in c.insert_cols)
+            for c in spec.clauses)
+        src_keys = _equi_source_keys(spec.on, spec.t_alias, spec.s_alias)
+        order_cols = (src_keys
+                      or [c for c in target.columns if c != ident])
+
+        def combine(target_slice: DataFrame, src: DataFrame) -> DataFrame:
+            res = apply_merge(target_slice, src, spec,
+                              self.check_cardinality)
+            if needs_ident:
+                # high-water mark from the FULL target, not the slice —
+                # ids must be unique table-wide
+                res = _assign_identity(res, target, ident, order_cols)
+            return res
+
+        # partition-scoped route (the 100 TB shape: only source-touched
+        # partitions rewritten, the rest hardlinked): taken when the
+        # STATEMENT is statically partition-safe — see
+        # _partition_scoped_ok — AND the ON condition is an equi-key
+        # match (so "matching rows share a partition" follows from the
+        # stable-partitions contract merge_into documents). Everything
+        # else (NMBS clauses, range ONs, partition-column assignments,
+        # computed insert partitions) full-rewrites.
+        pb = self._partition_scoped_ok(tbl, spec)
+        if pb is not None and src_keys is not None \
+                and set(pb) <= set(source.columns):
+            return tbl.merge_into_generic(
+                source, combine, operation="MERGE",
+                stable_partitions=True, extra_meta=extra_meta)
+        return tbl.overwrite(combine(target, source), operation="MERGE",
                              extra_meta=extra_meta)
+
+    @staticmethod
+    def _partition_scoped_ok(tbl: ManagedTable, spec) -> list | None:
+        """Static safety check for the partition-scoped MERGE route:
+        every output row must provably stay in its source/target row's
+        partition. Requires NO not-matched-by-source clauses (their
+        semantics are table-global), no UPDATE assignment to a
+        partition column, and every INSERT clause mapping each
+        partition column to exactly ``src.<col>`` (INSERT * qualifies).
+        Returns the partition columns, or None to full-rewrite."""
+        pb = list(tbl.partition_by or ())
+        if not pb:
+            return None
+        t, s = spec.t_alias, spec.s_alias
+        for cl in spec.clauses:
+            if cl.kind.startswith("nmbs"):
+                return None
+            if cl.kind.endswith("_update") and any(
+                    c in cl.assigns for c in pb):
+                return None
+            if cl.kind == "insert" and cl.insert_cols is not None:
+                vals = {_strip_alias(c, (t, s)): v.strip()
+                        for c, v in zip(cl.insert_cols, cl.insert_vals)}
+                for c in pb:
+                    if vals.get(c, "").lower() != f"{s}.{c}".lower():
+                        return None
+        return pb
 
     def _insert(self, s: str) -> ManagedTable:
         tbl_name, cols, select_sql = parse_insert(s)

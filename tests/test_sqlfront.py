@@ -584,3 +584,56 @@ WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
 """)
     # the failed write left the table untouched
     assert lake.sql("SELECT * FROM db.nn").collect() == [(1, "a")]
+
+
+def test_merge_statement_is_partition_scoped(spark, lake, tmp_path):
+    """A partition-safe MERGE text (equi-key ON, no NMBS clause, insert
+    maps the partition column to src) rewrites ONLY the source-touched
+    partitions — untouched partition files hardlink forward (same
+    inode), the 100 TB merge shape through the SQL surface."""
+    import glob
+    import os
+
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{lake.root}/gold/fact_m",
+                     partition_by=("month",))
+    t.overwrite(spark.createDataFrame(
+        [(k, f"2024-{(k % 3) + 1:02d}", float(k)) for k in range(30)],
+        "k int, month string, v double"))
+
+    def inodes(ver, month):
+        d = os.path.join(t.path, f"v{ver}", f"month={month}")
+        return {os.path.basename(p): os.stat(p).st_ino
+                for p in glob.glob(os.path.join(d, "*.parquet"))}
+    before = {m: inodes(0, m) for m in ("2024-02", "2024-03")}
+
+    # source touches ONLY month 2024-01 (update k=0, insert k=100)
+    spark.createDataFrame(
+        [(0, "2024-01", -1.0), (100, "2024-01", 100.0)],
+        "k int, month string, v double").createOrReplaceTempView("src_pm")
+    lake.sql("""
+MERGE INTO gold.fact_m AS tgt USING src_pm AS src
+ON tgt.k = src.k
+WHEN MATCHED AND tgt.v != src.v THEN UPDATE SET tgt.v = src.v
+WHEN NOT MATCHED THEN
+  INSERT (k, month, v) VALUES (src.k, src.month, src.v)
+""")
+    meta = t._commit(t.current_version())
+    assert meta["partitions_rewritten"] == ["month=2024-01"]
+    for m in ("2024-02", "2024-03"):
+        assert inodes(1, m) == before[m], f"month {m} was rewritten"
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == -1.0 and rows[100] == 100.0 and len(rows) == 31
+
+    # an NMBS clause is NOT partition-safe: falls back to full rewrite
+    # with the correct global close semantics
+    spark.createDataFrame([(100, "2024-01", 100.0)],
+                          "k int, month string, v double") \
+        .createOrReplaceTempView("src_pm2")
+    lake.sql("""
+MERGE INTO gold.fact_m AS tgt USING src_pm2 AS src
+ON tgt.k = src.k
+WHEN NOT MATCHED BY SOURCE THEN DELETE
+WHEN NOT MATCHED THEN INSERT (k, month, v) VALUES (src.k, src.month, src.v)
+""")
+    assert {r["k"] for r in t.read().collect()} == {100}
