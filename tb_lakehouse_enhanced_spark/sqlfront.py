@@ -1,38 +1,50 @@
-"""SQL-string DML front-end: MERGE / UPDATE / DELETE / INSERT texts
-routed to the managed-table executors.
+"""SQL-statement front-end: the reference's statement texts executed
+against managed tables.
 
-The reference's entire write surface is ``spark.sql()`` statement
+The reference's entire user surface is ``spark.sql()`` statement
 strings — SCD2 silver loads as two-pass MERGE texts (reference
 notebooks/22_ETL_Silver_PySpark.py:62-101), SCD1 gold dims
 (33_ETL_Gold_Dim_PySpark.py:61-184), the keyed fact upsert
-(34_ETL_Gold_Fact_PySpark.py:90-139), ad-hoc UPDATE/DELETE
-(23_Testing_SCD2.py:40-50) and seed INSERT VALUES
-(01_Init.py:265-321). The engine already implements those SEMANTICS
+(34_ETL_Gold_Fact_PySpark.py:90-139), ad-hoc UPDATE/DELETE and SELECT
+checks (23_Testing_SCD2.py:39-50), typed CREATE TABLE DDL with
+GENERATED AS IDENTITY surrogates, and seed INSERT VALUES
+(01_Init.py:46-355). The engine already implements those SEMANTICS
 behind a Python API (operators/merge.py, sources/managed.py); this
 module closes the API-fidelity gap: a user coming from the reference
-pastes the same statement text and it executes against managed tables.
+pastes the same statement text — or whole ``;``-separated notebook
+scripts (``run_script``), or wires the text to a stream
+(streaming/sink.py::stream_sql_merge_sink) — and it executes against
+managed tables. SELECT/WITH bind ``db.table`` references (including
+``VERSION/TIMESTAMP AS OF`` time travel); OPTIMIZE / VACUUM / RESTORE
+/ DESCRIBE HISTORY map onto the table services.
 
 Design: a STATEMENT-SHAPE parser, not a SQL grammar. The parser splits
 the statement into its structural slots (target, source, ON, WHEN
-clauses, SET lists) at top level — tracking parentheses, quotes and
-CASE..END so embedded expressions never confuse it — and every
-expression inside a slot passes through VERBATIM to ``F.expr`` /
-``spark.sql``, i.e. Catalyst keeps full expression semantics and this
-module never re-implements SQL evaluation.
+clauses, SET lists, column defs) at top level — tracking parentheses,
+quotes, comments and CASE..END so embedded expressions never confuse
+it — and every expression inside a slot passes through VERBATIM to
+``F.expr`` / ``spark.sql``, i.e. Catalyst keeps full expression
+semantics and this module never re-implements SQL evaluation.
 
-MERGE executes as the engine's canonical single-shuffle shape (the same
-plan ``operators/merge.py`` uses, and the join Delta's
+MERGE declares the canonical logical shape (the join Delta's
 ``MergeIntoCommand`` runs internally): ONE full-outer join of target
 and source on the verbatim ON condition, a first-match-wins branch
 index over the WHEN clauses, one projection for the surviving
-target-derived rows, one for the inserts, union. At 100 TB that is one
-key shuffle; small sources broadcast under AQE exactly as in the
-hand-built merges.
+target-derived rows, one for the inserts, union. Catalyst's outer-join
+elimination then specializes each branch (left-/right-outer; broadcast
+when the source is small — zero shuffles, plan-gated), insert-only
+merges take a left-anti fast path, and statically partition-safe
+statements route through the partition-scoped machinery
+(``ManagedTable.merge_into_generic``): only source-touched partitions
+rewritten, the rest hardlinked — the 100 TB cost shape through the SQL
+surface.
 
 Determinism seam: the reference stamps rows with
 ``current_timestamp()``, which is untestable; ``LakehouseSql(now=...)``
 rewrites that call to a literal — the statement-text analogue of the
 injected ``load_ts`` every merge operator takes (SURVEY.md §7.4).
+Identity ids are likewise deterministic: dense past the high-water
+mark in merge-key order, where Delta's are arbitrary-but-unique.
 """
 
 from __future__ import annotations
