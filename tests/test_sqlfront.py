@@ -637,3 +637,27 @@ WHEN NOT MATCHED BY SOURCE THEN DELETE
 WHEN NOT MATCHED THEN INSERT (k, month, v) VALUES (src.k, src.month, src.v)
 """)
     assert {r["k"] for r in t.read().collect()} == {100}
+
+
+def test_update_delete_with_in_subquery(spark, lake):
+    """Delta's subquery-DML surface: UPDATE/DELETE with a
+    ``col [NOT] IN (SELECT ...)`` membership test, rewritten to the
+    merge executor (anti-join semantics; residual AND predicates ride
+    the clause condition)."""
+    lake.sql("CREATE TABLE db.s (k INT, grp STRING)")
+    lake.table("db.s").overwrite(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
+        "k int, grp string"))
+    lake.sql("CREATE TABLE db.bad AS "
+             "SELECT * FROM VALUES (2), (4), (99) AS t(bk)")
+    lake.sql("DELETE FROM db.s WHERE k IN (SELECT bk FROM db.bad)")
+    assert sorted(r["k"] for r in lake.table("db.s").read().collect()) \
+        == [0, 1, 3, 5, 6, 7, 8, 9]
+    # UPDATE with residual predicate: only grp='b' members update
+    lake.sql("UPDATE db.s SET grp = 'X' "
+             "WHERE k IN (SELECT bk + 1 FROM db.bad) AND grp = 'b'")
+    rows = {r["k"]: r["grp"] for r in lake.table("db.s").read().collect()}
+    assert rows[3] == "X" and rows[5] == "X" and rows[0] == "a"
+    # NOT IN delete keeps only members
+    lake.sql("DELETE FROM db.s WHERE k NOT IN (SELECT bk FROM db.bad)")
+    assert sorted(r["k"] for r in lake.table("db.s").read().collect()) == []
