@@ -661,3 +661,108 @@ def test_update_delete_with_in_subquery(spark, lake):
     # NOT IN delete keeps only members
     lake.sql("DELETE FROM db.s WHERE k NOT IN (SELECT bk FROM db.bad)")
     assert sorted(r["k"] for r in lake.table("db.s").read().collect()) == []
+
+
+# The VERBATIM silver-address MERGE texts from the reference
+# (notebooks/22_ETL_Silver_PySpark.py:62-101), character-for-character —
+# quoted as the behavior spec this front-end must execute.
+ADDRESS_CLOSE = """
+MERGE INTO silver.address AS tgt
+USING src_address AS src
+ON tgt.address_id = src.address_id AND tgt._tf_valid_to IS NULL
+WHEN MATCHED AND (
+       tgt.address_line1 != src.address_line1 OR
+       tgt.address_line2 != src.address_line2 OR
+       tgt.city != src.city OR
+       tgt.state_province != src.state_province OR
+       tgt.country_region != src.country_region OR
+       tgt.postal_code != src.postal_code OR
+       tgt.rowguid != src.rowguid OR
+       tgt.modified_date != src.modified_date
+) THEN UPDATE SET
+    tgt._tf_valid_to = current_timestamp(),
+    tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED BY SOURCE AND tgt._tf_valid_to IS NULL THEN
+  UPDATE SET
+    tgt._tf_valid_to = current_timestamp(),
+    tgt._tf_update_date = current_timestamp()
+"""
+
+ADDRESS_INSERT = """
+MERGE INTO silver.address AS tgt
+USING src_address AS src
+ON tgt.address_id = src.address_id AND tgt._tf_valid_to IS NULL
+WHEN NOT MATCHED THEN
+  INSERT (
+    address_id, address_line1, address_line2, city, state_province,
+    country_region, postal_code, rowguid, modified_date,
+    _tf_valid_from, _tf_valid_to, _tf_create_date, _tf_update_date
+  )
+  VALUES (
+    src.address_id, src.address_line1, src.address_line2, src.city, src.state_province,
+    src.country_region, src.postal_code, src.rowguid, src.modified_date,
+    current_timestamp(), NULL, current_timestamp(), current_timestamp()
+  )
+"""
+
+ADDR_COLS = ("address_line1", "address_line2", "city", "state_province",
+             "country_region", "postal_code", "rowguid", "modified_date")
+
+
+def _address_src(spark, batch):
+    """Deterministic bronze.address-shaped batches derived from the
+    driver's customer table (the reference's AdventureWorks columns,
+    synthetic values): batch 1 updates city for id%7==0, drops id%10==3,
+    adds unseen ids."""
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    base = c.select(
+        F.col("c_custkey").alias("address_id"),
+        F.concat(F.lit("no. "), F.col("c_custkey")).alias("address_line1"),
+        F.lit(None).cast("string").alias("address_line2"),
+        F.concat(F.lit("city"), (F.col("c_custkey") % 50)).alias("city"),
+        F.col("c_mktsegment").alias("state_province"),
+        F.lit("US").alias("country_region"),
+        (F.col("c_custkey") % 99999).cast("string").alias("postal_code"),
+        F.md5(F.col("c_custkey").cast("string")).alias("rowguid"),
+        F.to_timestamp(F.lit("2023-06-01 00:00:00")).alias("modified_date"))
+    if batch == 0:
+        return base.filter("address_id % 10 != 7")
+    return (base.filter("address_id % 10 != 3")
+            .withColumn("city", F.when(F.col("address_id") % 7 == 0,
+                                       F.lit("Bothell"))
+                        .otherwise(F.col("city"))))
+
+
+def test_verbatim_reference_address_merge(spark, lake):
+    """The reference's silver.address MERGE texts executed VERBATIM
+    (exact statement strings, exact column names) reproduce
+    operators/merge.scd2_merge on the same batches — null-unsafe
+    change detection included: address_line2 is all-NULL, and the
+    reference's != chain must NOT close rows over NULL != NULL."""
+    from tb_lakehouse_enhanced_spark.operators.merge import (
+        ScdConfig, scd2_merge,
+    )
+    src0, src1 = _address_src(spark, 0), _address_src(spark, 1)
+    empty = src0.limit(0)
+    for c in ("_tf_valid_from", "_tf_valid_to",
+              "_tf_create_date", "_tf_update_date"):
+        empty = empty.withColumn(c, F.lit(None).cast("timestamp"))
+    lake.table("silver.address").overwrite(empty)
+    for now, src in ((T0, src0), (T1, src1)):
+        lake.now = now
+        src.createOrReplaceTempView("src_address")
+        lake.sql(ADDRESS_CLOSE)
+        lake.sql(ADDRESS_INSERT)
+    cfg = ScdConfig(keys=("address_id",), tracked=ADDR_COLS,
+                    strict_reference_semantics=True,
+                    null_safe_keys=False)
+    want_df = scd2_merge(scd2_merge(None, src0, cfg, T0), src1, cfg, T1)
+    cols = sorted(want_df.columns)
+    got = sorted(map(tuple, lake.table("silver.address").read()
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, want_df.select(*cols).collect()))
+    assert got == want and len(got) > 100
+    # both versions exist for changed keys; history rows closed at T1
+    closed = lake.table("silver.address").read() \
+        .filter("_tf_valid_to IS NOT NULL")
+    assert closed.filter("address_id % 7 = 0").count() > 0
