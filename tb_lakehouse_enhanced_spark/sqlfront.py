@@ -773,7 +773,7 @@ class LakehouseSql:
             return self.table(tbl).delete(cond)
         if head == "INSERT":
             return self._insert(s)
-        if head in ("CREATE", "DROP"):
+        if head in ("CREATE", "DROP", "ALTER"):
             handled = self._ddl(s)
             if handled is not None:
                 return handled
@@ -888,7 +888,47 @@ class LakehouseSql:
             return t.path
         if _CREATE_TABLE_RE.match(s):
             return self._create_table(s)
+        # post-CTAS constraint DDL (reference 01_Init.py:236-239): the
+        # calendar dim gets its NOT NULL + PRIMARY KEY after creation
+        m = re.match(r"^ALTER TABLE ([\w.]+) ALTER COLUMN (\w+) "
+                     r"SET NOT NULL$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            col = m.group(2)
+            t.add_constraint(f"nn_{col}", f"{col} IS NOT NULL")
+            self._update_ddl_info(t, "not_null", col)
+            return t
+        m = re.match(r"^ALTER TABLE ([\w.]+) DROP CONSTRAINT (\w+)$",
+                     s, re.IGNORECASE)
+        if m:
+            return self.table(m.group(1)).drop_constraint(m.group(2))
+        m = re.match(r"^ALTER TABLE ([\w.]+) ADD PRIMARY KEY "
+                     r"\(([^)]+)\)$", s, re.IGNORECASE)
+        if m:
+            # informational, like Databricks PK (SURVEY §2.8 D5) —
+            # recorded in the ddl info; uniqueness checkable via
+            # catalog.validate_unique
+            t = self.table(m.group(1))
+            for col in (c.strip() for c in m.group(2).split(",")):
+                self._update_ddl_info(t, "primary_key", col)
+            return t
+        m = re.match(r"^ALTER TABLE ([\w.]+) ADD CONSTRAINT (\w+) "
+                     r"CHECK \((.+)\)$", s, re.IGNORECASE)
+        if m:
+            return self.table(m.group(1)).add_constraint(
+                m.group(2), m.group(3))
         return None
+
+    def _update_ddl_info(self, tbl: ManagedTable, key: str,
+                         col: str) -> None:
+        import json as _json
+        info = self._ddl_info(tbl)
+        info.setdefault("identity", info.get("identity"))
+        vals = info.setdefault(key, [])
+        if col not in vals:
+            vals.append(col)
+        with open(os.path.join(tbl.path, "_ddl_info.json"), "w") as f:
+            _json.dump(info, f)
 
     def _create_table(self, s: str) -> ManagedTable:
         import json as _json

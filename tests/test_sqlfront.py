@@ -766,3 +766,33 @@ def test_verbatim_reference_address_merge(spark, lake):
     closed = lake.table("silver.address").read() \
         .filter("_tf_valid_to IS NOT NULL")
     assert closed.filter("address_id % 7 = 0").count() > 0
+
+
+def test_alter_table_constraint_ddl(spark, lake):
+    """The reference's post-CTAS constraint statements (01_Init.py:
+    236-239): ALTER COLUMN SET NOT NULL becomes an enforced
+    constraint, ADD PRIMARY KEY records the informational key, ADD/
+    DROP CONSTRAINT CHECK round-trips."""
+    from tb_lakehouse_enhanced_spark.operators.analytics import (
+        ExpectationError,
+    )
+    lake.sql("CREATE TABLE gold.dim_cal AS "
+             "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(cal_id, d)")
+    lake.sql("ALTER TABLE gold.dim_cal "
+             "ALTER COLUMN cal_id SET NOT NULL")
+    lake.sql("ALTER TABLE gold.dim_cal ADD PRIMARY KEY (cal_id)")
+    t = lake.table("gold.dim_cal")
+    assert lake._ddl_info(t)["primary_key"] == ["cal_id"]
+    assert "nn_cal_id" in t.constraints()
+    with pytest.raises(ExpectationError, match="nn_cal_id"):
+        t.overwrite(spark.createDataFrame([(None, "x")],
+                                          "cal_id int, d string"))
+    lake.sql("ALTER TABLE gold.dim_cal ADD CONSTRAINT pos "
+             "CHECK (cal_id > 0)")
+    with pytest.raises(ExpectationError, match="pos"):
+        t.overwrite(spark.createDataFrame([(-1, "x")],
+                                          "cal_id int, d string"))
+    lake.sql("ALTER TABLE gold.dim_cal DROP CONSTRAINT pos")
+    t.overwrite(spark.createDataFrame([(-1, "x")],
+                                      "cal_id int, d string"))
+    assert t.read().collect() == [(-1, "x")]
