@@ -220,24 +220,42 @@ class MergeSpec:
 
 
 _MERGE_HEAD = re.compile(
-    r"^MERGE INTO (?P<tgt>[\w.]+)(?: AS)? (?P<talias>\w+) "
-    r"USING (?P<src>\([^)]*\)|[\w.]+)(?: AS)? (?P<salias>\w+) ON ",
+    r"^MERGE INTO (?P<tgt>[\w.]+)(?: AS)? (?P<talias>\w+) USING ",
     re.IGNORECASE)
+_MERGE_SRC_TAIL = re.compile(
+    r"^(?: AS)? (?P<salias>\w+) ON ", re.IGNORECASE)
 
 
 def parse_merge(sql: str) -> MergeSpec:
     """Parse the reference's MERGE statement shape
-    (22_ETL_Silver_PySpark.py:62-101 et al.)."""
+    (22_ETL_Silver_PySpark.py:62-101 et al.). The USING relation is
+    either a ``db.table`` name or a parenthesized subquery — located
+    with a paren scan, so nested parentheses (function calls, inner
+    subqueries) inside the source text are fine."""
     s = _norm(sql)
     m = _MERGE_HEAD.match(s)
     if not m:
         raise ValueError(f"unrecognized MERGE shape: {s[:80]!r}")
-    rest = s[m.end():]
+    after = s[m.end():]
+    if after.startswith("("):
+        close = _matching_paren(after)
+        src, after = after[:close + 1], after[close + 1:]
+    else:
+        mn = re.match(r"^[\w.]+", after)
+        if not mn:
+            raise ValueError(f"unrecognized MERGE USING source: "
+                             f"{after[:60]!r}")
+        src, after = mn.group(0), after[mn.end():]
+    mt = _MERGE_SRC_TAIL.match(after)
+    if not mt:
+        raise ValueError(f"unrecognized MERGE shape after USING "
+                         f"source: {after[:60]!r}")
+    rest = after[mt.end():]
     first_when = _find_word(rest, "WHEN")
     if first_when < 0:
         raise ValueError("MERGE has no WHEN clauses")
     on = rest[:first_when].strip()
-    aliases = (m.group("talias"), m.group("salias"))
+    aliases = (m.group("talias"), mt.group("salias"))
     clauses, text = [], rest[first_when:]
     # split into WHEN..-delimited segments at top level
     bounds = []
@@ -252,7 +270,7 @@ def parse_merge(sql: str) -> MergeSpec:
     for b0, b1 in zip(bounds, bounds[1:]):
         clauses.append(_parse_when(text[b0:b1].strip(), aliases))
     return MergeSpec(target=m.group("tgt"), t_alias=aliases[0],
-                     source=m.group("src"), s_alias=aliases[1],
+                     source=src, s_alias=aliases[1],
                      on=on, clauses=tuple(clauses))
 
 
@@ -408,7 +426,9 @@ def _split_in_subquery(where: str | None):
 
 _CREATE_TABLE_RE = re.compile(
     r"^CREATE (?P<replace>OR REPLACE )?TABLE (?P<ine>IF NOT EXISTS )?"
-    r"(?P<tbl>[\w.]+) ?(?P<body>\(|AS SELECT )", re.IGNORECASE)
+    r"(?P<tbl>[\w.]+) ?"
+    r"(?P<body>\(|(?:PARTITIONED BY \((?P<pbc>[^)]*)\) )?"
+    r"AS (?:SELECT|WITH) )", re.IGNORECASE)
 _CREATE_DB_RE = re.compile(
     r"^CREATE (?:DATABASE|SCHEMA) (?P<ine>IF NOT EXISTS )?(?P<db>[\w.]+)$",
     re.IGNORECASE)
@@ -419,20 +439,25 @@ _DROP_TABLE_RE = re.compile(
     r"^DROP TABLE (?P<ie>IF EXISTS )?(?P<tbl>[\w.]+)$", re.IGNORECASE)
 
 _COL_MODIFIERS = re.compile(
-    r"(?P<identity> GENERATED (?:ALWAYS|BY DEFAULT) AS IDENTITY"
-    r"(?: \([^)]*\))?)|(?P<pk> PRIMARY KEY)|(?P<nn> NOT NULL)",
+    r"(?P<identity> GENERATED (?P<idkind>ALWAYS|BY DEFAULT) AS IDENTITY"
+    r"(?: \([^)]*\))?)|(?P<pk> PRIMARY KEY)|(?P<nn> NOT NULL)"
+    r"|(?P<fk> REFERENCES (?P<fktbl>[\w.]+) ?\((?P<fkcol>[^)]*)\))",
     re.IGNORECASE)
 
 
 def parse_create_table(sql: str):
-    """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t ( coldefs )``
-    (the reference's typed DDL with identity/PK/NOT NULL modifiers,
-    01_Init.py:46-355) or ``CREATE ... TABLE db.t AS SELECT ...``
-    (CTAS). Returns (table, schema_ddl|None, ddl_info, or_replace,
-    if_not_exists, ctas_select|None); ``ddl_info`` records identity /
-    primary-key / not-null columns (informational constraints, the
-    Databricks stance — validated by assertion, not enforced
-    in-engine)."""
+    """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t ( coldefs )
+    [PARTITIONED BY (cols)]`` (the reference's typed DDL with
+    identity/PK/NOT NULL/column-level ``REFERENCES`` FK modifiers,
+    01_Init.py:46-355) or ``CREATE ... TABLE db.t [PARTITIONED BY
+    (cols)] AS SELECT|WITH ...`` (CTAS, including the reference's
+    leading-CTE calendar CTAS at 01_Init.py:180-233). Returns (table,
+    schema_ddl|None, ddl_info, or_replace, if_not_exists,
+    ctas_select|None, partition_by); ``ddl_info`` records identity
+    (plus whether it is GENERATED ALWAYS) / primary-key / not-null /
+    foreign-key columns (informational constraints, the Databricks
+    stance — validated by assertion, not enforced in-engine; NOT NULL
+    is the exception and becomes an enforced constraint)."""
     s = _norm(sql)
     m = _CREATE_TABLE_RE.match(s)
     if not m:
@@ -440,16 +465,31 @@ def parse_create_table(sql: str):
     tbl = m.group("tbl")
     or_replace = bool(m.group("replace"))
     if_not_exists = bool(m.group("ine"))
-    if m.group("body").upper() == "AS SELECT ":
-        return (tbl, None, {}, or_replace, if_not_exists,
-                s[m.end() - len("SELECT "):])
+    pb = tuple(c.strip() for c in m.group("pbc").split(",")) \
+        if m.group("pbc") else ()
+    body_kw = m.group("body").upper()
+    if body_kw.endswith(("AS SELECT ", "AS WITH ")):
+        # CTAS: the SELECT (or WITH-prefixed) query text starts right
+        # after the 'AS ' keyword; pass it through verbatim
+        kw_len = len("SELECT ") if body_kw.endswith("AS SELECT ") \
+            else len("WITH ")
+        ctas = s[m.end() - kw_len:]
+        return tbl, None, {}, or_replace, if_not_exists, ctas, pb
     body = s[m.end() - 1:]
     close = _matching_paren(body)
-    info: dict = {"identity": None, "primary_key": [], "not_null": []}
+    tail = body[close + 1:].strip()
+    mt = re.match(r"^PARTITIONED BY \(([^)]*)\)$", tail, re.IGNORECASE)
+    if mt:
+        pb = tuple(c.strip() for c in mt.group(1).split(","))
+    elif tail:
+        raise ValueError(f"unexpected text after column defs: {tail[:60]!r}")
+    info: dict = {"identity": None, "primary_key": [], "not_null": [],
+                  "foreign_keys": []}
     fields = []
     for coldef in _split_top(body[1:close]):
         rest = coldef
         mods = {"identity": False, "pk": False, "nn": False}
+        fks = []
         while True:
             mm = _COL_MODIFIERS.search(rest)
             if not mm:
@@ -457,6 +497,12 @@ def parse_create_table(sql: str):
             for k in mods:
                 if mm.group(k):
                     mods[k] = True
+            if mm.group("identity"):
+                info["identity_always"] = \
+                    mm.group("idkind").upper() == "ALWAYS"
+            if mm.group("fk"):
+                fks.append((mm.group("fktbl"),
+                            mm.group("fkcol").strip()))
             rest = (rest[:mm.start()] + rest[mm.end():]).strip()
         name, _, typ = rest.partition(" ")
         if not typ:
@@ -472,18 +518,20 @@ def parse_create_table(sql: str):
             info["primary_key"].append(name)
         if mods["nn"]:
             info["not_null"].append(name)
-    return tbl, ", ".join(fields), info, or_replace, if_not_exists, None
+        for ref_tbl, ref_col in fks:
+            info["foreign_keys"].append([name, ref_tbl, ref_col])
+    return tbl, ", ".join(fields), info, or_replace, if_not_exists, \
+        None, pb
 
 
 _EQ_PAIR = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 
 
-def _equi_source_keys(on: str, t: str, s: str) -> list[str] | None:
+def _equi_key_pairs(on: str, t: str, s: str) -> list[tuple] | None:
     """If the ON condition is a top-level AND of ``t.col = s.col``
     equality pairs plus predicates referencing ONLY the target, return
-    the source-side key columns (cardinality then reduces to source
-    uniqueness on those keys). Return None for anything else —
-    range/expression joins fall back to the join-based check."""
+    the (target_col, source_col) pairs. Return None for anything else —
+    range/expression joins fall back to the join-based checks."""
     # split on top-level AND keywords
     cuts, conjs, last = [], [], 0
     for i, tok, depth in _scan(on):
@@ -493,19 +541,27 @@ def _equi_source_keys(on: str, t: str, s: str) -> list[str] | None:
         conjs.append(on[last:i].strip())
         last = i + 3
     conjs.append(on[last:].strip())
-    keys = []
+    pairs = []
     for conj in conjs:
         m = _EQ_PAIR.match(conj)
         if m:
             a_al, a_c, b_al, b_c = m.groups()
             if {a_al, b_al} == {t, s}:
-                keys.append(a_c if a_al == s else b_c)
+                pairs.append((a_c, b_c) if a_al == t else (b_c, a_c))
                 continue
         refs = set(re.findall(r"\b(\w+)\.", conj))
         if refs <= {t}:
             continue                  # target-only guard: cannot widen
         return None                   # source refs / expressions: punt
-    return keys or None
+    return pairs or None
+
+
+def _equi_source_keys(on: str, t: str, s: str) -> list[str] | None:
+    """Source-side columns of the ON's equi-key pairs (cardinality
+    then reduces to source uniqueness on those keys); None when the ON
+    is not a pure equi-key conjunction."""
+    pairs = _equi_key_pairs(on, t, s)
+    return [sc for _, sc in pairs] if pairs else None
 
 
 # -------------------------------------------------------------- executor ---
@@ -579,23 +635,41 @@ def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
     nbr = branch(n_clauses, t_here & ~s_here)
 
     if check_cardinality:
-        # ANY multi-source match duplicates the target row through the
-        # outer join, so the strict form of Delta's ambiguity error is
-        # also the duplication guard: raise whenever a target row
-        # COULD match more than one source row. Two tiers:
+        # A multi-source match duplicates the target row through the
+        # outer join, so Delta's ambiguity error is also the
+        # duplication guard: raise when a target row matches more than
+        # one source row. Two tiers:
         # - equi-key ON (every reference statement): a target row can
         #   multi-match ONLY if the source duplicates its join-key
-        #   tuple, so the check is one grouped count on the SOURCE
-        #   alone — no second join, negligible at any scale (and the
-        #   contract it states — "merge sources are keyed" — is the
-        #   one Delta users already live by);
+        #   tuple AND that tuple exists in the target. Phase 1 is one
+        #   grouped count on the SOURCE alone — no join, negligible at
+        #   any scale, and in the common keyed-source case the ONLY
+        #   check that runs. Phase 2 fires only when source dupes
+        #   exist: the duplicate key tuples (already a tiny set — they
+        #   are the anomaly) semi-join the target; dupes that match no
+        #   target row feed only NOT MATCHED inserts, which Delta
+        #   executes without error (each unmatched row inserts), so
+        #   they pass;
         # - general ON: fall back to counting matches per target row
         #   (recomputes the join once; the price of a non-equi merge).
-        src_keys = _equi_source_keys(spec.on, t, s)
-        if src_keys is not None:
-            dupes = (source.groupBy(*src_keys)
-                     .agg(F.count(F.lit(1)).alias("__n"))
-                     .filter(F.col("__n") > 1).limit(1).count())
+        pairs = _equi_key_pairs(spec.on, t, s)
+        if pairs is not None:
+            src_keys = [sc for _, sc in pairs]
+            dup_keys = (source.groupBy(*src_keys)
+                        .agg(F.count(F.lit(1)).alias("__n"))
+                        .filter(F.col("__n") > 1).drop("__n"))
+            dupes = dup_keys.limit(1).count()
+            if dupes:
+                from functools import reduce
+                from operator import and_
+                tkeys = target.select(
+                    *[F.col(tc).alias(f"__tk{i}")
+                      for i, (tc, _) in enumerate(pairs)])
+                cond = reduce(and_, (
+                    F.col(sc) == F.col(f"__tk{i}")
+                    for i, (_, sc) in enumerate(pairs)))
+                dupes = (dup_keys.join(tkeys, cond, "left_semi")
+                         .limit(1).count())
         else:
             dupes = (joined.filter(matched)
                      .groupBy(F.col(f"{t}.__t_rid"))
@@ -603,7 +677,7 @@ def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
                      .filter(F.col("__n") > 1).limit(1).count())
         if dupes:
             raise MergeCardinalityError(
-                "MERGE: a target row can match multiple source rows; "
+                "MERGE: a target row matches multiple source rows; "
                 "the result would be non-deterministic (dedupe the "
                 "source on the ON keys)")
 
@@ -692,13 +766,17 @@ def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
     """Fill NULL ``ident`` values (merge-inserted rows) with a dense
     sequence continuing past the pre-merge target's max — the
     identity high-water mark as a 1-row broadcast riding
-    dense_sequence's dynamic offset (zero extra driver jobs)."""
+    dense_sequence's dynamic offset (zero extra driver jobs). The
+    mark is floored at 0 (START WITH 1): an explicit negative seed
+    like the reference's -9 unknown member must not pull generated
+    ids below 1, matching Delta's sequence behavior."""
     from .operators.sequence import dense_sequence
     ident_t = target.schema[ident].dataType
     have = result.filter(F.col(ident).isNotNull())
     need = result.filter(F.col(ident).isNull()).drop(ident)
     hwm = target.agg(
-        F.coalesce(F.max(ident), F.lit(0)).cast("bigint").alias("_hwm"))
+        F.greatest(F.coalesce(F.max(ident), F.lit(0)), F.lit(0))
+        .cast("bigint").alias("_hwm"))
     seq = dense_sequence(need, order_cols, ident, offset_df=hwm)
     return have.unionByName(
         seq.withColumn(ident, F.col(ident).cast(ident_t))
@@ -721,19 +799,41 @@ class LakehouseSql:
 
     def __init__(self, spark: SparkSession, root: str,
                  now: str | None = None,
-                 check_cardinality: bool = True):
+                 check_cardinality: bool = True,
+                 stable_partitions: bool | None = None,
+                 merge_schema: bool = False):
         self.spark = spark
         self.root = root
         self.now = now
         self.check_cardinality = check_cardinality
+        # None = auto: partition-scope a MERGE only when the ON proves
+        # matched pairs share a partition (tgt.p = src.p conjunct per
+        # partition column). True = the caller asserts the
+        # stable-partitions contract (rows never migrate partitions),
+        # extending the route to key-only ONs. False = always rewrite.
+        self.stable_partitions = stable_partitions
+        # opt-in statement-text schema evolution (Delta's mergeSchema):
+        # MERGE/INSERT may reference source columns absent from the
+        # target; they are appended as nullable columns first.
+        self.merge_schema = merge_schema
 
     def table(self, name: str) -> ManagedTable:
         rel = name.replace(".", os.sep)
         return ManagedTable(self.spark, os.path.join(self.root, rel))
 
+    def _prep(self, statement: str) -> str:
+        s = _norm(statement)
+        if self.now is not None:
+            s = re.sub(r"current_timestamp\(\)",
+                       f"TIMESTAMP '{self.now}'", s, flags=re.IGNORECASE)
+        return s
+
     def _source_df(self, source: str) -> DataFrame:
         if source.startswith("("):
-            return self.spark.sql(source[1:-1])
+            # subquery USING source: db.table references inside it
+            # resolve to managed tables, same as top-level SELECTs
+            return self.spark.sql(
+                self._bind_managed_tables(source[1:-1]))
         t = self.table(source)
         if "." in source and t.exists():
             return t.read()
@@ -749,15 +849,14 @@ class LakehouseSql:
         an in-hand DataFrame — the foreachBatch case, where the
         micro-batch lives in a CLONED session whose temp views the
         outer session cannot see."""
-        s = _norm(statement)
-        if self.now is not None:
-            s = re.sub(r"current_timestamp\(\)",
-                       f"TIMESTAMP '{self.now}'", s, flags=re.IGNORECASE)
+        s = self._prep(statement)
         head = s.split(" ", 1)[0].upper()
         if head == "MERGE":
             return self._merge(s, extra_meta, source_df)
         if head == "UPDATE":
             tbl, assigns, where = parse_update(s)
+            self._reject_always_identity(
+                self._ddl_info(self.table(tbl)), assigns, "UPDATE SET")
             sub = _split_in_subquery(where)
             if sub:
                 return self._dml_with_subquery(tbl, where, sub,
@@ -932,18 +1031,25 @@ class LakehouseSql:
 
     def _create_table(self, s: str) -> ManagedTable:
         import json as _json
-        tbl_name, schema_ddl, info, or_replace, ine, ctas = \
+        tbl_name, schema_ddl, info, or_replace, ine, ctas, pb = \
             parse_create_table(s)
         tbl = self.table(tbl_name)
         if tbl.exists() and not or_replace:
             if ine:
                 return tbl
             raise ValueError(f"table exists: {tbl_name}")
-        df = self.spark.sql(ctas) if ctas else \
-            self.spark.createDataFrame([], schema_ddl)
+        if pb:
+            if tbl.exists() and tuple(tbl.partition_by) != pb:
+                import shutil
+                shutil.rmtree(tbl.path)   # OR REPLACE with new layout
+            rel = tbl_name.replace(".", os.sep)
+            tbl = ManagedTable(self.spark, os.path.join(self.root, rel),
+                               partition_by=pb)
+        df = self.spark.sql(self._bind_managed_tables(ctas)) if ctas \
+            else self.spark.createDataFrame([], schema_ddl)
         tbl.overwrite(df, operation="CREATE TABLE")
         if any(info.get(k) for k in ("identity", "primary_key",
-                                     "not_null")):
+                                     "not_null", "foreign_keys")):
             with open(os.path.join(tbl.path, "_ddl_info.json"),
                       "w") as f:
                 _json.dump(info, f)
@@ -963,13 +1069,70 @@ class LakehouseSql:
         with open(p) as f:
             return _json.load(f)
 
-    def run_script(self, script: str) -> list:
+    def _reject_always_identity(self, info: dict, cols, what: str):
+        """``GENERATED ALWAYS AS IDENTITY`` columns never accept
+        user-supplied values (Databricks raises; ``BY DEFAULT`` accepts
+        — the reference relies on exactly this split: silver/fact
+        surrogates are ALWAYS, the ``-9`` unknown-member seeds go into
+        BY DEFAULT dims, 01_Init.py:59 vs :246,:265-321)."""
+        ident = info.get("identity")
+        if ident and info.get("identity_always") and ident in cols:
+            raise ValueError(
+                f"{what} provides a value for GENERATED ALWAYS AS "
+                f"IDENTITY column {ident!r}; remove it from the "
+                f"statement (BY DEFAULT identities accept explicit "
+                f"values, ALWAYS ones never do)")
+
+    def validate_foreign_keys(self, table_name: str) -> dict:
+        """Assert the column-level ``REFERENCES`` constraints recorded
+        by the typed DDL (reference 01_Init.py:336-341): for each FK,
+        the count of rows whose non-NULL key misses the referenced
+        table (anti-join — catalog.validate_fk's pattern against
+        managed tables). All-zero = integrity holds."""
+        tbl = self.table(table_name)
+        out = {}
+        for col, ref_tbl, ref_col in \
+                self._ddl_info(tbl).get("foreign_keys", []):
+            dim = (self.table(ref_tbl).read()
+                   .select(F.col(ref_col).alias("__fk_val")))
+            n = (tbl.read().filter(F.col(col).isNotNull())
+                 .join(dim, F.col(col) == F.col("__fk_val"), "left_anti")
+                 .count())
+            out[f"{col}->{ref_tbl}({ref_col})"] = n
+        return out
+
+    def run_script(self, script: str, fuse_merges: bool = False) -> list:
         """Execute a ``;``-separated statement sequence (the reference
         notebooks are exactly such sequences). Statements split at
         TOP-LEVEL semicolons only — literals, parens, and CASE..END
         are respected — and run in order; returns the per-statement
-        results."""
-        return [self.sql(stmt) for stmt in _split_top(_norm(script), ";")]
+        results. ``fuse_merges=True`` opt-in: runs of consecutive
+        MERGE statements against the same target execute as ONE plan +
+        ONE commit (``merge_chain`` — the reference's close+insert
+        SCD2 pair); the fused statements share the run's result
+        object."""
+        stmts = _split_top(_norm(script), ";")
+        if not fuse_merges:
+            return [self.sql(stmt) for stmt in stmts]
+        results, i = [], 0
+        while i < len(stmts):
+            s = stmts[i]
+            run = [s]
+            if s.split(" ", 1)[0].upper() == "MERGE":
+                tgt = parse_merge(self._prep(s)).target
+                while (i + len(run) < len(stmts)
+                       and stmts[i + len(run)].split(" ", 1)[0].upper()
+                       == "MERGE"
+                       and parse_merge(self._prep(stmts[i + len(run)]))
+                       .target == tgt):
+                    run.append(stmts[i + len(run)])
+            if len(run) > 1:
+                r = self.merge_chain(run)
+                results.extend([r] * len(run))
+            else:
+                results.append(self.sql(s))
+            i += len(run)
+        return results
 
     def _dml_with_subquery(self, tbl_name: str, where: str, sub,
                            assigns: dict | None = None) -> ManagedTable:
@@ -1023,6 +1186,20 @@ class LakehouseSql:
         source = source_df if source_df is not None \
             else self._source_df(spec.source)
 
+        # opt-in statement-text schema evolution (Delta mergeSchema,
+        # operators/merge.py::align_schemas' target direction): source
+        # columns new to the target are appended as typed NULLs, so a
+        # WHEN clause referencing them executes and historical rows
+        # read back NULL. Evolution forces the full-rewrite route —
+        # hardlinked untouched partitions would otherwise keep the old
+        # parquet schema and the new column would vanish from them.
+        evolved = [f for f in source.schema.fields
+                   if f.name not in target.columns] \
+            if self.merge_schema else []
+        for f in evolved:
+            target = target.withColumn(f.name,
+                                       F.lit(None).cast(f.dataType))
+
         # GENERATED ... AS IDENTITY (reference 01_Init.py:59): an
         # INSERT clause that omits the identity column gets ids
         # assigned past the table's current max — Delta's high-water
@@ -1030,7 +1207,21 @@ class LakehouseSql:
         # of the merge's source key columns (documented deviation from
         # Delta's arbitrary-but-unique allocation; testable, and what
         # the scd1/dim oracles already specify).
-        ident = self._ddl_info(tbl).get("identity")
+        info = self._ddl_info(tbl)
+        ident = info.get("identity")
+        if ident and info.get("identity_always"):
+            for cl in spec.clauses:
+                if cl.kind.endswith("_update"):
+                    self._reject_always_identity(
+                        info, cl.assigns, "MERGE UPDATE SET")
+                elif cl.kind == "insert":
+                    explicit = (
+                        [_strip_alias(c, (spec.t_alias, spec.s_alias))
+                         for c in cl.insert_cols]
+                        if cl.insert_cols is not None
+                        else source.columns)   # INSERT * maps src cols
+                    self._reject_always_identity(
+                        info, explicit, "MERGE INSERT")
         needs_ident = ident and ident in target.columns and any(
             c.kind == "insert"
             and (c.insert_cols is None or ident not in c.insert_cols)
@@ -1051,19 +1242,102 @@ class LakehouseSql:
         # partition-scoped route (the 100 TB shape: only source-touched
         # partitions rewritten, the rest hardlinked): taken when the
         # STATEMENT is statically partition-safe — see
-        # _partition_scoped_ok — AND the ON condition is an equi-key
-        # match (so "matching rows share a partition" follows from the
-        # stable-partitions contract merge_into documents). Everything
-        # else (NMBS clauses, range ONs, partition-column assignments,
-        # computed insert partitions) full-rewrites.
+        # _partition_scoped_ok — AND matched target/source pairs
+        # PROVABLY share a partition. The proof is the ON condition
+        # itself: when every partition column p appears as a
+        # ``tgt.p = src.p`` equality conjunct, a matched target row's
+        # partition equals its source row's, so slicing the target to
+        # the source's partition values loses no matches. Without that
+        # conjunct a source row could key-match a target row living in
+        # an untouched (hardlinked) partition — the merge would
+        # silently insert a duplicate instead of updating — so the
+        # default (``stable_partitions=None``) full-rewrites.
+        # ``LakehouseSql(stable_partitions=True)`` is the user's
+        # explicit assertion that rows never change partitions (the
+        # contract ManagedTable.merge_into documents), re-enabling the
+        # route for key-only ONs; False disables it entirely.
         pb = self._partition_scoped_ok(tbl, spec)
-        if pb is not None and src_keys is not None \
-                and set(pb) <= set(source.columns):
+        pairs = _equi_key_pairs(spec.on, spec.t_alias, spec.s_alias) or []
+        proven = pb is not None and all((p, p) in pairs for p in pb)
+        asserted = pb is not None and self.stable_partitions is True \
+            and src_keys is not None and set(pb) <= set(source.columns)
+        if (proven or asserted) and not evolved \
+                and self.stable_partitions is not False:
             return tbl.merge_into_generic(
                 source, combine, operation="MERGE",
                 stable_partitions=True, extra_meta=extra_meta)
         return tbl.overwrite(combine(target, source), operation="MERGE",
                              extra_meta=extra_meta)
+
+    def merge_chain(self, statements, extra_meta: dict | None = None
+                    ) -> ManagedTable:
+        """Execute consecutive MERGE statement texts against the SAME
+        target as ONE composed plan and ONE commit.
+
+        The reference's SCD2 silver load is exactly such a pair — the
+        close pass then the insert pass (22_ETL_Silver_PySpark.py:
+        62-101), sharing one source view and one target snapshot.
+        Statement-by-statement each pass is a full table read + write;
+        composing them lazily (pass N+1's ``apply_merge`` consumes pass
+        N's unexecuted DataFrame) lets Catalyst plan the whole load as
+        one job and halves the table rewrites — the same fusion the
+        operator path's single-join ``scd2_merge`` already has. The
+        result is bit-identical to running the statements sequentially:
+        composition IS the sequential semantics, only commit
+        granularity changes (one version instead of N — noted in the
+        commit's ``fused`` metadata)."""
+        specs = [parse_merge(self._prep(x)) for x in statements]
+        if not specs:
+            raise ValueError("merge_chain needs at least one statement")
+        if len({sp.target for sp in specs}) != 1:
+            raise ValueError(
+                f"merge_chain statements target different tables: "
+                f"{sorted({sp.target for sp in specs})}")
+        tbl = self.table(specs[0].target)
+        if not tbl.exists():
+            raise FileNotFoundError(
+                f"MERGE target {specs[0].target} does not exist under "
+                f"{self.root}")
+        info = self._ddl_info(tbl)
+        ident = info.get("identity")
+        state = tbl.read()
+        for spec in specs:
+            source = self._source_df(spec.source)
+            if ident and info.get("identity_always"):
+                for cl in spec.clauses:
+                    if cl.kind.endswith("_update"):
+                        self._reject_always_identity(
+                            info, cl.assigns, "MERGE UPDATE SET")
+                    elif cl.kind == "insert":
+                        explicit = (
+                            [_strip_alias(c, (spec.t_alias, spec.s_alias))
+                             for c in cl.insert_cols]
+                            if cl.insert_cols is not None
+                            else source.columns)
+                        self._reject_always_identity(
+                            info, explicit, "MERGE INSERT")
+            res = apply_merge(state, source, spec,
+                              self.check_cardinality)
+            needs_ident = ident and ident in state.columns and any(
+                c.kind == "insert"
+                and (c.insert_cols is None or ident not in c.insert_cols)
+                for c in spec.clauses)
+            if needs_ident:
+                keys = _equi_source_keys(spec.on, spec.t_alias,
+                                         spec.s_alias)
+                res = _assign_identity(
+                    res, state, ident,
+                    keys or [c for c in state.columns if c != ident])
+            state = res
+        return tbl.overwrite(state, operation="MERGE",
+                             extra_meta={"fused": len(specs),
+                                         **(extra_meta or {})})
+
+    def merge_pair(self, first_sql: str, second_sql: str,
+                   extra_meta: dict | None = None) -> ManagedTable:
+        """The reference's two-pass SCD2 shape (close + insert,
+        22:62-101) as one commit — see ``merge_chain``."""
+        return self.merge_chain([first_sql, second_sql], extra_meta)
 
     @staticmethod
     def _partition_scoped_ok(tbl: ManagedTable, spec) -> list | None:
@@ -1095,7 +1369,7 @@ class LakehouseSql:
     def _insert(self, s: str) -> ManagedTable:
         tbl_name, cols, select_sql = parse_insert(s)
         tbl = self.table(tbl_name)
-        new = self.spark.sql(select_sql)
+        new = self.spark.sql(self._bind_managed_tables(select_sql))
         if not tbl.exists():
             raise FileNotFoundError(
                 f"INSERT target {tbl_name} does not exist under "
@@ -1109,10 +1383,12 @@ class LakehouseSql:
                     f"vs {len(cur.columns)} table columns")
             cols = tuple(cur.columns)
         new = new.toDF(*cols)
+        info = self._ddl_info(tbl)
+        self._reject_always_identity(info, cols, "INSERT")
         proj = [(F.col(c) if c in cols else F.lit(None))
                 .cast(dtypes[c]).alias(c) for c in cur.columns]
         result = cur.unionByName(new.select(*proj))
-        ident = self._ddl_info(tbl).get("identity")
+        ident = info.get("identity")
         if ident and ident in cur.columns and ident not in cols:
             result = _assign_identity(result, cur, ident,
                                       [c for c in cols])

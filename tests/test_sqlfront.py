@@ -299,8 +299,10 @@ CREATE OR REPLACE TABLE silver.address (
     assert df.schema["address_id"].dataType.simpleString() == "int"
     assert df.schema["rowguid"].dataType.simpleString() == "string"
     assert lake._ddl_info(t) == {"identity": "_tf_id",
+                                 "identity_always": True,
                                  "primary_key": ["_tf_id"],
-                                 "not_null": ["_tf_id"]}
+                                 "not_null": ["_tf_id"],
+                                 "foreign_keys": []}
     # plain CREATE on an existing table errors; IF NOT EXISTS no-ops
     with pytest.raises(ValueError, match="table exists"):
         lake.sql("CREATE TABLE silver.address (x INT)")
@@ -361,7 +363,7 @@ def test_run_script_statement_sequence(spark, lake):
     lake.run_script("""
 CREATE DATABASE IF NOT EXISTS gold;
 CREATE OR REPLACE TABLE gold.dim_geo (
-  _tf_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY NOT NULL,
+  _tf_id BIGINT GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY NOT NULL,
   geo_city STRING,
   note STRING
 );
@@ -587,8 +589,9 @@ WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
 
 
 def test_merge_statement_is_partition_scoped(spark, lake, tmp_path):
-    """A partition-safe MERGE text (equi-key ON, no NMBS clause, insert
-    maps the partition column to src) rewrites ONLY the source-touched
+    """A provably partition-safe MERGE text (ON carries
+    ``tgt.month = src.month``, no NMBS clause, insert maps the
+    partition column to src) rewrites ONLY the source-touched
     partitions — untouched partition files hardlink forward (same
     inode), the 100 TB merge shape through the SQL surface."""
     import glob
@@ -607,13 +610,15 @@ def test_merge_statement_is_partition_scoped(spark, lake, tmp_path):
                 for p in glob.glob(os.path.join(d, "*.parquet"))}
     before = {m: inodes(0, m) for m in ("2024-02", "2024-03")}
 
-    # source touches ONLY month 2024-01 (update k=0, insert k=100)
+    # source touches ONLY month 2024-01 (update k=0, insert k=100);
+    # the partition-equality conjunct in the ON is what PROVES matched
+    # pairs share a partition, so the scoped route may engage
     spark.createDataFrame(
         [(0, "2024-01", -1.0), (100, "2024-01", 100.0)],
         "k int, month string, v double").createOrReplaceTempView("src_pm")
     lake.sql("""
 MERGE INTO gold.fact_m AS tgt USING src_pm AS src
-ON tgt.k = src.k
+ON tgt.k = src.k AND tgt.month = src.month
 WHEN MATCHED AND tgt.v != src.v THEN UPDATE SET tgt.v = src.v
 WHEN NOT MATCHED THEN
   INSERT (k, month, v) VALUES (src.k, src.month, src.v)
@@ -637,6 +642,54 @@ WHEN NOT MATCHED BY SOURCE THEN DELETE
 WHEN NOT MATCHED THEN INSERT (k, month, v) VALUES (src.k, src.month, src.v)
 """)
     assert {r["k"] for r in t.read().collect()} == {100}
+
+
+def test_merge_key_only_on_never_duplicates_moved_keys(spark, lake):
+    """The partition-scoped route must NOT engage on a key-only ON
+    (``tgt.k = src.k`` with no partition conjunct): a source row whose
+    partition value differs from its matched target row's would
+    otherwise hardlink the target row untouched AND insert the source
+    row — a silent duplicate key where Delta MERGE updates in place.
+    Default (auto) semantics: full rewrite, Delta-equal result.
+    ``stable_partitions=True`` is the caller's explicit assertion that
+    re-enables the scoped route for key-only ONs."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
+    t = ManagedTable(spark, f"{lake.root}/gold/fact_mv",
+                     partition_by=("month",))
+    t.overwrite(spark.createDataFrame(
+        [(1, "2024-02", 1.0), (2, "2024-03", 2.0)],
+        "k int, month string, v double"))
+    # source row k=1 carries month=2024-01 — a DIFFERENT partition than
+    # its matched target row (the ADVICE's divergence scenario)
+    spark.createDataFrame([(1, "2024-01", -1.0)],
+                          "k int, month string, v double") \
+        .createOrReplaceTempView("src_moved")
+    stmt = """
+MERGE INTO gold.fact_mv AS tgt USING src_moved AS src
+ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+WHEN NOT MATCHED THEN INSERT (k, month, v) VALUES (src.k, src.month, src.v)
+"""
+    lake.sql(stmt)
+    rows = sorted(map(tuple, t.read().select("k", "month", "v").collect()))
+    # Delta semantics: k=1 UPDATED in place (still in 2024-02), not
+    # duplicated into 2024-01
+    assert rows == [(1, "2024-02", -1.0), (2, "2024-03", 2.0)]
+    meta = t._commit(t.current_version())
+    assert "partitions_rewritten" not in meta  # full rewrite was taken
+
+    # the explicit opt-in re-enables the scoped route (and with it the
+    # caller-owned contract); partitions_rewritten proves it engaged
+    spark.createDataFrame([(2, "2024-03", -2.0)],
+                          "k int, month string, v double") \
+        .createOrReplaceTempView("src_moved")
+    asserted = LakehouseSql(spark, lake.root, stable_partitions=True)
+    asserted.sql(stmt.replace("fact_mv", "fact_mv"))
+    meta = t._commit(t.current_version())
+    assert meta["partitions_rewritten"] == ["month=2024-03"]
+    rows = sorted(map(tuple, t.read().select("k", "month", "v").collect()))
+    assert rows == [(1, "2024-02", -1.0), (2, "2024-03", -2.0)]
 
 
 def test_update_delete_with_in_subquery(spark, lake):
@@ -796,3 +849,263 @@ def test_alter_table_constraint_ddl(spark, lake):
     t.overwrite(spark.createDataFrame([(-1, "x")],
                                       "cal_id int, d string"))
     assert t.read().collect() == [(-1, "x")]
+
+
+# ------------------------------------------------- verbatim 01_Init.py ------
+
+def _init_sql_cells() -> list[str]:
+    """Extract the %sql cells from the reference's init notebook,
+    VERBATIM (only the Databricks `# MAGIC ` line prefix stripped —
+    the same text a user would paste)."""
+    text = open("/root/reference/notebooks/01_Init.py").read()
+    cells = []
+    for cell in text.split("# COMMAND ----------"):
+        lines = cell.splitlines()
+        if not any(ln.strip().startswith("# MAGIC %sql") for ln in lines):
+            continue
+        sql = [ln.partition("# MAGIC")[2].removeprefix(" ")
+               for ln in lines
+               if ln.strip().startswith("# MAGIC")
+               and not ln.strip().startswith(("# MAGIC %sql",
+                                              "# MAGIC %md"))]
+        cells.append("\n".join(sql))
+    return cells
+
+
+def test_verbatim_init_notebook_runs_end_to_end(spark, lake):
+    """The reference's ENTIRE 01_Init.py SQL sequence — every %sql
+    cell, verbatim — runs through run_script: four silver DDLs
+    (GENERATED ALWAYS identity, CHAR(n), inline comments), the
+    leading-CTE calendar CTAS + its two ALTERs (01_Init.py:180-239),
+    the BY DEFAULT gold dims + their -9 seeds (:244-321), and the fact
+    DDL with column-level REFERENCES FKs (:327-352)."""
+    cells = _init_sql_cells()
+    assert len(cells) == 10, [c[:40] for c in cells]
+    lake.now = T0
+    for db in ("bronze", "silver", "gold"):
+        lake.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for cell in cells:
+        lake.run_script(cell)
+
+    # calendar spine: 2000-01-01 .. 2030-01-01 inclusive
+    cal = lake.table("gold.dim_calendar").read()
+    assert cal.count() == 10959
+    row = cal.filter(F.col("cal_date") == "2024-02-29").collect()[0]
+    assert row["_tf_dim_calendar_id"] == 20240229
+    assert row["cal_fiscal_quarter"] == 1
+    assert row["cal_day_name"] == "Thursday"
+    # the post-CTAS ALTERs landed: NOT NULL constraint + recorded PK
+    info = lake._ddl_info(lake.table("gold.dim_calendar"))
+    assert info["primary_key"] == ["_tf_dim_calendar_id"]
+    assert "_tf_dim_calendar_id" in info["not_null"]
+
+    # silver tables: typed, empty, ALWAYS-identity recorded
+    addr = lake.table("silver.address")
+    assert addr.read().count() == 0
+    assert addr.read().schema["rowguid"].dataType.simpleString() == "string"
+    ainfo = lake._ddl_info(addr)
+    assert ainfo["identity"] == "_tf_id" and ainfo["identity_always"]
+
+    # BY DEFAULT dims took their explicit -9 unknown-member seeds
+    geo = lake.table("gold.dim_geography").read().collect()
+    assert len(geo) == 1 and geo[0]["_tf_dim_geography_id"] == -9
+    cust = lake.table("gold.dim_customer").read().collect()
+    assert len(cust) == 1 and cust[0]["_tf_dim_customer_id"] == -9
+
+    # fact DDL: schema + ALWAYS identity + the three recorded FKs
+    finfo = lake._ddl_info(lake.table("gold.fact_sales"))
+    assert finfo["identity"] == "_tf_fact_sales_id"
+    assert finfo["identity_always"] is True
+    assert finfo["foreign_keys"] == [
+        ["_tf_dim_calendar_id", "gold.dim_calendar",
+         "_tf_dim_calendar_id"],
+        ["_tf_dim_customer_id", "gold.dim_customer",
+         "_tf_dim_customer_id"],
+        ["_tf_dim_geography_id", "gold.dim_geography",
+         "_tf_dim_geography_id"]]
+    fcols = [f.name for f in lake.table("gold.fact_sales").read().schema]
+    assert fcols == [
+        "_tf_fact_sales_id", "sales_order_id", "sales_order_detail_id",
+        "_tf_dim_calendar_id", "_tf_dim_customer_id",
+        "_tf_dim_geography_id", "sales_order_qty", "sales_unit_price",
+        "sales_unit_price_discount", "sales_line_total",
+        "_tf_create_date", "_tf_update_date"]
+
+    # FK integrity wiring: empty fact -> all clean; a row referencing a
+    # missing calendar id -> exactly that FK trips
+    assert set(lake.validate_foreign_keys("gold.fact_sales").values()) \
+        == {0}
+    lake.sql("""
+INSERT INTO gold.fact_sales (
+  sales_order_id, sales_order_detail_id, _tf_dim_calendar_id,
+  _tf_dim_customer_id, _tf_dim_geography_id, sales_order_qty,
+  sales_unit_price, sales_unit_price_discount, sales_line_total,
+  _tf_create_date, _tf_update_date)
+VALUES (1, 1, 99999999, -9, -9, 1, 1.0, 0.0, 1.0,
+        current_timestamp(), current_timestamp())""")
+    viol = lake.validate_foreign_keys("gold.fact_sales")
+    assert viol == {
+        "_tf_dim_calendar_id->gold.dim_calendar(_tf_dim_calendar_id)": 1,
+        "_tf_dim_customer_id->gold.dim_customer(_tf_dim_customer_id)": 0,
+        "_tf_dim_geography_id->gold.dim_geography(_tf_dim_geography_id)": 0}
+
+
+def test_generated_always_rejects_by_default_accepts(spark, lake):
+    """Identity fidelity (01_Init.py:59 vs :246): explicit values into
+    a GENERATED ALWAYS identity raise; BY DEFAULT accepts them (the -9
+    unknown-member seeds rely on this); omitting the column always
+    works and assigns past the high-water mark."""
+    lake.sql("""CREATE TABLE gold.d_always (
+      id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)""")
+    lake.sql("""CREATE TABLE gold.d_default (
+      id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)""")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        lake.sql("INSERT INTO gold.d_always (id, v) VALUES (-9, 'x')")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        lake.sql(
+            "UPDATE gold.d_always SET id = 5 WHERE v = 'x'")
+    lake.sql("INSERT INTO gold.d_default (id, v) VALUES (-9, 'x')")
+    lake.sql("INSERT INTO gold.d_always (v) VALUES ('a')")
+    lake.sql("INSERT INTO gold.d_default (v) VALUES ('b')")
+    assert {tuple(r) for r in lake.table("gold.d_always").read().collect()} \
+        == {(1, "a")}
+    assert {tuple(r) for r in lake.table("gold.d_default").read().collect()} \
+        == {(-9, "x"), (1, "b")}
+    # MERGE insert clause naming the ALWAYS column raises too
+    spark.createDataFrame([(7, "m")], "id bigint, v string") \
+        .createOrReplaceTempView("src_alw")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        lake.sql("""
+MERGE INTO gold.d_always AS tgt USING src_alw AS src ON tgt.v = src.v
+WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)""")
+
+
+def test_merge_using_subquery_nested_parens(spark, lake):
+    """USING (SELECT ...) sources with nested parentheses — function
+    calls, inner IN-subqueries — parse via the paren scan, and
+    db.table references INSIDE the subquery bind to managed tables."""
+    lake.sql("CREATE TABLE bronze.feed AS "
+             "SELECT * FROM VALUES (1, 10), (2, 20), (3, 30) AS t(k, v)")
+    lake.table("gold.tgt_sub").overwrite(spark.createDataFrame(
+        [(1, 0), (9, 90)], "k int, v int"))
+    lake.sql("""
+MERGE INTO gold.tgt_sub AS tgt
+USING (
+  SELECT coalesce(k, 0) AS k, v FROM bronze.feed
+  WHERE k IN (SELECT k FROM bronze.feed WHERE v >= 20)
+) AS src
+ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""")
+    rows = sorted(map(tuple, lake.table("gold.tgt_sub").read().collect()))
+    assert rows == [(1, 0), (2, 20), (3, 30), (9, 90)]
+
+
+def test_merge_chain_fuses_scd2_pair(spark, lake):
+    """merge_chain runs the reference's close+insert SCD2 pair as ONE
+    commit with state identical to sequential execution."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src0, src1 = _orders_src(orders, 0), _orders_src(orders, 1)
+    empty = (src0.limit(0)
+             .withColumn("_tf_valid_from", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_valid_to", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_create_date", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_update_date", F.lit(None).cast("timestamp")))
+    # sequential reference run
+    lake.table("silver.orders").overwrite(empty)
+    for now, src in ((T0, src0), (T1, src1)):
+        lake.now = now
+        src.createOrReplaceTempView("src_orders")
+        lake.sql(SCD2_CLOSE)
+        lake.sql(SCD2_INSERT)
+    seq_versions = lake.table("silver.orders").current_version()
+    cols = sorted(lake.table("silver.orders").read().columns)
+    want = sorted(map(tuple, lake.table("silver.orders").read()
+                      .select(*cols).collect()))
+    # fused run: one commit per load instead of two
+    fused = LakehouseSql(spark, lake.root + "_fused")
+    fused.table("silver.orders").overwrite(empty)
+    for now, src in ((T0, src0), (T1, src1)):
+        fused.now = now
+        src.createOrReplaceTempView("src_orders")
+        fused.merge_pair(SCD2_CLOSE, SCD2_INSERT)
+    got = sorted(map(tuple, fused.table("silver.orders").read()
+                     .select(*cols).collect()))
+    assert got == want and len(got) > 100
+    assert fused.table("silver.orders").current_version() \
+        == seq_versions - 2
+    assert fused.table("silver.orders") \
+        ._commit(fused.table("silver.orders").current_version())["fused"] == 2
+    # run_script(fuse_merges=True) takes the same path
+    scripted = LakehouseSql(spark, lake.root + "_scripted")
+    scripted.table("silver.orders").overwrite(empty)
+    for now, src in ((T0, src0), (T1, src1)):
+        scripted.now = now
+        src.createOrReplaceTempView("src_orders")
+        scripted.run_script(SCD2_CLOSE + ";\n" + SCD2_INSERT,
+                            fuse_merges=True)
+    got2 = sorted(map(tuple, scripted.table("silver.orders").read()
+                      .select(*cols).collect()))
+    assert got2 == want
+
+
+def test_merge_statement_schema_evolution_opt_in(spark, lake):
+    """Opt-in mergeSchema semantics for statement-text MERGE: a WHEN
+    clause referencing a source column absent from the target evolves
+    the target (historical rows read NULL); without the flag it still
+    fails loudly."""
+    lake.table("silver.cust_ev").overwrite(spark.createDataFrame(
+        [(1, "Ann")], "k int, name string"))
+    spark.createDataFrame([(1, "Ann", "a@x.com"), (2, "Bob", "b@x.com")],
+                          "k int, name string, email string") \
+        .createOrReplaceTempView("src_ev")
+    stmt = """
+MERGE INTO silver.cust_ev AS tgt USING src_ev AS src ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET tgt.email = src.email
+WHEN NOT MATCHED THEN
+  INSERT (k, name, email) VALUES (src.k, src.name, src.email)"""
+    with pytest.raises(Exception):
+        lake.sql(stmt)             # no flag: unknown column fails
+    evolving = LakehouseSql(spark, lake.root, merge_schema=True)
+    evolving.sql(stmt)
+    rows = sorted(map(tuple,
+                      lake.table("silver.cust_ev").read().collect()))
+    assert rows == [(1, "Ann", "a@x.com"), (2, "Bob", "b@x.com")]
+
+
+def test_cardinality_duplicate_unmatched_keys_insert_fine(spark, lake):
+    """Delta only raises when a target row actually multi-matches;
+    duplicated source keys that match NO target row feed the NOT
+    MATCHED insert branch and must pass (each inserts)."""
+    lake.table("gold.card_t").overwrite(
+        spark.createDataFrame([(1, 10)], "k int, v int"))
+    # two NEW rows sharing key 5 (no target match) + one matched key 1
+    spark.createDataFrame([(5, 50), (5, 51), (1, 11)], "k int, v int") \
+        .createOrReplaceTempView("src_card")
+    lake.sql("""
+MERGE INTO gold.card_t AS tgt USING src_card AS src ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""")
+    rows = sorted(map(tuple, lake.table("gold.card_t").read().collect()))
+    assert rows == [(1, 11), (5, 50), (5, 51)]
+    # but a duplicated key that DOES match a target row still raises
+    spark.createDataFrame([(1, 100), (1, 101)], "k int, v int") \
+        .createOrReplaceTempView("src_card")
+    with pytest.raises(MergeCardinalityError):
+        lake.sql("""
+MERGE INTO gold.card_t AS tgt USING src_card AS src ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""")
+
+
+def test_create_table_partitioned_by(spark, lake):
+    """PARTITIONED BY in typed DDL and CTAS lays the table out
+    hive-partitioned, so later partition-safe MERGEs hardlink."""
+    lake.sql("""CREATE TABLE gold.part_t (k INT, month STRING, v DOUBLE)
+                PARTITIONED BY (month)""")
+    t = lake.table("gold.part_t")
+    assert t.partition_by == ("month",)
+    lake.sql("""CREATE TABLE gold.part_ctas PARTITIONED BY (m) AS
+                SELECT 1 AS k, '2024-01' AS m""")
+    assert lake.table("gold.part_ctas").partition_by == ("m",)
+    assert lake.table("gold.part_ctas").read().count() == 1
