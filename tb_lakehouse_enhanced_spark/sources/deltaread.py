@@ -145,7 +145,30 @@ def _replay(spark: SparkSession, path: str,
 _READABLE_FEATURES = {"columnMapping", "timestampNtz"}
 
 
-def _check_protocol(proto: dict | None, cm_mode: str) -> None:
+def _nested_mapped_fields(dtype, inside: bool = False) -> list:
+    """Names of NESTED fields (struct members, incl. inside arrays/
+    maps) that carry ``delta.columnMapping.physicalName`` metadata.
+    Under an active columnMapping mode such fields read under their
+    PHYSICAL parquet names while this module renames only top-level
+    columns — Spark's by-name nested resolution would then silently
+    yield NULLs, so read_delta refuses these tables loudly."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    hits = []
+    if isinstance(dtype, StructType):
+        for f in dtype.fields:
+            if inside and (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName"):
+                hits.append(f.name)
+            hits += _nested_mapped_fields(f.dataType, inside=True)
+    elif isinstance(dtype, ArrayType):
+        hits += _nested_mapped_fields(dtype.elementType, inside=True)
+    elif isinstance(dtype, MapType):
+        hits += _nested_mapped_fields(dtype.keyType, inside=True)
+        hits += _nested_mapped_fields(dtype.valueType, inside=True)
+    return hits
+
+
+def _check_protocol(proto: dict | None) -> None:
     """Refuse reader requirements this module cannot honor, loudly.
     Reader v1 = plain; v2 = column mapping (handled); v3 = feature
     list — readable iff every feature is in _READABLE_FEATURES
@@ -178,8 +201,17 @@ def read_delta(spark: SparkSession, path: str,
     adds, meta, proto = _replay(spark, path, version)
     cm_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    _check_protocol(proto, cm_mode)
+    _check_protocol(proto)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if cm_mode != "none":
+        nested = _nested_mapped_fields(schema)
+        if nested:
+            raise ValueError(
+                f"Delta table at {path} uses columnMapping with "
+                f"physically-mapped NESTED fields {sorted(set(nested))}"
+                f" — only top-level mapping is implemented; reading "
+                f"would silently NULL those fields. Rewrite the table "
+                f"without column mapping or flatten the structs.")
     # column mapping (reader protocol 2 / the columnMapping reader
     # feature): parquet files carry PHYSICAL column names
     # (delta.columnMapping.physicalName in each field's metadata —
@@ -187,9 +219,8 @@ def read_delta(spark: SparkSession, path: str,
     # Read under the physical schema, then alias physical -> logical.
     # 'id' mode tables written by mainstream writers also record
     # physicalName (ids are the matching KEY only), so the same rename
-    # path serves both; top-level mapping only (nested struct
-    # remapping is refused by _check_protocol's schema scan upstream
-    # writers don't emit for the reference's flat tables).
+    # path serves both; top-level mapping only (nested mapped
+    # fields are refused by the _nested_mapped_fields scan above).
     phys = {f.name: ((f.metadata or {})
                      .get("delta.columnMapping.physicalName", f.name))
             for f in schema.fields}

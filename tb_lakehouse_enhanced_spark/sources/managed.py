@@ -641,6 +641,23 @@ class ManagedTable:
                 .orderBy(*self.partition_by))
 
     # -- history / time travel (Delta DESCRIBE HISTORY / RESTORE analogue) ---
+    def last_meta(self, key: str, default=None):
+        """Most recent commit-metadata value for ``key``, walking
+        versions backward from HEAD. The head commit alone is NOT
+        authoritative for stream high-water marks: an interleaved
+        maintenance or DML commit (OPTIMIZE/VACUUM/another statement)
+        does not carry ``stream_batch_id`` forward, and a replay guard
+        reading only HEAD would re-apply a delivered batch. Commit
+        JSONs are never deleted (vacuum removes data dirs only), so
+        the walk always reaches the writing commit; cost is one tiny
+        local JSON read per version walked, and in the steady
+        stream-only case the first read hits."""
+        for v in range(self.current_version(), -1, -1):
+            meta = self._commit(v)
+            if key in meta:
+                return meta[key]
+        return default
+
     def history(self) -> list[dict]:
         """Commit log, newest first (``DESCRIBE HISTORY`` analogue)."""
         cur = self.current_version()

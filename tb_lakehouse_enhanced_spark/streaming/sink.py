@@ -90,8 +90,9 @@ def mor_batch_sink(table: ManagedTable, key_cols: tuple[str, ...]):
             table.overwrite(batch_df,
                             extra_meta={"stream_batch_id": batch_id})
             return
-        last = table._commit(table.current_version()) \
-            .get("stream_batch_id", -1)
+        # walk commits backward: an interleaved maintenance/DML
+        # commit on the same table must not reset the high-water mark
+        last = table.last_meta("stream_batch_id", -1)
         if batch_id <= last:
             return                      # replayed batch: already applied
         table.upsert_mor(batch_df, key_cols=key_cols,
@@ -163,8 +164,11 @@ def sql_merge_batch_sink(lake, merge_sql: str):
         if batch_df.isEmpty():
             return
         tbl = lake.table(spec.target)
-        last = tbl._commit(tbl.current_version()) \
-            .get("stream_batch_id", -1)
+        # backward commit walk, not just HEAD: OPTIMIZE/VACUUM or any
+        # other statement through the same front-end between batches
+        # would otherwise hide the mark and re-apply a replayed batch
+        # (fatal for non-idempotent merge texts like cnt = cnt + 1)
+        last = tbl.last_meta("stream_batch_id", -1)
         if batch_id <= last:
             return                      # replayed batch: already applied
         # the micro-batch IS the USING relation: foreachBatch hands it

@@ -298,6 +298,46 @@ def test_read_delta_column_mapping_name_mode(spark, tmp_base):
     assert rows == want
 
 
+def test_read_delta_column_mapping_nested_struct_refused(spark, tmp_base):
+    """A column-mapped table whose schema carries physically-mapped
+    NESTED fields (struct members) must be refused loudly: only
+    top-level renames are implemented, and reading would silently NULL
+    every nested field (by-name parquet resolution misses the physical
+    names)."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    root = f"{tmp_base}/ext_cm_nested"
+    os.makedirs(os.path.join(root, "_delta_log"))
+    nested_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "addr", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"},
+         "type": {"type": "struct", "fields": [
+             {"name": "city", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-ccc"}},
+         ]}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "ext-cm-2",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": nested_schema,
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 0}},
+    ]
+    with open(os.path.join(root, "_delta_log", "0" * 20 + ".json"),
+              "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(ValueError, match="NESTED"):
+        read_delta(spark, root)
+
+
 def test_read_delta_multipart_checkpoint(spark, tmp_base):
     """A classic multi-part checkpoint (`parts` in _last_checkpoint,
     <v>.checkpoint.<i>.<n>.parquet shards) replays as the union of its

@@ -200,3 +200,46 @@ WHEN NOT MATCHED THEN
     assert lake.table("silver.kv").current_version() == v_before
     assert 9 not in {r["k"]
                      for r in lake.table("silver.kv").read().collect()}
+
+
+def test_replay_guard_survives_interleaved_commits(spark, tmp_path):
+    """The exactly-once high-water mark must survive an interleaved
+    NON-stream commit on the same target (OPTIMIZE / ad-hoc DML
+    through the front-end): the guard walks commits backward to the
+    most recent one carrying ``stream_batch_id`` instead of reading
+    only HEAD — a replayed batch still skips."""
+    from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
+    from tb_lakehouse_enhanced_spark.streaming.sink import (
+        mor_batch_sink, sql_merge_batch_sink,
+    )
+    lake = LakehouseSql(spark, str(tmp_path / "lake"),
+                        now="2024-01-01 00:00:00")
+    lake.sql("CREATE TABLE silver.cnt (k INT, n INT)")
+    lake.table("silver.cnt").overwrite(
+        spark.createDataFrame([(1, 0)], "k int, n int"))
+    merge_sql = """
+MERGE INTO silver.cnt AS tgt USING cnt_batch AS src ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET tgt.n = tgt.n + src.n
+WHEN NOT MATCHED THEN INSERT (k, n) VALUES (src.k, src.n)
+"""
+    sink = sql_merge_batch_sink(lake, merge_sql)
+    batch = spark.createDataFrame([(1, 5)], "k int, n int")
+    sink(batch, 3)
+    assert lake.table("silver.cnt").read().collect()[0]["n"] == 5
+    # interleave maintenance + unrelated DML (neither carries the mark)
+    lake.sql("OPTIMIZE silver.cnt")
+    lake.sql("UPDATE silver.cnt SET k = k WHERE k < 0")
+    # at-least-once delivery replays batch 3: NON-idempotent text must
+    # NOT re-apply
+    sink(batch, 3)
+    assert lake.table("silver.cnt").read().collect()[0]["n"] == 5
+
+    # same latent hole in the MOR sink
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, str(tmp_path / "mor_t"))
+    msink = mor_batch_sink(t, key_cols=("k",))
+    msink(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    msink(spark.createDataFrame([(1, "b")], "k int, v string"), 1)
+    t.compact()                        # maintenance commit at HEAD
+    msink(spark.createDataFrame([(1, "c")], "k int, v string"), 1)
+    assert [r["v"] for r in t.read().collect()] == ["b"]
