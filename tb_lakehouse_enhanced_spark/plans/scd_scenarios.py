@@ -361,7 +361,12 @@ def sql_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-end against a managed table; returns the final table state
     (same oracle as ``scd2_state``). ``current_timestamp()`` is pinned
     through the front-end's ``now`` seam, the statement-text analogue
-    of the operators' injected ``load_ts``."""
+    of the operators' injected ``load_ts``. The close+insert pair runs
+    through ``merge_pair`` — the two passes share one source and one
+    target snapshot (reference 22_ETL_Silver_PySpark.py:62-101), so
+    they compose into ONE plan and ONE commit per load: 2 table
+    rewrites total instead of 4, the same fusion the operator path's
+    single-join scd2_merge has, with bit-identical state."""
     import tempfile
 
     from ..sqlfront import LakehouseSql
@@ -377,8 +382,7 @@ def sql_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake.now = now
         _orders_src(orders, batch) \
             .createOrReplaceTempView("src_orders_sqlfront")
-        lake.sql(SQL_SCD2_CLOSE)
-        lake.sql(SQL_SCD2_INSERT)
+        lake.merge_pair(SQL_SCD2_CLOSE, SQL_SCD2_INSERT)
     return lake.table("silver.orders").read()
 
 

@@ -556,6 +556,34 @@ def _equi_key_pairs(on: str, t: str, s: str) -> list[tuple] | None:
     return pairs or None
 
 
+def _on_structure(on: str, t: str, s: str):
+    """Decompose an equi-key ON into ((tgt_col, src_col) pairs,
+    [target-only guard conjunct texts]); None when the ON carries
+    source-referencing or expression conjuncts."""
+    cuts, conjs, last = [], [], 0
+    for i, tok, depth in _scan(on):
+        if tok == "AND" and depth == 0:
+            cuts.append(i)
+    for i in cuts:
+        conjs.append(on[last:i].strip())
+        last = i + 3
+    conjs.append(on[last:].strip())
+    pairs, guards = [], []
+    for conj in conjs:
+        m = _EQ_PAIR.match(conj)
+        if m:
+            a_al, a_c, b_al, b_c = m.groups()
+            if {a_al, b_al} == {t, s}:
+                pairs.append((a_c, b_c) if a_al == t else (b_c, a_c))
+                continue
+        refs = set(re.findall(r"\b(\w+)\.", conj))
+        if refs <= {t}:
+            guards.append(conj)
+            continue
+        return None
+    return (pairs, guards) if pairs else None
+
+
 def _equi_source_keys(on: str, t: str, s: str) -> list[str] | None:
     """Source-side columns of the ON's equi-key pairs (cardinality
     then reduces to source uniqueness on those keys); None when the ON
@@ -723,6 +751,168 @@ def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
     for ins in inserts:
         out = out.unionByName(ins)
     return out
+
+
+_NONNULL_LITERAL = re.compile(
+    r"^(?:(?:TIMESTAMP|DATE) '[^']*'|'(?:[^']|'')*'|-?\d+(?:\.\d+)?"
+    r"|current_timestamp\(\)|true|false)$", re.IGNORECASE)
+
+
+def _fusable_close_insert(s1: MergeSpec, s2: MergeSpec) -> bool:
+    """True when two consecutive MERGE texts are the reference's SCD2
+    close+insert pair shape (22_ETL_Silver_PySpark.py:62-101) and the
+    single-join fusion below is PROVABLY equivalent to running them
+    sequentially:
+
+    - same target, same source text, same aliases, same ON;
+    - pass 1 has only UPDATE clauses (matched / not-matched-by-source);
+    - pass 2 is a single INSERT clause whose condition (if any)
+      references only the source;
+    - the ON is equi-keys plus target-only guard conjuncts, and every
+      guard is re-establishable-proof: a guard must have the form
+      ``tgt.col IS NULL`` with every NMBS clause that assigns ``col``
+      assigning a non-NULL literal, or no NMBS clause assigns any
+      column the guard references. (A row NOT matched to a source row
+      sits outside the fused window; the proof guarantees pass-1
+      updates can never flip its guard to true, which is the only way
+      it could block pass-2's insert in the sequential run.)
+    """
+    if (s1.target != s2.target or s1.source != s2.source
+            or s1.on != s2.on
+            or (s1.t_alias, s1.s_alias) != (s2.t_alias, s2.s_alias)):
+        return False
+    if not s1.clauses or not all(
+            c.kind in ("matched_update", "nmbs_update")
+            for c in s1.clauses):
+        return False
+    if len(s2.clauses) != 1 or s2.clauses[0].kind != "insert":
+        return False
+    cond = s2.clauses[0].cond
+    if cond:
+        refs = set(re.findall(r"\b(\w+)\.", cond))
+        if not refs <= {s1.s_alias}:
+            return False
+    struct = _on_structure(s1.on, s1.t_alias, s1.s_alias)
+    if struct is None:
+        return False
+    _, guards = struct
+    nmbs = [c for c in s1.clauses if c.kind == "nmbs_update"]
+    for g in guards:
+        cols = {c for a, c in re.findall(r"\b(\w+)\.(\w+)", g)
+                if a == s1.t_alias}
+        touching = [c for c in nmbs if set(c.assigns) & cols]
+        if not touching:
+            continue
+        m = re.match(rf"^{s1.t_alias}\.(\w+) IS NULL$", g, re.IGNORECASE)
+        if not m:
+            return False
+        col = m.group(1)
+        for c in touching:
+            expr = c.assigns.get(col)
+            if expr is None or not _NONNULL_LITERAL.match(expr.strip()):
+                return False
+    return True
+
+
+def apply_merge_fused_pair(target: DataFrame, source: DataFrame,
+                           spec1: MergeSpec, spec2: MergeSpec
+                           ) -> DataFrame:
+    """The reference's two-pass SCD2 load (close then insert) computed
+    from ONE full-outer join — the fusion ``scd2_merge`` has on the
+    operator path, derived generically for statement texts that pass
+    ``_fusable_close_insert``.
+
+    Sequential semantics re-derived per joined row: pass 2 inserts a
+    source row iff no post-pass-1 target row with its key still
+    satisfies the ON's target-only guards. Matched rows evaluate the
+    guards directly on their pass-1 CASE values; a window over the
+    source keys (source-unique — the caller verifies) folds the group
+    to one verdict. Unmatched-target rows never need the window: the
+    fusability proof shows pass 1 cannot flip their guards to true.
+    Both output branches project the SAME join, so the exchanges are
+    computed once (ReusedExchange) and the load is one plan + one
+    commit instead of two of each."""
+    from pyspark.sql import Window
+
+    t, s = spec1.t_alias, spec1.s_alias
+    out_cols = target.columns
+    dtypes = {f.name: f.dataType for f in target.schema.fields}
+    pairs, guards = _on_structure(spec1.on, t, s)
+    src_keys = [sc for _, sc in pairs]
+    m_clauses = [c for c in spec1.clauses if c.kind == "matched_update"]
+    n_clauses = [c for c in spec1.clauses if c.kind == "nmbs_update"]
+
+    tgt = target.withColumn("__t_present", F.lit(True)).alias(t)
+    src = source.withColumn("__s_present", F.lit(True)).alias(s)
+    joined = tgt.join(src, F.expr(spec1.on), "full_outer")
+    t_here = F.coalesce(F.col(f"{t}.__t_present"), F.lit(False))
+    s_here = F.coalesce(F.col(f"{s}.__s_present"), F.lit(False))
+    matched = t_here & s_here
+
+    def branch(clauses, base):
+        w = None
+        for i, c in enumerate(clauses):
+            cnd = base & (F.expr(c.cond) if c.cond else F.lit(True))
+            w = F.when(cnd, F.lit(i)) if w is None \
+                else w.when(cnd, F.lit(i))
+        return w.otherwise(F.lit(-1)) if w is not None else F.lit(-1)
+
+    mbr = branch(m_clauses, matched)
+    nbr = branch(n_clauses, t_here & ~s_here)
+
+    def col_value(c: str):
+        v = F.col(f"{t}.{c}")
+        for i, cl in enumerate(m_clauses):
+            if c in cl.assigns:
+                v = F.when(mbr == i, F.expr(cl.assigns[c])).otherwise(v)
+        for i, cl in enumerate(n_clauses):
+            if c in cl.assigns:
+                v = F.when(nbr == i, F.expr(cl.assigns[c])).otherwise(v)
+        return v.cast(dtypes[c]).alias(c)
+
+    post = joined.select(
+        *[col_value(c) for c in out_cols],
+        t_here.alias("__t"), s_here.alias("__s"),
+        *[F.col(f"{s}.{c}").alias(f"__s_{c}") for c in source.columns])
+
+    kept = post.filter(F.col("__t")).select(*out_cols)
+
+    # pass-2 verdict per source row, over its key group (matched rows
+    # carry their POST-update guard values; the lone unmatched-source
+    # row trivially has no surviving guard row)
+    def strip_t(expr: str) -> str:
+        return _sub_code(rf"\b{t}\.(\w+)", r"\1", expr)
+
+    post_g = F.lit(True)
+    for g in guards:
+        post_g = post_g & F.expr(strip_t(g))
+    cand = post.filter(F.col("__s"))
+    w = Window.partitionBy(*[F.col(f"__s_{k}") for k in src_keys])
+    cand = (cand
+            .withColumn("__blocked", F.max(
+                F.when(F.col("__t") & post_g, 1).otherwise(0)).over(w))
+            .withColumn("__rn", F.row_number().over(
+                w.orderBy(F.lit(1)))))
+    ins = cand.filter((F.col("__blocked") == 0) & (F.col("__rn") == 1))
+    cl = spec2.clauses[0]
+
+    def src_expr(expr: str) -> str:
+        return _sub_code(rf"\b{s}\.(\w+)", r"__s_\1", expr)
+
+    if cl.cond:
+        ins = ins.filter(F.expr(src_expr(cl.cond)))
+    if cl.insert_cols is None:          # INSERT *
+        vals = {c: f"__s_{c}" for c in source.columns if c in dtypes}
+    else:
+        vals = {_strip_alias(c, (t, s)): src_expr(v)
+                for c, v in zip(cl.insert_cols, cl.insert_vals)}
+    unknown = set(vals) - set(out_cols)
+    if unknown:
+        raise ValueError(
+            f"INSERT targets unknown columns: {sorted(unknown)}")
+    proj = [(F.expr(vals[c]) if c in vals else F.lit(None))
+            .cast(dtypes[c]).alias(c) for c in out_cols]
+    return kept.unionByName(ins.select(*proj))
 
 
 def _segments(s: str):
@@ -1301,6 +1491,44 @@ class LakehouseSql:
         info = self._ddl_info(tbl)
         ident = info.get("identity")
         state = tbl.read()
+        if len(specs) == 2 and _fusable_close_insert(*specs):
+            # the reference's close+insert SCD2 pair: ONE full-outer
+            # join serves both passes. Requires strict source-key
+            # uniqueness (the window verdict folds per key); duplicate
+            # keys fall back to sequential composition below, which
+            # applies the relaxed matched-only guard.
+            source = self._source_df(specs[0].source)
+            src_keys = _equi_source_keys(specs[0].on, specs[0].t_alias,
+                                         specs[0].s_alias)
+            if not state.take(1):
+                # empty target (the initial load): the update pass is a
+                # no-op and every source row is unmatched, so the pair
+                # reduces to the insert-only fast path — no outer join,
+                # no window, no uniqueness gate (duplicates all insert,
+                # exactly the sequential result)
+                res = apply_merge(state, source, specs[1],
+                                  check_cardinality=False)
+                cl = specs[1].clauses[0]
+                if ident and ident in state.columns and (
+                        cl.insert_cols is None
+                        or ident not in cl.insert_cols):
+                    res = _assign_identity(res, state, ident, src_keys)
+                return tbl.overwrite(res, operation="MERGE",
+                                     extra_meta={"fused": 2,
+                                                 **(extra_meta or {})})
+            dupes = (source.groupBy(*src_keys)
+                     .agg(F.count(F.lit(1)).alias("__n"))
+                     .filter(F.col("__n") > 1).limit(1).count())
+            if not dupes:
+                res = apply_merge_fused_pair(state, source, *specs)
+                cl = specs[1].clauses[0]
+                if ident and ident in state.columns and (
+                        cl.insert_cols is None
+                        or ident not in cl.insert_cols):
+                    res = _assign_identity(res, state, ident, src_keys)
+                return tbl.overwrite(res, operation="MERGE",
+                                     extra_meta={"fused": 2,
+                                                 **(extra_meta or {})})
         for spec in specs:
             source = self._source_df(spec.source)
             if ident and info.get("identity_always"):

@@ -1109,3 +1109,73 @@ def test_create_table_partitioned_by(spark, lake):
                 SELECT 1 AS k, '2024-01' AS m""")
     assert lake.table("gold.part_ctas").partition_by == ("m",)
     assert lake.table("gold.part_ctas").read().count() == 1
+
+
+def test_fusable_close_insert_guard_proofs():
+    """Fusion safety: the close+insert pair fuses only when pass-1
+    updates provably cannot re-establish the ON's target-only guard on
+    rows outside the fused window."""
+    from tb_lakehouse_enhanced_spark.sqlfront import (
+        _fusable_close_insert,
+    )
+
+    def pair(close_extra="", on="tgt.k = src.k AND tgt.vt IS NULL",
+             nmbs_set="tgt.vt = TIMESTAMP '2024-01-01 00:00:00'"):
+        close = parse_merge(f"""
+MERGE INTO db.t AS tgt USING v AS src ON {on}
+WHEN MATCHED THEN UPDATE SET tgt.vt = TIMESTAMP '2024-01-01 00:00:00'
+WHEN NOT MATCHED BY SOURCE AND tgt.vt IS NULL THEN
+  UPDATE SET {nmbs_set}{close_extra}""")
+        ins = parse_merge(f"""
+MERGE INTO db.t AS tgt USING v AS src ON {on}
+WHEN NOT MATCHED THEN INSERT (k, vt) VALUES (src.k, NULL)""")
+        return close, ins
+
+    assert _fusable_close_insert(*pair())
+    # NMBS assigning the guard column a NULL literal could flip the
+    # guard back on: must NOT fuse
+    assert not _fusable_close_insert(*pair(nmbs_set="tgt.vt = NULL"))
+    # ...same for a non-literal expression
+    assert not _fusable_close_insert(
+        *pair(nmbs_set="tgt.vt = tgt.other"))
+    # a non-IS NULL guard whose column an NMBS clause touches: no proof
+    assert not _fusable_close_insert(
+        *pair(on="tgt.k = src.k AND tgt.flag = 1",
+              nmbs_set="tgt.flag = 0"))
+    # guard untouched by any NMBS assignment: fuses even if not IS NULL
+    assert _fusable_close_insert(
+        *pair(on="tgt.k = src.k AND tgt.flag = 1",
+              nmbs_set="tgt.other = 1"))
+    # different ON between the passes: no fusion
+    c, _ = pair()
+    _, i2 = pair(on="tgt.k = src.k")
+    assert not _fusable_close_insert(c, i2)
+
+
+def test_merge_pair_unfusable_falls_back_sequential(spark, lake):
+    """A pair that fails the fusability proof still executes through
+    merge_chain's sequential composition with correct semantics (one
+    commit, state == statement-by-statement)."""
+    lake.table("db.t_nf").overwrite(spark.createDataFrame(
+        [(1, "a", None), (2, "b", None)],
+        "k int, v string, vt timestamp"))
+    spark.createDataFrame([(1, "A"), (3, "c")], "k int, v string") \
+        .createOrReplaceTempView("src_nf")
+    # NMBS sets the guard column to NULL -> unfusable shape
+    close = """
+MERGE INTO db.t_nf AS tgt USING src_nf AS src
+ON tgt.k = src.k AND tgt.vt IS NULL
+WHEN MATCHED AND tgt.v != src.v THEN
+  UPDATE SET tgt.vt = TIMESTAMP '2024-01-02 00:00:00'
+WHEN NOT MATCHED BY SOURCE AND tgt.vt IS NULL THEN
+  UPDATE SET tgt.vt = NULL"""
+    ins = """
+MERGE INTO db.t_nf AS tgt USING src_nf AS src
+ON tgt.k = src.k AND tgt.vt IS NULL
+WHEN NOT MATCHED THEN INSERT (k, v, vt) VALUES (src.k, src.v, NULL)"""
+    lake.merge_pair(close, ins)
+    rows = sorted(map(tuple, lake.table("db.t_nf").read()
+                      .select("k", "v").collect()))
+    # k=1 closed then re-inserted with new value; k=2 NMBS'd (vt stays
+    # NULL); k=3 fresh insert
+    assert rows == [(1, "A"), (1, "a"), (2, "b"), (3, "c")]
