@@ -53,6 +53,11 @@ HEADLINE = [
     # search_bm25_indexed above keeps the build+probe pipeline view)
     # and the SQL-statement MERGE front-end driving the SCD2 scenario
     "search_bm25_probe", "sql_merge_scd2",
+    # round 7: the partition-scoped statement-text MERGE (2/16 buckets
+    # rewritten, 14 hardlinked — the 100 TB merge cost shape through
+    # the SQL surface). sql_merge_scd2 above now measures the FUSED
+    # close+insert pair (one join + one commit per load).
+    "sql_merge_partitioned",
 ]
 
 

@@ -505,3 +505,95 @@ def sql_scd1_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .createOrReplaceTempView("src_cust_sqlfront")
         lake.sql(SQL_SCD1_MERGE)
     return lake.table("gold.dim_customer").read()
+
+
+# The partition-scoped statement-text MERGE (the 100 TB cost shape
+# through the SQL surface): the fact table is hive-partitioned on a
+# key bucket, the MERGE's ON carries the tgt.l_bucket = src.l_bucket
+# equality that PROVES matched rows share a partition, and the source
+# touches 2 of 16 buckets — so merge_into_generic rewrites only those
+# two partitions and hardlinks the other fourteen
+# (tests/test_sqlfront.py inode assertions; reference
+# 34_ETL_Gold_Fact_PySpark.py:90-139 statement shape).
+SQL_PART_MERGE = """
+MERGE INTO gold.fact_part AS tgt
+USING src_part_sqlfront AS src
+ON tgt.l_bucket = src.l_bucket
+   AND tgt.l_orderkey = src.l_orderkey
+   AND tgt.l_linenumber = src.l_linenumber
+WHEN MATCHED AND tgt.l_quantity != src.l_quantity THEN
+  UPDATE SET
+    tgt.l_quantity = src.l_quantity,
+    tgt._tf_update_date = current_timestamp()
+WHEN NOT MATCHED THEN
+  INSERT (l_orderkey, l_linenumber, l_bucket, l_quantity,
+          l_extendedprice, _tf_update_date)
+  VALUES (src.l_orderkey, src.l_linenumber, src.l_bucket,
+          src.l_quantity, src.l_extendedprice, current_timestamp())
+"""
+
+
+def sql_merge_partitioned_state(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bucket-partitioned fact upsert driven by a statement text whose
+    ON proves partition stability: batch 1 touches buckets 0 and 1
+    only (change-detected bump for keys %3==0 plus fresh keys shifted
+    +16M, which stay in bucket 0), so the commit rewrites 2/16
+    partitions and hardlinks the rest — asserted at file level in
+    tests, measured at sf0.1 in the bench."""
+    import tempfile
+
+    from ..sources.managed import ManagedTable
+    from ..sqlfront import LakehouseSql
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = (li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.max("l_quantity").alias("l_quantity"),
+                 F.max("l_extendedprice").alias("l_extendedprice"))
+            .withColumn("l_bucket", F.col("l_orderkey") % 16))
+    lake = LakehouseSql(spark, tempfile.mkdtemp(prefix="tb_sqlfront_p_"),
+                        now=T1)
+    t = ManagedTable(spark, f"{lake.root}/gold/fact_part",
+                     partition_by=("l_bucket",))
+    t.overwrite(base.withColumn(
+        "_tf_update_date", F.lit(T0).cast("timestamp")))
+    touched = base.filter(F.col("l_bucket").isin(0, 1))
+    bumped = touched.withColumn(
+        "l_quantity",
+        F.col("l_quantity")
+        + F.when(F.col("l_orderkey") % 3 == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0)))
+    fresh = (touched.filter((F.col("l_bucket") == 0)
+                            & (F.col("l_orderkey") % 7 == 0))
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") + F.lit(16_000_000)))
+    bumped.unionByName(fresh) \
+        .createOrReplaceTempView("src_part_sqlfront")
+    lake.sql(SQL_PART_MERGE)
+    return t.read()
+
+
+SQL_PART_MERGE_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity,
+         MAX(l_extendedprice) AS l_extendedprice
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+), bkt AS (
+  SELECT *, l_orderkey % 16 AS l_bucket FROM base
+), updated AS (
+  SELECT l_orderkey, l_linenumber, l_bucket,
+         l_quantity + CASE WHEN l_bucket IN (0, 1)
+                            AND l_orderkey % 3 = 0
+                           THEN CAST(1.0 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS l_quantity,
+         l_extendedprice,
+         CASE WHEN l_bucket IN (0, 1) AND l_orderkey % 3 = 0
+              THEN TIMESTAMP '{T1}'
+              ELSE TIMESTAMP '{T0}' END AS _tf_update_date
+  FROM bkt
+), inserted AS (
+  SELECT l_orderkey + 16000000 AS l_orderkey, l_linenumber, l_bucket,
+         l_quantity, l_extendedprice, TIMESTAMP '{T1}' AS _tf_update_date
+  FROM bkt WHERE l_bucket = 0 AND l_orderkey % 7 = 0
+)
+SELECT * FROM updated UNION ALL SELECT * FROM inserted
+"""

@@ -1179,3 +1179,32 @@ WHEN NOT MATCHED THEN INSERT (k, v, vt) VALUES (src.k, src.v, NULL)"""
     # k=1 closed then re-inserted with new value; k=2 NMBS'd (vt stays
     # NULL); k=3 fresh insert
     assert rows == [(1, "A"), (1, "a"), (2, "b"), (3, "c")]
+
+
+def test_sql_merge_partitioned_scenario_hardlinks(spark):
+    """The bench's partition-scoped SQL-MERGE scenario really takes the
+    scoped route: the merge commit records exactly buckets 0 and 1 as
+    rewritten, and an untouched bucket's files hardlink forward (same
+    inode)."""
+    import glob
+    import os
+
+    from tb_lakehouse_enhanced_spark.plans import scd_scenarios as scd
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    df = scd.sql_merge_partitioned_state(spark, "/root/testdata/sf0.001")
+    # locate the managed table the scenario just wrote (its read path)
+    path = df.inputFiles()[0]
+    root = path[:path.index("/gold/fact_part")] + "/gold/fact_part"
+    root = root.replace("file:", "")
+    t = ManagedTable(spark, root)
+    meta = t._commit(t.current_version())
+    assert meta["partitions_rewritten"] == ["l_bucket=0", "l_bucket=1"]
+
+    def inodes(ver, bucket):
+        d = os.path.join(root, f"v{ver}", f"l_bucket={bucket}")
+        return {os.path.basename(p): os.stat(p).st_ino
+                for p in glob.glob(os.path.join(d, "*.parquet"))}
+    for b in (2, 7, 15):
+        assert inodes(1, b) == inodes(0, b) and inodes(1, b), \
+            f"bucket {b} should hardlink forward"
+    assert inodes(1, 0) != inodes(0, 0)
