@@ -563,6 +563,21 @@ class ManagedTable:
             f.write("\n".join(json.dumps(a) for a in actions) + "\n")
         os.replace(tmp, entry)
 
+    def _ensure_readable(self, vdir: str, schema) -> None:
+        """A partitioned write of ZERO rows emits no parquet footer at
+        all (only _SUCCESS), and the version dir would be unreadable —
+        found by the merge-on-read property drive (delete-all on a
+        fully-touched partitioned table). Park one empty schema-bearing
+        file at the root: partition columns ride as ordinary columns
+        (there are no rows, so layout is moot) and the next non-empty
+        write lays partitions out normally. One local listing per
+        commit; no Spark job on the non-empty path."""
+        for _, _, files in os.walk(vdir):
+            if any(f.endswith(".parquet") for f in files):
+                return
+        self.spark.createDataFrame([], schema) \
+            .write.mode("append").parquet(vdir)
+
     def overwrite(self, df: DataFrame, operation: str = "WRITE",
                   extra_meta: dict | None = None) -> "ManagedTable":
         """Write ``df`` as the next snapshot and flip the pointer.
@@ -583,6 +598,9 @@ class ManagedTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(os.path.join(self.path, f"v{v}"))
+        if self.partition_by:
+            self._ensure_readable(os.path.join(self.path, f"v{v}"),
+                                  df.schema)
         meta = {"version": v, "dir": f"v{v}", "op": operation,
                 "ts": time.time(), **(extra_meta or {})}
         return self._publish(v, meta)
@@ -1222,6 +1240,7 @@ class ManagedTable:
             self._validate(cons, rewritten)
         (rewritten.write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
+        self._ensure_readable(vdir, rewritten.schema)
         # hardlink every untouched partition dir from the old snapshot
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
@@ -1418,6 +1437,7 @@ class ManagedTable:
         if cons:
             self._validate(cons, merged)
         merged.write.mode("overwrite").partitionBy(*pb).parquet(vdir)
+        self._ensure_readable(vdir, merged.schema)
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
             for r in touched}
@@ -1495,6 +1515,7 @@ class ManagedTable:
         # `merged` was built from the current slice, so every closed row
         # in it closed just now)
         out.write.mode("overwrite").partitionBy(flag_col).parquet(vdir)
+        self._ensure_readable(vdir, out.schema)
         src_hist = os.path.join(self._version_dir(curv), f"{flag_col}=0")
         dst_hist = os.path.join(vdir, f"{flag_col}=0")
         if os.path.isdir(src_hist):

@@ -1131,3 +1131,24 @@ def test_partitioned_mor_update_delete_stay_partition_scoped(spark, tmp_path):
     assert inodes(final_v, 0) == before[0]
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert set(rows) == {0, 2, 3, 4, 5, 6, 7} and rows[4] == 40.0
+
+
+def test_partitioned_table_readable_after_delete_all(spark, tmp_base):
+    """A partition-scoped DELETE that empties a fully-touched
+    partitioned table (and an empty partitioned overwrite) must leave
+    a READABLE snapshot: zero-row partitioned writes emit no parquet
+    footer, so the commit parks one empty schema-bearing file
+    (hypothesis-found via the MOR property drive)."""
+    from pyspark.sql import functions as F
+    t = ManagedTable(spark, f"{tmp_base}/empty_pt", partition_by=("pt",))
+    t.overwrite(spark.createDataFrame([(0, 0, 0)], "k int, pt int, v int"))
+    t.delete(F.col("v") == 0, stable_partitions=True)
+    assert t.read().count() == 0
+    assert set(t.read().columns) == {"k", "pt", "v"}
+    # still writable + readable afterwards
+    t.overwrite(spark.createDataFrame([(1, 1, 5)], "k int, pt int, v int"))
+    assert [tuple(r) for r in t.read().select("k", "pt", "v").collect()] \
+        == [(1, 1, 5)]
+    t2 = ManagedTable(spark, f"{tmp_base}/empty_pt2", partition_by=("pt",))
+    t2.overwrite(spark.createDataFrame([], "k int, pt int, v int"))
+    assert t2.read().count() == 0
