@@ -395,6 +395,17 @@ _IN_SUB_RE = re.compile(
     r"^(?P<col>\w+(?:\.\w+)?)\s+(?P<not>NOT\s+)?IN\s*\(\s*SELECT\b",
     re.IGNORECASE)
 
+_SUBQUERY_RE = re.compile(r"\bEXISTS\s*\(|\bIN\s*\(\s*SELECT\b"
+                          r"|\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _has_subquery(where: str | None) -> bool:
+    """Does the WHERE text carry any subquery form (EXISTS, IN
+    (SELECT…), scalar (SELECT…))? Checked OUTSIDE string literals."""
+    return bool(where) and any(
+        _SUBQUERY_RE.search(seg)
+        for lit, seg in _segments(where) if not lit)
+
 
 def _split_in_subquery(where: str | None):
     """If one top-level AND-conjunct of ``where`` is a
@@ -1051,6 +1062,8 @@ class LakehouseSql:
             if sub:
                 return self._dml_with_subquery(tbl, where, sub,
                                                assigns=assigns)
+            if _has_subquery(where):
+                return self._dml_via_views(tbl, where, assigns=assigns)
             cond = F.expr(where) if where else F.lit(True)
             return self.table(tbl).update(cond, assigns)
         if head == "DELETE":
@@ -1058,6 +1071,8 @@ class LakehouseSql:
             sub = _split_in_subquery(where)
             if sub:
                 return self._dml_with_subquery(tbl, where, sub)
+            if _has_subquery(where):
+                return self._dml_via_views(tbl, where)
             cond = F.expr(where) if where else F.lit(True)
             return self.table(tbl).delete(cond)
         if head == "INSERT":
@@ -1363,6 +1378,38 @@ class LakehouseSql:
         result = apply_merge(tbl.read(), src, spec,
                              check_cardinality=False)  # src is distinct
         return tbl.overwrite(result, operation="MERGE")
+
+    def _dml_via_views(self, tbl_name: str, where: str,
+                       assigns: dict | None = None) -> ManagedTable:
+        """UPDATE/DELETE whose WHERE carries subquery forms beyond the
+        ``col [NOT] IN (SELECT…)`` fast path — correlated EXISTS,
+        nested INs, scalar subqueries (Delta's full subquery-DML
+        surface). The predicate text passes VERBATIM to Catalyst over
+        a temp view of the target snapshot, so Spark's own subquery
+        decorrelation plans the semi/anti join; the table rewrites as
+        (rows where the predicate IS NOT TRUE) ∪ (matched rows with
+        assignments applied). Exact SQL three-valued semantics,
+        including NOT IN's NULL poisoning — unlike the fast path's
+        documented anti-join reading. Registers the target under its
+        bare table name (correlated outer references in Delta
+        statements use it) and re-registers db.tbl references through
+        ``_bind_managed_tables``; both views read the SAME snapshot."""
+        t = self.table(tbl_name)
+        base = t.read()
+        bare = tbl_name.split(".")[-1]
+        base.createOrReplaceTempView(bare)
+        bound = self._bind_managed_tables(where)
+        hit = self.spark.sql(f"SELECT * FROM {bare} WHERE {bound}")
+        miss = self.spark.sql(
+            f"SELECT * FROM {bare} WHERE ({bound}) IS NOT TRUE")
+        if assigns is None:
+            return t.overwrite(miss, operation="DELETE")
+        dtypes = {f.name: f.dataType for f in base.schema.fields}
+        changed = hit.select(*[
+            (F.expr(assigns[c]).cast(dtypes[c]) if c in assigns
+             else F.col(c)).alias(c) for c in base.columns])
+        return t.overwrite(miss.unionByName(changed),
+                           operation="UPDATE")
 
     def _merge(self, s: str, extra_meta: dict | None = None,
                source_df: DataFrame | None = None) -> ManagedTable:

@@ -1208,3 +1208,43 @@ def test_sql_merge_partitioned_scenario_hardlinks(spark):
         assert inodes(1, b) == inodes(0, b) and inodes(1, b), \
             f"bucket {b} should hardlink forward"
     assert inodes(1, 0) != inodes(0, 0)
+
+
+def test_dml_with_correlated_exists(spark, lake):
+    """Delta's full subquery-DML surface: correlated EXISTS / NOT
+    EXISTS and scalar subqueries in UPDATE/DELETE WHERE execute with
+    exact SQL semantics (Catalyst decorrelation over the snapshot
+    view)."""
+    lake.table("silver.ord").overwrite(spark.createDataFrame(
+        [(1, "open", 10.0), (2, "open", 20.0), (3, "done", 30.0)],
+        "oid int, status string, amt double"))
+    lake.sql("CREATE TABLE silver.pay AS "
+             "SELECT * FROM VALUES (1, 5.0), (1, 5.0), (3, 30.0) "
+             "AS t(oid, paid)")
+    # correlated EXISTS referencing the target by bare table name
+    lake.sql("""
+UPDATE silver.ord SET status = 'paid'
+WHERE EXISTS (SELECT 1 FROM silver.pay p WHERE p.oid = ord.oid)""")
+    rows = {r["oid"]: r["status"]
+            for r in lake.table("silver.ord").read().collect()}
+    assert rows == {1: "paid", 2: "open", 3: "paid"}
+    # correlated NOT EXISTS + residual conjunct
+    lake.sql("""
+DELETE FROM silver.ord
+WHERE NOT EXISTS (SELECT 1 FROM silver.pay p WHERE p.oid = ord.oid)
+  AND status = 'open'""")
+    assert {r["oid"] for r in lake.table("silver.ord").read().collect()} \
+        == {1, 3}
+    # scalar subquery comparison
+    lake.sql("""
+UPDATE silver.ord SET amt = 0.0
+WHERE amt < (SELECT SUM(paid) FROM silver.pay p WHERE p.oid = ord.oid)""")
+    amts = {r["oid"]: r["amt"]
+            for r in lake.table("silver.ord").read().collect()}
+    assert amts == {1: 10.0, 3: 30.0}  # 10 !< 10, 30 !< 30: unchanged
+    lake.sql("""
+UPDATE silver.ord SET amt = -1.0
+WHERE amt <= (SELECT SUM(paid) FROM silver.pay p WHERE p.oid = ord.oid)""")
+    amts = {r["oid"]: r["amt"]
+            for r in lake.table("silver.ord").read().collect()}
+    assert amts == {1: -1.0, 3: -1.0}
