@@ -1095,6 +1095,12 @@ class LakehouseSql:
         m = re.match(r"^OPTIMIZE ([\w.]+)$", s, re.IGNORECASE)
         if m:
             return self.table(m.group(1)).compact()
+        m = re.match(r"^OPTIMIZE ([\w.]+) ZORDER BY \(([^)]+)\)$",
+                     s, re.IGNORECASE)
+        if m:
+            cols = tuple(c.strip() for c in m.group(2).split(","))
+            return self.table(m.group(1)).optimize_layout(
+                cols, zorder=len(cols) > 1)
         m = re.match(r"^VACUUM ([\w.]+)(?: RETAIN (\d+) VERSIONS?)?$",
                      s, re.IGNORECASE)
         if m:

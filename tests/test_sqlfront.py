@@ -1248,3 +1248,30 @@ WHERE amt <= (SELECT SUM(paid) FROM silver.pay p WHERE p.oid = ord.oid)""")
     amts = {r["oid"]: r["amt"]
             for r in lake.table("silver.ord").read().collect()}
     assert amts == {1: -1.0, 3: -1.0}
+
+
+def test_optimize_zorder_statement(spark, lake):
+    """Delta's OPTIMIZE ... ZORDER BY statement maps onto
+    optimize_layout: after clustering, min/max file stats become
+    selective on BOTH zorder columns (files prune on either
+    predicate)."""
+    import random
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(1000), rnd.randrange(1000), i)
+            for i in range(4000)]
+    lake.table("gold.zt").overwrite(
+        spark.createDataFrame(rows, "a int, b int, i int")
+        .repartition(8))
+    lake.sql("OPTIMIZE gold.zt ZORDER BY (a, b)")
+    t = lake.table("gold.zt")
+    assert t._commit(t.current_version())["op"].startswith("OPTIMIZE")
+    t.analyze(("a", "b"))
+    # pruning is selective on both dimensions: a narrow range on
+    # either column must keep only a strict subset of files
+    kept_a = t.pruned_files("a", 0, 50)
+    kept_b = t.pruned_files("b", 0, 50)
+    total = len(t.read().inputFiles())
+    assert kept_a is not None and kept_b is not None
+    assert len(kept_a) < total and len(kept_b) < total
+    # rows survive intact
+    assert t.read().count() == 4000
