@@ -200,6 +200,23 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     all_m = _matrix(pd.Series([r[1] for r in rows]))
 
+    if len(rows) <= 4096:
+        # the corpus is ALREADY on the driver (the cap contract
+        # collected it); a second distributed pass would only pay a
+        # Python-worker launch + Arrow shipping of the same matrix to
+        # score a matmul that takes milliseconds — ~0.4s of fixed
+        # overhead per call at sf0.1. One local blocked matmul and a
+        # parallelized pair list instead; the distributed row-block
+        # path below engages beyond the threshold (up to the 1M cap).
+        sims = all_m @ all_m.T
+        ii, jj = np.nonzero((sims >= threshold)
+                            & (all_ids[:, None] < all_ids[None, :]))
+        spark = corpus.sparkSession
+        pairs = [(int(all_ids[i]), int(all_ids[j]))
+                 for i, j in zip(ii, jj)]
+        return spark.createDataFrame(pairs or [],
+                                     "id_a long, id_b long")
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
