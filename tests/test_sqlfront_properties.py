@@ -177,3 +177,72 @@ def test_parser_invariant_under_layout_mutations(seed):
             mutated.append(" ")
     got = parse_merge("".join(mutated))
     assert got == want
+
+
+# ------------------------------------------------ fused close+insert -------
+#
+# The round-7 SCD2 fusion (apply_merge_fused_pair) must be
+# row-for-row equivalent to running the two statements sequentially —
+# across guard shapes, clause conditions, multi-version targets
+# (several rows per key, open + closed), sources matching zero/one/
+# many target rows, and NULL source keys.
+
+_F_MATCHED_CONDS = [None, "tgt.v != src.v", "src.v >= 5"]
+_F_INS_CONDS = [None, "src.v % 2 = 0"]
+
+
+def _render_pair(m_cond, ins_cond, with_nmbs):
+    on = "tgt.k = src.k AND tgt.vt IS NULL"
+    close = ["MERGE INTO db.t AS tgt USING s AS src ON " + on,
+             "WHEN MATCHED" + (f" AND {m_cond}" if m_cond else "")
+             + " THEN UPDATE SET tgt.vt = 1, tgt.closed_v = src.v"]
+    if with_nmbs:
+        close.append("WHEN NOT MATCHED BY SOURCE AND tgt.vt IS NULL "
+                     "THEN UPDATE SET tgt.vt = 1")
+    ins = ["MERGE INTO db.t AS tgt USING s AS src ON " + on,
+           "WHEN NOT MATCHED" + (f" AND {ins_cond}" if ins_cond else "")
+           + " THEN INSERT (k, v, vt, closed_v) "
+           "VALUES (src.k, src.v, NULL, NULL)"]
+    return "\n".join(close), "\n".join(ins)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(tgt_rows=st.lists(
+           st.tuples(st.integers(0, 5), st.integers(0, 9),
+                     st.sampled_from([None, 1])), max_size=10),
+       src_d=st.dictionaries(st.integers(0, 5), st.integers(0, 9),
+                             max_size=6),
+       null_key_src=st.booleans(),
+       m_idx=st.sampled_from(range(len(_F_MATCHED_CONDS))),
+       ins_idx=st.sampled_from(range(len(_F_INS_CONDS))),
+       with_nmbs=st.booleans())
+def test_fused_pair_equals_sequential(spark, tgt_rows, src_d,
+                                      null_key_src, m_idx, ins_idx,
+                                      with_nmbs):
+    from tb_lakehouse_enhanced_spark.sqlfront import (
+        _fusable_close_insert, apply_merge_fused_pair,
+    )
+    close_sql, ins_sql = _render_pair(_F_MATCHED_CONDS[m_idx],
+                                      _F_INS_CONDS[ins_idx], with_nmbs)
+    s1, s2 = parse_merge(close_sql), parse_merge(ins_sql)
+    assert _fusable_close_insert(s1, s2)
+    src_rows = sorted(src_d.items())
+    if null_key_src:
+        src_rows.append((None, 7))
+    tgt = spark.createDataFrame(
+        [(k, v, vt, None) for k, v, vt in tgt_rows] or
+        [(None, None, None, None)],
+        "k int, v int, vt int, closed_v int").filter(
+        "v IS NOT NULL OR k IS NOT NULL OR vt IS NOT NULL"
+        if tgt_rows else "FALSE")
+    src = spark.createDataFrame(
+        src_rows or [(None, None)], "k int, v int").filter(
+        "TRUE" if src_rows else "FALSE")
+    seq = apply_merge(apply_merge(tgt, src, s1, check_cardinality=False),
+                      src, s2, check_cardinality=False)
+    fused = apply_merge_fused_pair(tgt, src, s1, s2)
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted(map(tuple, fused.collect()), key=lambda t: key(t)) \
+        == sorted(map(tuple, seq.collect()), key=lambda t: key(t)), \
+        (close_sql, ins_sql, tgt_rows, src_rows)
