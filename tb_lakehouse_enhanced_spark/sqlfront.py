@@ -337,7 +337,8 @@ def _matching_paren(s: str) -> int:
 _UPDATE_RE = re.compile(r"^UPDATE (?P<tbl>[\w.]+) SET ", re.IGNORECASE)
 _DELETE_RE = re.compile(r"^DELETE FROM (?P<tbl>[\w.]+)\s*", re.IGNORECASE)
 _INSERT_RE = re.compile(
-    r"^INSERT INTO (?P<tbl>[\w.]+)(?: \((?P<cols>[^)]*)\))? "
+    r"^INSERT (?P<mode>INTO|OVERWRITE(?: TABLE)?) (?P<tbl>[\w.]+)"
+    r"(?: \((?P<cols>[^)]*)\))? "
     r"(?P<body>VALUES |SELECT )", re.IGNORECASE)
 
 
@@ -370,9 +371,9 @@ def parse_delete(sql: str):
 
 
 def parse_insert(sql: str):
-    """``INSERT INTO t [(cols)] VALUES (...)[, ...]`` or ``INSERT INTO
-    t [(cols)] SELECT ...`` (reference 01_Init.py:265-321) ->
-    (table, cols|None, select_sql)."""
+    """``INSERT INTO|OVERWRITE t [(cols)] VALUES (...)[, ...]`` or
+    ``... SELECT ...`` (reference 01_Init.py:265-321) ->
+    (table, cols|None, select_sql, overwrite)."""
     s = _norm(sql)
     m = _INSERT_RE.match(s)
     if not m:
@@ -388,7 +389,8 @@ def parse_insert(sql: str):
                           f"({', '.join(cols)})")
     else:
         select_sql = body
-    return m.group("tbl"), cols, select_sql
+    overwrite = m.group("mode").upper().startswith("OVERWRITE")
+    return m.group("tbl"), cols, select_sql, overwrite
 
 
 _IN_SUB_RE = re.compile(
@@ -438,8 +440,18 @@ def _split_in_subquery(where: str | None):
 _CREATE_TABLE_RE = re.compile(
     r"^CREATE (?P<replace>OR REPLACE )?TABLE (?P<ine>IF NOT EXISTS )?"
     r"(?P<tbl>[\w.]+) ?"
-    r"(?P<body>\(|(?:PARTITIONED BY \((?P<pbc>[^)]*)\) )?"
+    r"(?P<body>\(|(?:USING \w+ |PARTITIONED BY \((?P<pbc>[^)]*)\) "
+    r"|TBLPROPERTIES \([^)]*\) |COMMENT '(?:[^']|'')*' )*"
     r"AS (?:SELECT|WITH) )", re.IGNORECASE)
+# table-level decorations after the coldef parens (Databricks DDL:
+# USING DELTA, COMMENT, TBLPROPERTIES, PARTITIONED BY in any order) —
+# USING/COMMENT/TBLPROPERTIES are storage/metadata hints with no
+# behavioral content here (storage is always this engine's managed
+# parquet layout), so they parse and drop; PARTITIONED BY is honored
+_TBL_DECOR = re.compile(
+    r"^(?:USING (?P<using>\w+)|COMMENT '(?:[^']|'')*'"
+    r"|TBLPROPERTIES \([^)]*\)"
+    r"|PARTITIONED BY \((?P<pbc2>[^)]*)\))\s*", re.IGNORECASE)
 _CREATE_DB_RE = re.compile(
     r"^CREATE (?:DATABASE|SCHEMA) (?P<ine>IF NOT EXISTS )?(?P<db>[\w.]+)$",
     re.IGNORECASE)
@@ -452,7 +464,8 @@ _DROP_TABLE_RE = re.compile(
 _COL_MODIFIERS = re.compile(
     r"(?P<identity> GENERATED (?P<idkind>ALWAYS|BY DEFAULT) AS IDENTITY"
     r"(?: \([^)]*\))?)|(?P<pk> PRIMARY KEY)|(?P<nn> NOT NULL)"
-    r"|(?P<fk> REFERENCES (?P<fktbl>[\w.]+) ?\((?P<fkcol>[^)]*)\))",
+    r"|(?P<fk> REFERENCES (?P<fktbl>[\w.]+) ?\((?P<fkcol>[^)]*)\))"
+    r"|(?P<comment> COMMENT '(?:[^']|'')*')",
     re.IGNORECASE)
 
 
@@ -489,11 +502,18 @@ def parse_create_table(sql: str):
     body = s[m.end() - 1:]
     close = _matching_paren(body)
     tail = body[close + 1:].strip()
-    mt = re.match(r"^PARTITIONED BY \(([^)]*)\)$", tail, re.IGNORECASE)
-    if mt:
-        pb = tuple(c.strip() for c in mt.group(1).split(","))
-    elif tail:
-        raise ValueError(f"unexpected text after column defs: {tail[:60]!r}")
+    while tail:
+        mt = _TBL_DECOR.match(tail)
+        if not mt:
+            raise ValueError(
+                f"unexpected text after column defs: {tail[:60]!r}")
+        if mt.group("pbc2"):
+            pb = tuple(c.strip() for c in mt.group("pbc2").split(","))
+        if mt.group("using") and mt.group("using").upper() not in (
+                "DELTA", "PARQUET"):
+            raise ValueError(
+                f"unsupported storage format: USING {mt.group('using')}")
+        tail = tail[mt.end():].strip()
     info: dict = {"identity": None, "primary_key": [], "not_null": [],
                   "foreign_keys": []}
     fields = []
@@ -1118,6 +1138,35 @@ class LakehouseSql:
                 [(int(h["version"]), str(h.get("op", "")),
                   float(h.get("ts", 0.0))) for h in hist],
                 "version bigint, operation string, timestamp double")
+        m = re.match(r"^TRUNCATE TABLE ([\w.]+)$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            return t.overwrite(t.read().limit(0), operation="TRUNCATE")
+        m = re.match(r"^SHOW TABLES(?: (?:IN|FROM) (\w+))?$", s,
+                     re.IGNORECASE)
+        if m:
+            rows = []
+            for db in sorted(os.listdir(self.root)) \
+                    if os.path.isdir(self.root) else []:
+                if m.group(1) and db != m.group(1):
+                    continue
+                dbdir = os.path.join(self.root, db)
+                if not os.path.isdir(dbdir):
+                    continue
+                for name in sorted(os.listdir(dbdir)):
+                    if ManagedTable(
+                            self.spark,
+                            os.path.join(dbdir, name)).exists():
+                        rows.append((db, name))
+            return self.spark.createDataFrame(
+                rows or [], "namespace string, tableName string")
+        m = re.match(r"^DESCRIBE (?:TABLE )?([\w.]+)$", s, re.IGNORECASE)
+        if m and self.table(m.group(1)).exists():
+            schema = self.table(m.group(1)).read().schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), None)
+                 for f in schema.fields],
+                "col_name string, data_type string, comment string")
         return None
 
     def _bind_managed_tables(self, s: str) -> str:
@@ -1648,7 +1697,7 @@ class LakehouseSql:
         return pb
 
     def _insert(self, s: str) -> ManagedTable:
-        tbl_name, cols, select_sql = parse_insert(s)
+        tbl_name, cols, select_sql, replace = parse_insert(s)
         tbl = self.table(tbl_name)
         new = self.spark.sql(self._bind_managed_tables(select_sql))
         if not tbl.exists():
@@ -1668,9 +1717,11 @@ class LakehouseSql:
         self._reject_always_identity(info, cols, "INSERT")
         proj = [(F.col(c) if c in cols else F.lit(None))
                 .cast(dtypes[c]).alias(c) for c in cur.columns]
-        result = cur.unionByName(new.select(*proj))
+        base = cur.limit(0) if replace else cur
+        result = base.unionByName(new.select(*proj))
         ident = info.get("identity")
         if ident and ident in cur.columns and ident not in cols:
-            result = _assign_identity(result, cur, ident,
+            result = _assign_identity(result, base, ident,
                                       [c for c in cols])
-        return tbl.overwrite(result, operation="INSERT")
+        return tbl.overwrite(
+            result, operation="INSERT OVERWRITE" if replace else "INSERT")

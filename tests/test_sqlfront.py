@@ -104,9 +104,10 @@ WHERE City = 'Bothell'
     # reference 23:50
     assert parse_delete("DELETE FROM address WHERE City = 'Surrey'") == \
         ("address", "City = 'Surrey'")
-    tbl, cols, sel = parse_insert(
+    tbl, cols, sel, ow = parse_insert(
         "INSERT INTO gold.dim_customer (cust_id, cust_name) "
         "VALUES (-9, 'N/A')")
+    assert ow is False
     assert tbl == "gold.dim_customer" and cols == ("cust_id", "cust_name")
     assert sel.startswith("SELECT * FROM (VALUES")
 
@@ -1275,3 +1276,45 @@ def test_optimize_zorder_statement(spark, lake):
     assert len(kept_a) < total and len(kept_b) < total
     # rows survive intact
     assert t.read().count() == 4000
+
+
+def test_databricks_ddl_decorations_and_service_statements(spark, lake):
+    """Databricks-flavored DDL decorations (USING DELTA, COMMENT,
+    TBLPROPERTIES, column COMMENTs) parse; INSERT OVERWRITE replaces
+    content; TRUNCATE empties; SHOW TABLES / DESCRIBE TABLE report the
+    managed catalog."""
+    lake.sql("""
+CREATE TABLE gold.deco (
+  id BIGINT GENERATED BY DEFAULT AS IDENTITY COMMENT 'surrogate; key',
+  v STRING NOT NULL COMMENT 'payload'
+) USING DELTA COMMENT 'decorated table'
+  TBLPROPERTIES ('delta.appendOnly' = 'false')
+  PARTITIONED BY (v)""")
+    t = lake.table("gold.deco")
+    assert t.partition_by == ("v",)
+    assert lake._ddl_info(t)["identity"] == "id"
+    with pytest.raises(ValueError, match="unsupported storage"):
+        lake.sql("CREATE TABLE gold.bad (x INT) USING ICEBERG")
+    # CTAS with decorations
+    lake.sql("CREATE TABLE gold.deco2 USING DELTA TBLPROPERTIES "
+             "('k'='v') AS SELECT 1 AS a")
+    assert lake.table("gold.deco2").read().count() == 1
+
+    lake.table("gold.seed").overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    lake.sql("INSERT OVERWRITE gold.seed VALUES (9, 'z')")
+    assert [tuple(r) for r in lake.table("gold.seed").read().collect()] \
+        == [(9, "z")]
+    lake.sql("INSERT OVERWRITE TABLE gold.seed (k, v) "
+             "SELECT 7, 'q'")
+    assert [tuple(r) for r in lake.table("gold.seed").read().collect()] \
+        == [(7, "q")]
+    lake.sql("TRUNCATE TABLE gold.seed")
+    assert lake.table("gold.seed").read().count() == 0
+
+    tables = {(r["namespace"], r["tableName"])
+              for r in lake.sql("SHOW TABLES IN gold").collect()}
+    assert ("gold", "seed") in tables and ("gold", "deco") in tables
+    desc = {r["col_name"]: r["data_type"]
+            for r in lake.sql("DESCRIBE TABLE gold.deco2").collect()}
+    assert desc == {"a": "int"}
