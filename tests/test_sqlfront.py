@@ -1318,3 +1318,190 @@ CREATE TABLE gold.deco (
     desc = {r["col_name"]: r["data_type"]
             for r in lake.sql("DESCRIBE TABLE gold.deco2").collect()}
     assert desc == {"a": "int"}
+
+
+# ------------------------------------------- verbatim medallion flow -------
+
+def _notebook_sql_statements(name: str) -> list[str]:
+    """Extract every triple-quoted ``spark.sql(\"\"\"...\"\"\")``
+    statement text from a reference notebook, VERBATIM."""
+    import re as _re
+    text = open(f"/root/reference/notebooks/{name}").read()
+    return [m.group(1).strip() for m in
+            _re.finditer(r'spark\.sql\("""(.*?)"""\)', text, _re.DOTALL)]
+
+
+def test_verbatim_medallion_flow_end_to_end(spark, lake):
+    """The WHOLE reference pipeline as verbatim statement texts: the
+    init notebook's DDL, then the silver SCD2 MERGE pairs
+    (22_ETL_Silver_PySpark.py), the gold dim MERGEs
+    (33_ETL_Gold_Dim_PySpark.py), and the fact MERGE
+    (34_ETL_Gold_Fact_PySpark.py) — every SQL string extracted from
+    the notebooks, executed unchanged against managed tables, with the
+    clock pinned per load."""
+    for db in ("bronze", "silver", "gold"):
+        lake.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    lake.now = T0
+    for cell in _init_sql_cells():
+        lake.run_script(cell)
+
+    s22 = _notebook_sql_statements("22_ETL_Silver_PySpark.py")
+    s33 = _notebook_sql_statements("33_ETL_Gold_Dim_PySpark.py")
+    s34 = _notebook_sql_statements("34_ETL_Gold_Fact_PySpark.py")
+    assert len(s22) == 8 and len(s33) == 2 and len(s34) == 1
+    by_target = {}
+    for stmt in s22:
+        tgt = parse_merge(stmt).target
+        by_target.setdefault(tgt, []).append(stmt)
+
+    ts = F.lit("2020-01-01 00:00:00").cast("timestamp")
+
+    def views(addrs, custs):
+        spark.createDataFrame(
+            [(i, f"{n} St", "apt 1", c, "WA", "US", "98011", f"g-{i}", None)
+             for i, n, c in addrs],
+            "address_id int, address_line1 string, address_line2 string,"
+            "city string, state_province string, country_region string,"
+            "postal_code string, rowguid string, modified_date timestamp"
+        ).withColumn("modified_date", ts).createOrReplaceTempView(
+            "src_address")
+        spark.createDataFrame(
+            [(i, False, "Mr", fn, "Q", "Doe", None, "Acme", "sp", None,
+              "555", "h", "s", f"cg-{i}", None) for i, fn in custs],
+            "customer_id int, name_style boolean, title string,"
+            "first_name string, middle_name string, last_name string,"
+            "suffix string, company_name string, sales_person string,"
+            "email_address string, phone string, password_hash string,"
+            "password_salt string, rowguid string,"
+            "modified_date timestamp"
+        ).withColumn("modified_date", ts).createOrReplaceTempView(
+            "src_customer")
+
+    def order_views():
+        spark.createDataFrame(
+            [(100, 1, "2024-03-05 00:00:00", None, None, 1, True,
+              "SO100", None, "AC1", 1, 1, 1, "truck", None,
+              10.0, 1.0, 2.0, 13.0, None, "og", None)],
+            "sales_order_id int, revision_number smallint,"
+            "order_date string, due_date timestamp, ship_date timestamp,"
+            "status smallint, online_order_flag boolean,"
+            "sales_order_number string, purchase_order_number string,"
+            "account_number string, customer_id int,"
+            "ship_to_address_id int, bill_to_address_id int,"
+            "ship_method string, credit_card_approval_code string,"
+            "sub_total double, tax_amt double, freight double,"
+            "total_due double, comment string, rowguid string,"
+            "modified_date timestamp") \
+            .withColumn("order_date", F.col("order_date").cast("timestamp")) \
+            .withColumn("sub_total", F.col("sub_total").cast("decimal(19,4)")) \
+            .withColumn("tax_amt", F.col("tax_amt").cast("decimal(19,4)")) \
+            .withColumn("freight", F.col("freight").cast("decimal(19,4)")) \
+            .withColumn("total_due", F.col("total_due").cast("decimal(19,4)")) \
+            .createOrReplaceTempView("src_soh")
+        spark.createDataFrame(
+            [(100, 1001, 2, 7, 5.0, 0.0, 10.0, "dg", None),
+             (100, 1002, 1, 8, 3.0, 0.0, 3.0, "dg2", None)],
+            "sales_order_id int, sales_order_detail_id int,"
+            "order_qty smallint, product_id int, unit_price double,"
+            "unit_price_discount double, line_total double,"
+            "rowguid string, modified_date timestamp") \
+            .withColumn("unit_price", F.col("unit_price").cast("decimal(19,4)")) \
+            .withColumn("unit_price_discount",
+                        F.col("unit_price_discount").cast("decimal(19,4)")) \
+            .withColumn("line_total", F.col("line_total").cast("decimal(38,6)")) \
+            .createOrReplaceTempView("src_sod")
+
+    # ---- load 1 -----------------------------------------------------
+    views(addrs=[(1, "Main", "Bothell"), (2, "Oak", "Surrey")],
+          custs=[(1, "Ann"), (2, "Bob")])
+    order_views()
+    for tgt, pair in by_target.items():
+        for stmt in pair:
+            lake.sql(stmt)
+    assert lake.table("silver.address").read().count() == 2
+    assert lake.table("silver.customer").read().count() == 2
+    # gold dims (sources are the silver current slices, reference
+    # 33:44-56 selectExpr shapes driven through the front-end's
+    # SELECT binding)
+    lake.sql("""
+SELECT CAST(address_id AS INT) AS geo_address_id,
+  COALESCE(TRY_CAST(address_line1 AS STRING), 'N/A') AS geo_address_line_1,
+  COALESCE(TRY_CAST(address_line2 AS STRING), 'N/A') AS geo_address_line_2,
+  COALESCE(TRY_CAST(city AS STRING), 'N/A') AS geo_city,
+  COALESCE(TRY_CAST(state_province AS STRING), 'N/A') AS geo_state_province,
+  COALESCE(TRY_CAST(country_region AS STRING), 'N/A') AS geo_country_region,
+  COALESCE(TRY_CAST(postal_code AS STRING), 'N/A') AS geo_postal_code
+FROM silver.address WHERE _tf_valid_to IS NULL
+""").createOrReplaceTempView("src_geo")
+    lake.sql("""
+SELECT CAST(customer_id AS INT) AS cust_customer_id,
+  COALESCE(TRY_CAST(title AS STRING), 'N/A') AS cust_title,
+  COALESCE(TRY_CAST(first_name AS STRING), 'N/A') AS cust_first_name,
+  COALESCE(TRY_CAST(middle_name AS STRING), 'N/A') AS cust_middle_name,
+  COALESCE(TRY_CAST(last_name AS STRING), 'N/A') AS cust_last_name,
+  COALESCE(TRY_CAST(suffix AS STRING), 'N/A') AS cust_suffix,
+  COALESCE(TRY_CAST(company_name AS STRING), 'N/A') AS cust_company_name,
+  COALESCE(TRY_CAST(sales_person AS STRING), 'N/A') AS cust_sales_person,
+  COALESCE(TRY_CAST(email_address AS STRING), 'N/A') AS cust_email_address,
+  COALESCE(TRY_CAST(phone AS STRING), 'N/A') AS cust_phone
+FROM silver.customer WHERE _tf_valid_to IS NULL
+""").createOrReplaceTempView("src_cust")
+    for stmt in s33:
+        lake.sql(stmt)
+    geo = {r["geo_address_id"]: r["_tf_dim_geography_id"]
+           for r in lake.table("gold.dim_geography").read().collect()}
+    assert set(geo) == {0, 1, 2}            # -9 seed (addr 0) + 2 rows
+    assert geo[0] == -9 and sorted(geo[v] for v in (1, 2)) == [1, 2]
+
+    # fact: the 34:44-83 join chain through the SELECT binding
+    lake.sql("""
+SELECT CAST(soh.sales_order_id AS INT) AS sales_order_id,
+  CAST(sod.sales_order_detail_id AS INT) AS sales_order_detail_id,
+  10000 * YEAR(soh.order_date) + 100 * MONTH(soh.order_date)
+    + DAY(soh.order_date) AS _tf_dim_calendar_id,
+  COALESCE(cust._tf_dim_customer_id, -9) AS _tf_dim_customer_id,
+  COALESCE(geo._tf_dim_geography_id, -9) AS _tf_dim_geography_id,
+  COALESCE(CAST(sod.order_qty AS SMALLINT), 0) AS sales_order_qty,
+  COALESCE(CAST(sod.unit_price AS DECIMAL(19,4)), 0) AS sales_unit_price,
+  COALESCE(CAST(sod.unit_price_discount AS DECIMAL(19,4)), 0)
+    AS sales_unit_price_discount,
+  COALESCE(CAST(sod.line_total AS DECIMAL(38,6)), 0) AS sales_line_total
+FROM silver.sales_order_detail sod
+LEFT JOIN silver.sales_order_header soh
+  ON sod.sales_order_id = soh.sales_order_id
+     AND soh._tf_valid_to IS NULL
+LEFT JOIN silver.customer c
+  ON soh.customer_id = c.customer_id AND c._tf_valid_to IS NULL
+LEFT JOIN gold.dim_customer cust
+  ON c.customer_id = cust.cust_customer_id
+LEFT JOIN silver.address a
+  ON soh.bill_to_address_id = a.address_id AND a._tf_valid_to IS NULL
+LEFT JOIN gold.dim_geography geo
+  ON a.address_id = geo.geo_address_id
+WHERE sod._tf_valid_to IS NULL
+""").createOrReplaceTempView("_tmp_fact_sales")
+    lake.sql(s34[0])
+    fact = lake.table("gold.fact_sales").read().collect()
+    assert len(fact) == 2
+    ids = sorted(r["_tf_fact_sales_id"] for r in fact)
+    assert ids == [1, 2]                    # ALWAYS identity assigned
+    assert all(r["_tf_dim_calendar_id"] == 20240305 for r in fact)
+    assert set(lake.validate_foreign_keys("gold.fact_sales").values()) \
+        == {0}
+
+    # ---- load 2: change addr 1, drop addr 2, add addr 3 -------------
+    lake.now = T1
+    views(addrs=[(1, "Main", "Irving"), (3, "Pine", "Bothell")],
+          custs=[(1, "Ann"), (2, "Bob")])
+    for stmt in by_target["silver.address"]:
+        lake.sql(stmt)
+    addr = lake.table("silver.address").read().collect()
+    current = {r["address_id"]: r["city"] for r in addr
+               if r["_tf_valid_to"] is None}
+    closed = {r["address_id"]: r["city"] for r in addr
+              if r["_tf_valid_to"] is not None}
+    assert current == {1: "Irving", 3: "Bothell"}
+    assert closed == {1: "Bothell", 2: "Surrey"}
+    # silver identities are GENERATED ALWAYS: all distinct, all >= 1
+    tids = [r["_tf_id"] for r in addr]
+    assert len(set(tids)) == len(tids) and min(tids) >= 1
