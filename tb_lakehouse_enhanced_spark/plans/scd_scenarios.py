@@ -554,7 +554,10 @@ def sql_merge_partitioned_state(spark: SparkSession,
                         now=T1)
     t = ManagedTable(spark, f"{lake.root}/gold/fact_part",
                      partition_by=("l_bucket",))
-    t.overwrite(base.withColumn(
+    # cluster the bootstrap by the partition column: one file per
+    # bucket dir instead of tasks×buckets tiny files (every later scan
+    # and the merge's member filter read this layout)
+    t.overwrite(base.repartition("l_bucket").withColumn(
         "_tf_update_date", F.lit(T0).cast("timestamp")))
     touched = base.filter(F.col("l_bucket").isin(0, 1))
     bumped = touched.withColumn(

@@ -317,6 +317,11 @@ def _parse_when(seg: str, aliases: tuple[str, str]) -> MergeClause:
                            insert_vals=vals)
     if au == "DELETE":
         return MergeClause(f"{kindp}_delete", cond)
+    if au == "UPDATE SET *":
+        # Delta's shorthand: assign every source column to its
+        # same-named target column; resolved against the actual
+        # source/target schemas at execution (apply_merge)
+        return MergeClause(f"{kindp}_update", cond, assigns=None)
     if au.startswith("UPDATE SET "):
         return MergeClause(
             f"{kindp}_update", cond,
@@ -625,6 +630,29 @@ def _equi_source_keys(on: str, t: str, s: str) -> list[str] | None:
 
 # -------------------------------------------------------------- executor ---
 
+def _resolve_star_updates(spec: MergeSpec, target_cols, source_cols
+                          ) -> MergeSpec:
+    """Expand ``UPDATE SET *`` clauses (parsed as ``assigns=None``)
+    into explicit same-name source->target assignments, now that both
+    schemas are known."""
+    from dataclasses import replace as _dc_replace
+    tset = set(target_cols)
+    out, changed = [], False
+    for cl in spec.clauses:
+        if cl.kind.endswith("_update") and cl.assigns is None:
+            if cl.kind.startswith("nmbs"):
+                raise ValueError(
+                    "UPDATE SET * is not valid in a NOT MATCHED BY "
+                    "SOURCE clause (there is no source row to copy)")
+            assigns = {c: f"{spec.s_alias}.{c}" for c in source_cols
+                       if c in tset}
+            out.append(_dc_replace(cl, assigns=assigns))
+            changed = True
+        else:
+            out.append(cl)
+    return _dc_replace(spec, clauses=tuple(out)) if changed else spec
+
+
 def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
                 check_cardinality: bool = True) -> DataFrame:
     """Compute the post-MERGE target state as ONE full-outer join +
@@ -641,6 +669,7 @@ def apply_merge(target: DataFrame, source: DataFrame, spec: MergeSpec,
     matched slice.
     """
     t, s = spec.t_alias, spec.s_alias
+    spec = _resolve_star_updates(spec, target.columns, source.columns)
     out_cols = target.columns
     dtypes = {f.name: f.dataType for f in target.schema.fields}
 
@@ -814,7 +843,7 @@ def _fusable_close_insert(s1: MergeSpec, s2: MergeSpec) -> bool:
         return False
     if not s1.clauses or not all(
             c.kind in ("matched_update", "nmbs_update")
-            for c in s1.clauses):
+            and c.assigns is not None for c in s1.clauses):
         return False
     if len(s2.clauses) != 1 or s2.clauses[0].kind != "insert":
         return False
@@ -866,6 +895,7 @@ def apply_merge_fused_pair(target: DataFrame, source: DataFrame,
     from pyspark.sql import Window
 
     t, s = spec1.t_alias, spec1.s_alias
+    spec1 = _resolve_star_updates(spec1, target.columns, source.columns)
     out_cols = target.columns
     dtypes = {f.name: f.dataType for f in target.schema.fields}
     pairs, guards = _on_structure(spec1.on, t, s)
@@ -1505,7 +1535,10 @@ class LakehouseSql:
             for cl in spec.clauses:
                 if cl.kind.endswith("_update"):
                     self._reject_always_identity(
-                        info, cl.assigns, "MERGE UPDATE SET")
+                        info,
+                        cl.assigns if cl.assigns is not None
+                        else source.columns,   # UPDATE SET * copies src
+                        "MERGE UPDATE SET")
                 elif cl.kind == "insert":
                     explicit = (
                         [_strip_alias(c, (spec.t_alias, spec.s_alias))
@@ -1637,7 +1670,10 @@ class LakehouseSql:
                 for cl in spec.clauses:
                     if cl.kind.endswith("_update"):
                         self._reject_always_identity(
-                            info, cl.assigns, "MERGE UPDATE SET")
+                            info,
+                            cl.assigns if cl.assigns is not None
+                            else source.columns,
+                            "MERGE UPDATE SET")
                     elif cl.kind == "insert":
                         explicit = (
                             [_strip_alias(c, (spec.t_alias, spec.s_alias))
@@ -1685,8 +1721,9 @@ class LakehouseSql:
         for cl in spec.clauses:
             if cl.kind.startswith("nmbs"):
                 return None
-            if cl.kind.endswith("_update") and any(
-                    c in cl.assigns for c in pb):
+            if cl.kind.endswith("_update") and (
+                    cl.assigns is None      # SET *: could touch pb
+                    or any(c in cl.assigns for c in pb)):
                 return None
             if cl.kind == "insert" and cl.insert_cols is not None:
                 vals = {_strip_alias(c, (t, s)): v.strip()

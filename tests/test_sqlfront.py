@@ -1505,3 +1505,23 @@ WHERE sod._tf_valid_to IS NULL
     # silver identities are GENERATED ALWAYS: all distinct, all >= 1
     tids = [r["_tf_id"] for r in addr]
     assert len(set(tids)) == len(tids) and min(tids) >= 1
+
+
+def test_merge_update_set_star(spark, lake):
+    """Delta's UPDATE SET * / INSERT * shorthand pair: every source
+    column copies to its same-named target column; target-only columns
+    pass through on update."""
+    lake.table("gold.star_t").overwrite(spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 0.6)], "k int, v string, keepme double"))
+    spark.createDataFrame([(1, "A"), (3, "c")], "k int, v string") \
+        .createOrReplaceTempView("src_star")
+    lake.sql("""
+MERGE INTO gold.star_t AS tgt USING src_star AS src ON tgt.k = src.k
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *""")
+    rows = sorted(map(tuple, lake.table("gold.star_t").read().collect()))
+    assert rows == [(1, "A", 0.5), (2, "b", 0.6), (3, "c", None)]
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        lake.sql("""
+MERGE INTO gold.star_t AS tgt USING src_star AS src ON tgt.k = src.k
+WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""")
