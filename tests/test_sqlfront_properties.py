@@ -37,7 +37,8 @@ _INS_CONDS = [
 ]
 
 _matched_clause = st.tuples(st.sampled_from(range(len(_MATCHED_CONDS))),
-                            st.sampled_from(["update", "delete"]))
+                            st.sampled_from(["update", "update_star",
+                                             "delete"]))
 _nmbs_clause = st.tuples(st.sampled_from(range(len(_NMBS_CONDS))),
                          st.sampled_from(["update", "delete"]))
 _ins_clause = st.sampled_from(range(len(_INS_CONDS)))
@@ -53,8 +54,9 @@ def _render(matched, nmbs, insert_idx):
     for ci, action in matched:
         cond = _MATCHED_CONDS[ci][0]
         head = "WHEN MATCHED" + (f" AND {cond}" if cond else "")
-        act = "UPDATE SET tgt.v = src.v + 100" if action == "update" \
-            else "DELETE"
+        act = {"update": "UPDATE SET tgt.v = src.v + 100",
+               "update_star": "UPDATE SET *",
+               "delete": "DELETE"}[action]
         parts.append(f"{head} THEN {act}")
     for ci, action in nmbs:
         cond = _NMBS_CONDS[ci][0]
@@ -81,6 +83,8 @@ def _model(tgt: dict, src: dict, matched, nmbs, insert_idx) -> dict:
                     break
             if fired == "update":
                 out[k] = sv + 100
+            elif fired == "update_star":
+                out[k] = sv
             elif fired == "delete":
                 pass
             else:
