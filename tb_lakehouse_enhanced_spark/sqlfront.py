@@ -468,7 +468,7 @@ _DROP_TABLE_RE = re.compile(
 
 _COL_MODIFIERS = re.compile(
     r"(?P<identity> GENERATED (?P<idkind>ALWAYS|BY DEFAULT) AS IDENTITY"
-    r"(?: \([^)]*\))?)|(?P<pk> PRIMARY KEY)|(?P<nn> NOT NULL)"
+    r"(?: \((?P<idspec>[^)]*)\))?)|(?P<pk> PRIMARY KEY)|(?P<nn> NOT NULL)"
     r"|(?P<fk> REFERENCES (?P<fktbl>[\w.]+) ?\((?P<fkcol>[^)]*)\))"
     r"|(?P<comment> COMMENT '(?:[^']|'')*')",
     re.IGNORECASE)
@@ -536,6 +536,16 @@ def parse_create_table(sql: str):
             if mm.group("identity"):
                 info["identity_always"] = \
                     mm.group("idkind").upper() == "ALWAYS"
+                spec = mm.group("idspec") or ""
+                ms = re.search(r"START\s+WITH\s+(-?\d+)", spec,
+                               re.IGNORECASE)
+                mi = re.search(r"INCREMENT\s+BY\s+(-?\d+)", spec,
+                               re.IGNORECASE)
+                info["identity_start"] = int(ms.group(1)) if ms else 1
+                info["identity_step"] = int(mi.group(1)) if mi else 1
+                if info["identity_step"] == 0:
+                    raise ValueError(
+                        "IDENTITY INCREMENT BY must be non-zero")
             if mm.group("fk"):
                 fks.append((mm.group("fktbl"),
                             mm.group("fkcol").strip()))
@@ -1013,25 +1023,49 @@ def _findall_code(pattern: str, s: str, flags=0) -> list:
 
 
 def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
-                     order_cols: list[str]) -> DataFrame:
+                     order_cols: list[str], start: int = 1,
+                     step: int = 1) -> DataFrame:
     """Fill NULL ``ident`` values (merge-inserted rows) with a dense
-    sequence continuing past the pre-merge target's max — the
-    identity high-water mark as a 1-row broadcast riding
-    dense_sequence's dynamic offset (zero extra driver jobs). The
-    mark is floored at 0 (START WITH 1): an explicit negative seed
-    like the reference's -9 unknown member must not pull generated
-    ids below 1, matching Delta's sequence behavior."""
+    sequence of the identity domain ``start + k*step`` continuing past
+    the pre-merge target's high-water mark — a 1-row broadcast riding
+    dense_sequence's dynamic offset (zero extra driver jobs).
+
+    The slot counter ``k`` is floored at 0 (never generate before
+    START WITH): an explicit seed outside the generated domain — the
+    reference's -9 unknown member under the default (1,1) — must not
+    pull generated ids below ``start``, matching Delta's sequence
+    behavior. Negative INCREMENT BY tracks the table MIN instead of
+    the MAX (the high-water mark runs downward)."""
     from .operators.sequence import dense_sequence
     ident_t = target.schema[ident].dataType
     have = result.filter(F.col(ident).isNotNull())
     need = result.filter(F.col(ident).isNull()).drop(ident)
-    hwm = target.agg(
-        F.greatest(F.coalesce(F.max(ident), F.lit(0)), F.lit(0))
-        .cast("bigint").alias("_hwm"))
-    seq = dense_sequence(need, order_cols, ident, offset_df=hwm)
+    # slots already consumed: smallest k >= 0 with start + k*step
+    # strictly beyond every existing value in the step's direction
+    if step > 0:
+        past = (F.floor((F.max(ident).cast("bigint") - F.lit(start))
+                        / F.lit(step)) + F.lit(1))
+    else:
+        past = (F.floor((F.lit(start) - F.min(ident).cast("bigint"))
+                        / F.lit(-step)) + F.lit(1))
+    slots = target.agg(
+        F.greatest(F.coalesce(past, F.lit(0)), F.lit(0))
+        .cast("bigint").alias("_slots"))
+    seq = dense_sequence(need, order_cols, ident, offset_df=slots)
+    val = F.lit(start) + (F.col(ident) - F.lit(1)) * F.lit(step)
     return have.unionByName(
-        seq.withColumn(ident, F.col(ident).cast(ident_t))
+        seq.withColumn(ident, val.cast(ident_t))
         .select(*result.columns))
+
+
+def _ident_params(info: dict) -> tuple[int, int]:
+    """(START WITH, INCREMENT BY) recorded by the table's DDL —
+    default (1, 1), Delta's default and the only spec the reference
+    uses (01_Init.py:59)."""
+    start = info.get("identity_start")
+    step = info.get("identity_step")
+    return (1 if start is None else int(start),
+            1 if step is None else int(step))
 
 
 # ------------------------------------------------------------- front-end ---
@@ -1478,23 +1512,38 @@ class LakehouseSql:
         documented anti-join reading. Registers the target under its
         bare table name (correlated outer references in Delta
         statements use it) and re-registers db.tbl references through
-        ``_bind_managed_tables``; both views read the SAME snapshot."""
+        ``_bind_managed_tables``; both views read the SAME snapshot.
+        A pre-existing session temp view under the bare name is
+        restored afterwards (and absent one, the transient view is
+        dropped) — temp-view resolution happens at ``spark.sql``
+        analysis time, so the cleanup cannot break the lazy plans."""
         t = self.table(tbl_name)
         base = t.read()
         bare = tbl_name.split(".")[-1]
+        prior = next(
+            (self.spark.table(v.name)
+             for v in self.spark.catalog.listTables()
+             if v.isTemporary and not v.namespace
+             and v.name.lower() == bare.lower()), None)
         base.createOrReplaceTempView(bare)
-        bound = self._bind_managed_tables(where)
-        hit = self.spark.sql(f"SELECT * FROM {bare} WHERE {bound}")
-        miss = self.spark.sql(
-            f"SELECT * FROM {bare} WHERE ({bound}) IS NOT TRUE")
-        if assigns is None:
-            return t.overwrite(miss, operation="DELETE")
-        dtypes = {f.name: f.dataType for f in base.schema.fields}
-        changed = hit.select(*[
-            (F.expr(assigns[c]).cast(dtypes[c]) if c in assigns
-             else F.col(c)).alias(c) for c in base.columns])
-        return t.overwrite(miss.unionByName(changed),
-                           operation="UPDATE")
+        try:
+            bound = self._bind_managed_tables(where)
+            hit = self.spark.sql(f"SELECT * FROM {bare} WHERE {bound}")
+            miss = self.spark.sql(
+                f"SELECT * FROM {bare} WHERE ({bound}) IS NOT TRUE")
+            if assigns is None:
+                return t.overwrite(miss, operation="DELETE")
+            dtypes = {f.name: f.dataType for f in base.schema.fields}
+            changed = hit.select(*[
+                (F.expr(assigns[c]).cast(dtypes[c]) if c in assigns
+                 else F.col(c)).alias(c) for c in base.columns])
+            return t.overwrite(miss.unionByName(changed),
+                               operation="UPDATE")
+        finally:
+            if prior is not None:
+                prior.createOrReplaceTempView(bare)
+            else:
+                self.spark.catalog.dropTempView(bare)
 
     def _merge(self, s: str, extra_meta: dict | None = None,
                source_df: DataFrame | None = None) -> ManagedTable:
@@ -1561,7 +1610,8 @@ class LakehouseSql:
             if needs_ident:
                 # high-water mark from the FULL target, not the slice —
                 # ids must be unique table-wide
-                res = _assign_identity(res, target, ident, order_cols)
+                res = _assign_identity(res, target, ident, order_cols,
+                                       *_ident_params(info))
             return res
 
         # partition-scoped route (the 100 TB shape: only source-touched
@@ -1647,7 +1697,8 @@ class LakehouseSql:
                 if ident and ident in state.columns and (
                         cl.insert_cols is None
                         or ident not in cl.insert_cols):
-                    res = _assign_identity(res, state, ident, src_keys)
+                    res = _assign_identity(res, state, ident, src_keys,
+                                           *_ident_params(info))
                 return tbl.overwrite(res, operation="MERGE",
                                      extra_meta={"fused": 2,
                                                  **(extra_meta or {})})
@@ -1660,7 +1711,8 @@ class LakehouseSql:
                 if ident and ident in state.columns and (
                         cl.insert_cols is None
                         or ident not in cl.insert_cols):
-                    res = _assign_identity(res, state, ident, src_keys)
+                    res = _assign_identity(res, state, ident, src_keys,
+                                           *_ident_params(info))
                 return tbl.overwrite(res, operation="MERGE",
                                      extra_meta={"fused": 2,
                                                  **(extra_meta or {})})
@@ -1693,7 +1745,8 @@ class LakehouseSql:
                                          spec.s_alias)
                 res = _assign_identity(
                     res, state, ident,
-                    keys or [c for c in state.columns if c != ident])
+                    keys or [c for c in state.columns if c != ident],
+                    *_ident_params(info))
             state = res
         return tbl.overwrite(state, operation="MERGE",
                              extra_meta={"fused": len(specs),
@@ -1759,6 +1812,7 @@ class LakehouseSql:
         ident = info.get("identity")
         if ident and ident in cur.columns and ident not in cols:
             result = _assign_identity(result, base, ident,
-                                      [c for c in cols])
+                                      [c for c in cols],
+                                      *_ident_params(info))
         return tbl.overwrite(
             result, operation="INSERT OVERWRITE" if replace else "INSERT")

@@ -301,6 +301,8 @@ CREATE OR REPLACE TABLE silver.address (
     assert df.schema["rowguid"].dataType.simpleString() == "string"
     assert lake._ddl_info(t) == {"identity": "_tf_id",
                                  "identity_always": True,
+                                 "identity_start": 1,
+                                 "identity_step": 1,
                                  "primary_key": ["_tf_id"],
                                  "not_null": ["_tf_id"],
                                  "foreign_keys": []}
@@ -356,6 +358,47 @@ WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
             for r in lake.table("gold.dim").read().collect()}
     assert rows == {10: (1, "a"), 20: (2, "B"), 30: (3, "c"),
                     5: (4, "e"), 40: (5, "d")}
+
+
+def test_identity_start_with_increment_by(spark, lake):
+    """Non-default START WITH / INCREMENT BY specs are honored: ids
+    land on the generated domain start + k*step, the high-water mark
+    continues past explicit BY DEFAULT seeds, and seeds outside the
+    domain never drag generated values before START WITH."""
+    lake.sql("""
+CREATE TABLE gold.dim_sw (
+  id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100 INCREMENT BY 10),
+  k INT, v STRING
+)
+""")
+    info = lake._ddl_info(lake.table("gold.dim_sw"))
+    assert (info["identity_start"], info["identity_step"]) == (100, 10)
+    # seed outside the domain (the reference's -9 pattern) then insert
+    lake.sql("INSERT INTO gold.dim_sw (id, k, v) VALUES (-9, 0, 'seed')")
+    lake.sql("INSERT INTO gold.dim_sw (k, v) VALUES (1, 'a'), (2, 'b')")
+    rows = {r["k"]: r["id"]
+            for r in lake.table("gold.dim_sw").read().collect()}
+    assert rows == {0: -9, 1: 100, 2: 110}
+    # an explicit seed INSIDE the domain advances the watermark past it
+    lake.sql("INSERT INTO gold.dim_sw (id, k, v) VALUES (135, 3, 'x')")
+    lake.sql("INSERT INTO gold.dim_sw (k, v) VALUES (4, 'c')")
+    rows = {r["k"]: r["id"]
+            for r in lake.table("gold.dim_sw").read().collect()}
+    assert rows[4] == 140
+    # negative increment tracks the MIN downward
+    lake.sql("""
+CREATE TABLE gold.dim_neg (
+  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 0 INCREMENT BY -5),
+  k INT
+)""")
+    lake.sql("INSERT INTO gold.dim_neg (k) VALUES (1), (2), (3)")
+    got = {r["k"]: r["id"]
+           for r in lake.table("gold.dim_neg").read().collect()}
+    assert got == {1: 0, 2: -5, 3: -10}
+    with pytest.raises(ValueError, match="non-zero"):
+        lake.sql("CREATE TABLE gold.bad "
+                 "(id BIGINT GENERATED ALWAYS AS IDENTITY "
+                 "(START WITH 1 INCREMENT BY 0), k INT)")
 
 
 def test_run_script_statement_sequence(spark, lake):
@@ -1249,6 +1292,20 @@ WHERE amt <= (SELECT SUM(paid) FROM silver.pay p WHERE p.oid = ord.oid)""")
     amts = {r["oid"]: r["amt"]
             for r in lake.table("silver.ord").read().collect()}
     assert amts == {1: -1.0, 3: -1.0}
+    # the transient bare-name snapshot view does not leak into the
+    # session catalog...
+    temps = {t.name for t in spark.catalog.listTables()
+             if t.isTemporary}
+    assert "ord" not in temps
+    # ...and a PRE-EXISTING session temp view under the bare name is
+    # restored after the DML instead of being clobbered
+    spark.range(1).selectExpr("42 AS marker").createOrReplaceTempView("ord")
+    lake.sql("""
+DELETE FROM silver.ord
+WHERE EXISTS (SELECT 1 FROM silver.pay p WHERE p.oid = ord.oid)""")
+    assert lake.table("silver.ord").read().count() == 0
+    assert [tuple(r) for r in spark.table("ord").collect()] == [(42,)]
+    spark.catalog.dropTempView("ord")
 
 
 def test_optimize_zorder_statement(spark, lake):
