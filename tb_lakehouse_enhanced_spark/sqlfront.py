@@ -1041,13 +1041,16 @@ def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
     have = result.filter(F.col(ident).isNotNull())
     need = result.filter(F.col(ident).isNull()).drop(ident)
     # slots already consumed: smallest k >= 0 with start + k*step
-    # strictly beyond every existing value in the step's direction
-    if step > 0:
-        past = (F.floor((F.max(ident).cast("bigint") - F.lit(start))
-                        / F.lit(step)) + F.lit(1))
-    else:
-        past = (F.floor((F.lit(start) - F.min(ident).cast("bigint"))
-                        / F.lit(-step)) + F.lit(1))
+    # strictly beyond every existing value in the step's direction —
+    # floor((edge - start)/|step|) + 1 in EXACT arithmetic: pmod makes
+    # the numerator divisible, so the decimal division is integral (a
+    # double-based F.floor would silently lose ids past 2^53)
+    edge = (F.max(ident) if step > 0 else F.min(ident)) \
+        .cast("decimal(38,0)")
+    num = (edge - F.lit(start)) if step > 0 else (F.lit(start) - edge)
+    b = abs(step)
+    past = ((num - F.pmod(num, F.lit(b))) / F.lit(b)).cast("bigint") \
+        + F.lit(1)
     slots = target.agg(
         F.greatest(F.coalesce(past, F.lit(0)), F.lit(0))
         .cast("bigint").alias("_slots"))

@@ -399,6 +399,17 @@ CREATE TABLE gold.dim_neg (
         lake.sql("CREATE TABLE gold.bad "
                  "(id BIGINT GENERATED ALWAYS AS IDENTITY "
                  "(START WITH 1 INCREMENT BY 0), k INT)")
+    # the watermark is exact past 2^53: double-based floor division
+    # rounds 9007199254740995 to an even neighbor and can re-issue an
+    # existing id
+    lake.sql("CREATE TABLE gold.dim_big "
+             "(id BIGINT GENERATED BY DEFAULT AS IDENTITY, k INT)")
+    lake.sql("INSERT INTO gold.dim_big (id, k) "
+             "VALUES (9007199254740996, 1)")
+    lake.sql("INSERT INTO gold.dim_big (k) VALUES (2)")
+    big = {r["k"]: r["id"]
+           for r in lake.table("gold.dim_big").read().collect()}
+    assert big == {1: 9007199254740996, 2: 9007199254740997}
 
 
 def test_run_script_statement_sequence(spark, lake):
