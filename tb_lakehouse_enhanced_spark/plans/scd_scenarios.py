@@ -559,7 +559,11 @@ def sql_merge_partitioned_state(spark: SparkSession,
     # and the merge's member filter read this layout)
     t.overwrite(base.repartition("l_bucket").withColumn(
         "_tf_update_date", F.lit(T0).cast("timestamp")))
-    touched = base.filter(F.col("l_bucket").isin(0, 1))
+    # derive the source from the TABLE, not by re-running the
+    # lineitem groupBy: the bucket filter partition-prunes to 2/16
+    # dirs — the cost shape a 100 TB incremental source has
+    touched = (t.read().filter(F.col("l_bucket").isin(0, 1))
+               .drop("_tf_update_date"))
     bumped = touched.withColumn(
         "l_quantity",
         F.col("l_quantity")
