@@ -1104,8 +1104,16 @@ class LakehouseSql:
         # MERGE/INSERT may reference source columns absent from the
         # target; they are appended as nullable columns first.
         self.merge_schema = merge_schema
+        # session context set by USE CATALOG / USE SCHEMA (every
+        # reference notebook's preamble, e.g. 12_ETL_Bronze:50-52):
+        # the catalog is recorded only (one file-backed catalog here);
+        # the schema qualifies bare table names in later statements.
+        self.current_catalog = "spark_catalog"
+        self.current_db: str | None = None
 
     def table(self, name: str) -> ManagedTable:
+        if "." not in name and self.current_db:
+            name = f"{self.current_db}.{name}"
         rel = name.replace(".", os.sep)
         return ManagedTable(self.spark, os.path.join(self.root, rel))
 
@@ -1212,10 +1220,13 @@ class LakehouseSql:
         m = re.match(r"^SHOW TABLES(?: (?:IN|FROM) (\w+))?$", s,
                      re.IGNORECASE)
         if m:
+            # an explicit IN/FROM wins; else the USE SCHEMA context
+            # (Databricks lists the current schema); else every db
+            want = m.group(1) or self.current_db
             rows = []
             for db in sorted(os.listdir(self.root)) \
                     if os.path.isdir(self.root) else []:
-                if m.group(1) and db != m.group(1):
+                if want and db != want:
                     continue
                 dbdir = os.path.join(self.root, db)
                 if not os.path.isdir(dbdir):
@@ -1234,6 +1245,34 @@ class LakehouseSql:
                 [(f.name, f.dataType.simpleString(), None)
                  for f in schema.fields],
                 "col_name string, data_type string, comment string")
+        # catalog/schema context (the notebooks' preamble — SHOW
+        # CATALOGS then USE CATALOG/USE SCHEMA, 12_ETL_Bronze:35-52 and
+        # identically in 01/22/33/34). One file-backed catalog exists,
+        # so SHOW CATALOGS reports it and USE CATALOG records the name;
+        # USE SCHEMA must name an existing database under the root and
+        # makes bare table names resolve to it.
+        if re.match(r"^SHOW CATALOGS$", s, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(self.current_catalog,)], "catalog string")
+        m = re.match(r"^USE CATALOG (\w+)$", s, re.IGNORECASE)
+        if m:
+            self.current_catalog = m.group(1)
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(r"^USE (?:SCHEMA |DATABASE )?(\w+)$", s,
+                     re.IGNORECASE)
+        if m:
+            db = m.group(1)
+            if not os.path.isdir(os.path.join(self.root, db)):
+                raise ValueError(f"schema not found: {db}")
+            self.current_db = db
+            return self.spark.createDataFrame([], "result string")
+        if re.match(r"^SHOW (?:DATABASES|SCHEMAS)$", s, re.IGNORECASE):
+            dbs = sorted(
+                d for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d))) \
+                if os.path.isdir(self.root) else []
+            return self.spark.createDataFrame(
+                [(d,) for d in dbs], "namespace string")
         return None
 
     def _bind_managed_tables(self, s: str) -> str:
@@ -1276,6 +1315,27 @@ class LakehouseSql:
                 view = f"__lake_{db}__{tb}"
                 t.read().createOrReplaceTempView(view)
                 out = _sub_code(rf"\b{db}\.{tb}\b", view, out)
+        # bare FROM/JOIN names under a USE SCHEMA context (Databricks
+        # resolution order preserved: CTE names and session temp views
+        # win over the schema's tables)
+        if self.current_db:
+            ctes = {n.lower() for n in _findall_code(
+                r"\b(?:WITH|,)\s+(\w+)\s+AS\s*\(", out, re.IGNORECASE)}
+            temps = {v.name.lower()
+                     for v in self.spark.catalog.listTables()
+                     if v.isTemporary}
+            for kw, tb in set(_findall_code(
+                    r"\b(FROM|JOIN)\s+(\w+)\b(?!\s*\()", out,
+                    re.IGNORECASE)):
+                if tb.lower() in ctes or tb.lower() in temps:
+                    continue
+                t = self.table(tb)     # current_db-qualified
+                if t.exists():
+                    view = f"__lake_{self.current_db}__{tb}"
+                    t.read().createOrReplaceTempView(view)
+                    out = _sub_code(
+                        rf"\b(FROM|JOIN)\s+{tb}\b", rf"\1 {view}", out,
+                        flags=re.IGNORECASE)
         return out
 
     # ------------------------------------------------------------- DDL --

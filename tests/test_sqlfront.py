@@ -431,6 +431,56 @@ UPDATE gold.dim_geo SET note = 'n/a' WHERE geo_city = 'N/A'
     assert rows == [(-9, "N/A", "n/a")]
 
 
+def test_notebook_catalog_preamble(spark, lake):
+    """The notebooks' catalog preamble runs verbatim (12_ETL_Bronze_
+    PySpark.py:35-52, repeated identically in 01/22/33/34): SHOW
+    CATALOGS feeds the detection logic, USE CATALOG records the pick,
+    USE SCHEMA scopes bare table names to that schema."""
+    lake.sql("CREATE DATABASE IF NOT EXISTS bronze")
+    # the notebook's own detection logic (dbutils.widgets elided)
+    catalogs = [row.catalog
+                for row in lake.sql("SHOW CATALOGS").collect()]
+    unity_catalogs = [c for c in catalogs if c != "hive_metastore"]
+    if len(unity_catalogs) == 1:
+        default_catalog = unity_catalogs[0]
+    else:
+        default_catalog = next(
+            (c for c in unity_catalogs if c.startswith("dbw_")),
+            "hive_metastore")
+    catalog = default_catalog
+    bronze_schema = "bronze"
+    lake.sql(f"USE CATALOG {catalog}")
+    lake.sql(f"USE SCHEMA {bronze_schema}")
+    assert (lake.current_catalog, lake.current_db) \
+        == ("spark_catalog", "bronze")
+    # bare table names now resolve into the schema (the ingestion
+    # notebook's saveAsTable targets)
+    lake.sql("CREATE TABLE Address AS "
+             "SELECT 1 AS address_id, 'Bothell' AS city")
+    assert lake.table("bronze.Address").read().collect() \
+        == [(1, "Bothell")]
+    lake.sql("INSERT INTO Address VALUES (2, 'Surrey')")
+    assert lake.table("Address").read().count() == 2
+    # bare names in SELECT bind to the schema's managed tables too —
+    # with CTEs and temp views keeping resolution precedence
+    assert lake.sql("SELECT city FROM Address WHERE address_id = 2"
+                    ).collect() == [("Surrey",)]
+    assert lake.sql("WITH Address AS (SELECT 'cte' AS who) "
+                    "SELECT who FROM Address").collect() == [("cte",)]
+    spark.range(1).selectExpr("'view' AS who") \
+        .createOrReplaceTempView("Address")
+    assert lake.sql("SELECT who FROM Address").collect() == [("view",)]
+    spark.catalog.dropTempView("Address")
+    # SHOW TABLES reflects the current schema; SHOW SCHEMAS the root
+    rows = {(r["namespace"], r["tableName"])
+            for r in lake.sql("SHOW TABLES").collect()}
+    assert rows == {("bronze", "Address")}
+    assert ("bronze",) in [tuple(r)
+                           for r in lake.sql("SHOW SCHEMAS").collect()]
+    with pytest.raises(ValueError, match="schema not found"):
+        lake.sql("USE SCHEMA does_not_exist")
+
+
 def test_select_reads_managed_tables(spark, lake):
     """The reference's ad-hoc SELECT checks (23_Testing_SCD2.py:39,49)
     work against managed tables: db.table references bind to the
