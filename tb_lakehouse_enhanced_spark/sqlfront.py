@@ -1133,6 +1133,14 @@ class LakehouseSql:
         t = self.table(source)
         if "." in source and t.exists():
             return t.read()
+        if self.current_db and t.exists():
+            # bare name under a USE SCHEMA context — but a session
+            # temp view of the same name keeps resolution precedence
+            temps = {v.name.lower()
+                     for v in self.spark.catalog.listTables()
+                     if v.isTemporary}
+            if source.lower() not in temps:
+                return t.read()
         return self.spark.table(source)
 
     def sql(self, statement: str, extra_meta: dict | None = None,

@@ -1463,10 +1463,28 @@ def test_verbatim_medallion_flow_end_to_end(spark, lake):
     for cell in _init_sql_cells():
         lake.run_script(cell)
 
+    def preamble(schema):
+        # each ETL notebook's catalog-detection preamble, verbatim
+        # (22_ETL_Silver:16-34 and identically in 33/34; widgets
+        # elided): SHOW CATALOGS -> pick -> USE CATALOG + USE SCHEMA
+        catalogs = [row.catalog
+                    for row in lake.sql("SHOW CATALOGS").collect()]
+        unity_catalogs = [c for c in catalogs if c != "hive_metastore"]
+        if len(unity_catalogs) == 1:
+            default_catalog = unity_catalogs[0]
+        else:
+            default_catalog = next(
+                (c for c in unity_catalogs if c.startswith("dbw_")),
+                "hive_metastore")
+        catalog = default_catalog
+        lake.sql(f"USE CATALOG {catalog}")
+        lake.sql(f"USE SCHEMA {schema}")
+
     s22 = _notebook_sql_statements("22_ETL_Silver_PySpark.py")
     s33 = _notebook_sql_statements("33_ETL_Gold_Dim_PySpark.py")
     s34 = _notebook_sql_statements("34_ETL_Gold_Fact_PySpark.py")
     assert len(s22) == 8 and len(s33) == 2 and len(s34) == 1
+    preamble("silver")
     by_target = {}
     for stmt in s22:
         tgt = parse_merge(stmt).target
@@ -1564,6 +1582,7 @@ SELECT CAST(customer_id AS INT) AS cust_customer_id,
   COALESCE(TRY_CAST(phone AS STRING), 'N/A') AS cust_phone
 FROM silver.customer WHERE _tf_valid_to IS NULL
 """).createOrReplaceTempView("src_cust")
+    preamble("gold")                  # 33/34 switch the schema context
     for stmt in s33:
         lake.sql(stmt)
     geo = {r["geo_address_id"]: r["_tf_dim_geography_id"]
