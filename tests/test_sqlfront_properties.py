@@ -250,3 +250,41 @@ def test_fused_pair_equals_sequential(spark, tgt_rows, src_d,
     assert sorted(map(tuple, fused.collect()), key=lambda t: key(t)) \
         == sorted(map(tuple, seq.collect()), key=lambda t: key(t)), \
         (close_sql, ins_sql, tgt_rows, src_rows)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ids=st.lists(st.integers(-50, 50), max_size=6),
+       start=st.integers(-10, 10),
+       step=st.integers(-4, 4).filter(lambda x: x != 0),
+       n_new=st.integers(0, 5))
+def test_assign_identity_matches_domain_model(spark, ids, start, step,
+                                              n_new):
+    """_assign_identity against the identity-domain model: generated
+    values are the next n slots of ``start + k*step`` strictly past
+    the high-water mark (MIN-tracking for negative steps, slot counter
+    never below zero), existing ids untouched."""
+    from tb_lakehouse_enhanced_spark.sqlfront import _assign_identity
+    tgt = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ids)] or [(None, None)],
+        "ord int, id bigint")
+    if not ids:
+        tgt = tgt.filter("FALSE")
+    new = spark.createDataFrame(
+        [(100 + i, None) for i in range(n_new)] or [(None, None)],
+        "ord int, id bigint")
+    if not n_new:
+        new = new.filter("FALSE")
+    got = {r["ord"]: r["id"]
+           for r in _assign_identity(tgt.unionByName(new), tgt, "id",
+                                     ["ord"], start, step).collect()}
+    if not ids:
+        k0 = 0
+    elif step > 0:
+        k0 = max(0, (max(ids) - start) // step + 1)
+    else:
+        k0 = max(0, (start - min(ids)) // (-step) + 1)
+    expect = {i: v for i, v in enumerate(ids)}
+    expect.update({100 + i: start + (k0 + i) * step
+                   for i in range(n_new)})
+    assert got == expect, (ids, start, step, n_new, k0)
