@@ -2173,6 +2173,37 @@ def sql_update_delete(spark, sf_dir):
     return lake.table("bronze.lineitem").read()
 
 
+@q("sql_catalog_context", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+       CASE WHEN l_returnflag = 'R' THEN 'X' ELSE l_returnflag END AS l_returnflag
+FROM lineitem WHERE l_returnflag <> 'A'
+""")
+def sql_catalog_context(spark, sf_dir):
+    """sql_update_delete's scenario through the notebooks' catalog
+    preamble (reference 12_ETL_Bronze_PySpark.py:35-52, repeated in
+    01/22/33/34): SHOW CATALOGS feeds the detection, USE CATALOG
+    records the pick, USE SCHEMA scopes the session — and every later
+    statement names the table BARE, resolving to the schema's managed
+    table (DML targets via table(), the final SELECT via the binder)."""
+    from ..sqlfront import LakehouseSql
+    lake = LakehouseSql(spark, tempfile.mkdtemp(prefix="tb_sqlfront_cc_"))
+    src = (_t(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_linenumber", "l_quantity",
+                   "l_returnflag"))
+    ManagedTable(spark, f"{lake.root}/bronze/lineitem",
+                 partition_by=("l_returnflag",)).overwrite(src)
+    cat = lake.sql("SHOW CATALOGS").collect()[0]["catalog"]
+    lake.sql(f"USE CATALOG {cat}")
+    lake.sql("USE SCHEMA bronze")
+    lake.sql("UPDATE lineitem "
+             "SET l_quantity = l_quantity + 5, l_returnflag = 'X' "
+             "WHERE l_returnflag = 'R'")
+    lake.sql("DELETE FROM lineitem WHERE l_returnflag = 'A'")
+    return lake.sql("SELECT l_orderkey, l_linenumber, l_quantity, "
+                    "l_returnflag FROM lineitem")
+
+
 @q("text_metrics", f"""
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars_obs,
