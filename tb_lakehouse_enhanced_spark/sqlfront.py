@@ -1246,6 +1246,57 @@ class LakehouseSql:
                         rows.append((db, name))
             return self.spark.createDataFrame(
                 rows or [], "namespace string, tableName string")
+        m = re.match(r"^DESCRIBE DETAIL ([\w.]+)$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            if not t.exists():
+                raise FileNotFoundError(f"no such table: {m.group(1)}")
+            ver = t.current_version()
+            vdir = t._version_dir(ver)
+            n_files = sum(1 for _, _, fs in os.walk(vdir)
+                          for f in fs if f.endswith(".parquet"))
+            return self.spark.createDataFrame(
+                [("parquet", t.path, int(n_files),
+                  list(t.partition_by or []), int(ver))],
+                "format string, location string, numFiles bigint, "
+                "partitionColumns array<string>, version bigint")
+        m = re.match(r"^SHOW CREATE TABLE ([\w.]+)$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            if not t.exists():
+                raise FileNotFoundError(f"no such table: {m.group(1)}")
+            info = self._ddl_info(t)
+            ident, pks = info.get("identity"), info.get(
+                "primary_key", [])
+            nns = info.get("not_null", [])
+            fks = {c: (rt, rc)
+                   for c, rt, rc in info.get("foreign_keys", [])}
+            cols = []
+            for f in t.read().schema.fields:
+                mods = ""
+                if f.name == ident:
+                    kind = "ALWAYS" if info.get("identity_always") \
+                        else "BY DEFAULT"
+                    st_, sp_ = _ident_params(info)
+                    mods += (f" GENERATED {kind} AS IDENTITY "
+                             f"(START WITH {st_} INCREMENT BY {sp_})")
+                if f.name in pks:
+                    mods += " PRIMARY KEY"
+                if f.name in nns:
+                    mods += " NOT NULL"
+                if f.name in fks:
+                    rt, rc = fks[f.name]
+                    mods += f" REFERENCES {rt}({rc})"
+                cols.append(
+                    f"  {f.name} {f.dataType.simpleString().upper()}"
+                    f"{mods}")
+            ddl = (f"CREATE TABLE {m.group(1)} (\n"
+                   + ",\n".join(cols) + "\n)")
+            if t.partition_by:
+                ddl += (" PARTITIONED BY ("
+                        + ", ".join(t.partition_by) + ")")
+            return self.spark.createDataFrame(
+                [(ddl,)], "createtab_stmt string")
         m = re.match(r"^DESCRIBE (?:TABLE )?([\w.]+)$", s, re.IGNORECASE)
         if m and self.table(m.group(1)).exists():
             schema = self.table(m.group(1)).read().schema

@@ -431,6 +431,35 @@ UPDATE gold.dim_geo SET note = 'n/a' WHERE geo_city = 'N/A'
     assert rows == [(-9, "N/A", "n/a")]
 
 
+def test_describe_detail_and_show_create_table(spark, lake):
+    """DESCRIBE DETAIL reports the table's physical layout; SHOW
+    CREATE TABLE reconstructs DDL that round-trips through the
+    front-end with identical recorded constraints."""
+    lake.sql("""
+CREATE TABLE silver.sct (
+  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 2) PRIMARY KEY NOT NULL,
+  k INT REFERENCES gold.dim(k2),
+  v STRING
+) PARTITIONED BY (v)
+""")
+    lake.sql("INSERT INTO silver.sct (k, v) VALUES (1, 'a'), (2, 'b')")
+    d = lake.sql("DESCRIBE DETAIL silver.sct").collect()[0]
+    assert d["format"] == "parquet"
+    assert d["partitionColumns"] == ["v"]
+    assert d["numFiles"] >= 2 and d["version"] >= 1
+    ddl = lake.sql("SHOW CREATE TABLE silver.sct").collect()[0][0]
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 2)" \
+        in ddl
+    assert "PRIMARY KEY" in ddl and "REFERENCES gold.dim(k2)" in ddl
+    assert ddl.rstrip().endswith("PARTITIONED BY (v)")
+    # round-trip: the emitted DDL recreates an equivalent table
+    lake.sql(ddl.replace("silver.sct", "silver.sct2"))
+    assert lake._ddl_info(lake.table("silver.sct2")) \
+        == lake._ddl_info(lake.table("silver.sct"))
+    assert lake.table("silver.sct2").partition_by \
+        == lake.table("silver.sct").partition_by
+
+
 def test_notebook_catalog_preamble(spark, lake):
     """The notebooks' catalog preamble runs verbatim (12_ETL_Bronze_
     PySpark.py:35-52, repeated identically in 01/22/33/34): SHOW
