@@ -1174,7 +1174,9 @@ class ManagedTable:
 
     # -- DML (reference notebooks/23_Testing_SCD2.py:40-64) ------------------
     def _partial_rewrite(self, condition, rewrite_fn, operation: str,
-                         stable_partitions: bool = False) -> "ManagedTable":
+                         stable_partitions: bool = False,
+                         snapshot: DataFrame | None = None
+                         ) -> "ManagedTable":
         """DML core: rewrite only the partitions containing matching rows.
 
         Unpartitioned tables fall back to a full snapshot rewrite. For a
@@ -1217,11 +1219,16 @@ class ManagedTable:
         cur = self.current_version() if self.exists() else -1
         meta0 = self._commit(cur) if cur >= 0 else {}
         mor = self._has_mor(meta0)
+        # ``snapshot``: an optional relation derived from THIS table's
+        # current read() carrying extra marker columns the condition
+        # may reference (the subquery-DML path precomputes its match
+        # verdict as a boolean column — subqueries are not expressible
+        # as a bare Column); rewrite_fn must project the markers away.
+        df = self.read() if snapshot is None else snapshot
         if mor and not stable_partitions:
-            return self.overwrite(rewrite_fn(self.read()), operation)
+            return self.overwrite(rewrite_fn(df), operation)
         if not self.partition_by:
-            return self.overwrite(rewrite_fn(self.read()), operation)
-        df = self.read()
+            return self.overwrite(rewrite_fn(df), operation)
         pb = list(self.partition_by)
         touched = df.filter(condition).select(*pb).distinct().collect()
         if not touched:

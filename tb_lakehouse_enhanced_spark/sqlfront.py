@@ -1650,17 +1650,30 @@ class LakehouseSql:
         base.createOrReplaceTempView(bare)
         try:
             bound = self._bind_managed_tables(where)
-            hit = self.spark.sql(f"SELECT * FROM {bare} WHERE {bound}")
-            miss = self.spark.sql(
-                f"SELECT * FROM {bare} WHERE ({bound}) IS NOT TRUE")
-            if assigns is None:
-                return t.overwrite(miss, operation="DELETE")
+            # the match verdict as a precomputed boolean column over
+            # the snapshot (subqueries are not expressible as a bare
+            # Column), so the DML rides the SAME partition-scoped
+            # rewrite core as plain-predicate UPDATE/DELETE: only
+            # partitions holding matches are rewritten, the rest
+            # hardlink forward
+            marked = self.spark.sql(
+                f"SELECT *, ({bound}) IS TRUE AS __match FROM {bare}")
+            cond = F.col("__match")
             dtypes = {f.name: f.dataType for f in base.schema.fields}
-            changed = hit.select(*[
-                (F.expr(assigns[c]).cast(dtypes[c]) if c in assigns
-                 else F.col(c)).alias(c) for c in base.columns])
-            return t.overwrite(miss.unionByName(changed),
-                               operation="UPDATE")
+            if assigns is None:
+                def rewrite(df):
+                    return df.filter(~cond).select(*base.columns)
+                return t._partial_rewrite(cond, rewrite, "DELETE",
+                                          snapshot=marked)
+
+            def rewrite(df):
+                return df.select(*[
+                    F.when(cond, F.expr(assigns[c]).cast(dtypes[c]))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in assigns else F.col(c)
+                    for c in base.columns])
+            return t._partial_rewrite(cond, rewrite, "UPDATE",
+                                      snapshot=marked)
         finally:
             if prior is not None:
                 prior.createOrReplaceTempView(bare)

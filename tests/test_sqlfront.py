@@ -1398,6 +1398,49 @@ WHERE EXISTS (SELECT 1 FROM silver.pay p WHERE p.oid = ord.oid)""")
     spark.catalog.dropTempView("ord")
 
 
+def test_subquery_dml_partition_scoped(spark, lake):
+    """Correlated-subquery DML rides the same partition-scoped rewrite
+    core as plain-predicate UPDATE/DELETE: only partitions holding
+    matches are rewritten, untouched partitions hardlink forward
+    (inode-identical), and a no-match predicate commits nothing."""
+    import os
+
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{lake.root}/silver/pord",
+                     partition_by=("bucket",))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "oid int, bucket string, amt double").repartition("bucket"))
+    lake.sql("CREATE TABLE silver.ppay AS "
+             "SELECT * FROM VALUES (1), (2) AS t(oid)")
+
+    def inodes(ver, b):
+        d = os.path.join(t.path, f"v{ver}", f"bucket={b}")
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)}
+
+    before = {b: inodes(0, b) for b in ("a", "b", "c")}
+    lake.sql("""
+UPDATE silver.pord SET amt = 0.0
+WHERE EXISTS (SELECT 1 FROM silver.ppay p WHERE p.oid = pord.oid)""")
+    assert t.current_version() == 1
+    for b in ("b", "c"):
+        assert inodes(1, b) == before[b], f"bucket {b} was rewritten"
+    assert inodes(1, "a") != before["a"]
+    amts = {r["oid"]: r["amt"] for r in t.read().collect()}
+    assert amts == {1: 0.0, 2: 0.0, 3: 30.0, 4: 40.0}
+    # a no-match subquery predicate is a no-op (no commit, like Delta)
+    lake.sql("""
+DELETE FROM silver.pord
+WHERE EXISTS (SELECT 1 FROM silver.ppay p WHERE p.oid = -pord.oid)""")
+    assert t.current_version() == 1
+    lake.sql("""
+DELETE FROM silver.pord
+WHERE EXISTS (SELECT 1 FROM silver.ppay p WHERE p.oid = pord.oid)""")
+    assert t.current_version() == 2
+    assert {r["oid"] for r in t.read().collect()} == {3, 4}
+
+
 def test_optimize_zorder_statement(spark, lake):
     """Delta's OPTIMIZE ... ZORDER BY statement maps onto
     optimize_layout: after clustering, min/max file stats become
