@@ -398,10 +398,6 @@ def parse_insert(sql: str):
     return m.group("tbl"), cols, select_sql, overwrite
 
 
-_IN_SUB_RE = re.compile(
-    r"^(?P<col>\w+(?:\.\w+)?)\s+(?P<not>NOT\s+)?IN\s*\(\s*SELECT\b",
-    re.IGNORECASE)
-
 _SUBQUERY_RE = re.compile(r"\bEXISTS\s*\(|\bIN\s*\(\s*SELECT\b"
                           r"|\(\s*SELECT\b", re.IGNORECASE)
 
@@ -413,33 +409,6 @@ def _has_subquery(where: str | None) -> bool:
         _SUBQUERY_RE.search(seg)
         for lit, seg in _segments(where) if not lit)
 
-
-def _split_in_subquery(where: str | None):
-    """If one top-level AND-conjunct of ``where`` is a
-    ``col [NOT] IN (SELECT ...)`` membership test, return
-    (col, negated, select_sql, rest_conjuncts|None); else None."""
-    if not where:
-        return None
-    cuts, conjs, last = [], [], 0
-    for i, tok, depth in _scan(where):
-        if tok == "AND" and depth == 0:
-            cuts.append(i)
-    for i in cuts:
-        conjs.append(where[last:i].strip())
-        last = i + 3
-    conjs.append(where[last:].strip())
-    for idx, conj in enumerate(conjs):
-        m = _IN_SUB_RE.match(conj)
-        if not m:
-            continue
-        open_i = conj.index("(", m.start())
-        close = open_i + _matching_paren(conj[open_i:])
-        if conj[close + 1:].strip():
-            continue                      # trailing text: not our shape
-        rest = " AND ".join(c for j, c in enumerate(conjs) if j != idx)
-        return (m.group("col"), bool(m.group("not")),
-                conj[open_i + 1:close].strip(), rest or None)
-    return None
 
 
 _CREATE_TABLE_RE = re.compile(
@@ -1161,19 +1130,12 @@ class LakehouseSql:
             tbl, assigns, where = parse_update(s)
             self._reject_always_identity(
                 self._ddl_info(self.table(tbl)), assigns, "UPDATE SET")
-            sub = _split_in_subquery(where)
-            if sub:
-                return self._dml_with_subquery(tbl, where, sub,
-                                               assigns=assigns)
             if _has_subquery(where):
                 return self._dml_via_views(tbl, where, assigns=assigns)
             cond = F.expr(where) if where else F.lit(True)
             return self.table(tbl).update(cond, assigns)
         if head == "DELETE":
             tbl, where = parse_delete(s)
-            sub = _split_in_subquery(where)
-            if sub:
-                return self._dml_with_subquery(tbl, where, sub)
             if _has_subquery(where):
                 return self._dml_via_views(tbl, where)
             cond = F.expr(where) if where else F.lit(True)
@@ -1579,46 +1541,6 @@ class LakehouseSql:
                 results.append(self.sql(s))
             i += len(run)
         return results
-
-    def _dml_with_subquery(self, tbl_name: str, where: str, sub,
-                           assigns: dict | None = None) -> ManagedTable:
-        """UPDATE/DELETE whose WHERE carries a ``col [NOT] IN
-        (SELECT ...)`` membership test (Delta's subquery-DML surface):
-        rewritten to the MERGE executor — the subquery's distinct
-        values become the USING relation, membership becomes the ON
-        match, and the action becomes the appropriate WHEN clause:
-
-        - ``IN``  + DELETE -> WHEN MATCHED THEN DELETE
-        - ``IN``  + UPDATE -> WHEN MATCHED [AND rest] THEN UPDATE
-        - ``NOT IN`` + DELETE -> WHEN NOT MATCHED BY SOURCE THEN DELETE
-        - ``NOT IN`` + UPDATE -> WHEN NOT MATCHED BY SOURCE THEN UPDATE
-
-        Any residual AND-predicates in the WHERE ride the clause
-        condition verbatim. SQL NOT IN's NULL poisoning (any NULL in
-        the subquery -> empty match) is deliberately NOT reproduced:
-        membership here is the merge's key equality, i.e. Delta's
-        anti-join semantics.
-        """
-        col, negated, select_sql, rest = sub
-        tbl = self.table(tbl_name)
-        src = self.spark.sql(
-            self._bind_managed_tables(select_sql)).distinct()
-        if len(src.columns) != 1:
-            raise ValueError(
-                f"IN subquery must yield one column, got {src.columns}")
-        src = src.toDF("__in_val")
-        cond_txt = f" AND {rest}" if rest else ""
-        action = "DELETE" if assigns is None else (
-            "UPDATE SET " + ", ".join(
-                f"tgt.{c} = {e}" for c, e in assigns.items()))
-        when = "WHEN NOT MATCHED BY SOURCE" if negated else "WHEN MATCHED"
-        stmt = (f"MERGE INTO {tbl_name} AS tgt USING __in_src AS src "
-                f"ON tgt.{col} = src.__in_val "
-                f"{when}{cond_txt} THEN {action}")
-        spec = parse_merge(_norm(stmt))
-        result = apply_merge(tbl.read(), src, spec,
-                             check_cardinality=False)  # src is distinct
-        return tbl.overwrite(result, operation="MERGE")
 
     def _dml_via_views(self, tbl_name: str, where: str,
                        assigns: dict | None = None) -> ManagedTable:

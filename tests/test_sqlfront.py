@@ -828,9 +828,10 @@ WHEN NOT MATCHED THEN INSERT (k, month, v) VALUES (src.k, src.month, src.v)
 
 def test_update_delete_with_in_subquery(spark, lake):
     """Delta's subquery-DML surface: UPDATE/DELETE with a
-    ``col [NOT] IN (SELECT ...)`` membership test, rewritten to the
-    merge executor (anti-join semantics; residual AND predicates ride
-    the clause condition)."""
+    ``col [NOT] IN (SELECT ...)`` membership test executes with exact
+    SQL three-valued semantics (the predicate passes verbatim to
+    Catalyst over the snapshot view) — including NOT IN's NULL
+    poisoning; residual AND predicates compose in place."""
     lake.sql("CREATE TABLE db.s (k INT, grp STRING)")
     lake.table("db.s").overwrite(spark.createDataFrame(
         [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
@@ -845,7 +846,13 @@ def test_update_delete_with_in_subquery(spark, lake):
              "WHERE k IN (SELECT bk + 1 FROM db.bad) AND grp = 'b'")
     rows = {r["k"]: r["grp"] for r in lake.table("db.s").read().collect()}
     assert rows[3] == "X" and rows[5] == "X" and rows[0] == "a"
-    # NOT IN delete keeps only members
+    # a NULL in the NOT IN subquery poisons the predicate (never TRUE)
+    # — standard SQL, what Databricks executes; nothing deletes
+    lake.sql("CREATE TABLE db.badnull AS "
+             "SELECT * FROM VALUES (2), (NULL) AS t(bk)")
+    lake.sql("DELETE FROM db.s WHERE k NOT IN (SELECT bk FROM db.badnull)")
+    assert lake.table("db.s").read().count() == 8
+    # NOT IN over a NULL-free subquery deletes the non-members
     lake.sql("DELETE FROM db.s WHERE k NOT IN (SELECT bk FROM db.bad)")
     assert sorted(r["k"] for r in lake.table("db.s").read().collect()) == []
 
