@@ -1424,7 +1424,109 @@ class LakehouseSql:
         if m:
             return self.table(m.group(1)).add_constraint(
                 m.group(2), m.group(3))
+        # explicit schema-evolution DDL (Delta's ALTER TABLE column
+        # family). Delta executes these metadata-only; file-backed
+        # snapshots rewrite instead (hardlinked partition dirs would
+        # otherwise schema-diverge — the same reasoning as
+        # merge_schema's forced full rewrite), trading one commit's
+        # write for a log-free layout.
+        m = re.match(r"^ALTER TABLE ([\w.]+) ADD COLUMNS? "
+                     r"(?P<defs>.+)$", s, re.IGNORECASE)
+        if m and not m.group("defs").upper().startswith(
+                ("CONSTRAINT", "PRIMARY")):
+            t = self.table(m.group(1))
+            cur = t.read()
+            defs = m.group("defs").strip()
+            if defs.startswith("(") and _matching_paren(defs) \
+                    == len(defs) - 1:
+                defs = defs[1:-1]
+            for coldef in _split_top(defs):
+                name, _, typ = coldef.strip().partition(" ")
+                typ = re.sub(r" COMMENT '(?:[^']|'')*'$", "", typ,
+                             flags=re.IGNORECASE)
+                if not typ:
+                    raise ValueError(
+                        f"cannot parse column definition: {coldef!r}")
+                if name in cur.columns:
+                    raise ValueError(f"column exists: {name}")
+                cur = cur.withColumn(
+                    name, F.lit(None).cast(typ.strip()))
+            return t.overwrite(cur, operation="ADD COLUMNS")
+        m = re.match(r"^ALTER TABLE ([\w.]+) RENAME COLUMN (\w+) "
+                     r"TO (\w+)$", s, re.IGNORECASE)
+        if m:
+            import json as _json
+            t = self.table(m.group(1))
+            old, new = m.group(2), m.group(3)
+            if old in (t.partition_by or ()):
+                raise ValueError(
+                    f"cannot rename partition column {old!r}")
+            # CHECK constraints follow the rename (token rewrite
+            # outside string literals), applied BEFORE the overwrite
+            # so its validation scan runs the new expressions against
+            # the renamed rows; restored if the write fails
+            cons = t.constraints()
+            if cons:
+                remapped = {
+                    (f"nn_{new}" if n == f"nn_{old}" else n):
+                        _sub_code(rf"\b{old}\b", new, e)
+                    for n, e in cons.items()}
+                with open(t._constraints_file, "w") as f:
+                    _json.dump(remapped, f)
+            try:
+                t.overwrite(t.read().withColumnRenamed(old, new),
+                            operation="RENAME COLUMN")
+            except Exception:
+                if cons:
+                    with open(t._constraints_file, "w") as f:
+                        _json.dump(cons, f)
+                raise
+            self._remap_ddl_info(t, old, new)
+            return t
+        m = re.match(r"^ALTER TABLE ([\w.]+) DROP COLUMNS? "
+                     r"\(?([\w, ]+?)\)?$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            cols = [c.strip() for c in m.group(2).split(",")]
+            info = self._ddl_info(t)
+            for c in cols:
+                if c in (t.partition_by or ()):
+                    raise ValueError(
+                        f"cannot drop partition column {c!r}")
+                if c == info.get("identity"):
+                    raise ValueError(
+                        f"cannot drop identity column {c!r}")
+                for cname, expr in t.constraints().items():
+                    if re.search(rf"\b{c}\b", expr):
+                        raise ValueError(
+                            f"constraint {cname!r} references {c!r}; "
+                            f"drop it first")
+            t.overwrite(t.read().drop(*cols), operation="DROP COLUMNS")
+            for c in cols:
+                self._remap_ddl_info(t, c, None)
+            return t
         return None
+
+    def _remap_ddl_info(self, tbl: ManagedTable, old: str,
+                        new: str | None) -> None:
+        """Rename (or, with ``new=None``, remove) a column across the
+        recorded DDL constraints (identity / PK / NOT NULL / FK)."""
+        import json as _json
+        info = self._ddl_info(tbl)
+        if not info:
+            return
+        if info.get("identity") == old:
+            info["identity"] = new
+        for key in ("primary_key", "not_null"):
+            vals = info.get(key) or []
+            info[key] = [new if c == old else c for c in vals
+                         if not (c == old and new is None)]
+        fks = info.get("foreign_keys") or []
+        info["foreign_keys"] = [
+            [new if c == old else c, rt, rc] for c, rt, rc in fks
+            if not (c == old and new is None)]
+        with open(os.path.join(tbl.path, "_ddl_info.json"), "w") as f:
+            _json.dump(info, f)
 
     def _update_ddl_info(self, tbl: ManagedTable, key: str,
                          col: str) -> None:

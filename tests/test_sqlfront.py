@@ -431,6 +431,51 @@ UPDATE gold.dim_geo SET note = 'n/a' WHERE geo_city = 'N/A'
     assert rows == [(-9, "N/A", "n/a")]
 
 
+def test_alter_table_column_evolution(spark, lake):
+    """Explicit schema-evolution DDL: ADD COLUMN(S) appends typed
+    NULLs, RENAME COLUMN remaps the recorded constraints (identity /
+    PK / enforced NOT NULL CHECK) and keeps them working, DROP COLUMN
+    refuses identity / partition / CHECK-referenced columns."""
+    lake.sql("""
+CREATE TABLE silver.evo (
+  id BIGINT GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY NOT NULL,
+  k INT, v STRING
+)""")
+    lake.sql("INSERT INTO silver.evo (k, v) VALUES (1, 'a')")
+    lake.sql("ALTER TABLE silver.evo ADD COLUMNS "
+             "(email STRING COMMENT 'contact', score DOUBLE)")
+    df = lake.table("silver.evo").read()
+    assert df.columns == ["id", "k", "v", "email", "score"]
+    assert df.collect()[0]["email"] is None
+    lake.sql("ALTER TABLE silver.evo ADD COLUMN note STRING")
+    assert "note" in lake.table("silver.evo").read().columns
+    with pytest.raises(ValueError, match="column exists"):
+        lake.sql("ALTER TABLE silver.evo ADD COLUMN k INT")
+    # rename remaps identity/PK/NOT NULL records AND the enforced
+    # CHECK constraint expression; the sequence keeps working
+    lake.sql("ALTER TABLE silver.evo RENAME COLUMN id TO evo_id")
+    info = lake._ddl_info(lake.table("silver.evo"))
+    assert info["identity"] == "evo_id"
+    assert info["primary_key"] == ["evo_id"]
+    assert info["not_null"] == ["evo_id"]
+    assert lake.table("silver.evo").constraints() \
+        == {"nn_evo_id": "evo_id IS NOT NULL"}
+    lake.sql("INSERT INTO silver.evo (k, v) VALUES (2, 'b')")
+    assert sorted(r["evo_id"] for r in
+                  lake.table("silver.evo").read().collect()) == [1, 2]
+    # drops: plain column ok; identity and CHECK-referenced refused
+    lake.sql("ALTER TABLE silver.evo DROP COLUMN score")
+    assert "score" not in lake.table("silver.evo").read().columns
+    with pytest.raises(ValueError, match="identity"):
+        lake.sql("ALTER TABLE silver.evo DROP COLUMN evo_id")
+    lake.sql("ALTER TABLE silver.evo ALTER COLUMN k SET NOT NULL")
+    with pytest.raises(ValueError, match="references"):
+        lake.sql("ALTER TABLE silver.evo DROP COLUMN k")
+    lake.sql("ALTER TABLE silver.evo DROP COLUMNS (email, note)")
+    assert lake.table("silver.evo").read().columns \
+        == ["evo_id", "k", "v"]
+
+
 def test_describe_detail_and_show_create_table(spark, lake):
     """DESCRIBE DETAIL reports the table's physical layout; SHOW
     CREATE TABLE reconstructs DDL that round-trips through the
