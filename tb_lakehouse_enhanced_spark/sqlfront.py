@@ -1183,6 +1183,29 @@ class LakehouseSql:
                 [(int(h["version"]), str(h.get("op", "")),
                   float(h.get("ts", 0.0))) for h in hist],
                 "version bigint, operation string, timestamp double")
+        m = re.match(r"^ANALYZE TABLE ([\w.]+) COMPUTE STATISTICS"
+                     r"(?: FOR COLUMNS ([\w, ]+))?$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            cols = tuple(c.strip() for c in m.group(2).split(",")) \
+                if m.group(2) else tuple(
+                    f.name for f in t.read().schema.fields
+                    if f.dataType.simpleString() in (
+                        "int", "bigint", "double", "float", "date",
+                        "timestamp", "decimal", "smallint"))
+            t.analyze(cols)
+            return t
+        m = re.match(r"^SHOW PARTITIONS ([\w.]+)$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            if not t.partition_by:
+                raise ValueError(
+                    f"{m.group(1)} is not a partitioned table")
+            rels = sorted(t._leaf_partition_dirs(
+                t._version_dir(t.current_version()),
+                depth=len(t.partition_by)))
+            return self.spark.createDataFrame(
+                [(r,) for r in rels], "partition string")
         m = re.match(r"^TRUNCATE TABLE ([\w.]+)$", s, re.IGNORECASE)
         if m:
             t = self.table(m.group(1))

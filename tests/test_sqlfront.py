@@ -431,6 +431,27 @@ UPDATE gold.dim_geo SET note = 'n/a' WHERE geo_city = 'N/A'
     assert rows == [(-9, "N/A", "n/a")]
 
 
+def test_analyze_and_show_partitions(spark, lake):
+    """ANALYZE TABLE builds the file-skipping stats (pruned_files then
+    prunes on the analyzed column); SHOW PARTITIONS lists the live
+    partition dirs."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{lake.root}/gold/ap",
+                     partition_by=("b",))
+    t.overwrite(spark.createDataFrame(
+        [(i, "x" if i < 50 else "y") for i in range(100)],
+        "k int, b string").repartition("b"))
+    parts = [r["partition"]
+             for r in lake.sql("SHOW PARTITIONS gold.ap").collect()]
+    assert parts == ["b=x", "b=y"]
+    lake.sql("ANALYZE TABLE gold.ap COMPUTE STATISTICS FOR COLUMNS k")
+    kept = t.pruned_files("k", 0, 10)
+    assert kept and len(kept) < len(t.pruned_files("k", 0, 99))
+    with pytest.raises(ValueError, match="not a partitioned"):
+        lake.sql("CREATE TABLE gold.flat AS SELECT 1 AS x")
+        lake.sql("SHOW PARTITIONS gold.flat")
+
+
 def test_alter_table_column_evolution(spark, lake):
     """Explicit schema-evolution DDL: ADD COLUMN(S) appends typed
     NULLs, RENAME COLUMN remaps the recorded constraints (identity /
