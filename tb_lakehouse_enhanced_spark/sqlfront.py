@@ -1142,6 +1142,8 @@ class LakehouseSql:
             return self.table(tbl).delete(cond)
         if head == "INSERT":
             return self._insert(s)
+        if head == "COPY":
+            return self._copy_into(s)
         if head in ("CREATE", "DROP", "ALTER"):
             handled = self._ddl(s)
             if handled is not None:
@@ -1967,6 +1969,56 @@ class LakehouseSql:
                     if vals.get(c, "").lower() != f"{s}.{c}".lower():
                         return None
         return pb
+
+    _COPY_RE = re.compile(
+        r"^COPY INTO ([\w.]+) FROM '([^']+)' "
+        r"FILEFORMAT ?= ?(\w+)$", re.IGNORECASE)
+
+    def _copy_into(self, s: str) -> ManagedTable:
+        """Delta's idempotent batch ingest: ``COPY INTO db.t FROM
+        '<dir>' FILEFORMAT = PARQUET|JSON``. Files already loaded by a
+        previous COPY never load again — the loaded-file manifest
+        rides the commit metadata (``copy_files``, collected across
+        the history), so a crashed-and-rerun ingest job is
+        exactly-once per FILE without any external state, the same
+        guarantee Databricks' COPY INTO gives. New files append
+        cast to the target's types; no new files is a no-op (no
+        commit)."""
+        m = self._COPY_RE.match(s)
+        if not m:
+            raise ValueError(f"unrecognized COPY INTO shape: {s[:70]!r}")
+        tbl_name, src_dir, fmt = m.group(1), m.group(2), \
+            m.group(3).lower()
+        if fmt not in ("parquet", "json"):
+            raise ValueError(f"unsupported FILEFORMAT: {fmt}")
+        tbl = self.table(tbl_name)
+        if not tbl.exists():
+            raise FileNotFoundError(
+                f"COPY INTO target {tbl_name} does not exist under "
+                f"{self.root}")
+        ext = ".parquet" if fmt == "parquet" else ".json"
+        avail = sorted(
+            os.path.join(src_dir, f) for f in os.listdir(src_dir)
+            if f.endswith(ext))
+        loaded: set = set()
+        for v in range(tbl.current_version(), -1, -1):
+            loaded.update(tbl._commit(v).get("copy_files") or [])
+        new_files = [f for f in avail if f not in loaded]
+        if not new_files:
+            return tbl
+        cur = tbl.read()
+        dtypes = {f.name: f.dataType for f in cur.schema.fields}
+        new = self.spark.read.format(fmt).load(new_files)
+        unknown = set(new.columns) - set(cur.columns)
+        if unknown:
+            raise ValueError(
+                f"COPY source carries unknown columns: "
+                f"{sorted(unknown)}")
+        proj = [(F.col(c) if c in new.columns else F.lit(None))
+                .cast(dtypes[c]).alias(c) for c in cur.columns]
+        return tbl.overwrite(
+            cur.unionByName(new.select(*proj)), operation="COPY INTO",
+            extra_meta={"copy_files": new_files})
 
     def _insert(self, s: str) -> ManagedTable:
         tbl_name, cols, select_sql, replace = parse_insert(s)

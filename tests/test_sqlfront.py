@@ -431,6 +431,37 @@ UPDATE gold.dim_geo SET note = 'n/a' WHERE geo_city = 'N/A'
     assert rows == [(-9, "N/A", "n/a")]
 
 
+def test_copy_into_idempotent_file_ingest(spark, lake, tmp_path):
+    """COPY INTO loads each landing file exactly once: the loaded-file
+    manifest rides the commit metadata and survives interleaved
+    maintenance commits, so re-runs are no-ops and new files append
+    alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    land = tmp_path / "landing"
+    land.mkdir()
+    lake.sql("CREATE TABLE bronze.cp (k INT, v STRING)")
+    pq.write_table(pa.table({"k": [1, 2], "v": ["a", "b"]}),
+                   str(land / "f1.parquet"))
+    lake.sql(f"COPY INTO bronze.cp FROM '{land}' FILEFORMAT = PARQUET")
+    t = lake.table("bronze.cp")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    v1 = t.current_version()
+    # re-run: nothing new -> no-op, no commit
+    lake.sql(f"COPY INTO bronze.cp FROM '{land}' FILEFORMAT = PARQUET")
+    assert t.current_version() == v1
+    # a new file + an interleaved maintenance commit: only the new
+    # file loads (the manifest walk spans the whole history)
+    pq.write_table(pa.table({"k": [3], "v": ["c"]}),
+                   str(land / "f2.parquet"))
+    lake.sql("OPTIMIZE bronze.cp")
+    lake.sql(f"COPY INTO bronze.cp FROM '{land}' FILEFORMAT = PARQUET")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    v3 = t.current_version()
+    lake.sql(f"COPY INTO bronze.cp FROM '{land}' FILEFORMAT = PARQUET")
+    assert t.current_version() == v3
+
+
 def test_analyze_and_show_partitions(spark, lake):
     """ANALYZE TABLE builds the file-skipping stats (pruned_files then
     prunes on the analyzed column); SHOW PARTITIONS lists the live
