@@ -1972,7 +1972,9 @@ class LakehouseSql:
 
     _COPY_RE = re.compile(
         r"^COPY INTO ([\w.]+) FROM '([^']+)' "
-        r"FILEFORMAT ?= ?(\w+)$", re.IGNORECASE)
+        r"FILEFORMAT ?= ?(\w+)"
+        r"(?P<force> COPY_OPTIONS ?\('force' ?= ?'true'\))?$",
+        re.IGNORECASE)
 
     def _copy_into(self, s: str) -> ManagedTable:
         """Delta's idempotent batch ingest: ``COPY INTO db.t FROM
@@ -1983,7 +1985,10 @@ class LakehouseSql:
         exactly-once per FILE without any external state, the same
         guarantee Databricks' COPY INTO gives. New files append
         cast to the target's types; no new files is a no-op (no
-        commit)."""
+        commit). The manifest survives VACUUM (commit records are
+        never vacuumed) and RESTORE — a restored-away load does NOT
+        re-ingest, matching Databricks, unless
+        ``COPY_OPTIONS ('force' = 'true')`` bypasses the manifest."""
         m = self._COPY_RE.match(s)
         if not m:
             raise ValueError(f"unrecognized COPY INTO shape: {s[:70]!r}")
@@ -2001,8 +2006,9 @@ class LakehouseSql:
             os.path.join(src_dir, f) for f in os.listdir(src_dir)
             if f.endswith(ext))
         loaded: set = set()
-        for v in range(tbl.current_version(), -1, -1):
-            loaded.update(tbl._commit(v).get("copy_files") or [])
+        if not m.group("force"):
+            for v in range(tbl.current_version(), -1, -1):
+                loaded.update(tbl._commit(v).get("copy_files") or [])
         new_files = [f for f in avail if f not in loaded]
         if not new_files:
             return tbl

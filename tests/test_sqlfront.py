@@ -460,6 +460,12 @@ def test_copy_into_idempotent_file_ingest(spark, lake, tmp_path):
     v3 = t.current_version()
     lake.sql(f"COPY INTO bronze.cp FROM '{land}' FILEFORMAT = PARQUET")
     assert t.current_version() == v3
+    # force = 'true' bypasses the manifest (the Databricks escape
+    # hatch after a RESTORE): every file re-ingests
+    lake.sql(f"COPY INTO bronze.cp FROM '{land}' FILEFORMAT = PARQUET "
+             f"COPY_OPTIONS ('force' = 'true')")
+    assert sorted(r["k"] for r in t.read().collect()) \
+        == [1, 1, 2, 2, 3, 3]
 
 
 def test_analyze_and_show_partitions(spark, lake):
