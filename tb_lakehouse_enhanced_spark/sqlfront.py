@@ -1192,9 +1192,9 @@ class LakehouseSql:
             cols = tuple(c.strip() for c in m.group(2).split(",")) \
                 if m.group(2) else tuple(
                     f.name for f in t.read().schema.fields
-                    if f.dataType.simpleString() in (
-                        "int", "bigint", "double", "float", "date",
-                        "timestamp", "decimal", "smallint"))
+                    if f.dataType.simpleString().startswith(
+                        ("int", "bigint", "double", "float", "date",
+                         "timestamp", "decimal", "smallint")))
             t.analyze(cols)
             return t
         m = re.match(r"^SHOW PARTITIONS ([\w.]+)$", s, re.IGNORECASE)
@@ -1671,10 +1671,11 @@ class LakehouseSql:
 
     def _dml_via_views(self, tbl_name: str, where: str,
                        assigns: dict | None = None) -> ManagedTable:
-        """UPDATE/DELETE whose WHERE carries subquery forms beyond the
-        ``col [NOT] IN (SELECT…)`` fast path — correlated EXISTS,
-        nested INs, scalar subqueries (Delta's full subquery-DML
-        surface). The predicate text passes VERBATIM to Catalyst over
+        """UPDATE/DELETE whose WHERE carries any subquery form —
+        ``col [NOT] IN (SELECT…)``, correlated EXISTS, nested INs,
+        scalar subqueries (Delta's full subquery-DML surface, with
+        exact SQL three-valued semantics incl. NOT IN's NULL
+        poisoning). The predicate text passes VERBATIM to Catalyst over
         a temp view of the target snapshot, so Spark's own subquery
         decorrelation plans the semi/anti join; the table rewrites as
         (rows where the predicate IS NOT TRUE) ∪ (matched rows with
@@ -2002,6 +2003,9 @@ class LakehouseSql:
                 f"COPY INTO target {tbl_name} does not exist under "
                 f"{self.root}")
         ext = ".parquet" if fmt == "parquet" else ".json"
+        # normalized paths key the manifest: '/dir' and '/dir/' must
+        # dedupe to the same file entries across runs
+        src_dir = os.path.normpath(src_dir)
         avail = sorted(
             os.path.join(src_dir, f) for f in os.listdir(src_dir)
             if f.endswith(ext))
