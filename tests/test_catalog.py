@@ -121,3 +121,40 @@ def test_identity_column_continues_across_loads(spark):
     # missing order cols is a loud error
     with pytest.raises(ValueError):
         catalog.save_table(df1, "silver.dim_ident2", identity_col="sk")
+
+
+def test_identity_start_with_increment_by_catalog(spark):
+    """save_table's identity honors (START WITH s INCREMENT BY i):
+    generated ids land on the start + k*step domain past the
+    watermark, a seed outside the domain never drags generation
+    before START WITH, and negative steps track the MIN downward."""
+    df1 = spark.createDataFrame([("a",), ("b",)], ["name"])
+    catalog.save_table(df1, "silver.dim_sw", identity_col="sk",
+                       identity_order_cols=["name"],
+                       identity_start=100, identity_step=10)
+    got = {r["name"]: r["sk"]
+           for r in spark.table("silver.dim_sw").collect()}
+    assert got == {"a": 100, "b": 110}
+    # append continues the domain past the max
+    catalog.save_table(spark.createDataFrame([("c",)], ["name"]),
+                       "silver.dim_sw", identity_col="sk",
+                       identity_order_cols=["name"],
+                       identity_start=100, identity_step=10,
+                       mode="append")
+    got = {r["name"]: r["sk"]
+           for r in spark.table("silver.dim_sw").collect()}
+    assert got["c"] == 120
+    # negative step: MIN-tracking, floor at START WITH
+    catalog.save_table(
+        spark.createDataFrame([("x",), ("y",)], ["name"]),
+        "silver.dim_neg", identity_col="sk",
+        identity_order_cols=["name"],
+        identity_start=0, identity_step=-5)
+    got = {r["name"]: r["sk"]
+           for r in spark.table("silver.dim_neg").collect()}
+    assert got == {"x": 0, "y": -5}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-zero"):
+        catalog.save_table(df1, "silver.bad", identity_col="sk",
+                           identity_order_cols=["name"],
+                           identity_step=0)
