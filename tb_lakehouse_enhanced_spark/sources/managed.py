@@ -605,6 +605,71 @@ class ManagedTable:
                 "ts": time.time(), **(extra_meta or {})}
         return self._publish(v, meta)
 
+    def append(self, df: DataFrame, operation: str = "APPEND",
+               extra_meta: dict | None = None) -> "ManagedTable":
+        """O(batch) append commit: write ONLY the new rows' files and
+        HARDLINK every existing data file forward into the new version
+        dir — zero existing bytes copied or rewritten (the degenerate
+        zero-touched-partitions case of ``_partial_rewrite``'s
+        hardlink shortcut). This is Delta's blind-append cost shape:
+        a daily ``INSERT INTO`` / ``COPY INTO`` batch on a 100 TB
+        table costs O(|batch|), not O(table).
+
+        Registered CHECK constraints validate the NEW rows only — the
+        existing rows were validated at their own commits, so the
+        whole-table invariant is preserved with an O(|batch|) scan.
+
+        A parent commit carrying merge-on-read state cannot take the
+        shortcut: appended base rows join the resolution at sequence
+        0, so a carried tombstone (always newer than 0) would delete a
+        just-appended row sharing its key, and a carried delta row
+        would shadow it. That case materializes the resolved snapshot
+        + batch in one overwrite (which also purges the MOR debt)."""
+        if not self.exists():
+            return self.overwrite(df, operation, extra_meta=extra_meta)
+        cur = self.current_version()
+        parent = self._commit(cur)
+        if self._has_mor(parent):
+            return self.overwrite(self.read().unionByName(df), operation,
+                                  extra_meta=extra_meta)
+        df = self._with_generated(df)
+        cons = self.constraints()
+        if cons:
+            self._validate(cons, df)
+        v = cur + 1
+        vdir = os.path.join(self.path, f"v{v}")
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(vdir)
+        prev = self._version_dir(cur)
+        for root, _dirs, fns in os.walk(prev):
+            rel = os.path.relpath(root, prev)
+            # a partitioned table's root-level parquet can only be the
+            # parked empty-schema file (_ensure_readable) — real data
+            # always lives under col=value dirs. Linking it next to
+            # partitioned files would re-introduce the partition
+            # columns as data columns, so skip it; _ensure_readable
+            # below re-parks if the new snapshot is still empty.
+            if self.partition_by and rel == ".":
+                continue
+            out = vdir if rel == "." else os.path.join(vdir, rel)
+            os.makedirs(out, exist_ok=True)
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                s, d = os.path.join(root, fn), os.path.join(out, fn)
+                if not os.path.exists(d):
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)  # cross-device fallback
+        if self.partition_by:
+            self._ensure_readable(vdir, df.schema)
+        meta = {"version": v, "dir": f"v{v}", "op": operation,
+                "ts": time.time(), **(extra_meta or {})}
+        return self._publish(v, meta)
+
     def read_as_of(self, ts: float) -> DataFrame:
         """``TIMESTAMP AS OF`` time travel: read the newest snapshot
         whose commit time is <= ``ts`` (epoch seconds). Commits without
@@ -1247,7 +1312,6 @@ class ManagedTable:
             self._validate(cons, rewritten)
         (rewritten.write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
-        self._ensure_readable(vdir, rewritten.schema)
         # hardlink every untouched partition dir from the old snapshot
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
@@ -1265,6 +1329,13 @@ class ManagedTable:
                         os.link(s, d)
                     except OSError:
                         shutil.copy2(s, d)  # cross-device fallback
+        # AFTER the hardlink loop: a DELETE that empties every touched
+        # partition while others survive must NOT park a root-level
+        # schema file (whose partition column rides as a data column)
+        # next to hardlinked partition dirs — the walk now sees the
+        # linked parquet and skips parking; only the truly-empty
+        # snapshot parks.
+        self._ensure_readable(vdir, rewritten.schema)
         meta = {"version": v, "dir": f"v{v}", "op": operation,
                 "ts": time.time(),
                 "partitions_rewritten": sorted(touched_rel)}
@@ -1444,7 +1515,6 @@ class ManagedTable:
         if cons:
             self._validate(cons, merged)
         merged.write.mode("overwrite").partitionBy(*pb).parquet(vdir)
-        self._ensure_readable(vdir, merged.schema)
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
             for r in touched}
@@ -1461,6 +1531,8 @@ class ManagedTable:
                         os.link(s, d)
                     except OSError:
                         shutil.copy2(s, d)
+        # after the hardlink loop — see _partial_rewrite's ordering note
+        self._ensure_readable(vdir, merged.schema)
         meta = {
             "version": v, "dir": f"v{v}", "op": operation,
             "ts": time.time(), "partitions_rewritten": sorted(touched_rel),
@@ -1522,7 +1594,6 @@ class ManagedTable:
         # `merged` was built from the current slice, so every closed row
         # in it closed just now)
         out.write.mode("overwrite").partitionBy(flag_col).parquet(vdir)
-        self._ensure_readable(vdir, out.schema)
         src_hist = os.path.join(self._version_dir(curv), f"{flag_col}=0")
         dst_hist = os.path.join(vdir, f"{flag_col}=0")
         if os.path.isdir(src_hist):
@@ -1534,6 +1605,8 @@ class ManagedTable:
                         os.link(s, d)
                     except OSError:
                         shutil.copy2(s, d)
+        # after the hardlink loop — see _partial_rewrite's ordering note
+        self._ensure_readable(vdir, out.schema)
         return self._publish(v, {
             "version": v, "dir": f"v{v}", "op": "MERGE_SCD2",
             "ts": time.time(),

@@ -1569,20 +1569,65 @@ class LakehouseSql:
         tbl_name, schema_ddl, info, or_replace, ine, ctas, pb = \
             parse_create_table(s)
         tbl = self.table(tbl_name)
-        if tbl.exists() and not or_replace:
+        replacing = tbl.exists()
+        if replacing and not or_replace:
             if ine:
                 return tbl
             raise ValueError(f"table exists: {tbl_name}")
-        if pb:
-            if tbl.exists() and tuple(tbl.partition_by) != pb:
-                import shutil
-                shutil.rmtree(tbl.path)   # OR REPLACE with new layout
+        old_cfg, cfg_written = None, False
+        if pb and not (replacing and tuple(tbl.partition_by) == pb):
+            # OR REPLACE with a NEW partition layout: transactional and
+            # history-preserving (Delta's CREATE OR REPLACE keeps
+            # history; this repo's commit JSONs are never deleted).
+            # Snapshot dirs are layout-independent on read (hive dirs
+            # re-attach old partition columns), so the replacement is
+            # just the next commit under a rewritten _table_config —
+            # swapped BEFORE the write and restored if it fails, so a
+            # failing CTAS leaves the table exactly as it was.
+            cfg_file = os.path.join(tbl.path, "_table_config.json")
+            if os.path.exists(cfg_file):
+                with open(cfg_file) as f:
+                    old_cfg = f.read()
+            tmp = cfg_file + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"partition_by": list(pb),
+                            "generated_cols": {}}, f)
+            os.replace(tmp, cfg_file)
+            cfg_written = True
             rel = tbl_name.replace(".", os.sep)
-            tbl = ManagedTable(self.spark, os.path.join(self.root, rel),
-                               partition_by=pb)
+            tbl = ManagedTable(self.spark, os.path.join(self.root, rel))
         df = self.spark.sql(self._bind_managed_tables(ctas)) if ctas \
             else self.spark.createDataFrame([], schema_ddl)
-        tbl.overwrite(df, operation="CREATE TABLE")
+        # a replaced table is a NEW definition: stale identity/PK/FK
+        # info and CHECK constraints from the old one must neither
+        # validate the replacement write nor survive into it
+        # (history/time-travel still does). Stashed and restored if
+        # the write fails — the table stays exactly as it was.
+        stash = {}
+        if replacing:
+            for fn in ("_ddl_info.json", "_constraints.json"):
+                p = os.path.join(tbl.path, fn)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        stash[p] = f.read()
+                    os.remove(p)
+        try:
+            tbl.overwrite(df, operation="CREATE OR REPLACE TABLE"
+                          if replacing else "CREATE TABLE")
+        except Exception:
+            for p, content in stash.items():
+                with open(p, "w") as f:
+                    f.write(content)
+            if cfg_written:
+                cfg_file = os.path.join(tbl.path, "_table_config.json")
+                if old_cfg is not None:
+                    tmp = cfg_file + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.write(old_cfg)
+                    os.replace(tmp, cfg_file)
+                else:
+                    os.remove(cfg_file)
+            raise
         if any(info.get(k) for k in ("identity", "primary_key",
                                      "not_null", "foreign_keys")):
             with open(os.path.join(tbl.path, "_ddl_info.json"),
@@ -1845,7 +1890,18 @@ class LakehouseSql:
         result is bit-identical to running the statements sequentially:
         composition IS the sequential semantics, only commit
         granularity changes (one version instead of N — noted in the
-        commit's ``fused`` metadata)."""
+        commit's ``fused`` metadata).
+
+        Equivalence REQUIRES every statement's USING source to be
+        independent of the chain's target: all sources resolve against
+        the pre-chain committed snapshot (commits happen once, at the
+        end), so a source that reads the target itself would see
+        pre-chain state where sequential execution sees statement
+        N-1's result. Such chains (detected textually: the target
+        name, db-qualified or bare under the USE SCHEMA context, in
+        any source text) execute statement-by-statement through
+        ``sql()`` instead — per-statement commits, exact sequential
+        semantics."""
         specs = [parse_merge(self._prep(x)) for x in statements]
         if not specs:
             raise ValueError("merge_chain needs at least one statement")
@@ -1853,13 +1909,55 @@ class LakehouseSql:
             raise ValueError(
                 f"merge_chain statements target different tables: "
                 f"{sorted({sp.target for sp in specs})}")
-        tbl = self.table(specs[0].target)
+        target_name = specs[0].target
+        bare = target_name.split(".")[-1]
+        for stmt, sp in zip(statements, specs):
+            refs = {w.lower() for w in
+                    _findall_code(r"[\w.]+", sp.source)}
+            if target_name.lower() in refs or bare.lower() in refs:
+                last = None
+                for st in statements:
+                    last = self.sql(st, extra_meta=extra_meta)
+                return last
+        tbl = self.table(target_name)
         if not tbl.exists():
             raise FileNotFoundError(
                 f"MERGE target {specs[0].target} does not exist under "
                 f"{self.root}")
         info = self._ddl_info(tbl)
         ident = info.get("identity")
+        # the ALWAYS-identity rejection applies to EVERY spec before
+        # any execution strategy is chosen — the fused and
+        # empty-target fast paths must reject exactly what the
+        # sequential path (and single-statement sql()) rejects
+        if ident and info.get("identity_always"):
+            for sp in specs:
+                src_cols = None
+                for cl in sp.clauses:
+                    if cl.kind.endswith("_update"):
+                        if cl.assigns is not None:
+                            self._reject_always_identity(
+                                info, cl.assigns, "MERGE UPDATE SET")
+                        else:
+                            if src_cols is None:
+                                src_cols = self._source_df(
+                                    sp.source).columns
+                            self._reject_always_identity(
+                                info, src_cols, "MERGE UPDATE SET")
+                    elif cl.kind == "insert":
+                        if cl.insert_cols is not None:
+                            self._reject_always_identity(
+                                info,
+                                [_strip_alias(c, (sp.t_alias,
+                                                  sp.s_alias))
+                                 for c in cl.insert_cols],
+                                "MERGE INSERT")
+                        else:
+                            if src_cols is None:
+                                src_cols = self._source_df(
+                                    sp.source).columns
+                            self._reject_always_identity(
+                                info, src_cols, "MERGE INSERT")
         state = tbl.read()
         if len(specs) == 2 and _fusable_close_insert(*specs):
             # the reference's close+insert SCD2 pair: ONE full-outer
@@ -1981,15 +2079,27 @@ class LakehouseSql:
         """Delta's idempotent batch ingest: ``COPY INTO db.t FROM
         '<dir>' FILEFORMAT = PARQUET|JSON``. Files already loaded by a
         previous COPY never load again — the loaded-file manifest
-        rides the commit metadata (``copy_files``, collected across
-        the history), so a crashed-and-rerun ingest job is
-        exactly-once per FILE without any external state, the same
+        rides the commit metadata, so a crashed-and-rerun ingest job
+        is exactly-once per FILE without any external state, the same
         guarantee Databricks' COPY INTO gives. New files append
         cast to the target's types; no new files is a no-op (no
         commit). The manifest survives VACUUM (commit records are
         never vacuumed) and RESTORE — a restored-away load does NOT
         re-ingest, matching Databricks, unless
-        ``COPY_OPTIONS ('force' = 'true')`` bypasses the manifest."""
+        ``COPY_OPTIONS ('force' = 'true')`` bypasses the manifest.
+
+        100 TB cost shape (both halves O(batch), not O(table)):
+
+        - the commit is ``ManagedTable.append`` — only the new files
+          are written; every existing data file hardlinks forward;
+        - each COPY commit carries the CUMULATIVE manifest
+          (``copy_manifest``) alongside its own batch
+          (``copy_files``), so reconstruction walks back only to the
+          newest checkpointed commit — O(1) commit reads in the
+          steady ingest case, never O(history). Non-COPY commits
+          in between don't carry the checkpoint, so the walk
+          accumulates their (absent) ``copy_files`` until it hits
+          the last COPY — still O(#commits since last COPY)."""
         m = self._COPY_RE.match(s)
         if not m:
             raise ValueError(f"unrecognized COPY INTO shape: {s[:70]!r}")
@@ -2009,10 +2119,8 @@ class LakehouseSql:
         avail = sorted(
             os.path.join(src_dir, f) for f in os.listdir(src_dir)
             if f.endswith(ext))
-        loaded: set = set()
-        if not m.group("force"):
-            for v in range(tbl.current_version(), -1, -1):
-                loaded.update(tbl._commit(v).get("copy_files") or [])
+        loaded = self._copy_manifest(tbl) if not m.group("force") \
+            else set()
         new_files = [f for f in avail if f not in loaded]
         if not new_files:
             return tbl
@@ -2026,9 +2134,31 @@ class LakehouseSql:
                 f"{sorted(unknown)}")
         proj = [(F.col(c) if c in new.columns else F.lit(None))
                 .cast(dtypes[c]).alias(c) for c in cur.columns]
-        return tbl.overwrite(
-            cur.unionByName(new.select(*proj)), operation="COPY INTO",
-            extra_meta={"copy_files": new_files})
+        # even under force, the manifest checkpoint stays CUMULATIVE
+        # (union with the walked set) so a later non-force COPY still
+        # sees every previously loaded file
+        manifest = sorted(self._copy_manifest(tbl) | set(new_files)) \
+            if m.group("force") else sorted(loaded | set(new_files))
+        return tbl.append(
+            new.select(*proj), operation="COPY INTO",
+            extra_meta={"copy_files": new_files,
+                        "copy_manifest": manifest})
+
+    @staticmethod
+    def _copy_manifest(tbl: ManagedTable) -> set:
+        """The loaded-file set: walk commits backward, stop at the
+        first cumulative ``copy_manifest`` checkpoint (every COPY
+        commit carries one), accumulating any newer commits'
+        ``copy_files`` on the way. O(commits since the last COPY)
+        tiny JSON reads, not O(history)."""
+        loaded: set = set()
+        for v in range(tbl.current_version(), -1, -1):
+            c = tbl._commit(v)
+            if "copy_manifest" in c:
+                loaded.update(c["copy_manifest"])
+                break
+            loaded.update(c.get("copy_files") or [])
+        return loaded
 
     def _insert(self, s: str) -> ManagedTable:
         tbl_name, cols, select_sql, replace = parse_insert(s)
@@ -2051,12 +2181,26 @@ class LakehouseSql:
         self._reject_always_identity(info, cols, "INSERT")
         proj = [(F.col(c) if c in cols else F.lit(None))
                 .cast(dtypes[c]).alias(c) for c in cur.columns]
-        base = cur.limit(0) if replace else cur
-        result = base.unionByName(new.select(*proj))
+        batch = new.select(*proj)
         ident = info.get("identity")
-        if ident and ident in cur.columns and ident not in cols:
-            result = _assign_identity(result, base, ident,
-                                      [c for c in cols],
-                                      *_ident_params(info))
-        return tbl.overwrite(
-            result, operation="INSERT OVERWRITE" if replace else "INSERT")
+        needs_ident = ident and ident in cur.columns and ident not in cols
+        if replace:
+            result = cur.limit(0).unionByName(batch)
+            if needs_ident:
+                # watermark from the PRE-overwrite snapshot: Delta's
+                # identity high-water mark is table metadata and never
+                # regresses across INSERT OVERWRITE/TRUNCATE — ids must
+                # not restart at START WITH and reuse issued values
+                result = _assign_identity(result, cur, ident,
+                                          [c for c in cols],
+                                          *_ident_params(info))
+            return tbl.overwrite(result, operation="INSERT OVERWRITE")
+        # plain INSERT INTO: O(batch) append commit — only the new
+        # rows' files are written; every existing file hardlinks
+        # forward (ManagedTable.append). Identity ids continue past
+        # the current snapshot's high-water mark.
+        if needs_ident:
+            batch = _assign_identity(batch, cur, ident,
+                                     [c for c in cols],
+                                     *_ident_params(info))
+        return tbl.append(batch, operation="INSERT")
