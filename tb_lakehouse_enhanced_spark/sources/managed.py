@@ -182,7 +182,73 @@ class ManagedTable:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         meta = self._commit(v)
         df = self.spark.read.parquet(self._version_dir(v))
-        return self._resolve_mor(df, meta)
+        return self._resolve_mor(self._apply_column_map(df, meta), meta)
+
+    # -- metadata-only schema evolution (Delta/Iceberg column mapping) -------
+    #
+    # ALTER TABLE ADD/RENAME/DROP COLUMN commits carry a ``column_map``
+    # — ``[physical_name|null, logical_name, type_ddl|null]`` per
+    # logical column, in order — and point at the PARENT's data dir:
+    # zero data files touched, O(1) regardless of table size (the
+    # Delta/Iceberg contract; a column add on a 100 TB table must not
+    # cost a rewrite). ``read`` reconciles at scan time: physical
+    # columns alias to their logical names, added columns (physical
+    # null) materialize as typed NULLs, dropped columns are simply
+    # absent from the map. The NEXT data-writing commit materializes
+    # the logical schema physically and clears the map (hardlink-based
+    # partial rewrites route through a full materialize when the
+    # parent is mapped — mixed physical schemas inside one version dir
+    # would otherwise need per-file maps).
+
+    def _apply_column_map(self, df: DataFrame, meta: dict) -> DataFrame:
+        from pyspark.sql import functions as F
+        cmap = meta.get("column_map")
+        if not cmap:
+            return df
+        cols = []
+        for phys, logical, typ in cmap:
+            if phys is None:
+                cols.append(F.lit(None).cast(typ).alias(logical))
+            else:
+                cols.append(F.col(phys).alias(logical))
+        return df.select(*cols)
+
+    def _is_mapped(self, meta: dict) -> bool:
+        return bool(meta.get("column_map"))
+
+    def column_map(self, version: int | None = None) -> list | None:
+        v = self.current_version() if version is None else version
+        return self._commit(v).get("column_map")
+
+    def identity_column_map(self) -> list:
+        """The identity map over the CURRENT logical schema — the
+        starting point for composing a new evolution step."""
+        cur = self.current_version()
+        meta = self._commit(cur)
+        if meta.get("column_map"):
+            return [list(e) for e in meta["column_map"]]
+        return [[c, c, None] for c in self.read(cur).columns]
+
+    def evolve_schema(self, column_map: list,
+                      operation: str) -> "ManagedTable":
+        """Publish a METADATA-ONLY schema-evolution commit: the new
+        version reuses the parent's data dir, no file is written,
+        moved, or rewritten — ``read`` applies ``column_map`` at scan
+        time. A parent carrying merge-on-read state compacts first
+        (tombstone keys and delta files are physical-schema-bound;
+        one materialize keeps the map/MOR invariant simple: a commit
+        carries one or the other, never both)."""
+        cur = self.current_version()
+        if cur < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        if self._has_mor(self._commit(cur)):
+            self.compact()
+            cur = self.current_version()
+        parent = self._commit(cur)
+        v = cur + 1
+        meta = {"version": v, "dir": parent["dir"], "op": operation,
+                "ts": time.time(), "column_map": column_map}
+        return self._publish(v, meta)
 
     def _resolve_mor(self, df: DataFrame, meta: dict) -> DataFrame:
         """Apply a commit's merge-on-read state on top of a BASE scan.
@@ -268,6 +334,14 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
+        if self._is_mapped(parent):
+            # delta batches carry the table schema; a pending
+            # metadata-only column map would leave base files on the
+            # physical schema and deltas on the logical one —
+            # materialize the map once, then ingest O(batch) again
+            self.compact()
+            cur = self.current_version()
+            parent = self._commit(cur)
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
@@ -333,6 +407,13 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
+        if self._is_mapped(parent):
+            # tombstone key files are written on the logical schema;
+            # materialize the pending column map first so base and
+            # tombstones agree (see upsert_mor)
+            self.compact()
+            cur = self.current_version()
+            parent = self._commit(cur)
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
@@ -481,11 +562,11 @@ class ManagedTable:
                 vals[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
         return vals
 
-    def _delta_schema_string(self, files: list[tuple[str, str]]) -> str:
-        """Spark-schema JSON (Delta schemaString) from one parquet footer
-        plus the directory-encoded partition columns (typed by value
-        inference: all-int -> long, else string — partition values are
-        strings in the log either way)."""
+    def _physical_struct(self, files: list[tuple[str, str]]):
+        """Spark StructType of the PHYSICAL layout from one parquet
+        footer plus the directory-encoded partition columns (typed by
+        value inference: all-int -> long, else string — partition
+        values are strings in the log either way)."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import LongType, StringType, StructField
@@ -503,7 +584,38 @@ class ManagedTable:
                 x.lstrip("-").isdigit() for x in vals)
             struct = struct.add(StructField(
                 pcol, LongType() if is_int else StringType(), True))
-        return struct.json()
+        return struct
+
+    def _delta_schema_string(self, files: list[tuple[str, str]]) -> str:
+        """Spark-schema JSON (Delta schemaString) of the physical
+        layout — see ``_physical_struct``."""
+        return self._physical_struct(files).json()
+
+    def _mapped_schema_string(self, files: list[tuple[str, str]],
+                              cmap: list) -> str:
+        """Delta schemaString for a metadata-only evolved commit:
+        LOGICAL field names carrying ``delta.columnMapping``
+        annotations that point at the files' PHYSICAL columns (name
+        mode per PROTOCOL.md). Metadata-added columns annotate a
+        physical name that exists in NO file, which protocol readers
+        (including sources/deltaread.py::read_delta) surface as NULL —
+        exactly the engine's own read-time reconciliation."""
+        from pyspark.sql.types import (
+            StructField, StructType, _parse_datatype_string,
+        )
+        phys = {f.name: f for f in self._physical_struct(files).fields}
+        fields = []
+        for i, (p, logical, typ) in enumerate(cmap, start=1):
+            if p is None:
+                dt = _parse_datatype_string(typ)
+                pname = f"col-added-{logical}"
+            else:
+                dt = phys[p].dataType
+                pname = p
+            fields.append(StructField(logical, dt, True, metadata={
+                "delta.columnMapping.id": i,
+                "delta.columnMapping.physicalName": pname}))
+        return StructType(fields).json()
 
     def _emit_delta_log(self, v: int, meta: dict) -> None:
         log_dir = self._delta_log_dir()
@@ -524,6 +636,33 @@ class ManagedTable:
                 "minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": ["deletionVectors"],
                 "writerFeatures": ["deletionVectors"]}})
+            entry = os.path.join(log_dir, f"{v:020d}.json")
+            tmp = entry + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            os.replace(tmp, entry)
+            return
+        if meta.get("column_map"):
+            # metadata-only schema evolution: the commit reuses the
+            # parent's files, so NO add/remove actions — just a new
+            # metaData whose logical schema maps onto the files'
+            # physical columns via columnMapping name mode (reader 2 /
+            # writer 5). The next data-writing commit materializes the
+            # logical schema and resets the protocol to 1/2.
+            files = self._data_files(meta["dir"])
+            actions.append({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}})
+            actions.append({"metaData": {
+                "id": self._delta_table_id(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": self._mapped_schema_string(
+                    files, meta["column_map"]),
+                "partitionColumns": list(self.partition_by),
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId":
+                        str(len(meta["column_map"]))},
+                "createdTime": ts_ms}})
             entry = os.path.join(log_dir, f"{v:020d}.json")
             tmp = entry + ".tmp"
             with open(tmp, "w") as f:
@@ -629,7 +768,11 @@ class ManagedTable:
             return self.overwrite(df, operation, extra_meta=extra_meta)
         cur = self.current_version()
         parent = self._commit(cur)
-        if self._has_mor(parent):
+        if self._has_mor(parent) or self._is_mapped(parent):
+            # MOR: appended base rows (sequence 0) would be shadowed/
+            # deleted by carried deltas/tombstones. Mapped: appended
+            # files would carry the logical schema next to hardlinked
+            # physical-schema files. Both materialize.
             return self.overwrite(self.read().unionByName(df), operation,
                                   extra_meta=extra_meta)
         df = self._with_generated(df)
@@ -768,7 +911,8 @@ class ManagedTable:
         v = self.current_version() + 1
         meta = {"version": v, "dir": src["dir"],
                 "op": f"RESTORE v{version}", "ts": time.time()}
-        for k in ("tombstones", "deltas", "tombstone_keys"):
+        for k in ("tombstones", "deltas", "tombstone_keys",
+                  "column_map"):
             if src.get(k):
                 meta[k] = src[k]
         return self._publish(v, meta)
@@ -912,12 +1056,10 @@ class ManagedTable:
                         os.link(s, d)
                     except OSError:
                         shutil.copy2(s, d)
-        if src_meta.get("tombstones"):
-            meta0["tombstones"] = src_meta["tombstones"]
-        if src_meta.get("deltas"):
-            meta0["deltas"] = src_meta["deltas"]
-        if src_meta.get("tombstone_keys"):
-            meta0["tombstone_keys"] = src_meta["tombstone_keys"]
+        for k in ("tombstones", "deltas", "tombstone_keys",
+                  "column_map"):
+            if src_meta.get(k):
+                meta0[k] = src_meta[k]
         return dst._publish(0, meta0)
 
     # -- file-skipping stats (Delta data-skipping analogue) ------------------
@@ -957,9 +1099,20 @@ class ManagedTable:
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         df = self.spark.read.parquet(self._version_dir(v))
+        # pending metadata-only column map: stats are requested under
+        # LOGICAL names but computed from the PHYSICAL columns — a
+        # metadata-ADDED column is NULL in every file (null stats =
+        # file skipped by any range predicate, which is exact: the
+        # predicate can never match NULL)
+        phys_of = {logical: phys
+                   for phys, logical, _ in
+                   (self._commit(v).get("column_map") or [])}
         aggs = []
         for c in stat_cols:
-            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+            pc = phys_of.get(c, c) if phys_of else c
+            src = F.lit(None).cast("string") if pc is None else F.col(pc)
+            aggs += [F.min(src).alias(f"min__{c}"),
+                     F.max(src).alias(f"max__{c}")]
         rows = (df.groupBy(F.col("_metadata.file_path").alias("file"))
                 .agg(*aggs).collect())
         payload = {
@@ -1059,10 +1212,13 @@ class ManagedTable:
                 # schema-stable empty relation without scheduling a scan
                 return (self.read(v).filter(cond)
                         .limit(0).filter(F.lit(False)))
-            return self.spark.read.parquet(*files).filter(cond)
+            return self._apply_column_map(
+                self.spark.read.parquet(*files), meta).filter(cond)
         # MOR: even with zero kept base files, delta files may hold
         # matching rows — resolve over an (empty) base of the right
         # schema; Catalyst folds filter(false) to an empty relation.
+        # (MOR and column_map never coexist on one commit, so the map
+        # application above and the resolution here never both fire.)
         base = (self.spark.read.parquet(*files) if files else
                 self.spark.read.parquet(self._version_dir(v))
                 .filter(F.lit(False)))
@@ -1158,12 +1314,27 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
+        # pending metadata-only column map: probe under the LOGICAL
+        # name, hash the PHYSICAL column (see analyze's note). A
+        # metadata-ADDED column is NULL everywhere: the empty manifest
+        # below prunes every file — exact, since col = v never matches
+        # NULL.
+        cmap = self._commit(v).get("column_map") or []
+        phys_of = {logical: phys for phys, logical, _ in cmap}
+        typ_of = {logical: typ for _, logical, typ in cmap}
+        pc = phys_of.get(col, col) if phys_of else col
+        if pc is None:
+            payload = {"column": col, "col_type": typ_of.get(col),
+                       "m_bits": m_bits, "k": k, "files": {}}
+            with open(self._bloom_file(v, col), "w") as f:
+                json.dump(payload, f)
+            return payload
         df = (self.spark.read.parquet(self._version_dir(v))
-              .filter(F.col(col).isNotNull()))
-        col_type = dict(df.dtypes)[col]
+              .filter(F.col(pc).isNotNull()))
+        col_type = dict(df.dtypes)[pc]
         words = (df.select(F.col("_metadata.file_path").alias("file"),
                            F.explode(self._bloom_positions(
-                               F.col(col), m_bits, k)).alias("p"))
+                               F.col(pc), m_bits, k)).alias("p"))
                  .select("file", (F.col("p") / 64).cast("int").alias("w"),
                          F.expr("shiftleft(CAST(1 AS BIGINT), "
                                 "CAST(pmod(p, 64) AS INT))").alias("bit"))
@@ -1291,6 +1462,11 @@ class ManagedTable:
         # as a bare Column); rewrite_fn must project the markers away.
         df = self.read() if snapshot is None else snapshot
         if mor and not stable_partitions:
+            return self.overwrite(rewrite_fn(df), operation)
+        if self._is_mapped(meta0):
+            # hardlinked untouched partitions would keep the OLD
+            # physical schema while rewritten ones get the logical one
+            # — materialize the map in this (full) rewrite instead
             return self.overwrite(rewrite_fn(df), operation)
         if not self.partition_by:
             return self.overwrite(rewrite_fn(df), operation)
@@ -1485,7 +1661,10 @@ class ManagedTable:
         # merge partition-scoped).
         parent = self._commit(self.current_version())
         mor = self._has_mor(parent)
-        if not self.partition_by or (mor and not stable_partitions):
+        if not self.partition_by or (mor and not stable_partitions) \
+                or self._is_mapped(parent):
+            # mapped parent: hardlinks would mix physical schemas —
+            # materialize the map in this (full) merge rewrite
             return self.overwrite(combine(self.read(), source),
                                   operation, extra_meta=extra_meta)
         from pyspark.sql import functions as F
@@ -1576,10 +1755,12 @@ class ManagedTable:
             full = scd2_merge(None, source, cfg, load_ts)
             return self.overwrite(full.withColumn(flag_col, flag),
                                   operation="MERGE_SCD2")
-        if self._has_mor(self._commit(self.current_version())):
+        head = self._commit(self.current_version())
+        if self._has_mor(head) or self._is_mapped(head):
             # the history-hardlink step below copies RAW base files;
-            # fold outstanding tombstones/deltas into a clean snapshot
-            # first so no merge-on-read state is silently dropped
+            # fold outstanding tombstones/deltas (or a pending
+            # metadata-only column map) into a clean snapshot first so
+            # no merge-on-read state or schema evolution is dropped
             self.compact()
         cur = (self.read().filter(F.col(flag_col) == 1).drop(flag_col))
         merged = scd2_merge(cur, source, cfg, load_ts)
@@ -1679,6 +1860,11 @@ class ManagedTable:
                 f"{self.path} has merge-on-read state (tombstones/deltas); "
                 f"run compact() to materialize it before "
                 f"compact_partitions()")
+        if self._is_mapped(self._commit(curv)):
+            raise ValueError(
+                f"{self.path} has a pending metadata-only column map; "
+                f"run compact() to materialize it before "
+                f"compact_partitions() (mixed physical schemas)")
         v = curv + 1
         vdir = os.path.join(self.path, f"v{v}")
         prev = self._version_dir(curv)

@@ -1450,17 +1450,19 @@ class LakehouseSql:
             return self.table(m.group(1)).add_constraint(
                 m.group(2), m.group(3))
         # explicit schema-evolution DDL (Delta's ALTER TABLE column
-        # family). Delta executes these metadata-only; file-backed
-        # snapshots rewrite instead (hardlinked partition dirs would
-        # otherwise schema-diverge — the same reasoning as
-        # merge_schema's forced full rewrite), trading one commit's
-        # write for a log-free layout.
+        # family). METADATA-ONLY since round 8 (the Delta/Iceberg
+        # contract: a column add on a 100 TB table costs O(1), not a
+        # table rewrite): each statement publishes a column_map commit
+        # that reuses the parent's data dir untouched;
+        # ManagedTable.read reconciles physical -> logical at scan
+        # time, and the next data-writing commit materializes.
         m = re.match(r"^ALTER TABLE ([\w.]+) ADD COLUMNS? "
                      r"(?P<defs>.+)$", s, re.IGNORECASE)
         if m and not m.group("defs").upper().startswith(
                 ("CONSTRAINT", "PRIMARY")):
             t = self.table(m.group(1))
-            cur = t.read()
+            cmap = t.identity_column_map()
+            have = {logical for _, logical, _ in cmap}
             defs = m.group("defs").strip()
             if defs.startswith("(") and _matching_paren(defs) \
                     == len(defs) - 1:
@@ -1472,11 +1474,11 @@ class LakehouseSql:
                 if not typ:
                     raise ValueError(
                         f"cannot parse column definition: {coldef!r}")
-                if name in cur.columns:
+                if name in have:
                     raise ValueError(f"column exists: {name}")
-                cur = cur.withColumn(
-                    name, F.lit(None).cast(typ.strip()))
-            return t.overwrite(cur, operation="ADD COLUMNS")
+                have.add(name)
+                cmap.append([None, name, typ.strip()])
+            return t.evolve_schema(cmap, operation="ADD COLUMNS")
         m = re.match(r"^ALTER TABLE ([\w.]+) RENAME COLUMN (\w+) "
                      r"TO (\w+)$", s, re.IGNORECASE)
         if m:
@@ -1486,10 +1488,19 @@ class LakehouseSql:
             if old in (t.partition_by or ()):
                 raise ValueError(
                     f"cannot rename partition column {old!r}")
+            cmap = t.identity_column_map()
+            names = [logical for _, logical, _ in cmap]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column exists: {new!r}")
+            for e in cmap:
+                if e[1] == old:
+                    e[1] = new
             # CHECK constraints follow the rename (token rewrite
-            # outside string literals), applied BEFORE the overwrite
-            # so its validation scan runs the new expressions against
-            # the renamed rows; restored if the write fails
+            # outside string literals) BEFORE the metadata commit so
+            # future write-validation runs the new expressions;
+            # restored if the commit fails
             cons = t.constraints()
             if cons:
                 remapped = {
@@ -1499,8 +1510,7 @@ class LakehouseSql:
                 with open(t._constraints_file, "w") as f:
                     _json.dump(remapped, f)
             try:
-                t.overwrite(t.read().withColumnRenamed(old, new),
-                            operation="RENAME COLUMN")
+                t.evolve_schema(cmap, operation="RENAME COLUMN")
             except Exception:
                 if cons:
                     with open(t._constraints_file, "w") as f:
@@ -1514,7 +1524,11 @@ class LakehouseSql:
             t = self.table(m.group(1))
             cols = [c.strip() for c in m.group(2).split(",")]
             info = self._ddl_info(t)
+            cmap = t.identity_column_map()
+            names = {logical for _, logical, _ in cmap}
             for c in cols:
+                if c not in names:
+                    raise ValueError(f"no such column: {c!r}")
                 if c in (t.partition_by or ()):
                     raise ValueError(
                         f"cannot drop partition column {c!r}")
@@ -1526,7 +1540,8 @@ class LakehouseSql:
                         raise ValueError(
                             f"constraint {cname!r} references {c!r}; "
                             f"drop it first")
-            t.overwrite(t.read().drop(*cols), operation="DROP COLUMNS")
+            cmap = [e for e in cmap if e[1] not in cols]
+            t.evolve_schema(cmap, operation="DROP COLUMNS")
             for c in cols:
                 self._remap_ddl_info(t, c, None)
             return t

@@ -1,0 +1,217 @@
+"""Metadata-only column evolution (ManagedTable.evolve_schema +
+ALTER TABLE ADD/RENAME/DROP COLUMN statements).
+
+Round-8 contract (the Delta/Iceberg one): a column add/rename/drop on
+a 100 TB table is a METADATA commit — zero data files written, moved,
+or rewritten; ``read`` reconciles physical file columns to the
+logical schema at scan time; the next data-writing commit
+materializes. The inode/file-listing assertions pin the cost shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
+from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return LakehouseSql(spark, str(tmp_path / "lake"))
+
+
+def _file_stats(path: str) -> dict[str, tuple[int, float]]:
+    out = {}
+    for root, _dirs, fns in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                out[full] = (st.st_ino, st.st_mtime)
+    return out
+
+
+def test_alter_add_column_touches_no_data_file(spark, lake):
+    lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'a'), (2, 'b')")
+    t = lake.table("stg.t")
+    before = _file_stats(t.path)
+    v_before = t.current_version()
+    lake.sql("ALTER TABLE stg.t ADD COLUMN score DOUBLE")
+    t = lake.table("stg.t")
+    # metadata-only: version advanced, data dir reused, NO file
+    # created/removed/modified
+    assert t.current_version() == v_before + 1
+    meta = t._commit(t.current_version())
+    assert meta["dir"] == t._commit(v_before)["dir"]
+    assert _file_stats(t.path) == before
+    got = t.read()
+    assert got.columns == ["k", "v", "score"]
+    assert all(r["score"] is None for r in got.collect())
+    # time travel below the evolution sees the old schema
+    assert t.read(version=v_before).columns == ["k", "v"]
+
+
+def test_alter_rename_and_drop_are_metadata_only_and_stack(
+        spark, lake):
+    lake.sql("CREATE TABLE stg.t (a INT, b STRING, c DOUBLE)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'x', 0.5)")
+    t = lake.table("stg.t")
+    before = _file_stats(t.path)
+    lake.sql("ALTER TABLE stg.t RENAME COLUMN a TO a2")
+    lake.sql("ALTER TABLE stg.t DROP COLUMN c")
+    lake.sql("ALTER TABLE stg.t ADD COLUMN d INT")
+    lake.sql("ALTER TABLE stg.t RENAME COLUMN d TO d2")
+    t = lake.table("stg.t")
+    assert _file_stats(t.path) == before     # all four: zero IO
+    got = t.read()
+    assert got.columns == ["a2", "b", "d2"]
+    r = got.collect()[0]
+    assert (r["a2"], r["b"], r["d2"]) == (1, "x", None)
+    # values flow through the whole stacked map
+    assert t.read().filter(F.col("a2") == 1).count() == 1
+
+
+def test_next_write_materializes_and_preserves_data(spark, lake):
+    lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'a')")
+    lake.sql("ALTER TABLE stg.t RENAME COLUMN v TO label")
+    lake.sql("ALTER TABLE stg.t ADD COLUMN n INT")
+    # the next INSERT materializes the logical schema physically
+    lake.sql("INSERT INTO stg.t VALUES (2, 'b', 7)")
+    t = lake.table("stg.t")
+    meta = t._commit(t.current_version())
+    assert not meta.get("column_map")
+    rows = {(r["k"], r["label"], r["n"]) for r in t.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", 7)}
+    # physical files now carry the logical names
+    raw = spark.read.parquet(t._version_dir(t.current_version()))
+    assert set(raw.columns) == {"k", "label", "n"}
+
+
+def test_update_after_evolution_materializes(spark, lake):
+    lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'a'), (2, 'b')")
+    lake.sql("ALTER TABLE stg.t ADD COLUMN flag INT")
+    lake.sql("UPDATE stg.t SET flag = 1 WHERE k = 2")
+    got = {(r["k"], r["flag"])
+           for r in lake.table("stg.t").read().collect()}
+    assert got == {(1, None), (2, 1)}
+
+
+def test_restore_and_clone_carry_the_column_map(spark, tmp_base, lake):
+    lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'a')")
+    lake.sql("ALTER TABLE stg.t RENAME COLUMN v TO label")
+    t = lake.table("stg.t")
+    v_mapped = t.current_version()
+    lake.sql("INSERT INTO stg.t VALUES (2, 'b')")  # materializes
+    t.restore(v_mapped)
+    assert t.read().columns == ["k", "label"]
+    assert t.read().count() == 1
+    c = t.clone(os.path.join(tmp_base, "t_clone"))
+    assert c.read().columns == ["k", "label"]
+
+
+def test_evolution_on_mor_parent_compacts_first(spark, tmp_base):
+    t = ManagedTable(spark, os.path.join(tmp_base, "t"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))
+    t.delete_mor(F.col("k") == 1, key_cols=("k",))
+    cmap = t.identity_column_map()
+    for e in cmap:
+        if e[1] == "v":
+            e[1] = "label"
+    t.evolve_schema(cmap, operation="RENAME COLUMN")
+    got = t.read()
+    assert got.columns == ["k", "label"]
+    assert {r["k"] for r in got.collect()} == {2}
+    meta = t._commit(t.current_version())
+    assert meta.get("column_map") and not meta.get("tombstones")
+
+
+def test_stats_and_bloom_translate_through_the_map(spark, tmp_base):
+    t = ManagedTable(spark, os.path.join(tmp_base, "t"))
+    t.overwrite(spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b"))
+        .repartition(4))
+    cmap = [["a", "a2", None], ["b", "b", None], [None, "c", "int"]]
+    t.evolve_schema(cmap, operation="RENAME COLUMN")
+    # stats under the LOGICAL names, computed from physical columns
+    t.analyze(("a2", "c"))
+    pr = t.pruned_files("a2", 10, 20)
+    assert pr is not None and 0 < len(pr) <= 4
+    got = {r["a2"] for r in t.read_where("a2", 10, 20).collect()}
+    assert got == set(range(10, 21))
+    # a metadata-added column is NULL everywhere: every file prunes
+    # and the exact filter returns nothing — correct
+    assert t.pruned_files("c", 0, 5) == []
+    assert t.read_where("c", 0, 5).count() == 0
+    t.analyze_bloom("a2", m_bits=256, k=3)
+    assert {r["a2"] for r in t.read_where_eq("a2", 42).collect()} \
+        == {42}
+    t.analyze_bloom("c", m_bits=256, k=3)
+    assert t.read_where_eq("c", 1).count() == 0
+
+
+def test_delta_mirror_column_mapping_roundtrip(spark, lake):
+    """The metadata-only commit's Delta-log mirror uses columnMapping
+    name mode: the logical schema annotates the files' PHYSICAL
+    column names, so a protocol reader (read_delta) sees the renamed/
+    added columns without any file rewrite."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'a'), (2, 'b')")
+    lake.sql("ALTER TABLE stg.t RENAME COLUMN v TO label")
+    lake.sql("ALTER TABLE stg.t ADD COLUMN score DOUBLE")
+    t = lake.table("stg.t")
+    got = read_delta(spark, t.path)
+    assert got.columns == ["k", "label", "score"]
+    rows = {(r["k"], r["label"], r["score"]) for r in got.collect()}
+    assert rows == {(1, "a", None), (2, "b", None)}
+    # the map's log entry carries protocol 2/5 + name-mode config
+    log = os.path.join(t.path, "_delta_log",
+                       f"{t.current_version():020d}.json")
+    actions = [json.loads(x) for x in open(log) if x.strip()]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    assert not any("add" in a or "remove" in a for a in actions)
+    # materialize resets the mirror to an unmapped protocol-1 table
+    lake.sql("INSERT INTO stg.t VALUES (3, 'c', 1.5)")
+    got2 = read_delta(spark, t.path)
+    assert {(r["k"], r["label"], r["score"])
+            for r in got2.collect()} == {
+        (1, "a", None), (2, "b", None), (3, "c", 1.5)}
+
+
+def test_merge_after_evolution_materializes_via_full_route(
+        spark, lake):
+    """A partition-scoped-eligible MERGE on a mapped parent must NOT
+    hardlink old-physical-schema partitions next to rewritten
+    logical-schema ones — it takes the materializing full route."""
+    lake.sql("CREATE TABLE stg.f (k INT, p INT, v STRING) "
+             "PARTITIONED BY (p)")
+    lake.sql("INSERT INTO stg.f VALUES (1, 0, 'a'), (2, 1, 'b')")
+    lake.sql("ALTER TABLE stg.f RENAME COLUMN v TO label")
+    spark.createDataFrame([(2, 1, "B")], "k int, p int, label string") \
+        .createOrReplaceTempView("f_src")
+    lake.sql("""
+MERGE INTO stg.f AS tgt USING f_src AS src
+ON tgt.k = src.k AND tgt.p = src.p
+WHEN MATCHED THEN UPDATE SET tgt.label = src.label
+WHEN NOT MATCHED THEN INSERT *
+""")
+    t = lake.table("stg.f")
+    rows = {(r["k"], r["p"], r["label"]) for r in t.read().collect()}
+    assert rows == {(1, 0, "a"), (2, 1, "B")}
+    # every physical file in the new snapshot carries the new name
+    vdir = t._version_dir(t.current_version())
+    raw = spark.read.parquet(vdir)
+    assert "label" in raw.columns and "v" not in raw.columns
