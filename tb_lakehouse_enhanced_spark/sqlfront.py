@@ -1079,6 +1079,8 @@ class LakehouseSql:
         # the schema qualifies bare table names in later statements.
         self.current_catalog = "spark_catalog"
         self.current_db: str | None = None
+        # persistent-view inlining re-entrancy guard (cycle refusal)
+        self._resolving_views: set[str] = set()
 
     def table(self, name: str) -> ManagedTable:
         if "." not in name and self.current_db:
@@ -1110,6 +1112,17 @@ class LakehouseSql:
                      if v.isTemporary}
             if source.lower() not in temps:
                 return t.read()
+        # persistent lakehouse views (CREATE VIEW) resolve by stored
+        # text, AFTER session temp views (Spark's precedence)
+        if "." in source or not any(
+                v.name.lower() == source.lower()
+                for v in self.spark.catalog.listTables()
+                if v.isTemporary):
+            views = self._views()
+            text = views.get(self._qualify(source)) \
+                or views.get(source)
+            if text:
+                return self.spark.sql(self._bind_managed_tables(text))
         return self.spark.table(source)
 
     def sql(self, statement: str, extra_meta: dict | None = None,
@@ -1328,7 +1341,7 @@ class LakehouseSql:
         the root is registered as a temp view and the reference
         rewritten to it. Alias-qualified column refs never collide —
         they don't name managed directories."""
-        out = s
+        out = self._inline_views(s)
         # time travel first (Delta's SELECT syntax), so the generic
         # rewrite below doesn't strand the AS OF suffix; all matching
         # and rewriting happens OUTSIDE string literals only
@@ -1384,13 +1397,148 @@ class LakehouseSql:
                         flags=re.IGNORECASE)
         return out
 
+    # ----------------------------------------------------------- views --
+    _CREATE_VIEW_RE = re.compile(
+        r"^CREATE (?P<replace>OR REPLACE )?"
+        r"(?P<scope>GLOBAL TEMP(?:ORARY)? |TEMP(?:ORARY)? )?VIEW "
+        r"(?P<ine>IF NOT EXISTS )?(?P<name>[\w.]+) AS "
+        r"(?=SELECT |WITH )", re.IGNORECASE)
+    _DROP_VIEW_RE = re.compile(
+        r"^DROP VIEW (?P<ie>IF EXISTS )?(?P<name>[\w.]+)$",
+        re.IGNORECASE)
+
+    @property
+    def _views_file(self) -> str:
+        return os.path.join(self.root, "_views.json")
+
+    def _views(self) -> dict:
+        import json as _json
+        try:
+            with open(self._views_file) as f:
+                return _json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _qualify(self, name: str) -> str:
+        if "." not in name and self.current_db:
+            return f"{self.current_db}.{name}"
+        return name
+
+    def _create_view(self, s: str, m) -> DataFrame:
+        """``CREATE [OR REPLACE] [TEMP] VIEW name AS SELECT ...`` —
+        the pure-SQL spelling of the reference's temp-view bridge
+        (22_ETL_Silver_PySpark.py:58's createOrReplaceTempView).
+        TEMP views register in the Spark session; persistent views
+        store their TEXT under the lakehouse root (``_views.json``)
+        and are inlined by the binder in any later statement — they
+        survive a restart because the definition, not the data, is
+        durable (standard view semantics)."""
+        import json as _json
+        body = s[m.end():]
+        name = m.group("name")
+        bound = self._bind_managed_tables(body)
+        df = self.spark.sql(bound)       # analyzes: validates the text
+        if m.group("scope"):             # TEMP / GLOBAL TEMP
+            if "." in name:
+                raise ValueError(
+                    f"temp view name cannot be qualified: {name}")
+            if m.group("scope").upper().startswith("GLOBAL"):
+                df.createOrReplaceGlobalTempView(name)
+            else:
+                if not m.group("replace") and any(
+                        v.name.lower() == name.lower()
+                        for v in self.spark.catalog.listTables()
+                        if v.isTemporary):
+                    if m.group("ine"):
+                        return df
+                    raise ValueError(f"temp view exists: {name}")
+                df.createOrReplaceTempView(name)
+            return df
+        qname = self._qualify(name)
+        if self.table(qname).exists():
+            raise ValueError(f"{qname} is a managed TABLE")
+        views = self._views()
+        if qname in views and not m.group("replace"):
+            if m.group("ine"):
+                return df
+            raise ValueError(f"view exists: {qname}")
+        # store the ORIGINAL text (with the clock seam already
+        # applied by _prep): binding happens at every read, so the
+        # view always reflects the CURRENT table state
+        views[qname] = body
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._views_file + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(views, f)
+        os.replace(tmp, self._views_file)
+        return df
+
+    def _inline_views(self, s: str) -> str:
+        """Rewrite references to stored persistent views into temp
+        views materialized from their (recursively bound) texts."""
+        views = self._views()
+        if not views:
+            return s
+        out = s
+        for qname, text in views.items():
+            if qname in self._resolving_views:
+                continue
+            db, _, tb = qname.partition(".")
+            pats = [rf"\b{re.escape(qname)}\b"]
+            if self.current_db and db == self.current_db:
+                # bare reference under the matching USE SCHEMA context
+                pats.append(rf"\b(?:FROM|JOIN)\s+{re.escape(tb)}\b")
+            hit = any(_findall_code(p, out, re.IGNORECASE)
+                      for p in pats)
+            if not hit:
+                continue
+            view = f"__lakeview_{db}__{tb}"
+            self._resolving_views.add(qname)
+            try:
+                self.spark.sql(self._bind_managed_tables(text)) \
+                    .createOrReplaceTempView(view)
+            finally:
+                self._resolving_views.discard(qname)
+            out = _sub_code(rf"\b{re.escape(qname)}\b", view, out,
+                            flags=re.IGNORECASE)
+            if self.current_db and db == self.current_db:
+                out = _sub_code(
+                    rf"\b(FROM|JOIN)\s+{re.escape(tb)}\b",
+                    rf"\1 {view}", out, flags=re.IGNORECASE)
+        return out
+
     # ------------------------------------------------------------- DDL --
     def _ddl(self, s: str):
-        """CREATE/DROP DATABASE|TABLE against the managed root
+        """CREATE/DROP DATABASE|TABLE|VIEW against the managed root
         (reference 01_Init.py:27-29,38-40,46-355). Returns None for
-        CREATE shapes this front-end does not own (temp views etc.) so
-        the caller can fall through to spark.sql."""
+        CREATE shapes this front-end does not own so the caller can
+        fall through to spark.sql."""
         import shutil
+        m = self._CREATE_VIEW_RE.match(s)
+        if m:
+            return self._create_view(s, m)
+        m = self._DROP_VIEW_RE.match(s)
+        if m:
+            import json as _json
+            name = m.group("name")
+            qname = self._qualify(name)
+            views = self._views()
+            if qname in views:
+                views.pop(qname)
+                tmp = self._views_file + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(views, f)
+                os.replace(tmp, self._views_file)
+                return qname
+            if "." not in name and any(
+                    v.name.lower() == name.lower()
+                    for v in self.spark.catalog.listTables()
+                    if v.isTemporary):
+                self.spark.catalog.dropTempView(name)
+                return name
+            if not m.group("ie"):
+                raise ValueError(f"no such view: {name}")
+            return name
         m = _CREATE_DB_RE.match(s)
         if m:
             db = os.path.join(self.root, m.group("db").replace(".", os.sep))

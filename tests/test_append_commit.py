@@ -349,3 +349,63 @@ WHEN MATCHED THEN UPDATE SET tgt.v = src.v
 """
     with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         lake.merge_chain([close, ins])   # empty-target fast path
+
+
+# ------------------------------------------------------------- views ---
+
+def test_create_temp_view_statement(spark, lake):
+    lake.sql("CREATE DATABASE stg")
+    lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'a'), (2, 'b')")
+    lake.sql("CREATE OR REPLACE TEMP VIEW tv AS "
+             "SELECT k, upper(v) AS vv FROM stg.t WHERE k > 1")
+    got = lake.sql("SELECT * FROM tv").collect()
+    assert [(r["k"], r["vv"]) for r in got] == [(2, "B")]
+    # MERGE USING the SQL-created temp view
+    lake.sql("CREATE TABLE stg.d (k INT, vv STRING)")
+    lake.sql("""
+MERGE INTO stg.d AS tgt USING tv AS src ON tgt.k = src.k
+WHEN NOT MATCHED THEN INSERT *
+""")
+    assert lake.table("stg.d").read().count() == 1
+
+
+def test_persistent_view_survives_restart(spark, lake):
+    lake.sql("CREATE DATABASE stg")
+    lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 'a'), (2, 'b')")
+    lake.sql("CREATE VIEW stg.big AS SELECT k, v FROM stg.t "
+             "WHERE k >= 2")
+    # a NEW front-end over the same root (restart) resolves the view
+    lake2 = LakehouseSql(spark, lake.root)
+    got = lake2.sql("SELECT v FROM stg.big ORDER BY v").collect()
+    assert [r["v"] for r in got] == ["b"]
+    # views track the CURRENT table state, not a snapshot
+    lake2.sql("INSERT INTO stg.t VALUES (3, 'c')")
+    assert lake2.sql("SELECT count(*) AS n FROM stg.big") \
+        .collect()[0]["n"] == 2
+    # MERGE USING a persistent view
+    lake2.sql("CREATE TABLE stg.d2 (k INT, v STRING)")
+    lake2.sql("""
+MERGE INTO stg.d2 AS tgt USING stg.big AS src ON tgt.k = src.k
+WHEN NOT MATCHED THEN INSERT *
+""")
+    assert lake2.table("stg.d2").read().count() == 2
+    # DROP VIEW removes it for every future session
+    lake2.sql("DROP VIEW stg.big")
+    with pytest.raises(Exception):
+        LakehouseSql(spark, lake.root).sql("SELECT * FROM stg.big")
+
+
+def test_view_name_collisions_and_bare_resolution(spark, lake):
+    lake.sql("CREATE DATABASE stg")
+    lake.sql("CREATE TABLE stg.t (k INT)")
+    lake.sql("INSERT INTO stg.t VALUES (1)")
+    with pytest.raises(ValueError, match="managed TABLE"):
+        lake.sql("CREATE VIEW stg.t AS SELECT 1 AS x")
+    lake.sql("CREATE VIEW stg.w AS SELECT k * 2 AS kk FROM stg.t")
+    with pytest.raises(ValueError, match="view exists"):
+        lake.sql("CREATE VIEW stg.w AS SELECT 1 AS x")
+    # bare-name resolution under USE SCHEMA
+    lake.sql("USE SCHEMA stg")
+    assert lake.sql("SELECT kk FROM w").collect()[0]["kk"] == 2
