@@ -1224,8 +1224,20 @@ class ManagedTable:
                 .filter(F.lit(False)))
         return self._resolve_mor(base, meta).filter(cond)
 
+    def checkpoint_mirror(self, parts: int | None = None) -> int:
+        """Checkpoint the Delta-log MIRROR (one parquet of the live
+        actions + ``_last_checkpoint``): external protocol readers then
+        replay O(commits since checkpoint) instead of the whole
+        history — the standard Delta checkpoint contract, emitted here
+        on demand / by ``maintain``'s cadence. Commit JSONs themselves
+        are never deleted (they are the engine's own source of truth);
+        only the mirror's replay cost is bounded."""
+        from .deltaread import checkpoint_delta_log
+        return checkpoint_delta_log(self.spark, self.path, parts=parts)
+
     def maintain(self, max_files: int = 64, max_mor_commits: int = 8,
-                 target_partitions: int = 8) -> str:
+                 target_partitions: int = 8,
+                 checkpoint_every: int = 10) -> str:
         """Autonomous table maintenance — the policy half of OPTIMIZE:
         compact when EITHER debt signal fires, else do nothing.
 
@@ -1252,11 +1264,26 @@ class ManagedTable:
         mor_debt = len(meta.get("tombstones") or []) \
             + len(meta.get("deltas") or [])
         n_files = len(self._data_files(meta["dir"]))
-        if mor_debt <= max_mor_commits and n_files <= max_files:
-            return "noop"
-        self.compact(target_partitions)
-        self._rebuild_manifests(meta["dir"])
-        return "compact"
+        action = "noop"
+        if mor_debt > max_mor_commits or n_files > max_files:
+            self.compact(target_partitions)
+            self._rebuild_manifests(meta["dir"])
+            action = "compact"
+        # mirror-checkpoint debt: bound external readers' replay cost
+        # (a checkpoint file read + the commits since it) the same way
+        # compaction bounds scan cost. Cheap check: one tiny JSON read.
+        if checkpoint_every:
+            last_cp = -1
+            lc = os.path.join(self._delta_log_dir(), "_last_checkpoint")
+            try:
+                with open(lc) as f:
+                    last_cp = int(json.load(f)["version"])
+            except FileNotFoundError:
+                pass
+            if self.current_version() - last_cp >= checkpoint_every:
+                self.checkpoint_mirror()
+                action = "checkpoint" if action == "noop" else action
+        return action
 
     def _rebuild_manifests(self, prev_dir: str) -> None:
         """Re-derive the stats/bloom manifests that existed for

@@ -215,3 +215,32 @@ WHEN NOT MATCHED THEN INSERT *
     vdir = t._version_dir(t.current_version())
     raw = spark.read.parquet(vdir)
     assert "label" in raw.columns and "v" not in raw.columns
+
+
+def test_checkpoint_mirror_bounds_replay(spark, tmp_base):
+    """maintain()'s checkpoint cadence: after enough commits the
+    Delta-log mirror gains a parquet checkpoint + _last_checkpoint,
+    and read_delta reproduces the table even with every commit JSON
+    at or before the checkpoint DELETED from the mirror (the replay
+    starts at the checkpoint — bounded cost for external readers)."""
+    import glob as _glob
+
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    t = ManagedTable(spark, os.path.join(tmp_base, "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    for i in range(11):
+        t.append(spark.createDataFrame([(100 + i,)], "k long"))
+    assert t.maintain(max_files=1000) == "checkpoint"
+    log = os.path.join(t.path, "_delta_log")
+    cp = _glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+    assert len(cp) == 1
+    v_cp = int(os.path.basename(cp[0]).split(".")[0])
+    for f in _glob.glob(os.path.join(log, "*.json")):
+        if int(os.path.basename(f).split(".")[0]) <= v_cp:
+            os.remove(f)
+    got = read_delta(spark, t.path)
+    assert got.count() == 21
+    assert {r["k"] for r in got.collect()} == \
+        set(range(10)) | {100 + i for i in range(11)}
+    # a fresh maintain right after is a no-op (no new debt)
+    assert t.maintain(max_files=1000) == "noop"
