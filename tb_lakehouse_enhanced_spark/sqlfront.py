@@ -2235,6 +2235,9 @@ class LakehouseSql:
     _COPY_RE = re.compile(
         r"^COPY INTO ([\w.]+) FROM '([^']+)' "
         r"FILEFORMAT ?= ?(\w+)"
+        r"(?: PATTERN ?= ?'(?P<pattern>[^']+)')?"
+        r"(?: FORMAT_OPTIONS ?\('header' ?= ?"
+        r"'(?P<header>true|false)'\))?"
         r"(?P<force> COPY_OPTIONS ?\('force' ?= ?'true'\))?$",
         re.IGNORECASE)
 
@@ -2268,20 +2271,27 @@ class LakehouseSql:
             raise ValueError(f"unrecognized COPY INTO shape: {s[:70]!r}")
         tbl_name, src_dir, fmt = m.group(1), m.group(2), \
             m.group(3).lower()
-        if fmt not in ("parquet", "json"):
+        if fmt not in ("parquet", "json", "csv"):
             raise ValueError(f"unsupported FILEFORMAT: {fmt}")
         tbl = self.table(tbl_name)
         if not tbl.exists():
             raise FileNotFoundError(
                 f"COPY INTO target {tbl_name} does not exist under "
                 f"{self.root}")
-        ext = ".parquet" if fmt == "parquet" else ".json"
+        ext = {"parquet": ".parquet", "json": ".json",
+               "csv": ".csv"}[fmt]
         # normalized paths key the manifest: '/dir' and '/dir/' must
-        # dedupe to the same file entries across runs
+        # dedupe to the same file entries across runs.
+        # PATTERN narrows the candidate set (Databricks' glob filter)
+        # but never widens the manifest semantics: idempotence stays
+        # per-FILE regardless of which pattern first loaded it.
         src_dir = os.path.normpath(src_dir)
+        import fnmatch
+        pattern = m.group("pattern")
         avail = sorted(
             os.path.join(src_dir, f) for f in os.listdir(src_dir)
-            if f.endswith(ext))
+            if (fnmatch.fnmatch(f, pattern) if pattern
+                else f.endswith(ext)))
         loaded = self._copy_manifest(tbl) if not m.group("force") \
             else set()
         new_files = [f for f in avail if f not in loaded]
@@ -2289,7 +2299,23 @@ class LakehouseSql:
             return tbl
         cur = tbl.read()
         dtypes = {f.name: f.dataType for f in cur.schema.fields}
-        new = self.spark.read.format(fmt).load(new_files)
+        reader = self.spark.read.format(fmt)
+        if fmt == "csv":
+            # header defaults ON (the useful CSV shape; FORMAT_OPTIONS
+            # ('header' = 'false') reads headerless positional columns
+            # named by the target's order). Values arrive as strings
+            # and the projection below casts to the target's types —
+            # schema inference never guesses.
+            header = (m.group("header") or "true").lower() == "true"
+            reader = reader.option("header", str(header).lower())
+        new = reader.load(new_files)
+        if fmt == "csv" and (m.group("header") or "true").lower() \
+                == "false":
+            if len(new.columns) != len(cur.columns):
+                raise ValueError(
+                    f"headerless CSV arity mismatch: {len(new.columns)}"
+                    f" columns vs {len(cur.columns)} table columns")
+            new = new.toDF(*cur.columns)
         unknown = set(new.columns) - set(cur.columns)
         if unknown:
             raise ValueError(

@@ -409,3 +409,34 @@ def test_view_name_collisions_and_bare_resolution(spark, lake):
     # bare-name resolution under USE SCHEMA
     lake.sql("USE SCHEMA stg")
     assert lake.sql("SELECT kk FROM w").collect()[0]["kk"] == 2
+
+
+def test_copy_into_csv_and_pattern(spark, lake, tmp_path):
+    """COPY INTO FILEFORMAT = CSV (header on by default; headerless
+    positional with FORMAT_OPTIONS) and the PATTERN glob filter —
+    Databricks' ingest surface beyond parquet/json."""
+    lake.sql("CREATE DATABASE stg")
+    lake.sql("CREATE TABLE stg.c (k INT, v STRING)")
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "a_part1.csv").write_text("k,v\n1,x\n2,y\n")
+    (d / "a_part2.csv").write_text("k,v\n3,z\n")
+    (d / "skipme.csv").write_text("k,v\n99,nope\n")
+    lake.sql(f"COPY INTO stg.c FROM '{d}' FILEFORMAT = CSV "
+             f"PATTERN = 'a_*.csv'")
+    got = {(r["k"], r["v"])
+           for r in lake.table("stg.c").read().collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "z")}
+    # re-COPY with a WIDER pattern loads only the not-yet-loaded file
+    lake.sql(f"COPY INTO stg.c FROM '{d}' FILEFORMAT = CSV")
+    assert lake.table("stg.c").read().count() == 4
+    # headerless positional CSV
+    lake.sql("CREATE TABLE stg.c2 (k INT, v STRING)")
+    d2 = tmp_path / "csv2"
+    d2.mkdir()
+    (d2 / "b.csv").write_text("7,h\n8,i\n")
+    lake.sql(f"COPY INTO stg.c2 FROM '{d2}' FILEFORMAT = CSV "
+             f"FORMAT_OPTIONS ('header' = 'false')")
+    assert {(r["k"], r["v"])
+            for r in lake.table("stg.c2").read().collect()} \
+        == {(7, "h"), (8, "i")}
