@@ -100,6 +100,39 @@ def mor_batch_sink(table: ManagedTable, key_cols: tuple[str, ...]):
     return sink
 
 
+def stream_append_sink(stream: DataFrame, table: ManagedTable):
+    """Streaming INGEST into a managed table via the O(batch) append
+    commit (``ManagedTable.append``): each micro-batch writes ONLY its
+    own files and hardlinks every existing file forward — per-batch
+    sink cost is O(|batch|) at any table size, with NO read-side
+    resolution debt (contrast ``stream_mor_sink``, whose delta stack
+    costs a window shuffle per read until compaction). The right sink
+    for pure-insert streams — event logs, document feeds, the
+    Auto-Loader-shaped file ingest COPY INTO serves in batch.
+
+    Exactly-once on at-least-once delivery: the applied batch id rides
+    the append's own atomic commit (``stream_batch_id``, backward
+    commit-walk on read — the same replay guard as the MOR sink), so a
+    replayed micro-batch is skipped instead of appending duplicates.
+    """
+    return stream.writeStream.foreachBatch(append_batch_sink(table))
+
+
+def append_batch_sink(table: ManagedTable):
+    """The per-batch function behind ``stream_append_sink`` — exposed
+    so the replay-idempotence guard is directly testable."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.last_meta("stream_batch_id", -1) \
+            if table.exists() else -1
+        if batch_id <= last:
+            return                      # replayed batch: already applied
+        table.append(batch_df,
+                     extra_meta={"stream_batch_id": batch_id})
+    return sink
+
+
 def stream_bm25_index_sink(stream: DataFrame, path: str,
                            n_buckets: int = 64,
                            id_col: str = "doc_id",

@@ -243,3 +243,60 @@ WHEN NOT MATCHED THEN INSERT (k, n) VALUES (src.k, src.n)
     t.compact()                        # maintenance commit at HEAD
     msink(spark.createDataFrame([(1, "c")], "k int, v string"), 1)
     assert [r["v"] for r in t.read().collect()] == ["b"]
+
+
+def test_stream_append_sink_exactly_once_and_hardlinks(spark, tmp_path):
+    """Streaming ingest through the O(batch) append commit: each
+    micro-batch writes only its own files (every prior file rides
+    forward as a hardlink — same inode), and a replayed batch id is
+    skipped via the commit-metadata high-water mark."""
+    import os
+
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    from tb_lakehouse_enhanced_spark.streaming.sink import (
+        append_batch_sink, stream_append_sink,
+    )
+
+    src = str(tmp_path / "in")
+
+    def write(rows):
+        spark.createDataFrame(rows, "id long, v double") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    table = ManagedTable(spark, str(tmp_path / "app_tbl"))
+
+    def start():
+        stream = (spark.readStream.schema("id long, v double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return (stream_append_sink(stream, table)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .outputMode("append").start())
+
+    write([(1, 1.0), (2, 2.0)])
+    write([(3, 3.0)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert {r["id"] for r in table.read().collect()} == {1, 2, 3}
+    v = table.current_version()
+    assert v >= 1                        # one commit per micro-batch
+
+    # inode check: every file of v_{N-1} hardlinks into v_N
+    def inodes(d):
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    prev, curd = (os.path.join(table.path, table._commit(x)["dir"])
+                  for x in (v - 1, v))
+    pi, ci = inodes(prev), inodes(curd)
+    assert pi and set(pi.items()) <= set(ci.items())
+
+    # replay guard: re-delivering an already-applied batch id is a
+    # no-op (no new commit, no duplicate rows)
+    sink = append_batch_sink(table)
+    sink(spark.createDataFrame([(9, 9.0)], "id long, v double"), 0)
+    assert table.current_version() == v
+    assert table.read().count() == 3
+    # a NEW batch id applies
+    sink(spark.createDataFrame([(9, 9.0)], "id long, v double"),
+         batch_id=10**6)
+    assert table.read().count() == 4
