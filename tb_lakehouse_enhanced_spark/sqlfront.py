@@ -1738,8 +1738,10 @@ class LakehouseSql:
                 return tbl
             raise ValueError(f"table exists: {tbl_name}")
         old_cfg, cfg_written = None, False
-        if pb and not (replacing and tuple(tbl.partition_by) == pb):
-            # OR REPLACE with a NEW partition layout: transactional and
+        if (pb or replacing) and tuple(tbl.partition_by or ()) != pb:
+            # new table with a layout, or OR REPLACE with a CHANGED
+            # layout — including replacing a partitioned table with an
+            # unpartitioned definition (pb = ()). Transactional and
             # history-preserving (Delta's CREATE OR REPLACE keeps
             # history; this repo's commit JSONs are never deleted).
             # Snapshot dirs are layout-independent on read (hive dirs

@@ -440,3 +440,21 @@ def test_copy_into_csv_and_pattern(spark, lake, tmp_path):
     assert {(r["k"], r["v"])
             for r in lake.table("stg.c2").read().collect()} \
         == {(7, "h"), (8, "i")}
+
+
+def test_create_or_replace_to_unpartitioned(spark, lake):
+    """Replacing a partitioned table with a definition that has no
+    PARTITIONED BY clause yields an UNPARTITIONED table (Delta
+    semantics: the replacement's layout wins), history preserved."""
+    lake.sql("CREATE DATABASE stg")
+    lake.sql("CREATE TABLE stg.t (k INT, p INT) PARTITIONED BY (p)")
+    lake.sql("INSERT INTO stg.t VALUES (1, 0)")
+    v_before = lake.table("stg.t").current_version()
+    lake.sql("CREATE OR REPLACE TABLE stg.t (k INT)")
+    t = lake.table("stg.t")
+    assert tuple(t.partition_by or ()) == ()
+    lake.sql("INSERT INTO stg.t VALUES (5)")
+    assert {r["k"] for r in t.read().collect()} == {5}
+    # pre-replace snapshot still time-travels (with its old layout)
+    old = t.read(version=v_before)
+    assert {(r["k"], r["p"]) for r in old.collect()} == {(1, 0)}
