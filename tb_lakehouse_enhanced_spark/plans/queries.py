@@ -2707,6 +2707,17 @@ def table_changes(spark, sf_dir):
     return scd.cdf_state(spark, sf_dir)
 
 
+@q("table_changes_feed", scd.CDF_FEED_ORACLE)
+def table_changes_feed(spark, sf_dir):
+    """Commit-log-driven per-commit CDF (Delta ``table_changes(t, 0, 2)``
+    semantics): each commit's own changes stamped with its
+    ``_commit_version``, computed from the commit log's add/remove file
+    sets — the append commit scans only its batch, the partition-scoped
+    UPDATE only the touched partition, maintenance commits nothing
+    (ManagedTable.table_changes / commit_changes)."""
+    return scd.cdf_feed_state(spark, sf_dir)
+
+
 @q("perplexity_score", """
 WITH t AS (
   SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
@@ -4907,7 +4918,11 @@ _PRIORITY = [
     "sql_catalog_context", "dml_delete_mor", "delta_external_read",
     "sql_merge_scd2", "sql_merge_scd1", "fact_upsert",
     "sql_merge_partitioned", "sql_copy_into",
-    "table_changes",
+    # round 8 (second session): the commit-log-driven PER-COMMIT feed
+    # (Delta table_changes semantics, O(changed files) per commit)
+    # supersedes its endpoint-diff sibling in-window — table_changes
+    # stays locally oracle-checked below the fold
+    "table_changes_feed",
     # streaming (batch-checkable core): tumbling + sliding windows
     # (stream_sliding rotates IN for round 6 — overlapping-window
     # emission was below the fold since round 4)

@@ -263,6 +263,50 @@ UNION ALL SELECT s.*, 'update_postimage' FROM src1 s
 """
 
 
+def cdf_feed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log-driven per-commit change feed
+    (ManagedTable.table_changes — Delta's ``table_changes(t, 0, 2)``):
+    a partitioned table takes a create (v0), an O(batch) append (v1)
+    and a partition-scoped UPDATE (v2); the feed unions each commit's
+    OWN changes stamped with its ``_commit_version`` — the append is
+    served from only the batch's files and the update's diff reads
+    only the touched partition (both sides), never the table."""
+    import tempfile
+
+    from ..sources.managed import ManagedTable
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"))
+    t = ManagedTable(spark, tempfile.mkdtemp(prefix="tb_cdf_feed_"),
+                     partition_by=("o_orderstatus",))
+    t.overwrite(base.filter(F.col("o_orderkey") % 10 < 5))          # v0
+    t.append(base.filter(F.col("o_orderkey") % 10 == 7))            # v1
+    t.update((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0),
+             {"price_cents": F.col("price_cents") + F.lit(5)})      # v2
+    return t.table_changes(0, 2, keys=("o_orderkey",))
+
+
+CDF_FEED_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+), v0 AS (SELECT * FROM base WHERE o_orderkey % 10 < 5),
+   ins1 AS (SELECT * FROM base WHERE o_orderkey % 10 = 7),
+   upd AS (SELECT * FROM (SELECT * FROM v0 UNION ALL SELECT * FROM ins1)
+           WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+SELECT *, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+FROM v0
+UNION ALL SELECT *, 'insert', 1 FROM ins1
+UNION ALL SELECT o_orderkey, o_orderstatus, price_cents,
+                 'update_preimage', 2 FROM upd
+UNION ALL SELECT o_orderkey, o_orderstatus, price_cents + 5,
+                 'update_postimage', 2 FROM upd
+"""
+
+
 # ------------------------------------------------------------ full sync -----
 SYNC_CFG = ScdConfig(keys=("o_orderkey",),
                      tracked=("o_orderstatus", "price_cents"),

@@ -1435,6 +1435,194 @@ class ManagedTable:
         return out.withColumn("_commit_version",
                               F.lit(to_version).cast("bigint"))
 
+    def _files_rel(self, v: int) -> dict[str, str]:
+        """Version ``v``'s parquet data files as {path relative to the
+        VERSION dir: absolute path}. Hardlinked files keep their relative
+        path across version dirs (``append``/``_partial_rewrite`` link
+        under the same name), while rewritten files get fresh UUID names
+        — so set algebra over these keys IS the commit's add/remove file
+        list, recovered from the layout with zero data read. A
+        partitioned table's root-level parquet can only be the parked
+        empty-schema file (zero rows, partition column as data column) —
+        excluded, as in ``append``'s hardlink walk."""
+        d = self._version_dir(v)
+        out: dict[str, str] = {}
+        for root, _dirs, fns in os.walk(d):
+            rel = os.path.relpath(root, d)
+            if self.partition_by and rel == ".":
+                continue
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    out[fn if rel == "." else os.path.join(rel, fn)] = \
+                        os.path.join(root, fn)
+        return out
+
+    def _align_to(self, df: DataFrame, schema) -> DataFrame:
+        """Project ``df`` onto ``schema``'s columns in order: present
+        columns cast to the target type, absent ones typed NULL (the
+        Delta CDF convention when the feed spans schema evolution)."""
+        from pyspark.sql import functions as F
+        have = set(df.columns)
+        return df.select(*[
+            (F.col(f.name) if f.name in have else F.lit(None))
+            .cast(f.dataType).alias(f.name) for f in schema.fields])
+
+    def _read_files(self, files: list[str], vdir: str,
+                    meta: dict) -> DataFrame:
+        """Scan ONLY the named data files of one snapshot (``basePath``
+        recovers the hive partition columns), reconciled through that
+        commit's column map."""
+        df = (self.spark.read.option("basePath", vdir)
+              .parquet(*files))
+        return self._apply_column_map(df, meta)
+
+    def commit_changes(self, v: int,
+                       keys: tuple[str, ...] | None = None) -> DataFrame:
+        """Row-level changes introduced by commit ``v`` ALONE, computed
+        from the commit log — the per-commit half of Delta's
+        ``table_changes`` (classic CDF cost shape: read the files the
+        commit added/removed, never the table).
+
+        Commit classification, cheapest first:
+
+        - metadata-only commits (column map, RESTORE to the parent's own
+          state) and row-preserving maintenance (``OPTIMIZE*``
+          compaction/clustering, Delta's ``dataChange=false``) → empty
+          feed, ZERO files read;
+        - append commits (no file removed) → the added files scan as
+          ``insert`` rows — O(|batch|);
+        - merge-on-read ingest (base dir unchanged, new delta/tombstone
+          files) → the resolved before/after states restricted to the
+          batch's keys (broadcast semi-join; the delta/tombstone files
+          ARE the batch, so the diff is O(|batch| ⋈ scan), and the base
+          scan partition-prunes when keys are partition-stable);
+        - partial rewrites → diff of the REMOVED vs ADDED files only
+          (hardlinked untouched partitions never enter the plan) —
+          O(|touched partitions|);
+        - materializing commits where merge-on-read state exists on
+          either side of the boundary (compaction-priced writes by
+          construction) and full overwrites → resolved endpoint diff,
+          proportionate to the write that produced them.
+
+        With ``keys``: Delta's four change types (insert / delete /
+        update_preimage / update_postimage). Without: multiset diff
+        (insert/delete only) — except MOR commits, which always classify
+        on their own key columns. Raises if a needed snapshot dir was
+        vacuumed (Delta CDF has the same retention horizon)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.cdf import CHANGE_TYPE, changes_between
+        meta = self._commit(v)
+        schema_v = self.read(v).schema
+
+        def empty():
+            from pyspark.sql.types import StringType, StructType
+            fields = list(schema_v.fields)
+            out = StructType(fields).add(CHANGE_TYPE, StringType())
+            return self.spark.createDataFrame([], out)
+
+        op = str(meta.get("op") or "")
+        if op.startswith("OPTIMIZE") or meta.get("data_change") is False:
+            return empty()
+        if v == 0:
+            return (self._align_to(self.read(0), schema_v)
+                    .withColumn(CHANGE_TYPE, F.lit("insert")))
+        parent = self._commit(v - 1)
+        for want in (v - 1, v):
+            c = self._commit(want)
+            if not os.path.isdir(os.path.join(self.path, c["dir"])):
+                raise FileNotFoundError(
+                    f"version {want} of {self.path} was vacuumed; the "
+                    f"change feed for commit {v} is past the retention "
+                    f"horizon")
+        new_deltas = [d for d in (meta.get("deltas") or [])
+                      if d not in (parent.get("deltas") or [])]
+        new_tombs = [t for t in (meta.get("tombstones") or [])
+                     if t not in (parent.get("tombstones") or [])]
+        if meta["dir"] == parent["dir"]:
+            if not new_deltas and not new_tombs:
+                return empty()  # metadata-only (column map / no-op restore)
+            # merge-on-read ingest: the new delta/tombstone files ARE the
+            # change batch; restrict both resolved states to its keys
+            mkeys = list(meta["tombstone_keys"])
+            batches = [self.spark.read.parquet(os.path.join(self.path, d))
+                       .select(*mkeys) for d in new_deltas + new_tombs]
+            kdf = batches[0]
+            for b in batches[1:]:
+                kdf = kdf.unionByName(b)
+            kdf = F.broadcast(kdf.dropDuplicates(mkeys))
+            before = (self.read(v - 1).join(kdf, mkeys, "left_semi")
+                      if self._data_files(parent["dir"]) else None)
+            after = self.read(v).join(kdf, mkeys, "left_semi")
+            out = changes_between(
+                before if before is None else self._align_to(before, schema_v),
+                self._align_to(after, schema_v), keys=mkeys)
+            return out
+        if (self._has_mor(meta) or self._has_mor(parent)
+                or self._is_mapped(meta) or self._is_mapped(parent)):
+            # materializing / restore across MOR or column-map state:
+            # physical file identity says nothing about logical rows —
+            # resolved endpoint diff (the producing write was already
+            # O(table), so the feed cost is proportionate)
+            return changes_between(
+                self._align_to(self.read(v - 1), schema_v),
+                self._align_to(self.read(v), schema_v), keys=keys)
+        prevf = self._files_rel(v - 1)
+        curf = self._files_rel(v)
+        added = [p for r, p in curf.items() if r not in prevf]
+        removed = [p for r, p in prevf.items() if r not in curf]
+        if not added and not removed:
+            return empty()
+        after = (self._align_to(self._read_files(
+            added, self._version_dir(v), meta), schema_v)
+            if added else None)
+        before = (self._align_to(self._read_files(
+            removed, self._version_dir(v - 1), parent), schema_v)
+            if removed else None)
+        if before is None:
+            return after.withColumn(CHANGE_TYPE, F.lit("insert"))
+        if after is None:
+            return before.withColumn(CHANGE_TYPE, F.lit("delete"))
+        return changes_between(before, after, keys=keys)
+
+    def table_changes(self, start_version: int,
+                      end_version: int | None = None,
+                      keys: tuple[str, ...] | None = None) -> DataFrame:
+        """Delta's ``table_changes(name, start, end)``: the union of each
+        commit's own change feed over ``[start_version, end_version]``,
+        every row stamped with the ``_commit_version`` that produced it —
+        unlike :meth:`changes`, which diffs the two endpoint snapshots
+        and so collapses intermediate history (an insert-then-delete
+        inside the range is invisible to ``changes`` but present here).
+
+        Cost is the SUM of the per-commit feeds (see
+        :meth:`commit_changes`): appends scan their batch, partial
+        rewrites their touched partitions, maintenance commits nothing —
+        the table itself is never re-scanned for log-describable
+        commits. Columns follow the END version's logical schema
+        (earlier commits' dropped/renamed-away columns read as NULL,
+        the Delta CDF schema-evolution convention)."""
+        from pyspark.sql import functions as F
+        end_version = (self.current_version() if end_version is None
+                       else end_version)
+        if not 0 <= start_version <= end_version <= self.current_version():
+            raise ValueError(
+                f"invalid change range [{start_version}, {end_version}] "
+                f"for {self.path} at version {self.current_version()}")
+        from pyspark.sql.types import StringType, StructType
+
+        from ..operators.cdf import CHANGE_TYPE
+        feed_schema = StructType(list(self.read(end_version).schema.fields)) \
+            .add(CHANGE_TYPE, StringType())
+        out = None
+        for v in range(start_version, end_version + 1):
+            part = (self._align_to(self.commit_changes(v, keys=keys),
+                                   feed_schema)
+                    .withColumn("_commit_version",
+                                F.lit(v).cast("bigint")))
+            out = part if out is None else out.unionByName(part)
+        return out
+
     # -- DML (reference notebooks/23_Testing_SCD2.py:40-64) ------------------
     def _partial_rewrite(self, condition, rewrite_fn, operation: str,
                          stable_partitions: bool = False,

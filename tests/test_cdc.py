@@ -84,3 +84,147 @@ def test_incremental_agg_bootstrap_from_insert_feed(spark):
         None, changes_between(None, first), ["g"], {"v": "total_v"})
     rows = {r["g"]: (r["n_rows"], float(r["total_v"])) for r in state.collect()}
     assert rows == {"a": (1, 2.0), "b": (1, 3.0)}
+
+
+# -- commit-log-driven CDF (ManagedTable.commit_changes / table_changes) ----
+
+def _feed(df):
+    return {(r["id"], r["k"], r["v"], r["_change_type"],
+             r["_commit_version"]) for r in df.collect()}
+
+
+def _mk_part_table(spark, tmp_base, name="t"):
+    t = ManagedTable(spark, f"{tmp_base}/{name}", partition_by=("k",))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        ["id", "k", "v"]))                                  # v0
+    return t
+
+
+def test_table_changes_per_commit_versions_and_types(spark, tmp_base):
+    t = _mk_part_table(spark, tmp_base)
+    t.append(spark.createDataFrame([(5, "c", 50.0)], ["id", "k", "v"]))  # v1
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})                       # v2
+    t.delete(F.col("id") == 3)                                           # v3
+
+    feed = _feed(t.table_changes(0, 3, keys=("id",)))
+    assert feed == {
+        (1, "a", 10.0, "insert", 0), (2, "a", 20.0, "insert", 0),
+        (3, "b", 30.0, "insert", 0), (4, "b", 40.0, "insert", 0),
+        (5, "c", 50.0, "insert", 1),
+        (1, "a", 10.0, "update_preimage", 2),
+        (1, "a", 11.0, "update_postimage", 2),
+        (3, "b", 30.0, "delete", 3),
+    }
+
+
+def test_table_changes_sees_intermediate_history(spark, tmp_base):
+    """An insert-then-delete inside the range is invisible to the
+    endpoint diff (changes) but present in the per-commit feed —
+    the Delta table_changes semantic difference."""
+    t = _mk_part_table(spark, tmp_base)
+    t.append(spark.createDataFrame([(9, "a", 90.0)], ["id", "k", "v"]))  # v1
+    t.delete(F.col("id") == 9)                                           # v2
+
+    endpoint = t.changes(0, 2, keys=("id",))
+    assert endpoint.count() == 0
+    feed = _feed(t.table_changes(1, 2, keys=("id",)))
+    assert feed == {(9, "a", 90.0, "insert", 1),
+                    (9, "a", 90.0, "delete", 2)}
+
+
+def test_commit_changes_append_reads_only_the_batch_files(spark, tmp_base):
+    """O(batch) gate: the append commit's change plan must scan ONLY
+    the files the commit added — never the hardlinked existing data."""
+    t = _mk_part_table(spark, tmp_base)
+    prev = set(t._files_rel(0))
+    t.append(spark.createDataFrame([(5, "c", 50.0), (6, "a", 60.0)],
+                                   ["id", "k", "v"]))                    # v1
+    added = {p for r, p in t._files_rel(1).items() if r not in prev}
+    scanned = set(t.commit_changes(1, keys=("id",)).inputFiles())
+    scanned = {f.replace("file://", "").replace("file:", "") for f in scanned}
+    assert scanned == added
+    assert not any("/v0/" in f for f in scanned)
+
+
+def test_commit_changes_partial_rewrite_scans_touched_partitions_only(
+        spark, tmp_base):
+    t = _mk_part_table(spark, tmp_base)
+    t.update(F.col("id") == 3, {"v": F.lit(33.0)})          # v1 touches k=b
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in t.commit_changes(1, keys=("id",)).inputFiles()}
+    assert scanned, "diff plan must read the touched files"
+    assert all("k=b" in f for f in scanned), scanned
+    assert _feed(t.commit_changes(1, keys=("id",)).withColumn(
+        "_commit_version", F.lit(1).cast("bigint"))) == {
+        (3, "b", 30.0, "update_preimage", 1),
+        (3, "b", 33.0, "update_postimage", 1)}
+
+
+def test_commit_changes_optimize_and_column_map_are_empty_at_zero_read(
+        spark, tmp_base):
+    t = _mk_part_table(spark, tmp_base)
+    t.compact(target_partitions=2)                          # v1 OPTIMIZE
+    ch = t.commit_changes(1, keys=("id",))
+    assert ch.count() == 0 and ch.inputFiles() == []
+    cmap = t.identity_column_map() + [[None, "extra", "int"]]
+    t.evolve_schema(cmap, "ALTER TABLE t ADD COLUMN extra")  # v2 map-only
+    ch2 = t.commit_changes(2, keys=("id",))
+    assert ch2.count() == 0 and ch2.inputFiles() == []
+    assert "extra" in ch2.columns
+
+
+def test_commit_changes_mor_upsert_and_tombstone(spark, tmp_base):
+    t = ManagedTable(spark, f"{tmp_base}/mor")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "k", "v"]))           # v0
+    t.upsert_mor(spark.createDataFrame(
+        [(1, "a", 11.0), (3, "c", 30.0)], ["id", "k", "v"]),
+        key_cols=("id",))                                              # v1
+    assert _feed(t.table_changes(1, 1)) == {
+        (1, "a", 10.0, "update_preimage", 1),
+        (1, "a", 11.0, "update_postimage", 1),
+        (3, "c", 30.0, "insert", 1)}
+    t.delete_mor(F.col("id") == 2, key_cols=("id",))                   # v2
+    assert _feed(t.table_changes(2, 2)) == {(2, "b", 20.0, "delete", 2)}
+    # materializing commit: resolved endpoint diff, no phantom changes
+    t.compact()                                                        # v3
+    assert t.commit_changes(3, keys=("id",)).count() == 0
+
+
+def test_table_changes_fold_reproduces_state(spark, tmp_base):
+    """apply_changes over the per-commit feed, folded in commit order,
+    reproduces the final snapshot exactly — the consumer contract."""
+    from tb_lakehouse_enhanced_spark.operators.cdf import apply_changes
+    t = _mk_part_table(spark, tmp_base)
+    t.append(spark.createDataFrame([(5, "c", 50.0)], ["id", "k", "v"]))
+    t.update(F.col("id") < 3, {"v": F.col("v") + 1})
+    t.delete(F.col("id") == 4)
+    t.upsert_mor(spark.createDataFrame([(6, "d", 60.0)], ["id", "k", "v"]),
+                 key_cols=("id",))
+    feed = t.table_changes(0, t.current_version(), keys=("id",))
+    state = None
+    for v in range(0, t.current_version() + 1):
+        batch = feed.filter(F.col("_commit_version") == v) \
+            .drop("_commit_version")
+        state = apply_changes(state, batch, keys=("id",))
+    assert _rows(state) == _rows(t.read())
+
+
+def test_table_changes_across_schema_evolution_nulls_new_column(
+        spark, tmp_base):
+    t = ManagedTable(spark, f"{tmp_base}/evo")
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], ["id", "k", "v"]))
+    t.evolve_schema(t.identity_column_map() + [[None, "w", "double"]],
+                    "ADD COLUMN w")                                    # v1
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0, 9.9), (2, "b", 2.0, 8.8)],
+                                      ["id", "k", "v", "w"]))          # v2
+    rows = {(r["id"], r["w"], r["_change_type"], r["_commit_version"])
+            for r in t.table_changes(0, 2, keys=("id",)).collect()}
+    # v0's insert predates the column: NULL under the end schema; the
+    # materializing v2 sees id=1 change w NULL->9.9 (resolved endpoint
+    # diff across the map boundary) and id=2 arrive
+    assert rows == {(1, None, "insert", 0),
+                    (1, None, "update_preimage", 2),
+                    (1, 9.9, "update_postimage", 2),
+                    (2, 8.8, "insert", 2)}
