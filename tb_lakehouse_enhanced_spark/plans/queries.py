@@ -1513,6 +1513,46 @@ def pysink_roundtrip_q(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+@q("stream_table_source", """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3, 5, 8)
+GROUP BY o_orderstatus
+""")
+def stream_table_source_q(spark, sf_dir):
+    """ManagedTable as a streaming SOURCE (sources/tablestream.py — the
+    Delta streaming-read shape): a create + two O(batch) append commits
+    stream out through the commit-log source (one InputPartition per
+    added file, offsets = commit versions) into a parquet sink; the
+    aggregate over the streamed rows must equal the oracle's aggregate
+    over the same slices — source offsets, file expansion, Arrow read
+    path, and partition-value recovery all on the line."""
+    from ..sources.managed import ManagedTable
+    from ..sources.tablestream import stream_table
+    base = (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("price_cents")))
+    t = ManagedTable(spark, tempfile.mkdtemp(prefix="tb_tstream_"),
+                     partition_by=("o_orderstatus",))
+    t.overwrite(base.filter(F.col("o_orderkey") % 10 < 4))       # v0
+    t.append(base.filter(F.col("o_orderkey") % 10 == 5))         # v1
+    t.append(base.filter(F.col("o_orderkey") % 10 == 8))         # v2
+    out = tempfile.mkdtemp(prefix="tb_tstream_out_")
+    q = (stream_table(spark, t.path)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="tb_tstream_ck_"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return (spark.read.parquet(out)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price_cents").alias("sum_cents")))
+
+
 # --------------------------------------------------------------------------
 # custom operators Spark lacks: as-of join, sessionization; more windows
 # --------------------------------------------------------------------------

@@ -1,0 +1,289 @@
+"""ManagedTable as a Structured Streaming SOURCE (Delta streaming read).
+
+The reference's pipelines stream *into* tables (streaming/sink.py is
+that half); Delta tables are equally a streaming *source* — a
+downstream job does ``spark.readStream.format("delta")`` and receives
+each commit's appended rows as a micro-batch, exactly once, resuming
+from its checkpoint (reference notebooks/12_ETL_Bronze_PySpark.py's
+readStream consumption shape). ``delta-spark`` is absent here, so this
+module exposes the SAME contract over :class:`ManagedTable`'s commit
+log through Spark's native Python DataSource extension point:
+
+- **offset = commit version** ({"version": N}), checkpointed by the
+  engine; ``partitions(start, end)`` expands the commits in
+  ``(start, end]`` into their ADDED files (recovered by relative-path
+  set algebra over version dirs — hardlinked files keep their relpath,
+  see ``ManagedTable._files_rel``) so a restarted query replays the
+  exact committed range;
+- **one InputPartition per added file**: a 1000-executor cluster reads
+  a 1000-file append commit fully parallel, and NO existing data is
+  ever re-read — streaming a 100 TB table costs O(new batches);
+- **executor-side reads are Arrow batches** (pyarrow parquet →
+  ``pa.RecordBatch``), partition-column values re-attached from the
+  hive path and cast to the declared schema;
+- **non-append commits** (UPDATE/DELETE/MERGE/overwrite — anything that
+  removed a file) raise by default, mirroring Delta's streaming-source
+  error; ``skipChangeCommits=true`` skips them (Delta's option of the
+  same name). Row-preserving maintenance (``OPTIMIZE*`` compaction /
+  clustering — Delta's ``dataChange=false``) is always skipped
+  silently. A column-mapping commit raises: the stream's schema is
+  fixed at start (Delta requires a restart on schema change too).
+
+Options: ``path`` (table root, required), ``startingVersion`` (first
+commit to serve, default 0 — i.e. the initial snapshot arrives as the
+first micro-batches), ``skipChangeCommits`` ("true"/"false").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamReader, InputPartition,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+# -- session-free commit-log helpers (driver side, no Spark jobs) ------------
+
+def _current_version(path: str) -> int:
+    try:
+        with open(os.path.join(path, "_CURRENT")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return -1
+
+
+def _commit(path: str, v: int) -> dict:
+    try:
+        with open(os.path.join(path, f"_commit_v{v}.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"version": v, "dir": f"v{v}", "op": "WRITE", "ts": None}
+
+
+def _partition_by(path: str) -> tuple[str, ...]:
+    try:
+        with open(os.path.join(path, "_table_config.json")) as f:
+            return tuple(json.load(f).get("partition_by") or ())
+    except FileNotFoundError:
+        return ()
+
+
+def _files_rel(path: str, meta: dict, partitioned: bool) -> dict[str, str]:
+    """{relpath-within-version-dir: absolute path} of a commit's parquet
+    data files — the same exclusion rule as ``ManagedTable._files_rel``
+    (a partitioned table's root-level parquet is the parked zero-row
+    schema file)."""
+    d = os.path.join(path, meta["dir"])
+    out: dict[str, str] = {}
+    for root, _dirs, fns in os.walk(d):
+        rel = os.path.relpath(root, d)
+        if partitioned and rel == ".":
+            continue
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                out[fn if rel == "." else os.path.join(rel, fn)] = \
+                    os.path.join(root, fn)
+    return out
+
+
+def _part_values(abs_path: str, vdir: str) -> dict:
+    """Hive ``col=value`` string values on the file's path below the
+    version dir (None for the hive null sentinel)."""
+    rel = os.path.relpath(abs_path, vdir)
+    vals: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, val = seg.partition("=")
+            vals[k] = None if val == _HIVE_NULL else val
+    return vals
+
+
+def _table_schema(path: str):
+    """Logical Spark schema of the table HEAD, derived session-free:
+    one parquet footer (pyarrow) + directory-encoded partition columns
+    (typed by value inference, as the Delta mirror does) + the head
+    commit's column map, if any."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, _parse_datatype_string,
+    )
+    cur = _current_version(path)
+    if cur < 0:
+        raise FileNotFoundError(f"managed table {path} has no data")
+    meta = _commit(path, cur)
+    pb = _partition_by(path)
+    files = _files_rel(path, meta, bool(pb))
+    if not files:
+        raise FileNotFoundError(
+            f"managed table {path} is empty; start the stream after the "
+            f"first data commit (the schema is derived from its files)")
+    vdir = os.path.join(path, meta["dir"])
+    some = sorted(files.values())[0]
+    struct = from_arrow_schema(pq.read_schema(some))
+    seen = {f.name for f in struct.fields}
+    part_vals: dict[str, list] = {}
+    for p in files.values():
+        for k, val in _part_values(p, vdir).items():
+            part_vals.setdefault(k, []).append(val)
+    for pcol in pb:
+        if pcol in seen:
+            continue
+        vals = [x for x in part_vals.get(pcol, []) if x is not None]
+        is_int = bool(vals) and all(x.lstrip("-").isdigit() for x in vals)
+        struct = struct.add(StructField(
+            pcol, LongType() if is_int else StringType(), True))
+    cmap = meta.get("column_map")
+    if cmap:
+        phys = {f.name: f for f in struct.fields}
+        mapped = StructType()
+        for p, logical, typ in cmap:
+            dt = (_parse_datatype_string(typ) if p is None
+                  else phys[p].dataType)
+            mapped = mapped.add(StructField(logical, dt, True))
+        return mapped
+    return struct
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file: str, part_values: dict):
+        self.file = file
+        self.part_values = part_values
+
+
+class ManagedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("managed_table_stream requires option 'path'")
+        self.path = self.path.rstrip("/")
+        self.start_v = int(options.get("startingVersion", 0))
+        self.skip_changes = str(
+            options.get("skipChangeCommits", "false")).lower() == "true"
+        self.schema_struct = schema
+        self.pb = _partition_by(self.path)
+
+    # offsets are {"version": last commit already served}
+    def initialOffset(self):
+        return {"version": self.start_v - 1}
+
+    def latestOffset(self):
+        return {"version": max(_current_version(self.path),
+                               self.start_v - 1)}
+
+    def _commit_added_files(self, v: int) -> list[tuple[str, dict]]:
+        meta = _commit(self.path, v)
+        vdir = os.path.join(self.path, meta["dir"])
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"version {v} of {self.path} was vacuumed; restart the "
+                f"stream with startingVersion past the retention horizon")
+        op = str(meta.get("op") or "")
+        if op.startswith("OPTIMIZE") or meta.get("data_change") is False:
+            return []  # dataChange=false maintenance: always skipped
+        parent = _commit(self.path, v - 1) if v > 0 else None
+        if parent is not None and meta.get("column_map") != \
+                parent.get("column_map"):
+            raise ValueError(
+                f"commit {v} of {self.path} changes the column mapping; "
+                f"the stream's schema is fixed at start — restart the "
+                f"query (Delta streaming sources require the same)")
+        cur = _files_rel(self.path, meta, bool(self.pb))
+        prev = ({} if parent is None or meta["dir"] == parent["dir"]
+                else _files_rel(self.path, parent, bool(self.pb)))
+        mor_grew = parent is not None and (
+            len(meta.get("deltas") or []) > len(parent.get("deltas") or [])
+            or len(meta.get("tombstones") or [])
+            > len(parent.get("tombstones") or []))
+        removed = [r for r in prev if r not in cur]
+        if removed or mor_grew:
+            if self.skip_changes:
+                return []
+            raise ValueError(
+                f"commit {v} of {self.path} ({op or 'WRITE'}) is not an "
+                f"append: it "
+                + ("updated/removed existing rows"
+                   if removed else "carries merge-on-read changes")
+                + "; set skipChangeCommits=true to stream past it "
+                  "(Delta's option), or consume table_changes() for the "
+                  "full change feed")
+        if parent is not None and meta["dir"] == parent["dir"]:
+            return []  # metadata-only commit (same map), nothing appended
+        vdir_real = os.path.join(self.path, meta["dir"])
+        return [(p, _part_values(p, vdir_real))
+                for r, p in sorted(cur.items()) if r not in prev]
+
+    def partitions(self, start, end):
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for f, pv in self._commit_added_files(v):
+                out.append(_FilePartition(f, pv))
+        # an all-skipped range still needs one (empty) partition: Spark
+        # requires partitions() to be non-empty for a planned batch
+        return out or [_FilePartition("", {})]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        target = to_arrow_schema(self.schema_struct)
+        if not partition.file:
+            return iter(())
+        tbl = pq.read_table(partition.file)
+        n = len(tbl)
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                col = tbl.column(field.name).cast(field.type)
+            elif field.name in partition.part_values:
+                v = partition.part_values[field.name]
+                col = (pa.nulls(n, field.type) if v is None
+                       else pa.compute.cast(
+                           pa.array([v] * n, type=pa.string()), field.type))
+            else:
+                # column added by metadata-only evolution after this
+                # file was written: NULL, the read-time reconciliation
+                col = pa.nulls(n, field.type)
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+        return iter(out.to_batches(max_chunksize=65536))
+
+    def commit(self, end):
+        pass  # offsets are durable in the query checkpoint
+
+
+class ManagedTableStreamDataSource(DataSource):
+    """``spark.readStream.format("managed_table_stream")`` over a
+    :class:`ManagedTable` commit log."""
+
+    @classmethod
+    def name(cls):
+        return "managed_table_stream"
+
+    def schema(self):
+        return _table_schema(self.options.get("path", "").rstrip("/"))
+
+    def streamReader(self, schema):
+        return ManagedTableStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Register the source; afterwards
+    ``spark.readStream.format("managed_table_stream").option("path", p)
+    .load()`` streams the table's commits."""
+    spark.dataSource.register(ManagedTableStreamDataSource)
+
+
+def stream_table(spark, path: str, starting_version: int = 0,
+                 skip_change_commits: bool = False):
+    """Convenience: a streaming DataFrame over ``path``'s commit log."""
+    register(spark)
+    return (spark.readStream.format("managed_table_stream")
+            .option("path", path)
+            .option("startingVersion", str(starting_version))
+            .option("skipChangeCommits", str(skip_change_commits).lower())
+            .load())

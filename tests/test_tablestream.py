@@ -1,0 +1,114 @@
+"""ManagedTable as a streaming source (sources/tablestream.py):
+commit-log offsets, per-file partitions, exactly-once restart,
+Delta's skipChangeCommits semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+from tb_lakehouse_enhanced_spark.sources.tablestream import stream_table
+
+
+def _rows(df):
+    return {(r["id"], r["k"], r["v"]) for r in df.collect()}
+
+
+def _mk(spark, tmp_base, partitioned=True):
+    t = ManagedTable(spark, f"{tmp_base}/src",
+                     partition_by=("k",) if partitioned else ())
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "k", "v"]))
+    return t
+
+
+def _drain(spark, tmp_path, table_path, out_name, **opts):
+    q = (stream_table(spark, table_path, **opts)
+         .writeStream.format("memory").queryName(out_name)
+         .option("checkpointLocation", str(tmp_path / f"ck_{out_name}"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(out_name)
+
+
+def test_stream_serves_snapshot_then_appends(spark, tmp_base, tmp_path):
+    t = _mk(spark, tmp_base)
+    t.append(spark.createDataFrame([(3, "a", 30.0)], ["id", "k", "v"]))
+    got = _drain(spark, tmp_path, t.path, "ts_snap")
+    assert _rows(got) == {(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)}
+    # partition column values recovered from the hive paths
+    assert {r["k"] for r in got.collect()} == {"a", "b"}
+
+
+def test_stream_exactly_once_across_restart(spark, tmp_base, tmp_path):
+    t = _mk(spark, tmp_base)
+    ckpt = str(tmp_path / "ck_once")
+    out = str(tmp_path / "out_once")
+
+    def run():
+        q = (stream_table(spark, t.path)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert _rows(spark.read.parquet(out)) == _rows(t.read())
+    # appends land while the stream is down; restart serves ONLY them
+    t.append(spark.createDataFrame([(3, "c", 30.0)], ["id", "k", "v"]))
+    t.append(spark.createDataFrame([(4, "a", 40.0)], ["id", "k", "v"]))
+    run()
+    got = spark.read.parquet(out)
+    assert _rows(got) == _rows(t.read())
+    assert got.count() == 4  # no duplicates: each commit served once
+
+
+def test_change_commit_raises_unless_skipped(spark, tmp_base, tmp_path):
+    t = _mk(spark, tmp_base)
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})
+    q = (stream_table(spark, t.path)
+         .writeStream.format("memory").queryName("ts_chg")
+         .option("checkpointLocation", str(tmp_path / "ck_chg")).start())
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        q.processAllAvailable()
+        q.stop()
+    q.stop()
+    got = _drain(spark, tmp_path, t.path, "ts_chg_skip",
+                 skip_change_commits=True)
+    # v0's snapshot streams; the UPDATE commit is skipped wholesale
+    assert _rows(got) == {(1, "a", 10.0), (2, "b", 20.0)}
+
+
+def test_optimize_commits_always_skipped(spark, tmp_base, tmp_path):
+    t = _mk(spark, tmp_base)
+    t.compact(target_partitions=1)  # OPTIMIZE: dataChange=false
+    t.append(spark.createDataFrame([(3, "c", 30.0)], ["id", "k", "v"]))
+    got = _drain(spark, tmp_path, t.path, "ts_opt")
+    # compaction rewrites files but is NOT re-served; the append is
+    assert _rows(got) == {(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)}
+    assert got.count() == 3
+
+
+def test_starting_version_skips_history(spark, tmp_base, tmp_path):
+    t = _mk(spark, tmp_base)
+    t.append(spark.createDataFrame([(3, "c", 30.0)], ["id", "k", "v"]))
+    t.append(spark.createDataFrame([(4, "a", 40.0)], ["id", "k", "v"]))
+    got = _drain(spark, tmp_path, t.path, "ts_from2", starting_version=2)
+    assert _rows(got) == {(4, "a", 40.0)}
+
+
+def test_sink_to_source_composition(spark, tmp_base, tmp_path):
+    """Write side (append commits) feeding the read side: batches
+    ingested into a managed table stream out downstream with the same
+    rows — the medallion bronze->silver streaming hop."""
+    t = ManagedTable(spark, f"{tmp_base}/hop")
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, "s", float(j)) for j in range(5)],
+            ["id", "k", "v"])
+        t.overwrite(batch) if not t.exists() else t.append(batch)
+    got = _drain(spark, tmp_path, t.path, "ts_hop")
+    assert _rows(got) == _rows(t.read())
+    assert got.count() == 15
