@@ -1342,6 +1342,26 @@ class LakehouseSql:
         rewritten to it. Alias-qualified column refs never collide —
         they don't name managed directories."""
         out = self._inline_views(s)
+        # Delta's CDF table-valued function first (its quoted table
+        # name is a string literal, invisible to the code-only
+        # rewrites below): SELECT ... FROM table_changes('t', s[, e])
+        # binds the commit-log-driven per-commit feed, classified on
+        # the table's recorded PRIMARY KEY when one exists
+        for tbl, s_v, e_v in set(re.findall(
+                r"\btable_changes\(\s*'([\w.]+)'\s*,\s*(\d+)\s*"
+                r"(?:,\s*(\d+)\s*)?\)", out, re.IGNORECASE)):
+            t = self.table(self._qualify(tbl))
+            if not t.exists():
+                continue
+            keys = tuple(self._ddl_info(t).get("primary_key") or ()) or None
+            df = t.table_changes(int(s_v),
+                                 int(e_v) if e_v else None, keys=keys)
+            view = (f"__lake_cdf__{tbl.replace('.', '__')}"
+                    f"__{s_v}_{e_v or 'head'}")
+            df.createOrReplaceTempView(view)
+            pat = (rf"\btable_changes\(\s*'{re.escape(tbl)}'\s*,\s*{s_v}\s*"
+                   + (rf",\s*{e_v}\s*" if e_v else "") + r"\)")
+            out = re.sub(pat, view, out, flags=re.IGNORECASE)
         # time travel first (Delta's SELECT syntax), so the generic
         # rewrite below doesn't strand the AS OF suffix; all matching
         # and rewriting happens OUTSIDE string literals only

@@ -1844,3 +1844,32 @@ WHEN NOT MATCHED THEN INSERT *""")
         lake.sql("""
 MERGE INTO gold.star_t AS tgt USING src_star AS src ON tgt.k = src.k
 WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""")
+
+
+# -- table_changes() TVF (Delta CDF SQL surface) ------------------------------
+
+def test_table_changes_tvf(lake):
+    """SELECT ... FROM table_changes('db.t', s[, e]) binds the
+    commit-log-driven per-commit feed, classified on the recorded
+    PRIMARY KEY."""
+    spark = lake.spark
+    lake.sql("CREATE SCHEMA IF NOT EXISTS cdc")
+    lake.sql("CREATE TABLE cdc.acct (id BIGINT PRIMARY KEY, "
+             "bal BIGINT NOT NULL)")
+    lake.sql("INSERT INTO cdc.acct VALUES (1, 100), (2, 200)")      # v1
+    lake.sql("UPDATE cdc.acct SET bal = 150 WHERE id = 1")          # v2
+    lake.sql("DELETE FROM cdc.acct WHERE id = 2")                   # v3
+
+    rows = {(r["id"], r["bal"], r["_change_type"], r["_commit_version"])
+            for r in lake.sql(
+                "SELECT * FROM table_changes('cdc.acct', 1, 3)").collect()}
+    assert rows == {
+        (1, 100, "insert", 1), (2, 200, "insert", 1),
+        (1, 100, "update_preimage", 2), (1, 150, "update_postimage", 2),
+        (2, 200, "delete", 3),
+    }
+    # open upper bound = table head; projections/filters compose
+    upd = lake.sql(
+        "SELECT id, bal FROM table_changes('cdc.acct', 2) "
+        "WHERE _change_type = 'update_postimage'").collect()
+    assert [(r["id"], r["bal"]) for r in upd] == [(1, 150)]
