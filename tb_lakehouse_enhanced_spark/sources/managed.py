@@ -91,6 +91,52 @@ class ManagedTable:
                 df = df.withColumn(name, F.expr(expr))
         return df
 
+    # -- table properties (Delta TBLPROPERTIES analogue) ----------------------
+    @property
+    def _props_file(self) -> str:
+        return os.path.join(self.path, "_props.json")
+
+    def properties(self) -> dict:
+        try:
+            with open(self._props_file) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_property(self, key: str, value: str) -> "ManagedTable":
+        """``ALTER TABLE ... SET TBLPROPERTIES`` analogue (durable,
+        like the constraints file)."""
+        props = self.properties()
+        props[str(key)] = str(value)
+        tmp = self._props_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(props, f)
+        os.replace(tmp, self._props_file)
+        return self
+
+    def _cdf_enabled(self) -> bool:
+        """Delta's ``delta.enableChangeDataFeed``: when true, DML
+        writers RECORD their change rows at commit time (``cdc_v{N}``
+        dirs) and the change feed serves them directly — zero diff
+        compute at read. Default off: recording costs one extra
+        O(touched) write per DML commit, exactly Delta's CDF trade."""
+        p = self.properties()
+        return str(p.get("enableChangeDataFeed",
+                         p.get("delta.enableChangeDataFeed",
+                               "false"))).lower() == "true"
+
+    def _write_cdc(self, v: int, cdc, meta: dict) -> dict:
+        """Persist a writer's change rows for commit ``v`` (business
+        columns + ``_change_type``) and reference them in the commit
+        record — written BEFORE publish so a crash can never leave a
+        visible commit pointing at a missing cdc dir."""
+        if cdc is None:
+            return meta
+        d = f"cdc_v{v}"
+        cdc.write.mode("overwrite").parquet(os.path.join(self.path, d))
+        meta["cdc"] = d
+        return meta
+
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -------
     @property
     def _constraints_file(self) -> str:
@@ -491,12 +537,15 @@ class ManagedTable:
             referenced.add(c["dir"])
             referenced |= set(c.get("tombstones") or [])
             referenced |= set(c.get("deltas") or [])
+            if c.get("cdc"):
+                referenced.add(c["cdc"])
         os.remove(cf)
         mirror = os.path.join(self._delta_log_dir(), f"{v:020d}.json")
         if os.path.isfile(mirror):
             os.remove(mirror)
         for d in ([orphan["dir"]] + list(orphan.get("tombstones") or [])
-                  + list(orphan.get("deltas") or [])):
+                  + list(orphan.get("deltas") or [])
+                  + ([orphan["cdc"]] if orphan.get("cdc") else [])):
             full = os.path.join(self.path, d)
             if d not in referenced and os.path.isdir(full):
                 shutil.rmtree(full)
@@ -718,12 +767,14 @@ class ManagedTable:
             .write.mode("append").parquet(vdir)
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE",
-                  extra_meta: dict | None = None) -> "ManagedTable":
+                  extra_meta: dict | None = None,
+                  cdc: DataFrame | None = None) -> "ManagedTable":
         """Write ``df`` as the next snapshot and flip the pointer.
 
         ``extra_meta`` keys are stored in the commit record — e.g. a CDC
         consumer's high-water mark (operators/cdf.py::sync_incremental),
         making consumer state as durable/atomic as the data itself.
+        ``cdc``: a DML writer's recorded change rows (``_write_cdc``).
 
         Registered CHECK constraints validate ``df`` in one scan before
         any data is written; a violation aborts with per-rule counts and
@@ -740,8 +791,9 @@ class ManagedTable:
         if self.partition_by:
             self._ensure_readable(os.path.join(self.path, f"v{v}"),
                                   df.schema)
-        meta = {"version": v, "dir": f"v{v}", "op": operation,
-                "ts": time.time(), **(extra_meta or {})}
+        meta = self._write_cdc(v, cdc, {
+            "version": v, "dir": f"v{v}", "op": operation,
+            "ts": time.time(), **(extra_meta or {})})
         return self._publish(v, meta)
 
     def append(self, df: DataFrame, operation: str = "APPEND",
@@ -973,10 +1025,13 @@ class ManagedTable:
         keep_versions |= set(self.tags().values())
         keep_dirs = {self._commit(v)["dir"] for v in keep_versions}
         keep_tombs: set[str] = set()
+        keep_cdc: set[str] = set()
         for v in keep_versions:
             c = self._commit(v)
             keep_tombs |= set(c.get("tombstones") or [])
             keep_tombs |= set(c.get("deltas") or [])
+            if c.get("cdc"):
+                keep_cdc.add(c["cdc"])
         removed = []
         for v in range(0, max(0, cur - retain_last + 1)):
             d = self._commit(v)["dir"]
@@ -984,10 +1039,12 @@ class ManagedTable:
             if d not in keep_dirs and os.path.isdir(full):
                 shutil.rmtree(full)
                 removed.append(v)
-        # sweep tombstone/delta dirs no retained commit references
+        # sweep tombstone/delta/cdc dirs no retained commit references
         for d in os.listdir(self.path):
             if (d.startswith("tomb_v") or d.startswith("delta_v")) \
                     and d not in keep_tombs:
+                shutil.rmtree(os.path.join(self.path, d))
+            elif d.startswith("cdc_v") and d not in keep_cdc:
                 shutil.rmtree(os.path.join(self.path, d))
         # sweep stats/bloom manifests whose data dir is gone (they key
         # on the dir, so a vacuumed dir's manifests are unreachable)
@@ -1524,6 +1581,19 @@ class ManagedTable:
         op = str(meta.get("op") or "")
         if op.startswith("OPTIMIZE") or meta.get("data_change") is False:
             return empty()
+        if meta.get("cdc"):
+            # the writer RECORDED its change rows (enableChangeDataFeed):
+            # serve them directly — zero diff compute, Delta's cdc files
+            cdc_dir = os.path.join(self.path, meta["cdc"])
+            if not os.path.isdir(cdc_dir):
+                raise FileNotFoundError(
+                    f"cdc files of commit {v} of {self.path} were "
+                    f"vacuumed; the change feed is past the retention "
+                    f"horizon")
+            from pyspark.sql.types import StringType, StructType
+            feed = StructType(list(schema_v.fields)) \
+                .add(CHANGE_TYPE, StringType())
+            return self._align_to(self.spark.read.parquet(cdc_dir), feed)
         if v == 0:
             return (self._align_to(self.read(0), schema_v)
                     .withColumn(CHANGE_TYPE, F.lit("insert")))
@@ -1626,7 +1696,8 @@ class ManagedTable:
     # -- DML (reference notebooks/23_Testing_SCD2.py:40-64) ------------------
     def _partial_rewrite(self, condition, rewrite_fn, operation: str,
                          stable_partitions: bool = False,
-                         snapshot: DataFrame | None = None
+                         snapshot: DataFrame | None = None,
+                         cdc: DataFrame | None = None
                          ) -> "ManagedTable":
         """DML core: rewrite only the partitions containing matching rows.
 
@@ -1677,14 +1748,14 @@ class ManagedTable:
         # as a bare Column); rewrite_fn must project the markers away.
         df = self.read() if snapshot is None else snapshot
         if mor and not stable_partitions:
-            return self.overwrite(rewrite_fn(df), operation)
+            return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         if self._is_mapped(meta0):
             # hardlinked untouched partitions would keep the OLD
             # physical schema while rewritten ones get the logical one
             # — materialize the map in this (full) rewrite instead
-            return self.overwrite(rewrite_fn(df), operation)
+            return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         if not self.partition_by:
-            return self.overwrite(rewrite_fn(df), operation)
+            return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         pb = list(self.partition_by)
         touched = df.filter(condition).select(*pb).distinct().collect()
         if not touched:
@@ -1727,9 +1798,10 @@ class ManagedTable:
         # linked parquet and skips parking; only the truly-empty
         # snapshot parks.
         self._ensure_readable(vdir, rewritten.schema)
-        meta = {"version": v, "dir": f"v{v}", "op": operation,
-                "ts": time.time(),
-                "partitions_rewritten": sorted(touched_rel)}
+        meta = self._write_cdc(v, cdc, {
+            "version": v, "dir": f"v{v}", "op": operation,
+            "ts": time.time(),
+            "partitions_rewritten": sorted(touched_rel)})
         if mor:
             meta.update(self._carry_mor_minus_touched(
                 meta0, member, df.filter(member), v))
@@ -2028,8 +2100,25 @@ class ManagedTable:
                     cols.append(F.col(c))
             return df.select(cols)
 
+        cdc = None
+        if self._cdf_enabled():
+            from ..operators.cdf import CHANGE_TYPE
+            exprs = {c: (F.expr(e) if isinstance(e, str) else e)
+                     for c, e in assignments.items()}
+            # matched rows whose value ACTUALLY changes (a no-op
+            # assignment emits nothing, matching the computed diff)
+            changed = self.read().filter(condition).filter(
+                reduce(or_, (~F.col(c).eqNullSafe(e)
+                             for c, e in exprs.items())))
+            pre = changed.withColumn(CHANGE_TYPE, F.lit("update_preimage"))
+            post = changed
+            for c, e in exprs.items():
+                post = post.withColumn(c, e)
+            cdc = pre.unionByName(
+                post.withColumn(CHANGE_TYPE, F.lit("update_postimage")))
         return self._partial_rewrite(condition, rewrite, "UPDATE",
-                                     stable_partitions=stable_partitions)
+                                     stable_partitions=stable_partitions,
+                                     cdc=cdc)
 
     def delete(self, condition,
                stable_partitions: bool = False) -> "ManagedTable":
@@ -2037,9 +2126,15 @@ class ManagedTable:
         the touched partitions (see _partial_rewrite; the
         ``stable_partitions`` contract keeps it partition-scoped under
         merge-on-read state)."""
+        from pyspark.sql import functions as F
+        cdc = None
+        if self._cdf_enabled():
+            from ..operators.cdf import CHANGE_TYPE
+            cdc = (self.read().filter(condition)
+                   .withColumn(CHANGE_TYPE, F.lit("delete")))
         return self._partial_rewrite(
             condition, lambda df: df.filter(~condition), "DELETE",
-            stable_partitions=stable_partitions)
+            stable_partitions=stable_partitions, cdc=cdc)
 
     # -- maintenance (Delta OPTIMIZE analogue, SURVEY.md §4) -----------------
     def compact(self, target_partitions: int = 8) -> "ManagedTable":

@@ -1602,6 +1602,18 @@ class LakehouseSql:
                      s, re.IGNORECASE)
         if m:
             return self.table(m.group(1)).drop_constraint(m.group(2))
+        m = re.match(r"^ALTER TABLE ([\w.]+) SET TBLPROPERTIES\s*"
+                     r"\((.+)\)$", s, re.IGNORECASE)
+        if m:
+            # Delta TBLPROPERTIES: durable key-value table config —
+            # notably delta.enableChangeDataFeed, which makes DML
+            # writers RECORD their change rows (cdc files) so
+            # table_changes() serves them with zero diff compute
+            t = self.table(m.group(1))
+            for k, val in re.findall(
+                    r"'?([\w.]+)'?\s*=\s*'?([^',()]+)'?", m.group(2)):
+                t.set_property(k, val.strip())
+            return t
         m = re.match(r"^ALTER TABLE ([\w.]+) ADD PRIMARY KEY "
                      r"\(([^)]+)\)$", s, re.IGNORECASE)
         if m:
@@ -1943,8 +1955,12 @@ class LakehouseSql:
             if assigns is None:
                 def rewrite(df):
                     return df.filter(~cond).select(*base.columns)
+                cdc = None
+                if t._cdf_enabled():
+                    cdc = (marked.filter(cond).select(*base.columns)
+                           .withColumn("_change_type", F.lit("delete")))
                 return t._partial_rewrite(cond, rewrite, "DELETE",
-                                          snapshot=marked)
+                                          snapshot=marked, cdc=cdc)
 
             def rewrite(df):
                 return df.select(*[
@@ -1952,8 +1968,27 @@ class LakehouseSql:
                     .otherwise(F.col(c)).alias(c)
                     if c in assigns else F.col(c)
                     for c in base.columns])
+            cdc = None
+            if t._cdf_enabled():
+                from functools import reduce
+                from operator import or_
+                exprs = {c: F.expr(assigns[c]).cast(dtypes[c])
+                         for c in assigns}
+                changed = marked.filter(cond).filter(reduce(
+                    or_, (~F.col(c).eqNullSafe(e)
+                          for c, e in exprs.items())))
+                pre = (changed.select(*base.columns)
+                       .withColumn("_change_type",
+                                   F.lit("update_preimage")))
+                post = changed
+                for c, e in exprs.items():
+                    post = post.withColumn(c, e)
+                cdc = pre.unionByName(
+                    post.select(*base.columns)
+                    .withColumn("_change_type",
+                                F.lit("update_postimage")))
             return t._partial_rewrite(cond, rewrite, "UPDATE",
-                                      snapshot=marked)
+                                      snapshot=marked, cdc=cdc)
         finally:
             if prior is not None:
                 prior.createOrReplaceTempView(bare)

@@ -228,3 +228,85 @@ def test_table_changes_across_schema_evolution_nulls_new_column(
                     (1, None, "update_preimage", 2),
                     (1, 9.9, "update_postimage", 2),
                     (2, 8.8, "insert", 2)}
+
+
+# -- write-time CDC recording (delta.enableChangeDataFeed parity) ------------
+
+def test_cdf_enabled_records_and_serves_cdc(spark, tmp_base):
+    """With the table property set, UPDATE/DELETE record their change
+    rows at commit time and the feed serves them DIRECTLY — the change
+    plan's inputs are the cdc files only, never the data dirs."""
+    t = _mk_part_table(spark, tmp_base)
+    t.set_property("delta.enableChangeDataFeed", "true")
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})                   # v1
+    t.delete(F.col("id") == 3)                                       # v2
+    assert t._commit(1).get("cdc") == "cdc_v1"
+    assert t._commit(2).get("cdc") == "cdc_v2"
+    for v in (1, 2):
+        scanned = {f.replace("file://", "").replace("file:", "")
+                   for f in t.commit_changes(v).inputFiles()}
+        assert scanned and all(f"/cdc_v{v}/" in f for f in scanned), scanned
+    assert _feed(t.table_changes(1, 2, keys=("id",))) == {
+        (1, "a", 10.0, "update_preimage", 1),
+        (1, "a", 11.0, "update_postimage", 1),
+        (3, "b", 30.0, "delete", 2)}
+
+
+def test_cdf_recorded_equals_computed(spark, tmp_base):
+    """The recorded feed is row-identical to the computed diff of a
+    twin table taking the same DML without the property."""
+    a = _mk_part_table(spark, tmp_base, "a")
+    b = _mk_part_table(spark, tmp_base, "b")
+    a.set_property("enableChangeDataFeed", "true")
+    for t in (a, b):
+        t.update(F.col("id") <= 2, {"v": F.col("v") * 2})
+        t.delete(F.col("id") == 4)
+        # a no-op assignment emits NO change rows on either path
+        t.update(F.col("id") == 3, {"v": F.col("v")})
+    assert a._commit(3).get("cdc") and not b._commit(1).get("cdc")
+    fa = _feed(a.table_changes(1, 3, keys=("id",)))
+    fb = _feed(b.table_changes(1, 3, keys=("id",)))
+    assert fa == fb
+    assert not any(cv == 3 for *_, cv in fa)  # no-op update: empty
+
+
+def test_cdf_sql_statement_path_and_tblproperties(spark, tmp_path):
+    """ALTER TABLE ... SET TBLPROPERTIES enables recording through the
+    SQL surface, including the subquery-DML route."""
+    from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
+    lake = LakehouseSql(spark, str(tmp_path / "lake"))
+    lake.sql("CREATE SCHEMA IF NOT EXISTS d")
+    lake.sql("CREATE TABLE d.t (id BIGINT PRIMARY KEY, grp STRING, "
+             "v BIGINT)")
+    lake.sql("ALTER TABLE d.t SET TBLPROPERTIES "
+             "('delta.enableChangeDataFeed' = 'true')")
+    lake.sql("INSERT INTO d.t VALUES (1, 'x', 10), (2, 'y', 20)")    # v1
+    lake.sql("UPDATE d.t SET v = 11 WHERE id = 1")                   # v2
+    lake.sql("DELETE FROM d.t WHERE id IN (SELECT id FROM d.t "
+             "WHERE v >= 20)")                                       # v3
+    t = lake.table("d.t")
+    assert t._commit(2).get("cdc") and t._commit(3).get("cdc")
+    rows = {(r["id"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in lake.sql(
+                "SELECT * FROM table_changes('d.t', 2, 3)").collect()}
+    assert rows == {(1, 10, "update_preimage", 2),
+                    (1, 11, "update_postimage", 2),
+                    (2, 20, "delete", 3)}
+
+
+def test_cdf_vacuum_sweeps_unreferenced_cdc(spark, tmp_base):
+    import os
+    t = _mk_part_table(spark, tmp_base)
+    t.set_property("enableChangeDataFeed", "true")
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})                   # v1
+    t.update(F.col("id") == 2, {"v": F.lit(22.0)})                   # v2
+    t.update(F.col("id") == 3, {"v": F.lit(33.0)})                   # v3
+    t.vacuum(retain_last=2)   # v0, v1 data gone
+    assert not os.path.isdir(f"{t.path}/cdc_v1")
+    assert os.path.isdir(f"{t.path}/cdc_v2")
+    assert os.path.isdir(f"{t.path}/cdc_v3")
+    assert _feed(t.table_changes(2, 3, keys=("id",))) == {
+        (2, "a", 20.0, "update_preimage", 2),
+        (2, "a", 22.0, "update_postimage", 2),
+        (3, "b", 30.0, "update_preimage", 3),
+        (3, "b", 33.0, "update_postimage", 3)}
