@@ -150,9 +150,12 @@ def _table_schema(path: str):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file: str, part_values: dict):
+    def __init__(self, file: str, part_values: dict,
+                 version: int = -1, kind: str = "insert"):
         self.file = file
         self.part_values = part_values
+        self.version = version       # _commit_version under readChangeFeed
+        self.kind = kind             # "insert" (data file) | "cdc"
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
@@ -164,6 +167,8 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         self.start_v = int(options.get("startingVersion", 0))
         self.skip_changes = str(
             options.get("skipChangeCommits", "false")).lower() == "true"
+        self.change_feed = str(
+            options.get("readChangeFeed", "false")).lower() == "true"
         self.schema_struct = schema
         self.pb = _partition_by(self.path)
 
@@ -175,7 +180,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return {"version": max(_current_version(self.path),
                                self.start_v - 1)}
 
-    def _commit_added_files(self, v: int) -> list[tuple[str, dict]]:
+    def _commit_partitions(self, v: int) -> list[_FilePartition]:
         meta = _commit(self.path, v)
         vdir = os.path.join(self.path, meta["dir"])
         if not os.path.isdir(vdir):
@@ -192,6 +197,14 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 f"commit {v} of {self.path} changes the column mapping; "
                 f"the stream's schema is fixed at start — restart the "
                 f"query (Delta streaming sources require the same)")
+        if self.change_feed and meta.get("cdc"):
+            # the writer recorded its change rows: serve the cdc files
+            # directly (flat parquet, _change_type is a data column)
+            cdc_dir = os.path.join(self.path, meta["cdc"])
+            return [_FilePartition(os.path.join(cdc_dir, fn), {},
+                                   version=v, kind="cdc")
+                    for fn in sorted(os.listdir(cdc_dir))
+                    if fn.endswith(".parquet")]
         cur = _files_rel(self.path, meta, bool(self.pb))
         prev = ({} if parent is None or meta["dir"] == parent["dir"]
                 else _files_rel(self.path, parent, bool(self.pb)))
@@ -203,25 +216,29 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         if removed or mor_grew:
             if self.skip_changes:
                 return []
+            hint = ("enable delta.enableChangeDataFeed so change commits "
+                    "are recorded as servable cdc files, or set "
+                    "skipChangeCommits=true to stream past it"
+                    if self.change_feed else
+                    "set skipChangeCommits=true to stream past it "
+                    "(Delta's option), or consume table_changes() for "
+                    "the full change feed")
             raise ValueError(
                 f"commit {v} of {self.path} ({op or 'WRITE'}) is not an "
                 f"append: it "
                 + ("updated/removed existing rows"
                    if removed else "carries merge-on-read changes")
-                + "; set skipChangeCommits=true to stream past it "
-                  "(Delta's option), or consume table_changes() for the "
-                  "full change feed")
+                + f"; {hint}")
         if parent is not None and meta["dir"] == parent["dir"]:
             return []  # metadata-only commit (same map), nothing appended
-        vdir_real = os.path.join(self.path, meta["dir"])
-        return [(p, _part_values(p, vdir_real))
+        return [_FilePartition(p, _part_values(p, vdir),
+                               version=v, kind="insert")
                 for r, p in sorted(cur.items()) if r not in prev]
 
     def partitions(self, start, end):
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            for f, pv in self._commit_added_files(v):
-                out.append(_FilePartition(f, pv))
+            out.extend(self._commit_partitions(v))
         # an all-skipped range still needs one (empty) partition: Spark
         # requires partitions() to be non-empty for a planned batch
         return out or [_FilePartition("", {})]
@@ -237,7 +254,13 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         n = len(tbl)
         cols = []
         for field in target:
-            if field.name in tbl.column_names:
+            if field.name == "_change_type" and partition.kind == "insert" \
+                    and field.name not in tbl.column_names:
+                col = pa.array(["insert"] * n, type=field.type)
+            elif field.name == "_commit_version" \
+                    and field.name not in tbl.column_names:
+                col = pa.array([partition.version] * n).cast(field.type)
+            elif field.name in tbl.column_names:
                 col = tbl.column(field.name).cast(field.type)
             elif field.name in partition.part_values:
                 v = partition.part_values[field.name]
@@ -265,7 +288,13 @@ class ManagedTableStreamDataSource(DataSource):
         return "managed_table_stream"
 
     def schema(self):
-        return _table_schema(self.options.get("path", "").rstrip("/"))
+        struct = _table_schema(self.options.get("path", "").rstrip("/"))
+        if str(self.options.get("readChangeFeed",
+                                "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType
+            struct = (struct.add("_change_type", StringType())
+                      .add("_commit_version", LongType()))
+        return struct
 
     def streamReader(self, schema):
         return ManagedTableStreamReader(schema, self.options)
@@ -279,11 +308,20 @@ def register(spark) -> None:
 
 
 def stream_table(spark, path: str, starting_version: int = 0,
-                 skip_change_commits: bool = False):
-    """Convenience: a streaming DataFrame over ``path``'s commit log."""
+                 skip_change_commits: bool = False,
+                 read_change_feed: bool = False):
+    """Convenience: a streaming DataFrame over ``path``'s commit log.
+
+    ``read_change_feed=True`` is Delta's streaming
+    ``readChangeFeed``: rows carry ``_change_type`` and
+    ``_commit_version``; appends stream as inserts, recorded DML
+    commits (``delta.enableChangeDataFeed``) stream their cdc rows,
+    and a change commit WITHOUT recorded cdc raises — the same
+    enable-the-property requirement Delta imposes."""
     register(spark)
     return (spark.readStream.format("managed_table_stream")
             .option("path", path)
             .option("startingVersion", str(starting_version))
             .option("skipChangeCommits", str(skip_change_commits).lower())
+            .option("readChangeFeed", str(read_change_feed).lower())
             .load())

@@ -112,3 +112,51 @@ def test_sink_to_source_composition(spark, tmp_base, tmp_path):
     got = _drain(spark, tmp_path, t.path, "ts_hop")
     assert _rows(got) == _rows(t.read())
     assert got.count() == 15
+
+
+def test_read_change_feed_streams_cdc(spark, tmp_base, tmp_path):
+    """Delta's streaming readChangeFeed: appends arrive as inserts,
+    recorded DML commits as their cdc rows, each stamped with the
+    producing _commit_version — and a consumer folding the feed
+    reproduces the table."""
+    t = _mk(spark, tmp_base)
+    t.set_property("delta.enableChangeDataFeed", "true")
+    t.append(spark.createDataFrame([(3, "c", 30.0)], ["id", "k", "v"]))  # v1
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})                       # v2
+    t.delete(F.col("id") == 2)                                           # v3
+    q = (stream_table(spark, t.path, read_change_feed=True)
+         .writeStream.format("memory").queryName("ts_cdf")
+         .option("checkpointLocation", str(tmp_path / "ck_cdf")).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["id"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in spark.table("ts_cdf").collect()}
+    assert rows == {
+        (1, 10.0, "insert", 0), (2, 20.0, "insert", 0),
+        (3, 30.0, "insert", 1),
+        (1, 10.0, "update_preimage", 2), (1, 11.0, "update_postimage", 2),
+        (2, 20.0, "delete", 3)}
+    # folding the feed reproduces the final table state (materialized
+    # copy: iterative self-joins over a live memory-sink relation are
+    # not supported)
+    from tb_lakehouse_enhanced_spark.operators.cdf import apply_changes
+    feed = spark.createDataFrame(spark.table("ts_cdf").collect(),
+                                 spark.table("ts_cdf").schema)
+    state = None
+    for v in range(0, 4):
+        state = apply_changes(
+            state, feed.filter(F.col("_commit_version") == v)
+            .drop("_commit_version"), keys=("id",))
+    assert _rows(state) == _rows(t.read())
+
+
+def test_read_change_feed_requires_recorded_cdc(spark, tmp_base, tmp_path):
+    t = _mk(spark, tmp_base)
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})  # NOT recorded
+    q = (stream_table(spark, t.path, read_change_feed=True)
+         .writeStream.format("memory").queryName("ts_cdf_no")
+         .option("checkpointLocation", str(tmp_path / "ck_no")).start())
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        q.processAllAvailable()
+        q.stop()
+    q.stop()
