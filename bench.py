@@ -70,6 +70,12 @@ HEADLINE = [
     # only the new batch's files and hardlinks the rest forward, so
     # this entry's cost tracks |batch|, not |table|.
     "sql_copy_into",
+    # round 8 (second session): the commit-log-driven per-commit CDF —
+    # create + O(batch) append + partition-scoped UPDATE, then the
+    # three commits' feed; the append serves from only its batch's
+    # files and the update's diff reads only the touched partition, so
+    # the feed cost tracks the CHANGES, not the table.
+    "table_changes_feed",
 ]
 
 # sql_merge_* scenarios report build vs statement components via
