@@ -720,16 +720,21 @@ class ManagedTable:
             return
         files = self._data_files(meta["dir"])
         # emitted every commit (latest wins): resets the reader
-        # requirements after a merge-on-read episode ends
-        actions.append({"protocol": {"minReaderVersion": 1,
-                                     "minWriterVersion": 2}})
+        # requirements after a merge-on-read episode ends. A commit
+        # carrying recorded change data needs writer v4 (the protocol
+        # version that introduces the cdc action / changeDataFeed).
+        actions.append({"protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 4 if meta.get("cdc") else 2}})
         if files:
+            conf = ({"delta.enableChangeDataFeed": "true"}
+                    if meta.get("cdc") else {})
             actions.append({"metaData": {
                 "id": self._delta_table_id(),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": self._delta_schema_string(files),
                 "partitionColumns": list(self.partition_by),
-                "configuration": {},
+                "configuration": conf,
                 "createdTime": ts_ms}})
         if v > 0:
             prev = self._commit(v - 1)
@@ -745,6 +750,15 @@ class ManagedTable:
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": True}})
+        if meta.get("cdc"):
+            # recorded change rows as Delta cdc actions (PROTOCOL.md's
+            # change-data files): external CDF readers serve the same
+            # _change_type rows this engine's table_changes serves
+            for rel, full in self._data_files(meta["cdc"]):
+                st = os.stat(full)
+                actions.append({"cdc": {
+                    "path": rel, "partitionValues": {},
+                    "size": st.st_size, "dataChange": False}})
         entry = os.path.join(log_dir, f"{v:020d}.json")
         tmp = entry + ".tmp"
         with open(tmp, "w") as f:

@@ -1257,9 +1257,19 @@ class LakehouseSql:
                           for f in fs if f.endswith(".parquet"))
             return self.spark.createDataFrame(
                 [("parquet", t.path, int(n_files),
-                  list(t.partition_by or []), int(ver))],
+                  list(t.partition_by or []), int(ver),
+                  dict(t.properties()))],
                 "format string, location string, numFiles bigint, "
-                "partitionColumns array<string>, version bigint")
+                "partitionColumns array<string>, version bigint, "
+                "properties map<string,string>")
+        m = re.match(r"^SHOW TBLPROPERTIES ([\w.]+)$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            if not t.exists():
+                raise FileNotFoundError(f"no such table: {m.group(1)}")
+            return self.spark.createDataFrame(
+                sorted(t.properties().items()) or
+                [("", "")], "key string, value string").filter("key <> ''")
         m = re.match(r"^SHOW CREATE TABLE ([\w.]+)$", s, re.IGNORECASE)
         if m:
             t = self.table(m.group(1))

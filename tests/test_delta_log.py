@@ -385,3 +385,37 @@ def test_read_delta_multipart_checkpoint(spark, tmp_base):
         log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
     with pytest.raises(FileNotFoundError, match="multi-part checkpoint"):
         read_delta(spark, root)
+
+
+def test_mirror_emits_cdc_actions_for_recorded_commits(spark, tmp_path):
+    """A cdf-enabled DML commit mirrors its recorded change files as
+    protocol `cdc` actions (writer v4 + enableChangeDataFeed config);
+    data replay (add/remove) is unaffected and external readers that
+    ignore cdc still round-trip the snapshot."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, str(tmp_path / "cdc_mirror"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "k", "v"]))
+    t.set_property("delta.enableChangeDataFeed", "true")
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})                    # v1
+    entry = os.path.join(t.path, "_delta_log", f"{1:020d}.json")
+    actions = [json.loads(line) for line in open(entry)]
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdc and all(a["path"].startswith("cdc_v1") for a in cdc)
+    assert all(a["dataChange"] is False for a in cdc)
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t.path).collect()}
+    assert got == {(1, 11.0), (2, 20.0)}
+    # the cdc files the actions reference carry the protocol's
+    # _change_type column
+    ch = spark.read.parquet(os.path.join(t.path, "cdc_v1"))
+    assert "_change_type" in ch.columns and ch.count() == 2

@@ -1873,3 +1873,16 @@ def test_table_changes_tvf(lake):
         "SELECT id, bal FROM table_changes('cdc.acct', 2) "
         "WHERE _change_type = 'update_postimage'").collect()
     assert [(r["id"], r["bal"]) for r in upd] == [(1, 150)]
+
+
+def test_show_tblproperties_and_describe_detail_properties(lake):
+    lake.sql("CREATE SCHEMA IF NOT EXISTS p")
+    lake.sql("CREATE TABLE p.t (id BIGINT, v BIGINT)")
+    lake.sql("ALTER TABLE p.t SET TBLPROPERTIES "
+             "('delta.enableChangeDataFeed' = 'true', 'owner' = 'etl')")
+    props = {r["key"]: r["value"]
+             for r in lake.sql("SHOW TBLPROPERTIES p.t").collect()}
+    assert props == {"delta.enableChangeDataFeed": "true", "owner": "etl"}
+    lake.sql("INSERT INTO p.t VALUES (1, 1)")
+    d = lake.sql("DESCRIBE DETAIL p.t").collect()[0]
+    assert d["properties"]["owner"] == "etl"
