@@ -890,6 +890,18 @@ class ManagedTable:
                 f"no snapshot of {self.path} at or before ts={ts}")
         return self.read(max(c["version"] for c in candidates))
 
+    def version_at_or_after(self, ts: float) -> int:
+        """The EARLIEST commit whose time is >= ``ts`` — Delta's
+        ``startingTimestamp`` resolution for change feeds and streaming
+        reads (the commits a consumer 'starting from <ts>' must see).
+        Raises when every commit predates ``ts``."""
+        candidates = [c["version"] for c in self.history()
+                      if (c.get("ts") or float("-inf")) >= ts]
+        if not candidates:
+            raise FileNotFoundError(
+                f"no commit of {self.path} at or after ts={ts}")
+        return min(candidates)
+
     def files(self, version: int | None = None) -> DataFrame:
         """Metadata table: one row per data file of a snapshot (the
         Iceberg ``table.files`` / Delta detail analogue) — path, size,

@@ -165,6 +165,21 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             raise ValueError("managed_table_stream requires option 'path'")
         self.path = self.path.rstrip("/")
         self.start_v = int(options.get("startingVersion", 0))
+        if options.get("startingTimestamp"):
+            import datetime as _dt
+            raw = options["startingTimestamp"]
+            try:
+                ts = float(raw)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(raw).timestamp()
+            cand = [v for v in range(0, _current_version(self.path) + 1)
+                    if (_commit(self.path, v).get("ts")
+                        or float("-inf")) >= ts]
+            if not cand:
+                raise ValueError(
+                    f"no commit of {self.path} at or after "
+                    f"startingTimestamp={raw}")
+            self.start_v = min(cand)
         self.skip_changes = str(
             options.get("skipChangeCommits", "false")).lower() == "true"
         self.change_feed = str(

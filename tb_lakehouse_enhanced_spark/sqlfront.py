@@ -1356,22 +1356,44 @@ class LakehouseSql:
         # name is a string literal, invisible to the code-only
         # rewrites below): SELECT ... FROM table_changes('t', s[, e])
         # binds the commit-log-driven per-commit feed, classified on
-        # the table's recorded PRIMARY KEY when one exists
-        for tbl, s_v, e_v in set(re.findall(
-                r"\btable_changes\(\s*'([\w.]+)'\s*,\s*(\d+)\s*"
-                r"(?:,\s*(\d+)\s*)?\)", out, re.IGNORECASE)):
+        # the table's recorded PRIMARY KEY when one exists. Bounds are
+        # versions (bare integers) or timestamps (quoted, Delta's
+        # spelling): a starting timestamp resolves to the EARLIEST
+        # commit at/after it, an ending one to the NEWEST at/before.
+        def _bind_tvf(m):
+            tbl, s_num, s_ts, e_num, e_ts = m.groups()
             t = self.table(self._qualify(tbl))
             if not t.exists():
-                continue
-            keys = tuple(self._ddl_info(t).get("primary_key") or ()) or None
-            df = t.table_changes(int(s_v),
-                                 int(e_v) if e_v else None, keys=keys)
+                return m.group(0)
+            import datetime as _dt
+            if s_num is not None:
+                start = int(s_num)
+            else:
+                start = t.version_at_or_after(
+                    _dt.datetime.fromisoformat(s_ts).timestamp())
+            if e_num is not None:
+                end = int(e_num)
+            elif e_ts is not None:
+                ets = _dt.datetime.fromisoformat(e_ts).timestamp()
+                cand = [c["version"] for c in t.history()
+                        if (c.get("ts") or float("-inf")) <= ets]
+                if not cand:
+                    raise FileNotFoundError(
+                        f"no commit of {tbl} at or before '{e_ts}'")
+                end = max(cand)
+            else:
+                end = None
+            keys = tuple(self._ddl_info(t).get("primary_key") or ()) \
+                or None
+            df = t.table_changes(start, end, keys=keys)
             view = (f"__lake_cdf__{tbl.replace('.', '__')}"
-                    f"__{s_v}_{e_v or 'head'}")
+                    f"__{start}_{'head' if end is None else end}")
             df.createOrReplaceTempView(view)
-            pat = (rf"\btable_changes\(\s*'{re.escape(tbl)}'\s*,\s*{s_v}\s*"
-                   + (rf",\s*{e_v}\s*" if e_v else "") + r"\)")
-            out = re.sub(pat, view, out, flags=re.IGNORECASE)
+            return view
+        out = re.sub(
+            r"\btable_changes\(\s*'([\w.]+)'\s*,\s*(?:(\d+)|'([^']+)')"
+            r"\s*(?:,\s*(?:(\d+)|'([^']+)'))?\s*\)",
+            _bind_tvf, out, flags=re.IGNORECASE)
         # time travel first (Delta's SELECT syntax), so the generic
         # rewrite below doesn't strand the AS OF suffix; all matching
         # and rewriting happens OUTSIDE string literals only

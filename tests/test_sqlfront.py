@@ -1886,3 +1886,30 @@ def test_show_tblproperties_and_describe_detail_properties(lake):
     lake.sql("INSERT INTO p.t VALUES (1, 1)")
     d = lake.sql("DESCRIBE DETAIL p.t").collect()[0]
     assert d["properties"]["owner"] == "etl"
+
+
+def test_table_changes_tvf_timestamp_bounds(lake):
+    """Quoted bounds are timestamps (Delta's spelling): the start
+    resolves to the earliest commit at/after it, the end to the newest
+    at/before."""
+    import time
+    spark = lake.spark
+    lake.sql("CREATE SCHEMA IF NOT EXISTS cdt")
+    lake.sql("CREATE TABLE cdt.t (id BIGINT PRIMARY KEY, v BIGINT)")
+    lake.sql("INSERT INTO cdt.t VALUES (1, 10)")                    # v1
+    time.sleep(0.05)
+    import datetime as dt
+    cut = dt.datetime.now().isoformat()
+    time.sleep(0.05)
+    lake.sql("INSERT INTO cdt.t VALUES (2, 20)")                    # v2
+    lake.sql("UPDATE cdt.t SET v = 21 WHERE id = 2")                # v3
+    rows = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in lake.sql(
+                f"SELECT * FROM table_changes('cdt.t', '{cut}')").collect()}
+    assert rows == {(2, "insert", 2),
+                    (2, "update_preimage", 3),
+                    (2, "update_postimage", 3)}
+    end = dt.datetime.now().isoformat()
+    mixed = {(r["id"], r["_commit_version"]) for r in lake.sql(
+        f"SELECT * FROM table_changes('cdt.t', 2, '{end}')").collect()}
+    assert mixed == {(2, 2), (2, 3)}

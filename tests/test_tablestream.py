@@ -160,3 +160,24 @@ def test_read_change_feed_requires_recorded_cdc(spark, tmp_base, tmp_path):
         q.processAllAvailable()
         q.stop()
     q.stop()
+
+
+def test_starting_timestamp_resolves_to_version(spark, tmp_base, tmp_path):
+    import datetime as dt
+    import time
+    t = _mk(spark, tmp_base)
+    t.append(spark.createDataFrame([(3, "c", 30.0)], ["id", "k", "v"]))
+    time.sleep(0.05)
+    cut = dt.datetime.now().isoformat()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([(4, "a", 40.0)], ["id", "k", "v"]))
+    from tb_lakehouse_enhanced_spark.sources.tablestream import register
+    register(spark)
+    q = (spark.readStream.format("managed_table_stream")
+         .option("path", t.path).option("startingTimestamp", cut)
+         .load()
+         .writeStream.format("memory").queryName("ts_from_time")
+         .option("checkpointLocation", str(tmp_path / "ck_time")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert _rows(spark.table("ts_from_time")) == {(4, "a", 40.0)}
