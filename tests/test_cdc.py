@@ -310,3 +310,58 @@ def test_cdf_vacuum_sweeps_unreferenced_cdc(spark, tmp_base):
         (2, "a", 22.0, "update_postimage", 2),
         (3, "b", 30.0, "update_preimage", 3),
         (3, "b", 33.0, "update_postimage", 3)}
+
+
+# -- one-scan fast path for long ranges ---------------------------------------
+
+def test_table_changes_long_range_is_one_scan(spark, tmp_base):
+    """K append commits must NOT build a K-way union lineage: all
+    insert files fold into ONE multi-path scan with _commit_version
+    parsed from the path (and recorded cdc files into one more)."""
+    t = _mk_part_table(spark, tmp_base)
+    for i in range(8):
+        t.append(spark.createDataFrame(
+            [(100 + i, "a", float(i))], ["id", "k", "v"]))     # v1..v8
+    feed = t.table_changes(0, 8, keys=("id",))
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= 1, plan[:2000]
+    got = _feed(feed)
+    per_commit = set()
+    for v in range(0, 9):
+        per_commit |= _feed(t.commit_changes(v, keys=("id",)).withColumn(
+            "_commit_version", F.lit(v).cast("bigint")))
+    assert got == per_commit
+    assert {cv for *_, cv in got} == set(range(0, 9))
+
+
+def test_table_changes_fast_path_mixed_commit_kinds(spark, tmp_base):
+    """Appends + recorded cdc + a diff-requiring overwrite + OPTIMIZE
+    in one range: kinds route to their scans, versions stay exact."""
+    t = _mk_part_table(spark, tmp_base)
+    t.set_property("enableChangeDataFeed", "true")
+    t.append(spark.createDataFrame([(5, "c", 50.0)], ["id", "k", "v"]))  # v1
+    t.update(F.col("id") == 1, {"v": F.lit(11.0)})          # v2 (cdc)
+    t.compact(target_partitions=2)                          # v3 OPTIMIZE
+    t.overwrite(t.read().filter(F.col("id") != 5))          # v4 diff
+    feed = t.table_changes(0, 4, keys=("id",))
+    got = _feed(feed)
+    per_commit = set()
+    for v in range(0, 5):
+        per_commit |= _feed(t.commit_changes(v, keys=("id",)).withColumn(
+            "_commit_version", F.lit(v).cast("bigint")))
+    assert got == per_commit
+    assert (5, "c", 50.0, "delete", 4) in got
+
+
+def test_table_changes_restore_in_range_keeps_exact_versions(
+        spark, tmp_base):
+    """A RESTORE points its commit at an OLDER version dir whose file
+    paths carry the wrong vN — it must route through the per-commit
+    diff, never the path-parsed insert scan."""
+    t = _mk_part_table(spark, tmp_base)
+    t.append(spark.createDataFrame([(9, "c", 90.0)], ["id", "k", "v"]))  # v1
+    t.restore(0)                                                         # v2
+    t.restore(1)           # v3: dir v1 superset of v2's dir v0 by relpath
+    feed = _feed(t.table_changes(2, 3, keys=("id",)))
+    assert feed == {(9, "c", 90.0, "delete", 2),
+                    (9, "c", 90.0, "insert", 3)}
