@@ -851,6 +851,18 @@ class ManagedTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(vdir)
+        # the version dir holds ONLY the batch's files at this point
+        # (hardlinks follow below): record them, so every incremental
+        # consumer — change feed, streaming source — serves the commit
+        # from the metadata without walking two version dirs (O(batch)
+        # driver work instead of O(table files) at scale)
+        added_files = []
+        for root, _dirs, fns in os.walk(vdir):
+            rel = os.path.relpath(root, vdir)
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    added_files.append(
+                        fn if rel == "." else os.path.join(rel, fn))
         prev = self._version_dir(cur)
         for root, _dirs, fns in os.walk(prev):
             rel = os.path.relpath(root, prev)
@@ -876,7 +888,8 @@ class ManagedTable:
         if self.partition_by:
             self._ensure_readable(vdir, df.schema)
         meta = {"version": v, "dir": f"v{v}", "op": operation,
-                "ts": time.time(), **(extra_meta or {})}
+                "ts": time.time(), "added_files": sorted(added_files),
+                **(extra_meta or {})}
         return self._publish(v, meta)
 
     def read_as_of(self, ts: float) -> DataFrame:
@@ -1663,6 +1676,16 @@ class ManagedTable:
             return changes_between(
                 self._align_to(self.read(v - 1), schema_v),
                 self._align_to(self.read(v), schema_v), keys=keys)
+        if meta.get("added_files") is not None:
+            # append commit: the writer recorded its batch's files —
+            # serve them directly, no version-dir walks at all
+            if not meta["added_files"]:
+                return empty()
+            added = [os.path.join(self._version_dir(v), r)
+                     for r in meta["added_files"]]
+            return (self._align_to(self._read_files(
+                added, self._version_dir(v), meta), schema_v)
+                .withColumn(CHANGE_TYPE, F.lit("insert")))
         prevf = self._files_rel(v - 1)
         curf = self._files_rel(v)
         added = [p for r, p in curf.items() if r not in prevf]
@@ -1765,6 +1788,12 @@ class ManagedTable:
                     f"change feed is past the retention horizon")
             if v == 0:
                 insert_files.extend(frel(0).values())
+                continue
+            if meta.get("added_files") is not None \
+                    and meta["dir"] == f"v{v}":
+                insert_files.extend(
+                    os.path.join(self.path, meta["dir"], r)
+                    for r in meta["added_files"])
                 continue
             parent = metas.get(v - 1) or self._commit(v - 1)
             new_mor = (

@@ -220,6 +220,16 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                                    version=v, kind="cdc")
                     for fn in sorted(os.listdir(cdc_dir))
                     if fn.endswith(".parquet")]
+        if meta.get("added_files") is not None \
+                and meta["dir"] == f"v{v}":
+            # append commit with the writer-recorded batch file list:
+            # no version-dir walks, O(batch) planning at any table size
+            vdir_real = os.path.join(self.path, meta["dir"])
+            return [_FilePartition(
+                os.path.join(vdir_real, r),
+                _part_values(os.path.join(vdir_real, r), vdir_real),
+                version=v, kind="insert")
+                for r in sorted(meta["added_files"])]
         cur = _files_rel(self.path, meta, bool(self.pb))
         prev = ({} if parent is None or meta["dir"] == parent["dir"]
                 else _files_rel(self.path, parent, bool(self.pb)))

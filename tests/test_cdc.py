@@ -365,3 +365,21 @@ def test_table_changes_restore_in_range_keeps_exact_versions(
     feed = _feed(t.table_changes(2, 3, keys=("id",)))
     assert feed == {(9, "c", 90.0, "delete", 2),
                     (9, "c", 90.0, "insert", 3)}
+
+
+def test_append_feed_serves_from_metadata_without_dir_walks(
+        spark, tmp_base, monkeypatch):
+    """Append commits record their batch's files; the feed must plan
+    from that metadata alone — zero version-dir walks (O(batch) driver
+    work at any table size)."""
+    import tb_lakehouse_enhanced_spark.sources.managed as m
+    t = _mk_part_table(spark, tmp_base)
+    t.append(spark.createDataFrame([(7, "c", 70.0)], ["id", "k", "v"]))
+    assert t._commit(1)["added_files"]
+
+    def boom(self, v):
+        raise AssertionError("version-dir walk on an append feed")
+    monkeypatch.setattr(m.ManagedTable, "_files_rel", boom)
+    assert _feed(t.table_changes(1, 1, keys=("id",))) == {
+        (7, "c", 70.0, "insert", 1)}
+    assert t.commit_changes(1, keys=("id",)).count() == 1
