@@ -31,7 +31,18 @@ log through Spark's native Python DataSource extension point:
 
 Options: ``path`` (table root, required), ``startingVersion`` (first
 commit to serve, default 0 — i.e. the initial snapshot arrives as the
-first micro-batches), ``skipChangeCommits`` ("true"/"false").
+first micro-batches), ``startingTimestamp`` (epoch or ISO; resolves to
+the earliest commit at/after it), ``skipChangeCommits``
+("true"/"false"), ``readChangeFeed`` ("true"/"false").
+
+Deliberate non-feature: Delta's ``maxFilesPerTrigger`` rate limiting.
+The Python DataSource stream API exposes only a no-argument
+``latestOffset()`` — no admission-control hook carrying the committed
+offset — so any instance-state capping desyncs from the checkpoint on
+restart and would re-serve or skip commits (breaking exactly-once).
+Bound the initial batch with ``startingVersion``/``startingTimestamp``
+instead; steady-state batches are one commit group and already sized
+by the writer's cadence.
 """
 
 from __future__ import annotations
