@@ -262,7 +262,8 @@ def read_delta(spark: SparkSession, path: str,
 
 
 def checkpoint_delta_log(spark: SparkSession, path: str,
-                         parts: int | None = None) -> int:
+                         parts: int | None = None,
+                         dir_rewrites: dict | None = None) -> int:
     """Write a Delta checkpoint at the current latest version: one
     parquet row per live action (protocol + metaData + adds) and the
     ``_last_checkpoint`` pointer. Commits at or before the checkpoint
@@ -276,6 +277,21 @@ def checkpoint_delta_log(spark: SparkSession, path: str,
         raise FileNotFoundError(f"no Delta log at {path}")
     v = versions[-1]
     adds, meta, proto = _replay(spark, path)
+    if dir_rewrites:
+        # vacuum support: live adds whose leading dir is about to be
+        # deleted re-point at the hardlinked copy in a retained dir
+        # (same path inside the dir, same bytes — the hardlink
+        # guarantee); sizes/partitionValues carry over unchanged
+        rewritten = {}
+        for p, a in adds.items():
+            head, _, rest = p.partition("/")
+            if head in dir_rewrites and rest:
+                np = f"{dir_rewrites[head]}/{rest}"
+                if os.path.exists(os.path.join(path, np)):
+                    a = {**a, "path": np}
+                    p = np
+            rewritten[p] = a
+        adds = rewritten
     proto_row = {"protocol": proto or {"minReaderVersion": 1,
                                        "minWriterVersion": 2,
                                        "readerFeatures": None,

@@ -562,11 +562,16 @@ class ManagedTable:
     # live in ManagedTable and this mirror closes the on-disk FORMAT gap.
     # Action shapes follow the open Delta Transaction Log Protocol spec
     # (delta-io/delta PROTOCOL.md): commitInfo + protocol (v0) + metaData
-    # + remove (previous snapshot's files) + add (new snapshot's files,
-    # paths relative to the table root, partitionValues as strings).
-    # Because ManagedTable snapshots are full version directories, every
-    # commit is a whole-table replace in Delta terms — remove-all +
-    # add-all — which is always a correct (if conservative) description.
+    # + remove/add actions, paths relative to the table root,
+    # partitionValues as strings. APPEND commits emit adds-only for
+    # their batch (O(batch) mirror emission matching the O(batch) data
+    # write; earlier files stay live under the dir that first added
+    # them — valid paths until vacuum, which checkpoints the mirror
+    # with re-pointed paths first). Every OTHER data commit is a
+    # whole-table replace in Delta terms — remove-the-live-set (from a
+    # metadata replay of the mirror's own log, so incremental appends'
+    # paths are removed correctly) + add-all — always a correct (if
+    # conservative) description of a full-snapshot version dir.
     # Emission is pure-Python (os.walk + one pyarrow footer read): no
     # Spark job, so mutation latency is unaffected.
 
@@ -718,6 +723,31 @@ class ManagedTable:
                 f.write("\n".join(json.dumps(a) for a in actions) + "\n")
             os.replace(tmp, entry)
             return
+        if meta.get("added_files") is not None and v > 0:
+            # APPEND commit: adds-only for the batch's files — O(batch)
+            # mirror emission to match the O(batch) data write. Prior
+            # adds stay live under their ORIGINAL paths (hardlinked
+            # forward, so those files exist until vacuum — which
+            # checkpoints the mirror with rewritten paths first, see
+            # ``vacuum``); no metaData (schema unchanged, replay
+            # inherits), no removes.
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+            for rel in meta["added_files"]:
+                p = f"{meta['dir']}/{rel}"
+                st = os.stat(os.path.join(self.path, p))
+                actions.append({"add": {
+                    "path": p,
+                    "partitionValues": self._partition_values(p),
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True}})
+            entry = os.path.join(log_dir, f"{v:020d}.json")
+            tmp = entry + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            os.replace(tmp, entry)
+            return
         files = self._data_files(meta["dir"])
         # emitted every commit (latest wins): resets the reader
         # requirements after a merge-on-read episode ends. A commit
@@ -737,8 +767,20 @@ class ManagedTable:
                 "configuration": conf,
                 "createdTime": ts_ms}})
         if v > 0:
-            prev = self._commit(v - 1)
-            for rel, _full in self._data_files(prev["dir"]):
+            # removes must name the LIVE add paths, which after
+            # incremental append commits point at the dirs that FIRST
+            # added each file — a walk of the parent dir would name the
+            # hardlinked copies instead and leave the originals live
+            # (duplicating rows for external readers). Replay the
+            # mirror's own log (pure metadata: checkpoint + JSON lines).
+            from .deltaread import _replay
+            try:
+                live = sorted(_replay(self.spark, self.path,
+                                      version=v - 1)[0])
+            except FileNotFoundError:   # pre-mirror legacy parent
+                live = [rel for rel, _full in
+                        self._data_files(self._commit(v - 1)["dir"])]
+            for rel in live:
                 actions.append({"remove": {
                     "path": rel, "deletionTimestamp": ts_ms,
                     "dataChange": True}})
@@ -1071,6 +1113,21 @@ class ManagedTable:
             keep_tombs |= set(c.get("deltas") or [])
             if c.get("cdc"):
                 keep_cdc.add(c["cdc"])
+        doomed = {self._commit(v)["dir"]
+                  for v in range(0, max(0, cur - retain_last + 1))}
+        doomed -= keep_dirs
+        if doomed and os.path.isdir(self._delta_log_dir()):
+            # the mirror's live adds may point INTO doomed dirs (append
+            # commits emit adds-only, leaving earlier files live under
+            # the dir that first added them). Before deleting, write a
+            # mirror checkpoint whose adds re-point at the hardlinked
+            # copies in the CURRENT dir — external readers replay from
+            # the checkpoint and never dereference a vacuumed path.
+            from .deltaread import checkpoint_delta_log
+            cur_dir = self._commit(cur)["dir"]
+            checkpoint_delta_log(
+                self.spark, self.path,
+                dir_rewrites={d: cur_dir for d in doomed})
         removed = []
         for v in range(0, max(0, cur - retain_last + 1)):
             d = self._commit(v)["dir"]

@@ -419,3 +419,51 @@ def test_mirror_emits_cdc_actions_for_recorded_commits(spark, tmp_path):
     # _change_type column
     ch = spark.read.parquet(os.path.join(t.path, "cdc_v1"))
     assert "_change_type" in ch.columns and ch.count() == 2
+
+
+def test_append_mirror_is_incremental_and_replay_correct(spark, mt):
+    """Append commits mirror adds-only for the batch (O(batch) log
+    lines); a later overwrite removes the LIVE paths (replay-based) so
+    external readers never see duplicated rows."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    mt.append(spark.createDataFrame([(4, "d", 40.0)], ["id", "k", "v"]))
+    mt.append(spark.createDataFrame([(5, "e", 50.0)], ["id", "k", "v"]))
+    logs = _log_entries(mt.path)
+    for v in (1, 2):
+        kinds = [next(iter(a)) for a in logs[v]]
+        assert "remove" not in kinds and "metaData" not in kinds
+        adds = [a["add"]["path"] for a in logs[v] if "add" in a]
+        # exactly the batch's recorded files, nothing re-added
+        mt_meta = mt._commit(v)
+        assert sorted(adds) == sorted(
+            f"v{v}/{r}" for r in mt_meta["added_files"])
+    got = {(r["id"], r["v"]) for r in read_delta(spark, mt.path).collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)}
+    # the overwrite must remove v0's AND the appends' paths — the live
+    # set — not a walk of the parent dir's hardlinked copies
+    mt.overwrite(mt.read().filter("id <= 2"))
+    removes = {a["remove"]["path"] for a in _log_entries(mt.path)[3]
+               if "remove" in a}
+    assert any(p.startswith("v0/") for p in removes)
+    assert any(p.startswith("v1/") for p in removes)
+    assert any(p.startswith("v2/") for p in removes)
+    got = {(r["id"], r["v"]) for r in read_delta(spark, mt.path).collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+
+
+def test_vacuum_checkpoints_mirror_with_rewritten_paths(spark, mt):
+    """Vacuum re-points the mirror's live adds at the hardlinked copies
+    in the retained dir BEFORE deleting old dirs — the external reader
+    keeps working with the history physically gone."""
+    import os
+
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    mt.append(spark.createDataFrame([(4, "d", 40.0)], ["id", "k", "v"]))
+    mt.append(spark.createDataFrame([(5, "e", 50.0)], ["id", "k", "v"]))
+    removed = mt.vacuum(retain_last=1)
+    assert removed == [0, 1]
+    assert not os.path.isdir(os.path.join(mt.path, "v0"))
+    assert os.path.isfile(
+        os.path.join(mt.path, "_delta_log", "_last_checkpoint"))
+    got = {(r["id"], r["v"]) for r in read_delta(spark, mt.path).collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)}
