@@ -1154,18 +1154,24 @@ class ManagedTable:
                 os.remove(os.path.join(self.path, f))
         return removed
 
-    def clone(self, dest_path: str) -> "ManagedTable":
+    def clone(self, dest_path: str,
+              version: int | None = None) -> "ManagedTable":
         """``SHALLOW CLONE`` analogue: a new independent table at
-        ``dest_path`` whose v0 snapshot shares the source's current data
-        files via hardlinks — zero data bytes copied regardless of table
-        size. Constraints and table config (partitioning, generated
-        columns) carry over. Writers on either side only ever create NEW
-        version directories, so the shared immutable files can never be
-        mutated from the clone (same isolation Delta's shallow clone
-        gets from its copy-on-write log)."""
-        src_v = self.current_version()
+        ``dest_path`` whose v0 snapshot shares the source's data files
+        (current version, or ``version`` — Delta's ``CLONE ... VERSION
+        AS OF``) via hardlinks — zero data bytes copied regardless of
+        table size. Constraints and table config (partitioning,
+        generated columns) carry over. Writers on either side only ever
+        create NEW version directories, so the shared immutable files
+        can never be mutated from the clone (same isolation Delta's
+        shallow clone gets from its copy-on-write log)."""
+        src_v = self.current_version() if version is None else version
         if src_v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
+        if version is not None and not os.path.isdir(
+                os.path.join(self.path, self._commit(version)["dir"])):
+            raise FileNotFoundError(
+                f"version {version} of {self.path} was vacuumed")
         dst = ManagedTable(self.spark, dest_path,
                            partition_by=self.partition_by,
                            generated_cols=self.generated_cols)

@@ -1566,6 +1566,23 @@ class LakehouseSql:
         CREATE shapes this front-end does not own so the caller can
         fall through to spark.sql."""
         import shutil
+        m = re.match(r"^CREATE TABLE (?P<ine>IF NOT EXISTS )?"
+                     r"(?P<dest>[\w.]+) SHALLOW CLONE (?P<src>[\w.]+)"
+                     r"(?: VERSION AS OF (?P<ver>\d+))?$", s, re.IGNORECASE)
+        if m:
+            # Delta's zero-copy SHALLOW CLONE, optionally at a version
+            src = self.table(self._qualify(m.group("src")))
+            if not src.exists():
+                raise FileNotFoundError(
+                    f"no such table: {m.group('src')}")
+            dest = self.table(self._qualify(m.group("dest")))
+            if dest.exists():
+                if m.group("ine"):
+                    return dest
+                raise FileExistsError(
+                    f"table exists: {m.group('dest')}")
+            ver = int(m.group("ver")) if m.group("ver") else None
+            return src.clone(dest.path, version=ver)
         m = self._CREATE_VIEW_RE.match(s)
         if m:
             return self._create_view(s, m)

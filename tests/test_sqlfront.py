@@ -1913,3 +1913,32 @@ def test_table_changes_tvf_timestamp_bounds(lake):
     mixed = {(r["id"], r["_commit_version"]) for r in lake.sql(
         f"SELECT * FROM table_changes('cdt.t', 2, '{end}')").collect()}
     assert mixed == {(2, 2), (2, 3)}
+
+
+def test_create_table_shallow_clone_statement(lake):
+    import os
+    lake.sql("CREATE SCHEMA IF NOT EXISTS cl")
+    lake.sql("CREATE TABLE cl.src (id BIGINT, v BIGINT)")
+    lake.sql("INSERT INTO cl.src VALUES (1, 10), (2, 20)")       # v1
+    lake.sql("UPDATE cl.src SET v = 99 WHERE id = 2")            # v2
+    lake.sql("CREATE TABLE cl.dup SHALLOW CLONE cl.src")
+    got = {(r["id"], r["v"])
+           for r in lake.sql("SELECT * FROM cl.dup").collect()}
+    assert got == {(1, 10), (2, 99)}
+    # zero-copy: the clone's v0 files are hardlinks of the source's
+    src_t, dup_t = lake.table("cl.src"), lake.table("cl.dup")
+    src_inodes = {os.stat(p).st_ino
+                  for p in src_t._files_rel(src_t.current_version()).values()}
+    dup_inodes = {os.stat(p).st_ino
+                  for p in dup_t._files_rel(0).values()}
+    assert dup_inodes <= src_inodes
+    # at an historical version; writers stay independent
+    lake.sql("CREATE TABLE cl.old SHALLOW CLONE cl.src VERSION AS OF 1")
+    got = {(r["id"], r["v"])
+           for r in lake.sql("SELECT * FROM cl.old").collect()}
+    assert got == {(1, 10), (2, 20)}
+    lake.sql("INSERT INTO cl.dup VALUES (3, 30)")
+    assert lake.sql("SELECT * FROM cl.src").count() == 2
+    # IF NOT EXISTS no-ops on an existing clone
+    lake.sql("CREATE TABLE IF NOT EXISTS cl.dup SHALLOW CLONE cl.src")
+    assert lake.sql("SELECT * FROM cl.dup").count() == 3
