@@ -1191,6 +1191,20 @@ class LakehouseSql:
                      s, re.IGNORECASE)
         if m:
             return self.table(m.group(1)).restore(int(m.group(2)))
+        m = re.match(r"^RESTORE TABLE ([\w.]+) TO TIMESTAMP AS OF "
+                     r"'([^']+)'$", s, re.IGNORECASE)
+        if m:
+            # Delta's timestamp restore: newest commit at/before the ts
+            import datetime as _dt
+            t = self.table(m.group(1))
+            ts = _dt.datetime.fromisoformat(m.group(2)).timestamp()
+            cand = [c["version"] for c in t.history()
+                    if (c.get("ts") or float("-inf")) <= ts]
+            if not cand:
+                raise FileNotFoundError(
+                    f"no snapshot of {m.group(1)} at or before "
+                    f"'{m.group(2)}'")
+            return t.restore(max(cand))
         m = re.match(r"^DESCRIBE HISTORY ([\w.]+)$", s, re.IGNORECASE)
         if m:
             hist = self.table(m.group(1)).history()

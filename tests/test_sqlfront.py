@@ -1942,3 +1942,18 @@ def test_create_table_shallow_clone_statement(lake):
     # IF NOT EXISTS no-ops on an existing clone
     lake.sql("CREATE TABLE IF NOT EXISTS cl.dup SHALLOW CLONE cl.src")
     assert lake.sql("SELECT * FROM cl.dup").count() == 3
+
+
+def test_restore_to_timestamp(lake):
+    import datetime as dt
+    import time
+    lake.sql("CREATE SCHEMA IF NOT EXISTS rs")
+    lake.sql("CREATE TABLE rs.t (id BIGINT, v BIGINT)")
+    lake.sql("INSERT INTO rs.t VALUES (1, 10)")                 # v1
+    time.sleep(0.05)
+    cut = dt.datetime.now().isoformat()
+    time.sleep(0.05)
+    lake.sql("UPDATE rs.t SET v = 99 WHERE id = 1")             # v2
+    lake.sql(f"RESTORE TABLE rs.t TO TIMESTAMP AS OF '{cut}'")  # -> v1
+    assert [(r["id"], r["v"])
+            for r in lake.sql("SELECT * FROM rs.t").collect()] == [(1, 10)]
