@@ -748,6 +748,64 @@ class ManagedTable:
                 f.write("\n".join(json.dumps(a) for a in actions) + "\n")
             os.replace(tmp, entry)
             return
+        if meta.get("partitions_rewritten") is not None and v > 0:
+            # PARTIAL REWRITE (partition-scoped DML/merge/targeted
+            # compaction): O(touched) mirror emission to match the
+            # O(touched) data write. Removes = the LIVE adds under the
+            # touched partition prefixes (mirror-log replay — metadata
+            # only); adds = a walk of ONLY the touched partition dirs
+            # in the new version dir. Untouched partitions' adds stay
+            # live under their original paths (hardlinked forward;
+            # vacuum re-points them before deleting history). These
+            # commits are schema-preserving by construction (schema
+            # evolution forces the full-rewrite route), so no metaData.
+            actions.append({"protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 4 if meta.get("cdc") else 2}})
+            touched = list(meta["partitions_rewritten"])
+            from .deltaread import _replay
+            try:
+                live = _replay(self.spark, self.path, version=v - 1)[0]
+            except FileNotFoundError:   # pre-mirror legacy parent
+                live = {rel: None for rel, _f in self._data_files(
+                    self._commit(v - 1)["dir"])}
+
+            def _in_touched(p: str) -> bool:
+                inside = p.split("/", 1)[1] if "/" in p else ""
+                return any(inside.startswith(t + "/") for t in touched)
+            for rel in sorted(p for p in live if _in_touched(p)):
+                actions.append({"remove": {
+                    "path": rel, "deletionTimestamp": ts_ms,
+                    "dataChange": True}})
+            for t_rel in touched:
+                d = os.path.join(self.path, meta["dir"], t_rel)
+                if not os.path.isdir(d):
+                    continue    # the rewrite emptied this partition
+                for root, _dirs, fns in os.walk(d):
+                    for fn in fns:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, self.path)
+                        st = os.stat(full)
+                        actions.append({"add": {
+                            "path": rel,
+                            "partitionValues": self._partition_values(rel),
+                            "size": st.st_size,
+                            "modificationTime": int(st.st_mtime * 1000),
+                            "dataChange": True}})
+            if meta.get("cdc"):
+                for rel, full in self._data_files(meta["cdc"]):
+                    st = os.stat(full)
+                    actions.append({"cdc": {
+                        "path": rel, "partitionValues": {},
+                        "size": st.st_size, "dataChange": False}})
+            entry = os.path.join(log_dir, f"{v:020d}.json")
+            tmp = entry + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            os.replace(tmp, entry)
+            return
         files = self._data_files(meta["dir"])
         # emitted every commit (latest wins): resets the reader
         # requirements after a merge-on-read episode ends. A commit

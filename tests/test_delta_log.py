@@ -467,3 +467,37 @@ def test_vacuum_checkpoints_mirror_with_rewritten_paths(spark, mt):
         os.path.join(mt.path, "_delta_log", "_last_checkpoint"))
     got = {(r["id"], r["v"]) for r in read_delta(spark, mt.path).collect()}
     assert got == {(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)}
+
+
+def test_partial_rewrite_mirror_is_partition_scoped(spark, tmp_base):
+    """A partition-scoped UPDATE mirrors removes/adds for the touched
+    partition ONLY (O(touched) log entry); untouched partitions' adds
+    stay live under their original paths and external replay matches
+    the table — including after a later vacuum re-points them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{tmp_base}/pmir", partition_by=("k",))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "k", "v"]))
+    t.set_property("enableChangeDataFeed", "true")
+    t.update(F.col("id") == 2, {"v": F.lit(22.0)})           # touches k=b
+    entry = _log_entries(t.path)[1]
+    kinds = [next(iter(a)) for a in entry]
+    assert "metaData" not in kinds
+    removes = [a["remove"]["path"] for a in entry if "remove" in a]
+    adds = [a["add"]["path"] for a in entry if "add" in a]
+    assert removes and all("/k=b/" in p for p in removes), removes
+    assert adds and all("/k=b/" in p for p in adds), adds
+    assert all(p.startswith("v1/") for p in adds)
+    assert [a for a in entry if "cdc" in a], "recorded cdc must mirror"
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t.path).collect()}
+    assert got == {(1, 10.0), (2, 22.0), (3, 30.0)}
+    t.vacuum(retain_last=1)
+    assert not os.path.isdir(os.path.join(t.path, "v0"))
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t.path).collect()}
+    assert got == {(1, 10.0), (2, 22.0), (3, 30.0)}
