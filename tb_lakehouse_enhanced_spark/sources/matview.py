@@ -73,7 +73,15 @@ class MaterializedAggView:
             state = incremental_agg_update(
                 None, feed, self.group_cols, self.sum_cols, self.count_col)
         else:
-            feed = self.base.changes(mark, cur, keys=self.keys) \
+            # the commit-log-driven PER-COMMIT feed, not the endpoint
+            # snapshot diff: refresh reads only the files the commits
+            # actually changed (appends: the batches; partition-scoped
+            # DML: the touched partitions) instead of re-scanning two
+            # full base snapshots. Signed-delta IVM telescopes exactly
+            # over per-commit changes (each intermediate value enters
+            # once as a postimage and cancels as the next preimage), so
+            # the result is identical to the endpoint diff's.
+            feed = self.base.table_changes(mark + 1, cur, keys=self.keys) \
                 .drop("_commit_version")
             state = incremental_agg_update(
                 self.table.read(), feed, self.group_cols, self.sum_cols,

@@ -59,3 +59,33 @@ def test_mv_group_disappears_on_full_deletion(spark, tmp_base):
     base.delete(F.col("g") == "b")
     mv.refresh()
     assert set(r["g"] for r in mv.read().collect()) == {"a"}
+
+
+def test_refresh_after_append_scans_only_the_batch(spark, tmp_base):
+    """The incremental refresh must read the CHANGES, not the base:
+    after an append commit, the refresh feed's plan inputs are the
+    appended files only (plus the small view state)."""
+    from pyspark.sql import functions as F
+
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    from tb_lakehouse_enhanced_spark.sources.matview import (
+        MaterializedAggView,
+    )
+    base = ManagedTable(spark, f"{tmp_base}/mv_base", partition_by=("g",))
+    base.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "g", "v"]))
+    mv = MaterializedAggView(spark, f"{tmp_base}/mv_view", base,
+                             group_cols=["g"], sum_cols={"v": "total_v"},
+                             keys=("id",))
+    mv.refresh()
+    prev = set(base._files_rel(0))
+    base.append(spark.createDataFrame([(3, "a", 30.0)], ["id", "g", "v"]))
+    added = {p for r, p in base._files_rel(1).items() if r not in prev}
+    feed = base.table_changes(1, 1, keys=("id",))
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in feed.inputFiles()}
+    assert scanned == added
+    mv.refresh()
+    got = {r["g"]: (r["n_rows"], float(r["total_v"]))
+           for r in mv.read().collect()}
+    assert got == {"a": (2, 40.0), "b": (1, 20.0)}
