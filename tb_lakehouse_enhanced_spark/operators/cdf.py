@@ -181,7 +181,18 @@ def sync_incremental(src, dst, keys: tuple[str, ...]) -> int:
         return cur
     if mark == cur:
         return cur
-    ch = src.changes(mark, cur, keys=keys).drop("_commit_version")
-    dst.overwrite(apply_changes(dst.read(), ch, keys),
+    # the commit-log-driven per-commit feed (cost ~ the changed files,
+    # never the source table), collapsed to each key's LAST change —
+    # apply_changes consumes one batch, and a key touched by several
+    # commits would otherwise contribute conflicting images. The final
+    # state per key IS its newest change (delete drops, image upserts),
+    # so the collapse is exact.
+    from pyspark.sql import Window
+    ch = src.table_changes(mark + 1, cur, keys=keys)
+    w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
+    last = (ch.filter(F.col(CHANGE_TYPE) != "update_preimage")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_commit_version"))
+    dst.overwrite(apply_changes(dst.read(), last, keys),
                   operation=f"CDC_SYNC v{cur}", extra_meta={"synced_to": cur})
     return cur

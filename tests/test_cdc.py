@@ -383,3 +383,25 @@ def test_append_feed_serves_from_metadata_without_dir_walks(
     assert _feed(t.table_changes(1, 1, keys=("id",))) == {
         (7, "c", 70.0, "insert", 1)}
     assert t.commit_changes(1, keys=("id",)).count() == 1
+
+
+def test_sync_incremental_multi_commit_interleave(spark, tmp_base):
+    """Sync after SEVERAL src commits, including a key updated twice,
+    an insert-then-delete, and a delete-then-reinsert — the collapsed
+    last-change-per-key batch must land dst exactly on src."""
+    src = ManagedTable(spark, f"{tmp_base}/msrc", partition_by=("k",))
+    dst = ManagedTable(spark, f"{tmp_base}/mdst")
+    src.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "k", "v"]))
+    assert sync_incremental(src, dst, keys=("id",)) == 0
+    src.update(F.col("id") == 1, {"v": F.lit(11.0)})              # v1
+    src.update(F.col("id") == 1, {"v": F.lit(12.0)})              # v2
+    src.append(spark.createDataFrame([(9, "a", 90.0)],
+                                     ["id", "k", "v"]))           # v3
+    src.delete(F.col("id") == 9)                                  # v4
+    src.delete(F.col("id") == 2)                                  # v5
+    src.append(spark.createDataFrame([(2, "b", 22.0)],
+                                     ["id", "k", "v"]))           # v6
+    assert sync_incremental(src, dst, keys=("id",)) == 6
+    assert _rows(dst.read()) == _rows(src.read())
+    assert _rows(dst.read()) == {(1, "a", 12.0), (2, "b", 22.0)}
