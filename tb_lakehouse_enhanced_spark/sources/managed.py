@@ -671,9 +671,53 @@ class ManagedTable:
                 "delta.columnMapping.physicalName": pname}))
         return StructType(fields).json()
 
+    def _mapping_marker(self) -> str:
+        return os.path.join(self._delta_log_dir(), "_column_mapping")
+
+    def _mapping_max_id(self) -> int | None:
+        """``delta.columnMapping.maxColumnId`` once a column-mapping
+        episode has been emitted to the mirror — None before any.
+        The Delta protocol treats turning column mapping OFF (or a
+        protocol downgrade) as an illegal transition, so after the
+        first mapped commit every later commit keeps mode=name
+        (physicalName == logical name for materialized columns) and
+        protocol 2/5 instead of reverting to 1/2."""
+        try:
+            with open(self._mapping_marker()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _bump_mapping_max_id(self, n: int) -> int:
+        cur = self._mapping_max_id() or 0
+        out = max(cur, n)
+        tmp = self._mapping_marker() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(out))
+        os.replace(tmp, self._mapping_marker())
+        return out
+
+    def _identity_mapped_schema_string(self, files) -> tuple[str, int]:
+        """Delta schemaString for a MATERIALIZED commit on a table
+        whose mirror is locked into column-mapping mode: every logical
+        field annotates a physicalName equal to itself (the
+        materializing write renamed the files' columns to the logical
+        names). Returns (schemaString, maxColumnId). Field ids
+        enumerate in schema order — stable across commits because the
+        materialized schema IS the episode's logical schema."""
+        from pyspark.sql.types import StructField, StructType
+        struct = self._physical_struct(files)
+        fields = [StructField(f.name, f.dataType, True, metadata={
+            "delta.columnMapping.id": i,
+            "delta.columnMapping.physicalName": f.name})
+            for i, f in enumerate(struct.fields, start=1)]
+        maxid = self._bump_mapping_max_id(len(fields))
+        return StructType(fields).json(), maxid
+
     def _emit_delta_log(self, v: int, meta: dict) -> None:
         log_dir = self._delta_log_dir()
         os.makedirs(log_dir, exist_ok=True)
+        mapping_locked = self._mapping_max_id() is not None
         ts_ms = int((meta.get("ts") or time.time()) * 1000)
         actions = [{"commitInfo": {
             "timestamp": ts_ms, "operation": meta.get("op", "WRITE"),
@@ -686,10 +730,12 @@ class ManagedTable:
             # refuse rather than return undeleted rows. The next
             # copy-on-write commit emits protocol v1 again (latest
             # protocol wins on replay) and the mirror is readable.
+            feats = ["deletionVectors"] + (
+                ["columnMapping"] if mapping_locked else [])
             actions.append({"protocol": {
                 "minReaderVersion": 3, "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"]}})
+                "readerFeatures": feats,
+                "writerFeatures": list(feats)}})
             entry = os.path.join(log_dir, f"{v:020d}.json")
             tmp = entry + ".tmp"
             with open(tmp, "w") as f:
@@ -714,8 +760,9 @@ class ManagedTable:
                 "partitionColumns": list(self.partition_by),
                 "configuration": {
                     "delta.columnMapping.mode": "name",
-                    "delta.columnMapping.maxColumnId":
-                        str(len(meta["column_map"]))},
+                    "delta.columnMapping.maxColumnId": str(
+                        self._bump_mapping_max_id(
+                            len(meta["column_map"])))},
                 "createdTime": ts_ms}})
             entry = os.path.join(log_dir, f"{v:020d}.json")
             tmp = entry + ".tmp"
@@ -731,8 +778,10 @@ class ManagedTable:
             # checkpoints the mirror with rewritten paths first, see
             # ``vacuum``); no metaData (schema unchanged, replay
             # inherits), no removes.
-            actions.append({"protocol": {"minReaderVersion": 1,
-                                         "minWriterVersion": 2}})
+            actions.append({"protocol": (
+                {"minReaderVersion": 2, "minWriterVersion": 5}
+                if mapping_locked else
+                {"minReaderVersion": 1, "minWriterVersion": 2})})
             for rel in meta["added_files"]:
                 p = f"{meta['dir']}/{rel}"
                 st = os.stat(os.path.join(self.path, p))
@@ -759,14 +808,19 @@ class ManagedTable:
             # vacuum re-points them before deleting history). These
             # commits are schema-preserving by construction (schema
             # evolution forces the full-rewrite route), so no metaData.
-            actions.append({"protocol": {
-                "minReaderVersion": 1,
-                "minWriterVersion": 4 if meta.get("cdc") else 2}})
+            actions.append({"protocol": (
+                {"minReaderVersion": 2, "minWriterVersion": 5}
+                if mapping_locked else {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 4 if meta.get("cdc") else 2})})
             touched = list(meta["partitions_rewritten"])
             from .deltaread import _replay
             try:
                 live = _replay(self.spark, self.path, version=v - 1)[0]
-            except FileNotFoundError:   # pre-mirror legacy parent
+            except (FileNotFoundError, ValueError):
+                # pre-mirror legacy parent: a missing _delta_log globs
+                # to no commits and _replay raises ValueError ("carries
+                # no metaData"), not FileNotFoundError — catch both
                 live = {rel: None for rel, _f in self._data_files(
                     self._commit(v - 1)["dir"])}
 
@@ -811,16 +865,28 @@ class ManagedTable:
         # requirements after a merge-on-read episode ends. A commit
         # carrying recorded change data needs writer v4 (the protocol
         # version that introduces the cdc action / changeDataFeed).
-        actions.append({"protocol": {
-            "minReaderVersion": 1,
-            "minWriterVersion": 4 if meta.get("cdc") else 2}})
+        actions.append({"protocol": (
+            {"minReaderVersion": 2, "minWriterVersion": 5}
+            if mapping_locked else {
+                "minReaderVersion": 1,
+                "minWriterVersion": 4 if meta.get("cdc") else 2})})
         if files:
             conf = ({"delta.enableChangeDataFeed": "true"}
                     if meta.get("cdc") else {})
+            if mapping_locked:
+                # mapping is one-way: materialized commits keep
+                # mode=name with identity physical names
+                schema_str, maxid = \
+                    self._identity_mapped_schema_string(files)
+                conf = {**conf,
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": str(maxid)}
+            else:
+                schema_str = self._delta_schema_string(files)
             actions.append({"metaData": {
                 "id": self._delta_table_id(),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": self._delta_schema_string(files),
+                "schemaString": schema_str,
                 "partitionColumns": list(self.partition_by),
                 "configuration": conf,
                 "createdTime": ts_ms}})
@@ -835,7 +901,10 @@ class ManagedTable:
             try:
                 live = sorted(_replay(self.spark, self.path,
                                       version=v - 1)[0])
-            except FileNotFoundError:   # pre-mirror legacy parent
+            except (FileNotFoundError, ValueError):
+                # pre-mirror legacy parent (see the partial-rewrite
+                # call site: _replay raises ValueError, not FNF, when
+                # the log dir is absent)
                 live = [rel for rel, _full in
                         self._data_files(self._commit(v - 1)["dir"])]
             for rel in live:
@@ -2401,9 +2470,13 @@ class ManagedTable:
                 reduce(or_, (~F.col(c).eqNullSafe(e)
                              for c, e in exprs.items())))
             pre = changed.withColumn(CHANGE_TYPE, F.lit("update_preimage"))
-            post = changed
-            for c, e in exprs.items():
-                post = post.withColumn(c, e)
+            # ONE projection so every assignment sees the PRE-image —
+            # sequential withColumn would let `SET a = a+1, b = a` feed
+            # b the NEW a, diverging from the actual rewrite (which
+            # evaluates all assignments against pre-update values)
+            post = changed.select(*[
+                (exprs[c] if c in exprs else F.col(c)).alias(c)
+                for c in changed.columns])
             cdc = pre.unionByName(
                 post.withColumn(CHANGE_TYPE, F.lit("update_postimage")))
         return self._partial_rewrite(condition, rewrite, "UPDATE",

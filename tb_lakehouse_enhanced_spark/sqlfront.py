@@ -1673,9 +1673,26 @@ class LakehouseSql:
             # writers RECORD their change rows (cdc files) so
             # table_changes() serves them with zero diff compute
             t = self.table(m.group(1))
-            for k, val in re.findall(
-                    r"'?([\w.]+)'?\s*=\s*'?([^',()]+)'?", m.group(2)):
-                t.set_property(k, val.strip())
+            # pair-at-a-time parse with proper quoted literals: values
+            # may contain commas/parens/spaces inside quotes, and an
+            # unparsable pair must raise, not be silently dropped
+            pairs_src = m.group(2)
+            pair_re = re.compile(
+                r"\s*(?:'([^']*)'|([\w.]+))\s*=\s*"
+                r"(?:'([^']*)'|([^,'=\s][^,']*?))\s*(?:,|$)")
+            pos = 0
+            while pos < len(pairs_src):
+                pm = pair_re.match(pairs_src, pos)
+                if not pm or pm.end() == pos:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES pair at: "
+                        f"{pairs_src[pos:]!r}")
+                key = pm.group(1) if pm.group(1) is not None \
+                    else pm.group(2)
+                val = pm.group(3) if pm.group(3) is not None \
+                    else pm.group(4).strip()
+                t.set_property(key, val)
+                pos = pm.end()
             return t
         m = re.match(r"^ALTER TABLE ([\w.]+) ADD PRIMARY KEY "
                      r"\(([^)]+)\)$", s, re.IGNORECASE)
@@ -1833,7 +1850,15 @@ class LakehouseSql:
                 return tbl
             raise ValueError(f"table exists: {tbl_name}")
         old_cfg, cfg_written = None, False
-        if (pb or replacing) and tuple(tbl.partition_by or ()) != pb:
+        if (pb or replacing) and (
+                tuple(tbl.partition_by or ()) != pb
+                or (replacing and tbl.generated_cols)):
+            # rewrite the config when the layout changes OR when a
+            # replace must clear stale GENERATED AS expressions — a
+            # same-layout replacement otherwise keeps running the old
+            # table's generated columns against a new schema they may
+            # not reference (inconsistent with the _ddl_info/
+            # _constraints stash-and-clear below)
             # new table with a layout, or OR REPLACE with a CHANGED
             # layout — including replacing a partitioned table with an
             # unpartitioned definition (pb = ()). Transactional and
@@ -2043,13 +2068,16 @@ class LakehouseSql:
                 pre = (changed.select(*base.columns)
                        .withColumn("_change_type",
                                    F.lit("update_preimage")))
-                post = changed
-                for c, e in exprs.items():
-                    post = post.withColumn(c, e)
+                # ONE projection so every assignment sees the
+                # PRE-image (matching the rewrite's single select);
+                # sequential withColumn would feed later assignments
+                # earlier assignments' NEW values
+                post = changed.select(*[
+                    (exprs[c] if c in exprs else F.col(c)).alias(c)
+                    for c in base.columns])
                 cdc = pre.unionByName(
-                    post.select(*base.columns)
-                    .withColumn("_change_type",
-                                F.lit("update_postimage")))
+                    post.withColumn("_change_type",
+                                    F.lit("update_postimage")))
             return t._partial_rewrite(cond, rewrite, "UPDATE",
                                       snapshot=marked, cdc=cdc)
         finally:
