@@ -165,12 +165,33 @@ def incremental_agg_update(state: DataFrame | None, changes: DataFrame,
 
 def sync_incremental(src, dst, keys: tuple[str, ...]) -> int:
     """Propagate ``src``'s changes since the last sync into ``dst``
-    (both :class:`~..sources.managed.ManagedTable`).
+    (both :class:`~..sources.managed.ManagedTable`) — O(changes) on
+    BOTH sides.
 
-    The high-water mark (the src version last applied) rides in dst's own
-    commit metadata, so the sync is restart-safe: re-running after a crash
-    re-reads the mark from the last durable commit. First sync = full copy.
-    Returns the src version dst is now synced to.
+    Read side: the commit-log-driven per-commit feed
+    (``table_changes(mark+1, cur)``, cost ~ the changed files, never
+    the source table). Write side, by replica layout:
+
+    - ``dst`` partitioned: ONE partition-scoped merge commit — only
+      the partitions the feed touches are rewritten, the rest
+      hardlink forward. Touched partitions derive from EVERY feed row
+      *including update preimages*, so a key that moved partitions
+      (even across several commits in the range) has its old location
+      rewritten too — no stale duplicate, no dst-wide scan.
+    - ``dst`` unpartitioned: the batch lands MERGE-ON-READ — deletes
+      as a tombstone key file (``delete_mor_keys``, zero dst files
+      read), upserts as a delta file (``upsert_mor``) — and ``read``
+      resolves last-writer-wins. Run ``dst.maintain()`` on a cadence
+      to fold the accumulated MOR debt, exactly Delta's
+      streaming-apply + OPTIMIZE rhythm.
+
+    The high-water mark (the src version last applied) rides in the
+    sync commit's own metadata, so the sync is restart-safe AND
+    atomic with the data: re-running after a crash re-reads the mark
+    from the last durable commit and re-applies idempotently (MOR
+    re-application stacks an identical batch — last-writer-wins
+    resolves to the same state). First sync = full copy. Returns the
+    src version dst is now synced to.
     """
     cur = src.current_version()
     mark = next((h.get("synced_to") for h in dst.history()
@@ -181,18 +202,55 @@ def sync_incremental(src, dst, keys: tuple[str, ...]) -> int:
         return cur
     if mark == cur:
         return cur
-    # the commit-log-driven per-commit feed (cost ~ the changed files,
-    # never the source table), collapsed to each key's LAST change —
-    # apply_changes consumes one batch, and a key touched by several
-    # commits would otherwise contribute conflicting images. The final
-    # state per key IS its newest change (delete drops, image upserts),
-    # so the collapse is exact.
+    # collapse the feed to each key's LAST change — a key touched by
+    # several commits would otherwise contribute conflicting images.
+    # The final state per key IS its newest change (delete drops,
+    # image upserts), so the collapse is exact.
     from pyspark.sql import Window
     ch = src.table_changes(mark + 1, cur, keys=keys)
     w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
     last = (ch.filter(F.col(CHANGE_TYPE) != "update_preimage")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn", "_commit_version"))
-    dst.overwrite(apply_changes(dst.read(), last, keys),
-                  operation=f"CDC_SYNC v{cur}", extra_meta={"synced_to": cur})
+    op, meta = f"CDC_SYNC v{cur}", {"synced_to": cur}
+
+    if dst.partition_by:
+        klist = list(keys)
+
+        def combine(t_slice, _feed):
+            cols = t_slice.columns
+            touched_keys = last.select(klist).dropDuplicates(klist)
+            kept = t_slice.join(touched_keys, klist, "left_anti")
+            ups = (last.filter(F.col(CHANGE_TYPE).isin(
+                "insert", "update_postimage")).select(cols))
+            return kept.unionByName(ups)
+
+        # the partition-derivation source is the UNCOLLAPSED feed WITH
+        # preimages: every old location of a moved key is touched
+        dst.merge_into_generic(
+            ch, combine, operation=op, keys=klist,
+            stable_partitions=True, extra_meta=meta)
+        return cur
+
+    last = last.persist()
+    try:
+        cols = [c for c in last.columns if c != CHANGE_TYPE]
+        dels = last.filter(F.col(CHANGE_TYPE) == "delete").select(*keys)
+        ups = (last.filter(F.col(CHANGE_TYPE).isin(
+            "insert", "update_postimage")).select(cols))
+        has_dels, has_ups = not dels.isEmpty(), not ups.isEmpty()
+        if has_dels and has_ups:
+            # deletes first: their tombstone sequence stays OLDER than
+            # the delta's, so the (disjoint) upserted keys can never be
+            # shadowed on a replay
+            dst.delete_mor_keys(dels, keys)
+            dst.upsert_mor(ups, key_cols=keys, extra_meta=meta)
+        elif has_dels:
+            dst.delete_mor_keys(dels, keys, extra_meta=meta)
+        elif has_ups:
+            dst.upsert_mor(ups, key_cols=keys, extra_meta=meta)
+        # an all-no-op range commits nothing; the mark stays behind and
+        # the next sync re-reads the (zero-file) feed — cheap by design
+    finally:
+        last.unpersist()
     return cur

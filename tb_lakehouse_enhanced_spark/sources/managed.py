@@ -227,8 +227,135 @@ class ManagedTable:
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         meta = self._commit(v)
-        df = self.spark.read.parquet(self._version_dir(v))
+        df = self._base_scan(v, meta)
         return self._resolve_mor(self._apply_column_map(df, meta), meta)
+
+    # -- log-native file listing ----------------------------------------------
+    #
+    # The commit LOG is the source of truth for which files are live at
+    # a version (Delta's model): an append commit is its batch's files
+    # plus ONE metadata record (``added_files`` + ``live_base``), never
+    # a materialized copy/hardlink of the whole live set — so commit
+    # cost is O(|batch|) in bytes AND in metadata operations, and
+    # inode/dentry count does not grow with versions × files. Readers
+    # resolve the live set by replaying the chain: live(v) =
+    # live(live_base) ∪ added(v); the chain bottoms out at a
+    # MATERIALIZED commit (overwrite / partial rewrite / compaction),
+    # whose version dir holds every file it owns. Restore commits point
+    # ``live_base`` at their target, MOR/metadata-only commits at their
+    # parent (they add no base files).
+
+    def _live_files(self, v: int) -> dict[str, str]:
+        """The live BASE data files of version ``v`` as {path relative
+        to the TABLE root: absolute path} — derived from commit
+        metadata alone for log-native commits (O(|chain|) tiny JSON
+        reads + O(|batch|) per append), from one directory walk for
+        materialized commits. Excludes the parked zero-row schema file
+        of a partitioned table (it carries no rows and would
+        re-introduce partition columns as data columns); tombstone/
+        delta/cdc files are commit state, not base data."""
+        meta = self._commit(v)
+        lb = meta.get("live_base")
+        if lb is not None:
+            out = dict(self._live_files(lb))
+            d = meta["dir"]
+            for r in meta.get("added_files") or ():
+                out[f"{d}/{r}"] = os.path.join(self.path, d, r)
+            return out
+        out: dict[str, str] = {}
+        base = os.path.join(self.path, meta["dir"])
+        for root, _dirs, fns in os.walk(base):
+            rel = os.path.relpath(root, base)
+            if self.partition_by and rel == ".":
+                continue
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    key = (f"{meta['dir']}/{fn}" if rel == "."
+                           else f"{meta['dir']}/{os.path.join(rel, fn)}")
+                    out[key] = os.path.join(root, fn)
+        return out
+
+    def _materialized_root(self, v: int) -> str:
+        """Dir name of the chain-bottom MATERIALIZED commit ``v``'s
+        live set builds on (the dir that owns every non-appended live
+        file)."""
+        meta = self._commit(v)
+        while meta.get("live_base") is not None:
+            meta = self._commit(meta["live_base"])
+        return meta["dir"]
+
+    def _hive_keys(self, files) -> set[str]:
+        """Partition-column names hive-encoded in any of ``files``'
+        paths (segments BELOW their version dir only — a ``k=v``
+        fragment in the table root path never counts). Driver-side,
+        O(|files|) string work."""
+        keys: set[str] = set()
+        for f in files:
+            rel = os.path.relpath(f, self.path)
+            for seg in rel.split(os.sep)[1:-1]:
+                if "=" in seg:
+                    keys.add(seg.partition("=")[0])
+        return keys
+
+    def _attach_partition_cols(self, df: DataFrame, fields,
+                               files=None) -> DataFrame:
+        """Re-attach directory-encoded partition columns onto a
+        fixed-schema multi-path scan from each file's hive path
+        segments, falling back to the column read from the file itself
+        for files written under an earlier, different partition
+        layout. Columns to attach come from the FILES' actual hive
+        segments when the list is known (layout changes across history
+        are then handled exactly), else from the current layout. Must
+        be applied directly on the scan relation (``_metadata``
+        resolves there)."""
+        import re as _re
+        from pyspark.sql import functions as F
+        cols = set(self.partition_by)
+        if files is not None:
+            cols |= self._hive_keys(files)
+        root_re = _re.escape(self.path)
+        for f in fields:
+            if f.name not in cols:
+                continue
+            raw = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                root_re + r"/[^/]+/(?:[^/]+/)*?"
+                + _re.escape(f.name) + r"=([^/]+)/", 1)
+            # hive escapes special chars as %XX in path segments;
+            # protect literal '+' (url_decode would turn it into a
+            # space) then decode — a no-op for the common plain values
+            seg = F.when(
+                raw.contains("%"),
+                F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+            ).otherwise(raw)
+            df = df.withColumn(f.name, F.when(
+                seg == "", F.col(f.name)).when(
+                seg == "__HIVE_DEFAULT_PARTITION__",
+                F.lit(None).cast(f.dataType)).otherwise(
+                seg.cast(f.dataType)))
+        return df
+
+    def _base_scan(self, v: int, meta: dict | None = None) -> DataFrame:
+        """Scan the BASE data of version ``v`` (pre-MOR, pre-column-
+        map). Materialized commits scan their version dir (ONE hive-
+        discovering relation, exactly the legacy plan); log-native
+        commits scan ALL live files in ONE fixed-schema multi-path
+        relation — one scan node no matter how long the append chain
+        is (never a union: besides the plan quality, self-referencing
+        correlated subqueries over a union trip Catalyst's relation
+        dedup). The schema (including hive-inferred partition-column
+        types) comes from a driver-only listing of the chain-bottom
+        dir; partition values re-attach from each file's path."""
+        meta = meta if meta is not None else self._commit(v)
+        if meta.get("live_base") is None:
+            return self.spark.read.parquet(self._version_dir(v))
+        root = self._materialized_root(v)
+        live = sorted(self._live_files(v).values())
+        base = self.spark.read.parquet(os.path.join(self.path, root))
+        if not live:
+            return base     # empty chain: the parked schema file scan
+        df = self.spark.read.schema(base.schema).parquet(*live)
+        return self._attach_partition_cols(df, base.schema.fields, live)
 
     # -- metadata-only schema evolution (Delta/Iceberg column mapping) -------
     #
@@ -293,7 +420,8 @@ class ManagedTable:
         parent = self._commit(cur)
         v = cur + 1
         meta = {"version": v, "dir": parent["dir"], "op": operation,
-                "ts": time.time(), "column_map": column_map}
+                "ts": time.time(), "column_map": column_map,
+                "live_base": cur}
         return self._publish(v, meta)
 
     def _resolve_mor(self, df: DataFrame, meta: dict) -> DataFrame:
@@ -393,8 +521,7 @@ class ManagedTable:
             raise ValueError(
                 f"stacked MOR commits must share key columns; table has "
                 f"{prev_keys}, got {list(key_cols)}")
-        base_cols = self.spark.read.parquet(
-            os.path.join(self.path, parent["dir"])).columns
+        base_cols = self._base_scan(cur, parent).columns
         if set(source.columns) != set(base_cols):
             raise ValueError(
                 f"MOR upsert source columns {sorted(source.columns)} != "
@@ -407,7 +534,7 @@ class ManagedTable:
         meta = {"version": v, "dir": parent["dir"],
                 "op": "UPSERT (merge-on-read)", "ts": time.time(),
                 "deltas": deltas, "tombstone_keys": list(key_cols),
-                **(extra_meta or {})}
+                "live_base": cur, **(extra_meta or {})}
         if parent.get("tombstones"):
             meta["tombstones"] = parent["tombstones"]
         return self._publish(v, meta)
@@ -473,7 +600,45 @@ class ManagedTable:
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
         meta = {"version": v, "dir": parent["dir"],
                 "op": "DELETE (merge-on-read)", "ts": time.time(),
-                "tombstones": tombs, "tombstone_keys": list(key_cols)}
+                "tombstones": tombs, "tombstone_keys": list(key_cols),
+                "live_base": cur}
+        if parent.get("deltas"):
+            meta["deltas"] = parent["deltas"]
+        return self._publish(v, meta)
+
+    def delete_mor_keys(self, keys_df: DataFrame,
+                        key_cols: tuple[str, ...],
+                        extra_meta: dict | None = None) -> "ManagedTable":
+        """MERGE-ON-READ delete by an EXPLICIT key batch: ``keys_df``'s
+        key tuples land directly as the tombstone file — zero table
+        files read or rewritten (``delete_mor``'s condition route
+        scans the table to find the keys; a CDC consumer already has
+        them). Keys absent from the table are harmless (the read-side
+        anti-join simply doesn't match). Same stacked-keys and
+        column-map guards as ``delete_mor``."""
+        cur = self.current_version()
+        if cur < 0:
+            raise FileNotFoundError(f"managed table {self.path} has no data")
+        parent = self._commit(cur)
+        if self._is_mapped(parent):
+            self.compact()
+            cur = self.current_version()
+            parent = self._commit(cur)
+        prev_keys = parent.get("tombstone_keys")
+        if prev_keys and tuple(prev_keys) != tuple(key_cols):
+            raise ValueError(
+                f"stacked MOR deletes must share key columns; table has "
+                f"{prev_keys}, got {list(key_cols)}")
+        v = cur + 1
+        tomb_dir = f"tomb_v{v}"
+        (keys_df.select(*key_cols).dropDuplicates(list(key_cols))
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.path, tomb_dir)))
+        tombs = list(parent.get("tombstones") or []) + [tomb_dir]
+        meta = {"version": v, "dir": parent["dir"],
+                "op": "DELETE (merge-on-read)", "ts": time.time(),
+                "tombstones": tombs, "tombstone_keys": list(key_cols),
+                "live_base": cur, **(extra_meta or {})}
         if parent.get("deltas"):
             meta["deltas"] = parent["deltas"]
         return self._publish(v, meta)
@@ -749,7 +914,11 @@ class ManagedTable:
             # physical columns via columnMapping name mode (reader 2 /
             # writer 5). The next data-writing commit materializes the
             # logical schema and resets the protocol to 1/2.
-            files = self._data_files(meta["dir"])
+            # LIVE files (the parent may be a log-native append chain
+            # whose dir holds only its own batch)
+            files = sorted(self._live_files(v).items())
+            if not files:
+                files = self._data_files(meta["dir"])
             actions.append({"protocol": {"minReaderVersion": 2,
                                          "minWriterVersion": 5}})
             actions.append({"metaData": {
@@ -821,8 +990,7 @@ class ManagedTable:
                 # pre-mirror legacy parent: a missing _delta_log globs
                 # to no commits and _replay raises ValueError ("carries
                 # no metaData"), not FileNotFoundError — catch both
-                live = {rel: None for rel, _f in self._data_files(
-                    self._commit(v - 1)["dir"])}
+                live = {rel: None for rel in self._live_files(v - 1)}
 
             def _in_touched(p: str) -> bool:
                 inside = p.split("/", 1)[1] if "/" in p else ""
@@ -860,7 +1028,16 @@ class ManagedTable:
                 f.write("\n".join(json.dumps(a) for a in actions) + "\n")
             os.replace(tmp, entry)
             return
-        files = self._data_files(meta["dir"])
+        if meta.get("live_base") is None:
+            files = self._data_files(meta["dir"])
+        else:
+            # log-native commit reaching the full branch (RESTORE): its
+            # live set spans version dirs — list from the commit log;
+            # an empty live set falls back to the chain bottom's walk
+            # so the parked schema file still carries the metaData
+            files = sorted(self._live_files(v).items())
+            if not files:
+                files = self._data_files(self._materialized_root(v))
         # emitted every commit (latest wins): resets the reader
         # requirements after a merge-on-read episode ends. A commit
         # carrying recorded change data needs writer v4 (the protocol
@@ -905,8 +1082,7 @@ class ManagedTable:
                 # pre-mirror legacy parent (see the partial-rewrite
                 # call site: _replay raises ValueError, not FNF, when
                 # the log dir is absent)
-                live = [rel for rel, _full in
-                        self._data_files(self._commit(v - 1)["dir"])]
+                live = sorted(self._live_files(v - 1))
             for rel in live:
                 actions.append({"remove": {
                     "path": rel, "deletionTimestamp": ts_ms,
@@ -981,13 +1157,14 @@ class ManagedTable:
 
     def append(self, df: DataFrame, operation: str = "APPEND",
                extra_meta: dict | None = None) -> "ManagedTable":
-        """O(batch) append commit: write ONLY the new rows' files and
-        HARDLINK every existing data file forward into the new version
-        dir — zero existing bytes copied or rewritten (the degenerate
-        zero-touched-partitions case of ``_partial_rewrite``'s
-        hardlink shortcut). This is Delta's blind-append cost shape:
-        a daily ``INSERT INTO`` / ``COPY INTO`` batch on a 100 TB
-        table costs O(|batch|), not O(table).
+        """LOG-NATIVE O(batch) append commit: write ONLY the new rows'
+        files and publish their list as commit metadata
+        (``added_files`` + ``live_base``) — no byte of existing data
+        is copied, rewritten, or even hardlinked; readers resolve the
+        live file set from the commit log (``_live_files``), exactly
+        Delta's blind-append cost shape. A daily ``INSERT INTO`` /
+        ``COPY INTO`` batch on a 100 TB table costs O(|batch|) data
+        AND O(1)-record metadata, with no inode growth per commit.
 
         Registered CHECK constraints validate the NEW rows only — the
         existing rows were validated at their own commits, so the
@@ -1006,7 +1183,7 @@ class ManagedTable:
         if self._has_mor(parent) or self._is_mapped(parent):
             # MOR: appended base rows (sequence 0) would be shadowed/
             # deleted by carried deltas/tombstones. Mapped: appended
-            # files would carry the logical schema next to hardlinked
+            # files would carry the logical schema next to the base's
             # physical-schema files. Both materialize.
             return self.overwrite(self.read().unionByName(df), operation,
                                   extra_meta=extra_meta)
@@ -1014,17 +1191,24 @@ class ManagedTable:
         cons = self.constraints()
         if cons:
             self._validate(cons, df)
+        import uuid
+        token = uuid.uuid4().hex[:8]
         v = cur + 1
-        vdir = os.path.join(self.path, f"v{v}")
+        # the batch dir is UNIQUE per writer (v{N}-a{token}): two
+        # concurrent appenders can never mix files in one dir, which
+        # is what makes the blind-append retry below safe — and what
+        # keeps added_files honest (a shared v{N} dir would let one
+        # writer's walk scoop the other's files)
+        dirname = f"v{v}-a{token}"
+        vdir = os.path.join(self.path, dirname)
         writer = df.write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(vdir)
-        # the version dir holds ONLY the batch's files at this point
-        # (hardlinks follow below): record them, so every incremental
-        # consumer — change feed, streaming source — serves the commit
-        # from the metadata without walking two version dirs (O(batch)
-        # driver work instead of O(table files) at scale)
+        # the batch dir holds ONLY this writer's files — record them,
+        # so every consumer (read, change feed, streaming source,
+        # mirror) serves the commit from metadata without walking any
+        # other version dir (O(batch) driver work at any table size)
         added_files = []
         for root, _dirs, fns in os.walk(vdir):
             rel = os.path.relpath(root, vdir)
@@ -1032,34 +1216,33 @@ class ManagedTable:
                 if fn.endswith(".parquet"):
                     added_files.append(
                         fn if rel == "." else os.path.join(rel, fn))
-        prev = self._version_dir(cur)
-        for root, _dirs, fns in os.walk(prev):
-            rel = os.path.relpath(root, prev)
-            # a partitioned table's root-level parquet can only be the
-            # parked empty-schema file (_ensure_readable) — real data
-            # always lives under col=value dirs. Linking it next to
-            # partitioned files would re-introduce the partition
-            # columns as data columns, so skip it; _ensure_readable
-            # below re-parks if the new snapshot is still empty.
-            if self.partition_by and rel == ".":
-                continue
-            out = vdir if rel == "." else os.path.join(vdir, rel)
-            os.makedirs(out, exist_ok=True)
-            for fn in fns:
-                if not fn.endswith(".parquet"):
-                    continue
-                s, d = os.path.join(root, fn), os.path.join(out, fn)
-                if not os.path.exists(d):
-                    try:
-                        os.link(s, d)
-                    except OSError:
-                        shutil.copy2(s, d)  # cross-device fallback
-        if self.partition_by:
-            self._ensure_readable(vdir, df.schema)
-        meta = {"version": v, "dir": f"v{v}", "op": operation,
-                "ts": time.time(), "added_files": sorted(added_files),
-                **(extra_meta or {})}
-        return self._publish(v, meta)
+        added_files = sorted(added_files)
+        for _attempt in range(64):
+            meta = {"version": v, "dir": dirname, "op": operation,
+                    "ts": time.time(), "added_files": added_files,
+                    "live_base": v - 1, **(extra_meta or {})}
+            try:
+                return self._publish(v, meta)
+            except ConcurrentWriteError:
+                # blind appends COMMUTE (Delta's conflict matrix: an
+                # AppendOnly transaction never conflicts with another
+                # commit's file set): re-read the head and re-commit
+                # this batch at the next free version. Only a head
+                # carrying merge-on-read state or a pending column map
+                # blocks the retry — appended base rows would be
+                # shadowed by carried tombstones/deltas (the same
+                # reason the fast path materializes above).
+                head = self.current_version()
+                new_parent = self._commit(max(head, v))
+                if self._has_mor(new_parent) or self._is_mapped(new_parent):
+                    raise
+                w = max(head + 1, v + 1)
+                new_dirname = f"v{w}-a{token}"
+                os.rename(vdir, os.path.join(self.path, new_dirname))
+                v, dirname = w, new_dirname
+                vdir = os.path.join(self.path, dirname)
+        raise ConcurrentWriteError(
+            f"append to {self.path} lost {64} consecutive commit races")
 
     def read_as_of(self, ts: float) -> DataFrame:
         """``TIMESTAMP AS OF`` time travel: read the newest snapshot
@@ -1099,8 +1282,14 @@ class ManagedTable:
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         meta = self._commit(v)
-        paths = [self._version_dir(v)] + [
-            os.path.join(self.path, d) for d in (meta.get("deltas") or [])]
+        if meta.get("live_base") is None:
+            paths = [self._version_dir(v)]
+        else:
+            # log-native: the live set spans dirs — list from the log
+            paths = sorted(self._live_files(v).values()) or \
+                [os.path.join(self.path, self._materialized_root(v))]
+        paths += [os.path.join(self.path, d)
+                  for d in (meta.get("deltas") or [])]
         df = self.spark.read.parquet(*paths)
         out = (df.groupBy(F.col("_metadata.file_path").alias("file"))
                .agg(F.first("_metadata.file_size").alias("size_bytes"),
@@ -1155,9 +1344,14 @@ class ManagedTable:
         restoring a 100 TB snapshot moves zero bytes (exactly Delta's
         RESTORE, which re-adds the old files in a new commit)."""
         src = self._commit(version)
-        if not os.path.isdir(os.path.join(self.path, src["dir"])):
-            raise FileNotFoundError(
-                f"version {version} of {self.path} was vacuumed")
+        need_dirs = {rel.split("/", 1)[0]
+                     for rel in self._live_files(version)}
+        need_dirs |= {src["dir"], self._materialized_root(version)}
+        for d in sorted(need_dirs):
+            if not os.path.isdir(os.path.join(self.path, d)):
+                raise FileNotFoundError(
+                    f"version {version} of {self.path} was vacuumed "
+                    f"(missing {d})")
         # a merge-on-read commit's logical state = base dir + tombstone/
         # delta files; the restore commit must reference ALL of them or
         # deleted rows resurrect and upserted rows vanish
@@ -1169,8 +1363,12 @@ class ManagedTable:
                     f"version {version} of {self.path} references {d}, "
                     f"which was vacuumed")
         v = self.current_version() + 1
+        # live_base points at the TARGET: the restore's live set IS the
+        # restored version's (log-native chains included) — a dir
+        # pointer alone cannot name an append chain's files
         meta = {"version": v, "dir": src["dir"],
-                "op": f"RESTORE v{version}", "ts": time.time()}
+                "op": f"RESTORE v{version}", "ts": time.time(),
+                "live_base": version}
         for k in ("tombstones", "deltas", "tombstone_keys",
                   "column_map"):
             if src.get(k):
@@ -1196,7 +1394,8 @@ class ManagedTable:
         reproducibility ("the corpus release we trained run X on").
         Tagged versions survive ``vacuum`` until the tag is dropped."""
         v = self.current_version() if version is None else version
-        if not os.path.isdir(self._version_dir(v)):
+        if not os.path.isdir(os.path.join(
+                self.path, self._materialized_root(v))):
             raise FileNotFoundError(
                 f"version {v} of {self.path} has no data (vacuumed?)")
         tags = self.tags()
@@ -1223,15 +1422,37 @@ class ManagedTable:
                            f"have {sorted(tags)}")
         return self.read(version=tags[name])
 
-    def vacuum(self, retain_last: int = 1) -> list[int]:
+    def vacuum(self, retain_last: int = 1,
+               retain_hours: float | None = None) -> list[int]:
         """Delete data of versions older than the ``retain_last`` most
-        recent commits (Delta ``VACUUM``'s role). Data dirs still
-        referenced by a retained commit (via ``restore``) or pinned by
-        a tag survive. Returns the versions whose data was removed."""
+        recent commits (Delta ``VACUUM``'s role). ``retain_hours``
+        ADDS a time horizon (Delta's ``RETAIN n HOURS``): every commit
+        whose timestamp is inside the horizon is kept too — one
+        consistent policy across version dirs, MOR tombstone/delta
+        dirs, recorded cdc dirs, and the mirror checkpoint, so the
+        change feed / streaming source raise their documented
+        retention-horizon error exactly past it. Data dirs still
+        referenced by a retained commit's live chain (log-native
+        appends, restore) or pinned by a tag survive. Returns the
+        versions whose data was removed."""
         cur = self.current_version()
         keep_versions = set(range(max(0, cur - retain_last + 1), cur + 1))
         keep_versions |= set(self.tags().values())
+        if retain_hours is not None:
+            horizon = time.time() - retain_hours * 3600.0
+            keep_versions |= {
+                v for v in range(0, cur + 1)
+                if (self._commit(v).get("ts") or 0) >= horizon}
         keep_dirs = {self._commit(v)["dir"] for v in keep_versions}
+        for v in keep_versions:
+            # a retained log-native version's live set references the
+            # chain of dirs that first added each file — all must
+            # survive (an append chain never duplicates bytes, so the
+            # bytes only become reclaimable at the next materializing
+            # commit, exactly Delta's retention semantics)
+            keep_dirs.add(self._materialized_root(v))
+            keep_dirs |= {rel.split("/", 1)[0]
+                          for rel in self._live_files(v)}
         keep_tombs: set[str] = set()
         keep_cdc: set[str] = set()
         for v in keep_versions:
@@ -1251,7 +1472,12 @@ class ManagedTable:
             # copies in the CURRENT dir — external readers replay from
             # the checkpoint and never dereference a vacuumed path.
             from .deltaread import checkpoint_delta_log
-            cur_dir = self._commit(cur)["dir"]
+            # re-point target: the materialized chain bottom of HEAD —
+            # the dir that holds the hardlinked copies of any legacy
+            # live file whose first-adding dir is doomed. Log-native
+            # live adds never point into doomed dirs (keep_dirs covers
+            # their chains), so the rewrite map simply doesn't match.
+            cur_dir = self._materialized_root(cur)
             checkpoint_delta_log(
                 self.spark, self.path,
                 dir_rewrites={d: cur_dir for d in doomed})
@@ -1295,39 +1521,61 @@ class ManagedTable:
         src_v = self.current_version() if version is None else version
         if src_v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
-        if version is not None and not os.path.isdir(
-                os.path.join(self.path, self._commit(version)["dir"])):
-            raise FileNotFoundError(
-                f"version {version} of {self.path} was vacuumed")
+        if version is not None:
+            need = {rel.split("/", 1)[0]
+                    for rel in self._live_files(version)}
+            need.add(self._materialized_root(version))
+            for d in sorted(need):
+                if not os.path.isdir(os.path.join(self.path, d)):
+                    raise FileNotFoundError(
+                        f"version {version} of {self.path} was vacuumed "
+                        f"(missing {d})")
         dst = ManagedTable(self.spark, dest_path,
                            partition_by=self.partition_by,
                            generated_cols=self.generated_cols)
         if dst.exists():
             raise FileExistsError(f"{dest_path} is already a managed table")
-        src_dir = self._version_dir(src_v)
+        src_meta = self._commit(src_v)
         dst_dir = os.path.join(dst.path, "v0")
         # a crashed earlier clone leaves a partial v0 with no commit
         # (dst.exists() is False): clear it so the retry re-links cleanly
         # instead of tripping over its own leftover hardlinks
         if os.path.isdir(dst_dir):
             shutil.rmtree(dst_dir)
-        for root, _dirs, fns in os.walk(src_dir):
-            rel = os.path.relpath(root, src_dir)
-            out = dst_dir if rel == "." else os.path.join(dst_dir, rel)
-            os.makedirs(out, exist_ok=True)
-            for fn in fns:
-                s, d = os.path.join(root, fn), os.path.join(out, fn)
+        if src_meta.get("live_base") is None:
+            src_dir = self._version_dir(src_v)
+            for root, _dirs, fns in os.walk(src_dir):
+                rel = os.path.relpath(root, src_dir)
+                out = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+                os.makedirs(out, exist_ok=True)
+                for fn in fns:
+                    s, d = os.path.join(root, fn), os.path.join(out, fn)
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)  # cross-device fallback
+        else:
+            # log-native source: link the LIVE set (commit-log derived,
+            # spans version dirs) into the clone's materialized v0 —
+            # still zero data bytes copied
+            linked = 0
+            for rel, s in self._files_rel(src_v).items():
+                d = os.path.join(dst_dir, rel)
+                os.makedirs(os.path.dirname(d), exist_ok=True)
                 try:
                     os.link(s, d)
                 except OSError:
-                    shutil.copy2(s, d)  # cross-device fallback
+                    shutil.copy2(s, d)
+                linked += 1
+            os.makedirs(dst_dir, exist_ok=True)
+            if not linked:
+                dst._ensure_readable(dst_dir, self._base_scan(src_v).schema)
         cons = self.constraints()
         if cons:
             with open(dst._constraints_file, "w") as f:
                 json.dump(cons, f)
         # a merge-on-read source state clones its tombstones too (still
         # zero data bytes copied) so the clone's logical rows match
-        src_meta = self._commit(src_v)
         meta0 = {"version": 0, "dir": "v0",
                  "op": f"CLONE {self.path}@v{src_v}", "ts": time.time()}
         for t in (list(src_meta.get("tombstones") or [])
@@ -1384,7 +1632,11 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
-        df = self.spark.read.parquet(self._version_dir(v))
+        # _base_scan is a SINGLE file-source relation on both branches
+        # (hive scan / fixed-schema multi-path with path-derived
+        # partition columns), so the per-file ``_metadata`` grouping
+        # below resolves and partition-column stats stay exact
+        df = self._base_scan(v)
         # pending metadata-only column map: stats are requested under
         # LOGICAL names but computed from the PHYSICAL columns — a
         # metadata-ADDED column is NULL in every file (null stats =
@@ -1498,16 +1750,24 @@ class ManagedTable:
                 # schema-stable empty relation without scheduling a scan
                 return (self.read(v).filter(cond)
                         .limit(0).filter(F.lit(False)))
-            return self._apply_column_map(
-                self.spark.read.parquet(*files), meta).filter(cond)
+            if self._is_mapped(meta):
+                return self._apply_column_map(
+                    self.spark.read.parquet(*files), meta).filter(cond)
+            # fixed-schema scan with partition columns re-attached from
+            # the hive path segments — a pruned read on a partitioned
+            # table keeps its partition columns (and the kept files may
+            # span version dirs on a log-native chain)
+            return self._scan_file_list(
+                files, self._base_scan(v, meta).schema.fields
+            ).filter(cond)
         # MOR: even with zero kept base files, delta files may hold
         # matching rows — resolve over an (empty) base of the right
         # schema; Catalyst folds filter(false) to an empty relation.
         # (MOR and column_map never coexist on one commit, so the map
         # application above and the resolution here never both fire.)
-        base = (self.spark.read.parquet(*files) if files else
-                self.spark.read.parquet(self._version_dir(v))
-                .filter(F.lit(False)))
+        base = (self._scan_file_list(
+            files, self._base_scan(v, meta).schema.fields) if files else
+            self._base_scan(v, meta).filter(F.lit(False)))
         return self._resolve_mor(base, meta).filter(cond)
 
     def checkpoint_mirror(self, parts: int | None = None) -> int:
@@ -1549,7 +1809,7 @@ class ManagedTable:
         meta = self._commit(self.current_version())
         mor_debt = len(meta.get("tombstones") or []) \
             + len(meta.get("deltas") or [])
-        n_files = len(self._data_files(meta["dir"]))
+        n_files = len(self._live_files(self.current_version()))
         action = "noop"
         if mor_debt > max_mor_commits or n_files > max_files:
             self.compact(target_partitions)
@@ -1642,8 +1902,7 @@ class ManagedTable:
             with open(self._bloom_file(v, col), "w") as f:
                 json.dump(payload, f)
             return payload
-        df = (self.spark.read.parquet(self._version_dir(v))
-              .filter(F.col(pc).isNotNull()))
+        df = self._base_scan(v).filter(F.col(pc).isNotNull())
         col_type = dict(df.dtypes)[pc]
         words = (df.select(F.col("_metadata.file_path").alias("file"),
                            F.explode(self._bloom_positions(
@@ -1722,26 +1981,17 @@ class ManagedTable:
                               F.lit(to_version).cast("bigint"))
 
     def _files_rel(self, v: int) -> dict[str, str]:
-        """Version ``v``'s parquet data files as {path relative to the
-        VERSION dir: absolute path}. Hardlinked files keep their relative
-        path across version dirs (``append``/``_partial_rewrite`` link
-        under the same name), while rewritten files get fresh UUID names
-        — so set algebra over these keys IS the commit's add/remove file
-        list, recovered from the layout with zero data read. A
+        """Version ``v``'s LIVE parquet data files as {path relative
+        to their version dir: absolute path}. Hardlinked/appended
+        files keep their relative path across version dirs (data file
+        names are write-unique UUIDs), so set algebra over these keys
+        IS the commit's add/remove file list, recovered with zero data
+        read — from the commit log alone for log-native commits. A
         partitioned table's root-level parquet can only be the parked
-        empty-schema file (zero rows, partition column as data column) —
-        excluded, as in ``append``'s hardlink walk."""
-        d = self._version_dir(v)
-        out: dict[str, str] = {}
-        for root, _dirs, fns in os.walk(d):
-            rel = os.path.relpath(root, d)
-            if self.partition_by and rel == ".":
-                continue
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    out[fn if rel == "." else os.path.join(rel, fn)] = \
-                        os.path.join(root, fn)
-        return out
+        empty-schema file (zero rows, partition column as data column)
+        — excluded, as in ``_live_files``."""
+        return {rel.split("/", 1)[1]: full
+                for rel, full in self._live_files(v).items()}
 
     def _align_to(self, df: DataFrame, schema) -> DataFrame:
         """Project ``df`` onto ``schema``'s columns in order: present
@@ -1752,6 +2002,16 @@ class ManagedTable:
         return df.select(*[
             (F.col(f.name) if f.name in have else F.lit(None))
             .cast(f.dataType).alias(f.name) for f in schema.fields])
+
+    def _scan_file_list(self, files: list[str], fields) -> DataFrame:
+        """Fixed-schema scan of an EXPLICIT file list that may span
+        version dirs (log-native live sets), partition columns
+        re-attached from each file's hive path segments — the same
+        plan shape as the table_changes one-scan fast path."""
+        from pyspark.sql.types import StructType
+        schema = StructType(list(fields))
+        df = self.spark.read.schema(schema).parquet(*sorted(files))
+        return self._attach_partition_cols(df, schema.fields, files)
 
     def _read_files(self, files: list[str], vdir: str,
                     meta: dict) -> DataFrame:
@@ -1799,6 +2059,11 @@ class ManagedTable:
 
         from ..operators.cdf import CHANGE_TYPE, changes_between
         meta = self._commit(v)
+        if not os.path.isdir(os.path.join(
+                self.path, self._materialized_root(v))):
+            raise FileNotFoundError(
+                f"version {v} of {self.path} was vacuumed; the change "
+                f"feed is past the retention horizon")
         schema_v = self.read(v).schema
 
         def empty():
@@ -1829,7 +2094,10 @@ class ManagedTable:
         parent = self._commit(v - 1)
         for want in (v - 1, v):
             c = self._commit(want)
-            if not os.path.isdir(os.path.join(self.path, c["dir"])):
+            root = self._materialized_root(want)
+            if not os.path.isdir(os.path.join(self.path, root)) or (
+                    c.get("added_files") and not os.path.isdir(
+                        os.path.join(self.path, c["dir"]))):
                 raise FileNotFoundError(
                     f"version {want} of {self.path} was vacuumed; the "
                     f"change feed for commit {v} is past the retention "
@@ -1851,7 +2119,7 @@ class ManagedTable:
                 kdf = kdf.unionByName(b)
             kdf = F.broadcast(kdf.dropDuplicates(mkeys))
             before = (self.read(v - 1).join(kdf, mkeys, "left_semi")
-                      if self._data_files(parent["dir"]) else None)
+                      if self._files_rel(v - 1) else None)
             after = self.read(v).join(kdf, mkeys, "left_semi")
             out = changes_between(
                 before if before is None else self._align_to(before, schema_v),
@@ -1882,11 +2150,14 @@ class ManagedTable:
         removed = [p for r, p in prevf.items() if r not in curf]
         if not added and not removed:
             return empty()
-        after = (self._align_to(self._read_files(
-            added, self._version_dir(v), meta), schema_v)
+        # either side's file list may span version dirs (log-native
+        # parents, restore targets): fixed-schema multi-path scan with
+        # partition columns re-attached from the hive path segments
+        after = (self._align_to(self._scan_file_list(
+            added, schema_v.fields), schema_v)
             if added else None)
-        before = (self._align_to(self._read_files(
-            removed, self._version_dir(v - 1), parent), schema_v)
+        before = (self._align_to(self._scan_file_list(
+            removed, schema_v.fields), schema_v)
             if removed else None)
         if before is None:
             return after.withColumn(CHANGE_TYPE, F.lit("insert"))
@@ -1921,6 +2192,11 @@ class ManagedTable:
         from pyspark.sql.types import StringType, StructType
 
         from ..operators.cdf import CHANGE_TYPE
+        if not os.path.isdir(os.path.join(
+                self.path, self._materialized_root(end_version))):
+            raise FileNotFoundError(
+                f"version {end_version} of {self.path} was vacuumed; "
+                f"the change feed is past the retention horizon")
         feed_schema = StructType(list(self.read(end_version).schema.fields)) \
             .add(CHANGE_TYPE, StringType())
 
@@ -1972,18 +2248,27 @@ class ManagedTable:
             if meta.get("cdc"):
                 cdc_dirs.append(os.path.join(self.path, meta["cdc"]))
                 continue
-            if not os.path.isdir(os.path.join(self.path, meta["dir"])):
+            if meta.get("added_files") is not None \
+                    and (meta["dir"] == f"v{v}"
+                         or meta["dir"].startswith(f"v{v}-")):
+                # log-native append: its files are in its OWN dir (an
+                # empty batch has no dir at all — nothing to serve)
+                if meta["added_files"] and not os.path.isdir(
+                        os.path.join(self.path, meta["dir"])):
+                    raise FileNotFoundError(
+                        f"version {v} of {self.path} was vacuumed; the "
+                        f"change feed is past the retention horizon")
+                insert_files.extend(
+                    os.path.join(self.path, meta["dir"], r)
+                    for r in meta["added_files"])
+                continue
+            if not os.path.isdir(os.path.join(
+                    self.path, self._materialized_root(v))):
                 raise FileNotFoundError(
                     f"version {v} of {self.path} was vacuumed; the "
                     f"change feed is past the retention horizon")
             if v == 0:
                 insert_files.extend(frel(0).values())
-                continue
-            if meta.get("added_files") is not None \
-                    and meta["dir"] == f"v{v}":
-                insert_files.extend(
-                    os.path.join(self.path, meta["dir"], r)
-                    for r in meta["added_files"])
                 continue
             parent = metas.get(v - 1) or self._commit(v - 1)
             new_mor = (
@@ -2013,7 +2298,8 @@ class ManagedTable:
         # the same anchoring discipline as the MOR sequence parser
         ver_from_path = F.regexp_extract(
             F.col("_metadata.file_path"),
-            _re.escape(self.path) + r"/(?:cdc_)?v(\d+)/", 1).cast("bigint")
+            _re.escape(self.path) + r"/(?:cdc_)?v(\d+)(?:-[^/]*)?/",
+            1).cast("bigint")
         if insert_files:
             # fixed-schema scan (no footer sampling); partition values
             # re-attached from the hive path segments, falling back to
@@ -2022,17 +2308,8 @@ class ManagedTable:
             df = (self.spark.read.schema(
                 StructType(list(feed_schema.fields)[:-1]))
                 .parquet(*sorted(insert_files)))
-            for f in list(feed_schema.fields)[:-1]:
-                if f.name not in self.partition_by:
-                    continue
-                seg = F.regexp_extract(
-                    F.col("_metadata.file_path"),
-                    rf"/{f.name}=([^/]+)/", 1)
-                df = df.withColumn(f.name, F.when(
-                    seg == "", F.col(f.name)).when(
-                    seg == "__HIVE_DEFAULT_PARTITION__",
-                    F.lit(None).cast(f.dataType)).otherwise(
-                    seg.cast(f.dataType)))
+            df = self._attach_partition_cols(
+                df, list(feed_schema.fields)[:-1], insert_files)
             frames.append(
                 df.withColumn(CHANGE_TYPE, F.lit("insert"))
                 .withColumn("_commit_version", ver_from_path))
@@ -2133,23 +2410,13 @@ class ManagedTable:
             self._validate(cons, rewritten)
         (rewritten.write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
-        # hardlink every untouched partition dir from the old snapshot
+        # hardlink every untouched LIVE file from the old snapshot
+        # (commit-log derived — the parent may be a log-native append
+        # chain whose live set spans version dirs)
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
             for r in touched}
-        prev = self._version_dir(cur)
-        for rel in self._leaf_partition_dirs(prev, depth=len(pb)):
-            if rel in touched_rel:
-                continue
-            src_dir, dst_dir = os.path.join(prev, rel), os.path.join(vdir, rel)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fn in os.listdir(src_dir):
-                s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
-                if os.path.isfile(s) and not os.path.exists(d):
-                    try:
-                        os.link(s, d)
-                    except OSError:
-                        shutil.copy2(s, d)  # cross-device fallback
+        self._link_untouched(self._files_rel(cur), touched_rel, vdir)
         # AFTER the hardlink loop: a DELETE that empties every touched
         # partition while others survive must NOT park a root-level
         # schema file (whose partition column rides as a data column)
@@ -2208,6 +2475,38 @@ class ManagedTable:
         if new_tombs:
             out["tombstones"] = new_tombs
         return out
+
+    def _link_untouched(self, prev_live: dict[str, str],
+                        touched_rel: set[str], vdir: str) -> None:
+        """Hardlink every live file whose leaf partition is NOT in
+        ``touched_rel`` into the new materialized version dir, under
+        its same relative path (cross-device falls back to copy).
+        ``prev_live`` is ``_files_rel`` output: {rel-inside-version:
+        absolute path} — live-set derived, so log-native parents link
+        correctly from whichever dir first added each file."""
+        for rel_file, s in prev_live.items():
+            if os.path.dirname(rel_file) in touched_rel:
+                continue
+            d = os.path.join(vdir, rel_file)
+            parent_dir = os.path.dirname(d)
+            if parent_dir:
+                os.makedirs(parent_dir, exist_ok=True)
+            if not os.path.exists(d):
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)  # cross-device fallback
+            # Hadoop LocalFileSystem checksum sidecar rides along (it
+            # is validated when present, so a linked file keeps its
+            # integrity check)
+            src_dir, base = os.path.split(s)
+            crc_s = os.path.join(src_dir, f".{base}.crc")
+            crc_d = os.path.join(os.path.dirname(d), f".{base}.crc")
+            if os.path.isfile(crc_s) and not os.path.exists(crc_d):
+                try:
+                    os.link(crc_s, crc_d)
+                except OSError:
+                    shutil.copy2(crc_s, crc_d)
 
     @staticmethod
     def _hive_val(v) -> str:
@@ -2343,19 +2642,7 @@ class ManagedTable:
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
             for r in touched}
-        prev = self._version_dir(cur)
-        for rel in self._leaf_partition_dirs(prev, depth=len(pb)):
-            if rel in touched_rel:
-                continue
-            src_dir, dst_dir = os.path.join(prev, rel), os.path.join(vdir, rel)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fn in os.listdir(src_dir):
-                s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
-                if os.path.isfile(s) and not os.path.exists(d):
-                    try:
-                        os.link(s, d)
-                    except OSError:
-                        shutil.copy2(s, d)
+        self._link_untouched(self._files_rel(cur), touched_rel, vdir)
         # after the hardlink loop — see _partial_rewrite's ordering note
         self._ensure_readable(vdir, merged.schema)
         meta = {
@@ -2421,17 +2708,13 @@ class ManagedTable:
         # `merged` was built from the current slice, so every closed row
         # in it closed just now)
         out.write.mode("overwrite").partitionBy(flag_col).parquet(vdir)
-        src_hist = os.path.join(self._version_dir(curv), f"{flag_col}=0")
-        dst_hist = os.path.join(vdir, f"{flag_col}=0")
-        if os.path.isdir(src_hist):
-            os.makedirs(dst_hist, exist_ok=True)
-            for fn in os.listdir(src_hist):
-                s, d = os.path.join(src_hist, fn), os.path.join(dst_hist, fn)
-                if os.path.isfile(s) and not os.path.exists(d):
-                    try:
-                        os.link(s, d)
-                    except OSError:
-                        shutil.copy2(s, d)
+        # link the accumulated history files (live-set derived: a
+        # preceding log-native append may have landed history rows in
+        # its own version dir) — only the current slice is rewritten
+        self._link_untouched(
+            {rel: s for rel, s in self._files_rel(curv).items()
+             if rel.startswith(f"{flag_col}=0/")},
+            {f"{flag_col}=1"}, vdir)
         # after the hardlink loop — see _partial_rewrite's ordering note
         self._ensure_readable(vdir, out.schema)
         return self._publish(v, {
@@ -2540,24 +2823,20 @@ class ManagedTable:
                 f"compact_partitions() (mixed physical schemas)")
         v = curv + 1
         vdir = os.path.join(self.path, f"v{v}")
-        prev = self._version_dir(curv)
         os.makedirs(vdir, exist_ok=True)
         todo = set(partition_rels)
-        for rel in self._leaf_partition_dirs(prev, depth=len(self.partition_by)):
-            src_dir, dst_dir = os.path.join(prev, rel), os.path.join(vdir, rel)
-            if rel in todo:
-                (self.spark.read.parquet(src_dir)
-                 .coalesce(target_files)
-                 .write.mode("overwrite").parquet(dst_dir))
-            else:
-                os.makedirs(dst_dir, exist_ok=True)
-                for fn in os.listdir(src_dir):
-                    s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
-                    if os.path.isfile(s) and not os.path.exists(d):
-                        try:
-                            os.link(s, d)
-                        except OSError:
-                            shutil.copy2(s, d)
+        prev_live = self._files_rel(curv)
+        by_part: dict[str, list[str]] = {}
+        for rel_file, s in prev_live.items():
+            by_part.setdefault(os.path.dirname(rel_file), []).append(s)
+        for rel in todo:
+            files = by_part.get(rel)
+            if not files:
+                continue    # named partition holds no live files
+            (self.spark.read.parquet(*sorted(files))
+             .coalesce(target_files)
+             .write.mode("overwrite").parquet(os.path.join(vdir, rel)))
+        self._link_untouched(prev_live, todo, vdir)
         return self._publish(v, {
             "version": v, "dir": f"v{v}", "op": "OPTIMIZE_PARTITIONS",
             "ts": time.time(), "partitions_rewritten": sorted(todo)})

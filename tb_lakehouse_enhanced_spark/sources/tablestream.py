@@ -84,12 +84,21 @@ def _partition_by(path: str) -> tuple[str, ...]:
 
 
 def _files_rel(path: str, meta: dict, partitioned: bool) -> dict[str, str]:
-    """{relpath-within-version-dir: absolute path} of a commit's parquet
-    data files — the same exclusion rule as ``ManagedTable._files_rel``
-    (a partitioned table's root-level parquet is the parked zero-row
+    """{relpath-within-version-dir: absolute path} of a commit's LIVE
+    parquet data files — resolved from the commit log for log-native
+    commits (``live_base`` chains: appends are their batch files plus
+    the parent's live set), from one directory walk for materialized
+    commits; same exclusion rule as ``ManagedTable._files_rel`` (a
+    partitioned table's root-level parquet is the parked zero-row
     schema file)."""
+    lb = meta.get("live_base")
+    if lb is not None:
+        out = dict(_files_rel(path, _commit(path, lb), partitioned))
+        for r in meta.get("added_files") or ():
+            out[r] = os.path.join(path, meta["dir"], r)
+        return out
     d = os.path.join(path, meta["dir"])
-    out: dict[str, str] = {}
+    out = {}
     for root, _dirs, fns in os.walk(d):
         rel = os.path.relpath(root, d)
         if partitioned and rel == ".":
@@ -104,7 +113,13 @@ def _files_rel(path: str, meta: dict, partitioned: bool) -> dict[str, str]:
 def _part_values(abs_path: str, vdir: str) -> dict:
     """Hive ``col=value`` string values on the file's path below the
     version dir (None for the hive null sentinel)."""
-    rel = os.path.relpath(abs_path, vdir)
+    return _part_values_rel(os.path.relpath(abs_path, vdir))
+
+
+def _part_values_rel(rel: str) -> dict:
+    """Hive ``col=value`` string values from a path RELATIVE to its
+    version dir — safe for live sets spanning version dirs, where no
+    single vdir is an ancestor of every file."""
     vals: dict[str, str | None] = {}
     for seg in rel.split(os.sep)[:-1]:
         if "=" in seg:
@@ -133,13 +148,12 @@ def _table_schema(path: str):
         raise FileNotFoundError(
             f"managed table {path} is empty; start the stream after the "
             f"first data commit (the schema is derived from its files)")
-    vdir = os.path.join(path, meta["dir"])
     some = sorted(files.values())[0]
     struct = from_arrow_schema(pq.read_schema(some))
     seen = {f.name for f in struct.fields}
     part_vals: dict[str, list] = {}
-    for p in files.values():
-        for k, val in _part_values(p, vdir).items():
+    for r in files:
+        for k, val in _part_values_rel(r).items():
             part_vals.setdefault(k, []).append(val)
     for pcol in pb:
         if pcol in seen:
@@ -209,7 +223,10 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     def _commit_partitions(self, v: int) -> list[_FilePartition]:
         meta = _commit(self.path, v)
         vdir = os.path.join(self.path, meta["dir"])
-        if not os.path.isdir(vdir):
+        # log-native commits don't require their OWN dir to exist (an
+        # empty-batch append has none; MOR/restore commits point at a
+        # chain) — the vacuum check runs per branch below
+        if meta.get("live_base") is None and not os.path.isdir(vdir):
             raise FileNotFoundError(
                 f"version {v} of {self.path} was vacuumed; restart the "
                 f"stream with startingVersion past the retention horizon")
@@ -232,13 +249,18 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                     for fn in sorted(os.listdir(cdc_dir))
                     if fn.endswith(".parquet")]
         if meta.get("added_files") is not None \
-                and meta["dir"] == f"v{v}":
+                and (meta["dir"] == f"v{v}"
+                     or meta["dir"].startswith(f"v{v}-")):
             # append commit with the writer-recorded batch file list:
             # no version-dir walks, O(batch) planning at any table size
             vdir_real = os.path.join(self.path, meta["dir"])
+            if meta["added_files"] and not os.path.isdir(vdir_real):
+                raise FileNotFoundError(
+                    f"version {v} of {self.path} was vacuumed; restart "
+                    f"the stream with startingVersion past the "
+                    f"retention horizon")
             return [_FilePartition(
-                os.path.join(vdir_real, r),
-                _part_values(os.path.join(vdir_real, r), vdir_real),
+                os.path.join(vdir_real, r), _part_values_rel(r),
                 version=v, kind="insert")
                 for r in sorted(meta["added_files"])]
         cur = _files_rel(self.path, meta, bool(self.pb))
@@ -267,7 +289,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 + f"; {hint}")
         if parent is not None and meta["dir"] == parent["dir"]:
             return []  # metadata-only commit (same map), nothing appended
-        return [_FilePartition(p, _part_values(p, vdir),
+        return [_FilePartition(p, _part_values_rel(r),
                                version=v, kind="insert")
                 for r, p in sorted(cur.items()) if r not in prev]
 

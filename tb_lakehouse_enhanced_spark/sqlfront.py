@@ -1181,11 +1181,17 @@ class LakehouseSql:
             cols = tuple(c.strip() for c in m.group(2).split(","))
             return self.table(m.group(1)).optimize_layout(
                 cols, zorder=len(cols) > 1)
-        m = re.match(r"^VACUUM ([\w.]+)(?: RETAIN (\d+) VERSIONS?)?$",
+        m = re.match(r"^VACUUM ([\w.]+)"
+                     r"(?: RETAIN (\d+) (VERSIONS?|HOURS?))?$",
                      s, re.IGNORECASE)
         if m:
             t = self.table(m.group(1))
-            t.vacuum(retain_last=int(m.group(2) or 1))
+            if m.group(3) and m.group(3).upper().startswith("HOUR"):
+                # Delta's syntax: time-based horizon (always keeps the
+                # current version via retain_last=1)
+                t.vacuum(retain_last=1, retain_hours=float(m.group(2)))
+            else:
+                t.vacuum(retain_last=int(m.group(2) or 1))
             return t
         m = re.match(r"^RESTORE TABLE ([\w.]+) TO VERSION AS OF (\d+)$",
                      s, re.IGNORECASE)
@@ -1230,9 +1236,9 @@ class LakehouseSql:
             if not t.partition_by:
                 raise ValueError(
                     f"{m.group(1)} is not a partitioned table")
-            rels = sorted(t._leaf_partition_dirs(
-                t._version_dir(t.current_version()),
-                depth=len(t.partition_by)))
+            # live-set derived (log-native append chains span dirs)
+            rels = sorted({os.path.dirname(rf) for rf in
+                           t._files_rel(t.current_version())} - {""})
             return self.spark.createDataFrame(
                 [(r,) for r in rels], "partition string")
         m = re.match(r"^TRUNCATE TABLE ([\w.]+)$", s, re.IGNORECASE)
@@ -1266,9 +1272,7 @@ class LakehouseSql:
             if not t.exists():
                 raise FileNotFoundError(f"no such table: {m.group(1)}")
             ver = t.current_version()
-            vdir = t._version_dir(ver)
-            n_files = sum(1 for _, _, fs in os.walk(vdir)
-                          for f in fs if f.endswith(".parquet"))
+            n_files = len(t._files_rel(ver))
             return self.spark.createDataFrame(
                 [("parquet", t.path, int(n_files),
                   list(t.partition_by or []), int(ver),

@@ -101,10 +101,12 @@ def mor_batch_sink(table: ManagedTable, key_cols: tuple[str, ...]):
 
 
 def stream_append_sink(stream: DataFrame, table: ManagedTable):
-    """Streaming INGEST into a managed table via the O(batch) append
-    commit (``ManagedTable.append``): each micro-batch writes ONLY its
-    own files and hardlinks every existing file forward — per-batch
-    sink cost is O(|batch|) at any table size, with NO read-side
+    """Streaming INGEST into a managed table via the LOG-NATIVE
+    O(batch) append commit (``ManagedTable.append``): each micro-batch
+    writes ONLY its own files plus one commit record — no existing
+    file is copied or even hardlinked (readers resolve the live set
+    from the commit log) — so per-batch sink cost is O(|batch|) in
+    bytes AND metadata at any table size, with NO read-side
     resolution debt (contrast ``stream_mor_sink``, whose delta stack
     costs a window shuffle per read until compaction). The right sink
     for pure-insert streams — event logs, document feeds, the
@@ -130,6 +132,70 @@ def append_batch_sink(table: ManagedTable):
             return                      # replayed batch: already applied
         table.append(batch_df,
                      extra_meta={"stream_batch_id": batch_id})
+    return sink
+
+
+def stream_cdf_apply_sink(stream: DataFrame, table: ManagedTable,
+                          key_cols: tuple[str, ...]):
+    """The composed CDC shape users actually deploy: a
+    ``readChangeFeed`` table stream (``sources/tablestream.py``)
+    applied into a downstream replica. Each micro-batch of change
+    rows (``_change_type`` + ``_commit_version``) is collapsed to
+    every key's LAST change, then applied MERGE-ON-READ: deletes land
+    as a tombstone key file (``delete_mor_keys`` — zero replica files
+    read), upserts as one delta file (``upsert_mor``) — per-batch cost
+    O(|changes|) no matter how large the replica is. Run
+    ``table.maintain()`` on a cadence to fold the MOR debt.
+
+    Exactly-once on at-least-once delivery: the applied batch id rides
+    the LAST commit of the apply (``stream_batch_id``); a replayed
+    batch beyond the mark re-applies idempotently (identical tombstone
+    + delta stack resolves to the same state), a batch at-or-below the
+    mark is skipped outright.
+    """
+    return stream.writeStream.foreachBatch(
+        cdf_apply_batch_sink(table, key_cols))
+
+
+def cdf_apply_batch_sink(table: ManagedTable,
+                         key_cols: tuple[str, ...]):
+    """The per-batch function behind ``stream_cdf_apply_sink`` —
+    exposed so the replay guard and the delete/upsert split are
+    directly testable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys = list(key_cols)
+        # one micro-batch can span several source commits: collapse to
+        # each key's newest change (same exactness argument as
+        # operators/cdf.py::sync_incremental)
+        w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
+        last = (batch_df.filter(F.col("_change_type") != "update_preimage")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_commit_version"))
+        cols = [c for c in last.columns if c != "_change_type"]
+        ups = (last.filter(F.col("_change_type").isin(
+            "insert", "update_postimage")).select(cols))
+        if not table.exists():
+            table.overwrite(ups, extra_meta={"stream_batch_id": batch_id})
+            return
+        mark = table.last_meta("stream_batch_id", -1)
+        if batch_id <= mark:
+            return                      # replayed batch: already applied
+        dels = last.filter(F.col("_change_type") == "delete").select(keys)
+        meta = {"stream_batch_id": batch_id}
+        has_dels, has_ups = not dels.isEmpty(), not ups.isEmpty()
+        if has_dels and has_ups:
+            table.delete_mor_keys(dels, key_cols)
+            table.upsert_mor(ups, key_cols=key_cols, extra_meta=meta)
+        elif has_dels:
+            table.delete_mor_keys(dels, key_cols, extra_meta=meta)
+        elif has_ups:
+            table.upsert_mor(ups, key_cols=key_cols, extra_meta=meta)
     return sink
 
 

@@ -1,15 +1,17 @@
-"""O(batch) append commits (ManagedTable.append) and the statement
-paths riding them (INSERT INTO, COPY INTO with the cumulative
-manifest checkpoint), plus the round-8 transactional CREATE OR
-REPLACE and merge_chain guards.
+"""LOG-NATIVE O(batch) append commits (ManagedTable.append) and the
+statement paths riding them (INSERT INTO, COPY INTO with the
+cumulative manifest checkpoint), plus the round-8 transactional
+CREATE OR REPLACE and merge_chain guards.
 
 The reference's ingest surface (reference
 notebooks/12_ETL_Bronze_PySpark.py:61-128) refreshes bronze in full;
 COPY INTO / INSERT INTO exist precisely to be incremental — at 100 TB
-an ingest batch must cost O(|batch|), not O(table). The inode
-assertions here pin the cost shape, not just the result: every
-pre-existing data file must ride into the new snapshot as a HARDLINK
-(same inode), never a rewrite.
+an ingest batch must cost O(|batch|), not O(table), in BYTES and in
+METADATA operations. The inode assertions here pin the round-9 cost
+shape: an append commit creates ONLY its batch's files (the commit
+log is the source of truth for the live file set — Delta's model);
+no pre-existing file is copied, rewritten, or even hardlinked
+forward, so inode/dentry count never grows with versions × files.
 """
 
 from __future__ import annotations
@@ -39,32 +41,43 @@ def _inodes(vdir: str) -> dict[str, int]:
     return out
 
 
-def _assert_all_hardlinked(prev_dir: str, new_dir: str):
-    """Every parquet file of prev_dir appears in new_dir with the SAME
-    inode (hardlink — zero bytes copied)."""
-    prev = _inodes(prev_dir)
-    new = _inodes(new_dir)
-    assert prev, "previous snapshot has no files to check"
-    for rel, ino in prev.items():
-        assert rel in new, f"{rel} missing from the new snapshot"
-        assert new[rel] == ino, f"{rel} was rewritten, not hardlinked"
+def _assert_log_native_append(t: ManagedTable, new_v: int):
+    """The append commit is log-native: its version dir holds EXACTLY
+    the batch's files (the writer-recorded ``added_files``), the
+    commit records ``live_base`` so readers resolve the live set from
+    the log, and NO pre-existing live file gained a link (st_nlink
+    stays 1 — the metadata plane is O(batch), not O(live files))."""
+    meta = t._commit(new_v)
+    assert meta.get("live_base") == new_v - 1
+    vdir = t._version_dir(new_v)
+    in_dir = set(_inodes(vdir)) if os.path.isdir(vdir) else set()
+    assert in_dir == set(meta["added_files"])
+    for rel, full in t._live_files(new_v).items():
+        if not rel.startswith(meta["dir"] + "/"):
+            assert os.stat(full).st_nlink == 1, \
+                f"{rel} was linked forward (hardlink forest)"
 
 
 # --------------------------------------------------------- append core ---
 
-def test_append_unpartitioned_hardlinks_prior_files(spark, tmp_base):
+def test_append_unpartitioned_is_log_native(spark, tmp_base):
     t = ManagedTable(spark, os.path.join(tmp_base, "t"))
     t.overwrite(spark.range(100).select(
         F.col("id"), (F.col("id") * 2).alias("v")))
     t.append(spark.range(100, 120).select(
         F.col("id"), (F.col("id") * 2).alias("v")))
-    _assert_all_hardlinked(os.path.join(t.path, "v0"),
-                           os.path.join(t.path, "v1"))
+    _assert_log_native_append(t, 1)
     assert t.read().count() == 120
     assert t.read().agg(F.sum("v")).collect()[0][0] == \
         sum(2 * i for i in range(120))
     # time travel still sees the pre-append snapshot
     assert t.read(version=0).count() == 100
+    # append chains stack without touching earlier versions' files
+    t.append(spark.range(120, 125).select(
+        F.col("id"), (F.col("id") * 2).alias("v")))
+    _assert_log_native_append(t, 2)
+    assert t.read().count() == 125
+    assert t.read(version=1).count() == 120
 
 
 def test_append_partitioned_new_and_existing_partitions(spark, tmp_base):
@@ -75,15 +88,18 @@ def test_append_partitioned_new_and_existing_partitions(spark, tmp_base):
     # batch lands in existing partition 1 and NEW partition 7
     t.append(spark.createDataFrame(
         [(1000, 1), (1001, 7)], "id long, p long"))
-    _assert_all_hardlinked(os.path.join(t.path, "v0"),
-                           os.path.join(t.path, "v1"))
+    _assert_log_native_append(t, 1)
     got = t.read()
     assert got.count() == 52
     assert got.filter(F.col("p") == 7).count() == 1
-    # untouched partition 0's files are ONLY hardlinks (no new files)
-    v0_p0 = _inodes(os.path.join(t.path, "v0", "p=0"))
-    v1_p0 = _inodes(os.path.join(t.path, "v1", "p=0"))
-    assert set(v1_p0.values()) == set(v0_p0.values())
+    # untouched partition 0 has NO presence in the new version dir —
+    # the live set resolves its files from v0 through the commit log
+    assert not os.path.isdir(os.path.join(
+        t._version_dir(1), "p=0"))
+    assert got.filter(F.col("p") == 0).count() == 25
+    # partition values survive the multi-dir scan
+    assert {r["p"] for r in got.select("p").distinct().collect()} == \
+        {0, 1, 7}
 
 
 def test_append_validates_new_rows_against_check_constraints(
@@ -154,8 +170,7 @@ def test_insert_into_is_append_commit_with_identity(spark, lake):
     v_first = t.current_version()
     lake.sql("INSERT INTO stg.events (k, v) VALUES (3, 'c')")
     assert t._commit(t.current_version())["op"] == "INSERT"
-    _assert_all_hardlinked(t._version_dir(v_first),
-                           t._version_dir(t.current_version()))
+    _assert_log_native_append(t, t.current_version())
     rows = {(r["id"], r["k"]) for r in t.read().collect()}
     # identity continues past the first batch's high-water mark
     assert {k for _, k in rows} == {1, 2, 3}
@@ -193,11 +208,11 @@ def test_copy_into_appends_and_checkpoints_manifest(spark, lake,
     lake.sql(f"COPY INTO stg.ing FROM '{d1}' FILEFORMAT = PARQUET")
     t = lake.table("stg.ing")
     v1 = t.current_version()
-    # second COPY of a NEW dir: O(batch) — all prior files hardlink
+    # second COPY of a NEW dir: O(batch) — log-native append commit
     _write_copy_batch(spark, d2, 10, 15)
     lake.sql(f"COPY INTO stg.ing FROM '{d2}' FILEFORMAT = PARQUET")
-    _assert_all_hardlinked(t._version_dir(v1),
-                           t._version_dir(t.current_version()))
+    assert t.current_version() == v1 + 1
+    _assert_log_native_append(t, t.current_version())
     assert t.read().count() == 15
     # re-COPY of both dirs: no new files -> no commit
     v2 = t.current_version()

@@ -436,7 +436,7 @@ def test_append_mirror_is_incremental_and_replay_correct(spark, mt):
         # exactly the batch's recorded files, nothing re-added
         mt_meta = mt._commit(v)
         assert sorted(adds) == sorted(
-            f"v{v}/{r}" for r in mt_meta["added_files"])
+            f"{mt_meta['dir']}/{r}" for r in mt_meta["added_files"])
     got = {(r["id"], r["v"]) for r in read_delta(spark, mt.path).collect()}
     assert got == {(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)}
     # the overwrite must remove v0's AND the appends' paths — the live
@@ -445,28 +445,43 @@ def test_append_mirror_is_incremental_and_replay_correct(spark, mt):
     removes = {a["remove"]["path"] for a in _log_entries(mt.path)[3]
                if "remove" in a}
     assert any(p.startswith("v0/") for p in removes)
-    assert any(p.startswith("v1/") for p in removes)
-    assert any(p.startswith("v2/") for p in removes)
+    assert any(p.startswith(mt._commit(1)["dir"] + "/") for p in removes)
+    assert any(p.startswith(mt._commit(2)["dir"] + "/") for p in removes)
     got = {(r["id"], r["v"]) for r in read_delta(spark, mt.path).collect()}
     assert got == {(1, 10.0), (2, 20.0)}
 
 
-def test_vacuum_checkpoints_mirror_with_rewritten_paths(spark, mt):
-    """Vacuum re-points the mirror's live adds at the hardlinked copies
-    in the retained dir BEFORE deleting old dirs — the external reader
-    keeps working with the history physically gone."""
+def test_vacuum_keeps_append_chain_then_reclaims_after_materialize(
+        spark, mt):
+    """Log-native appends never duplicate bytes into new dirs, so a
+    retained head's live set REFERENCES the chain's old dirs — vacuum
+    must keep them all (Delta's retention semantics: bytes become
+    reclaimable only once a materializing commit stops referencing
+    them), then reclaim everything at the next materialize."""
     import os
 
     from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
     mt.append(spark.createDataFrame([(4, "d", 40.0)], ["id", "k", "v"]))
     mt.append(spark.createDataFrame([(5, "e", 50.0)], ["id", "k", "v"]))
     removed = mt.vacuum(retain_last=1)
-    assert removed == [0, 1]
-    assert not os.path.isdir(os.path.join(mt.path, "v0"))
+    assert removed == []            # head's live chain spans v0..v2
+    assert os.path.isdir(os.path.join(mt.path, "v0"))
+    want = {(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)}
+    assert {(r["id"], r["v"])
+            for r in read_delta(spark, mt.path).collect()} == want
+    assert {(r["id"], r["v"])
+            for r in mt.read().collect()} == want
+    # a materializing commit ends the chain: vacuum now reclaims it
+    mt.compact()
+    removed = mt.vacuum(retain_last=1)
+    assert set(removed) == {0, 1, 2}
+    for d in ("v0", "v1", "v2"):
+        assert not os.path.isdir(os.path.join(mt.path, d))
     assert os.path.isfile(
         os.path.join(mt.path, "_delta_log", "_last_checkpoint"))
-    got = {(r["id"], r["v"]) for r in read_delta(spark, mt.path).collect()}
-    assert got == {(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)}
+    assert {(r["id"], r["v"])
+            for r in read_delta(spark, mt.path).collect()} == want
+    assert {(r["id"], r["v"]) for r in mt.read().collect()} == want
 
 
 def test_partial_rewrite_mirror_is_partition_scoped(spark, tmp_base):

@@ -281,14 +281,18 @@ def test_stream_append_sink_exactly_once_and_hardlinks(spark, tmp_path):
     v = table.current_version()
     assert v >= 1                        # one commit per micro-batch
 
-    # inode check: every file of v_{N-1} hardlinks into v_N
-    def inodes(d):
-        return {f: os.stat(os.path.join(d, f)).st_ino
-                for f in os.listdir(d) if f.endswith(".parquet")}
-    prev, curd = (os.path.join(table.path, table._commit(x)["dir"])
-                  for x in (v - 1, v))
-    pi, ci = inodes(prev), inodes(curd)
-    assert pi and set(pi.items()) <= set(ci.items())
+    # log-native check: each micro-batch commit recorded ONLY its own
+    # files and no earlier live file gained a link (no hardlink forest)
+    meta_v = table._commit(v)
+    assert meta_v.get("live_base") == v - 1
+    vdir = os.path.join(table.path, meta_v["dir"])
+    in_dir = {os.path.relpath(os.path.join(r, f), vdir)
+              for r, _d, fs in os.walk(vdir)
+              for f in fs if f.endswith(".parquet")}
+    assert in_dir == set(meta_v["added_files"])
+    for rel, full in table._live_files(v).items():
+        if not rel.startswith(meta_v["dir"] + "/"):
+            assert os.stat(full).st_nlink == 1, f"{rel} grew a link"
 
     # replay guard: re-delivering an already-applied batch id is a
     # no-op (no new commit, no duplicate rows)
