@@ -245,44 +245,124 @@ class ManagedTable:
     # ``live_base`` at their target, MOR/metadata-only commits at their
     # parent (they add no base files).
 
-    def _live_files(self, v: int) -> dict[str, str]:
-        """The live BASE data files of version ``v`` as {path relative
-        to the TABLE root: absolute path} — derived from commit
-        metadata alone for log-native commits (O(|chain|) tiny JSON
-        reads + O(|batch|) per append), from one directory walk for
-        materialized commits. Excludes the parked zero-row schema file
+    # Live-set CHECKPOINTS (Delta's checkpoint role for THIS log):
+    # every LIVE_CHECKPOINT_EVERY chained commits the appender writes
+    # ``_live_v{N}.json`` — the FULL live set of version N plus its
+    # materialized root — so chain replay bottoms at the newest
+    # checkpoint at or below the requested version: O(K) tiny JSON
+    # reads per planning call no matter how many appends the table has
+    # accumulated, and the (iterative) walk can never hit Python's
+    # recursion limit on a year of daily INSERTs. Amortized commit
+    # cost stays O(|batch| + |live|/K), exactly Delta's
+    # checkpoint-every-10-commits trade.
+    LIVE_CHECKPOINT_EVERY = 32
+
+    def _live_checkpoint_file(self, v: int) -> str:
+        return os.path.join(self.path, f"_live_v{v}.json")
+
+    def _load_live_checkpoint(self, v: int) -> dict | None:
+        try:
+            with open(self._live_checkpoint_file(v)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _chain_resolve(self, v: int) -> tuple[str, dict[str, str]]:
+        """(materialized root dir name, live base-data files) of
+        version ``v`` — ITERATIVE replay of the ``live_base`` chain,
+        bottoming at the newest live-set checkpoint on the chain or at
+        a materialized commit. Files map {path relative to the TABLE
+        root: absolute path}. Excludes the parked zero-row schema file
         of a partitioned table (it carries no rows and would
         re-introduce partition columns as data columns); tombstone/
         delta/cdc files are commit state, not base data."""
-        meta = self._commit(v)
-        lb = meta.get("live_base")
-        if lb is not None:
-            out = dict(self._live_files(lb))
+        chained: list[dict] = []    # newest → oldest, above the bottom
+        cur = v
+        while True:
+            cp = self._load_live_checkpoint(cur)
+            if cp is not None:
+                root = cp["root"]
+                out = {rel: os.path.join(self.path, rel)
+                       for rel in cp["files"]}
+                break
+            meta = self._commit(cur)
+            if meta.get("live_base") is None:
+                root = meta["dir"]
+                out = {}
+                base = os.path.join(self.path, root)
+                for wroot, _dirs, fns in os.walk(base):
+                    rel = os.path.relpath(wroot, base)
+                    if self.partition_by and rel == ".":
+                        continue
+                    for fn in fns:
+                        if fn.endswith(".parquet"):
+                            key = (f"{root}/{fn}" if rel == "."
+                                   else f"{root}/{os.path.join(rel, fn)}")
+                            out[key] = os.path.join(wroot, fn)
+                break
+            chained.append(meta)
+            cur = meta["live_base"]
+        for meta in reversed(chained):      # oldest → newest
             d = meta["dir"]
             for r in meta.get("added_files") or ():
                 out[f"{d}/{r}"] = os.path.join(self.path, d, r)
-            return out
-        out: dict[str, str] = {}
-        base = os.path.join(self.path, meta["dir"])
-        for root, _dirs, fns in os.walk(base):
-            rel = os.path.relpath(root, base)
-            if self.partition_by and rel == ".":
-                continue
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    key = (f"{meta['dir']}/{fn}" if rel == "."
-                           else f"{meta['dir']}/{os.path.join(rel, fn)}")
-                    out[key] = os.path.join(root, fn)
-        return out
+        return root, out
+
+    def _live_files(self, v: int) -> dict[str, str]:
+        """The live BASE data files of version ``v`` as {path relative
+        to the TABLE root: absolute path} — derived from commit
+        metadata alone for log-native commits (O(K) tiny JSON reads
+        thanks to live-set checkpoints), from one directory walk for
+        materialized commits."""
+        return self._chain_resolve(v)[1]
 
     def _materialized_root(self, v: int) -> str:
         """Dir name of the chain-bottom MATERIALIZED commit ``v``'s
         live set builds on (the dir that owns every non-appended live
-        file)."""
-        meta = self._commit(v)
-        while meta.get("live_base") is not None:
-            meta = self._commit(meta["live_base"])
-        return meta["dir"]
+        file) — from the nearest live-set checkpoint when one exists
+        (it records the root), else the chain walk."""
+        cur = v
+        while True:
+            cp = self._load_live_checkpoint(cur)
+            if cp is not None:
+                return cp["root"]
+            meta = self._commit(cur)
+            if meta.get("live_base") is None:
+                return meta["dir"]
+            cur = meta["live_base"]
+
+    def _chain_depth(self, v: int, cap: int) -> int:
+        """Number of chained (``live_base``) commits between ``v`` and
+        the nearest replay bottom (checkpoint or materialized commit),
+        counting ``v`` itself when chained; stops at ``cap``."""
+        depth, cur = 0, v
+        while depth < cap:
+            if self._load_live_checkpoint(cur) is not None:
+                return depth
+            meta = self._commit(cur)
+            if meta.get("live_base") is None:
+                return depth
+            depth += 1
+            cur = meta["live_base"]
+        return depth
+
+    def _maybe_live_checkpoint(self, v: int) -> bool:
+        """Write the ``_live_v{v}.json`` live-set checkpoint when the
+        replay chain above the previous bottom has grown to
+        ``LIVE_CHECKPOINT_EVERY`` commits. Atomic (tmp + rename); the
+        content is derived purely from committed metadata, so a racing
+        duplicate write is byte-identical and last-rename-wins is
+        safe. Returns True when a checkpoint was written."""
+        every = self.LIVE_CHECKPOINT_EVERY
+        if not every or self._chain_depth(v, every) < every:
+            return False
+        root, files = self._chain_resolve(v)
+        tmp = self._live_checkpoint_file(v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "root": root,
+                       "files": sorted(files)}, f)
+        os.replace(tmp, self._live_checkpoint_file(v))
+        return True
 
     def _hive_keys(self, files) -> set[str]:
         """Partition-column names hive-encoded in any of ``files``'
@@ -349,8 +429,8 @@ class ManagedTable:
         meta = meta if meta is not None else self._commit(v)
         if meta.get("live_base") is None:
             return self.spark.read.parquet(self._version_dir(v))
-        root = self._materialized_root(v)
-        live = sorted(self._live_files(v).values())
+        root, files = self._chain_resolve(v)
+        live = sorted(files.values())
         base = self.spark.read.parquet(os.path.join(self.path, root))
         if not live:
             return base     # empty chain: the parked schema file scan
@@ -705,6 +785,8 @@ class ManagedTable:
             if c.get("cdc"):
                 referenced.add(c["cdc"])
         os.remove(cf)
+        if os.path.isfile(self._live_checkpoint_file(v)):
+            os.remove(self._live_checkpoint_file(v))
         mirror = os.path.join(self._delta_log_dir(), f"{v:020d}.json")
         if os.path.isfile(mirror):
             os.remove(mirror)
@@ -1222,7 +1304,17 @@ class ManagedTable:
                     "ts": time.time(), "added_files": added_files,
                     "live_base": v - 1, **(extra_meta or {})}
             try:
-                return self._publish(v, meta)
+                out = self._publish(v, meta)
+                # bound future replay cost: once the chain above the
+                # previous bottom reaches LIVE_CHECKPOINT_EVERY, pin
+                # the full live set (Delta's checkpoint contract for
+                # this log) — amortized O(|live|/K) per append
+                folded = self._maybe_live_checkpoint(v)
+                # data skipping survives ingest: extend the parent's
+                # stats/bloom manifests with the batch's files (delta
+                # manifest; folded cumulative at checkpoint cadence)
+                self._maintain_skipping_manifests(v, folded)
+                return out
             except ConcurrentWriteError:
                 # blind appends COMMUTE (Delta's conflict matrix: an
                 # AppendOnly transaction never conflicts with another
@@ -1444,6 +1536,8 @@ class ManagedTable:
                 v for v in range(0, cur + 1)
                 if (self._commit(v).get("ts") or 0) >= horizon}
         keep_dirs = {self._commit(v)["dir"] for v in keep_versions}
+        chain_versions: set[int] = set()    # every version a retained
+        chain_dirs: set[str] = set()        # chain replays through
         for v in keep_versions:
             # a retained log-native version's live set references the
             # chain of dirs that first added each file — all must
@@ -1453,6 +1547,18 @@ class ManagedTable:
             keep_dirs.add(self._materialized_root(v))
             keep_dirs |= {rel.split("/", 1)[0]
                           for rel in self._live_files(v)}
+            cur_v = v
+            while True:
+                chain_versions.add(cur_v)
+                # the version's dir also anchors skipping manifests
+                # (delta-manifest chain links, even for empty batches)
+                chain_dirs.add(self._commit(cur_v)["dir"])
+                if self._load_live_checkpoint(cur_v) is not None:
+                    break           # replay bottoms at this checkpoint
+                c = self._commit(cur_v)
+                if c.get("live_base") is None:
+                    break
+                cur_v = c["live_base"]
         keep_tombs: set[str] = set()
         keep_cdc: set[str] = set()
         for v in keep_versions:
@@ -1503,8 +1609,19 @@ class ManagedTable:
                 d = f[len("_stats_"):-len(".json")]
             elif f.startswith("_bloom_") and f.endswith(".json"):
                 d = f[len("_bloom_"):-len(".json")].split("_", 1)[0]
-            if d is not None and d not in keep_dirs:
+            if d is not None and d not in keep_dirs and d not in chain_dirs:
                 os.remove(os.path.join(self.path, f))
+        # sweep live-set checkpoints no retained chain replays through
+        # (reachable ones stay valid: their referenced dirs are exactly
+        # the retained live sets' dirs, all in keep_dirs above)
+        for f in os.listdir(self.path):
+            if f.startswith("_live_v") and f.endswith(".json"):
+                try:
+                    cp_v = int(f[len("_live_v"):-len(".json")])
+                except ValueError:
+                    continue
+                if cp_v not in chain_versions and cp_v not in keep_versions:
+                    os.remove(os.path.join(self.path, f))
         return removed
 
     def clone(self, dest_path: str,
@@ -1615,6 +1732,176 @@ class ManagedTable:
         # dir and therefore its stats, unchanged
         return os.path.join(self.path, f"_stats_{self._commit(v)['dir']}.json")
 
+    # -- O(batch) data-skipping maintenance across appends -------------------
+    #
+    # Delta keeps per-file stats IN each add action, so skipping stays
+    # current through ingest at O(batch) cost. The same shape here: an
+    # append commit writes a DELTA manifest holding only ITS batch
+    # files' stats plus a ``base`` pointer at the parent's manifest;
+    # readers resolve by walking the pointer chain. When the live-set
+    # checkpoint fires, the manifest is FOLDED cumulative at the same
+    # cadence, so probe cost is O(K) manifest reads and commit cost is
+    # O(|batch| + |live|/K) — never an O(table) re-analyze after an
+    # O(batch) ingest. A missing link anywhere degrades to a full scan
+    # (``None`` from the resolvers), never to wrong pruning.
+
+    def _stats_path_for_dir(self, d: str) -> str:
+        return os.path.join(self.path, f"_stats_{d}.json")
+
+    def _load_stats(self, v: int) -> dict | None:
+        """Resolve version ``v``'s stats manifest, following per-append
+        delta manifests (``base`` = parent dir) down to a cumulative
+        one. None when any link is missing (caller full-scans)."""
+        d = self._commit(v)["dir"]
+        segments, seen = [], set()
+        while True:
+            if d in seen:       # defensive: corrupt pointer loop
+                return None
+            seen.add(d)
+            try:
+                with open(self._stats_path_for_dir(d)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                return None
+            segments.append(m)
+            if not m.get("base"):
+                break
+            d = m["base"]
+        files = []
+        for m in reversed(segments):
+            files.extend(m["files"])
+        return {"columns": segments[0]["columns"], "files": files}
+
+    def _bloom_path_for_dir(self, d: str, col: str) -> str:
+        return os.path.join(self.path, f"_bloom_{d}_{col}.json")
+
+    def _load_bloom(self, v: int, col: str) -> dict | None:
+        """Resolve version ``v``'s Bloom manifest for ``col`` through
+        the same delta-manifest chain as ``_load_stats``."""
+        d = self._commit(v)["dir"]
+        segments, seen = [], set()
+        while True:
+            if d in seen:
+                return None
+            seen.add(d)
+            try:
+                with open(self._bloom_path_for_dir(d, col)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                return None
+            segments.append(m)
+            if not m.get("base"):
+                break
+            d = m["base"]
+        files: dict[str, list[int]] = {}
+        for m in reversed(segments):
+            files.update(m["files"])
+        head = segments[0]
+        return {"column": head["column"], "col_type": head.get("col_type"),
+                "m_bits": head["m_bits"], "k": head["k"], "files": files}
+
+    def _batch_scan(self, meta: dict) -> DataFrame | None:
+        """Fixed-schema scan of ONE append commit's batch files with
+        partition columns re-attached from their hive paths — the
+        O(|batch|) relation the skipping maintenance aggregates over."""
+        rels = meta.get("added_files") or []
+        if not rels:
+            return None
+        files = [os.path.join(self.path, meta["dir"], r) for r in rels]
+        base = self.spark.read.parquet(os.path.join(
+            self.path, self._materialized_root(meta["version"])))
+        df = self.spark.read.schema(base.schema).parquet(*files)
+        return self._attach_partition_cols(df, base.schema.fields, files)
+
+    def _maintain_skipping_manifests(self, v: int, folded: bool) -> None:
+        """Extend the parent's stats/bloom manifests with the batch's
+        files after an append commit (no-op when the parent has none —
+        skipping was never enabled). ``folded=True`` (live-checkpoint
+        cadence) writes cumulative manifests; otherwise a delta
+        manifest pointing at the parent's. Runs AFTER publish: a crash
+        here leaves a missing link, which resolvers treat as
+        'no stats' — a full-scan fallback, never wrong pruning."""
+        from pyspark.sql import functions as F
+        meta = self._commit(v)
+        parent_dir = self._commit(meta["live_base"])["dir"]
+        batch = None        # built lazily, shared by stats + blooms
+        p_stats_path = self._stats_path_for_dir(parent_dir)
+        if os.path.isfile(p_stats_path):
+            with open(p_stats_path) as f:
+                cols = json.load(f)["columns"]
+            batch = self._batch_scan(meta)
+            entries = []
+            if batch is not None:
+                aggs = []
+                for c in cols:
+                    aggs += [F.min(F.col(c)).alias(f"min__{c}"),
+                             F.max(F.col(c)).alias(f"max__{c}")]
+                rows = (batch.groupBy(
+                    F.col("_metadata.file_path").alias("file"))
+                    .agg(*aggs).collect())
+                entries = [
+                    {"file": r["file"],
+                     **{f"min__{c}": self._norm_stat(r[f"min__{c}"])
+                        for c in cols},
+                     **{f"max__{c}": self._norm_stat(r[f"max__{c}"])
+                        for c in cols}}
+                    for r in rows]
+            full = self._load_stats(meta["live_base"]) if folded else None
+            if full is not None:
+                payload = {"columns": cols, "files": full["files"] + entries}
+            else:
+                # not folding — or the parent chain is unresolvable, in
+                # which case a cumulative manifest would CLAIM
+                # completeness while missing the parent's files (wrong
+                # pruning); keep the broken pointer so resolution
+                # degrades to a full scan instead
+                payload = {"columns": cols, "files": entries,
+                           "base": parent_dir}
+            with open(self._stats_path_for_dir(meta["dir"]), "w") as f:
+                json.dump(payload, f)
+        prefix = f"_bloom_{parent_dir}_"
+        for fn in os.listdir(self.path):
+            if not (fn.startswith(prefix) and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.path, fn)) as f:
+                pb = json.load(f)
+            col = pb["column"]
+            if batch is None:
+                batch = self._batch_scan(meta)
+            files: dict[str, list[int]] = {}
+            if batch is not None and col in batch.columns:
+                m_bits, k = pb["m_bits"], pb["k"]
+                words = (batch.filter(F.col(col).isNotNull())
+                         .select(F.col("_metadata.file_path").alias("file"),
+                                 F.explode(self._bloom_positions(
+                                     F.col(col), m_bits, k)).alias("p"))
+                         .select("file",
+                                 (F.col("p") / 64).cast("int").alias("w"),
+                                 F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                        "CAST(pmod(p, 64) AS INT))")
+                                 .alias("bit"))
+                         .groupBy("file", "w")
+                         .agg(F.expr("bit_or(bit)").alias("bits"))
+                         .collect())
+                n_words = pb["m_bits"] // 64
+                for r in words:
+                    files.setdefault(
+                        r["file"], [0] * n_words)[r["w"]] = int(r["bits"])
+            full = (self._load_bloom(meta["live_base"], col)
+                    if folded else None)
+            if full is not None:        # same completeness guard as stats
+                merged = dict(full["files"])
+                merged.update(files)
+                payload = {"column": col, "col_type": pb.get("col_type"),
+                           "m_bits": pb["m_bits"], "k": pb["k"],
+                           "files": merged}
+            else:
+                payload = {"column": col, "col_type": pb.get("col_type"),
+                           "m_bits": pb["m_bits"], "k": pb["k"],
+                           "files": files, "base": parent_dir}
+            with open(self._bloom_path_for_dir(meta["dir"], col), "w") as f:
+                json.dump(payload, f)
+
     def analyze(self, stat_cols: tuple[str, ...],
                 version: int | None = None) -> dict:
         """Collect per-file min/max for ``stat_cols`` (the stats half of
@@ -1671,12 +1958,8 @@ class ManagedTable:
         scan). A file containing only NULLs for the column has null
         stats and is skipped — a range predicate excludes NULL anyway."""
         v = self.current_version() if version is None else version
-        try:
-            with open(self._stats_file(v)) as f:
-                stats = json.load(f)
-        except FileNotFoundError:
-            return None
-        if col not in stats["columns"]:
+        stats = self._load_stats(v)
+        if stats is None or col not in stats["columns"]:
             return None
         lo, hi = self._norm_stat(lo), self._norm_stat(hi)
         keep = []
@@ -1932,10 +2215,8 @@ class ManagedTable:
         diverge between build and probe."""
         from pyspark.sql import functions as F
         v = self.current_version() if version is None else version
-        try:
-            with open(self._bloom_file(v, col)) as f:
-                bloom = json.load(f)
-        except FileNotFoundError:
+        bloom = self._load_bloom(v, col)
+        if bloom is None:
             return None
         # cast the probe literal to the COLUMN's type: xxhash64 is
         # type-sensitive (int 45 and bigint 45 hash differently), and

@@ -91,22 +91,43 @@ def _files_rel(path: str, meta: dict, partitioned: bool) -> dict[str, str]:
     commits; same exclusion rule as ``ManagedTable._files_rel`` (a
     partitioned table's root-level parquet is the parked zero-row
     schema file)."""
-    lb = meta.get("live_base")
-    if lb is not None:
-        out = dict(_files_rel(path, _commit(path, lb), partitioned))
-        for r in meta.get("added_files") or ():
-            out[r] = os.path.join(path, meta["dir"], r)
-        return out
-    d = os.path.join(path, meta["dir"])
-    out = {}
-    for root, _dirs, fns in os.walk(d):
-        rel = os.path.relpath(root, d)
-        if partitioned and rel == ".":
-            continue
-        for fn in fns:
-            if fn.endswith(".parquet"):
-                out[fn if rel == "." else os.path.join(rel, fn)] = \
-                    os.path.join(root, fn)
+    chained = []        # newest → oldest commits above the replay bottom
+    cur = meta
+    out = None
+    while True:
+        # live-set checkpoint (``_live_v{N}.json``, written by the
+        # appender every ManagedTable.LIVE_CHECKPOINT_EVERY chained
+        # commits): bottoms the replay in O(K) JSON reads on any chain
+        # length. Its paths are table-relative ("dir/rel"); this
+        # function's keys are version-dir-relative, so strip the
+        # owning-dir prefix (same key shape the incremental branches
+        # produce — part filenames are UUID-unique across dirs).
+        try:
+            with open(os.path.join(
+                    path, f"_live_v{cur['version']}.json")) as f:
+                cp = json.load(f)
+            out = {rel.split("/", 1)[1]: os.path.join(path, rel)
+                   for rel in cp["files"]}
+            break
+        except FileNotFoundError:
+            pass
+        if cur.get("live_base") is None:
+            d = os.path.join(path, cur["dir"])
+            out = {}
+            for root, _dirs, fns in os.walk(d):
+                rel = os.path.relpath(root, d)
+                if partitioned and rel == ".":
+                    continue
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        out[fn if rel == "." else os.path.join(rel, fn)] \
+                            = os.path.join(root, fn)
+            break
+        chained.append(cur)
+        cur = _commit(path, cur["live_base"])
+    for m in reversed(chained):     # oldest → newest
+        for r in m.get("added_files") or ():
+            out[r] = os.path.join(path, m["dir"], r)
     return out
 
 
