@@ -2712,7 +2712,16 @@ class ManagedTable:
         if mor:
             meta.update(self._carry_mor_minus_touched(
                 meta0, member, df.filter(member), v))
-        return self._publish(v, meta)
+        # WriteSerializable OCC: a racing blind append to an UNTOUCHED
+        # partition whose rows don't match this DML's predicate rebases
+        # instead of failing (Delta's conflict matrix). A condition
+        # carrying precomputed subquery markers can't be re-evaluated
+        # on the appended batch — those keep first-writer-wins.
+        return self._publish_partition_scoped(
+            v, meta, vdir, touched_rel,
+            conflict_check=lambda bdf:
+                bool(bdf.filter(condition).limit(1).count()),
+            no_retry=snapshot is not None or mor)
 
     def _carry_mor_minus_touched(self, meta0: dict, member,
                                  touched_content, v: int) -> dict:
@@ -2809,6 +2818,83 @@ class ManagedTable:
                 if "=" in name and os.path.isdir(os.path.join(full, name)):
                     stack.append((os.path.join(rel, name) if rel else name, d + 1))
         return out
+
+    def _publish_partition_scoped(self, v: int, meta: dict, vdir: str,
+                                  touched_rel: set[str],
+                                  conflict_check=None,
+                                  no_retry: bool = False
+                                  ) -> "ManagedTable":
+        """Publish a partition-scoped MATERIALIZED rewrite with Delta's
+        WriteSerializable conflict rule extended one step: a lost
+        commit race against blind APPENDS whose batches land only in
+        UNTOUCHED partitions (and, when ``conflict_check`` is given,
+        whose rows provably cannot change this rewrite's outcome)
+        REBASES — the interlopers' files hardlink into the rewrite dir
+        (they are part of the new live set), the dir renames to the
+        next free version, and the commit re-publishes. Any other
+        interloper — a rewrite, a restore, a MOR commit, a column-map
+        change, or an append INTO a touched partition — keeps
+        first-writer-wins and re-raises (Delta raises
+        ConcurrentAppendException for exactly the touched-partition
+        case). ``conflict_check(batch_df) -> bool`` returns True when
+        the appended rows conflict semantically (e.g. they match a DML
+        predicate the rewrite evaluated against the old snapshot)."""
+        for _attempt in range(16):
+            try:
+                return self._publish(v, meta)
+            except ConcurrentWriteError:
+                if no_retry:
+                    raise
+                head = self.current_version()
+                interlopers = []
+                for w in range(v, head + 1):
+                    c = self._commit(w)
+                    if (c.get("added_files") is None or self._has_mor(c)
+                            or c.get("column_map")):
+                        raise   # not a blind append: real conflict
+                    for r in c["added_files"]:
+                        part = os.path.dirname(r)
+                        if not part or part in touched_rel:
+                            # append into a touched partition would be
+                            # LOST (the rewrite re-materializes it from
+                            # old content); a root-level file on a
+                            # partitioned table never rebases
+                            raise
+                    interlopers.append(c)
+                batch = [os.path.join(self.path, c["dir"], r)
+                         for c in interlopers for r in c["added_files"]]
+                if batch and conflict_check is not None:
+                    bdf = self._scan_file_list(
+                        batch, self.spark.read.parquet(vdir).schema.fields)
+                    if conflict_check(bdf):
+                        raise
+                for c in interlopers:
+                    for r in c["added_files"]:
+                        src = os.path.join(self.path, c["dir"], r)
+                        dst = os.path.join(vdir, r)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        if not os.path.exists(dst):
+                            try:
+                                os.link(src, dst)
+                            except OSError:
+                                shutil.copy2(src, dst)
+                w = head + 1
+                new_dir = f"v{w}"
+                os.rename(vdir, os.path.join(self.path, new_dir))
+                vdir = os.path.join(self.path, new_dir)
+                meta = {**meta, "version": w, "dir": new_dir}
+                if meta.get("cdc"):
+                    # the CDF fast path parses _commit_version from the
+                    # cdc_v{N} path — keep the name in step with the
+                    # rebased version
+                    new_cdc = f"cdc_v{w}"
+                    os.rename(os.path.join(self.path, meta["cdc"]),
+                              os.path.join(self.path, new_cdc))
+                    meta["cdc"] = new_cdc
+                v = w
+        raise ConcurrentWriteError(
+            f"partition-scoped rewrite of {self.path} lost 16 "
+            f"consecutive commit races")
 
     def merge_into(self, source: DataFrame, cfg, load_ts,
                    kind: str = "upsert",
@@ -2935,7 +3021,21 @@ class ManagedTable:
             # merge-INSERTED keys, whose carried tombstones must drop
             meta.update(self._carry_mor_minus_touched(
                 parent, member, merged, v))
-        return self._publish(v, meta)
+        # WriteSerializable OCC: a racing blind append to an UNTOUCHED
+        # partition rebases (Delta's ConcurrentAppendException fires
+        # only for touched partitions). With the merge keys in hand we
+        # check one step further than Delta: an appended row carrying a
+        # MERGING key (a stable-partitions contract violation mid-race)
+        # is a real conflict, not a rebase.
+        key_src = (F.broadcast(source.select(*keys).dropDuplicates(keys))
+                   if keys else None)
+        return self._publish_partition_scoped(
+            v, meta, vdir, touched_rel,
+            conflict_check=(
+                (lambda bdf: bool(bdf.join(key_src, keys, "left_semi")
+                                  .limit(1).count()))
+                if keys else None),
+            no_retry=mor)
 
     def scd2_merge_into(self, source: DataFrame, cfg, load_ts,
                         flag_col: str = "_tf_is_current") -> "ManagedTable":

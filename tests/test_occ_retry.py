@@ -109,3 +109,116 @@ def test_append_losing_to_mor_commit_raises(spark, tmp_base):
         a.append(spark.createDataFrame([(1, "y")], "id long, s string"))
     # winner's state intact, loser's staged batch never became visible
     assert _rows(a.read()) == []
+
+# ---------------- partition-scoped rewrite vs blind append (round 9) ----
+
+
+def _pdata(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string, p int")
+
+
+def test_update_rebases_over_disjoint_append(spark, tmp_base):
+    """Delta's WriteSerializable rule: a partition-scoped UPDATE that
+    loses its commit race to a blind append into an UNTOUCHED
+    partition (whose rows don't match the predicate) rebases — the
+    interloper's files join the rewrite's live set and both commits
+    survive."""
+    a = ManagedTable(spark, f"{tmp_base}/t", partition_by=("p",))
+    a.overwrite(_pdata(spark, [(1, "x", 0), (2, "y", 1)]))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.append(
+        _pdata(spark, [(9, "z", 2)])))
+    a.update(F.col("p") == 0, {"s": F.lit("upd")})
+    assert a.current_version() == 2     # b won v1, a rebased to v2
+    assert _rows(a.read().select("id", "s", "p")) == [
+        (1, "upd", 0), (2, "y", 1), (9, "z", 2)]
+    meta = a._commit(2)
+    assert meta["op"] == "UPDATE"
+    assert meta["partitions_rewritten"] == ["p=0"]
+    # the interloper's batch file is part of the rebased live set
+    live = a._files_rel(2)
+    assert any(r.startswith("p=2/") for r in live)
+    # ... via a hardlink, not a copy (same inode as the append's file)
+    import os as _os
+    app = a._commit(1)
+    src = _os.path.join(a.path, app["dir"], app["added_files"][0])
+    dst = [p for r, p in live.items() if r.startswith("p=2/")][0]
+    assert _os.stat(src).st_ino == _os.stat(dst).st_ino
+
+
+def test_update_losing_to_append_in_touched_partition_raises(
+        spark, tmp_base):
+    """An append INTO a touched partition is a real conflict (Delta's
+    ConcurrentAppendException): the rewrite re-materializes that
+    partition from the OLD snapshot, so rebasing would silently drop
+    the appended rows."""
+    a = ManagedTable(spark, f"{tmp_base}/t", partition_by=("p",))
+    a.overwrite(_pdata(spark, [(1, "x", 0), (2, "y", 1)]))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.append(
+        _pdata(spark, [(9, "z", 0)])))
+    with pytest.raises(ConcurrentWriteError):
+        a.update(F.col("p") == 0, {"s": F.lit("upd")})
+    # the winner's append survives untouched
+    assert _rows(a.read().select("id", "s", "p")) == [
+        (1, "x", 0), (2, "y", 1), (9, "z", 0)]
+
+
+def test_update_losing_to_predicate_matching_append_raises(
+        spark, tmp_base):
+    """Even in a DISJOINT partition, appended rows that MATCH the
+    UPDATE's predicate are a semantic conflict: serial execution
+    (append then update) would have updated them, so rebasing the
+    stale rewrite would diverge from any serial order."""
+    a = ManagedTable(spark, f"{tmp_base}/t", partition_by=("p",))
+    a.overwrite(_pdata(spark, [(1, "x", 0), (2, "y", 1)]))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.append(
+        _pdata(spark, [(9, "x", 2)])))      # s='x' matches in p=2
+    with pytest.raises(ConcurrentWriteError):
+        a.update(F.col("s") == "x", {"s": F.lit("upd")})
+    assert _rows(a.read().select("id", "s", "p")) == [
+        (1, "x", 0), (2, "y", 1), (9, "x", 2)]
+
+
+def test_merge_rebases_over_disjoint_append_but_not_shared_key(
+        spark, tmp_base):
+    def combine(tgt, src):       # plain keyed upsert
+        return tgt.join(src, ["id"], "left_anti").unionByName(src)
+
+    a = ManagedTable(spark, f"{tmp_base}/t", partition_by=("p",))
+    a.overwrite(_pdata(spark, [(1, "x", 0), (2, "y", 1)]))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    # disjoint key in a disjoint partition: rebase, both survive
+    _inject_before_publish(a, lambda: b.append(
+        _pdata(spark, [(9, "z", 2)])))
+    a.merge_into_generic(_pdata(spark, [(1, "X", 0)]), combine,
+                         keys=["id"])
+    assert _rows(a.read().select("id", "s", "p")) == [
+        (1, "X", 0), (2, "y", 1), (9, "z", 2)]
+    # appended row carrying a MERGING key: real conflict, raises
+    b2 = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b2.append(
+        _pdata(spark, [(2, "race", 3)])))
+    with pytest.raises(ConcurrentWriteError):
+        a.merge_into_generic(_pdata(spark, [(2, "Y", 1)]), combine,
+                             keys=["id"])
+
+
+def test_rebased_update_change_feed_versions_stay_consistent(
+        spark, tmp_base):
+    """With CDF enabled, a rebased UPDATE's recorded change rows carry
+    the REBASED commit version (the cdc dir renames with the commit),
+    and the interloper's insert rows its own version."""
+    a = ManagedTable(spark, f"{tmp_base}/t", partition_by=("p",))
+    a.set_property("delta.enableChangeDataFeed", "true")
+    a.overwrite(_pdata(spark, [(1, "x", 0), (2, "y", 1)]))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.append(
+        _pdata(spark, [(9, "z", 2)])))
+    a.update(F.col("p") == 0, {"s": F.lit("upd")})
+    feed = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in a.table_changes(1, 2).collect()}
+    assert feed == {(9, "insert", 1),
+                    (1, "update_preimage", 2),
+                    (1, "update_postimage", 2)}
