@@ -1813,6 +1813,121 @@ class ManagedTable:
         df = self.spark.read.schema(base.schema).parquet(*files)
         return self._attach_partition_cols(df, base.schema.fields, files)
 
+    def _rel_in_version(self, abs_path: str) -> str:
+        """Path of a recorded data file RELATIVE to its owning version
+        dir (strip the table root and the first segment) — the shape
+        ``_link_untouched`` preserves when hardlinking into a rewrite
+        dir, so old stats entries re-point by rel path alone. Manifest
+        entries recorded from ``_metadata.file_path`` are ``file:``
+        URIs; normalize before the path math."""
+        import re as _re
+        p = _re.sub(r"^file:/+", "/", abs_path)
+        rel = os.path.relpath(p, self.path)
+        return rel.split(os.sep, 1)[1]
+
+    def _maintain_rewrite_manifests(self, v: int, vdir: str,
+                                    touched_rel: set[str]) -> None:
+        """Extend data skipping across a partition-scoped rewrite at
+        O(touched): the parent's manifest entries for UNTOUCHED
+        partitions re-point to their hardlinked copies in the new
+        version dir (byte-identical files — the stats still describe
+        them exactly), and only the REWRITTEN partitions' new files are
+        re-analyzed. Written as cumulative manifests (a rewrite commit
+        is a chain bottom). No-op when the parent has no manifests; a
+        crash mid-way leaves the new dir manifest-less — full-scan
+        fallback, never wrong pruning."""
+        from pyspark.sql import functions as F
+        if v <= 0:
+            return
+        new_dir = os.path.basename(vdir)
+        parent_dir = self._commit(v - 1)["dir"]
+        stats = self._load_stats(v - 1)
+        tfiles: list[str] | None = None    # touched files, shared lazily
+
+        def touched_files() -> list[str]:
+            nonlocal tfiles
+            if tfiles is None:
+                tfiles = []
+                for wroot, _dirs, fns in os.walk(vdir):
+                    rel = os.path.relpath(wroot, vdir)
+                    if rel in touched_rel:
+                        tfiles.extend(os.path.join(wroot, fn)
+                                      for fn in fns
+                                      if fn.endswith(".parquet"))
+            return tfiles
+
+        fields = None
+        if stats is not None:
+            cols = stats["columns"]
+            kept = []
+            for e in stats["files"]:
+                rel_in = self._rel_in_version(e["file"])
+                if os.path.dirname(rel_in) in touched_rel:
+                    continue
+                kept.append({**e, "file": os.path.join(vdir, rel_in)})
+            entries = []
+            if touched_files():
+                fields = self.spark.read.parquet(vdir).schema.fields
+                aggs = []
+                for c in cols:
+                    aggs += [F.min(F.col(c)).alias(f"min__{c}"),
+                             F.max(F.col(c)).alias(f"max__{c}")]
+                rows = (self._scan_file_list(touched_files(), fields)
+                        .groupBy(F.col("_metadata.file_path").alias("file"))
+                        .agg(*aggs).collect())
+                entries = [
+                    {"file": r["file"],
+                     **{f"min__{c}": self._norm_stat(r[f"min__{c}"])
+                        for c in cols},
+                     **{f"max__{c}": self._norm_stat(r[f"max__{c}"])
+                        for c in cols}}
+                    for r in rows]
+            with open(self._stats_path_for_dir(new_dir), "w") as f:
+                json.dump({"columns": cols, "files": kept + entries}, f)
+        prefix = f"_bloom_{parent_dir}_"
+        for fn in os.listdir(self.path):
+            if not (fn.startswith(prefix) and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.path, fn)) as f:
+                head = json.load(f)
+            col = head["column"]
+            pb = self._load_bloom(v - 1, col)
+            if pb is None:
+                continue
+            merged = {}
+            for fpath, words in pb["files"].items():
+                rel_in = self._rel_in_version(fpath)
+                if os.path.dirname(rel_in) in touched_rel:
+                    continue
+                merged[os.path.join(vdir, rel_in)] = words
+            if touched_files() and col in (
+                    f.name for f in (fields or self.spark.read
+                                     .parquet(vdir).schema.fields)):
+                if fields is None:
+                    fields = self.spark.read.parquet(vdir).schema.fields
+                m_bits, k = pb["m_bits"], pb["k"]
+                words = (self._scan_file_list(touched_files(), fields)
+                         .filter(F.col(col).isNotNull())
+                         .select(F.col("_metadata.file_path").alias("file"),
+                                 F.explode(self._bloom_positions(
+                                     F.col(col), m_bits, k)).alias("p"))
+                         .select("file",
+                                 (F.col("p") / 64).cast("int").alias("w"),
+                                 F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                        "CAST(pmod(p, 64) AS INT))")
+                                 .alias("bit"))
+                         .groupBy("file", "w")
+                         .agg(F.expr("bit_or(bit)").alias("bits"))
+                         .collect())
+                n_words = m_bits // 64
+                for r in words:
+                    merged.setdefault(
+                        r["file"], [0] * n_words)[r["w"]] = int(r["bits"])
+            with open(self._bloom_path_for_dir(new_dir, col), "w") as f:
+                json.dump({"column": col, "col_type": pb.get("col_type"),
+                           "m_bits": pb["m_bits"], "k": pb["k"],
+                           "files": merged}, f)
+
     def _maintain_skipping_manifests(self, v: int, folded: bool) -> None:
         """Extend the parent's stats/bloom manifests with the batch's
         files after an append commit (no-op when the parent has none —
@@ -2841,7 +2956,13 @@ class ManagedTable:
         predicate the rewrite evaluated against the old snapshot)."""
         for _attempt in range(16):
             try:
-                return self._publish(v, meta)
+                out = self._publish(v, meta)
+                # data skipping survives partition-scoped DML at
+                # O(touched): untouched entries re-point to their
+                # hardlinked paths, rewritten partitions re-analyze
+                # only their new files
+                self._maintain_rewrite_manifests(v, vdir, touched_rel)
+                return out
             except ConcurrentWriteError:
                 if no_retry:
                     raise

@@ -141,3 +141,75 @@ def test_vacuum_keeps_chain_manifests(spark, tmp_base):
     assert kept is not None
     assert _rows(t.read_where("id", 55, 58).select("id")) == \
         [(i,) for i in range(55, 59)]
+
+
+def test_partition_scoped_update_maintains_manifests(spark, tmp_base):
+    """A partition-scoped UPDATE keeps file skipping alive at
+    O(touched): untouched partitions' manifest entries re-point to
+    their hardlinked copies, only the rewritten partition's new files
+    re-analyze."""
+    t = ManagedTable(spark, os.path.join(tmp_base, "d"),
+                     partition_by=["p"])
+    t.overwrite(spark.range(40).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") % 4).alias("p")))
+    t.analyze(("id",))
+    t.analyze_bloom("k")
+    t.update(F.col("p") == 1, {"k": F.lit("rewritten")})
+    head_dir = t._commit(t.current_version())["dir"]
+    # the rewrite dir carries a CUMULATIVE manifest covering all files
+    with open(t._stats_path_for_dir(head_dir)) as f:
+        m = json.load(f)
+    assert "base" not in m
+    assert len(m["files"]) == len(t._live_files(t.current_version()))
+    # every recorded path points into the NEW version dir
+    assert all(f"/{head_dir}/" in e["file"] for e in m["files"])
+    # range pruning still exact on both rewritten and untouched sides
+    assert t.pruned_files("id", 0, 5) is not None
+    got = sorted(r["id"] for r in t.read_where("id", 0, 5).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    # bloom: the untouched needle still found, rewritten values found
+    assert t.read_where_eq("k", "k2").count() == 1        # p=2, untouched
+    assert t.read_where_eq("k", "rewritten").count() == 10
+    assert t.read_where_eq("k", "k1").count() == 0        # overwritten
+    kept = t.bloom_pruned_files("k", "k2")
+    assert kept is not None
+    assert 0 < len(kept) < len(t._live_files(t.current_version()))
+
+
+def test_delete_emptying_partition_drops_its_entries(spark, tmp_base):
+    t = ManagedTable(spark, os.path.join(tmp_base, "e"),
+                     partition_by=["p"])
+    t.overwrite(spark.range(30).select(
+        F.col("id"), (F.col("id") % 3).alias("p")))
+    t.analyze(("id",))
+    t.delete(F.col("p") == 2)
+    stats = t._load_stats(t.current_version())
+    assert stats is not None
+    assert all("p=2" not in e["file"] or "p=20" in e["file"]
+               for e in stats["files"])
+    assert sorted(r["id"] for r in t.read_where("id", 0, 4).collect()) \
+        == [0, 1, 3, 4]          # id=2 lived in p=2, deleted
+
+
+def test_append_then_update_chain_keeps_skipping(spark, tmp_base):
+    """The combined history a pipeline actually produces: analyze once,
+    then append / update / append — skipping stays exact throughout
+    with no re-analyze."""
+    t = ManagedTable(spark, os.path.join(tmp_base, "c"),
+                     partition_by=["p"])
+    t.overwrite(spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).alias("p")))
+    t.analyze(("id",))
+    t.append(spark.range(20, 30).select(
+        F.col("id"), (F.col("id") % 2).alias("p")))
+    t.update(F.col("p") == 0, {"id": F.col("id") + 100})
+    t.append(spark.range(30, 40).select(
+        F.col("id"), (F.col("id") % 2).alias("p")))
+    assert t.pruned_files("id", 100, 130) is not None
+    got = sorted(r["id"] for r in t.read_where("id", 100, 130).collect())
+    assert got == sorted(i + 100 for i in range(0, 30, 2))
+    want = sorted(r["id"] for r in
+                  t.read().filter(F.col("id").between(25, 39)).collect())
+    assert sorted(r["id"] for r in
+                  t.read_where("id", 25, 39).collect()) == want
