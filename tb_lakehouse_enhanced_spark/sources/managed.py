@@ -1825,54 +1825,56 @@ class ManagedTable:
         rel = os.path.relpath(p, self.path)
         return rel.split(os.sep, 1)[1]
 
-    def _maintain_rewrite_manifests(self, v: int, vdir: str,
-                                    touched_rel: set[str]) -> None:
-        """Extend data skipping across a partition-scoped rewrite at
-        O(touched): the parent's manifest entries for UNTOUCHED
-        partitions re-point to their hardlinked copies in the new
-        version dir (byte-identical files — the stats still describe
-        them exactly), and only the REWRITTEN partitions' new files are
-        re-analyzed. Written as cumulative manifests (a rewrite commit
-        is a chain bottom). No-op when the parent has no manifests; a
-        crash mid-way leaves the new dir manifest-less — full-scan
-        fallback, never wrong pruning."""
+    def _maintain_rewrite_manifests(self, v: int, vdir: str) -> None:
+        """Extend data skipping across a partition-scoped MATERIALIZED
+        rewrite at O(touched): every parent manifest entry whose file
+        survived into the new version dir under the same relative path
+        (the ``_link_untouched`` hardlink invariant — byte-identical
+        file, stats unchanged) re-points there; everything else in the
+        dir is NEW (rewritten partitions, or an SCD2 merge's
+        newly-closed history files) and gets re-analyzed in one
+        O(|new files|) job. Written as cumulative manifests (a rewrite
+        commit is a chain bottom). No-op when the parent has no
+        manifests; a crash mid-way leaves the new dir manifest-less —
+        full-scan fallback, never wrong pruning."""
         from pyspark.sql import functions as F
         if v <= 0:
             return
         new_dir = os.path.basename(vdir)
         parent_dir = self._commit(v - 1)["dir"]
         stats = self._load_stats(v - 1)
-        tfiles: list[str] | None = None    # touched files, shared lazily
-
-        def touched_files() -> list[str]:
-            nonlocal tfiles
-            if tfiles is None:
-                tfiles = []
-                for wroot, _dirs, fns in os.walk(vdir):
-                    rel = os.path.relpath(wroot, vdir)
-                    if rel in touched_rel:
-                        tfiles.extend(os.path.join(wroot, fn)
-                                      for fn in fns
-                                      if fn.endswith(".parquet"))
-            return tfiles
-
+        walk: dict[str, str] = {}       # rel-in-version -> abs path
+        for wroot, _dirs, fns in os.walk(vdir):
+            rel = os.path.relpath(wroot, vdir)
+            if self.partition_by and rel == ".":
+                continue        # parked zero-row schema file
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    walk[fn if rel == "." else os.path.join(rel, fn)] = \
+                        os.path.join(wroot, fn)
         fields = None
+
+        def new_files(covered: set[str]) -> list[str]:
+            return [p for rel, p in walk.items() if rel not in covered]
+
         if stats is not None:
             cols = stats["columns"]
-            kept = []
+            kept, covered = [], set()
             for e in stats["files"]:
                 rel_in = self._rel_in_version(e["file"])
-                if os.path.dirname(rel_in) in touched_rel:
-                    continue
-                kept.append({**e, "file": os.path.join(vdir, rel_in)})
+                if rel_in not in walk:
+                    continue        # rewritten away / deleted
+                covered.add(rel_in)
+                kept.append({**e, "file": walk[rel_in]})
             entries = []
-            if touched_files():
+            fresh = new_files(covered)
+            if fresh:
                 fields = self.spark.read.parquet(vdir).schema.fields
                 aggs = []
                 for c in cols:
                     aggs += [F.min(F.col(c)).alias(f"min__{c}"),
                              F.max(F.col(c)).alias(f"max__{c}")]
-                rows = (self._scan_file_list(touched_files(), fields)
+                rows = (self._scan_file_list(fresh, fields)
                         .groupBy(F.col("_metadata.file_path").alias("file"))
                         .agg(*aggs).collect())
                 entries = [
@@ -1894,19 +1896,19 @@ class ManagedTable:
             pb = self._load_bloom(v - 1, col)
             if pb is None:
                 continue
-            merged = {}
+            merged, covered = {}, set()
             for fpath, words in pb["files"].items():
                 rel_in = self._rel_in_version(fpath)
-                if os.path.dirname(rel_in) in touched_rel:
+                if rel_in not in walk:
                     continue
-                merged[os.path.join(vdir, rel_in)] = words
-            if touched_files() and col in (
-                    f.name for f in (fields or self.spark.read
-                                     .parquet(vdir).schema.fields)):
-                if fields is None:
-                    fields = self.spark.read.parquet(vdir).schema.fields
+                covered.add(rel_in)
+                merged[walk[rel_in]] = words
+            fresh = new_files(covered)
+            if fields is None and fresh:
+                fields = self.spark.read.parquet(vdir).schema.fields
+            if fresh and col in {f.name for f in fields}:
                 m_bits, k = pb["m_bits"], pb["k"]
-                words = (self._scan_file_list(touched_files(), fields)
+                words = (self._scan_file_list(fresh, fields)
                          .filter(F.col(col).isNotNull())
                          .select(F.col("_metadata.file_path").alias("file"),
                                  F.explode(self._bloom_positions(
@@ -2961,7 +2963,7 @@ class ManagedTable:
                 # O(touched): untouched entries re-point to their
                 # hardlinked paths, rewritten partitions re-analyze
                 # only their new files
-                self._maintain_rewrite_manifests(v, vdir, touched_rel)
+                self._maintain_rewrite_manifests(v, vdir)
                 return out
             except ConcurrentWriteError:
                 if no_retry:
@@ -3219,10 +3221,14 @@ class ManagedTable:
             {f"{flag_col}=1"}, vdir)
         # after the hardlink loop — see _partial_rewrite's ordering note
         self._ensure_readable(vdir, out.schema)
-        return self._publish(v, {
+        pub = self._publish(v, {
             "version": v, "dir": f"v{v}", "op": "MERGE_SCD2",
             "ts": time.time(),
             "partitions_rewritten": [f"{flag_col}=1"]})
+        # skipping manifests carry forward: hardlinked history entries
+        # re-point, the new current slice + newly-closed rows re-analyze
+        self._maintain_rewrite_manifests(v, vdir)
+        return pub
 
     def update(self, condition, assignments: dict,
                stable_partitions: bool = False) -> "ManagedTable":
@@ -3339,9 +3345,12 @@ class ManagedTable:
              .coalesce(target_files)
              .write.mode("overwrite").parquet(os.path.join(vdir, rel)))
         self._link_untouched(prev_live, todo, vdir)
-        return self._publish(v, {
+        pub = self._publish(v, {
             "version": v, "dir": f"v{v}", "op": "OPTIMIZE_PARTITIONS",
             "ts": time.time(), "partitions_rewritten": sorted(todo)})
+        # skipping manifests carry forward at O(compacted partitions)
+        self._maintain_rewrite_manifests(v, vdir)
+        return pub
 
     def optimize_layout(self, sort_cols: tuple[str, ...],
                         target_partitions: int = 8,

@@ -213,3 +213,44 @@ def test_append_then_update_chain_keeps_skipping(spark, tmp_base):
                   t.read().filter(F.col("id").between(25, 39)).collect())
     assert sorted(r["id"] for r in
                   t.read_where("id", 25, 39).collect()) == want
+
+
+def test_targeted_compaction_carries_manifests(spark, tmp_base):
+    t = ManagedTable(spark, os.path.join(tmp_base, "tc"),
+                     partition_by=["p"])
+    t.overwrite(spark.range(40).select(
+        F.col("id"), (F.col("id") % 2).alias("p")))
+    t.analyze(("id",))
+    for i in range(3):      # pile small files into p=0 via appends
+        t.append(spark.range(40 + 10 * i, 50 + 10 * i).select(
+            F.col("id"), F.lit(0).alias("p")))
+    t.compact_partitions(["p=0"], target_files=1)
+    stats = t._load_stats(t.current_version())
+    assert stats is not None
+    assert len(stats["files"]) == len(t._live_files(t.current_version()))
+    want = sorted(r["id"] for r in
+                  t.read().filter(F.col("id").between(35, 55)).collect())
+    assert sorted(r["id"] for r in
+                  t.read_where("id", 35, 55).collect()) == want
+
+
+def test_scd2_merge_carries_manifests(spark, tmp_base):
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    t = ManagedTable(spark, os.path.join(tmp_base, "s2"),
+                     partition_by=("_tf_is_current",))
+    cfg = ScdConfig(keys=("id",), tracked=("v",))
+    src1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t.scd2_merge_into(src1, cfg, load_ts="2024-01-01")
+    t.analyze(("id",))
+    src2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string")
+    t.scd2_merge_into(src2, cfg, load_ts="2024-02-01")
+    stats = t._load_stats(t.current_version())
+    assert stats is not None
+    # the manifest covers the rewritten current slice AND the newly
+    # closed history rows — count matches the live set exactly
+    assert len(stats["files"]) == len(t._live_files(t.current_version()))
+    want = sorted((r["id"], r["v"]) for r in t.read()
+                  .filter(F.col("id").between(1, 2)).collect())
+    got = sorted((r["id"], r["v"])
+                 for r in t.read_where("id", 1, 2).collect())
+    assert got == want and len(got) == 3    # a, a2, b
