@@ -763,6 +763,39 @@ def dml_delete(spark, sf_dir):
     return mt.read()
 
 
+@q("skipping_ingest_read", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN l_quantity + 5
+            ELSE l_quantity END AS l_quantity,
+       l_returnflag
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 3000
+""")
+def skipping_ingest_read(spark, sf_dir):
+    """Data skipping maintained through INGEST and DML (round 9): stats
+    are collected ONCE, then an append extends the manifest at
+    O(batch) and a partition-scoped UPDATE carries it forward at
+    O(touched) — the final pruned range read (``read_where``) must
+    match the plain filter exactly, with no re-analyze anywhere. The
+    Delta cost shape (per-file stats ride each add action,
+    delta-io PROTOCOL.md) re-expressed as chained dir-keyed manifests
+    (managed.py ``_maintain_skipping_manifests`` /
+    ``_maintain_rewrite_manifests``)."""
+    src = (_t(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_linenumber", "l_quantity",
+                   "l_returnflag"))
+    mt = ManagedTable(spark, tempfile.mkdtemp(prefix="tb_skip_"),
+                      partition_by=("l_returnflag",))
+    mt.overwrite(src.filter(F.col("l_orderkey") % 3 != 0))
+    mt.analyze(("l_orderkey",))
+    mt.append(src.filter(F.col("l_orderkey") % 3 == 0))
+    mt.update(F.col("l_returnflag") == "R",
+              {"l_quantity": F.col("l_quantity") + 5})
+    return (mt.read_where("l_orderkey", 1000, 3000)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_returnflag"))
+
+
 @q("scd2_merge_state", scd.SCD2_ORACLE_BASE + "SELECT * FROM final")
 def scd2_merge_state(spark, sf_dir):
     """M1+M2: full SCD2 state after initial load + one mutated batch."""
