@@ -1238,7 +1238,8 @@ class ManagedTable:
         return self._publish(v, meta)
 
     def append(self, df: DataFrame, operation: str = "APPEND",
-               extra_meta: dict | None = None) -> "ManagedTable":
+               extra_meta: dict | None = None,
+               occ_retry: bool = True) -> "ManagedTable":
         """LOG-NATIVE O(batch) append commit: write ONLY the new rows'
         files and publish their list as commit metadata
         (``added_files`` + ``live_base``) — no byte of existing data
@@ -1299,10 +1300,17 @@ class ManagedTable:
                     added_files.append(
                         fn if rel == "." else os.path.join(rel, fn))
         added_files = sorted(added_files)
+        rebased = False
         for _attempt in range(64):
+            # ``occ_rebased`` marks a commit whose writer-computed
+            # cumulative metadata (e.g. COPY INTO's manifest) predates
+            # the racing winner's — readers reconstructing cumulative
+            # state must walk past it (see sqlfront._copy_manifest)
             meta = {"version": v, "dir": dirname, "op": operation,
                     "ts": time.time(), "added_files": added_files,
-                    "live_base": v - 1, **(extra_meta or {})}
+                    "live_base": v - 1,
+                    **({"occ_rebased": True} if rebased else {}),
+                    **(extra_meta or {})}
             try:
                 out = self._publish(v, meta)
                 # bound future replay cost: once the chain above the
@@ -1323,7 +1331,16 @@ class ManagedTable:
                 # carrying merge-on-read state or a pending column map
                 # blocks the retry — appended base rows would be
                 # shadowed by carried tombstones/deltas (the same
-                # reason the fast path materializes above).
+                # reason the fast path materializes above). Callers
+                # whose batch DEPENDS on the read snapshot (identity
+                # assignment) pass occ_retry=False: their append is
+                # not blind, so first-writer-wins is the correct
+                # semantics (Delta conflicts identity-updating
+                # transactions the same way, via metadata-update
+                # conflicts).
+                if not occ_retry:
+                    raise
+                rebased = True
                 head = self.current_version()
                 new_parent = self._commit(max(head, v))
                 if self._has_mor(new_parent) or self._is_mapped(new_parent):
@@ -3063,8 +3080,8 @@ class ManagedTable:
                            keys: list | None = None,
                            stable_partitions: bool = True,
                            bootstrap=None,
-                           extra_meta: dict | None = None
-                           ) -> "ManagedTable":
+                           extra_meta: dict | None = None,
+                           occ_retry: bool = True) -> "ManagedTable":
         """The partition-scoped merge MACHINERY behind ``merge_into``,
         parameterized by an arbitrary ``combine(target_slice, source)``
         -> merged-slice function — so other merge semantics (e.g. the
@@ -3158,7 +3175,7 @@ class ManagedTable:
                 (lambda bdf: bool(bdf.join(key_src, keys, "left_semi")
                                   .limit(1).count()))
                 if keys else None),
-            no_retry=mor)
+            no_retry=mor or not occ_retry)
 
     def scd2_merge_into(self, source: DataFrame, cfg, load_ts,
                         flag_col: str = "_tf_is_current") -> "ManagedTable":

@@ -2185,7 +2185,10 @@ class LakehouseSql:
                 and self.stable_partitions is not False:
             return tbl.merge_into_generic(
                 source, combine, operation="MERGE",
-                stable_partitions=True, extra_meta=extra_meta)
+                stable_partitions=True, extra_meta=extra_meta,
+                # identity ids derive from the read snapshot — a lost
+                # race must not rebase (see _insert's occ_retry note)
+                occ_retry=not needs_ident)
         return tbl.overwrite(combine(target, source), operation="MERGE",
                              extra_meta=extra_meta)
 
@@ -2497,8 +2500,15 @@ class LakehouseSql:
             c = tbl._commit(v)
             if "copy_manifest" in c:
                 loaded.update(c["copy_manifest"])
-                break
-            loaded.update(c.get("copy_files") or [])
+                # an OCC-REBASED copy's cumulative manifest was
+                # computed before the racing winner committed — it may
+                # miss that writer's files, so only a non-rebased
+                # checkpoint terminates the walk (rebases are rare;
+                # the walk stays O(commits since the last clean COPY))
+                if not c.get("occ_rebased"):
+                    break
+            else:
+                loaded.update(c.get("copy_files") or [])
         return loaded
 
     def _insert(self, s: str) -> ManagedTable:
@@ -2544,4 +2554,8 @@ class LakehouseSql:
             batch = _assign_identity(batch, cur, ident,
                                      [c for c in cols],
                                      *_ident_params(info))
-        return tbl.append(batch, operation="INSERT")
+        # identity ids were computed from THIS read snapshot: the
+        # append is not blind, so a lost commit race must raise
+        # (retrying would re-issue ids another writer may have taken)
+        return tbl.append(batch, operation="INSERT",
+                          occ_retry=not needs_ident)

@@ -11,6 +11,7 @@ appenders can never mix files in one dir, so each commit's
 
 from __future__ import annotations
 
+import os
 import types
 
 import pytest
@@ -222,3 +223,108 @@ def test_rebased_update_change_feed_versions_stay_consistent(
     assert feed == {(9, "insert", 1),
                     (1, "update_preimage", 2),
                     (1, "update_postimage", 2)}
+
+
+def test_rebased_update_mirror_replays_to_table_state(spark, tmp_base):
+    """The Delta-log mirror emitted for a REBASED rewrite commit must
+    replay (protocol reader) to exactly the table's final state — the
+    interloper's adds at its version, the rewrite's remove/add at the
+    rebased version."""
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    a = ManagedTable(spark, f"{tmp_base}/t", partition_by=("p",))
+    a.overwrite(_pdata(spark, [(1, "x", 0), (2, "y", 1)]))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.append(
+        _pdata(spark, [(9, "z", 2)])))
+    a.update(F.col("p") == 0, {"s": F.lit("upd")})
+    got = _rows(read_delta(spark, a.path).select("id", "s", "p"))
+    assert got == _rows(a.read().select("id", "s", "p"))
+    assert got == [(1, "upd", 0), (2, "y", 1), (9, "z", 2)]
+
+
+def test_concurrent_copy_into_manifest_stays_complete(
+        spark, tmp_base, tmp_path, monkeypatch):
+    """Two racing COPY INTOs both commit (blind appends), and the
+    manifest reconstruction walks PAST the rebased loser's stale
+    cumulative checkpoint — so a later re-COPY of either batch is a
+    no-op, never a duplicate ingest."""
+    from pyspark.sql import functions as FF
+
+    from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
+
+    def write_batch(d, lo, hi):
+        spark.range(lo, hi).select(
+            FF.col("id").cast("int").alias("k"),
+            FF.col("id").cast("string").alias("v")) \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+
+    lake = LakehouseSql(spark, f"{tmp_base}/lake")
+    lake_b = LakehouseSql(spark, f"{tmp_base}/lake")
+    lake.sql("CREATE DATABASE stg")
+    lake.sql("CREATE TABLE stg.ing (k INT, v STRING)")
+    d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    write_batch(d1, 0, 10)
+    write_batch(d2, 10, 15)
+    orig = ManagedTable._publish
+    state = {"done": False}
+
+    def racing(self, v, meta):
+        if not state["done"] and meta.get("copy_files"):
+            state["done"] = True
+            lake_b.sql(f"COPY INTO stg.ing FROM '{d2}' "
+                       f"FILEFORMAT = PARQUET")
+        return orig(self, v, meta)
+
+    monkeypatch.setattr(ManagedTable, "_publish", racing)
+    lake.sql(f"COPY INTO stg.ing FROM '{d1}' FILEFORMAT = PARQUET")
+    monkeypatch.setattr(ManagedTable, "_publish", orig)
+    t = lake.table("stg.ing")
+    assert t.read().count() == 15           # both batches landed
+    assert t._commit(t.current_version()).get("occ_rebased") is True
+    # the manifest reconstruction sees BOTH batches' files
+    assert LakehouseSql._copy_manifest(t) == {
+        os.path.join(d, f) for d in (d1, d2) for f in os.listdir(d)
+        if f.endswith(".parquet")}
+    # re-COPY of either batch: manifest no-op, no duplicate rows
+    v = t.current_version()
+    lake.sql(f"COPY INTO stg.ing FROM '{d1}' FILEFORMAT = PARQUET")
+    lake.sql(f"COPY INTO stg.ing FROM '{d2}' FILEFORMAT = PARQUET")
+    assert t.current_version() == v and t.read().count() == 15
+
+
+def test_identity_insert_losing_race_raises(spark, tmp_base):
+    """An INSERT whose identity ids derive from the read snapshot is
+    NOT a blind append: a lost commit race raises instead of
+    re-issuing ids the winner may have taken (Delta conflicts
+    identity-updating transactions the same way)."""
+    from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
+    lake = LakehouseSql(spark, f"{tmp_base}/lake")
+    lake_b = LakehouseSql(spark, f"{tmp_base}/lake")
+    lake.sql("CREATE DATABASE d")
+    lake.sql("CREATE TABLE d.t (id BIGINT GENERATED BY DEFAULT AS "
+             "IDENTITY, v STRING)")
+    lake.sql("INSERT INTO d.t (v) VALUES ('seed')")
+    orig = ManagedTable._publish
+    state = {"done": False}
+
+    def racing(self, v, meta):
+        if not state["done"] and meta.get("op") == "INSERT" \
+                and self.path.endswith("/d/t"):
+            state["done"] = True
+            lake_b.sql("INSERT INTO d.t (v) VALUES ('winner')")
+        return orig(self, v, meta)
+
+    import types as _types
+    ManagedTable._publish = racing
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            lake.sql("INSERT INTO d.t (v) VALUES ('loser')")
+    finally:
+        ManagedTable._publish = orig
+    del _types
+    t = lake.table("d.t")
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [1, 2]        # seed + winner, no duplicate ids
+    # a plain retry of the statement now succeeds past the new head
+    lake.sql("INSERT INTO d.t (v) VALUES ('loser')")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
