@@ -77,6 +77,13 @@ HEADLINE = [
     # files and the update's diff reads only the touched partition, so
     # the feed cost tracks the CHANGES, not the table.
     "table_changes_feed",
+    # round 9: data skipping maintained through ingest and DML —
+    # analyze once, O(batch) append extends the manifest, a
+    # partition-scoped UPDATE carries it at O(touched), and the final
+    # pruned range read (read_where) scans only the files whose
+    # [min,max] intersects. The entry's cost is scenario-build
+    # dominated; the signal is that NO re-analyze appears anywhere.
+    "skipping_ingest_read",
 ]
 
 # sql_merge_* scenarios report build vs statement components via
