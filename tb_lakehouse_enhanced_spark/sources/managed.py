@@ -571,7 +571,8 @@ class ManagedTable:
         return winner.drop("_mor_seq", "_mor_rn", "_mor_tseq")
 
     def upsert_mor(self, source: DataFrame, key_cols: tuple[str, ...],
-                   extra_meta: dict | None = None) -> "ManagedTable":
+                   extra_meta: dict | None = None,
+                   occ_retry: bool = True) -> "ManagedTable":
         """MERGE-ON-READ upsert: the source batch lands as an APPENDED
         delta file — zero existing data rewritten; ``read`` resolves
         last-writer-wins per key (newest commit's row shadows older
@@ -606,8 +607,13 @@ class ManagedTable:
             raise ValueError(
                 f"MOR upsert source columns {sorted(source.columns)} != "
                 f"table columns {sorted(base_cols)}")
+        import uuid
         v = cur + 1
-        delta_dir = f"delta_v{v}"
+        # writer-UNIQUE state dir (like append's batch dirs): two
+        # concurrent MOR writers can never clobber each other's batch;
+        # the resolution sequence parses from the `delta_v{N}` prefix
+        # and ignores the suffix
+        delta_dir = f"delta_v{v}-m{uuid.uuid4().hex[:8]}"
         (source.select(*base_cols).write.mode("overwrite")
          .parquet(os.path.join(self.path, delta_dir)))
         deltas = list(parent.get("deltas") or []) + [delta_dir]
@@ -617,7 +623,8 @@ class ManagedTable:
                 "live_base": cur, **(extra_meta or {})}
         if parent.get("tombstones"):
             meta["tombstones"] = parent["tombstones"]
-        return self._publish(v, meta)
+        return self._publish_mor_blind(v, meta, delta_dir, key_cols,
+                                       set(base_cols), occ_retry)
 
     def update_mor(self, condition, assignments: dict,
                    key_cols: tuple[str, ...]) -> "ManagedTable":
@@ -629,7 +636,9 @@ class ManagedTable:
         batch = self.read().filter(condition)
         for col, expr in assignments.items():
             batch = batch.withColumn(col, expr)
-        return self.upsert_mor(batch, key_cols=key_cols)
+        # the batch was computed FROM this read snapshot — not blind,
+        # so a lost commit race must raise, not retry
+        return self.upsert_mor(batch, key_cols=key_cols, occ_retry=False)
 
     def delete_mor(self, condition, key_cols: tuple[str, ...]) -> "ManagedTable":
         """MERGE-ON-READ delete: rows matching ``condition`` are
@@ -672,8 +681,11 @@ class ManagedTable:
             raise ValueError(
                 f"stacked MOR deletes must share key columns; table has "
                 f"{prev_keys}, got {list(key_cols)}")
+        import uuid
         v = cur + 1
-        tomb_dir = f"tomb_v{v}"
+        # writer-unique name (no clobber under races); the condition
+        # route reads the snapshot, so it stays first-writer-wins
+        tomb_dir = f"tomb_v{v}-m{uuid.uuid4().hex[:8]}"
         (self.read().filter(condition).select(*key_cols)
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
@@ -709,8 +721,9 @@ class ManagedTable:
             raise ValueError(
                 f"stacked MOR deletes must share key columns; table has "
                 f"{prev_keys}, got {list(key_cols)}")
+        import uuid
         v = cur + 1
-        tomb_dir = f"tomb_v{v}"
+        tomb_dir = f"tomb_v{v}-m{uuid.uuid4().hex[:8]}"  # writer-unique
         (keys_df.select(*key_cols).dropDuplicates(list(key_cols))
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
@@ -721,7 +734,67 @@ class ManagedTable:
                 "live_base": cur, **(extra_meta or {})}
         if parent.get("deltas"):
             meta["deltas"] = parent["deltas"]
-        return self._publish(v, meta)
+        return self._publish_mor_blind(v, meta, tomb_dir, key_cols, None,
+                                       True)
+
+    def _publish_mor_blind(self, v: int, meta: dict, state_dir: str,
+                           key_cols, need_cols: set | None,
+                           occ_retry: bool) -> "ManagedTable":
+        """Publish a BLIND merge-on-read commit (keyed upsert delta /
+        explicit-key tombstone) with append-style OCC retry. The batch
+        encodes 'set key K to row R' / 'delete key K' with no
+        dependence on the read snapshot, so it composes serially on
+        WHATEVER the new head is: re-point the commit at the head
+        (carrying ITS dir / tombstone / delta lists forward) and
+        rename the state dir to the next version so the name-parsed
+        resolution sequence equals commit order — the retried batch
+        correctly shadows everything that won the race (one valid
+        serial order). Raises instead of retrying when the new head is
+        incompatible: a pending column map (schema planes diverge), a
+        different tombstone key set, a schema whose columns no longer
+        match the batch (``need_cols``), or a snapshot-DEPENDENT
+        caller (``update_mor``/``delete_mor``-by-condition pass
+        occ_retry=False — their batches were computed from the stale
+        snapshot, so first-writer-wins is the correct semantics)."""
+        is_tomb = state_dir.startswith("tomb_v")
+        for _attempt in range(64):
+            try:
+                return self._publish(v, meta)
+            except ConcurrentWriteError:
+                if not occ_retry:
+                    raise
+                head = self.current_version()
+                new_parent = self._commit(max(head, v))
+                if self._is_mapped(new_parent):
+                    raise
+                pk = new_parent.get("tombstone_keys")
+                if pk and tuple(pk) != tuple(key_cols):
+                    raise
+                base_cols = set(self._base_scan(
+                    max(head, v), new_parent).columns)
+                if (need_cols is not None and base_cols != need_cols) \
+                        or not set(key_cols) <= base_cols:
+                    raise   # the head replaced the schema underneath us
+                w = max(head + 1, v + 1)
+                suffix = state_dir.split("-", 1)
+                new_state = f"{'tomb_v' if is_tomb else 'delta_v'}{w}" \
+                    + (f"-{suffix[1]}" if len(suffix) > 1 else "")
+                os.rename(os.path.join(self.path, state_dir),
+                          os.path.join(self.path, new_state))
+                mine = "tombstones" if is_tomb else "deltas"
+                other = "deltas" if is_tomb else "tombstones"
+                meta = {**meta, "version": w, "dir": new_parent["dir"],
+                        "live_base": head, "occ_rebased": True,
+                        mine: list(new_parent.get(mine) or [])
+                        + [new_state]}
+                if new_parent.get(other):
+                    meta[other] = new_parent[other]
+                else:
+                    meta.pop(other, None)
+                state_dir, v = new_state, w
+        raise ConcurrentWriteError(
+            f"merge-on-read commit to {self.path} lost 64 "
+            f"consecutive commit races")
 
     def _publish(self, v: int, meta: dict) -> "ManagedTable":
         """Record commit metadata for ``v`` and flip the pointer (atomic:

@@ -328,3 +328,77 @@ def test_identity_insert_losing_race_raises(spark, tmp_base):
     # a plain retry of the statement now succeeds past the new head
     lake.sql("INSERT INTO d.t (v) VALUES ('loser')")
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+
+
+# ---------------- blind merge-on-read commits vs races (round 9) --------
+
+
+def test_concurrent_blind_mor_upserts_both_commit(spark, tmp_base):
+    """Keyed MOR upserts are BLIND (the batch encodes 'set key K',
+    independent of the read snapshot), so like appends they commute:
+    both racing writers commit, and the retried loser's delta
+    sequences AFTER the winner — last-writer-wins equals commit
+    order, one valid serial order."""
+    a = ManagedTable(spark, f"{tmp_base}/t")
+    a.overwrite(spark.createDataFrame(
+        [(1, "base"), (2, "base")], "k long, v string"))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.upsert_mor(
+        spark.createDataFrame([(1, "from-b")], "k long, v string"),
+        key_cols=("k",)))
+    a.upsert_mor(
+        spark.createDataFrame([(1, "from-a"), (3, "new")],
+                              "k long, v string"), key_cols=("k",))
+    assert a.current_version() == 2
+    assert a._commit(2).get("occ_rebased") is True
+    rows = {r["k"]: r["v"] for r in a.read().collect()}
+    # a committed LAST (v2): its row for k=1 shadows b's (v1)
+    assert rows == {1: "from-a", 2: "base", 3: "new"}
+    # both delta files ride the head commit, sequence-ordered by name
+    assert len(a._commit(2)["deltas"]) == 2
+
+
+def test_blind_mor_delete_rebases_over_append(spark, tmp_base):
+    a = ManagedTable(spark, f"{tmp_base}/t")
+    a.overwrite(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k long, v string"))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.append(
+        spark.createDataFrame([(3, "z")], "k long, v string")))
+    a.delete_mor_keys(
+        spark.createDataFrame([(2,)], "k long"), ("k",))
+    rows = {r["k"]: r["v"] for r in a.read().collect()}
+    assert rows == {1: "x", 3: "z"}      # append survived, key 2 gone
+    assert a.current_version() == 2
+
+
+def test_update_mor_losing_race_raises(spark, tmp_base):
+    """update_mor computes its delta FROM the read snapshot — not
+    blind; a silent retry would apply assignments computed on stale
+    rows (diverging from every serial order), so it raises."""
+    a = ManagedTable(spark, f"{tmp_base}/t")
+    a.overwrite(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.upsert_mor(
+        spark.createDataFrame([(1, 100.0)], "k long, v double"),
+        key_cols=("k",)))
+    with pytest.raises(ConcurrentWriteError):
+        a.update_mor(F.col("k") == 1, {"v": F.col("v") + 1},
+                     key_cols=("k",))
+    rows = {r["k"]: r["v"] for r in a.read().collect()}
+    assert rows == {1: 100.0}            # winner intact, no stale +1
+
+
+def test_blind_mor_losing_to_schema_replace_raises(spark, tmp_base):
+    """A racing overwrite that REPLACED the schema underneath makes
+    the staged delta unresolvable — raise, don't rebase."""
+    a = ManagedTable(spark, f"{tmp_base}/t")
+    a.overwrite(spark.createDataFrame([(1, "x")], "k long, v string"))
+    b = ManagedTable(spark, f"{tmp_base}/t")
+    _inject_before_publish(a, lambda: b.overwrite(
+        spark.createDataFrame([(1, "x", 0)], "k long, v string, extra int")))
+    with pytest.raises(ConcurrentWriteError):
+        a.upsert_mor(
+            spark.createDataFrame([(2, "y")], "k long, v string"),
+            key_cols=("k",))
+    assert a.read().columns == ["k", "v", "extra"]
