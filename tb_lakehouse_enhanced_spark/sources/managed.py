@@ -1605,7 +1605,8 @@ class ManagedTable:
         return self.read(version=tags[name])
 
     def vacuum(self, retain_last: int = 1,
-               retain_hours: float | None = None) -> list[int]:
+               retain_hours: float | None = None,
+               orphan_hours: float = 24.0) -> list[int]:
         """Delete data of versions older than the ``retain_last`` most
         recent commits (Delta ``VACUUM``'s role). ``retain_hours``
         ADDS a time horizon (Delta's ``RETAIN n HOURS``): every commit
@@ -1616,7 +1617,16 @@ class ManagedTable:
         retention-horizon error exactly past it. Data dirs still
         referenced by a retained commit's live chain (log-native
         appends, restore) or pinned by a tag survive. Returns the
-        versions whose data was removed."""
+        versions whose data was removed.
+
+        ORPHAN collection: a writer that aborted (lost a
+        first-writer-wins race, crashed mid-write) leaves its staged
+        dir referenced by NO commit at all. Those are reclaimed too —
+        but only once older than ``orphan_hours`` (Delta's
+        uncommitted-file retention rule), because a dir referenced by
+        no commit is indistinguishable from an IN-FLIGHT writer's
+        staged batch; dirs a commit DOES reference need no age guard
+        (the log proves they are superseded, not in flight)."""
         cur = self.current_version()
         keep_versions = set(range(max(0, cur - retain_last + 1), cur + 1))
         keep_versions |= set(self.tags().values())
@@ -1684,12 +1694,47 @@ class ManagedTable:
             if d not in keep_dirs and os.path.isdir(full):
                 shutil.rmtree(full)
                 removed.append(v)
+        # every dir ANY commit references (vs keep_*: the RETAINED
+        # ones) — the discriminator between superseded state (sweep
+        # now; the log proves no writer owns it) and possibly-in-flight
+        # staged batches (age-guarded orphan collection)
+        all_refs: set[str] = set()
+        for v in range(0, cur + 1):
+            c = self._commit(v)
+            all_refs.add(c["dir"])
+            all_refs |= set(c.get("tombstones") or [])
+            all_refs |= set(c.get("deltas") or [])
+            if c.get("cdc"):
+                all_refs.add(c["cdc"])
+        orphan_cutoff = time.time() - orphan_hours * 3600.0
+
+        def _orphan_old(d: str) -> bool:
+            try:
+                return os.stat(os.path.join(self.path, d)).st_mtime \
+                    < orphan_cutoff
+            except FileNotFoundError:
+                return False
+
         # sweep tombstone/delta/cdc dirs no retained commit references
+        # (unreferenced-by-ANY-commit ones only when old enough — they
+        # may be a live writer's staged batch)
         for d in os.listdir(self.path):
             if (d.startswith("tomb_v") or d.startswith("delta_v")) \
                     and d not in keep_tombs:
-                shutil.rmtree(os.path.join(self.path, d))
+                if d in all_refs or _orphan_old(d):
+                    shutil.rmtree(os.path.join(self.path, d))
             elif d.startswith("cdc_v") and d not in keep_cdc:
+                if d in all_refs or _orphan_old(d):
+                    shutil.rmtree(os.path.join(self.path, d))
+        # orphaned DATA dirs: version-shaped (`v{N}` / `v{N}-...`) but
+        # referenced by no commit — an aborted append's batch dir, a
+        # lost rewrite's staged dir. Age-guarded like Delta's
+        # uncommitted-file retention.
+        import re as _re
+        for d in os.listdir(self.path):
+            if (_re.fullmatch(r"v\d+(-[^/]*)?", d)
+                    and d not in all_refs and _orphan_old(d)
+                    and os.path.isdir(os.path.join(self.path, d))):
                 shutil.rmtree(os.path.join(self.path, d))
         # sweep stats/bloom manifests whose data dir is gone (they key
         # on the dir, so a vacuumed dir's manifests are unreachable)

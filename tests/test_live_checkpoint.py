@@ -167,3 +167,33 @@ def test_repair_orphan_commit_clears_its_checkpoint(spark, tmp_base):
     assert t.repair_orphan_commit() == v
     assert not os.path.isfile(t._live_checkpoint_file(v))
     assert t.read().count() == 10
+
+
+def test_vacuum_collects_aged_orphan_dirs_only(spark, tmp_base):
+    """An aborted writer's staged dir (referenced by NO commit) is
+    reclaimed by vacuum once older than orphan_hours; a fresh one —
+    indistinguishable from an in-flight writer's batch — survives.
+    Dirs a commit references are swept by the log rules regardless of
+    age."""
+    import time as _time
+    t = ManagedTable(spark, os.path.join(tmp_base, "t"))
+    t.overwrite(_batch(spark, 0, 10))
+    t.append(_batch(spark, 10, 20))
+    # fabricate aborted-writer leftovers: a staged append batch dir, a
+    # staged MOR tombstone, never committed
+    old_dir = os.path.join(t.path, "v9-adeadbee")
+    os.makedirs(old_dir)
+    with open(os.path.join(old_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    old_tomb = os.path.join(t.path, "tomb_v9-mdeadbee")
+    os.makedirs(old_tomb)
+    fresh_dir = os.path.join(t.path, "v9-afresh00")
+    os.makedirs(fresh_dir)
+    stale = _time.time() - 48 * 3600
+    os.utime(old_dir, (stale, stale))
+    os.utime(old_tomb, (stale, stale))
+    t.vacuum(retain_last=10, orphan_hours=24.0)
+    assert not os.path.isdir(old_dir)        # aged orphan: collected
+    assert not os.path.isdir(old_tomb)
+    assert os.path.isdir(fresh_dir)          # maybe in-flight: kept
+    assert t.read().count() == 20            # live data untouched
