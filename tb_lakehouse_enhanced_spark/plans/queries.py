@@ -5087,8 +5087,14 @@ _PRIORITY = [
     # dedup_embedding; simsearch_lsh stays locally oracle-checked) in
     # favor of the chunk-granular RAG retrieval composition
     "multimodal_features", "simsearch_topk", "rag_chunk_search",
-    # deterministic sampling / source mixing (corpus assembly)
-    "sample_stratified",
+    # round 9: maintained data skipping driven end to end (analyze
+    # once -> O(batch) append extends the manifest -> partition-scoped
+    # UPDATE carries it -> pruned range read, no re-analyze anywhere).
+    # Supersedes sample_stratified in-window: the sampling family
+    # stays driver-checked via corpus_splits + contamination_check,
+    # and sample_stratified stays locally oracle-checked below the
+    # fold.
+    "skipping_ingest_read",
     # sequence packing: docs -> fixed-length training context windows
     "pack_context",
 ]
