@@ -1606,7 +1606,8 @@ class ManagedTable:
 
     def vacuum(self, retain_last: int = 1,
                retain_hours: float | None = None,
-               orphan_hours: float = 24.0) -> list[int]:
+               orphan_hours: float = 24.0,
+               dry_run: bool = False) -> list[int] | list[str]:
         """Delete data of versions older than the ``retain_last`` most
         recent commits (Delta ``VACUUM``'s role). ``retain_hours``
         ADDS a time horizon (Delta's ``RETAIN n HOURS``): every commit
@@ -1626,7 +1627,11 @@ class ManagedTable:
         uncommitted-file retention rule), because a dir referenced by
         no commit is indistinguishable from an IN-FLIGHT writer's
         staged batch; dirs a commit DOES reference need no age guard
-        (the log proves they are superseded, not in flight)."""
+        (the log proves they are superseded, not in flight).
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): return the
+        table-relative paths that WOULD be removed, deleting nothing
+        and writing no mirror checkpoint."""
         cur = self.current_version()
         keep_versions = set(range(max(0, cur - retain_last + 1), cur + 1))
         keep_versions |= set(self.tags().values())
@@ -1670,29 +1675,15 @@ class ManagedTable:
         doomed = {self._commit(v)["dir"]
                   for v in range(0, max(0, cur - retain_last + 1))}
         doomed -= keep_dirs
-        if doomed and os.path.isdir(self._delta_log_dir()):
-            # the mirror's live adds may point INTO doomed dirs (append
-            # commits emit adds-only, leaving earlier files live under
-            # the dir that first added them). Before deleting, write a
-            # mirror checkpoint whose adds re-point at the hardlinked
-            # copies in the CURRENT dir — external readers replay from
-            # the checkpoint and never dereference a vacuumed path.
-            from .deltaread import checkpoint_delta_log
-            # re-point target: the materialized chain bottom of HEAD —
-            # the dir that holds the hardlinked copies of any legacy
-            # live file whose first-adding dir is doomed. Log-native
-            # live adds never point into doomed dirs (keep_dirs covers
-            # their chains), so the rewrite map simply doesn't match.
-            cur_dir = self._materialized_root(cur)
-            checkpoint_delta_log(
-                self.spark, self.path,
-                dir_rewrites={d: cur_dir for d in doomed})
+        # ---- plan every removal first (dry_run returns the plan) ----
+        plan_dirs: list[str] = []       # table-relative dir names
+        plan_files: list[str] = []      # table-relative manifest files
         removed = []
         for v in range(0, max(0, cur - retain_last + 1)):
             d = self._commit(v)["dir"]
-            full = os.path.join(self.path, d)
-            if d not in keep_dirs and os.path.isdir(full):
-                shutil.rmtree(full)
+            if d not in keep_dirs and os.path.isdir(
+                    os.path.join(self.path, d)) and d not in plan_dirs:
+                plan_dirs.append(d)
                 removed.append(v)
         # every dir ANY commit references (vs keep_*: the RETAINED
         # ones) — the discriminator between superseded state (sweep
@@ -1715,29 +1706,28 @@ class ManagedTable:
             except FileNotFoundError:
                 return False
 
-        # sweep tombstone/delta/cdc dirs no retained commit references
-        # (unreferenced-by-ANY-commit ones only when old enough — they
-        # may be a live writer's staged batch)
+        import re as _re
         for d in os.listdir(self.path):
             if (d.startswith("tomb_v") or d.startswith("delta_v")) \
                     and d not in keep_tombs:
+                # unreferenced-by-ANY-commit ones only when old enough
+                # — they may be a live writer's staged batch
                 if d in all_refs or _orphan_old(d):
-                    shutil.rmtree(os.path.join(self.path, d))
+                    plan_dirs.append(d)
             elif d.startswith("cdc_v") and d not in keep_cdc:
                 if d in all_refs or _orphan_old(d):
-                    shutil.rmtree(os.path.join(self.path, d))
-        # orphaned DATA dirs: version-shaped (`v{N}` / `v{N}-...`) but
-        # referenced by no commit — an aborted append's batch dir, a
-        # lost rewrite's staged dir. Age-guarded like Delta's
-        # uncommitted-file retention.
-        import re as _re
-        for d in os.listdir(self.path):
-            if (_re.fullmatch(r"v\d+(-[^/]*)?", d)
-                    and d not in all_refs and _orphan_old(d)
+                    plan_dirs.append(d)
+            elif (_re.fullmatch(r"v\d+(-[^/]*)?", d)
+                    and d not in all_refs and d not in keep_dirs
+                    and _orphan_old(d)
                     and os.path.isdir(os.path.join(self.path, d))):
-                shutil.rmtree(os.path.join(self.path, d))
-        # sweep stats/bloom manifests whose data dir is gone (they key
-        # on the dir, so a vacuumed dir's manifests are unreachable)
+                # orphaned DATA dir: an aborted append's batch dir, a
+                # lost rewrite's staged dir — age-guarded like Delta's
+                # uncommitted-file retention
+                plan_dirs.append(d)
+        # stats/bloom manifests whose data dir goes away (they key on
+        # the dir, so a vacuumed dir's manifests are unreachable), and
+        # live-set checkpoints no retained chain replays through
         for f in os.listdir(self.path):
             d = None
             if f.startswith("_stats_") and f.endswith(".json"):
@@ -1745,18 +1735,42 @@ class ManagedTable:
             elif f.startswith("_bloom_") and f.endswith(".json"):
                 d = f[len("_bloom_"):-len(".json")].split("_", 1)[0]
             if d is not None and d not in keep_dirs and d not in chain_dirs:
-                os.remove(os.path.join(self.path, f))
-        # sweep live-set checkpoints no retained chain replays through
-        # (reachable ones stay valid: their referenced dirs are exactly
-        # the retained live sets' dirs, all in keep_dirs above)
-        for f in os.listdir(self.path):
-            if f.startswith("_live_v") and f.endswith(".json"):
+                plan_files.append(f)
+            elif f.startswith("_live_v") and f.endswith(".json"):
                 try:
                     cp_v = int(f[len("_live_v"):-len(".json")])
                 except ValueError:
                     continue
                 if cp_v not in chain_versions and cp_v not in keep_versions:
-                    os.remove(os.path.join(self.path, f))
+                    plan_files.append(f)
+        if dry_run:
+            return sorted(plan_dirs) + sorted(plan_files)
+        if doomed and os.path.isdir(self._delta_log_dir()):
+            # the mirror's live adds may point INTO doomed dirs (append
+            # commits emit adds-only, leaving earlier files live under
+            # the dir that first added them). Before deleting, write a
+            # mirror checkpoint whose adds re-point at the hardlinked
+            # copies in the CURRENT dir — external readers replay from
+            # the checkpoint and never dereference a vacuumed path.
+            from .deltaread import checkpoint_delta_log
+            # re-point target: the materialized chain bottom of HEAD —
+            # the dir that holds the hardlinked copies of any legacy
+            # live file whose first-adding dir is doomed. Log-native
+            # live adds never point into doomed dirs (keep_dirs covers
+            # their chains), so the rewrite map simply doesn't match.
+            cur_dir = self._materialized_root(cur)
+            checkpoint_delta_log(
+                self.spark, self.path,
+                dir_rewrites={d: cur_dir for d in doomed})
+        for d in plan_dirs:
+            full = os.path.join(self.path, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+        for f in plan_files:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except FileNotFoundError:
+                pass
         return removed
 
     def clone(self, dest_path: str,

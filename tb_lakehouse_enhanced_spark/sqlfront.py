@@ -49,6 +49,7 @@ mark in merge-key order, where Delta's are arbitrary-but-unique.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from dataclasses import dataclass, field
@@ -1181,17 +1182,71 @@ class LakehouseSql:
             cols = tuple(c.strip() for c in m.group(2).split(","))
             return self.table(m.group(1)).optimize_layout(
                 cols, zorder=len(cols) > 1)
+        m = re.match(r"^OPTIMIZE ([\w.]+) WHERE (.+)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            # Delta's partition-targeted OPTIMIZE: the predicate must
+            # select whole partitions; matching ones compact, the rest
+            # hardlink forward (compact_partitions). Partition values
+            # hive-decode from the LIVE rel paths, cast to the table's
+            # partition-column types, and filter through the verbatim
+            # predicate — a predicate referencing a non-partition
+            # column fails analysis, matching Delta's restriction.
+            t = self.table(m.group(1))
+            if not t.partition_by:
+                raise ValueError(
+                    f"OPTIMIZE ... WHERE requires a partitioned table; "
+                    f"{m.group(1)} is unpartitioned")
+            import urllib.parse as _up
+            from pyspark.sql import functions as F
+            rels = sorted({os.path.dirname(rf) for rf in
+                           t._files_rel(t.current_version())} - {""})
+            if not rels:
+                return t
+            pb = list(t.partition_by)
+            rows = []
+            for rel in rels:
+                vals = {}
+                for seg in rel.split("/"):
+                    k, _, val = seg.partition("=")
+                    vals[k] = (None if val == "__HIVE_DEFAULT_PARTITION__"
+                               else _up.unquote(val))
+                rows.append((rel, *[vals.get(c) for c in pb]))
+            types = {f.name: f.dataType for f in t.read().schema.fields}
+            df = self.spark.createDataFrame(
+                rows, ["__rel"] + pb, )
+            for c in pb:
+                df = df.withColumn(c, F.col(c).cast(types[c]))
+            matched = [r["__rel"] for r in
+                       df.filter(F.expr(m.group(2)))
+                       .select("__rel").collect()]
+            if matched:
+                # Delta's OPTIMIZE bin-packs small files toward few
+                # large ones; at this scale that is one file per
+                # compacted partition
+                t.compact_partitions(matched, target_files=1)
+            return t
         m = re.match(r"^VACUUM ([\w.]+)"
-                     r"(?: RETAIN (\d+) (VERSIONS?|HOURS?))?$",
+                     r"(?: RETAIN (\d+) (VERSIONS?|HOURS?))?"
+                     r"( DRY RUN)?$",
                      s, re.IGNORECASE)
         if m:
             t = self.table(m.group(1))
+            dry = bool(m.group(4))
             if m.group(3) and m.group(3).upper().startswith("HOUR"):
                 # Delta's syntax: time-based horizon (always keeps the
                 # current version via retain_last=1)
-                t.vacuum(retain_last=1, retain_hours=float(m.group(2)))
+                out = t.vacuum(retain_last=1,
+                               retain_hours=float(m.group(2)),
+                               dry_run=dry)
             else:
-                t.vacuum(retain_last=int(m.group(2) or 1))
+                out = t.vacuum(retain_last=int(m.group(2) or 1),
+                               dry_run=dry)
+            if dry:
+                # Delta's DRY RUN returns the would-be-deleted paths
+                return self.spark.createDataFrame(
+                    [(os.path.join(t.path, p),) for p in out],
+                    "path string")
             return t
         m = re.match(r"^RESTORE TABLE ([\w.]+) TO VERSION AS OF (\d+)$",
                      s, re.IGNORECASE)
@@ -1211,6 +1266,60 @@ class LakehouseSql:
                     f"no snapshot of {m.group(1)} at or before "
                     f"'{m.group(2)}'")
             return t.restore(max(cand))
+        m = re.match(r"^CREATE BLOOMFILTER INDEX ON TABLE ([\w.]+) "
+                     r"FOR COLUMNS\s*\((.+)\)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            # Databricks' bloom-filter index DDL, mapped onto the
+            # per-file Bloom manifests: OPTIONS (fpp, numItems) size
+            # the filter with the standard formulas m = -n·ln p/ln²2,
+            # k = m/n·ln 2 (m rounded up to whole 64-bit words — the
+            # manifest stores word arrays).
+            import math
+            t = self.table(m.group(1))
+            for spec in _split_top(m.group(2)):
+                sm = re.match(r"^(\w+)(?:\s+OPTIONS\s*\((.+)\))?$",
+                              spec.strip(), re.IGNORECASE | re.DOTALL)
+                if not sm:
+                    raise ValueError(
+                        f"cannot parse bloom index column spec: "
+                        f"{spec.strip()!r}")
+                fpp, n_items = 0.1, 1024
+                for pair in _split_top(sm.group(2) or ""):
+                    if not pair.strip():
+                        continue
+                    k, _, val = pair.partition("=")
+                    k = k.strip().strip("'\"").lower()
+                    val = val.strip().strip("'\"")
+                    if k == "fpp":
+                        fpp = float(val)
+                    elif k == "numitems":
+                        n_items = int(val)
+                    else:
+                        raise ValueError(
+                            f"unknown bloom index option {k!r}")
+                m_bits = math.ceil(-n_items * math.log(fpp)
+                                   / (math.log(2) ** 2))
+                m_bits = max(64, ((m_bits + 63) // 64) * 64)
+                k_hash = max(1, round(m_bits / n_items * math.log(2)))
+                t.analyze_bloom(sm.group(1), m_bits=m_bits, k=k_hash)
+            return t
+        m = re.match(r"^DROP BLOOMFILTER INDEX ON TABLE ([\w.]+)"
+                     r"(?: FOR COLUMNS\s*\(([^)]+)\))?$",
+                     s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            want = ({c.strip() for c in m.group(2).split(",")}
+                    if m.group(2) else None)
+            for fn in list(os.listdir(t.path)):
+                if not (fn.startswith("_bloom_") and fn.endswith(".json")):
+                    continue
+                if want is not None:
+                    with open(os.path.join(t.path, fn)) as f:
+                        if json.load(f).get("column") not in want:
+                            continue
+                os.remove(os.path.join(t.path, fn))
+            return t
         m = re.match(r"^DESCRIBE HISTORY ([\w.]+)$", s, re.IGNORECASE)
         if m:
             hist = self.table(m.group(1)).history()
