@@ -763,6 +763,34 @@ def dml_delete(spark, sf_dir):
     return mt.read()
 
 
+@q("bloom_point_read", """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_custkey = 1371
+""")
+def bloom_point_read(spark, sf_dir):
+    """Bloom-indexed point lookup through the SQL DDL surface
+    (Databricks' CREATE BLOOMFILTER INDEX, sized by fpp/numItems):
+    the index builds once, self-maintains through a subsequent
+    O(batch) ingest, and the needle lookup (``read_where_eq``) must
+    match the plain filter exactly — false positives filtered, never
+    returned, and absent keys prune everything."""
+    import os as _os
+
+    from ..sqlfront import LakehouseSql
+    root = tempfile.mkdtemp(prefix="tb_bloomq_")
+    lake = LakehouseSql(spark, root)
+    lake.sql("CREATE DATABASE b")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus")
+    t = ManagedTable(spark, _os.path.join(root, "b", "t"))
+    t.overwrite(src.filter(F.col("o_orderkey") % 2 == 0).repartition(8))
+    lake.sql("CREATE BLOOMFILTER INDEX ON TABLE b.t FOR COLUMNS"
+             "(o_custkey OPTIONS (fpp = 0.05, numItems = 4096))")
+    t.append(src.filter(F.col("o_orderkey") % 2 == 1))
+    return t.read_where_eq("o_custkey", 1371).select(
+        "o_orderkey", "o_custkey", "o_orderstatus")
+
+
 @q("skipping_ingest_read", """
 SELECT l_orderkey, l_linenumber,
        CASE WHEN l_returnflag = 'R' THEN l_quantity + 5
