@@ -84,6 +84,13 @@ HEADLINE = [
     # [min,max] intersects. The entry's cost is scenario-build
     # dominated; the signal is that NO re-analyze appears anywhere.
     "skipping_ingest_read",
+    # round 10: the schema-evolve-then-ingest path (VERDICT r9 #1) —
+    # metadata-only ALTER RENAME/ADD, then an INSERT that must stay
+    # O(batch) under the live column map. Pre-r10 this INSERT rewrote
+    # the whole table; the entry pins the fix with a number (the
+    # in-query assert additionally fails the bench outright if the
+    # commit ever degrades to a materialize).
+    "schema_evolution_ingest",
 ]
 
 # sql_merge_* scenarios report build vs statement components via

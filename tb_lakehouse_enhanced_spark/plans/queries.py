@@ -824,6 +824,47 @@ def skipping_ingest_read(spark, sf_dir):
                     "l_returnflag"))
 
 
+@q("schema_evolution_ingest", """
+SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+       CAST(NULL AS VARCHAR) AS batch_tag
+FROM lineitem WHERE l_orderkey % 3 <> 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+       'b2' AS batch_tag
+FROM lineitem WHERE l_orderkey % 3 = 0
+""")
+def schema_evolution_ingest(spark, sf_dir):
+    """The schema-evolve-then-ingest sequence (VERDICT r9 #1, the
+    round-10 headline) driven through the SQL DDL surface: metadata-
+    only ALTER RENAME + ADD COLUMN (zero data files touched), then an
+    INSERT that stays O(batch) — the batch lands in the CURRENT
+    physical schema under the live column map (Delta columnMapping
+    parity, managed.py ``evolve_schema``/``append``), where the
+    pre-r10 engine rewrote the whole table. The final read reconciles
+    physical -> logical at scan time; renamed values read through,
+    the added column is NULL for pre-ALTER rows and populated for the
+    ingested batch."""
+    import os as _os
+
+    from ..sqlfront import LakehouseSql
+    root = tempfile.mkdtemp(prefix="tb_evoing_")
+    lake = LakehouseSql(spark, root)
+    lake.sql("CREATE DATABASE e")
+    src = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    mt = ManagedTable(spark, _os.path.join(root, "e", "t"))
+    mt.overwrite(src.filter(F.col("l_orderkey") % 3 != 0))
+    lake.sql("ALTER TABLE e.t RENAME COLUMN l_quantity TO qty")
+    lake.sql("ALTER TABLE e.t ADD COLUMN batch_tag STRING")
+    mt.append(src.filter(F.col("l_orderkey") % 3 == 0)
+              .select("l_orderkey", "l_linenumber",
+                      F.col("l_quantity").alias("qty"),
+                      F.lit("b2").alias("batch_tag")))
+    assert mt._commit(mt.current_version()).get("added_files"), \
+        "ingest after ALTER must be an O(batch) append commit"
+    return mt.read()
+
+
 @q("scd2_merge_state", scd.SCD2_ORACLE_BASE + "SELECT * FROM final")
 def scd2_merge_state(spark, sf_dir):
     """M1+M2: full SCD2 state after initial load + one mutated batch."""
@@ -5095,7 +5136,7 @@ _PRIORITY = [
     # near-dup family stays in-window via minhash/simhash and the
     # scalable exact-similarity slot goes to edit_distance_join above)
     "dedup_exact", "dedup_minhash",
-    "dedup_simhash", "dedup_clusters", "dedup_embedding",
+    "dedup_simhash", "dedup_embedding",
     # round 6 rotates IN the batch-vs-corpus incremental dedup
     "dedup_incremental",
     # text analysis / corpus prep (text_clean rotates below the fold —
@@ -5107,7 +5148,7 @@ _PRIORITY = [
     # brings search_bm25_indexed back IN and rotates the unindexed
     # search_bm25 below the fold (the scoring math stays in-window
     # through both indexed entries; search_bm25 stays locally checked)
-    "text_metrics", "search_bm25_indexed", "search_bm25_probe",
+    "text_metrics", "search_bm25_indexed",
     "search_hybrid", "vocab_topk",
     "corpus_splits", "contamination_check",
     # multimodal + similarity search — round 6 rotates simsearch_lsh
@@ -5123,6 +5164,18 @@ _PRIORITY = [
     # and sample_stratified stays locally oracle-checked below the
     # fold.
     "skipping_ingest_read",
+    # round 10 (the r9 judge's rotation ask): bloom_point_read rotates
+    # IN (it landed after the r9 window snapshot, so it has no
+    # CORRECTNESS row yet — the Databricks BLOOMFILTER INDEX DDL
+    # driven end to end, maintained through an O(batch) ingest);
+    # schema_evolution_ingest is NEW — the r10 headline, ALTER
+    # RENAME/ADD then an O(batch) mapped INSERT through the SQL
+    # surface. Rotated below the fold to keep the window at 50:
+    # search_bm25_probe (the BM25 serving family stays in-window via
+    # search_bm25_indexed, same index + scoring math) and
+    # dedup_clusters (the dedup tier keeps five in-window entries;
+    # connected components stays locally oracle-checked).
+    "bloom_point_read", "schema_evolution_ingest",
     # sequence packing: docs -> fixed-length training context windows
     "pack_context",
 ]

@@ -431,11 +431,17 @@ class ManagedTable:
             return self.spark.read.parquet(self._version_dir(v))
         root, files = self._chain_resolve(v)
         live = sorted(files.values())
-        base = self.spark.read.parquet(os.path.join(self.path, root))
+        # scan schema = chain-bottom physical schema, extended with any
+        # map-assigned physical columns the root predates (added-then-
+        # appended columns live only in newer batch files; the fixed
+        # superset schema reads them as typed NULL everywhere else)
+        schema = self._scan_schema(v, meta, root=root)
         if not live:
-            return base     # empty chain: the parked schema file scan
-        df = self.spark.read.schema(base.schema).parquet(*live)
-        return self._attach_partition_cols(df, base.schema.fields, live)
+            # empty chain: the parked schema file scan, same superset
+            return self.spark.read.schema(schema).parquet(
+                os.path.join(self.path, root))
+        df = self.spark.read.schema(schema).parquet(*live)
+        return self._attach_partition_cols(df, schema.fields, live)
 
     # -- metadata-only schema evolution (Delta/Iceberg column mapping) -------
     #
@@ -461,10 +467,41 @@ class ManagedTable:
         cols = []
         for phys, logical, typ in cmap:
             if phys is None:
+                # legacy map entry (pre-r10 ADD COLUMN): no physical
+                # name was ever assigned, the column is NULL everywhere
                 cols.append(F.lit(None).cast(typ).alias(logical))
             else:
+                # physical column — typed NULL (via the fixed scan
+                # schema) in files written before the column existed
                 cols.append(F.col(phys).alias(logical))
         return df.select(*cols)
+
+    def _scan_schema(self, v: int, meta: dict, root: str | None = None):
+        """PHYSICAL StructType for a multi-path scan of version ``v``'s
+        live files: the chain-bottom root's (hive-inferred) schema,
+        extended with any column-map physical fields the root predates
+        — columns ADDED under a live map exist physically only in
+        files appended after the ALTER; reading every live file with
+        this one superset schema makes them typed NULL in older files
+        (parquet reads by name), which is exactly the map's read-time
+        reconciliation. Map entries carry their type DDL whenever
+        their physical column can be missing from the root (assigned
+        at ``evolve_schema`` time)."""
+        from pyspark.sql.types import _parse_datatype_string
+        base = self.spark.read.parquet(os.path.join(
+            self.path, root or self._materialized_root(v)))
+        schema = base.schema
+        have = set(schema.fieldNames())
+        for phys, _logical, typ in (meta.get("column_map") or []):
+            if phys is not None and phys not in have:
+                schema = schema.add(
+                    phys, _parse_datatype_string(typ or "string"))
+                have.add(phys)
+        return schema
+
+    @staticmethod
+    def _map_physical_names(cmap: list) -> set:
+        return {p for p, _l, _t in (cmap or []) if p is not None}
 
     def _is_mapped(self, meta: dict) -> bool:
         return bool(meta.get("column_map"))
@@ -485,12 +522,23 @@ class ManagedTable:
     def evolve_schema(self, column_map: list,
                       operation: str) -> "ManagedTable":
         """Publish a METADATA-ONLY schema-evolution commit: the new
-        version reuses the parent's data dir, no file is written,
+        version reuses the parent's data files, nothing is written,
         moved, or rewritten — ``read`` applies ``column_map`` at scan
         time. A parent carrying merge-on-read state compacts first
         (tombstone keys and delta files are physical-schema-bound;
         one materialize keeps the map/MOR invariant simple: a commit
-        carries one or the other, never both)."""
+        carries one or the other, never both).
+
+        Delta columnMapping parity (round 10): every ADDED column gets
+        a STABLE PHYSICAL NAME here — collision-checked against every
+        physical name live in existing files, in the current map, and
+        ever retired by a DROP — so subsequent data commits write new
+        files in the CURRENT physical schema and the map stays live
+        indefinitely (``append`` is O(batch) on a mapped parent; only
+        a materializing commit clears the map). Without stable names,
+        a DROP-then-re-ADD of the same column name would resurrect the
+        old files' stale values. ``phys_retired`` carries the
+        do-not-reuse set forward."""
         cur = self.current_version()
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
@@ -499,10 +547,78 @@ class ManagedTable:
             cur = self.current_version()
         parent = self._commit(cur)
         v = cur + 1
+        retired = set(parent.get("phys_retired") or [])
+        taken = (self._map_physical_names(column_map)
+                 | set(self._scan_schema(cur, parent).fieldNames())
+                 | retired)
+        column_map = [list(e) for e in column_map]
+        for e in column_map:
+            if e[0] is not None:
+                continue
+            if e[2] is None:
+                raise ValueError(
+                    f"added column {e[1]!r} needs a type in its map "
+                    f"entry (got [None, {e[1]!r}, None])")
+            phys = e[1] if e[1] not in taken else f"{e[1]}__p{v}"
+            if phys in taken:       # __p{v} itself squatted (retired)
+                import uuid
+                phys = f"{e[1]}__p{v}_{uuid.uuid4().hex[:6]}"
+            e[0] = phys
+            taken.add(phys)
+        # physical names the new map no longer references are retired
+        # forever (their stale values survive in old files until a
+        # materialize): a future ADD must never pick them back up
+        retired |= (self._map_physical_names(parent.get("column_map"))
+                    - self._map_physical_names(column_map))
         meta = {"version": v, "dir": parent["dir"], "op": operation,
                 "ts": time.time(), "column_map": column_map,
                 "live_base": cur}
+        if retired:
+            meta["phys_retired"] = sorted(retired)
         return self._publish(v, meta)
+
+    def _base_seq_expr(self):
+        """Resolution sequence of a BASE row, parsed from its file
+        path: rows in an append batch dir (``v{N}-a{token}``) resolve
+        at N — the version that committed them — so a row appended
+        AFTER a tombstone/delta commit outranks that older state
+        (Delta's DV model: an append never needs a rewrite to dodge
+        existing deletes). Every other base dir (materialized ``v{N}``
+        roots, ``v{N}-r*`` rewrite dirs) resolves at 0: materialized
+        content predates any carried MOR state by construction (the
+        carry re-writes tombstones/deltas minus what the rewrite
+        absorbed, see ``_carry_mor_minus_touched``). Anchored to THIS
+        table's root, like the delta/tomb sequence parser."""
+        import re as _re
+        from pyspark.sql import functions as F
+        return F.coalesce(
+            F.regexp_extract(
+                F.col("_metadata.file_path"),
+                _re.escape(self.path) + r"/v(\d+)-a[^/]*/", 1)
+            .try_cast("long"),      # non-append dirs extract "" -> NULL
+            F.lit(0).cast("long"))
+
+    def _mor_appends_interleaved(self, v: int, meta: dict) -> bool:
+        """True when version ``v``'s live base set contains files
+        APPENDED at-or-after the oldest carried tombstone/delta commit
+        — rows whose correctness depends on their path-parsed
+        resolution sequence (``_base_seq_expr``). A partition-scoped
+        rewrite must not hardlink such files into a plain ``v{N}`` dir
+        (that zeroes their sequence under the carried state); callers
+        materialize instead. Driver-side string work over the live
+        file list — no data read."""
+        import re as _re
+        state = (list(meta.get("tombstones") or [])
+                 + list(meta.get("deltas") or []))
+        if not state:
+            return False
+        min_mor = min(int(_re.match(r"(?:delta|tomb)_v(\d+)", d).group(1))
+                      for d in state)
+        for rel in self._live_files(v):
+            m = _re.match(r"v(\d+)-a", rel.split("/", 1)[0])
+            if m and int(m.group(1)) >= min_mor:
+                return True
+        return False
 
     def _resolve_mor(self, df: DataFrame, meta: dict) -> DataFrame:
         """Apply a commit's merge-on-read state on top of a BASE scan.
@@ -510,10 +626,14 @@ class ManagedTable:
         ``df`` may be any subset of the base data dir's rows (e.g. a
         stats- or bloom-pruned file set): delta and tombstone files are
         always read in full here, and dropping base rows can never
-        change which row wins a key (base rows all carry sequence 0 and
-        keys are unique per batch), so pruned-base resolution followed
+        change which row wins a key, so pruned-base resolution followed
         by the caller's exact filter returns exactly what full
-        resolution + filter would.
+        resolution + filter would. (With appended base rows carrying
+        nonzero sequences a key CAN have multiple base rows — old copy,
+        tombstone, re-appended copy — but at most one is LIVE under the
+        per-commit key-uniqueness contract, and each copy's win/lose
+        against the key's tombstones/deltas is decided by ITS OWN
+        sequence, independent of which other files were pruned.)
         """
         tombs = meta.get("tombstones") or []
         deltas = meta.get("deltas") or []
@@ -522,19 +642,35 @@ class ManagedTable:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
         keys = list(meta["tombstone_keys"])
+        base_seq = self._base_seq_expr()
         if not deltas:
-            # deletes only — the cheap fast path: ONE anti-join against
-            # the union of tombstone key files (AQE broadcasts it while
+            # deletes only — the cheap fast path: ONE join against the
+            # union of tombstone key files (AQE broadcasts it while
             # small). Physical data files untouched until the next
-            # copy-on-write commit purges.
-            tomb = self.spark.read.parquet(
+            # copy-on-write commit purges. A base row survives when no
+            # tombstone covers its key OR when the row itself was
+            # appended AFTER the key's newest tombstone (base sequence
+            # from the file path) — the pure anti-join is the
+            # seq-0-everywhere special case of this.
+            tomb_seq = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                r"/(?:delta|tomb)_v(\d+)[^/]*/[^/]+$", 1).cast("long")
+            tomb = (self.spark.read.parquet(
                 *[os.path.join(self.path, t) for t in tombs])
-            return df.join(tomb.select(*keys), keys, "left_anti")
-        # full merge-on-read resolution: base rows carry sequence 0,
-        # each delta (upsert) batch its commit version; the newest row
-        # per key wins, then a tombstone NEWER than the winning row
-        # deletes it (so delete->reinsert and insert->delete interleave
-        # correctly). This is the classic MOR read amplification — one
+                .withColumn("_mor_tseq", tomb_seq)
+                .groupBy(*keys).agg(F.max("_mor_tseq").alias("_mor_tseq")))
+            return (df.withColumn("_mor_bseq", base_seq)
+                    .join(tomb, keys, "left_outer")
+                    .filter(F.col("_mor_tseq").isNull()
+                            | (F.col("_mor_tseq") < F.col("_mor_bseq")))
+                    .drop("_mor_tseq", "_mor_bseq"))
+        # full merge-on-read resolution: base rows carry their adding
+        # commit's sequence (0 for materialized roots, N for ``v{N}-a``
+        # append batches), each delta (upsert) batch its commit
+        # version; the newest row per key wins, then a tombstone NEWER
+        # than the winning row deletes it (so delete->reinsert and
+        # insert->delete interleave correctly, including rows appended
+        # after MOR state). This is the classic MOR read amplification — one
         # window shuffle on the key — purged by the next copy-on-write
         # commit (compact/overwrite materialize through this read).
         #
@@ -555,7 +691,7 @@ class ManagedTable:
         delta_rows = (self.spark.read.parquet(
             *[os.path.join(self.path, d) for d in deltas])
             .withColumn("_mor_seq", seq_from_path))
-        rows = df.withColumn("_mor_seq", F.lit(0).cast("long")) \
+        rows = df.withColumn("_mor_seq", base_seq) \
             .unionByName(delta_rows)
         w = Window.partitionBy(*keys).orderBy(F.desc("_mor_seq"))
         winner = (rows.withColumn("_mor_rn", F.row_number().over(w))
@@ -783,8 +919,15 @@ class ManagedTable:
                           os.path.join(self.path, new_state))
                 mine = "tombstones" if is_tomb else "deltas"
                 other = "deltas" if is_tomb else "tombstones"
+                # live_base must be w-1 = max(head, v), NOT the pointer
+                # read (``head``): the racing winner's commit file for
+                # v can exist while its pointer flip is still in
+                # flight, and chaining at head = v-1 would silently
+                # drop the winner's files from every descendant's live
+                # set (the same max() the dir/base_cols checks above
+                # already use)
                 meta = {**meta, "version": w, "dir": new_parent["dir"],
-                        "live_base": head, "occ_rebased": True,
+                        "live_base": w - 1, "occ_rebased": True,
                         mine: list(new_parent.get(mine) or [])
                         + [new_state]}
                 if new_parent.get(other):
@@ -807,29 +950,149 @@ class ManagedTable:
         pointer (its orphaned data dir is reclaimable by vacuum), the
         same first-writer-wins rule Delta's log commit provides.
 
-        Crash window: a writer dying BETWEEN the commit-file create and
-        the pointer flip leaves an orphan commit that every later
-        writer's O_EXCL create collides with — readers are unaffected
-        (visibility is pointer-only) but writes are blocked until
-        ``repair_orphan_commit`` rolls the never-visible commit back.
-        The repair is deliberately explicit, not automatic: an
-        automatic rollback could race a live writer that is one
-        instruction away from flipping the pointer."""
+        Crash window (SELF-HEALING since r10): a writer dying BETWEEN
+        the commit-file create and the pointer flip leaves an orphan
+        commit that every later writer's O_EXCL create collides with —
+        readers are unaffected (visibility is pointer-only). A
+        colliding writer now checks whether the blocking commit is a
+        STALE orphan (pointer still one below it, commit file older
+        than ``ORPHAN_GRACE_SECONDS``) and, if so, heals it in place:
+        the orphan's metadata is atomically replaced by a no-op commit
+        that re-points at the parent's state, the mirror entry becomes
+        commitInfo-only, and the pointer advances over it — then the
+        ConcurrentWriteError is raised as usual and the caller's OCC
+        retry proceeds at the next version with no human intervention
+        (``repair_orphan_commit`` remains for manual rollback). The
+        grace horizon is the same trade vacuum's aborted-writer rule
+        makes: a LIVE writer pausing longer than the grace between its
+        commit-file write and its pointer flip loses its commit (the
+        guarded monotonic flip makes the loss clean — it can never
+        regress the pointer over the healed/later commits)."""
         try:
             fd = os.open(self._commit_file(v),
                          os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            healed = self._heal_stale_orphan(v)
             raise ConcurrentWriteError(
-                f"version {v} of {self.path} was committed concurrently; "
-                "re-read and retry the mutation") from None
+                f"version {v} of {self.path} was committed concurrently"
+                + ("; a crashed writer's stale orphan commit was "
+                   "auto-healed and the table is writable again"
+                   if healed else "")
+                + "; re-read and retry the mutation") from None
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         self._emit_delta_log(v, meta)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)  # atomic pointer flip
+        self._flip_pointer(v)
         return self
+
+    # a writer stalled longer than this between creating its commit
+    # file and flipping the pointer is presumed crashed; its orphan
+    # commit is healable by any later writer. Tests shrink it.
+    ORPHAN_GRACE_SECONDS = 600.0
+
+    def _flip_pointer(self, v: int) -> None:
+        """Advance ``_CURRENT`` to ``v`` — MONOTONIC under an advisory
+        lock: a delayed writer (e.g. one whose stalled commit was
+        auto-healed while it slept) can never regress the pointer over
+        later commits. Readers still see one atomic rename."""
+        import fcntl
+        fd = os.open(self._pointer + ".lock", os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if v <= self.current_version():
+                return
+            tmp = self._pointer + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._pointer)  # atomic pointer flip
+        finally:
+            os.close(fd)                    # releases the flock
+
+    def _heal_stale_orphan(self, v: int) -> bool:
+        """Heal a crashed writer's orphan commit at ``v`` (see
+        ``_publish``): replace its metadata in place with a no-op
+        commit cloning the parent's carryable state, neutralize its
+        mirror entry, and advance the pointer over it. Idempotent and
+        safe under concurrent healers (atomic replaces; the flip is
+        lock-guarded). The orphan's data dirs become unreferenced and
+        age out through vacuum's aborted-writer collection. Returns
+        True when a heal happened."""
+        cf = self._commit_file(v)
+        try:
+            st = os.stat(cf)
+        except FileNotFoundError:
+            return False
+        if self.current_version() != v - 1:
+            return False        # not an orphan: v is (or will be) visible
+        if time.time() - st.st_mtime < self.ORPHAN_GRACE_SECONDS:
+            return False        # could be a live writer mid-publish
+        parent = self._commit(v - 1)
+        meta = {"version": v, "dir": parent["dir"], "op": "HEALED ORPHAN",
+                "ts": time.time(), "live_base": v - 1, "healed": True}
+        for k in ("tombstones", "deltas", "tombstone_keys",
+                  "column_map", "phys_retired"):
+            if parent.get(k):
+                meta[k] = parent[k]
+        import uuid
+        tmp = cf + f".heal-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, cf)
+        # the orphan may have written its mirror entry and a live-set
+        # checkpoint before dying: neutralize both (commitInfo-only
+        # mirror entries are legal no-ops; protocol/metaData inherit)
+        log_dir = self._delta_log_dir()
+        os.makedirs(log_dir, exist_ok=True)
+        mirror_tmp = os.path.join(log_dir, f"heal-{uuid.uuid4().hex[:8]}")
+        with open(mirror_tmp, "w") as f:
+            f.write(json.dumps({"commitInfo": {
+                "timestamp": int(meta["ts"] * 1000),
+                "operation": "HEALED ORPHAN",
+                "operationParameters": {},
+                "engineInfo": "tb-lakehouse-enhanced-spark"}}) + "\n")
+        os.replace(mirror_tmp, os.path.join(log_dir, f"{v:020d}.json"))
+        lcp = self._live_checkpoint_file(v)
+        if os.path.isfile(lcp):
+            os.remove(lcp)
+        self._flip_pointer(v)
+        return True
+
+    # -- identity range reservation (Delta's identity high-water mark) ------
+    def _identity_file(self, col: str) -> str:
+        return os.path.join(self.path, f"_identity_{col}.json")
+
+    def reserve_identity(self, col: str, n: int,
+                         floor_slots: int) -> int:
+        """Atomically reserve ``n`` identity SLOTS for ``col`` and
+        return the base slot (ids are ``start + slot*step``; the
+        caller supplies ``floor_slots`` — the slots already consumed
+        by the CURRENT snapshot's data — so the persistent counter can
+        never regress below live values written by merges or explicit
+        inserts). Delta keeps this high-water mark in table metadata;
+        here it is a tiny flock-guarded counter file, which makes
+        identity-assigning INSERTs BLIND: the ids are theirs no matter
+        which commit order the OCC race settles on, so the append can
+        retry instead of erroring (VERDICT r9 #5). A reservation lost
+        to a crashed writer leaves an id gap — the standard identity
+        contract (Delta/sequences allow gaps)."""
+        import fcntl
+        fd = os.open(self._identity_file(col) + ".lock",
+                     os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                with open(self._identity_file(col)) as f:
+                    next_slot = int(json.load(f)["next_slot"])
+            except (FileNotFoundError, ValueError, KeyError):
+                next_slot = 0
+            base = max(next_slot, int(floor_slots))
+            tmp = self._identity_file(col) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"next_slot": base + int(n)}, f)
+            os.replace(tmp, self._identity_file(col))
+            return base
+        finally:
+            os.close(fd)        # releases the flock
 
     def repair_orphan_commit(self) -> int | None:
         """Roll back a crashed writer's never-visible commit so writes
@@ -981,8 +1244,16 @@ class ManagedTable:
         fields = []
         for i, (p, logical, typ) in enumerate(cmap, start=1):
             if p is None:
+                # legacy metadata-added column with no physical name
                 dt = _parse_datatype_string(typ)
                 pname = f"col-added-{logical}"
+            elif p not in phys:
+                # column ADDED under the live map whose physical name
+                # exists only in batches appended after the ALTER (or
+                # in none yet) — type from the map's recorded DDL;
+                # readers surface files lacking it as NULL
+                dt = _parse_datatype_string(typ)
+                pname = p
             else:
                 dt = phys[p].dataType
                 pname = p
@@ -1062,13 +1333,18 @@ class ManagedTable:
                 f.write("\n".join(json.dumps(a) for a in actions) + "\n")
             os.replace(tmp, entry)
             return
-        if meta.get("column_map"):
+        if meta.get("column_map") \
+                and meta.get("added_files") is None:
             # metadata-only schema evolution: the commit reuses the
             # parent's files, so NO add/remove actions — just a new
             # metaData whose logical schema maps onto the files'
             # physical columns via columnMapping name mode (reader 2 /
-            # writer 5). The next data-writing commit materializes the
-            # logical schema and resets the protocol to 1/2.
+            # writer 5). An APPEND carrying the live map forward falls
+            # through to the adds-only branch below instead (its batch
+            # files are already on the mapped physical schema and the
+            # parent's metaData still describes them; mapping_locked
+            # keeps its protocol at 2/5). A materializing commit
+            # resets the logical=physical identity mapping.
             # LIVE files (the parent may be a log-native append chain
             # whose dir holds only its own batch)
             files = sorted(self._live_files(v).items())
@@ -1326,27 +1602,43 @@ class ManagedTable:
         existing rows were validated at their own commits, so the
         whole-table invariant is preserved with an O(|batch|) scan.
 
-        A parent commit carrying merge-on-read state cannot take the
-        shortcut: appended base rows join the resolution at sequence
-        0, so a carried tombstone (always newer than 0) would delete a
-        just-appended row sharing its key, and a carried delta row
-        would shadow it. That case materializes the resolved snapshot
-        + batch in one overwrite (which also purges the MOR debt)."""
+        A parent commit carrying merge-on-read state keeps the
+        shortcut too: the appended batch's base rows resolve at THIS
+        commit's sequence (parsed from the ``v{N}-a`` batch-dir path,
+        see ``_base_seq_expr``), so they outrank every carried
+        tombstone/delta — older MOR state can never shadow or delete a
+        just-appended row, and the carried state rides forward in the
+        commit metadata untouched. This is Delta's DV-model cost
+        shape: an append onto a delete-carrying 100 TB table is still
+        O(|batch|), no materialize."""
         if not self.exists():
             return self.overwrite(df, operation, extra_meta=extra_meta)
         cur = self.current_version()
         parent = self._commit(cur)
-        if self._has_mor(parent) or self._is_mapped(parent):
-            # MOR: appended base rows (sequence 0) would be shadowed/
-            # deleted by carried deltas/tombstones. Mapped: appended
-            # files would carry the logical schema next to the base's
-            # physical-schema files. Both materialize.
+        cmap = parent.get("column_map")
+        if cmap and any(p is None for p, _l, _t in cmap):
+            # LEGACY map (pre-r10): an added column with no assigned
+            # physical name cannot receive the batch's values in a new
+            # file — materialize the map once, then ingest O(batch)
+            # again. Maps written by evolve_schema since r10 always
+            # carry physical names and never take this path.
             return self.overwrite(self.read().unionByName(df), operation,
                                   extra_meta=extra_meta)
         df = self._with_generated(df)
         cons = self.constraints()
         if cons:
             self._validate(cons, df)
+        if cmap:
+            # live column map (Delta columnMapping parity): the batch
+            # arrives on the LOGICAL schema — validate/generate above
+            # ran there — and is WRITTEN on the current PHYSICAL
+            # schema, so the new files sit next to the old ones under
+            # one fixed scan schema and the map stays live. O(batch)
+            # ingest straight through an ALTER ADD/RENAME/DROP COLUMN,
+            # no materialize (VERDICT r9 #1).
+            from pyspark.sql import functions as F
+            df = df.select(*[F.col(logical).alias(phys)
+                             for phys, logical, _typ in cmap])
         import uuid
         token = uuid.uuid4().hex[:8]
         v = cur + 1
@@ -1384,6 +1676,15 @@ class ManagedTable:
                     "live_base": v - 1,
                     **({"occ_rebased": True} if rebased else {}),
                     **(extra_meta or {})}
+            # carry the parent's merge-on-read state forward untouched
+            # (commit metadata is per-version complete state); the
+            # batch's own rows outrank it by sequence at read time.
+            # A live column map rides forward the same way — the batch
+            # was written on its physical schema above.
+            for k in ("tombstones", "deltas", "tombstone_keys",
+                      "column_map", "phys_retired"):
+                if parent.get(k):
+                    meta[k] = parent[k]
             try:
                 out = self._publish(v, meta)
                 # bound future replay cost: once the chain above the
@@ -1400,24 +1701,31 @@ class ManagedTable:
                 # blind appends COMMUTE (Delta's conflict matrix: an
                 # AppendOnly transaction never conflicts with another
                 # commit's file set): re-read the head and re-commit
-                # this batch at the next free version. Only a head
-                # carrying merge-on-read state or a pending column map
-                # blocks the retry — appended base rows would be
-                # shadowed by carried tombstones/deltas (the same
-                # reason the fast path materializes above). Callers
-                # whose batch DEPENDS on the read snapshot (identity
-                # assignment) pass occ_retry=False: their append is
-                # not blind, so first-writer-wins is the correct
-                # semantics (Delta conflicts identity-updating
-                # transactions the same way, via metadata-update
-                # conflicts).
+                # this batch at the next free version — including over
+                # a head that picked up merge-on-read state mid-race
+                # (the rebased batch dir renames to the new version,
+                # so its rows outrank the interloper's tombstones/
+                # deltas by sequence, one valid serial order). Only a
+                # pending column map blocks the retry: the batch's
+                # files carry the logical schema, the head's base the
+                # physical one. Callers whose batch DEPENDS on the
+                # read snapshot (identity assignment) pass
+                # occ_retry=False: their append is not blind, so
+                # first-writer-wins is the correct semantics (Delta
+                # conflicts identity-updating transactions the same
+                # way, via metadata-update conflicts).
                 if not occ_retry:
                     raise
                 rebased = True
                 head = self.current_version()
                 new_parent = self._commit(max(head, v))
-                if self._has_mor(new_parent) or self._is_mapped(new_parent):
+                if new_parent.get("column_map") != cmap:
+                    # the head's physical schema plane moved underneath
+                    # this batch (an ALTER or a materialize raced in):
+                    # the staged files are on the WRONG physical layout
+                    # — real conflict, first-writer-wins
                     raise
+                parent = new_parent     # MOR carry re-reads from it
                 w = max(head + 1, v + 1)
                 new_dirname = f"v{w}-a{token}"
                 os.rename(vdir, os.path.join(self.path, new_dirname))
@@ -1552,7 +1860,7 @@ class ManagedTable:
                 "op": f"RESTORE v{version}", "ts": time.time(),
                 "live_base": version}
         for k in ("tombstones", "deltas", "tombstone_keys",
-                  "column_map"):
+                  "column_map", "phys_retired"):
             if src.get(k):
                 meta[k] = src[k]
         return self._publish(v, meta)
@@ -1857,7 +2165,7 @@ class ManagedTable:
                     except OSError:
                         shutil.copy2(s, d)
         for k in ("tombstones", "deltas", "tombstone_keys",
-                  "column_map"):
+                  "column_map", "phys_retired"):
             if src_meta.get(k):
                 meta0[k] = src_meta[k]
         return dst._publish(0, meta0)
@@ -1957,10 +2265,9 @@ class ManagedTable:
         if not rels:
             return None
         files = [os.path.join(self.path, meta["dir"], r) for r in rels]
-        base = self.spark.read.parquet(os.path.join(
-            self.path, self._materialized_root(meta["version"])))
-        df = self.spark.read.schema(base.schema).parquet(*files)
-        return self._attach_partition_cols(df, base.schema.fields, files)
+        schema = self._scan_schema(meta["version"], meta)
+        df = self.spark.read.schema(schema).parquet(*files)
+        return self._attach_partition_cols(df, schema.fields, files)
 
     def _rel_in_version(self, abs_path: str) -> str:
         """Path of a recorded data file RELATIVE to its owning version
@@ -2090,6 +2397,18 @@ class ManagedTable:
         from pyspark.sql import functions as F
         meta = self._commit(v)
         parent_dir = self._commit(meta["live_base"])["dir"]
+        # stats manifests key on LOGICAL column names; a live column
+        # map means the batch scan carries PHYSICAL names — aggregate
+        # through the map (a legacy None-phys column is NULL in every
+        # file: null stats, exact pruning)
+        phys_of = {logical: phys for phys, logical, _t in
+                   (meta.get("column_map") or [])}
+
+        def _src(c):
+            pc = phys_of.get(c, c) if phys_of else c
+            return (F.lit(None).cast("string") if pc is None
+                    else F.col(pc))
+
         batch = None        # built lazily, shared by stats + blooms
         p_stats_path = self._stats_path_for_dir(parent_dir)
         if os.path.isfile(p_stats_path):
@@ -2100,8 +2419,8 @@ class ManagedTable:
             if batch is not None:
                 aggs = []
                 for c in cols:
-                    aggs += [F.min(F.col(c)).alias(f"min__{c}"),
-                             F.max(F.col(c)).alias(f"max__{c}")]
+                    aggs += [F.min(_src(c)).alias(f"min__{c}"),
+                             F.max(_src(c)).alias(f"max__{c}")]
                 rows = (batch.groupBy(
                     F.col("_metadata.file_path").alias("file"))
                     .agg(*aggs).collect())
@@ -2134,13 +2453,15 @@ class ManagedTable:
             col = pb["column"]
             if batch is None:
                 batch = self._batch_scan(meta)
+            pc = phys_of.get(col, col) if phys_of else col
             files: dict[str, list[int]] = {}
-            if batch is not None and col in batch.columns:
+            if batch is not None and pc is not None \
+                    and pc in batch.columns:
                 m_bits, k = pb["m_bits"], pb["k"]
-                words = (batch.filter(F.col(col).isNotNull())
+                words = (batch.filter(F.col(pc).isNotNull())
                          .select(F.col("_metadata.file_path").alias("file"),
                                  F.explode(self._bloom_positions(
-                                     F.col(col), m_bits, k)).alias("p"))
+                                     F.col(pc), m_bits, k)).alias("p"))
                          .select("file",
                                  (F.col("p") / 64).cast("int").alias("w"),
                                  F.expr("shiftleft(CAST(1 AS BIGINT), "
@@ -2230,6 +2551,15 @@ class ManagedTable:
         lo, hi = self._norm_stat(lo), self._norm_stat(hi)
         keep = []
         for rec in stats["files"]:
+            # chained delta manifests may predate a re-analyze() with a
+            # different column set: a folded entry MISSING the keys has
+            # no stats for this column — keep the file (no pruning),
+            # never crash and never prune wrongly. A key PRESENT with
+            # None means the file holds only NULLs for the column — a
+            # range predicate can't match NULL, so it prunes exactly.
+            if f"min__{col}" not in rec or f"max__{col}" not in rec:
+                keep.append(rec["file"])
+                continue
             mn, mx = rec[f"min__{col}"], rec[f"max__{col}"]
             if mn is None or mx is None:
                 continue
@@ -2300,8 +2630,14 @@ class ManagedTable:
                 return (self.read(v).filter(cond)
                         .limit(0).filter(F.lit(False)))
             if self._is_mapped(meta):
+                # kept files may span map generations (pre-ALTER base
+                # files next to post-ALTER appended batches): one fixed
+                # superset-schema scan, partition columns re-attached,
+                # then the map — the same composition as read()
+                schema = self._scan_schema(v, meta)
                 return self._apply_column_map(
-                    self.spark.read.parquet(*files), meta).filter(cond)
+                    self._scan_file_list(files, schema.fields),
+                    meta).filter(cond)
             # fixed-schema scan with partition columns re-attached from
             # the hive path segments — a pruned read on a partitioned
             # table keeps its partition columns (and the kept files may
@@ -2672,6 +3008,21 @@ class ManagedTable:
                 before if before is None else self._align_to(before, schema_v),
                 self._align_to(after, schema_v), keys=mkeys)
             return out
+        if meta.get("added_files") is not None:
+            # append commit: the writer recorded its batch's files —
+            # serve them directly, no version-dir walks at all. This
+            # holds under CARRIED merge-on-read state too (the batch's
+            # rows are blind inserts — by the per-commit key-uniqueness
+            # contract they never shadow a live row, and re-adding a
+            # tombstoned key IS an insert) and under a carried column
+            # map (``_read_files`` reconciles physical -> logical).
+            if not meta["added_files"]:
+                return empty()
+            added = [os.path.join(self._version_dir(v), r)
+                     for r in meta["added_files"]]
+            return (self._align_to(self._read_files(
+                added, self._version_dir(v), meta), schema_v)
+                .withColumn(CHANGE_TYPE, F.lit("insert")))
         if (self._has_mor(meta) or self._has_mor(parent)
                 or self._is_mapped(meta) or self._is_mapped(parent)):
             # materializing / restore across MOR or column-map state:
@@ -2681,16 +3032,6 @@ class ManagedTable:
             return changes_between(
                 self._align_to(self.read(v - 1), schema_v),
                 self._align_to(self.read(v), schema_v), keys=keys)
-        if meta.get("added_files") is not None:
-            # append commit: the writer recorded its batch's files —
-            # serve them directly, no version-dir walks at all
-            if not meta["added_files"]:
-                return empty()
-            added = [os.path.join(self._version_dir(v), r)
-                     for r in meta["added_files"]]
-            return (self._align_to(self._read_files(
-                added, self._version_dir(v), meta), schema_v)
-                .withColumn(CHANGE_TYPE, F.lit("insert")))
         prevf = self._files_rel(v - 1)
         curf = self._files_rel(v)
         added = [p for r, p in curf.items() if r not in prevf]
@@ -2726,9 +3067,14 @@ class ManagedTable:
         :meth:`commit_changes`): appends scan their batch, partial
         rewrites their touched partitions, maintenance commits nothing —
         the table itself is never re-scanned for log-describable
-        commits. Columns follow the END version's logical schema
-        (earlier commits' dropped/renamed-away columns read as NULL,
-        the Delta CDF schema-evolution convention)."""
+        commits. Columns follow the END version's logical schema;
+        within the end version's map episode, earlier inserts
+        reconcile through the END map (stable physical names = Delta's
+        column-ID tracking: a renamed column's old values surface
+        under its new name), while commits across a materialize
+        boundary fall back to align-by-name (dropped/renamed-away
+        columns read as NULL, the Delta CDF schema-evolution
+        convention)."""
         from pyspark.sql import functions as F
         end_version = (self.current_version() if end_version is None
                        else end_version)
@@ -2756,13 +3102,14 @@ class ManagedTable:
         # resolver uses). Only genuinely diff-requiring commits (partial
         # rewrites / overwrites without recorded cdc) stay per-commit —
         # they are O(touched) writes, so a proportionate feed cost.
-        # Ranges crossing a column-map commit fall back wholesale: files
-        # written before the evolution carry pre-map physical names that
-        # a single fixed-schema scan cannot reconcile per file.
+        # Insert commits GROUP BY their column map: each map generation
+        # shares one physical schema, so a mapped-append era (the
+        # steady state after an ALTER, since r10 keeps maps live) folds
+        # into ONE superset-schema scan + one map projection per
+        # generation — a range crossing k ALTERs plans k+1 scans, never
+        # O(commits) unions.
         metas = {v: self._commit(v)
                  for v in range(max(0, start_version - 1), end_version + 1)}
-        mapped_in_range = any(metas[v].get("column_map")
-                              for v in range(start_version, end_version + 1))
 
         def union_all(frames):
             out = None
@@ -2770,14 +3117,27 @@ class ManagedTable:
                 out = f if out is None else out.unionByName(f)
             return out
 
-        if mapped_in_range:
-            return union_all(
-                self._align_to(self.commit_changes(v, keys=keys),
-                               feed_schema)
-                .withColumn("_commit_version", F.lit(v).cast("bigint"))
-                for v in range(start_version, end_version + 1))
+        # insert scans group by MAP EPISODE: within one episode (same
+        # materialized chain bottom) physical column names are STABLE
+        # — the END version's map therefore reconciles every file of
+        # the episode, including those written BEFORE an ALTER (a
+        # renamed column's pre-ALTER values surface under its new
+        # name, and a dropped-then-re-added name never resurrects the
+        # retired physical column: true column-ID semantics). Files
+        # from OLDER episodes (separated by a materialize) fall back
+        # to their own commit's map + align-by-name, the documented
+        # renamed-away-reads-NULL convention.
+        end_root = self._materialized_root(end_version)
+        insert_groups: dict[str, tuple[list[str], int]] = {}
 
-        insert_files: list[str] = []
+        def add_inserts(v: int, files) -> None:
+            if self._materialized_root(v) == end_root:
+                key, exemplar = "__end_episode__", end_version
+            else:
+                key = json.dumps(metas[v].get("column_map"))
+                exemplar = v
+            insert_groups.setdefault(key, ([], exemplar))[0].extend(files)
+
         cdc_dirs: list[str] = []
         diff_versions: list[int] = []
         files_cache: dict[int, dict] = {}
@@ -2805,9 +3165,8 @@ class ManagedTable:
                     raise FileNotFoundError(
                         f"version {v} of {self.path} was vacuumed; the "
                         f"change feed is past the retention horizon")
-                insert_files.extend(
-                    os.path.join(self.path, meta["dir"], r)
-                    for r in meta["added_files"])
+                add_inserts(v, (os.path.join(self.path, meta["dir"], r)
+                                for r in meta["added_files"]))
                 continue
             if not os.path.isdir(os.path.join(
                     self.path, self._materialized_root(v))):
@@ -2815,7 +3174,7 @@ class ManagedTable:
                     f"version {v} of {self.path} was vacuumed; the "
                     f"change feed is past the retention horizon")
             if v == 0:
-                insert_files.extend(frel(0).values())
+                add_inserts(0, frel(0).values())
                 continue
             parent = metas.get(v - 1) or self._commit(v - 1)
             new_mor = (
@@ -2827,14 +3186,15 @@ class ManagedTable:
                 if new_mor:
                     diff_versions.append(v)
                 continue  # metadata-only
-            if (meta["dir"] == f"v{v}" and not new_mor
+            if ((meta["dir"] == f"v{v}"
+                    or meta["dir"].startswith(f"v{v}-")) and not new_mor
                     and not self._has_mor(parent)
                     and not self._is_mapped(parent)):
                 cur, prev = frel(v), frel(v - 1)
                 added = [p for r, p in cur.items() if r not in prev]
                 removed = [r for r in prev if r not in cur]
                 if not removed:
-                    insert_files.extend(added)
+                    add_inserts(v, added)
                     continue
             diff_versions.append(v)
 
@@ -2847,16 +3207,31 @@ class ManagedTable:
             F.col("_metadata.file_path"),
             _re.escape(self.path) + r"/(?:cdc_)?v(\d+)(?:-[^/]*)?/",
             1).cast("bigint")
-        if insert_files:
-            # fixed-schema scan (no footer sampling); partition values
-            # re-attached from the hive path segments, falling back to
-            # the column read from the file itself for files written
-            # under an earlier, different partition layout
-            df = (self.spark.read.schema(
-                StructType(list(feed_schema.fields)[:-1]))
-                .parquet(*sorted(insert_files)))
-            df = self._attach_partition_cols(
-                df, list(feed_schema.fields)[:-1], insert_files)
+        for _key, (files, exemplar) in sorted(insert_groups.items()):
+            if not files:
+                continue
+            gmeta = metas[exemplar]
+            if gmeta.get("column_map"):
+                # mapped generation: one superset PHYSICAL-schema scan
+                # over the whole era's batches, then ONE map projection
+                # to logical names (partition values re-attached on the
+                # scan relation; _metadata survives the projection for
+                # the version stamp)
+                schema = self._scan_schema(exemplar, gmeta)
+                df = self._apply_column_map(
+                    self._scan_file_list(files, schema.fields), gmeta)
+                df = self._align_to(df, StructType(
+                    list(feed_schema.fields)[:-1]))
+            else:
+                # fixed-schema scan (no footer sampling); partition
+                # values re-attached from the hive path segments,
+                # falling back to the column read from the file itself
+                # for files written under an earlier partition layout
+                df = (self.spark.read.schema(
+                    StructType(list(feed_schema.fields)[:-1]))
+                    .parquet(*sorted(files)))
+                df = self._attach_partition_cols(
+                    df, list(feed_schema.fields)[:-1], files)
             frames.append(
                 df.withColumn(CHANGE_TYPE, F.lit("insert"))
                 .withColumn("_commit_version", ver_from_path))
@@ -2924,6 +3299,14 @@ class ManagedTable:
         cur = self.current_version() if self.exists() else -1
         meta0 = self._commit(cur) if cur >= 0 else {}
         mor = self._has_mor(meta0)
+        if mor and stable_partitions \
+                and self._mor_appends_interleaved(cur, meta0):
+            # appended-after-MOR base rows outrank the carried state by
+            # their path-parsed sequence; hardlinking them into a plain
+            # rewrite dir would reset that to 0 and resurrect older
+            # tombstones/deltas over them — materialize instead (which
+            # also purges the debt)
+            mor, stable_partitions = True, False
         # ``snapshot``: an optional relation derived from THIS table's
         # current read() carrying extra marker columns the condition
         # may reference (the subquery-DML path precomputes its match
@@ -2947,7 +3330,8 @@ class ManagedTable:
             reduce(and_, (F.col(c).eqNullSafe(F.lit(r[c])) for c in pb))
             for r in touched))
         v = cur + 1
-        vdir = os.path.join(self.path, f"v{v}")
+        staged = self._staged_dir_name(v)
+        vdir = os.path.join(self.path, staged)
         rewritten = rewrite_fn(df.filter(member))
         # untouched partitions were validated at their own commits and
         # add_constraint validates existing data, so checking only the
@@ -2972,7 +3356,7 @@ class ManagedTable:
         # snapshot parks.
         self._ensure_readable(vdir, rewritten.schema)
         meta = self._write_cdc(v, cdc, {
-            "version": v, "dir": f"v{v}", "op": operation,
+            "version": v, "dir": staged, "op": operation,
             "ts": time.time(),
             "partitions_rewritten": sorted(touched_rel)})
         if mor:
@@ -3071,6 +3455,21 @@ class ManagedTable:
         return str(v)
 
     @staticmethod
+    def _staged_dir_name(v: int) -> str:
+        """Writer-UNIQUE staging dir name for a materialized rewrite
+        (``v{N}-r{token}``, the rewrite analogue of appends'
+        ``v{N}-a{token}`` batch dirs): two concurrent rewrites can
+        never clobber each other's staged bytes, and an OCC rebase
+        rename can never land on a dir another in-flight writer
+        already staged (os.rename onto a non-empty dir raises
+        ENOTEMPTY, not ConcurrentWriteError). The commit records the
+        full name in ``dir``; path-sequence parsers only rely on the
+        ``v{N}`` prefix (and the ``-a`` marker is reserved for append
+        batch dirs)."""
+        import uuid
+        return f"v{v}-r{uuid.uuid4().hex[:8]}"
+
+    @staticmethod
     def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
         """Relative ``col=value[/col=value...]`` paths at ``depth``."""
         out, stack = [], [("", 0)]
@@ -3151,7 +3550,12 @@ class ManagedTable:
                             except OSError:
                                 shutil.copy2(src, dst)
                 w = head + 1
-                new_dir = f"v{w}"
+                # keep the writer-unique -r{token} suffix through the
+                # rebase (only the version prefix changes), so a rename
+                # can never collide with another writer's staged dir
+                token = os.path.basename(vdir).split("-", 1)
+                new_dir = f"v{w}" + (f"-{token[1]}" if len(token) > 1
+                                     else "")
                 os.rename(vdir, os.path.join(self.path, new_dir))
                 vdir = os.path.join(self.path, new_dir)
                 meta = {**meta, "version": w, "dir": new_dir}
@@ -3245,6 +3649,11 @@ class ManagedTable:
         # merge partition-scoped).
         parent = self._commit(self.current_version())
         mor = self._has_mor(parent)
+        if mor and stable_partitions and self._mor_appends_interleaved(
+                self.current_version(), parent):
+            # see _partial_rewrite: hardlinks would zero appended rows'
+            # resolution sequences under carried MOR state
+            stable_partitions = False
         if not self.partition_by or (mor and not stable_partitions) \
                 or self._is_mapped(parent):
             # mapped parent: hardlinks would mix physical schemas —
@@ -3272,7 +3681,8 @@ class ManagedTable:
             for r in touched))
         cur = self.current_version()
         v = cur + 1
-        vdir = os.path.join(self.path, f"v{v}")
+        staged = self._staged_dir_name(v)
+        vdir = os.path.join(self.path, staged)
         merged = combine(self.read().filter(member), source)
         cons = self.constraints()
         if cons:
@@ -3285,7 +3695,7 @@ class ManagedTable:
         # after the hardlink loop — see _partial_rewrite's ordering note
         self._ensure_readable(vdir, merged.schema)
         meta = {
-            "version": v, "dir": f"v{v}", "op": operation,
+            "version": v, "dir": staged, "op": operation,
             "ts": time.time(), "partitions_rewritten": sorted(touched_rel),
             **(extra_meta or {})}
         if mor:
@@ -3356,7 +3766,8 @@ class ManagedTable:
             self._validate(cons, out)
         curv = self.current_version()
         v = curv + 1
-        vdir = os.path.join(self.path, f"v{v}")
+        staged = self._staged_dir_name(v)
+        vdir = os.path.join(self.path, staged)
         # writes flag=1 (new current) and flag=0 (ONLY newly closed:
         # `merged` was built from the current slice, so every closed row
         # in it closed just now)
@@ -3371,7 +3782,7 @@ class ManagedTable:
         # after the hardlink loop — see _partial_rewrite's ordering note
         self._ensure_readable(vdir, out.schema)
         pub = self._publish(v, {
-            "version": v, "dir": f"v{v}", "op": "MERGE_SCD2",
+            "version": v, "dir": staged, "op": "MERGE_SCD2",
             "ts": time.time(),
             "partitions_rewritten": [f"{flag_col}=1"]})
         # skipping manifests carry forward: hardlinked history entries
@@ -3479,7 +3890,8 @@ class ManagedTable:
                 f"run compact() to materialize it before "
                 f"compact_partitions() (mixed physical schemas)")
         v = curv + 1
-        vdir = os.path.join(self.path, f"v{v}")
+        staged = self._staged_dir_name(v)
+        vdir = os.path.join(self.path, staged)
         os.makedirs(vdir, exist_ok=True)
         todo = set(partition_rels)
         prev_live = self._files_rel(curv)
@@ -3495,7 +3907,7 @@ class ManagedTable:
              .write.mode("overwrite").parquet(os.path.join(vdir, rel)))
         self._link_untouched(prev_live, todo, vdir)
         pub = self._publish(v, {
-            "version": v, "dir": f"v{v}", "op": "OPTIMIZE_PARTITIONS",
+            "version": v, "dir": staged, "op": "OPTIMIZE_PARTITIONS",
             "ts": time.time(), "partitions_rewritten": sorted(todo)})
         # skipping manifests carry forward at O(compacted partitions)
         self._maintain_rewrite_manifests(v, vdir)

@@ -149,6 +149,26 @@ def _part_values_rel(rel: str) -> dict:
     return vals
 
 
+_DDL_JSON_ALIAS = {
+    "int": "integer", "bigint": "long", "smallint": "short",
+    "tinyint": "byte", "dec": "decimal", "numeric": "decimal",
+}
+
+
+def _type_from_ddl(typ: str):
+    """SESSION-FREE primitive-DDL -> Spark type (``_parse_datatype_
+    string`` needs an active SparkContext, which the Python data
+    source worker doesn't have): normalize the SQL aliases and hand
+    to the json-value parser, which handles atomic names and
+    decimal(p,s) without a session."""
+    from pyspark.sql.types import _parse_datatype_json_value
+    t = (typ or "string").strip().lower()
+    head = t.split("(", 1)[0]
+    if head in _DDL_JSON_ALIAS:
+        t = _DDL_JSON_ALIAS[head] + t[len(head):]
+    return _parse_datatype_json_value(t)
+
+
 def _table_schema(path: str):
     """Logical Spark schema of the table HEAD, derived session-free:
     one parquet footer (pyarrow) + directory-encoded partition columns
@@ -157,7 +177,7 @@ def _table_schema(path: str):
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
     from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType, _parse_datatype_string,
+        LongType, StringType, StructField, StructType,
     )
     cur = _current_version(path)
     if cur < 0:
@@ -188,8 +208,12 @@ def _table_schema(path: str):
         phys = {f.name: f for f in struct.fields}
         mapped = StructType()
         for p, logical, typ in cmap:
-            dt = (_parse_datatype_string(typ) if p is None
-                  else phys[p].dataType)
+            # p missing from the sampled footer: a column ADDED under
+            # the live map, physical only in post-ALTER batches — type
+            # from the map's recorded DDL (parsed session-free: this
+            # runs inside the Python data source worker)
+            dt = (phys[p].dataType if p is not None and p in phys
+                  else _type_from_ddl(typ))
             mapped = mapped.add(StructField(logical, dt, True))
         return mapped
     return struct
@@ -197,11 +221,13 @@ def _table_schema(path: str):
 
 class _FilePartition(InputPartition):
     def __init__(self, file: str, part_values: dict,
-                 version: int = -1, kind: str = "insert"):
+                 version: int = -1, kind: str = "insert",
+                 cmap: list | None = None):
         self.file = file
         self.part_values = part_values
         self.version = version       # _commit_version under readChangeFeed
         self.kind = kind             # "insert" (data file) | "cdc"
+        self.cmap = cmap             # commit's column map (phys names)
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
@@ -282,7 +308,8 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                     f"retention horizon")
             return [_FilePartition(
                 os.path.join(vdir_real, r), _part_values_rel(r),
-                version=v, kind="insert")
+                version=v, kind="insert",
+                cmap=meta.get("column_map"))
                 for r in sorted(meta["added_files"])]
         cur = _files_rel(self.path, meta, bool(self.pb))
         prev = ({} if parent is None or meta["dir"] == parent["dir"]
@@ -311,7 +338,8 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         if parent is not None and meta["dir"] == parent["dir"]:
             return []  # metadata-only commit (same map), nothing appended
         return [_FilePartition(p, _part_values_rel(r),
-                               version=v, kind="insert")
+                               version=v, kind="insert",
+                               cmap=meta.get("column_map"))
                 for r, p in sorted(cur.items()) if r not in prev]
 
     def partitions(self, start, end):
@@ -331,16 +359,23 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             return iter(())
         tbl = pq.read_table(partition.file)
         n = len(tbl)
+        # a live column map means the file stores PHYSICAL names: read
+        # each logical field from its mapped physical column (a legacy
+        # None-phys entry, or a column added after this file was
+        # written, falls through to the NULL branch below)
+        phys_of = ({logical: p for p, logical, _t in partition.cmap}
+                   if partition.cmap else {})
         cols = []
         for field in target:
+            name = phys_of.get(field.name, field.name)
             if field.name == "_change_type" and partition.kind == "insert" \
                     and field.name not in tbl.column_names:
                 col = pa.array(["insert"] * n, type=field.type)
             elif field.name == "_commit_version" \
                     and field.name not in tbl.column_names:
                 col = pa.array([partition.version] * n).cast(field.type)
-            elif field.name in tbl.column_names:
-                col = tbl.column(field.name).cast(field.type)
+            elif name is not None and name in tbl.column_names:
+                col = tbl.column(name).cast(field.type)
             elif field.name in partition.part_values:
                 v = partition.part_values[field.name]
                 col = (pa.nulls(n, field.type) if v is None

@@ -992,39 +992,53 @@ def _findall_code(pattern: str, s: str, flags=0) -> list:
             for m in re.findall(pattern, seg, flags)]
 
 
-def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
-                     order_cols: list[str], start: int = 1,
-                     step: int = 1) -> DataFrame:
-    """Fill NULL ``ident`` values (merge-inserted rows) with a dense
-    sequence of the identity domain ``start + k*step`` continuing past
-    the pre-merge target's high-water mark — a 1-row broadcast riding
-    dense_sequence's dynamic offset (zero extra driver jobs).
-
-    The slot counter ``k`` is floored at 0 (never generate before
-    START WITH): an explicit seed outside the generated domain — the
-    reference's -9 unknown member under the default (1,1) — must not
-    pull generated ids below ``start``, matching Delta's sequence
-    behavior. Negative INCREMENT BY tracks the table MIN instead of
-    the MAX (the high-water mark runs downward)."""
-    from .operators.sequence import dense_sequence
-    ident_t = target.schema[ident].dataType
-    have = result.filter(F.col(ident).isNotNull())
-    need = result.filter(F.col(ident).isNull()).drop(ident)
-    # slots already consumed: smallest k >= 0 with start + k*step
-    # strictly beyond every existing value in the step's direction —
-    # floor((edge - start)/|step|) + 1 in EXACT arithmetic: pmod makes
-    # the numerator divisible, so the decimal division is integral (a
-    # double-based F.floor would silently lose ids past 2^53)
+def _slots_taken_expr(ident: str, start: int, step: int):
+    """Aggregate expression: identity SLOTS already consumed by a
+    relation — the smallest k >= 0 with ``start + k*step`` strictly
+    beyond every existing value in the step's direction.
+    floor((edge - start)/|step|) + 1 in EXACT arithmetic: pmod makes
+    the numerator divisible, so the decimal division is integral (a
+    double-based F.floor would silently lose ids past 2^53). Floored
+    at 0 (never generate before START WITH): an explicit seed outside
+    the generated domain — the reference's -9 unknown member under the
+    default (1,1) — must not pull generated ids below ``start``,
+    matching Delta's sequence behavior. Negative INCREMENT BY tracks
+    the table MIN instead of the MAX (the high-water mark runs
+    downward)."""
     edge = (F.max(ident) if step > 0 else F.min(ident)) \
         .cast("decimal(38,0)")
     num = (edge - F.lit(start)) if step > 0 else (F.lit(start) - edge)
     b = abs(step)
     past = ((num - F.pmod(num, F.lit(b))) / F.lit(b)).cast("bigint") \
         + F.lit(1)
-    slots = target.agg(
-        F.greatest(F.coalesce(past, F.lit(0)), F.lit(0))
-        .cast("bigint").alias("_slots"))
-    seq = dense_sequence(need, order_cols, ident, offset_df=slots)
+    return (F.greatest(F.coalesce(past, F.lit(0)), F.lit(0))
+            .cast("bigint").alias("_slots"))
+
+
+def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
+                     order_cols: list[str], start: int = 1,
+                     step: int = 1,
+                     base_slots: int | None = None) -> DataFrame:
+    """Fill NULL ``ident`` values (merge-inserted rows) with a dense
+    sequence of the identity domain ``start + k*step`` continuing past
+    the pre-merge target's high-water mark — a 1-row broadcast riding
+    dense_sequence's dynamic offset (zero extra driver jobs).
+
+    ``base_slots``: a pre-RESERVED slot base (see
+    ``ManagedTable.reserve_identity``) — the caller already owns
+    ``[base_slots, base_slots + |need|)``, so the target aggregate is
+    skipped entirely and the assignment is independent of the read
+    snapshot (what makes a reserving INSERT blind and OCC-retryable)."""
+    from .operators.sequence import dense_sequence
+    ident_t = target.schema[ident].dataType
+    have = result.filter(F.col(ident).isNotNull())
+    need = result.filter(F.col(ident).isNull()).drop(ident)
+    if base_slots is not None:
+        seq = dense_sequence(need, order_cols, ident,
+                             offset=int(base_slots))
+    else:
+        slots = target.agg(_slots_taken_expr(ident, start, step))
+        seq = dense_sequence(need, order_cols, ident, offset_df=slots)
     val = F.lit(start) + (F.col(ident) - F.lit(1)) * F.lit(step)
     return have.unionByName(
         seq.withColumn(ident, val.cast(ident_t))
@@ -1213,8 +1227,13 @@ class LakehouseSql:
                                else _up.unquote(val))
                 rows.append((rel, *[vals.get(c) for c in pb]))
             types = {f.name: f.dataType for f in t.read().schema.fields}
+            # explicit all-string schema: inference over the decoded
+            # partition values fails outright when a column is None in
+            # every live partition (__HIVE_DEFAULT_PARTITION__
+            # throughout); the cast below re-types exactly as before
             df = self.spark.createDataFrame(
-                rows, ["__rel"] + pb, )
+                rows, "__rel string, " + ", ".join(
+                    f"`{c}` string" for c in pb))
             for c in pb:
                 df = df.withColumn(c, F.col(c).cast(types[c]))
             matched = [r["__rel"] for r in
@@ -2656,15 +2675,24 @@ class LakehouseSql:
                                           *_ident_params(info))
             return tbl.overwrite(result, operation="INSERT OVERWRITE")
         # plain INSERT INTO: O(batch) append commit — only the new
-        # rows' files are written; every existing file hardlinks
-        # forward (ManagedTable.append). Identity ids continue past
-        # the current snapshot's high-water mark.
+        # rows' files are written (ManagedTable.append). Identity ids
+        # come from a RESERVED range (r10): the batch's slot range is
+        # allocated in a tiny flock-guarded counter pre-commit, floored
+        # at the live snapshot's high-water mark so merge-assigned or
+        # explicit ids are never re-issued — which makes the append
+        # BLIND and therefore OCC-retryable: two concurrent identity
+        # INSERTs both commit with disjoint keys (pre-r10 the loser
+        # raised). A reservation lost to a crash leaves an id gap, the
+        # standard identity contract.
         if needs_ident:
+            start_, step_ = _ident_params(info)
+            batch = batch.persist()
+            n = batch.count()
+            floor = cur.agg(
+                _slots_taken_expr(ident, start_, step_)
+            ).collect()[0]["_slots"]
+            base = tbl.reserve_identity(ident, n, floor)
             batch = _assign_identity(batch, cur, ident,
                                      [c for c in cols],
-                                     *_ident_params(info))
-        # identity ids were computed from THIS read snapshot: the
-        # append is not blind, so a lost commit race must raise
-        # (retrying would re-issue ids another writer may have taken)
-        return tbl.append(batch, operation="INSERT",
-                          occ_retry=not needs_ident)
+                                     start_, step_, base_slots=base)
+        return tbl.append(batch, operation="INSERT", occ_retry=True)

@@ -115,11 +115,14 @@ def test_append_validates_new_rows_against_check_constraints(
     assert t.read().count() == 11
 
 
-def test_append_on_mor_parent_materializes_correctly(spark, tmp_base):
-    """A tombstone from a MOR delete is NEWER than base sequence 0, so
-    a naive hardlink append of a row sharing the deleted key would be
-    re-deleted at read time. The MOR-parent fallback materializes the
-    resolved state + batch instead — the re-inserted key survives."""
+def test_append_on_mor_parent_stays_o_batch(spark, tmp_base):
+    """Round 10: an append onto a tombstone-carrying head no longer
+    materializes — the batch's rows resolve at THIS commit's sequence
+    (path-parsed from the v{N}-a batch dir), outranking the older
+    tombstone, so the re-inserted key survives with only the batch's
+    files written and the MOR debt carried forward in metadata
+    (pre-r10 this append rewrote the whole table to dodge the
+    tombstone; see test_mor_appends.py for the full matrix)."""
     t = ManagedTable(spark, os.path.join(tmp_base, "t"))
     t.overwrite(spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "k long, s string"))
@@ -127,9 +130,10 @@ def test_append_on_mor_parent_materializes_correctly(spark, tmp_base):
     t.append(spark.createDataFrame([(2, "b2")], "k long, s string"))
     got = {(r["k"], r["s"]) for r in t.read().collect()}
     assert got == {(1, "a"), (2, "b2"), (3, "c")}
-    # the materializing commit purged the MOR debt
+    # O(batch): an append commit carrying the tombstone forward
     meta = t._commit(t.current_version())
-    assert not meta.get("tombstones") and not meta.get("deltas")
+    assert meta.get("added_files") and meta.get("tombstones")
+    assert meta["live_base"] == t.current_version() - 1
 
 
 def test_partition_scoped_delete_emptying_touched_partitions(

@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -508,7 +509,8 @@ def test_partial_rewrite_mirror_is_partition_scoped(spark, tmp_base):
     adds = [a["add"]["path"] for a in entry if "add" in a]
     assert removes and all("/k=b/" in p for p in removes), removes
     assert adds and all("/k=b/" in p for p in adds), adds
-    assert all(p.startswith("v1/") for p in adds)
+    # rewrite staging dirs are writer-unique since r10 (v1-r{token})
+    assert all(re.match(r"v1(-r[0-9a-f]{8})?/", p) for p in adds)
     assert [a for a in entry if "cdc" in a], "recorded cdc must mirror"
     got = {(r["id"], r["v"]) for r in read_delta(spark, t.path).collect()}
     assert got == {(1, 10.0), (2, 22.0), (3, 30.0)}

@@ -115,9 +115,12 @@ def test_metadata_evolution_on_append_chain(spark, chain):
     got = t.read()
     assert "extra" in got.columns
     assert got.filter(F.col("extra").isNull()).count() == 6
-    # appends on a mapped parent materialize (physical schemas align)
+    # appends on a mapped parent stay O(batch) since r10: the batch is
+    # written on the current physical schema, the map stays live
     t.append(spark.createDataFrame(
         [(7, "g", 0, 9)], "id long, k string, p int, extra int"))
+    head = t._commit(t.current_version())
+    assert head.get("added_files") and head.get("column_map")
     assert _rows(t.read().select("id", "extra")) == [
         (1, None), (2, None), (3, None), (4, None), (5, None),
         (6, None), (7, 9)]

@@ -1113,16 +1113,16 @@ def test_partitioned_mor_update_delete_stay_partition_scoped(spark, tmp_path):
                                        "k int, pt int, v double"),
                  key_cols=("k",))
 
-    def inodes(version, pt):
-        d = os.path.join(t.path, f"v{version}")
+    def inodes(dirname, pt):
+        d = os.path.join(t.path, dirname)
         return {os.path.basename(p): os.stat(p).st_ino for p in glob.glob(
             os.path.join(d, f"pt={pt}", "*.parquet"))}
 
-    base_v = int(t._commit(t.current_version())["dir"].lstrip("v"))
+    base_v = t._commit(t.current_version())["dir"]
     before = {pt: inodes(base_v, pt) for pt in (0, 2)}
     # UPDATE touches only pt=1 rows
     t.update((F.col("k") == 7), {"v": F.lit(-7.0)}, stable_partitions=True)
-    new_v = int(t._commit(t.current_version())["dir"].lstrip("v"))
+    new_v = t._commit(t.current_version())["dir"]
     assert new_v != base_v
     for pt in (0, 2):
         after = inodes(new_v, pt)
@@ -1132,7 +1132,7 @@ def test_partitioned_mor_update_delete_stay_partition_scoped(spark, tmp_path):
     # DELETE likewise: only pt=2 rewritten, MOR carry preserved
     before = {pt: inodes(new_v, pt) for pt in (0,)}
     t.delete(F.col("k") == 8, stable_partitions=True)
-    final_v = int(t._commit(t.current_version())["dir"].lstrip("v"))
+    final_v = t._commit(t.current_version())["dir"]
     assert inodes(final_v, 0) == before[0]
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert set(rows) == {0, 2, 3, 4, 5, 6, 7} and rows[4] == 40.0

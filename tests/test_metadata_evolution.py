@@ -79,19 +79,38 @@ def test_alter_rename_and_drop_are_metadata_only_and_stack(
     assert t.read().filter(F.col("a2") == 1).count() == 1
 
 
-def test_next_write_materializes_and_preserves_data(spark, lake):
+def test_insert_after_evolution_stays_mapped_o_batch(spark, lake):
+    """Round 10 (VERDICT r9 #1): the first INSERT after ALTER ADD/
+    RENAME writes ONLY its batch's files in the CURRENT physical
+    schema — the map stays live, nothing materializes (Delta
+    columnMapping parity; pre-r10 this commit rewrote the table)."""
     lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
     lake.sql("INSERT INTO stg.t VALUES (1, 'a')")
     lake.sql("ALTER TABLE stg.t RENAME COLUMN v TO label")
     lake.sql("ALTER TABLE stg.t ADD COLUMN n INT")
-    # the next INSERT materializes the logical schema physically
-    lake.sql("INSERT INTO stg.t VALUES (2, 'b', 7)")
     t = lake.table("stg.t")
+    import glob
+    before = set(glob.glob(f"{t.path}/**/*.parquet", recursive=True))
+    lake.sql("INSERT INTO stg.t VALUES (2, 'b', 7)")
+    after = set(glob.glob(f"{t.path}/**/*.parquet", recursive=True))
     meta = t._commit(t.current_version())
-    assert not meta.get("column_map")
+    # O(batch): an append commit carrying the live map forward
+    assert meta.get("added_files") and meta.get("column_map")
+    # no pre-existing file touched, copied, or hardlinked
+    for f in before:
+        assert os.stat(f).st_nlink == 1
+    new = after - before
+    assert new and all("-a" in os.path.relpath(f, t.path).split("/")[0]
+                       for f in new)
     rows = {(r["k"], r["label"], r["n"]) for r in t.read().collect()}
     assert rows == {(1, "a", None), (2, "b", 7)}
-    # physical files now carry the logical names
+    # the batch files carry the PHYSICAL names (v stays v; n assigned)
+    raw = spark.read.parquet(*sorted(new))
+    assert set(raw.columns) == {"k", "v", "n"}
+    # a materializing write (OVERWRITE) clears the map and renames
+    lake.sql("INSERT OVERWRITE stg.t VALUES (3, 'c', 1)")
+    meta = t._commit(t.current_version())
+    assert not meta.get("column_map")
     raw = spark.read.parquet(t._version_dir(t.current_version()))
     assert set(raw.columns) == {"k", "label", "n"}
 

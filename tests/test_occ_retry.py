@@ -96,20 +96,27 @@ def test_overwrite_losing_to_append_still_raises(spark, tmp_base):
     assert _rows(a.read()) == [(1,), (2,)]
 
 
-def test_append_losing_to_mor_commit_raises(spark, tmp_base):
-    """A blind append can NOT retry on top of a head carrying
-    merge-on-read state: its base rows (sequence 0) would be shadowed
-    by the carried tombstones/deltas — same reason the fast path
-    materializes. First-writer-wins is preserved there."""
+def test_append_losing_to_mor_commit_rebases(spark, tmp_base):
+    """Round 10: a blind append CAN retry on top of a head that picked
+    up merge-on-read state mid-race — the rebased batch dir renames to
+    the new version, so its rows outrank the carried tombstones/deltas
+    by path-parsed sequence (one valid serial order: delete, THEN
+    append). Both commits survive; pre-r10 this raised."""
     a = ManagedTable(spark, f"{tmp_base}/t")
     a.overwrite(spark.createDataFrame([(1, "x")], "id long, s string"))
     b = ManagedTable(spark, f"{tmp_base}/t")
     _inject_before_publish(a, lambda: b.delete_mor(
         F.col("id") == 1, key_cols=("id",)))
-    with pytest.raises(ConcurrentWriteError):
-        a.append(spark.createDataFrame([(1, "y")], "id long, s string"))
-    # winner's state intact, loser's staged batch never became visible
-    assert _rows(a.read()) == []
+    a.append(spark.createDataFrame([(1, "y")], "id long, s string"))
+    assert a.current_version() == 2
+    meta = a._commit(2)
+    # the rebased append carries the winner's tombstone forward ...
+    assert meta["tombstones"] == a._commit(1)["tombstones"]
+    assert meta.get("occ_rebased") is True
+    # ... and its own re-appended row outranks it (seq 2 > tomb 1)
+    assert _rows(a.read()) == [(1, "y")]
+    # time travel still sees the winner's state alone
+    assert _rows(a.read(1)) == []
 
 # ---------------- partition-scoped rewrite vs blind append (round 9) ----
 
@@ -292,11 +299,13 @@ def test_concurrent_copy_into_manifest_stays_complete(
     assert t.current_version() == v and t.read().count() == 15
 
 
-def test_identity_insert_losing_race_raises(spark, tmp_base):
-    """An INSERT whose identity ids derive from the read snapshot is
-    NOT a blind append: a lost commit race raises instead of
-    re-issuing ids the winner may have taken (Delta conflicts
-    identity-updating transactions the same way)."""
+def test_concurrent_identity_inserts_both_commit_disjoint(
+        spark, tmp_base):
+    """Round 10 (VERDICT r9 #5): identity ids come from a RESERVED
+    slot range (tiny flock-guarded counter, floored at the snapshot's
+    high-water mark), so an identity INSERT is a blind append — two
+    concurrent identity INSERTs both commit with DISJOINT keys
+    (pre-r10 the loser raised ConcurrentWriteError)."""
     from tb_lakehouse_enhanced_spark.sqlfront import LakehouseSql
     lake = LakehouseSql(spark, f"{tmp_base}/lake")
     lake_b = LakehouseSql(spark, f"{tmp_base}/lake")
@@ -314,20 +323,22 @@ def test_identity_insert_losing_race_raises(spark, tmp_base):
             lake_b.sql("INSERT INTO d.t (v) VALUES ('winner')")
         return orig(self, v, meta)
 
-    import types as _types
     ManagedTable._publish = racing
     try:
-        with pytest.raises(ConcurrentWriteError):
-            lake.sql("INSERT INTO d.t (v) VALUES ('loser')")
+        lake.sql("INSERT INTO d.t (v) VALUES ('loser-no-more')")
     finally:
         ManagedTable._publish = orig
-    del _types
     t = lake.table("d.t")
-    ids = sorted(r["id"] for r in t.read().collect())
-    assert ids == [1, 2]        # seed + winner, no duplicate ids
-    # a plain retry of the statement now succeeds past the new head
-    lake.sql("INSERT INTO d.t (v) VALUES ('loser')")
-    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    rows = {r["v"]: r["id"] for r in t.read().collect()}
+    assert set(rows) == {"seed", "winner", "loser-no-more"}
+    # all three ids distinct, none re-issued
+    assert len(set(rows.values())) == 3
+    assert rows["seed"] == 1
+    # GENERATED ALWAYS fidelity: explicit inserts still rejected
+    lake.sql("CREATE TABLE d.t2 (id BIGINT GENERATED ALWAYS AS "
+             "IDENTITY, v STRING)")
+    with pytest.raises(Exception, match="ALWAYS"):
+        lake.sql("INSERT INTO d.t2 VALUES (5, 'x')")
 
 
 # ---------------- blind merge-on-read commits vs races (round 9) --------

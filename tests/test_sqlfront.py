@@ -842,7 +842,7 @@ def test_merge_statement_is_partition_scoped(spark, lake, tmp_path):
         "k int, month string, v double"))
 
     def inodes(ver, month):
-        d = os.path.join(t.path, f"v{ver}", f"month={month}")
+        d = os.path.join(t.path, t._commit(ver)["dir"], f"month={month}")
         return {os.path.basename(p): os.stat(p).st_ino
                 for p in glob.glob(os.path.join(d, "*.parquet"))}
     before = {m: inodes(0, m) for m in ("2024-02", "2024-03")}
@@ -1445,7 +1445,7 @@ def test_sql_merge_partitioned_scenario_hardlinks(spark):
     assert meta["partitions_rewritten"] == ["l_bucket=0", "l_bucket=1"]
 
     def inodes(ver, bucket):
-        d = os.path.join(root, f"v{ver}", f"l_bucket={bucket}")
+        d = os.path.join(root, t._commit(ver)["dir"], f"l_bucket={bucket}")
         return {os.path.basename(p): os.stat(p).st_ino
                 for p in glob.glob(os.path.join(d, "*.parquet"))}
     for b in (2, 7, 15):
@@ -1525,7 +1525,7 @@ def test_subquery_dml_partition_scoped(spark, lake):
              "SELECT * FROM VALUES (1), (2) AS t(oid)")
 
     def inodes(ver, b):
-        d = os.path.join(t.path, f"v{ver}", f"bucket={b}")
+        d = os.path.join(t.path, t._commit(ver)["dir"], f"bucket={b}")
         return {f: os.stat(os.path.join(d, f)).st_ino
                 for f in os.listdir(d)}
 
