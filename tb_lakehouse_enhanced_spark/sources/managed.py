@@ -228,7 +228,11 @@ class ManagedTable:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         meta = self._commit(v)
         df = self._base_scan(v, meta)
-        return self._resolve_mor(self._apply_column_map(df, meta), meta)
+        # merge-on-read state resolves on the PHYSICAL plane (delta and
+        # tombstone files are written with the physical schema, r10),
+        # then the column map projects physical -> logical — identical
+        # composition when either half is absent
+        return self._apply_column_map(self._resolve_mor(df, meta), meta)
 
     # -- log-native file listing ----------------------------------------------
     #
@@ -428,6 +432,15 @@ class ManagedTable:
         dir; partition values re-attach from each file's path."""
         meta = meta if meta is not None else self._commit(v)
         if meta.get("live_base") is None:
+            if meta.get("column_map"):
+                # a MAPPED materialized commit (partition-scoped DML
+                # under a live map) mixes hardlinked pre-ALTER files
+                # with rewritten current-physical ones in one dir: pin
+                # the superset schema so footer sampling can't drop a
+                # column only some files carry
+                return self.spark.read.schema(
+                    self._scan_schema(v, meta, root=meta["dir"])
+                ).parquet(self._version_dir(v))
             return self.spark.read.parquet(self._version_dir(v))
         root, files = self._chain_resolve(v)
         live = sorted(files.values())
@@ -641,7 +654,14 @@ class ManagedTable:
             return df
         from pyspark.sql import Window
         from pyspark.sql import functions as F
-        keys = list(meta["tombstone_keys"])
+        # resolution runs on the PHYSICAL plane: under a live column
+        # map the commit's delta/tombstone files carry physical column
+        # names (written by upsert_mor/delete_mor's logical->physical
+        # rename), and ``tombstone_keys`` records LOGICAL names — map
+        # them here; the identity fallback covers unmapped commits
+        phys_of = {logical: p for p, logical, _t in
+                   (meta.get("column_map") or [])}
+        keys = [phys_of.get(k, k) for k in meta["tombstone_keys"]]
         base_seq = self._base_seq_expr()
         if not deltas:
             # deletes only — the cheap fast path: ONE join against the
@@ -688,8 +708,18 @@ class ManagedTable:
             F.col("_metadata.file_path"),
             r"/(?:delta|tomb)_v(\d+)[^/]*/[^/]+$", 1) \
             .cast("long")
-        delta_rows = (self.spark.read.parquet(
+        delta_scan = self.spark.read.parquet(
             *[os.path.join(self.path, d) for d in deltas])
+        # align the delta relation to the base's columns: under a live
+        # map the base superset schema can carry physical columns the
+        # current map dropped (still present in old files) which delta
+        # batches don't write — they read as typed NULL, exactly the
+        # fixed-schema convention (projected away by the map anyway)
+        have = set(delta_scan.columns)
+        delta_rows = (delta_scan.select(*[
+            (F.col(f.name) if f.name in have
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in df.schema.fields])
             .withColumn("_mor_seq", seq_from_path))
         rows = df.withColumn("_mor_seq", base_seq) \
             .unionByName(delta_rows)
@@ -705,6 +735,20 @@ class ManagedTable:
                       .filter(F.col("_mor_tseq").isNull()
                               | (F.col("_mor_tseq") < F.col("_mor_seq"))))
         return winner.drop("_mor_seq", "_mor_rn", "_mor_tseq")
+
+    def _usable_map_or_compact(self, parent: dict):
+        """The parent's column map when it is LIVE-usable for O(batch)
+        merge-on-read writes (every entry carries a physical name),
+        None when unmapped — or False after materializing a LEGACY
+        pre-r10 map (None-phys added columns can't receive values in
+        new files); the caller must re-read the head then."""
+        cmap = parent.get("column_map")
+        if not cmap:
+            return None
+        if any(p is None for p, _l, _t in cmap):
+            self.compact()
+            return False
+        return cmap
 
     def upsert_mor(self, source: DataFrame, key_cols: tuple[str, ...],
                    extra_meta: dict | None = None,
@@ -725,24 +769,35 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
-        if self._is_mapped(parent):
-            # delta batches carry the table schema; a pending
-            # metadata-only column map would leave base files on the
-            # physical schema and deltas on the logical one —
-            # materialize the map once, then ingest O(batch) again
-            self.compact()
+        cmap = self._usable_map_or_compact(parent)
+        if cmap is False:       # legacy None-phys map was materialized
             cur = self.current_version()
             parent = self._commit(cur)
+            cmap = None
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
                 f"stacked MOR commits must share key columns; table has "
                 f"{prev_keys}, got {list(key_cols)}")
-        base_cols = self._base_scan(cur, parent).columns
-        if set(source.columns) != set(base_cols):
-            raise ValueError(
-                f"MOR upsert source columns {sorted(source.columns)} != "
-                f"table columns {sorted(base_cols)}")
+        if cmap:
+            # live column map (r10): the source arrives LOGICAL and the
+            # delta batch is WRITTEN physical (like append) — zero
+            # materialize; resolution translates the keys at read time
+            logical = [lg for _p, lg, _t in cmap]
+            if set(source.columns) != set(logical):
+                raise ValueError(
+                    f"MOR upsert source columns {sorted(source.columns)}"
+                    f" != table columns {sorted(logical)}")
+            from pyspark.sql import functions as F
+            batch = source.select(*[F.col(lg).alias(p)
+                                    for p, lg, _t in cmap])
+        else:
+            base_cols = self._base_scan(cur, parent).columns
+            if set(source.columns) != set(base_cols):
+                raise ValueError(
+                    f"MOR upsert source columns {sorted(source.columns)}"
+                    f" != table columns {sorted(base_cols)}")
+            batch = source.select(*base_cols)
         import uuid
         v = cur + 1
         # writer-UNIQUE state dir (like append's batch dirs): two
@@ -750,7 +805,7 @@ class ManagedTable:
         # the resolution sequence parses from the `delta_v{N}` prefix
         # and ignores the suffix
         delta_dir = f"delta_v{v}-m{uuid.uuid4().hex[:8]}"
-        (source.select(*base_cols).write.mode("overwrite")
+        (batch.write.mode("overwrite")
          .parquet(os.path.join(self.path, delta_dir)))
         deltas = list(parent.get("deltas") or []) + [delta_dir]
         meta = {"version": v, "dir": parent["dir"],
@@ -759,8 +814,11 @@ class ManagedTable:
                 "live_base": cur, **(extra_meta or {})}
         if parent.get("tombstones"):
             meta["tombstones"] = parent["tombstones"]
+        for k in ("column_map", "phys_retired"):
+            if parent.get(k):
+                meta[k] = parent[k]
         return self._publish_mor_blind(v, meta, delta_dir, key_cols,
-                                       set(base_cols), occ_retry)
+                                       set(batch.columns), occ_retry)
 
     def update_mor(self, condition, assignments: dict,
                    key_cols: tuple[str, ...]) -> "ManagedTable":
@@ -805,24 +863,27 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
-        if self._is_mapped(parent):
-            # tombstone key files are written on the logical schema;
-            # materialize the pending column map first so base and
-            # tombstones agree (see upsert_mor)
-            self.compact()
+        cmap = self._usable_map_or_compact(parent)
+        if cmap is False:
             cur = self.current_version()
             parent = self._commit(cur)
+            cmap = None
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
                 f"stacked MOR deletes must share key columns; table has "
                 f"{prev_keys}, got {list(key_cols)}")
+        from pyspark.sql import functions as F  # noqa: F811
+        phys_of = {lg: p for p, lg, _t in (cmap or [])}
         import uuid
         v = cur + 1
         # writer-unique name (no clobber under races); the condition
-        # route reads the snapshot, so it stays first-writer-wins
+        # route reads the snapshot, so it stays first-writer-wins.
+        # Under a live map the key tuples are written with PHYSICAL
+        # names (the plane resolution joins on, see _resolve_mor)
         tomb_dir = f"tomb_v{v}-m{uuid.uuid4().hex[:8]}"
-        (self.read().filter(condition).select(*key_cols)
+        (self.read().filter(condition)
+         .select(*[F.col(k).alias(phys_of.get(k, k)) for k in key_cols])
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
@@ -830,8 +891,9 @@ class ManagedTable:
                 "op": "DELETE (merge-on-read)", "ts": time.time(),
                 "tombstones": tombs, "tombstone_keys": list(key_cols),
                 "live_base": cur}
-        if parent.get("deltas"):
-            meta["deltas"] = parent["deltas"]
+        for k in ("deltas", "column_map", "phys_retired"):
+            if parent.get(k):
+                meta[k] = parent[k]
         return self._publish(v, meta)
 
     def delete_mor_keys(self, keys_df: DataFrame,
@@ -848,19 +910,23 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
-        if self._is_mapped(parent):
-            self.compact()
+        cmap = self._usable_map_or_compact(parent)
+        if cmap is False:
             cur = self.current_version()
             parent = self._commit(cur)
+            cmap = None
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
                 f"stacked MOR deletes must share key columns; table has "
                 f"{prev_keys}, got {list(key_cols)}")
+        from pyspark.sql import functions as F  # noqa: F811
+        phys_of = {lg: p for p, lg, _t in (cmap or [])}
         import uuid
         v = cur + 1
         tomb_dir = f"tomb_v{v}-m{uuid.uuid4().hex[:8]}"  # writer-unique
         (keys_df.select(*key_cols).dropDuplicates(list(key_cols))
+         .select(*[F.col(k).alias(phys_of.get(k, k)) for k in key_cols])
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
@@ -868,8 +934,9 @@ class ManagedTable:
                 "op": "DELETE (merge-on-read)", "ts": time.time(),
                 "tombstones": tombs, "tombstone_keys": list(key_cols),
                 "live_base": cur, **(extra_meta or {})}
-        if parent.get("deltas"):
-            meta["deltas"] = parent["deltas"]
+        for k in ("deltas", "column_map", "phys_retired"):
+            if parent.get(k):
+                meta[k] = parent[k]
         return self._publish_mor_blind(v, meta, tomb_dir, key_cols, None,
                                        True)
 
@@ -901,15 +968,28 @@ class ManagedTable:
                     raise
                 head = self.current_version()
                 new_parent = self._commit(max(head, v))
-                if self._is_mapped(new_parent):
+                if new_parent.get("column_map") != meta.get("column_map"):
+                    # the physical schema plane moved mid-race (an
+                    # ALTER or a materialize): the staged state files
+                    # are on the wrong layout — real conflict
                     raise
                 pk = new_parent.get("tombstone_keys")
                 if pk and tuple(pk) != tuple(key_cols):
                     raise
+                phys_of = {lg: p for p, lg, _t in
+                           (meta.get("column_map") or [])}
                 base_cols = set(self._base_scan(
                     max(head, v), new_parent).columns)
-                if (need_cols is not None and base_cols != need_cols) \
-                        or not set(key_cols) <= base_cols:
+                # mapped: the superset scan schema may carry dropped-
+                # from-map leftovers next to the batch's phys columns,
+                # so subset is the right check; unmapped keeps the
+                # strict equality (any schema change = real conflict)
+                schema_ok = (need_cols is None
+                             or (need_cols <= base_cols
+                                 if meta.get("column_map")
+                                 else base_cols == need_cols))
+                if not schema_ok or not {phys_of.get(k, k)
+                                         for k in key_cols} <= base_cols:
                     raise   # the head replaced the schema underneath us
                 w = max(head + 1, v + 1)
                 suffix = state_dir.split("-", 1)
@@ -2298,6 +2378,17 @@ class ManagedTable:
             return
         new_dir = os.path.basename(vdir)
         parent_dir = self._commit(v - 1)["dir"]
+        # a mapped rewrite's fresh files carry PHYSICAL names while the
+        # manifest keys on LOGICAL stat columns — aggregate through the
+        # map (same translation as the append-side maintenance)
+        phys_of = {lg: p for p, lg, _t in
+                   (self._commit(v).get("column_map") or [])}
+
+        def _src(c):
+            pc = phys_of.get(c, c) if phys_of else c
+            return (F.lit(None).cast("string") if pc is None
+                    else F.col(pc))
+
         stats = self._load_stats(v - 1)
         walk: dict[str, str] = {}       # rel-in-version -> abs path
         for wroot, _dirs, fns in os.walk(vdir):
@@ -2325,11 +2416,12 @@ class ManagedTable:
             entries = []
             fresh = new_files(covered)
             if fresh:
-                fields = self.spark.read.parquet(vdir).schema.fields
+                fields = self._scan_schema(
+                    v, self._commit(v), root=new_dir).fields
                 aggs = []
                 for c in cols:
-                    aggs += [F.min(F.col(c)).alias(f"min__{c}"),
-                             F.max(F.col(c)).alias(f"max__{c}")]
+                    aggs += [F.min(_src(c)).alias(f"min__{c}"),
+                             F.max(_src(c)).alias(f"max__{c}")]
                 rows = (self._scan_file_list(fresh, fields)
                         .groupBy(F.col("_metadata.file_path").alias("file"))
                         .agg(*aggs).collect())
@@ -2361,14 +2453,16 @@ class ManagedTable:
                 merged[walk[rel_in]] = words
             fresh = new_files(covered)
             if fields is None and fresh:
-                fields = self.spark.read.parquet(vdir).schema.fields
-            if fresh and col in {f.name for f in fields}:
+                fields = self._scan_schema(
+                    v, self._commit(v), root=new_dir).fields
+            pc = phys_of.get(col, col) if phys_of else col
+            if fresh and pc is not None and pc in {f.name for f in fields}:
                 m_bits, k = pb["m_bits"], pb["k"]
                 words = (self._scan_file_list(fresh, fields)
-                         .filter(F.col(col).isNotNull())
+                         .filter(F.col(pc).isNotNull())
                          .select(F.col("_metadata.file_path").alias("file"),
                                  F.explode(self._bloom_positions(
-                                     F.col(col), m_bits, k)).alias("p"))
+                                     F.col(pc), m_bits, k)).alias("p"))
                          .select("file",
                                  (F.col("p") / 64).cast("int").alias("w"),
                                  F.expr("shiftleft(CAST(1 AS BIGINT), "
@@ -2648,12 +2742,14 @@ class ManagedTable:
         # MOR: even with zero kept base files, delta files may hold
         # matching rows — resolve over an (empty) base of the right
         # schema; Catalyst folds filter(false) to an empty relation.
-        # (MOR and column_map never coexist on one commit, so the map
-        # application above and the resolution here never both fire.)
+        # Resolution runs on the physical plane, then the commit's
+        # column map (live MOR-on-mapped since r10) projects logical
+        # before the exact filter — the same composition as read().
         base = (self._scan_file_list(
             files, self._base_scan(v, meta).schema.fields) if files else
             self._base_scan(v, meta).filter(F.lit(False)))
-        return self._resolve_mor(base, meta).filter(cond)
+        return self._apply_column_map(
+            self._resolve_mor(base, meta), meta).filter(cond)
 
     def checkpoint_mirror(self, parts: int | None = None) -> int:
         """Checkpoint the Delta-log MIRROR (one parquet of the live
@@ -2993,10 +3089,17 @@ class ManagedTable:
             if not new_deltas and not new_tombs:
                 return empty()  # metadata-only (column map / no-op restore)
             # merge-on-read ingest: the new delta/tombstone files ARE the
-            # change batch; restrict both resolved states to its keys
+            # change batch; restrict both resolved states to its keys.
+            # Under a live map the state files carry PHYSICAL key
+            # names — select them back to logical for the semi-joins
+            # against the (logical) reads.
             mkeys = list(meta["tombstone_keys"])
+            phys_of = {lg: p for p, lg, _t in
+                       (meta.get("column_map") or [])}
             batches = [self.spark.read.parquet(os.path.join(self.path, d))
-                       .select(*mkeys) for d in new_deltas + new_tombs]
+                       .select(*[F.col(phys_of.get(k, k)).alias(k)
+                                 for k in mkeys])
+                       for d in new_deltas + new_tombs]
             kdf = batches[0]
             for b in batches[1:]:
                 kdf = kdf.unionByName(b)
@@ -3023,12 +3126,19 @@ class ManagedTable:
             return (self._align_to(self._read_files(
                 added, self._version_dir(v), meta), schema_v)
                 .withColumn(CHANGE_TYPE, F.lit("insert")))
+        same_map_rewrite = (
+            meta.get("column_map") == parent.get("column_map")
+            and meta.get("partitions_rewritten") is not None)
         if (self._has_mor(meta) or self._has_mor(parent)
-                or self._is_mapped(meta) or self._is_mapped(parent)):
-            # materializing / restore across MOR or column-map state:
-            # physical file identity says nothing about logical rows —
-            # resolved endpoint diff (the producing write was already
-            # O(table), so the feed cost is proportionate)
+                or ((self._is_mapped(meta) or self._is_mapped(parent))
+                    and not same_map_rewrite)):
+            # materializing / restore across MOR or a column-map
+            # CHANGE: physical file identity says nothing about
+            # logical rows — resolved endpoint diff (the producing
+            # write was already O(table), so the feed cost is
+            # proportionate). A partition-scoped rewrite UNDER an
+            # unchanged live map keeps the O(touched) file-diff below
+            # (its files scan through the map).
             return changes_between(
                 self._align_to(self.read(v - 1), schema_v),
                 self._align_to(self.read(v), schema_v), keys=keys)
@@ -3040,13 +3150,22 @@ class ManagedTable:
             return empty()
         # either side's file list may span version dirs (log-native
         # parents, restore targets): fixed-schema multi-path scan with
-        # partition columns re-attached from the hive path segments
-        after = (self._align_to(self._scan_file_list(
-            added, schema_v.fields), schema_v)
-            if added else None)
-        before = (self._align_to(self._scan_file_list(
-            removed, schema_v.fields), schema_v)
-            if removed else None)
+        # partition columns re-attached from the hive path segments —
+        # under a live map, with the superset PHYSICAL schema and the
+        # map projected on top (physical names are stable within the
+        # episode, so one map serves both sides)
+        if meta.get("column_map"):
+            pf = self._scan_schema(v, meta).fields
+
+            def side(files):
+                return self._align_to(self._apply_column_map(
+                    self._scan_file_list(files, pf), meta), schema_v)
+        else:
+            def side(files):
+                return self._align_to(self._scan_file_list(
+                    files, schema_v.fields), schema_v)
+        after = side(added) if added else None
+        before = side(removed) if removed else None
         if before is None:
             return after.withColumn(CHANGE_TYPE, F.lit("insert"))
         if after is None:
@@ -3315,10 +3434,11 @@ class ManagedTable:
         df = self.read() if snapshot is None else snapshot
         if mor and not stable_partitions:
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
-        if self._is_mapped(meta0):
-            # hardlinked untouched partitions would keep the OLD
-            # physical schema while rewritten ones get the logical one
-            # — materialize the map in this (full) rewrite instead
+        cmap = meta0.get("column_map")
+        if cmap and (mor or any(p is None for p, _l, _t in cmap)):
+            # legacy None-phys map, or map + MOR combined (the carry
+            # filters delta files with a LOGICAL predicate): this
+            # (full) rewrite materializes the map instead
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         if not self.partition_by:
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
@@ -3339,6 +3459,14 @@ class ManagedTable:
         cons = self.constraints()
         if cons:
             self._validate(cons, rewritten)
+        if cmap:
+            # live column map (r10): the rewritten partitions are
+            # WRITTEN physical, exactly like mapped appends, so they
+            # sit next to the hardlinked untouched partitions under
+            # ONE physical plane and the map stays live — partition-
+            # scoped DML straight through an ALTER, no materialize
+            rewritten = rewritten.select(
+                *[F.col(lg).alias(p) for p, lg, _t in cmap])
         (rewritten.write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
         # hardlink every untouched LIVE file from the old snapshot
@@ -3359,6 +3487,10 @@ class ManagedTable:
             "version": v, "dir": staged, "op": operation,
             "ts": time.time(),
             "partitions_rewritten": sorted(touched_rel)})
+        if cmap:
+            meta["column_map"] = cmap
+            if meta0.get("phys_retired"):
+                meta["phys_retired"] = meta0["phys_retired"]
         if mor:
             meta.update(self._carry_mor_minus_touched(
                 meta0, member, df.filter(member), v))
@@ -3521,8 +3653,12 @@ class ManagedTable:
                 for w in range(v, head + 1):
                     c = self._commit(w)
                     if (c.get("added_files") is None or self._has_mor(c)
-                            or c.get("column_map")):
-                        raise   # not a blind append: real conflict
+                            or c.get("column_map")
+                            != meta.get("column_map")):
+                        # not a blind append on THIS rewrite's physical
+                        # plane (same live map or both unmapped):
+                        # real conflict
+                        raise
                     for r in c["added_files"]:
                         part = os.path.dirname(r)
                         if not part or part in touched_rel:
@@ -3535,8 +3671,19 @@ class ManagedTable:
                 batch = [os.path.join(self.path, c["dir"], r)
                          for c in interlopers for r in c["added_files"]]
                 if batch and conflict_check is not None:
-                    bdf = self._scan_file_list(
-                        batch, self.spark.read.parquet(vdir).schema.fields)
+                    # conflict predicates/keys are LOGICAL: under a
+                    # live map, scan the interloper batches with the
+                    # superset physical schema and project through the
+                    # map before evaluating
+                    if meta.get("column_map"):
+                        fields = self._scan_schema(
+                            v, meta, root=os.path.basename(vdir)).fields
+                        bdf = self._apply_column_map(
+                            self._scan_file_list(batch, fields), meta)
+                    else:
+                        bdf = self._scan_file_list(
+                            batch,
+                            self.spark.read.parquet(vdir).schema.fields)
                     if conflict_check(bdf):
                         raise
                 for c in interlopers:
@@ -3654,10 +3801,15 @@ class ManagedTable:
             # see _partial_rewrite: hardlinks would zero appended rows'
             # resolution sequences under carried MOR state
             stable_partitions = False
+        cmap = parent.get("column_map")
         if not self.partition_by or (mor and not stable_partitions) \
-                or self._is_mapped(parent):
-            # mapped parent: hardlinks would mix physical schemas —
-            # materialize the map in this (full) merge rewrite
+                or (cmap and (mor or any(p is None
+                                         for p, _l, _t in cmap))):
+            # legacy None-phys map, or map + MOR combined: materialize
+            # the map in this (full) merge rewrite. A USABLE live map
+            # stays partition-scoped below — merged slices write the
+            # current physical schema next to the hardlinked files,
+            # exactly like _partial_rewrite (r10).
             return self.overwrite(combine(self.read(), source),
                                   operation, extra_meta=extra_meta)
         from pyspark.sql import functions as F
@@ -3687,6 +3839,12 @@ class ManagedTable:
         cons = self.constraints()
         if cons:
             self._validate(cons, merged)
+        if cmap:
+            # live map: write the merged slices PHYSICAL (see
+            # _partial_rewrite) so they sit next to the hardlinked
+            # untouched partitions under one plane, map stays live
+            merged = merged.select(*[F.col(lg).alias(p)
+                                     for p, lg, _t in cmap])
         merged.write.mode("overwrite").partitionBy(*pb).parquet(vdir)
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
@@ -3698,6 +3856,10 @@ class ManagedTable:
             "version": v, "dir": staged, "op": operation,
             "ts": time.time(), "partitions_rewritten": sorted(touched_rel),
             **(extra_meta or {})}
+        if cmap:
+            meta["column_map"] = cmap
+            if parent.get("phys_retired"):
+                meta["phys_retired"] = parent["phys_retired"]
         if mor:
             # merged = the touched partitions' NEW content — including
             # merge-INSERTED keys, whose carried tombstones must drop
@@ -3884,11 +4046,13 @@ class ManagedTable:
                 f"{self.path} has merge-on-read state (tombstones/deltas); "
                 f"run compact() to materialize it before "
                 f"compact_partitions()")
-        if self._is_mapped(self._commit(curv)):
+        meta0 = self._commit(curv)
+        cmap = meta0.get("column_map")
+        if cmap and any(p is None for p, _l, _t in cmap):
             raise ValueError(
-                f"{self.path} has a pending metadata-only column map; "
-                f"run compact() to materialize it before "
-                f"compact_partitions() (mixed physical schemas)")
+                f"{self.path} has a legacy pre-r10 column map (an added "
+                f"column without a physical name); run compact() to "
+                f"materialize it before compact_partitions()")
         v = curv + 1
         staged = self._staged_dir_name(v)
         vdir = os.path.join(self.path, staged)
@@ -3898,17 +4062,34 @@ class ManagedTable:
         by_part: dict[str, list[str]] = {}
         for rel_file, s in prev_live.items():
             by_part.setdefault(os.path.dirname(rel_file), []).append(s)
+        # under a live map the partition's files may span generations:
+        # compact with the fixed superset PHYSICAL schema (minus the
+        # path-encoded partition columns) so no column only some files
+        # carry is dropped by footer sampling — the compacted files
+        # stay physical and the map stays live
+        read_schema = None
+        if cmap:
+            from pyspark.sql.types import StructType
+            read_schema = StructType(
+                [f for f in self._scan_schema(curv, meta0).fields
+                 if f.name not in self.partition_by])
         for rel in todo:
             files = by_part.get(rel)
             if not files:
                 continue    # named partition holds no live files
-            (self.spark.read.parquet(*sorted(files))
+            reader = (self.spark.read.schema(read_schema)
+                      if read_schema is not None else self.spark.read)
+            (reader.parquet(*sorted(files))
              .coalesce(target_files)
              .write.mode("overwrite").parquet(os.path.join(vdir, rel)))
         self._link_untouched(prev_live, todo, vdir)
-        pub = self._publish(v, {
-            "version": v, "dir": staged, "op": "OPTIMIZE_PARTITIONS",
-            "ts": time.time(), "partitions_rewritten": sorted(todo)})
+        meta = {"version": v, "dir": staged, "op": "OPTIMIZE_PARTITIONS",
+                "ts": time.time(), "partitions_rewritten": sorted(todo)}
+        if cmap:
+            meta["column_map"] = cmap
+            if meta0.get("phys_retired"):
+                meta["phys_retired"] = meta0["phys_retired"]
+        pub = self._publish(v, meta)
         # skipping manifests carry forward at O(compacted partitions)
         self._maintain_rewrite_manifests(v, vdir)
         return pub

@@ -115,7 +115,7 @@ def test_insert_after_evolution_stays_mapped_o_batch(spark, lake):
     assert set(raw.columns) == {"k", "label", "n"}
 
 
-def test_update_after_evolution_materializes(spark, lake):
+def test_update_after_evolution(spark, lake):
     lake.sql("CREATE TABLE stg.t (k INT, v STRING)")
     lake.sql("INSERT INTO stg.t VALUES (1, 'a'), (2, 'b')")
     lake.sql("ALTER TABLE stg.t ADD COLUMN flag INT")
@@ -123,6 +123,52 @@ def test_update_after_evolution_materializes(spark, lake):
     got = {(r["k"], r["flag"])
            for r in lake.table("stg.t").read().collect()}
     assert got == {(1, None), (2, 1)}
+
+
+def test_partition_scoped_update_after_evolution_stays_mapped(
+        spark, tmp_base):
+    """Round 10: partition-scoped DML under a LIVE map rewrites only
+    the touched partitions (physical-schema slices next to hardlinked
+    pre-ALTER files) — the map survives, nothing materializes."""
+    import glob
+    t = ManagedTable(spark, os.path.join(tmp_base, "pt"),
+                     partition_by=("p",))
+    t.overwrite(spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")],
+        "k int, p int, v string"))
+    cmap = t.identity_column_map()
+    for e in cmap:
+        if e[1] == "v":
+            e[1] = "label"
+    cmap.append([None, "n", "int"])
+    t.evolve_schema(cmap, "EVOLVE")
+    untouched = {f: os.stat(f).st_ino for f in glob.glob(
+        f"{t.path}/v0/p=0/*.parquet") + glob.glob(
+        f"{t.path}/v0/p=2/*.parquet")}
+    t.update(F.col("p") == 1, {"label": F.lit("B"), "n": F.lit(7)})
+    meta = t._commit(t.current_version())
+    assert meta.get("column_map") and meta.get("partitions_rewritten") \
+        == ["p=1"]
+    # untouched partitions hardlinked (same inode), map still live
+    new_dir = os.path.join(t.path, meta["dir"])
+    for f, ino in untouched.items():
+        linked = f.replace(f"{t.path}/v0", new_dir)
+        assert os.stat(linked).st_ino == ino
+    got = sorted((r["k"], r["label"], r["n"])
+                 for r in t.read().collect())
+    assert got == [(1, "a", None), (2, "B", 7), (3, "c", None)]
+    # the per-commit feed stays O(touched) and logical
+    feed = {(r["k"], r["label"], r["n"], r["_change_type"])
+            for r in t.commit_changes(t.current_version(),
+                                      keys=("k",)).collect()}
+    assert feed == {(2, "b", None, "update_preimage"),
+                    (2, "B", 7, "update_postimage")}
+    # a later append continues O(batch) on the same live map
+    t.append(spark.createDataFrame([(4, 1, "d", 9)],
+                                   "k int, p int, label string, n int"))
+    assert t._commit(t.current_version()).get("added_files")
+    assert sorted((r["k"], r["n"]) for r in t.read().collect()) == [
+        (1, None), (2, 7), (3, None), (4, 9)]
 
 
 def test_restore_and_clone_carry_the_column_map(spark, tmp_base, lake):
@@ -210,11 +256,12 @@ def test_delta_mirror_column_mapping_roundtrip(spark, lake):
         (1, "a", None), (2, "b", None), (3, "c", 1.5)}
 
 
-def test_merge_after_evolution_materializes_via_full_route(
+def test_merge_after_evolution_stays_partition_scoped_and_mapped(
         spark, lake):
-    """A partition-scoped-eligible MERGE on a mapped parent must NOT
-    hardlink old-physical-schema partitions next to rewritten
-    logical-schema ones — it takes the materializing full route."""
+    """Round 10: a partition-scoped-eligible MERGE on a mapped parent
+    writes its merged slices in the CURRENT physical schema next to
+    the hardlinked pre-ALTER partitions — partition-scoped AND
+    metadata-only-evolved at once (pre-r10 it materialized)."""
     lake.sql("CREATE TABLE stg.f (k INT, p INT, v STRING) "
              "PARTITIONED BY (p)")
     lake.sql("INSERT INTO stg.f VALUES (1, 0, 'a'), (2, 1, 'b')")
@@ -230,10 +277,45 @@ WHEN NOT MATCHED THEN INSERT *
     t = lake.table("stg.f")
     rows = {(r["k"], r["p"], r["label"]) for r in t.read().collect()}
     assert rows == {(1, 0, "a"), (2, 1, "B")}
-    # every physical file in the new snapshot carries the new name
+    meta = t._commit(t.current_version())
+    assert meta.get("column_map"), "merge materialized the map away"
+    assert meta.get("partitions_rewritten") == ["p=1"]
+    # the rewritten slice carries the PHYSICAL (pre-rename) column
     vdir = t._version_dir(t.current_version())
-    raw = spark.read.parquet(vdir)
-    assert "label" in raw.columns and "v" not in raw.columns
+    raw = spark.read.parquet(os.path.join(vdir, "p=1"))
+    assert "v" in raw.columns and "label" not in raw.columns
+
+
+def test_compact_partitions_under_live_map(spark, tmp_base):
+    """Targeted compaction (OPTIMIZE ... WHERE's engine) on a mapped
+    table: the partition's mixed-generation files compact under the
+    superset physical schema (no column dropped by footer sampling),
+    untouched partitions hardlink, and the map stays live."""
+    t = ManagedTable(spark, os.path.join(tmp_base, "ct"),
+                     partition_by=("p",))
+    t.overwrite(spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b")], "k int, p int, v string"))
+    cmap = t.identity_column_map() + [[None, "n", "int"]]
+    t.evolve_schema(cmap, "ADD COLUMNS (n int)")
+    # two mapped appends into p=0 -> small-file debt spanning
+    # generations (v0 file lacks the physical 'n' column)
+    t.append(spark.createDataFrame([(3, 0, "c", 30)],
+                                   "k int, p int, v string, n int"))
+    t.append(spark.createDataFrame([(4, 0, "d", 40)],
+                                   "k int, p int, v string, n int"))
+    t.compact_partitions(["p=0"], target_files=1)
+    meta = t._commit(t.current_version())
+    assert meta.get("column_map") and \
+        meta["partitions_rewritten"] == ["p=0"]
+    got = sorted((r["k"], r["v"], r["n"]) for r in t.read().collect())
+    assert got == [(1, "a", None), (2, "b", None),
+                   (3, "c", 30), (4, "d", 40)]
+    # compacted files carry the full physical column set
+    import glob
+    comp = glob.glob(os.path.join(t.path, meta["dir"], "p=0",
+                                  "*.parquet"))
+    assert len(comp) == 1
+    assert set(spark.read.parquet(*comp).columns) == {"k", "v", "n"}
 
 
 def test_checkpoint_mirror_bounds_replay(spark, tmp_base):
