@@ -1527,6 +1527,29 @@ class ManagedTable:
                             "size": st.st_size,
                             "modificationTime": int(st.st_mtime * 1000),
                             "dataChange": True}})
+            # append-only partitions (SCD2's history slice): NEW files
+            # emit adds; hardlinked old files keep their original add
+            # actions (basename match is exact — part files are
+            # write-unique UUIDs). r10 fix: closed SCD2 rows used to
+            # be invisible to external replay.
+            known = {os.path.basename(p) for p in live}
+            for a_rel in meta.get("partitions_appended") or ():
+                d = os.path.join(self.path, meta["dir"], a_rel)
+                if not os.path.isdir(d):
+                    continue
+                for root, _dirs, fns in os.walk(d):
+                    for fn in fns:
+                        if not fn.endswith(".parquet") or fn in known:
+                            continue
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, self.path)
+                        st = os.stat(full)
+                        actions.append({"add": {
+                            "path": rel,
+                            "partitionValues": self._partition_values(rel),
+                            "size": st.st_size,
+                            "modificationTime": int(st.st_mtime * 1000),
+                            "dataChange": True}})
             if meta.get("cdc"):
                 for rel, full in self._data_files(meta["cdc"]):
                     st = os.stat(full)
@@ -3914,15 +3937,26 @@ class ManagedTable:
             return self.overwrite(full.withColumn(flag_col, flag),
                                   operation="MERGE_SCD2")
         head = self._commit(self.current_version())
-        if self._has_mor(head) or self._is_mapped(head):
+        cmap = head.get("column_map")
+        if self._has_mor(head) or (cmap and any(
+                p is None for p, _l, _t in cmap)):
             # the history-hardlink step below copies RAW base files;
-            # fold outstanding tombstones/deltas (or a pending
-            # metadata-only column map) into a clean snapshot first so
-            # no merge-on-read state or schema evolution is dropped
+            # fold outstanding tombstones/deltas (or a legacy pre-r10
+            # column map) into a clean snapshot first so no
+            # merge-on-read state or schema evolution is dropped
             self.compact()
+            head = self._commit(self.current_version())
+            cmap = None
         cur = (self.read().filter(F.col(flag_col) == 1).drop(flag_col))
         merged = scd2_merge(cur, source, cfg, load_ts)
         out = merged.withColumn(flag_col, flag)
+        if cmap and set(out.columns) != {lg for _p, lg, _t in cmap}:
+            # merge-driven ADDITIVE schema evolution (align_schemas)
+            # widened the logical set beyond the live map: materialize
+            # the map once, then proceed unmapped
+            self.compact()
+            head = self._commit(self.current_version())
+            cmap = None
         cons = self.constraints()
         if cons:
             self._validate(cons, out)
@@ -3933,6 +3967,12 @@ class ManagedTable:
         # writes flag=1 (new current) and flag=0 (ONLY newly closed:
         # `merged` was built from the current slice, so every closed row
         # in it closed just now)
+        if cmap:
+            # live column map (r10): write the merged slices PHYSICAL,
+            # like every other partition-scoped write — the SCD2 merge
+            # stays current-slice-priced straight through an ALTER
+            out = out.select(*[F.col(lg).alias(p)
+                               for p, lg, _t in cmap])
         out.write.mode("overwrite").partitionBy(flag_col).parquet(vdir)
         # link the accumulated history files (live-set derived: a
         # preceding log-native append may have landed history rows in
@@ -3943,10 +3983,21 @@ class ManagedTable:
             {f"{flag_col}=1"}, vdir)
         # after the hardlink loop — see _partial_rewrite's ordering note
         self._ensure_readable(vdir, out.schema)
-        pub = self._publish(v, {
-            "version": v, "dir": staged, "op": "MERGE_SCD2",
-            "ts": time.time(),
-            "partitions_rewritten": [f"{flag_col}=1"]})
+        # ``partitions_appended``: the history partition is append-only
+        # — its NEW files (rows closed by THIS merge) must reach the
+        # mirror as adds, while its hardlinked old files keep their
+        # original add actions (r10 fix: pre-r10 the mirror walked only
+        # the rewritten current slice and external replay silently
+        # LOST every closed row)
+        meta = {"version": v, "dir": staged, "op": "MERGE_SCD2",
+                "ts": time.time(),
+                "partitions_rewritten": [f"{flag_col}=1"],
+                "partitions_appended": [f"{flag_col}=0"]}
+        if cmap:
+            meta["column_map"] = cmap
+            if head.get("phys_retired"):
+                meta["phys_retired"] = head["phys_retired"]
+        pub = self._publish(v, meta)
         # skipping manifests carry forward: hardlinked history entries
         # re-point, the new current slice + newly-closed rows re-analyze
         self._maintain_rewrite_manifests(v, vdir)

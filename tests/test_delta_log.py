@@ -518,3 +518,49 @@ def test_partial_rewrite_mirror_is_partition_scoped(spark, tmp_base):
     assert not os.path.isdir(os.path.join(t.path, "v0"))
     got = {(r["id"], r["v"]) for r in read_delta(spark, t.path).collect()}
     assert got == {(1, 10.0), (2, 22.0), (3, 30.0)}
+
+
+def test_scd2_merge_mirror_includes_closed_history_rows(spark, tmp_base):
+    """r10 fix: the SCD2 merge's NEWLY-CLOSED rows land as fresh files
+    in the (otherwise hardlinked) history partition — the mirror must
+    emit adds for exactly those files (``partitions_appended``), or
+    external replay silently loses every closed row. Hardlinked old
+    history files keep their original add actions (no duplicates)."""
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{tmp_base}/s2m",
+                     partition_by=("_tf_is_current",))
+    cfg = ScdConfig(keys=("id",), tracked=("v",))
+    t.scd2_merge_into(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), cfg,
+        load_ts="2024-01-01")
+    t.scd2_merge_into(spark.createDataFrame(
+        [(1, "a2"), (3, "c")], "id long, v string"), cfg,
+        load_ts="2024-02-01")
+    t.scd2_merge_into(spark.createDataFrame(
+        [(1, "a3"), (3, "c")], "id long, v string"), cfg,
+        load_ts="2024-03-01")
+
+    def rows(df):
+        return sorted((r["id"], r["v"], r["_tf_is_current"])
+                      for r in df.collect())
+
+    want = rows(t.read())
+    assert (1, "a", 0) in want and (2, "b", 0) in want  # closed rows
+    assert rows(read_delta(spark, t.path)) == want
+    # no duplicate adds: each live path added exactly once across
+    # the whole log
+    import glob as _glob
+    adds = []
+    for fn in sorted(_glob.glob(os.path.join(t.path, "_delta_log",
+                                             "*.json"))):
+        for line in open(fn):
+            if line.strip():
+                a = json.loads(line)
+                if "add" in a:
+                    adds.append(a["add"]["path"])
+    assert len(adds) == len(set(adds))
+    # replay survives vacuum's checkpoint re-pointing
+    t.vacuum(retain_last=1)
+    assert rows(read_delta(spark, t.path)) == want

@@ -183,3 +183,41 @@ def test_sync_replica_stays_o_changes_through_evolution(spark, tmp_base):
     assert rep._materialized_root(rep.current_version()) == rep_root
     # idempotent re-sync is a no-op
     assert sync_incremental(src, rep, keys=("id",)) == synced
+
+
+def test_scd2_merge_under_live_map(spark, tmp_base):
+    """Round 10: the flag-partitioned SCD2 merge on a mapped parent
+    writes its slices physical and keeps the map live — SCD2 stays
+    current-slice-priced straight through an ALTER."""
+    from tb_lakehouse_enhanced_spark.operators.merge import ScdConfig
+    t = ManagedTable(spark, f"{tmp_base}/s2",
+                     partition_by=("_tf_is_current",))
+    cfg = ScdConfig(keys=("id",), tracked=("v",))
+    t.scd2_merge_into(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), cfg,
+        load_ts="2024-01-01")
+    # rename the tracked column: metadata-only
+    cmap = t.identity_column_map()
+    for e in cmap:
+        if e[1] == "v":
+            e[1] = "val"
+    t.evolve_schema(cmap, "RENAME COLUMN")
+    # cfg tracks the NEW logical name after the rename
+    cfg2 = ScdConfig(keys=("id",), tracked=("val",))
+    t.scd2_merge_into(spark.createDataFrame(
+        [(1, "a2"), (3, "c")], "id long, val string"), cfg2,
+        load_ts="2024-02-01")
+    meta = t._commit(t.current_version())
+    assert meta.get("column_map"), "SCD2 merge materialized the map"
+    got = sorted((r["id"], r["val"], r["_tf_is_current"])
+                 for r in t.read().collect())
+    assert got == [(1, "a", 0), (1, "a2", 1), (2, "b", 0), (3, "c", 1)]
+    # a third merge continues on the live map; history accumulates
+    t.scd2_merge_into(spark.createDataFrame(
+        [(1, "a3"), (3, "c")], "id long, val string"), cfg2,
+        load_ts="2024-03-01")
+    got = sorted((r["id"], r["val"], r["_tf_is_current"])
+                 for r in t.read().collect())
+    assert got == [(1, "a", 0), (1, "a2", 0), (1, "a3", 1),
+                   (2, "b", 0), (3, "c", 1)]
+    assert t._commit(t.current_version()).get("column_map")
