@@ -537,10 +537,14 @@ class ManagedTable:
         """Publish a METADATA-ONLY schema-evolution commit: the new
         version reuses the parent's data files, nothing is written,
         moved, or rewritten — ``read`` applies ``column_map`` at scan
-        time. A parent carrying merge-on-read state compacts first
-        (tombstone keys and delta files are physical-schema-bound;
-        one materialize keeps the map/MOR invariant simple: a commit
-        carries one or the other, never both).
+        time. A parent carrying merge-on-read state stays metadata-only
+        TOO (r10): physical names are stable under the evolution, so
+        the outstanding tombstone/delta files remain valid as-is and
+        ride forward in the commit; only the LOGICAL names recorded in
+        ``tombstone_keys`` are translated through the evolution (an
+        ALTER on a 100 TB table with outstanding deletes must not cost
+        a compaction — Delta's DV model never does). Dropping a MOR
+        key column with debt outstanding is refused.
 
         Delta columnMapping parity (round 10): every ADDED column gets
         a STABLE PHYSICAL NAME here — collision-checked against every
@@ -555,10 +559,14 @@ class ManagedTable:
         cur = self.current_version()
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
-        if self._has_mor(self._commit(cur)):
+        parent = self._commit(cur)
+        if self._has_mor(parent) and any(
+                p is None for p, _l, _t in
+                (parent.get("column_map") or [])):
+            # legacy pre-r10 map + MOR can't compose metadata-only
             self.compact()
             cur = self.current_version()
-        parent = self._commit(cur)
+            parent = self._commit(cur)
         v = cur + 1
         retired = set(parent.get("phys_retired") or [])
         taken = (self._map_physical_names(column_map)
@@ -588,6 +596,26 @@ class ManagedTable:
                 "live_base": cur}
         if retired:
             meta["phys_retired"] = sorted(retired)
+        if self._has_mor(parent):
+            # outstanding MOR state rides the evolution untouched —
+            # its files are on the (stable) physical plane; only the
+            # logically-named key list follows the rename/drop
+            phys_of_old = {lg: p for p, lg, _t in
+                           (parent.get("column_map") or [])}
+            lg_of_phys_new = {p: lg for p, lg, _t in column_map}
+            new_keys = []
+            for k in parent["tombstone_keys"]:
+                p = phys_of_old.get(k, k)
+                if p not in lg_of_phys_new:
+                    raise ValueError(
+                        f"cannot drop column {k!r}: it is a "
+                        f"merge-on-read key with outstanding "
+                        f"tombstones/deltas; compact() first")
+                new_keys.append(lg_of_phys_new[p])
+            meta["tombstone_keys"] = new_keys
+            for kk in ("tombstones", "deltas"):
+                if parent.get(kk):
+                    meta[kk] = parent[kk]
         return self._publish(v, meta)
 
     def _base_seq_expr(self):
@@ -708,19 +736,19 @@ class ManagedTable:
             F.col("_metadata.file_path"),
             r"/(?:delta|tomb)_v(\d+)[^/]*/[^/]+$", 1) \
             .cast("long")
-        delta_scan = self.spark.read.parquet(
+        # read the delta dirs with the BASE's superset schema pinned:
+        # stacked delta batches can span map generations (an ALTER is
+        # metadata-only over MOR debt since r10), so footer sampling
+        # could drop a physical column only some batches carry; the
+        # fixed schema reads it per-file by name — missing columns
+        # (pre-ADD batches, dropped-from-map leftovers the base still
+        # scans) come back as typed NULL, exactly the convention the
+        # base scan itself uses
+        from pyspark.sql.types import StructType
+        delta_scan = self.spark.read.schema(
+            StructType(list(df.schema.fields))).parquet(
             *[os.path.join(self.path, d) for d in deltas])
-        # align the delta relation to the base's columns: under a live
-        # map the base superset schema can carry physical columns the
-        # current map dropped (still present in old files) which delta
-        # batches don't write — they read as typed NULL, exactly the
-        # fixed-schema convention (projected away by the map anyway)
-        have = set(delta_scan.columns)
-        delta_rows = (delta_scan.select(*[
-            (F.col(f.name) if f.name in have
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in df.schema.fields])
-            .withColumn("_mor_seq", seq_from_path))
+        delta_rows = delta_scan.withColumn("_mor_seq", seq_from_path)
         rows = df.withColumn("_mor_seq", base_seq) \
             .unionByName(delta_rows)
         w = Window.partitionBy(*keys).orderBy(F.desc("_mor_seq"))

@@ -221,3 +221,105 @@ def test_scd2_merge_under_live_map(spark, tmp_base):
     assert got == [(1, "a", 0), (1, "a2", 0), (1, "a3", 1),
                    (2, "b", 0), (3, "c", 1)]
     assert t._commit(t.current_version()).get("column_map")
+
+
+def test_alter_on_mor_head_is_metadata_only(spark, tmp_base):
+    """Round 10: an ALTER over outstanding tombstones/deltas no longer
+    compacts the table — the MOR state rides the evolution commit
+    (physical names are stable; only the logical key names translate),
+    and reads/writes continue O(changes) on the mapped+MOR head."""
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, s string, score double"))
+    t.delete_mor(F.col("id") == 2, key_cols=("id",))        # v1
+    t.upsert_mor(spark.createDataFrame(
+        [(3, "C", 3.5)], "id long, s string, score double"),
+        ("id",))                                            # v2
+    import glob
+    before = {f: os.stat(f).st_ino for f in glob.glob(
+        f"{t.path}/**/*.parquet", recursive=True)}
+    _evolve(t, rename=("s", "name"))                        # v3 ALTER
+    _evolve(t, add=("n", "int"))                            # v4 ALTER
+    # zero files touched by either ALTER
+    for f, ino in before.items():
+        st = os.stat(f)
+        assert (st.st_ino, st.st_nlink) == (ino, 1)
+    meta = t._commit(t.current_version())
+    assert meta.get("column_map") and meta.get("tombstones") \
+        and meta.get("deltas")
+    assert _rows(t.read()) == [
+        (1, "a", 1.0, None), (3, "C", 3.5, None)]
+    # MOR writes continue under the evolved schema
+    t.upsert_mor(spark.createDataFrame(
+        [(1, "A2", 1.5, 7)], "id long, name string, score double, n int"),
+        ("id",))
+    t.delete_mor(F.col("name") == "C", key_cols=("id",))
+    assert _rows(t.read()) == [(1, "A2", 1.5, 7)]
+    # appends too, and compact converges
+    t.append(spark.createDataFrame(
+        [(9, "z", 9.0, 90)], "id long, name string, score double, n int"))
+    assert _rows(t.read()) == [(1, "A2", 1.5, 7), (9, "z", 9.0, 90)]
+    t.compact()
+    head = t._commit(t.current_version())
+    assert not head.get("column_map") and not head.get("tombstones")
+    assert _rows(t.read()) == [(1, "A2", 1.5, 7), (9, "z", 9.0, 90)]
+
+
+def test_alter_rename_of_mor_key_translates(spark, tmp_base):
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"))
+    t.delete_mor(F.col("id") == 1, key_cols=("id",))
+    _evolve(t, rename=("id", "ident"))          # rename the MOR KEY
+    meta = t._commit(t.current_version())
+    assert meta["tombstone_keys"] == ["ident"]
+    assert _rows(t.read()) == [(2, "b")]
+    # stacked MOR writes use the NEW key name
+    t.delete_mor_keys(spark.createDataFrame([(2,)], "ident long"),
+                      ("ident",))
+    assert _rows(t.read()) == []
+
+
+def test_alter_drop_of_mor_key_refused(spark, tmp_base):
+    import pytest
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"))
+    t.delete_mor(F.col("id") == 1, key_cols=("id",))
+    with pytest.raises(ValueError, match="merge-on-read key"):
+        _evolve(t, drop="id")
+    # non-key drops ride through; deltas' dropped values vanish like a
+    # materialize would discard them
+    t.upsert_mor(spark.createDataFrame([(2, "B")], "id long, s string"),
+                 ("id",))
+    _evolve(t, drop="s")
+    assert t.read().columns == ["id"]
+    assert _rows(t.read()) == [(2,)]
+
+
+def test_alter_on_mor_differential_vs_compact_first(spark, tmp_base):
+    fast = ManagedTable(spark, f"{tmp_base}/fast")
+    slow = ManagedTable(spark, f"{tmp_base}/slow")
+    for t in (fast, slow):
+        t.overwrite(spark.createDataFrame(
+            [(i, f"s{i}", float(i)) for i in range(6)],
+            "id long, s string, score double"))
+        t.delete_mor(F.col("id") == 1, key_cols=("id",))
+        t.upsert_mor(spark.createDataFrame(
+            [(2, "S2", 2.5), (7, "s7", 7.0)],
+            "id long, s string, score double"), ("id",))
+    slow.compact()                       # the pre-r10 route
+    _evolve(fast, rename=("s", "name"), add=("n", "int"))
+    slow.overwrite(slow.read().withColumnRenamed("s", "name")
+                   .withColumn("n", F.lit(None).cast("int")))
+    df = spark.createDataFrame(
+        [(3, "N3", 3.5, 33)], "id long, name string, score double, n int")
+    fast.upsert_mor(df, ("id",))
+    slow.upsert_mor(df, ("id",))
+    fast.delete_mor(F.col("n").isNull() & (F.col("id") == 5),
+                    key_cols=("id",))
+    slow.delete_mor(F.col("n").isNull() & (F.col("id") == 5),
+                    key_cols=("id",))
+    assert fast.read().columns == slow.read().columns
+    assert _rows(fast.read()) == _rows(slow.read())

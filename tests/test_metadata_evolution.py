@@ -185,7 +185,10 @@ def test_restore_and_clone_carry_the_column_map(spark, tmp_base, lake):
     assert c.read().columns == ["k", "label"]
 
 
-def test_evolution_on_mor_parent_compacts_first(spark, tmp_base):
+def test_evolution_on_mor_parent_is_metadata_only(spark, tmp_base):
+    """Round 10 flip: an ALTER over outstanding tombstones no longer
+    compacts — the MOR state rides the evolution commit (see
+    test_mapped_mor.py for the full matrix)."""
     t = ManagedTable(spark, os.path.join(tmp_base, "t"))
     t.overwrite(spark.createDataFrame(
         [(1, "a"), (2, "b")], "k long, v string"))
@@ -199,7 +202,8 @@ def test_evolution_on_mor_parent_compacts_first(spark, tmp_base):
     assert got.columns == ["k", "label"]
     assert {r["k"] for r in got.collect()} == {2}
     meta = t._commit(t.current_version())
-    assert meta.get("column_map") and not meta.get("tombstones")
+    assert meta.get("column_map") and meta.get("tombstones")
+    assert meta["tombstone_keys"] == ["k"]
 
 
 def test_stats_and_bloom_translate_through_the_map(spark, tmp_base):
