@@ -530,3 +530,27 @@ WHEN NOT MATCHED THEN
     changed = (out.alias("o").join(tgt.alias("t"), "o_orderkey")
                .filter("o.o_totalprice != t.o_totalprice").count())
     assert changed == src.count()
+
+
+def test_mapped_read_pushes_filters_to_physical_scan(spark, tmp_path):
+    """Round 10 plan gate: a read through a LIVE column map stays ONE
+    multi-path scan relation, and a filter on a RENAMED logical column
+    pushes down to the scan as the PHYSICAL column predicate — the map
+    projection costs zero scan quality."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, str(tmp_path / "mp"))
+    t.overwrite(spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")))
+    cmap = t.identity_column_map()
+    for e in cmap:
+        if e[1] == "a":
+            e[1] = "key"
+    cmap.append([None, "lbl", "string"])
+    t.evolve_schema(cmap, "EVOLVE")
+    t.append(spark.createDataFrame([(5000, 1, "x")],
+                                   "key long, b long, lbl string"))
+    df = t.read().filter(F.col("key") == 42)
+    plan = _executed(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "EqualTo(a,42)" in plan, plan       # pushed as PHYSICAL col
+    assert df.count() == 1
