@@ -1219,7 +1219,14 @@ class ManagedTable:
         cf = self._commit_file(v)
         if not os.path.isfile(cf):
             return None
-        orphan = self._commit(v)
+        try:
+            with open(cf) as f:
+                orphan = json.load(f)
+        except (json.JSONDecodeError, ValueError):
+            # the writer died BETWEEN the O_EXCL create and the JSON
+            # write: an empty/truncated commit file referencing nothing
+            # — still an orphan, with no dirs of its own to reclaim
+            orphan = {"version": v, "dir": f"v{v}", "op": "WRITE"}
         referenced: set[str] = set()
         for ver in range(0, cur + 1):
             c = self._commit(ver)

@@ -132,3 +132,26 @@ def test_heal_preserves_mor_and_map_state(spark, tmp_base):
     healed = w._commit(orphan_v)
     assert healed["tombstones"] == w._commit(orphan_v - 1)["tombstones"]
     assert _rows(w.read()) == [(2, "b"), (4, "d")]
+
+
+def test_truncated_orphan_commit_file_heals_and_repairs(spark, tmp_base):
+    """A writer dying BETWEEN the O_EXCL create and the JSON write
+    leaves an EMPTY commit file: both the auto-heal and the manual
+    repair must handle it (pre-r10 repair crashed on json.load)."""
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, s string"))
+    cf = t._commit_file(1)
+    open(cf, "w").close()                   # empty orphan
+    old = os.stat(cf).st_mtime - 3600
+    os.utime(cf, (old, old))
+    w = ManagedTable(spark, f"{tmp_base}/t")
+    w.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    assert w.current_version() == 2
+    assert w._commit(1).get("healed")
+    assert _rows(w.read()) == [(1, "a"), (2, "b")]
+    # manual repair path with a fresh truncated orphan
+    cf3 = w._commit_file(3)
+    open(cf3, "w").close()
+    assert w.repair_orphan_commit() == 3
+    w.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    assert _rows(w.read()) == [(1, "a"), (2, "b"), (3, "c")]

@@ -181,3 +181,45 @@ def test_starting_timestamp_resolves_to_version(spark, tmp_base, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert _rows(spark.table("ts_from_time")) == {(4, "a", 40.0)}
+
+
+def test_stream_raises_on_mid_stream_column_map_change(spark, tmp_base,
+                                                       tmp_path):
+    """Maps are long-lived since r10, so a running stream is likely to
+    meet an ALTER mid-flight: the commit that CHANGES the mapping must
+    fail the stream with the restart hint (the stream's schema is
+    fixed at start — Delta streaming sources impose the same), while
+    commits that merely CARRY the unchanged map keep streaming."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, s string"))
+    cmap = t.identity_column_map()
+    for e in cmap:
+        if e[1] == "s":
+            e[1] = "name"
+    t.evolve_schema(cmap, "RENAME COLUMN")
+    # stream starts AFTER the evolution: mapped appends serve fine
+    t.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (stream_table(spark, t.path, starting_version=2)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == \
+        [(2, "b")]
+    # a SECOND evolution lands mid-stream: the restarted query fails
+    # on the map-change commit with the documented hint
+    cmap = t.identity_column_map() + [[None, "n", "int"]]
+    t.evolve_schema(cmap, "ADD COLUMNS")
+    t.append(spark.createDataFrame([(3, "c", 7)],
+                                   "id long, name string, n int"))
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    q2 = (stream_table(spark, t.path, starting_version=2)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="column mapping"):
+        q2.awaitTermination(120)
