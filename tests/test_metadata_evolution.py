@@ -349,3 +349,50 @@ def test_checkpoint_mirror_bounds_replay(spark, tmp_base):
         set(range(10)) | {100 + i for i in range(11)}
     # a fresh maintain right after is a no-op (no new debt)
     assert t.maintain(max_files=1000) == "noop"
+
+
+def test_copy_into_after_alter_stays_mapped_o_batch(spark, lake,
+                                                    tmp_path):
+    """COPY INTO rides the mapped O(batch) append: ingest after an
+    ALTER RENAME/ADD lands only the batch's files, cast to the
+    LOGICAL target schema, written physical under the live map."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    land = tmp_path / "landing"
+    land.mkdir()
+    lake.sql("CREATE TABLE bronze.ev (k INT, v STRING)")
+    lake.sql("INSERT INTO bronze.ev VALUES (1, 'a')")
+    lake.sql("ALTER TABLE bronze.ev RENAME COLUMN v TO label")
+    lake.sql("ALTER TABLE bronze.ev ADD COLUMN n INT")
+    pq.write_table(pa.table({"k": [2], "label": ["b"], "n": [7]}),
+                   str(land / "f1.parquet"))
+    lake.sql(f"COPY INTO bronze.ev FROM '{land}' FILEFORMAT = PARQUET")
+    t = lake.table("bronze.ev")
+    meta = t._commit(t.current_version())
+    assert meta.get("added_files") and meta.get("column_map")
+    rows = {(r["k"], r["label"], r["n"]) for r in t.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", 7)}
+    # idempotent re-COPY is still a no-op under the map
+    v = t.current_version()
+    lake.sql(f"COPY INTO bronze.ev FROM '{land}' FILEFORMAT = PARQUET")
+    assert t.current_version() == v
+
+
+def test_optimize_where_on_mapped_table(spark, lake):
+    """OPTIMIZE ... WHERE through the SQL surface on a mapped,
+    partitioned table compacts the matched partitions' mixed-
+    generation files and keeps the map live."""
+    lake.sql("CREATE TABLE svc.mt (k INT, p INT, v STRING) "
+             "PARTITIONED BY (p)")
+    lake.sql("INSERT INTO svc.mt VALUES (1, 0, 'a'), (2, 1, 'b')")
+    lake.sql("ALTER TABLE svc.mt ADD COLUMN n INT")
+    lake.sql("INSERT INTO svc.mt VALUES (3, 0, 'c', 30)")
+    lake.sql("INSERT INTO svc.mt VALUES (4, 0, 'd', 40)")
+    lake.sql("OPTIMIZE svc.mt WHERE p = 0")
+    t = lake.table("svc.mt")
+    meta = t._commit(t.current_version())
+    assert meta.get("column_map") and \
+        meta["partitions_rewritten"] == ["p=0"]
+    rows = {(r["k"], r["v"], r["n"]) for r in t.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", None),
+                    (3, "c", 30), (4, "d", 40)}
