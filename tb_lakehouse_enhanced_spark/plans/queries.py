@@ -865,6 +865,72 @@ def schema_evolution_ingest(spark, sf_dir):
     return mt.read()
 
 
+@q("evolved_mor_dml", """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, MIN(l_quantity) AS q0
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+),
+st AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 7 = 0 THEN q0 + 100 ELSE q0 END AS qv,
+         CASE WHEN l_orderkey % 7 = 0 THEN 'u' ELSE NULL END AS tag,
+         l_orderkey % 4 AS pt
+  FROM base WHERE l_orderkey % 11 <> 0
+)
+SELECT l_orderkey, l_linenumber, CAST(qv AS DOUBLE) AS qty,
+       CASE WHEN pt = 1 THEN 'dml' ELSE tag END AS batch_tag,
+       pt
+FROM st
+""")
+def evolved_mor_dml(spark, sf_dir):
+    """The evolved-replica steady state driven end to end (VERDICT r10
+    ask #1): metadata-only ALTER RENAME + ADD COLUMN, then CDC-style
+    merge-on-read writes (keyed delta upsert + tombstone delete — zero
+    files rewritten), then a partition-scoped UPDATE that must stay
+    O(touched) with BOTH the live column map AND the MOR debt carried
+    forward (`managed.py _carry_mor_minus_touched` on the physical
+    plane). The in-query asserts fail the bench/oracle run outright if
+    the commit ever degrades to a materialize — the same teeth as
+    ``schema_evolution_ingest``."""
+    import os as _os
+
+    from ..sqlfront import LakehouseSql
+    root = tempfile.mkdtemp(prefix="tb_evomor_")
+    lake = LakehouseSql(spark, root)
+    lake.sql("CREATE DATABASE e")
+    # unique (l_orderkey, l_linenumber) grain (lineitem is not unique
+    # on it); pt derives from the KEY, so partitions are stable
+    base = (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(F.min("l_quantity").alias("l_quantity"))
+            .withColumn("pt", F.col("l_orderkey") % 4))
+    mt = ManagedTable(spark, _os.path.join(root, "e", "t"),
+                      partition_by=("pt",))
+    mt.overwrite(base)
+    lake.sql("ALTER TABLE e.t RENAME COLUMN l_quantity TO qty")
+    lake.sql("ALTER TABLE e.t ADD COLUMN batch_tag STRING")
+    snap = mt.read()
+    mt.upsert_mor(
+        snap.filter(F.col("l_orderkey") % 7 == 0)
+            .select("l_orderkey", "l_linenumber",
+                    (F.col("qty") + 100).alias("qty"),
+                    F.lit("u").alias("batch_tag"), "pt"),
+        ("l_orderkey", "l_linenumber"))
+    mt.delete_mor(F.col("l_orderkey") % 11 == 0,
+                  key_cols=("l_orderkey", "l_linenumber"))
+    mt.update(F.col("pt") == 1, {"batch_tag": F.lit("dml")},
+              stable_partitions=True)
+    head = mt._commit(mt.current_version())
+    assert head.get("partitions_rewritten") == ["pt=1"], \
+        "mapped+MOR DML must stay partition-scoped (no materialize)"
+    assert head.get("column_map"), \
+        "mapped+MOR DML must keep the column map live"
+    return mt.read().select(
+        "l_orderkey", "l_linenumber",
+        F.col("qty").cast("double").alias("qty"),
+        "batch_tag", "pt")
+
+
 @q("scd2_merge_state", scd.SCD2_ORACLE_BASE + "SELECT * FROM final")
 def scd2_merge_state(spark, sf_dir):
     """M1+M2: full SCD2 state after initial load + one mutated batch."""
@@ -5109,8 +5175,15 @@ _PRIORITY = [
     # stay driver-checked over time); sql_copy_into is NEW — the
     # O(batch) append-commit ingest surface with the manifest
     # checkpoint (this round's top verdict item)
+    # round 11: evolved_mor_dml is NEW — the r10 headline ask (ALTER
+    # -> MOR sync -> partition-scoped DML stays O(touched) under a
+    # live map, in-query asserted); fact_upsert rotates below the
+    # fold again per the alternating-twins note above (the operator
+    # merge family stays in-window via sql_merge_scd1/scd2/
+    # partitioned + dml_delete_mor; fact_upsert stays locally
+    # oracle-checked)
     "sql_catalog_context", "dml_delete_mor", "delta_external_read",
-    "sql_merge_scd2", "sql_merge_scd1", "fact_upsert",
+    "sql_merge_scd2", "sql_merge_scd1", "evolved_mor_dml",
     "sql_merge_partitioned", "sql_copy_into",
     # round 8 (second session): the commit-log-driven PER-COMMIT feed
     # (Delta table_changes semantics, O(changed files) per commit)
@@ -5137,8 +5210,12 @@ _PRIORITY = [
     # scalable exact-similarity slot goes to edit_distance_join above)
     "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_embedding",
-    # round 6 rotates IN the batch-vs-corpus incremental dedup
-    "dedup_incremental",
+    # round 11 (the r10 judge's rotation ask): dedup_clusters rotates
+    # back IN so the connected-components tier regains a
+    # driver-checked row; dedup_incremental rotates below the fold
+    # (batch-vs-corpus incremental dedup stays locally oracle-checked;
+    # the bucketed candidate-join family keeps four in-window rows)
+    "dedup_clusters",
     # text analysis / corpus prep (text_clean rotates below the fold —
     # redact/normalize stay locally oracle-checked — for BM25 retrieval;
     # round 4 adds the BM25+vector reciprocal-rank fusion; round 5 adds

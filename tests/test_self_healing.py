@@ -155,3 +155,75 @@ def test_truncated_orphan_commit_file_heals_and_repairs(spark, tmp_base):
     assert w.repair_orphan_commit() == 3
     w.append(spark.createDataFrame([(3, "c")], "id long, s string"))
     assert _rows(w.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# -- verified commit visibility (r11): the heal window is CLOSED --------------
+
+def _pause_before_verify(spark, victim: ManagedTable, path: str):
+    """Arrange for the victim's NEXT _publish to stall past the orphan
+    grace between its commit-file write and its verify+emit+flip: the
+    one-shot hook backdates the just-written commit file and lets a
+    second writer collide, heal it, and commit — then the victim
+    resumes."""
+    import types
+
+    orig_lock = ManagedTable._pointer_lock
+    fired = {"done": False}
+
+    def pausing_lock(self):
+        if not fired["done"]:
+            fired["done"] = True
+            v = self.current_version() + 1
+            cf = self._commit_file(v)
+            old = os.stat(cf).st_mtime - 3600
+            os.utime(cf, (old, old))        # "slept past the grace"
+            w = ManagedTable(spark, path)
+            w.append(spark.createDataFrame(
+                [(7, "g")], "id long, s string"))
+        return orig_lock(self)
+
+    victim._pointer_lock = types.MethodType(pausing_lock, victim)
+
+
+def test_paused_writer_raises_instead_of_silent_success(spark, tmp_base):
+    """A writer stalled past the grace whose commit was auto-healed
+    must RAISE on waking (pre-r11 it returned success for a commit the
+    log had disowned) and must NOT clobber the heal's commitInfo-only
+    mirror entry with add-actions for its orphaned data dir."""
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"))
+    victim = ManagedTable(spark, f"{tmp_base}/t")
+    _pause_before_verify(spark, victim, f"{tmp_base}/t")
+    with pytest.raises(ConcurrentWriteError, match="auto-healed away"):
+        victim.overwrite(spark.createDataFrame(
+            [(9, "x")], "id long, s string"))
+    w = ManagedTable(spark, f"{tmp_base}/t")
+    healed_v = 1
+    assert w._commit(healed_v).get("healed")
+    # the victim's row never appears; the healer's append does
+    assert _rows(w.read()) == [(1, "a"), (2, "b"), (7, "g")]
+    # the healed version's mirror entry STAYS commitInfo-only
+    entry = [json.loads(x) for x in open(os.path.join(
+        w.path, "_delta_log", f"{healed_v:020d}.json")) if x.strip()]
+    assert [next(iter(a)) for a in entry] == ["commitInfo"]
+    # external replay agrees with the engine
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    assert _rows(read_delta(spark, w.path)) == _rows(w.read())
+
+
+def test_paused_blind_append_retries_and_commits(spark, tmp_base):
+    """A BLIND append healed away mid-pause retries through its OCC
+    loop and lands its batch at a later version — no rows lost, no
+    silent success for a dropped commit, mirror consistent."""
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"))
+    victim = ManagedTable(spark, f"{tmp_base}/t")
+    _pause_before_verify(spark, victim, f"{tmp_base}/t")
+    victim.append(spark.createDataFrame([(9, "x")], "id long, s string"))
+    w = ManagedTable(spark, f"{tmp_base}/t")
+    assert w._commit(1).get("healed")
+    assert _rows(w.read()) == [(1, "a"), (2, "b"), (7, "g"), (9, "x")]
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+    assert _rows(read_delta(spark, w.path)) == _rows(w.read())
