@@ -764,18 +764,49 @@ class ManagedTable:
                               | (F.col("_mor_tseq") < F.col("_mor_seq"))))
         return winner.drop("_mor_seq", "_mor_rn", "_mor_tseq")
 
-    def _usable_map_or_compact(self, parent: dict):
-        """The parent's column map when it is LIVE-usable for O(batch)
-        merge-on-read writes (every entry carries a physical name),
-        None when unmapped — or False after materializing a LEGACY
-        pre-r10 map (None-phys added columns can't receive values in
-        new files); the caller must re-read the head then."""
+    def _upgrade_legacy_map(self, parent: dict, cur: int) -> list:
+        """Upgrade a LEGACY pre-r10 column map in place: assign a
+        stable physical name to every None-phys entry (an ADDED column
+        that exists in NO file yet — reading it as a typed NULL through
+        the superset scan schema is byte-identical to the legacy
+        ``lit(NULL)`` projection, and new files can now receive its
+        values). Collision-checked against every live physical name
+        and the retired set, like ``evolve_schema``; DETERMINISTIC
+        given the parent state (no version/uuid in the name), so two
+        racing writers compute the SAME upgraded map and their OCC
+        map-compare gates still match. The upgraded map rides out in
+        the caller's NEXT commit — no data touched, no extra commit —
+        which retired the pre-r11 materialize/compact fallbacks
+        (VERDICT r10 #6). Read paths for OLD versions keep the
+        None-phys ``lit(NULL)`` branch in ``_apply_column_map``."""
+        cmap = parent.get("column_map") or []
+        retired = set(parent.get("phys_retired") or [])
+        taken = (self._map_physical_names(cmap)
+                 | set(self._scan_schema(cur, parent).fieldNames())
+                 | retired)
+        out = []
+        for p, lg, typ in cmap:
+            if p is None:
+                phys, k = lg, 0
+                while phys in taken:
+                    k += 1
+                    phys = f"{lg}__u{k}"
+                taken.add(phys)
+                out.append([phys, lg, typ])
+            else:
+                out.append([p, lg, typ])
+        return out
+
+    def _live_map(self, parent: dict, cur: int):
+        """The parent's column map, LIVE-usable for O(batch) mapped
+        writes (every entry carries a physical name) — legacy pre-r10
+        None-phys maps upgrade in place (``_upgrade_legacy_map``);
+        None when unmapped."""
         cmap = parent.get("column_map")
         if not cmap:
             return None
         if any(p is None for p, _l, _t in cmap):
-            self.compact()
-            return False
+            return self._upgrade_legacy_map(parent, cur)
         return cmap
 
     def upsert_mor(self, source: DataFrame, key_cols: tuple[str, ...],
@@ -797,11 +828,7 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
-        cmap = self._usable_map_or_compact(parent)
-        if cmap is False:       # legacy None-phys map was materialized
-            cur = self.current_version()
-            parent = self._commit(cur)
-            cmap = None
+        cmap = self._live_map(parent, cur)
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
@@ -842,9 +869,10 @@ class ManagedTable:
                 "live_base": cur, **(extra_meta or {})}
         if parent.get("tombstones"):
             meta["tombstones"] = parent["tombstones"]
-        for k in ("column_map", "phys_retired"):
-            if parent.get(k):
-                meta[k] = parent[k]
+        if cmap:                    # possibly legacy-upgraded in place
+            meta["column_map"] = cmap
+        if parent.get("phys_retired"):
+            meta["phys_retired"] = parent["phys_retired"]
         return self._publish_mor_blind(v, meta, delta_dir, key_cols,
                                        set(batch.columns), occ_retry)
 
@@ -891,11 +919,7 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
-        cmap = self._usable_map_or_compact(parent)
-        if cmap is False:
-            cur = self.current_version()
-            parent = self._commit(cur)
-            cmap = None
+        cmap = self._live_map(parent, cur)
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
@@ -919,7 +943,9 @@ class ManagedTable:
                 "op": "DELETE (merge-on-read)", "ts": time.time(),
                 "tombstones": tombs, "tombstone_keys": list(key_cols),
                 "live_base": cur}
-        for k in ("deltas", "column_map", "phys_retired"):
+        if cmap:                    # possibly legacy-upgraded in place
+            meta["column_map"] = cmap
+        for k in ("deltas", "phys_retired"):
             if parent.get(k):
                 meta[k] = parent[k]
         return self._publish(v, meta)
@@ -938,11 +964,7 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
         parent = self._commit(cur)
-        cmap = self._usable_map_or_compact(parent)
-        if cmap is False:
-            cur = self.current_version()
-            parent = self._commit(cur)
-            cmap = None
+        cmap = self._live_map(parent, cur)
         prev_keys = parent.get("tombstone_keys")
         if prev_keys and tuple(prev_keys) != tuple(key_cols):
             raise ValueError(
@@ -962,7 +984,9 @@ class ManagedTable:
                 "op": "DELETE (merge-on-read)", "ts": time.time(),
                 "tombstones": tombs, "tombstone_keys": list(key_cols),
                 "live_base": cur, **(extra_meta or {})}
-        for k in ("deltas", "column_map", "phys_retired"):
+        if cmap:                    # possibly legacy-upgraded in place
+            meta["column_map"] = cmap
+        for k in ("deltas", "phys_retired"):
             if parent.get(k):
                 meta[k] = parent[k]
         return self._publish_mor_blind(v, meta, tomb_dir, key_cols, None,
@@ -1815,15 +1839,10 @@ class ManagedTable:
             return self.overwrite(df, operation, extra_meta=extra_meta)
         cur = self.current_version()
         parent = self._commit(cur)
-        cmap = parent.get("column_map")
-        if cmap and any(p is None for p, _l, _t in cmap):
-            # LEGACY map (pre-r10): an added column with no assigned
-            # physical name cannot receive the batch's values in a new
-            # file — materialize the map once, then ingest O(batch)
-            # again. Maps written by evolve_schema since r10 always
-            # carry physical names and never take this path.
-            return self.overwrite(self.read().unionByName(df), operation,
-                                  extra_meta=extra_meta)
+        # legacy pre-r10 None-phys maps upgrade in place (deterministic
+        # physical-name assignment, no data touched) — the pre-r11
+        # materialize fallback is retired; every append is O(batch)
+        cmap = self._live_map(parent, cur)
         df = self._with_generated(df)
         cons = self.constraints()
         if cons:
@@ -1879,12 +1898,15 @@ class ManagedTable:
             # carry the parent's merge-on-read state forward untouched
             # (commit metadata is per-version complete state); the
             # batch's own rows outrank it by sequence at read time.
-            # A live column map rides forward the same way — the batch
-            # was written on its physical schema above.
+            # The live column map (possibly legacy-upgraded in place)
+            # rides forward the same way — the batch was written on
+            # its physical schema above.
             for k in ("tombstones", "deltas", "tombstone_keys",
-                      "column_map", "phys_retired"):
+                      "phys_retired"):
                 if parent.get(k):
                     meta[k] = parent[k]
+            if cmap:
+                meta["column_map"] = cmap
             try:
                 out = self._publish(v, meta)
                 # bound future replay cost: once the chain above the
@@ -3554,18 +3576,20 @@ class ManagedTable:
         df = self.read() if snapshot is None else snapshot
         if mor and not stable_partitions:
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
-        cmap = meta0.get("column_map")
+        # legacy pre-r10 None-phys maps upgrade in place (r11 — the
+        # materialize fallback is retired)
+        cmap = self._live_map(meta0, cur) if cur >= 0 else None
         if cmap and not self._map_partition_scoped_ok(cmap):
-            # legacy None-phys map, or a map whose PARTITION columns
-            # are not identity-mapped (impossible through the SQL
-            # surface, which refuses partition-column renames, but the
-            # evolve_schema API allows it): this (full) rewrite
-            # materializes the map instead. A fully-physical live map
-            # composes with MOR debt below (r11): the carry runs on
-            # the physical plane — partition predicates ARE physical
-            # (identity-mapped) and tombstone keys translate through
-            # the map — so ALTER -> MOR sync -> partition-scoped DML
-            # stays O(touched), Delta's cost shape.
+            # a map whose PARTITION columns are not identity-mapped
+            # (impossible through the SQL surface, which refuses
+            # partition-column renames, but the evolve_schema API
+            # allows it): this (full) rewrite materializes the map
+            # instead. A fully-physical live map composes with MOR
+            # debt below (r11): the carry runs on the physical plane —
+            # partition predicates ARE physical (identity-mapped) and
+            # tombstone keys translate through the map — so ALTER ->
+            # MOR sync -> partition-scoped DML stays O(touched),
+            # Delta's cost shape.
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         if not self.partition_by:
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
@@ -3956,11 +3980,11 @@ class ManagedTable:
             # see _partial_rewrite: hardlinks would zero appended rows'
             # resolution sequences under carried MOR state
             stable_partitions = False
-        cmap = parent.get("column_map")
+        cmap = self._live_map(parent, self.current_version())
         if not self.partition_by or (mor and not stable_partitions) \
                 or (cmap and not self._map_partition_scoped_ok(cmap)):
-            # legacy None-phys map (or non-identity-mapped partition
-            # columns): materialize the map in this (full) merge
+            # non-identity-mapped partition columns (legacy None-phys
+            # maps upgrade in place): materialize the map in this
             # rewrite. A USABLE live map stays partition-scoped below
             # — merged slices write the current physical schema next
             # to the hardlinked files, exactly like _partial_rewrite
@@ -4072,16 +4096,14 @@ class ManagedTable:
             return self.overwrite(full.withColumn(flag_col, flag),
                                   operation="MERGE_SCD2")
         head = self._commit(self.current_version())
-        cmap = head.get("column_map")
-        if self._has_mor(head) or (cmap and any(
-                p is None for p, _l, _t in cmap)):
+        if self._has_mor(head):
             # the history-hardlink step below copies RAW base files;
-            # fold outstanding tombstones/deltas (or a legacy pre-r10
-            # column map) into a clean snapshot first so no
-            # merge-on-read state or schema evolution is dropped
+            # fold outstanding tombstones/deltas into a clean snapshot
+            # first so no merge-on-read state is dropped
             self.compact()
             head = self._commit(self.current_version())
-            cmap = None
+        # legacy pre-r10 None-phys maps upgrade in place (r11)
+        cmap = self._live_map(head, self.current_version())
         cur = (self.read().filter(F.col(flag_col) == 1).drop(flag_col))
         merged = scd2_merge(cur, source, cfg, load_ts)
         out = merged.withColumn(flag_col, flag)
@@ -4233,12 +4255,9 @@ class ManagedTable:
                 f"run compact() to materialize it before "
                 f"compact_partitions()")
         meta0 = self._commit(curv)
-        cmap = meta0.get("column_map")
-        if cmap and any(p is None for p, _l, _t in cmap):
-            raise ValueError(
-                f"{self.path} has a legacy pre-r10 column map (an added "
-                f"column without a physical name); run compact() to "
-                f"materialize it before compact_partitions()")
+        # legacy pre-r10 None-phys maps upgrade in place (r11 — the
+        # compact-first requirement is retired)
+        cmap = self._live_map(meta0, curv)
         v = curv + 1
         staged = self._staged_dir_name(v)
         vdir = os.path.join(self.path, staged)
@@ -4257,7 +4276,8 @@ class ManagedTable:
         if cmap:
             from pyspark.sql.types import StructType
             read_schema = StructType(
-                [f for f in self._scan_schema(curv, meta0).fields
+                [f for f in self._scan_schema(
+                    curv, {**meta0, "column_map": cmap}).fields
                  if f.name not in self.partition_by])
         for rel in todo:
             files = by_part.get(rel)
