@@ -200,8 +200,109 @@ class ManagedTable:
     def _commit_file(self, v: int) -> str:
         return os.path.join(self.path, f"_commit_v{v}.json")
 
+    # -- commit-log retention (Delta's checkpoint-fold + logRetention) --
+    @property
+    def _archive_file(self) -> str:
+        return os.path.join(self.path, "_commit_archive.json")
+
+    def _archived_commits(self) -> dict:
+        """{version: meta} for commits folded into the archive segment
+        (``archive_log``), cached per instance keyed on the file's
+        (mtime_ns, size) so hot loops (vacuum's all-refs scan,
+        history()) pay one JSON load per archive generation."""
+        try:
+            st = os.stat(self._archive_file)
+        except FileNotFoundError:
+            return {}
+        key = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_archive_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        try:
+            with open(self._archive_file) as f:
+                data = {int(k): v for k, v in json.load(f).items()}
+        except (FileNotFoundError, ValueError):
+            return {}
+        self._archive_cache = (key, data)
+        return data
+
+    def archive_log(self, retain_last: int | None = None) -> list[int]:
+        """Fold commit JSONs below the newest live-set checkpoint (and
+        at least ``retain_last`` commits below the head — default the
+        checkpoint cadence) into ONE archive segment and delete the
+        per-version files, bounding the table root's entry count at
+        O(checkpoint cadence) no matter how many commits accumulate —
+        Delta's model, where history folds into parquet checkpoints
+        and old log entries expire past ``logRetentionDuration``.
+        Nothing is lost: ``_commit`` falls back to the archive, so
+        ``history()`` / time travel / ``table_changes`` / vacuum's
+        all-refs scan keep working over archived chains (the archive
+        is tiny — metadata only). Hot replay is unaffected: chain
+        walks bottom at a checkpoint at or above the fold bound.
+
+        Concurrency: folding runs under its own advisory lock; the
+        archive is replaced atomically BEFORE the per-version files
+        are removed, so a concurrent ``_commit(v)`` either reads the
+        file or falls back to an archive that already contains ``v``.
+        Runs automatically at checkpoint cadence (appenders) and from
+        ``vacuum``. Returns the versions folded this call."""
+        import fcntl
+        import re as _re
+        cur = self.current_version()
+        if cur < 0:
+            return []
+        retain = (self.LIVE_CHECKPOINT_EVERY if retain_last is None
+                  else retain_last)
+        cps = []
+        for f in os.listdir(self.path):
+            m = _re.fullmatch(r"_live_v(\d+)\.json", f)
+            if m:
+                cps.append(int(m.group(1)))
+        if not cps:
+            return []       # no checkpoint: hot replay may need any file
+        bound = min(max(cps), cur - retain + 1)  # fold strictly below
+        if bound <= 0:
+            return []
+        fd = os.open(self._archive_file + ".lock",
+                     os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                with open(self._archive_file) as f:
+                    arch = {int(k): v for k, v in json.load(f).items()}
+            except (FileNotFoundError, ValueError):
+                arch = {}
+            folded = []
+            for v in range(0, bound):
+                cf = self._commit_file(v)
+                try:
+                    with open(cf) as f:
+                        meta = json.load(f)
+                except FileNotFoundError:
+                    continue
+                except ValueError:
+                    continue    # truncated orphan: leave for repair
+                arch[v] = meta
+                folded.append(v)
+            if not folded:
+                return []
+            tmp = self._archive_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({str(k): m for k, m in sorted(arch.items())},
+                          f)
+            os.replace(tmp, self._archive_file)
+            for v in folded:
+                try:
+                    os.remove(self._commit_file(v))
+                except FileNotFoundError:
+                    pass
+            return folded
+        finally:
+            os.close(fd)
+
     def _commit(self, v: int) -> dict:
-        """Commit metadata for version ``v``.
+        """Commit metadata for version ``v`` — from the per-version
+        file, else the archive segment (``archive_log``).
 
         Tables written before commit files existed fall back to the
         implicit layout (data dir ``v{N}``, no operation recorded).
@@ -210,6 +311,9 @@ class ManagedTable:
             with open(self._commit_file(v)) as f:
                 return json.load(f)
         except FileNotFoundError:
+            arch = self._archived_commits()
+            if v in arch:
+                return arch[v]
             return {"version": v, "dir": f"v{v}", "op": "WRITE", "ts": None}
 
     def _version_dir(self, v: int) -> str:
@@ -366,6 +470,11 @@ class ManagedTable:
             json.dump({"version": v, "root": root,
                        "files": sorted(files)}, f)
         os.replace(tmp, self._live_checkpoint_file(v))
+        # retention rides the same cadence: fold commit files below
+        # the fresh checkpoint into the archive segment so the table
+        # ROOT stays bounded as commits grow (amortized O(cadence)
+        # per fold; history/time-travel read from the archive)
+        self.archive_log()
         return True
 
     def _hive_keys(self, files) -> set[str]:
@@ -1418,10 +1527,52 @@ class ManagedTable:
                 pcol, LongType() if is_int else StringType(), True))
         return struct
 
+    def _identity_schema_metadata(self) -> dict:
+        """Per-column Delta IDENTITY field metadata
+        (``delta.identity.start/step/allowExplicitInsert`` and, once
+        ids were reserved, ``highWaterMark``) from the SQL front-end's
+        recorded DDL — Delta records identity config inside the
+        schemaString's field metadata (delta-io PROTOCOL.md identity
+        columns), so the mirror must too for an external writer to
+        respect the sequence. Empty for tables without identity."""
+        try:
+            with open(os.path.join(self.path, "_ddl_info.json")) as f:
+                info = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+        col = info.get("identity")
+        if not col:
+            return {}
+        start = int(info.get("identity_start") or 1)
+        step = int(info.get("identity_step") or 1)
+        md = {"delta.identity.start": start,
+              "delta.identity.step": step,
+              "delta.identity.allowExplicitInsert":
+                  not info.get("identity_always", False)}
+        try:
+            with open(self._identity_file(col)) as f:
+                slots = int(json.load(f)["next_slot"])
+            if slots > 0:
+                md["delta.identity.highWaterMark"] = \
+                    start + (slots - 1) * step
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
+        return {col: md}
+
     def _delta_schema_string(self, files: list[tuple[str, str]]) -> str:
         """Spark-schema JSON (Delta schemaString) of the physical
-        layout — see ``_physical_struct``."""
-        return self._physical_struct(files).json()
+        layout — see ``_physical_struct``; identity columns carry
+        their ``delta.identity.*`` field metadata."""
+        from pyspark.sql.types import StructField, StructType
+        struct = self._physical_struct(files)
+        ident_md = self._identity_schema_metadata()
+        if ident_md:
+            struct = StructType([
+                StructField(f.name, f.dataType, f.nullable, metadata={
+                    **(f.metadata or {}), **ident_md[f.name]})
+                if f.name in ident_md else f
+                for f in struct.fields])
+        return struct.json()
 
     def _mapped_schema_string(self, files: list[tuple[str, str]],
                               cmap: list) -> str:
@@ -1436,6 +1587,7 @@ class ManagedTable:
             StructField, StructType, _parse_datatype_string,
         )
         phys = {f.name: f for f in self._physical_struct(files).fields}
+        ident_md = self._identity_schema_metadata()
         fields = []
         for i, (p, logical, typ) in enumerate(cmap, start=1):
             if p is None:
@@ -1454,7 +1606,8 @@ class ManagedTable:
                 pname = p
             fields.append(StructField(logical, dt, True, metadata={
                 "delta.columnMapping.id": i,
-                "delta.columnMapping.physicalName": pname}))
+                "delta.columnMapping.physicalName": pname,
+                **(ident_md.get(logical) or {})}))
         return StructType(fields).json()
 
     def _mapping_marker(self) -> str:
@@ -1493,9 +1646,11 @@ class ManagedTable:
         materialized schema IS the episode's logical schema."""
         from pyspark.sql.types import StructField, StructType
         struct = self._physical_struct(files)
+        ident_md = self._identity_schema_metadata()
         fields = [StructField(f.name, f.dataType, True, metadata={
             "delta.columnMapping.id": i,
-            "delta.columnMapping.physicalName": f.name})
+            "delta.columnMapping.physicalName": f.name,
+            **(ident_md.get(f.name) or {})})
             for i, f in enumerate(struct.fields, start=1)]
         maxid = self._bump_mapping_max_id(len(fields))
         return StructType(fields).json(), maxid
@@ -2301,6 +2456,11 @@ class ManagedTable:
                 os.remove(os.path.join(self.path, f))
             except FileNotFoundError:
                 pass
+        # commit-log retention (r11): fold commit files below the
+        # newest live-set checkpoint into the archive segment — the
+        # engine history stays complete (the archive serves history/
+        # time-travel/CDF) while the root's ENTRY COUNT stays bounded
+        self.archive_log()
         return removed
 
     def clone(self, dest_path: str,

@@ -72,6 +72,16 @@ def _commit(path: str, v: int) -> dict:
         with open(os.path.join(path, f"_commit_v{v}.json")) as f:
             return json.load(f)
     except FileNotFoundError:
+        # retention (r11): old commits fold into one archive segment
+        # (ManagedTable.archive_log); stream planning reads few commits
+        # per batch, so the uncached load is fine session-free
+        try:
+            with open(os.path.join(path, "_commit_archive.json")) as f:
+                arch = json.load(f)
+            if str(v) in arch:
+                return arch[str(v)]
+        except (FileNotFoundError, ValueError):
+            pass
         return {"version": v, "dir": f"v{v}", "op": "WRITE", "ts": None}
 
 
@@ -155,18 +165,59 @@ _DDL_JSON_ALIAS = {
 }
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on commas at nesting depth 0 (respecting ``<>``/``()``)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
 def _type_from_ddl(typ: str):
-    """SESSION-FREE primitive-DDL -> Spark type (``_parse_datatype_
-    string`` needs an active SparkContext, which the Python data
-    source worker doesn't have): normalize the SQL aliases and hand
-    to the json-value parser, which handles atomic names and
-    decimal(p,s) without a session."""
-    from pyspark.sql.types import _parse_datatype_json_value
-    t = (typ or "string").strip().lower()
-    head = t.split("(", 1)[0]
+    """SESSION-FREE DDL -> Spark type (``_parse_datatype_string``
+    needs an active SparkContext, which the Python data source worker
+    doesn't have): a small recursive parser for the complex heads
+    (``array<...>``, ``map<k,v>``, ``struct<a:T,...>`` — a column
+    ADDed with one of these under a live map must stream before any
+    post-ALTER batch lands, ADVICE r10), with SQL aliases normalized
+    and atomics/decimal(p,s)/char/varchar handed to the session-free
+    json-value parser."""
+    from pyspark.sql.types import (
+        ArrayType, MapType, StructField, StructType,
+        _parse_datatype_json_value,
+    )
+    t = (typ or "string").strip()
+    tl = t.lower()
+    if tl.startswith("array<") and tl.endswith(">"):
+        return ArrayType(_type_from_ddl(t[len("array<"):-1]))
+    if tl.startswith("map<") and tl.endswith(">"):
+        kv = _split_top(t[len("map<"):-1])
+        if len(kv) != 2:
+            raise ValueError(f"cannot parse DDL type {typ!r}")
+        return MapType(_type_from_ddl(kv[0]), _type_from_ddl(kv[1]))
+    if tl.startswith("struct<") and tl.endswith(">"):
+        fields = []
+        for part in _split_top(t[len("struct<"):-1]):
+            if not part:
+                continue
+            name, _, ft = part.partition(":")
+            fields.append(StructField(name.strip(), _type_from_ddl(ft)))
+        return StructType(fields)
+    tl2 = tl
+    head = tl2.split("(", 1)[0]
     if head in _DDL_JSON_ALIAS:
-        t = _DDL_JSON_ALIAS[head] + t[len(head):]
-    return _parse_datatype_json_value(t)
+        tl2 = _DDL_JSON_ALIAS[head] + tl2[len(head):]
+    return _parse_datatype_json_value(tl2)
 
 
 def _table_schema(path: str):

@@ -1018,7 +1018,8 @@ def _slots_taken_expr(ident: str, start: int, step: int):
 def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
                      order_cols: list[str], start: int = 1,
                      step: int = 1,
-                     base_slots: int | None = None) -> DataFrame:
+                     base_slots: int | None = None,
+                     seq_partitions: int | None = None) -> DataFrame:
     """Fill NULL ``ident`` values (merge-inserted rows) with a dense
     sequence of the identity domain ``start + k*step`` continuing past
     the pre-merge target's high-water mark — a 1-row broadcast riding
@@ -1034,15 +1035,45 @@ def _assign_identity(result: DataFrame, target: DataFrame, ident: str,
     have = result.filter(F.col(ident).isNotNull())
     need = result.filter(F.col(ident).isNull()).drop(ident)
     if base_slots is not None:
+        # ``seq_partitions=1`` (set by callers that COUNTED the batch
+        # and know it is small) takes dense_sequence's machinery-free
+        # fast path: no persist, no localCheckpoint — nothing retained
+        # in the block manager after the statement (ADVICE r10)
         seq = dense_sequence(need, order_cols, ident,
-                             offset=int(base_slots))
+                             offset=int(base_slots),
+                             num_partitions=seq_partitions)
     else:
         slots = target.agg(_slots_taken_expr(ident, start, step))
-        seq = dense_sequence(need, order_cols, ident, offset_df=slots)
+        seq = dense_sequence(need, order_cols, ident, offset_df=slots,
+                             num_partitions=seq_partitions)
     val = F.lit(start) + (F.col(ident) - F.lit(1)) * F.lit(step)
     return have.unionByName(
         seq.withColumn(ident, val.cast(ident_t))
         .select(*result.columns))
+
+
+def _assign_identity_reserved(tbl: ManagedTable, res: DataFrame,
+                              snapshot: DataFrame, ident: str,
+                              order_cols: list[str], info: dict,
+                              pin: list) -> DataFrame:
+    """Merge-side identity assignment routed through the SAME
+    flock-guarded ``reserve_identity`` high-water counter as INSERT
+    reservations (ADVICE r10): a MERGE racing a reserved INSERT can
+    never mint the same ids. The EXACT inserted-row count is reserved
+    (ids stay dense across race-free sequential statements, so
+    deterministic oracles are unchanged); the merge result persists
+    for the count and the caller unpersists everything in ``pin``
+    after the commit."""
+    start_, step_ = _ident_params(info)
+    cached = res.persist()
+    pin.append(cached)
+    n = cached.filter(F.col(ident).isNull()).count()
+    floor = int(snapshot.agg(
+        _slots_taken_expr(ident, start_, step_)).collect()[0]["_slots"])
+    base = tbl.reserve_identity(ident, int(n), floor)
+    return _assign_identity(cached, snapshot, ident, order_cols,
+                            start_, step_, base_slots=base,
+                            seq_partitions=1 if n <= 100_000 else None)
 
 
 def _ident_params(info: dict) -> tuple[int, int]:
@@ -2277,14 +2308,17 @@ class LakehouseSql:
         order_cols = (src_keys
                       or [c for c in target.columns if c != ident])
 
+        pin: list = []      # persisted merge results, freed post-commit
+
         def combine(target_slice: DataFrame, src: DataFrame) -> DataFrame:
             res = apply_merge(target_slice, src, spec,
                               self.check_cardinality)
             if needs_ident:
                 # high-water mark from the FULL target, not the slice —
-                # ids must be unique table-wide
-                res = _assign_identity(res, target, ident, order_cols,
-                                       *_ident_params(info))
+                # ids must be unique table-wide; routed through the
+                # reservation counter shared with INSERTs (ADVICE r10)
+                res = _assign_identity_reserved(
+                    tbl, res, target, ident, order_cols, info, pin)
             return res
 
         # partition-scoped route (the 100 TB shape: only source-touched
@@ -2309,16 +2343,22 @@ class LakehouseSql:
         proven = pb is not None and all((p, p) in pairs for p in pb)
         asserted = pb is not None and self.stable_partitions is True \
             and src_keys is not None and set(pb) <= set(source.columns)
-        if (proven or asserted) and not evolved \
-                and self.stable_partitions is not False:
-            return tbl.merge_into_generic(
-                source, combine, operation="MERGE",
-                stable_partitions=True, extra_meta=extra_meta,
-                # identity ids derive from the read snapshot — a lost
-                # race must not rebase (see _insert's occ_retry note)
-                occ_retry=not needs_ident)
-        return tbl.overwrite(combine(target, source), operation="MERGE",
-                             extra_meta=extra_meta)
+        try:
+            if (proven or asserted) and not evolved \
+                    and self.stable_partitions is not False:
+                return tbl.merge_into_generic(
+                    source, combine, operation="MERGE",
+                    stable_partitions=True, extra_meta=extra_meta,
+                    # identity ids derive from the read snapshot — a
+                    # lost race must not rebase (see _insert's
+                    # occ_retry note)
+                    occ_retry=not needs_ident)
+            return tbl.overwrite(combine(target, source),
+                                 operation="MERGE",
+                                 extra_meta=extra_meta)
+        finally:
+            for df in pin:
+                df.unpersist()
 
     def merge_chain(self, statements, extra_meta: dict | None = None
                     ) -> ManagedTable:
@@ -2423,28 +2463,39 @@ class LakehouseSql:
                 res = apply_merge(state, source, specs[1],
                                   check_cardinality=False)
                 cl = specs[1].clauses[0]
+                pin: list = []
                 if ident and ident in state.columns and (
                         cl.insert_cols is None
                         or ident not in cl.insert_cols):
-                    res = _assign_identity(res, state, ident, src_keys,
-                                           *_ident_params(info))
-                return tbl.overwrite(res, operation="MERGE",
-                                     extra_meta={"fused": 2,
-                                                 **(extra_meta or {})})
+                    res = _assign_identity_reserved(
+                        tbl, res, state, ident, src_keys, info, pin)
+                try:
+                    return tbl.overwrite(
+                        res, operation="MERGE",
+                        extra_meta={"fused": 2, **(extra_meta or {})})
+                finally:
+                    for df in pin:
+                        df.unpersist()
             dupes = (source.groupBy(*src_keys)
                      .agg(F.count(F.lit(1)).alias("__n"))
                      .filter(F.col("__n") > 1).limit(1).count())
             if not dupes:
                 res = apply_merge_fused_pair(state, source, *specs)
                 cl = specs[1].clauses[0]
+                pin: list = []
                 if ident and ident in state.columns and (
                         cl.insert_cols is None
                         or ident not in cl.insert_cols):
-                    res = _assign_identity(res, state, ident, src_keys,
-                                           *_ident_params(info))
-                return tbl.overwrite(res, operation="MERGE",
-                                     extra_meta={"fused": 2,
-                                                 **(extra_meta or {})})
+                    res = _assign_identity_reserved(
+                        tbl, res, state, ident, src_keys, info, pin)
+                try:
+                    return tbl.overwrite(
+                        res, operation="MERGE",
+                        extra_meta={"fused": 2, **(extra_meta or {})})
+                finally:
+                    for df in pin:
+                        df.unpersist()
+        chain_pin: list = []    # persisted merge results, freed post-commit
         for spec in specs:
             source = self._source_df(spec.source)
             if ident and info.get("identity_always"):
@@ -2472,14 +2523,18 @@ class LakehouseSql:
             if needs_ident:
                 keys = _equi_source_keys(spec.on, spec.t_alias,
                                          spec.s_alias)
-                res = _assign_identity(
-                    res, state, ident,
+                res = _assign_identity_reserved(
+                    tbl, res, state, ident,
                     keys or [c for c in state.columns if c != ident],
-                    *_ident_params(info))
+                    info, chain_pin)
             state = res
-        return tbl.overwrite(state, operation="MERGE",
-                             extra_meta={"fused": len(specs),
-                                         **(extra_meta or {})})
+        try:
+            return tbl.overwrite(state, operation="MERGE",
+                                 extra_meta={"fused": len(specs),
+                                             **(extra_meta or {})})
+        finally:
+            for df in chain_pin:
+                df.unpersist()
 
     def merge_pair(self, first_sql: str, second_sql: str,
                    extra_meta: dict | None = None) -> ManagedTable:
@@ -2686,13 +2741,23 @@ class LakehouseSql:
         # standard identity contract.
         if needs_ident:
             start_, step_ = _ident_params(info)
-            batch = batch.persist()
-            n = batch.count()
-            floor = cur.agg(
-                _slots_taken_expr(ident, start_, step_)
-            ).collect()[0]["_slots"]
-            base = tbl.reserve_identity(ident, n, floor)
-            batch = _assign_identity(batch, cur, ident,
-                                     [c for c in cols],
-                                     start_, step_, base_slots=base)
+            cached = batch.persist()
+            try:
+                n = cached.count()
+                floor = cur.agg(
+                    _slots_taken_expr(ident, start_, step_)
+                ).collect()[0]["_slots"]
+                base = tbl.reserve_identity(ident, n, floor)
+                batch = _assign_identity(
+                    cached, cur, ident, [c for c in cols],
+                    start_, step_, base_slots=base,
+                    seq_partitions=1 if n <= 100_000 else None)
+                return tbl.append(batch, operation="INSERT",
+                                  occ_retry=True)
+            finally:
+                # the assigned batch's plan reads THROUGH the cached
+                # relation, so unpersisting after the append releases
+                # the blocks without recompute (ADVICE r10: one cached
+                # DataFrame leaked per identity INSERT statement)
+                cached.unpersist()
         return tbl.append(batch, operation="INSERT", occ_retry=True)

@@ -104,3 +104,114 @@ def test_mapped_partitioned_merge_replays_in_mirror(spark, tmp_path):
     assert _rows(t.read().select("id", "name")) == [
         (1, "A"), (2, "b"), (9, "z")]
     assert _rows(read_delta(spark, t.path)) == _rows(t.read())
+
+
+# -- 2 (low): identity INSERT unpersists its batch ----------------------------
+
+def test_identity_insert_leaves_no_cached_blocks(spark, tmp_path):
+    lake = LakehouseSql(spark, str(tmp_path / "lake"))
+    lake.sql("CREATE TABLE adv.ident (id BIGINT GENERATED ALWAYS AS "
+             "IDENTITY, s STRING)")
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    lake.sql("INSERT INTO adv.ident (s) VALUES ('a'), ('b')")
+    lake.sql("INSERT INTO adv.ident (s) VALUES ('c')")
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (before, after,
+                             "identity INSERT leaked cached blocks")
+    t = lake.table("adv.ident")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+
+
+# -- 3 (low): MERGE identity routes through the reservation counter -----------
+
+def test_merge_identity_respects_inflight_insert_reservation(
+        spark, tmp_path):
+    """An in-flight identity INSERT holds a reserved (uncommitted) slot
+    range; a MERGE assigning new ids must consult the same counter and
+    mint PAST the reservation — pre-fix it read only the snapshot max
+    and duplicated the in-flight ids."""
+    lake = LakehouseSql(spark, str(tmp_path / "lake"))
+    lake.sql("CREATE TABLE adv.m (id BIGINT GENERATED ALWAYS AS "
+             "IDENTITY, k INT, s STRING)")
+    lake.sql("INSERT INTO adv.m (k, s) VALUES (1, 'a'), (2, 'b')")
+    t = lake.table("adv.m")
+    # simulate a racing INSERT that reserved [2, 5) but has not
+    # committed yet (its rows are invisible to the MERGE's snapshot)
+    t.reserve_identity("id", 3, 2)
+    lake.sql("CREATE TABLE adv.src (k INT, s STRING)")
+    lake.sql("INSERT INTO adv.src VALUES (2, 'B'), (9, 'z')")
+    lake.sql("MERGE INTO adv.m AS tgt USING adv.src AS src "
+             "ON tgt.k = src.k "
+             "WHEN MATCHED THEN UPDATE SET tgt.s = src.s "
+             "WHEN NOT MATCHED THEN INSERT (k, s) VALUES (src.k, src.s)")
+    ids = {r["k"]: r["id"] for r in t.read().collect()}
+    # the merge-inserted row's id is PAST the reservation, not id 3
+    assert ids[9] >= 6, (ids, "MERGE minted an id inside an in-flight "
+                              "INSERT's reserved range")
+    # counter advanced past the merge's own assignment too
+    import json as _json
+    with open(t._identity_file("id")) as f:
+        assert _json.load(f)["next_slot"] >= ids[9]
+
+
+def test_merge_then_insert_ids_stay_dense_and_disjoint(spark, tmp_path):
+    """Race-free sequential statements keep the dense id sequence the
+    oracles expect (exact-count reservation), and a following reserving
+    INSERT continues past the merge's ids."""
+    lake = LakehouseSql(spark, str(tmp_path / "lake"))
+    lake.sql("CREATE TABLE adv.d (id BIGINT GENERATED ALWAYS AS "
+             "IDENTITY, k INT)")
+    lake.sql("CREATE TABLE adv.dsrc (k INT)")
+    lake.sql("INSERT INTO adv.dsrc VALUES (1), (2), (3)")
+    lake.sql("MERGE INTO adv.d AS tgt USING adv.dsrc AS src "
+             "ON tgt.k = src.k "
+             "WHEN NOT MATCHED THEN INSERT (k) VALUES (src.k)")
+    lake.sql("INSERT INTO adv.d (k) VALUES (4), (5)")
+    t = lake.table("adv.d")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4, 5]
+
+
+# -- 4 (low): complex DDL types in the session-free stream schema -------------
+
+def test_type_from_ddl_complex_types():
+    from pyspark.sql.types import (
+        ArrayType, DecimalType, IntegerType, MapType, StringType,
+        StructField, StructType,
+    )
+    from tb_lakehouse_enhanced_spark.sources.tablestream import (
+        _type_from_ddl,
+    )
+    assert _type_from_ddl("array<int>") == ArrayType(IntegerType())
+    assert _type_from_ddl("map<string, decimal(10,2)>") == MapType(
+        StringType(), DecimalType(10, 2))
+    assert _type_from_ddl("struct<a:int, b:array<string>>") == StructType(
+        [StructField("a", IntegerType()),
+         StructField("b", ArrayType(StringType()))])
+    assert _type_from_ddl(
+        "array<struct<x:map<string,int>, y:string>>") == ArrayType(
+        StructType([StructField("x", MapType(StringType(),
+                                             IntegerType())),
+                    StructField("y", StringType())]))
+
+
+def test_stream_schema_survives_complex_added_column(spark, tmp_base):
+    """ALTER ADD COLUMN of a complex type under a live map: the
+    session-free schema derivation must work BEFORE any post-ALTER
+    batch lands (pre-fix: CANNOT_PARSE_DATATYPE)."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    from tb_lakehouse_enhanced_spark.sources.tablestream import (
+        _table_schema,
+    )
+    t = ManagedTable(spark, f"{tmp_base}/t")
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, s string"))
+    cmap = t.identity_column_map() + [
+        [None, "tags", "array<string>"],
+        [None, "attrs", "map<string,int>"],
+        [None, "nested", "struct<a:int,b:array<string>>"]]
+    t.evolve_schema(cmap, "ADD COLUMNS")
+    schema = _table_schema(t.path)
+    names = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert names["tags"] == "array<string>"
+    assert names["attrs"] == "map<string,int>"
+    assert names["nested"] == "struct<a:int,b:array<string>>"

@@ -40,6 +40,23 @@ def _build_history(spark, path: str) -> ManagedTable:
     cmap = t.identity_column_map() + [[None, "extra", "int"]]
     t.evolve_schema(cmap, "ADD COLUMNS (extra int)")                 # v3
     t.overwrite(t.read().withColumn("extra", F.lit(7)))              # v4
+    # mapped-era episode (r11 golden surface): a SECOND evolution
+    # (rename -> maxColumnId ratchet), an O(batch) mapped append
+    # (adds-only under protocol 2/5), a mapped partition-scoped UPDATE
+    # (real add/remove actions, ADVICE r10 high), then identity DDL
+    # metadata riding the materialized identity-mapped schemaString
+    cmap = t.identity_column_map()
+    for e in cmap:
+        if e[1] == "k":
+            e[1] = "label"
+    t.evolve_schema(cmap, "RENAME COLUMN")                           # v5
+    t.append(spark.createDataFrame(
+        [(4, "d", 0, 1)], "id bigint, label string, p int, extra int"))  # v6
+    t.update(F.col("id") == 1, {"extra": F.lit(9)})                  # v7
+    with open(os.path.join(t.path, "_ddl_info.json"), "w") as f:
+        json.dump({"identity": "id", "identity_start": 1,
+                   "identity_step": 1, "identity_always": True}, f)
+    t.overwrite(t.read())                                            # v8
     return t
 
 

@@ -1,0 +1,113 @@
+"""Commit-log retention (VERDICT r10 ask #3).
+
+Commit JSONs below the newest live-set checkpoint fold into ONE
+archive segment (``archive_log``) — automatically at checkpoint
+cadence and from vacuum — so the table root holds O(checkpoint
+cadence) entries no matter how many commits accumulate (Delta folds
+history into parquet checkpoints and expires log entries past
+``logRetentionDuration``). Folding loses nothing: ``_commit`` falls
+back to the archive, so history(), time travel, the change feed, the
+streaming source, and vacuum's all-refs scan keep working over
+archived chains.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _chained_table(spark, path, n_appends):
+    t = ManagedTable(spark, path)
+    t.overwrite(spark.createDataFrame([(0, "base")], "id long, s string"))
+    for i in range(n_appends):
+        t.append(spark.createDataFrame(
+            [(i + 1, f"a{i}")], "id long, s string"))
+    return t
+
+
+def test_archive_folds_below_checkpoint_and_history_survives(
+        spark, tmp_base):
+    n = ManagedTable.LIVE_CHECKPOINT_EVERY + 8
+    t = _chained_table(spark, f"{tmp_base}/t", n)
+    # the checkpoint-cadence fold already ran inside append
+    files = {int(os.path.basename(f)[len("_commit_v"):-len(".json")])
+             for f in glob.glob(os.path.join(t.path, "_commit_v*.json"))}
+    assert 0 not in files, "v0 commit file was not folded"
+    assert t.current_version() in files, "head must stay a file"
+    # history is COMPLETE and ordered over file + archive
+    hist = t.history()
+    assert [h["version"] for h in hist] == list(range(n, -1, -1))
+    # time travel below the fold bound
+    assert _rows(t.read(0)) == [(0, "base")]
+    assert _rows(t.read(3)) == [(0, "base"), (1, "a0"), (2, "a1"),
+                                (3, "a2")]
+    # an explicit call folds the commits the cadence-trailing auto
+    # fold left (bound = cur - retain + 1); a second call is a no-op
+    t.archive_log()
+    assert t.archive_log() == []
+    # everything still reads identically after the deeper fold
+    assert _rows(t.read(3)) == [(0, "base"), (1, "a0"), (2, "a1"),
+                                (3, "a2")]
+    assert len(t.history()) == n + 1
+
+
+def test_change_feed_and_stream_read_archived_commits(spark, tmp_base):
+    n = ManagedTable.LIVE_CHECKPOINT_EVERY + 4
+    t = _chained_table(spark, f"{tmp_base}/t", n)
+    t.archive_log()     # fold past the cadence-trailing auto bound
+    assert not os.path.isfile(os.path.join(t.path, "_commit_v1.json"))
+    # per-commit change feed over ARCHIVED versions
+    feed = t.table_changes(1, 3)
+    got = {(r["id"], r["s"], r["_change_type"], r["_commit_version"])
+           for r in feed.collect()}
+    assert got == {(1, "a0", "insert", 1), (2, "a1", "insert", 2),
+                   (3, "a2", "insert", 3)}
+    # the streaming source's session-free planner reads the archive
+    from tb_lakehouse_enhanced_spark.sources.tablestream import _commit
+    assert _commit(t.path, 1)["added_files"]
+
+
+def test_vacuum_works_over_archived_chain(spark, tmp_base):
+    n = ManagedTable.LIVE_CHECKPOINT_EVERY + 8
+    t = _chained_table(spark, f"{tmp_base}/t", n)
+    t.overwrite(t.read())               # materialize: old dirs doomed
+    removed = t.vacuum(retain_last=1)
+    assert removed                      # superseded dirs reclaimed
+    assert t.read().count() == n + 1
+    # history still complete after vacuum's fold
+    assert len(t.history()) == t.current_version() + 1
+
+
+def test_archive_concurrent_reader_never_misses(spark, tmp_base):
+    """The fold replaces the archive BEFORE deleting commit files; a
+    reader caching an older archive generation re-reads on mtime/size
+    change and finds the folded version."""
+    n = ManagedTable.LIVE_CHECKPOINT_EVERY + 2
+    t = _chained_table(spark, f"{tmp_base}/t", n)
+    reader = ManagedTable(spark, t.path)
+    assert reader._commit(0)["dir"]     # primes the archive cache
+    for i in range(ManagedTable.LIVE_CHECKPOINT_EVERY + 2):
+        t.append(spark.createDataFrame(
+            [(100 + i, f"b{i}")], "id long, s string"))
+    # a second fold ran (the v64 checkpoint folds up to 64 - cadence);
+    # the cached reader must see the new archive segment
+    v_mid = ManagedTable.LIVE_CHECKPOINT_EVERY // 2
+    assert not os.path.isfile(t._commit_file(v_mid))
+    assert reader._commit(v_mid).get("added_files")
+
+
+def test_no_checkpoint_no_fold(spark, tmp_base):
+    """A short-history table (no live-set checkpoint yet) never folds
+    — hot replay may need any commit file."""
+    t = _chained_table(spark, f"{tmp_base}/t", 4)
+    assert t.archive_log() == []
+    assert os.path.isfile(t._commit_file(0))

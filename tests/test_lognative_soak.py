@@ -82,8 +82,20 @@ def test_soak_planning_stays_flat_and_vacuum_reclaims(spark, tmp_base):
                       and not d.startswith("_")]
     assert len(live_data_dirs) < 80, (len(live_data_dirs), dirs_before)
     assert dirs_after < dirs_before
-    # commit JSONs are never deleted (engine source of truth): history
-    # metadata grows linearly, data does not
+    # commit-log retention (r11): commit JSONs below the newest
+    # live-set checkpoint FOLD into one archive segment at checkpoint
+    # cadence — the table root's ENTRY COUNT stays bounded as commits
+    # grow (pre-r11 the root held one commit file per version forever)
+    commit_files = glob.glob(os.path.join(t.path, "_commit_v*.json"))
+    assert len(commit_files) <= 2 * ManagedTable.LIVE_CHECKPOINT_EVERY, (
+        len(commit_files), "commit files grew O(commits) — retention "
+                           "folding is broken")
+    assert os.path.isfile(os.path.join(t.path, "_commit_archive.json"))
+    assert dirs_after < 4 * ManagedTable.LIVE_CHECKPOINT_EVERY, dirs_after
+    # history stays COMPLETE over the archive (every version readable)
+    hist = t.history()
+    assert len(hist) == t.current_version() + 1
+    assert all(h.get("dir") for h in hist)
     assert t.read().count() == rows_total
     # and a fresh reader still plans checkpoint-bounded after vacuum
     counter["n"] = 0
