@@ -148,7 +148,7 @@ def main():
     def _calibrate() -> float:
         t0 = time.time()
         (spark.range(0, 50_000_000, 1, 32)
-         .selectExpr("sum(xxhash64(id)) AS h",
+         .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS h",
                      "avg(id % 1000) AS a")
          .collect())
         return round(time.time() - t0, 3)

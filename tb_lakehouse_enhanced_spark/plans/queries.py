@@ -868,7 +868,8 @@ def schema_evolution_ingest(spark, sf_dir):
 @q("evolved_mor_dml", """
 WITH base AS (
   SELECT l_orderkey, l_linenumber, MIN(l_quantity) AS q0
-  FROM lineitem GROUP BY l_orderkey, l_linenumber
+  FROM lineitem WHERE l_orderkey % 9 = 0
+  GROUP BY l_orderkey, l_linenumber
 ),
 st AS (
   SELECT l_orderkey, l_linenumber,
@@ -901,6 +902,7 @@ def evolved_mor_dml(spark, sf_dir):
     # unique (l_orderkey, l_linenumber) grain (lineitem is not unique
     # on it); pt derives from the KEY, so partitions are stable
     base = (_t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") % 9 == 0)
             .groupBy("l_orderkey", "l_linenumber")
             .agg(F.min("l_quantity").alias("l_quantity"))
             .withColumn("pt", F.col("l_orderkey") % 4))

@@ -3754,6 +3754,28 @@ class ManagedTable:
         if not self.partition_by:
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         pb = list(self.partition_by)
+        pinned = None
+        if mor:
+            # a MOR-resolving snapshot is the expensive relation here
+            # (window + anti-join per action) and this path executes it
+            # THREE times (touched-partition probe, rewritten slice,
+            # carry subtraction): persist once, release after publish.
+            # Cache-worthy only under MOR — plain snapshots are one
+            # pruned scan each and caching them just costs block churn.
+            df = pinned = df.persist()
+        try:
+            return self._partial_rewrite_exec(
+                condition, rewrite_fn, operation, cdc, cur, meta0, mor,
+                cmap, df, pb, snapshot)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
+
+    def _partial_rewrite_exec(self, condition, rewrite_fn,
+                              operation: str, cdc, cur: int, meta0: dict,
+                              mor: bool, cmap, df: DataFrame, pb: list,
+                              snapshot) -> "ManagedTable":
+        from pyspark.sql import functions as F
         touched = df.filter(condition).select(*pb).distinct().collect()
         if not touched:
             return self
@@ -4179,6 +4201,10 @@ class ManagedTable:
         cons = self.constraints()
         if cons:
             self._validate(cons, merged)
+        if mor:
+            # the MOR-resolving merge plan executes twice (slice write
+            # + carry subtraction): persist once, release after publish
+            merged = merged.persist()
         merged_logical = merged  # the carry-subtraction's plane anchor
         if cmap:
             # live map: write the merged slices PHYSICAL (see
@@ -4215,13 +4241,17 @@ class ManagedTable:
         # is a real conflict, not a rebase.
         key_src = (F.broadcast(source.select(*keys).dropDuplicates(keys))
                    if keys else None)
-        return self._publish_partition_scoped(
-            v, meta, vdir, touched_rel,
-            conflict_check=(
-                (lambda bdf: bool(bdf.join(key_src, keys, "left_semi")
-                                  .limit(1).count()))
-                if keys else None),
-            no_retry=mor or not occ_retry)
+        try:
+            return self._publish_partition_scoped(
+                v, meta, vdir, touched_rel,
+                conflict_check=(
+                    (lambda bdf: bool(bdf.join(key_src, keys, "left_semi")
+                                      .limit(1).count()))
+                    if keys else None),
+                no_retry=mor or not occ_retry)
+        finally:
+            if mor:
+                merged.unpersist()
 
     def scd2_merge_into(self, source: DataFrame, cfg, load_ts,
                         flag_col: str = "_tf_is_current") -> "ManagedTable":
