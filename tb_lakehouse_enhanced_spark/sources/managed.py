@@ -858,8 +858,29 @@ class ManagedTable:
             StructType(list(df.schema.fields))).parquet(
             *[os.path.join(self.path, d) for d in deltas])
         delta_rows = delta_scan.withColumn("_mor_seq", seq_from_path)
-        rows = df.withColumn("_mor_seq", base_seq) \
-            .unionByName(delta_rows)
+        # The LWW window runs over ONLY the keys the MOR state touches
+        # (r11). Under the per-batch/base key-uniqueness contract, a
+        # key absent from every delta AND tombstone file has exactly
+        # one base row and no shadowing state — it passes through
+        # untouched via an anti-join against the (small) state-key
+        # set, which AQE broadcasts. So resolution shuffles O(|MOR
+        # state|) rows, never the base table: the 100 TB read
+        # amplification is a broadcast join, not a full-table window
+        # sort (multi-copy keys — old copy + re-appended copy — are by
+        # construction tombstoned, so they're in the touched set).
+        # Tombstone dirs hold only the key columns; one fixed
+        # key-schema scan reads both dir families by name.
+        key_struct = StructType([df.schema[k] for k in keys])
+        state_keys = (self.spark.read.schema(key_struct).parquet(
+            *[os.path.join(self.path, d) for d in deltas + tombs])
+            .dropDuplicates(keys))
+        # the sequence stamps BEFORE the joins: ``_metadata`` resolves
+        # only on the scan relation itself
+        base = df.withColumn("_mor_seq", base_seq)
+        untouched = base.join(state_keys, keys, "left_anti") \
+            .drop("_mor_seq")
+        touched = base.join(state_keys, keys, "left_semi")
+        rows = touched.unionByName(delta_rows)
         w = Window.partitionBy(*keys).orderBy(F.desc("_mor_seq"))
         winner = (rows.withColumn("_mor_rn", F.row_number().over(w))
                   .filter(F.col("_mor_rn") == 1))
@@ -871,7 +892,8 @@ class ManagedTable:
             winner = (winner.join(tomb, keys, "left_outer")
                       .filter(F.col("_mor_tseq").isNull()
                               | (F.col("_mor_tseq") < F.col("_mor_seq"))))
-        return winner.drop("_mor_seq", "_mor_rn", "_mor_tseq")
+        return untouched.unionByName(
+            winner.drop("_mor_seq", "_mor_rn", "_mor_tseq"))
 
     def _upgrade_legacy_map(self, parent: dict, cur: int) -> list:
         """Upgrade a LEGACY pre-r10 column map in place: assign a

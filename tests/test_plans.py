@@ -450,9 +450,11 @@ def test_read_delta_partition_join_is_broadcast(spark, tmp_path):
 
 
 def test_mor_read_single_exchange_resolution(spark, tmp_path):
-    """Merge-on-read resolution: ONE hash exchange on the key feeds the
-    last-writer-wins window (plus the tombstone join) — the documented
-    read amplification, not N exchanges for N stacked deltas."""
+    """Merge-on-read resolution: the last-writer-wins window reads ONE
+    hash exchange over the TOUCHED keys (r11: plus one tiny exchange
+    deduplicating the state-key set that gates the pass-through
+    anti-join) — never N exchanges for N stacked deltas, and never a
+    window sort of the untouched base."""
     from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
     t = ManagedTable(spark, str(tmp_path / "mor"))
     t.overwrite(spark.createDataFrame(
@@ -463,9 +465,13 @@ def test_mor_read_single_exchange_resolution(spark, tmp_path):
             key_cols=("id",))
     df = t.read()
     plan = _executed(df)
-    # window exchange: exactly one hashpartitioning on id feeds Window
+    # window input + the state-key dedup (which prints once per join
+    # branch pre-AQE; ReusedExchange collapses it at runtime): bounded
+    # regardless of the THREE stacked delta commits — never one
+    # exchange per stacked delta
     n_exchanges = plan.count("Exchange hashpartitioning(id")
-    assert n_exchanges == 1, plan[:2000]
+    assert n_exchanges <= 3, plan[:2000]
+    assert plan.count("Window [") == 1, plan[:2000]   # ONE window exec
     assert df.count() == 100
 
 
@@ -554,3 +560,32 @@ def test_mapped_read_pushes_filters_to_physical_scan(spark, tmp_path):
     assert plan.count("Scan parquet") == 1, plan
     assert "EqualTo(a,42)" in plan, plan       # pushed as PHYSICAL col
     assert df.count() == 1
+
+
+def test_mor_resolution_windows_only_state_touched_keys(spark, tmp_path):
+    """Round 11 plan gate: the LWW window shuffles ONLY the keys the
+    MOR state touches — untouched base rows pass through a broadcast
+    anti-join against the (small) state-key set, so a 100 TB read
+    never window-sorts the whole base table. Pinned by the window
+    exchange's row count: <= |touched base| + |delta rows|, not
+    |base|."""
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, str(tmp_path / "morw"))
+    t.overwrite(spark.createDataFrame(
+        [(i, float(i)) for i in range(10_000)], ["id", "v"]))
+    t.upsert_mor(spark.createDataFrame(
+        [(j, -1.0) for j in range(20)], ["id", "v"]), key_cols=("id",))
+    t.delete_mor(F.col("id").isin(5, 6, 10_000 - 1), key_cols=("id",))
+    df = t.read()
+    plan = _executed(df)
+    # pass-through branch: a LeftAnti join against the state keys (AQE
+    # broadcasts it — no base-table exchange on that branch)
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "Window" in plan, plan[:3000]
+    assert df.count() == 10_000 - 3
+    # correctness of the split: untouched values intact, upserts and
+    # tombstones applied
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[0] == -1.0 and got[19] == -1.0
+    assert 5 not in got and 9_999 not in got
+    assert got[100] == 100.0
