@@ -608,10 +608,24 @@ class ManagedTable:
         (parquet reads by name), which is exactly the map's read-time
         reconciliation. Map entries carry their type DDL whenever
         their physical column can be missing from the root (assigned
-        at ``evolve_schema`` time)."""
+        at ``evolve_schema`` time).
+
+        CACHED per (root, map) on the instance (r11): a materialized
+        root dir is immutable once its commit is visible, so the
+        footer-inference job deriving its schema runs once per process
+        instead of once per read — planning a mapped/MOR read stays
+        driver-cheap on the serving path."""
         from pyspark.sql.types import _parse_datatype_string
-        base = self.spark.read.parquet(os.path.join(
-            self.path, root or self._materialized_root(v)))
+        root = root or self._materialized_root(v)
+        key = (root, tuple(tuple(e) for e in
+                           (meta.get("column_map") or [])))
+        cache = getattr(self, "_scan_schema_cache", None)
+        if cache is None:
+            cache = self._scan_schema_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        base = self.spark.read.parquet(os.path.join(self.path, root))
         schema = base.schema
         have = set(schema.fieldNames())
         for phys, _logical, typ in (meta.get("column_map") or []):
@@ -619,6 +633,7 @@ class ManagedTable:
                 schema = schema.add(
                     phys, _parse_datatype_string(typ or "string"))
                 have.add(phys)
+        cache[key] = schema
         return schema
 
     @staticmethod
@@ -812,7 +827,9 @@ class ManagedTable:
             tomb_seq = F.regexp_extract(
                 F.col("_metadata.file_path"),
                 r"/(?:delta|tomb)_v(\d+)[^/]*/[^/]+$", 1).cast("long")
-            tomb = (self.spark.read.parquet(
+            from pyspark.sql.types import StructType as _ST
+            tomb = (self.spark.read.schema(
+                _ST([df.schema[k] for k in keys])).parquet(
                 *[os.path.join(self.path, t) for t in tombs])
                 .withColumn("_mor_tseq", tomb_seq)
                 .groupBy(*keys).agg(F.max("_mor_tseq").alias("_mor_tseq")))
@@ -885,7 +902,7 @@ class ManagedTable:
         winner = (rows.withColumn("_mor_rn", F.row_number().over(w))
                   .filter(F.col("_mor_rn") == 1))
         if tombs:
-            tomb = (self.spark.read.parquet(
+            tomb = (self.spark.read.schema(key_struct).parquet(
                 *[os.path.join(self.path, t) for t in tombs])
                 .withColumn("_mor_tseq", seq_from_path)
                 .groupBy(*keys).agg(F.max("_mor_tseq").alias("_mor_tseq")))
