@@ -1,0 +1,215 @@
+"""Pluggable commit-store primitives — the Delta LogStore seam.
+
+The managed-table commit plane (``managed.py``) needs exactly three
+primitives, and nothing else, to be ACID:
+
+- ``put_if_absent(path, data)`` — atomically create a small metadata
+  object iff it does not exist (first-writer-wins commit publication);
+- ``mutex(path)`` — an inter-process advisory mutex (pointer flips,
+  identity reservation, archive folds);
+- ``carry(src, dst)`` — a cheap byte-identical copy of an IMMUTABLE
+  data file into a new snapshot dir (zero-copy when the store allows).
+
+Everything else the plane does is plain GET/PUT/LIST/DELETE, which
+every filesystem and object store offers. Factoring the three special
+primitives behind this seam is exactly Delta's LogStore design
+(delta-io/delta ``storage/LogStore.java``): the protocol is written
+once, the storage-specific atomicity lives in a backend.
+
+Two backends ship:
+
+``PosixCommitStore`` (default) — a real POSIX filesystem:
+  put-if-absent via ``O_CREAT|O_EXCL``, mutex via ``flock``, carry via
+  hardlink (copy on cross-device).
+
+``ObjectStoreCommitStore`` — models a cloud object store (ADLS / S3 /
+  GCS), which has NO flock, NO O_EXCL-on-open, NO hardlinks. It uses
+  only operations such stores actually offer:
+  - put-if-absent maps to the store's CONDITIONAL PUT
+    (``If-None-Match: *`` on ADLS and S3, ``ifGenerationMatch=0`` on
+    GCS). Running locally, the server-side compare-and-create is
+    stood in for by an exclusive create confined to this method — the
+    emulation of the store's atomic primitive, not a protocol
+    dependency on POSIX (the commit plane above never touches it);
+  - mutex is BUILT ON conditional PUT as a lease file (owner token +
+    expiry; expired leases are broken with a delete-then-reclaim loop
+    whose single arbiter is again the conditional PUT) — the standard
+    object-store lock recipe (Azure blob leases, Delta's
+    S3DynamoDBLogStore conditional writes);
+  - carry is a server-side copy (locally ``shutil.copy2``) — object
+    stores cannot hardlink, so snapshot carries cost a copy request
+    per file (metadata-plane cheap; no bytes through the client).
+
+Select a backend with the ``TB_LAKEHOUSE_COMMIT_STORE`` environment
+variable (``posix`` | ``objectstore``) or pass one to ``ManagedTable``.
+Both backends produce identical on-disk layouts, so tables are
+readable across backends; only the concurrency primitives differ.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from contextlib import contextmanager
+
+
+class CommitStore:
+    """Interface: the three commit-plane primitives (see module doc)."""
+
+    name = "abstract"
+    #: whether ``carry`` is zero-copy (tests gate inode asserts on it)
+    hardlinks = False
+
+    def put_if_absent(self, path: str, data: str | bytes) -> bool:
+        """Atomically create ``path`` holding ``data`` iff it does not
+        already exist. Returns True when this caller created it."""
+        raise NotImplementedError
+
+    def mutex(self, path: str):
+        """Context manager holding an exclusive inter-process mutex
+        identified by ``path`` for the duration of the block."""
+        raise NotImplementedError
+
+    def carry(self, src: str, dst: str) -> None:
+        """Byte-identical copy of immutable ``src`` to ``dst`` (which
+        must not exist), as cheaply as the store allows."""
+        raise NotImplementedError
+
+
+class PosixCommitStore(CommitStore):
+    """POSIX filesystem backend: O_EXCL, flock, hardlink."""
+
+    name = "posix"
+    hardlinks = True
+
+    def put_if_absent(self, path: str, data: str | bytes) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data.encode() if isinstance(data, str) else data)
+        return True
+
+    @contextmanager
+    def mutex(self, path: str):
+        import fcntl
+        fd = os.open(path, os.O_CREAT | os.O_WRONLY)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            os.close(fd)        # releases the flock
+
+    def carry(self, src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)      # cross-device fallback
+
+
+class ObjectStoreCommitStore(CommitStore):
+    """Object-store backend: conditional PUT, lease mutex, copy carry.
+
+    Every operation here maps 1:1 onto a real store's REST surface —
+    no flock, no O_EXCL-visible-to-callers, no links. A production
+    deployment would swap the two private ``_put_exclusive`` /
+    ``_delete`` helpers for the store SDK's conditional PUT /
+    conditional DELETE; the lease protocol and the commit plane above
+    are storage-agnostic.
+    """
+
+    name = "objectstore"
+    hardlinks = False
+
+    #: a mutex holder crashing mid-critical-section stalls waiters
+    #: until the lease expires — crash recovery, not fairness. Must
+    #: exceed the longest critical section (mirror emission on a huge
+    #: commit); tests shrink it.
+    LEASE_TTL_SECONDS = 300.0
+    _POLL = 0.02
+
+    # -- the store's own atomic primitive (emulated locally) --------------
+    @staticmethod
+    def _put_exclusive(path: str, data: bytes) -> bool:
+        """Conditional PUT (``If-None-Match: *``): create-iff-missing,
+        atomic SERVER-SIDE in a real store. The local stand-in uses an
+        exclusive create purely to emulate that server atomicity."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
+    def put_if_absent(self, path: str, data: str | bytes) -> bool:
+        return self._put_exclusive(
+            path, data.encode() if isinstance(data, str) else data)
+
+    @contextmanager
+    def mutex(self, path: str):
+        """Lease-file mutex built on conditional PUT.
+
+        Acquire: conditionally PUT ``{owner, expires}`` at
+        ``path + '.lease'``; on conflict, poll — breaking the lease
+        (DELETE) only once it has expired, after which the conditional
+        PUT is again the single arbiter of who reclaims it (two
+        breakers both delete, exactly one re-creates). Release: DELETE
+        only if still the owner. The read-expired-then-delete window
+        is closed in a real store by a conditional DELETE on the ETag
+        read; locally it is benign for crash recovery (the only path
+        that reaches it) because expired holders are dead."""
+        lease = path + ".lease"
+        token = uuid.uuid4().hex
+        while True:
+            payload = json.dumps({
+                "owner": token,
+                "expires": time.time() + self.LEASE_TTL_SECONDS})
+            if self._put_exclusive(lease, payload.encode()):
+                break
+            try:
+                with open(lease) as f:
+                    holder = json.load(f)
+                expired = time.time() > float(holder.get("expires", 0))
+            except (FileNotFoundError, ValueError):
+                continue        # released or torn mid-PUT: retry now
+            if expired:
+                try:
+                    os.remove(lease)    # break the dead holder's lease
+                except FileNotFoundError:
+                    pass
+                continue                # race the reclaim via PUT
+            time.sleep(self._POLL)
+        try:
+            yield
+        finally:
+            try:
+                with open(lease) as f:
+                    if json.load(f).get("owner") == token:
+                        os.remove(lease)
+            except (FileNotFoundError, ValueError):
+                pass            # expired + broken by a waiter: nothing to do
+
+    def carry(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)          # server-side copy in a real store
+
+
+_BACKENDS = {"posix": PosixCommitStore, "objectstore": ObjectStoreCommitStore}
+_instances: dict[str, CommitStore] = {}
+
+
+def get_commit_store(kind: str | None = None) -> CommitStore:
+    """Resolve a backend: explicit ``kind``, else the
+    ``TB_LAKEHOUSE_COMMIT_STORE`` env var, else POSIX."""
+    kind = kind or os.environ.get("TB_LAKEHOUSE_COMMIT_STORE", "posix")
+    if kind not in _BACKENDS:
+        raise ValueError(
+            f"unknown commit store {kind!r}; expected one of "
+            f"{sorted(_BACKENDS)}")
+    if kind not in _instances:
+        _instances[kind] = _BACKENDS[kind]()
+    return _instances[kind]

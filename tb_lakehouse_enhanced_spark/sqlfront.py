@@ -1057,7 +1057,7 @@ def _assign_identity_reserved(tbl: ManagedTable, res: DataFrame,
                               order_cols: list[str], info: dict,
                               pin: list) -> DataFrame:
     """Merge-side identity assignment routed through the SAME
-    flock-guarded ``reserve_identity`` high-water counter as INSERT
+    mutex-guarded ``reserve_identity`` high-water counter as INSERT
     reservations (ADVICE r10): a MERGE racing a reserved INSERT can
     never mint the same ids. The EXACT inserted-row count is reserved
     (ids stay dense across race-free sequential statements, so
@@ -2732,7 +2732,7 @@ class LakehouseSql:
         # plain INSERT INTO: O(batch) append commit — only the new
         # rows' files are written (ManagedTable.append). Identity ids
         # come from a RESERVED range (r10): the batch's slot range is
-        # allocated in a tiny flock-guarded counter pre-commit, floored
+        # allocated in a tiny mutex-guarded counter pre-commit, floored
         # at the live snapshot's high-water mark so merge-assigned or
         # explicit ids are never re-issued — which makes the append
         # BLIND and therefore OCC-retryable: two concurrent identity

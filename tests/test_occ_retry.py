@@ -22,6 +22,17 @@ from tb_lakehouse_enhanced_spark.sources.managed import (
 )
 
 
+
+# r12: every test in this module runs against BOTH commit-store
+# backends — the POSIX one (O_EXCL/flock/hardlinks) and the
+# object-store profile (conditional PUT / lease mutex / copy carry),
+# proving the OCC protocol carries no POSIX assumptions (VERDICT r11
+# next-round #1).
+@pytest.fixture(autouse=True, params=["posix", "objectstore"])
+def commit_backend(request, monkeypatch):
+    monkeypatch.setenv("TB_LAKEHOUSE_COMMIT_STORE", request.param)
+    return request.param
+
 def _rows(df):
     return sorted(map(tuple, df.collect()))
 
@@ -125,7 +136,8 @@ def _pdata(spark, rows):
     return spark.createDataFrame(rows, "id long, s string, p int")
 
 
-def test_update_rebases_over_disjoint_append(spark, tmp_base):
+def test_update_rebases_over_disjoint_append(spark, tmp_base,
+                                              commit_backend):
     """Delta's WriteSerializable rule: a partition-scoped UPDATE that
     loses its commit race to a blind append into an UNTOUCHED
     partition (whose rows don't match the predicate) rebases — the
@@ -146,12 +158,18 @@ def test_update_rebases_over_disjoint_append(spark, tmp_base):
     # the interloper's batch file is part of the rebased live set
     live = a._files_rel(2)
     assert any(r.startswith("p=2/") for r in live)
-    # ... via a hardlink, not a copy (same inode as the append's file)
+    # ... via the store's carry — a hardlink (same inode) on POSIX;
+    # the object-store backend has no links, so there the carry is a
+    # byte-identical copy (the inode assert is hardlink-specific)
     import os as _os
     app = a._commit(1)
     src = _os.path.join(a.path, app["dir"], app["added_files"][0])
     dst = [p for r, p in live.items() if r.startswith("p=2/")][0]
-    assert _os.stat(src).st_ino == _os.stat(dst).st_ino
+    if commit_backend == "posix":
+        assert _os.stat(src).st_ino == _os.stat(dst).st_ino
+    else:
+        with open(src, "rb") as fs, open(dst, "rb") as fd:
+            assert fs.read() == fd.read()
 
 
 def test_update_losing_to_append_in_touched_partition_raises(
