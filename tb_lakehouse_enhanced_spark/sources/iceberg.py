@@ -1,0 +1,1121 @@
+"""Apache Iceberg v2 metadata mirror for managed tables.
+
+The reference's north star names "Delta/Iceberg table ops"
+(BASELINE.json); the engine's commit plane already mirrors every
+commit into a Delta-protocol ``_delta_log`` (``managed.py``), and this
+module completes the stated interop surface with the Iceberg side:
+every commit additionally emits
+
+  ``metadata/v{N}.metadata.json``        table metadata (spec v2)
+  ``metadata/snap-{id}-*.avro``          manifest list (Avro OCF)
+  ``metadata/m-{uuid}.avro``             manifest files (Avro OCF)
+  ``metadata/version-hint.text``         HadoopTables-style pointer
+
+following the public Iceberg table-spec (iceberg.apache.org/spec).
+No Iceberg/Avro library exists in this environment, so the Avro
+container encoding lives in ``avroio.py`` and the reader half of this
+module (``read_iceberg``) doubles as the conformance validator: it
+reconstructs the table FROM THE ICEBERG METADATA ALONE — metadata.json
+-> manifest list -> manifests -> parquet + equality deletes — and the
+test suite asserts it matches ``ManagedTable.read`` after every kind
+of commit.
+
+Design notes (all grounded in the spec):
+
+* **Sequence numbers.** The snapshot sequence number is the engine's
+  commit version.  Every manifest entry carries an EXPLICIT
+  ``sequence_number`` derived from the file's directory name, chosen
+  to reproduce the engine's MOR resolution order exactly
+  (``managed._base_seq_expr`` / the ``delta_vN``/``tomb_vN`` parsers):
+  append batches ``v{N}-a*`` and MOR state dirs ``delta_v{N}*`` /
+  ``tomb_v{N}*`` sequence at N, every other base dir at 0.  Iceberg's
+  rule — an equality delete applies to data files with a STRICTLY
+  lower sequence — then yields the same winners, because distinct
+  commits have distinct versions and all state dirs have N >= 1.
+
+* **MOR state as equality deletes.** The engine's key-based
+  tombstones ARE Iceberg equality deletes (``managed.delete_mor``
+  documents the semantics as such): each tombstone dir becomes a
+  delete manifest whose entries have ``content=2`` and
+  ``equality_ids`` = the key columns' field ids.  A delta (upsert)
+  dir becomes BOTH a data manifest and a delete manifest over the
+  same files — the spec allows equality delete files to carry
+  non-key columns, and the strictly-lower rule keeps a batch from
+  deleting itself, which is precisely last-writer-wins.  Appends
+  landing while MOR state is outstanding are emitted the same way
+  (data + self-delete): under the engine's re-append contract (a
+  multi-copy key is by construction tombstoned) this reproduces the
+  LWW window's winners.  Unlike the Delta mirror — which must mark
+  MOR commits unreadable (``deletionVectors``) because add/remove
+  actions can't express key deletes — the Iceberg mirror stays fully
+  readable through MOR episodes.
+
+* **Field ids.** Iceberg requires stable, never-reused column ids.
+  Ids are allocated once per PHYSICAL column path and persisted in
+  the mirror's sidecar state, so renames via the engine's live column
+  maps keep their id (the physical plane is the column's identity)
+  and a materializing commit transfers ids physical->logical.  The
+  data files carry no parquet field-id metadata (they're written by
+  stock Spark), which the spec covers with the
+  ``schema.name-mapping.default`` table property — emitted here with
+  both physical and logical names per field.
+
+* **O(batch) appends.** An append commit writes one new manifest for
+  its batch and re-lists prior manifests untouched (explicit
+  sequence numbers make carried entries self-contained); the sidecar
+  keeps manifest-level stats only.  Partial rewrites filter just the
+  data manifests (metadata-only read-back, same cost class as the
+  Delta mirror's log replay); when the manifest count exceeds a
+  bound they are folded into one (Iceberg's RewriteManifests).
+
+Reference parity: the reference's tables live on Databricks
+(notebooks/12_ETL_Bronze_PySpark.py:66 ``saveAsTable``); Delta/Iceberg
+interop is the exported format surface of that platform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from .avroio import read_ocf, write_ocf
+
+META_DIR = "metadata"
+FOLD_MANIFESTS_AT = 16          # RewriteManifests threshold
+
+_SEQ_RE = re.compile(r"^(?:v(\d+)-a|delta_v(\d+)|tomb_v(\d+))")
+
+
+def file_sequence(rel_path: str) -> int:
+    """Iceberg data sequence number of a file, parsed from its
+    top-level directory — the exact counterpart of the engine's
+    ``_base_seq_expr`` + ``delta/tomb`` path parsers."""
+    m = _SEQ_RE.match(rel_path.split("/", 1)[0])
+    if not m:
+        return 0
+    return int(next(g for g in m.groups() if g is not None))
+
+
+# -- Spark <-> Iceberg types -------------------------------------------------
+
+def _iceberg_type(dt, alloc, path: str):
+    """Iceberg schema type JSON for a Spark DataType, allocating
+    stable ids for nested fields via ``alloc(path)``."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": [
+            {"id": alloc(f"{path}.{f.name}"), "name": f.name,
+             "required": False,
+             "type": _iceberg_type(f.dataType, alloc,
+                                   f"{path}.{f.name}")}
+            for f in dt.fields]}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "list", "element-id": alloc(f"{path}.element"),
+                "element-required": False,
+                "element": _iceberg_type(dt.elementType, alloc,
+                                         f"{path}.element")}
+    if isinstance(dt, T.MapType):
+        return {"type": "map", "key-id": alloc(f"{path}.key"),
+                "value-id": alloc(f"{path}.value"),
+                "value-required": False,
+                "key": _iceberg_type(dt.keyType, alloc, f"{path}.key"),
+                "value": _iceberg_type(dt.valueType, alloc,
+                                       f"{path}.value")}
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    simple = {T.LongType: "long", T.IntegerType: "int",
+              T.ShortType: "int", T.ByteType: "int",
+              T.StringType: "string", T.DoubleType: "double",
+              T.FloatType: "float", T.BooleanType: "boolean",
+              T.DateType: "date", T.BinaryType: "binary",
+              T.TimestampType: "timestamptz"}
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    if dt.__class__.__name__ == "TimestampNTZType":
+        return "timestamp"
+    raise NotImplementedError(f"no Iceberg type for Spark {dt}")
+
+
+def _spark_type(ice):
+    """Spark DataType for an Iceberg type (reader side)."""
+    from pyspark.sql import types as T
+    if isinstance(ice, dict):
+        if ice["type"] == "struct":
+            return T.StructType([
+                T.StructField(f["name"], _spark_type(f["type"]), True)
+                for f in ice["fields"]])
+        if ice["type"] == "list":
+            return T.ArrayType(_spark_type(ice["element"]), True)
+        if ice["type"] == "map":
+            return T.MapType(_spark_type(ice["key"]),
+                             _spark_type(ice["value"]), True)
+        raise NotImplementedError(str(ice))
+    if ice.startswith("decimal"):
+        p, s = ice[ice.index("(") + 1:-1].split(",")
+        return T.DecimalType(int(p), int(s))
+    return {"long": T.LongType(), "int": T.IntegerType(),
+            "string": T.StringType(), "double": T.DoubleType(),
+            "float": T.FloatType(), "boolean": T.BooleanType(),
+            "date": T.DateType(), "binary": T.BinaryType(),
+            "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType()}[ice]
+
+
+# -- Avro schemas for the Iceberg metadata files -----------------------------
+
+def _partition_avro(spec_fields: list, types: dict) -> dict:
+    """Avro record type of the partition tuple for a spec — one
+    optional field per spec field, typed by the source column."""
+    return {"type": "record", "name": "r102", "fields": [
+        {"name": f["name"],
+         "type": ["null", "long" if types.get(f["name"]) in
+                  ("long", "int") else "string"],
+         "default": None, "field-id": f["field-id"]}
+        for f in spec_fields]}
+
+
+def _data_file_avro(partition_schema: dict) -> dict:
+    return {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_schema, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135},
+        {"name": "sort_order_id", "type": ["null", "int"],
+         "default": None, "field-id": 140},
+    ]}
+
+
+def _manifest_entry_avro(partition_schema: dict) -> dict:
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": _data_file_avro(partition_schema),
+         "field-id": 2},
+    ]}
+
+
+_MANIFEST_FILE_AVRO = {"type": "record", "name": "manifest_file",
+                       "fields": [
+    {"name": "manifest_path", "type": "string", "field-id": 500},
+    {"name": "manifest_length", "type": "long", "field-id": 501},
+    {"name": "partition_spec_id", "type": "int", "field-id": 502},
+    {"name": "content", "type": "int", "field-id": 517},
+    {"name": "sequence_number", "type": "long", "field-id": 515},
+    {"name": "min_sequence_number", "type": "long", "field-id": 516},
+    {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+    {"name": "added_files_count", "type": "int", "field-id": 504},
+    {"name": "existing_files_count", "type": "int", "field-id": 505},
+    {"name": "deleted_files_count", "type": "int", "field-id": 506},
+    {"name": "added_rows_count", "type": "long", "field-id": 512},
+    {"name": "existing_rows_count", "type": "long", "field-id": 513},
+    {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+]}
+
+
+# -- the mirror --------------------------------------------------------------
+
+class IcebergMirror:
+    """Per-table Iceberg v2 metadata emitter.  Instantiated around a
+    ``ManagedTable``; all methods run under the table's pointer mutex
+    (called from ``_publish``), so sidecar updates are serialized."""
+
+    def __init__(self, table):
+        self.t = table
+        self.dir = os.path.join(table.path, META_DIR)
+
+    # -- sidecar state ------------------------------------------------------
+    @property
+    def _state_file(self) -> str:
+        return os.path.join(self.dir, "_mirror_state.json")
+
+    def _load_state(self) -> dict:
+        try:
+            with open(self._state_file) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {"ids": {}, "next_id": 1, "meta_seq": 0,
+                    "schema_id": -1, "schema_fields": None,
+                    "last_map": None, "manifests": [],
+                    "state_dirs": {}, "specs": None,
+                    "metadata_file": None, "table_uuid": None}
+
+    def _save_state(self, st: dict) -> None:
+        prev = self._state_file + ".prev"
+        try:
+            os.replace(self._state_file, prev)
+        except FileNotFoundError:
+            pass
+        tmp = self._state_file + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._state_file)
+
+    # -- id allocation ------------------------------------------------------
+    @staticmethod
+    def _alloc(st: dict):
+        def alloc(path: str) -> int:
+            ids = st["ids"]
+            if path not in ids:
+                ids[path] = st["next_id"]
+                st["next_id"] += 1
+            return ids[path]
+        return alloc
+
+    # -- schema -------------------------------------------------------------
+    def _logical_fields(self, st: dict, meta: dict,
+                        files: list) -> list[dict]:
+        """Current LOGICAL schema as Iceberg field dicts, with stable
+        ids keyed by physical identity.  Mirrors the Delta mirror's
+        schemaString derivations (``_mapped_schema_string`` /
+        ``_delta_schema_string``)."""
+        from pyspark.sql.types import _parse_datatype_string
+        alloc = self._alloc(st)
+        cmap = meta.get("column_map")
+        if cmap is None and st.get("last_map"):
+            # materializing commit on a previously-mapped table: the
+            # files' physical names BECAME the logical names — carry
+            # each column's id across the rename (spec: renames keep
+            # ids) by re-keying the allocator entries
+            ids = st["ids"]
+            for p, logical, _t in st["last_map"]:
+                src = p if p is not None else f"col-added-{logical}"
+                if src in ids and logical not in ids:
+                    renamed = {}
+                    for k, v in list(ids.items()):
+                        if k == src or k.startswith(src + "."):
+                            renamed[logical + k[len(src):]] = v
+                            del ids[k]
+                    ids.update(renamed)
+        if cmap:
+            phys = {f.name: f for f in
+                    self.t._physical_struct(files).fields} if files else {}
+            out = []
+            for p, logical, typ in cmap:
+                pname = p if p is not None else f"col-added-{logical}"
+                if p is not None and p in phys:
+                    dt = phys[p].dataType
+                else:
+                    dt = _parse_datatype_string(typ)
+                out.append({"id": alloc(pname), "name": logical,
+                            "required": False,
+                            "type": _iceberg_type(dt, alloc, pname),
+                            "_phys": pname})
+            return out
+        struct = self.t._physical_struct(files)
+        return [{"id": alloc(f.name), "name": f.name, "required": False,
+                 "type": _iceberg_type(f.dataType, alloc, f.name),
+                 "_phys": f.name}
+                for f in struct.fields]
+
+    @staticmethod
+    def _name_mapping(fields: list[dict]) -> list[dict]:
+        out = []
+        for f in fields:
+            names = [f["_phys"]] if f["_phys"] == f["name"] \
+                else [f["_phys"], f["name"]]
+            out.append({"field-id": f["id"], "names": names})
+        return out
+
+    @staticmethod
+    def _public_fields(fields: list[dict]) -> list[dict]:
+        return [{k: v for k, v in f.items() if k != "_phys"}
+                for f in fields]
+
+    # -- specs --------------------------------------------------------------
+    def _specs(self, st: dict, fields: list[dict]) -> list[dict]:
+        if st.get("specs") is not None:
+            return st["specs"]
+        by_logical = {f["name"]: f["id"] for f in fields}
+        spec0 = {"spec-id": 0, "fields": [
+            {"name": pcol, "transform": "identity",
+             "source-id": by_logical.get(pcol, 0),
+             "field-id": 1000 + i}
+            for i, pcol in enumerate(self.t.partition_by)]}
+        specs = [spec0]
+        if self.t.partition_by:
+            # unpartitioned spec for flat MOR-state / delta-dir files
+            # (the spec applies global equality deletes through it)
+            specs.append({"spec-id": 1, "fields": []})
+        st["specs"] = specs
+        return specs
+
+    def _flat_spec_id(self, st: dict) -> int:
+        return 1 if self.t.partition_by else 0
+
+    # -- manifest writing ---------------------------------------------------
+    def _spec_types(self, fields: list[dict]) -> dict:
+        return {f["name"]: (f["type"] if isinstance(f["type"], str)
+                            else "string") for f in fields}
+
+    def _entry(self, rel: str, snapshot_id: int, *, status: int = 1,
+               content: int = 0, equality_ids: list[int] | None = None,
+               seq: int | None = None, spec_fields: list | None = None,
+               types: dict | None = None,
+               row_count: int | None = None) -> dict:
+        full = os.path.join(self.t.path, rel)
+        if row_count is None:
+            import pyarrow.parquet as pq
+            row_count = pq.ParquetFile(full).metadata.num_rows
+        part = {}
+        for f in spec_fields or ():
+            val = self.t._partition_values(rel).get(f["name"])
+            if val is not None and types \
+                    and types.get(f["name"]) in ("long", "int"):
+                val = int(val)
+            part[f["name"]] = val
+        return {"status": status, "snapshot_id": snapshot_id,
+                "sequence_number": (file_sequence(rel)
+                                    if seq is None else seq),
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": content,
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": row_count,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "equality_ids": equality_ids,
+                    "sort_order_id": None}}
+
+    def _write_manifest(self, st: dict, entries: list[dict], *,
+                        content: int, spec_id: int, snapshot_id: int,
+                        fields: list[dict], spec_fields: list,
+                        types: dict, state_dir: str | None = None) -> dict:
+        name = f"m-{uuid.uuid4().hex}.avro"
+        path = os.path.join(self.dir, name)
+        part_schema = _partition_avro(spec_fields, types)
+        schema = _manifest_entry_avro(part_schema)
+        meta = {"schema": json.dumps({
+                    "type": "struct", "schema-id": max(st["schema_id"], 0),
+                    "fields": self._public_fields(fields)}),
+                "schema-id": str(max(st["schema_id"], 0)),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "data" if content == 0 else "deletes"}
+        length = write_ocf(path, schema, entries, meta)
+        live = [e for e in entries if e["status"] != 2]
+        seqs = [e["sequence_number"] for e in live] or [0]
+        added = [e for e in live if e["status"] == 1]
+        existing = [e for e in live if e["status"] == 0]
+        deleted = [e for e in entries if e["status"] == 2]
+        return {"path": name, "length": length, "content": content,
+                "spec_id": spec_id, "added_snapshot_id": snapshot_id,
+                "seq": max(seqs), "min_seq": min(seqs),
+                "added_files": len(added), "existing_files": len(existing),
+                "deleted_files": len(deleted),
+                "added_rows": sum(e["data_file"]["record_count"]
+                                  for e in added),
+                "existing_rows": sum(e["data_file"]["record_count"]
+                                     for e in existing),
+                "deleted_rows": sum(e["data_file"]["record_count"]
+                                    for e in deleted),
+                "state_dir": state_dir}
+
+    def _read_manifest_entries(self, m: dict) -> list[dict]:
+        _schema, _meta, recs = read_ocf(os.path.join(self.dir, m["path"]))
+        return recs
+
+    def _fold_manifests(self, st: dict, snapshot_id: int,
+                        fields: list[dict]) -> None:
+        """RewriteManifests: merge plain data manifests into one once
+        they pile past FOLD_MANIFESTS_AT — bounds the manifest-list
+        size and the read-back cost of partition-scoped rewrites.
+        Delta-dir data manifests (state-linked) keep their identity so
+        MOR purges can drop them."""
+        plain = [m for m in st["manifests"]
+                 if m["content"] == 0 and m["state_dir"] is None]
+        if len(plain) <= FOLD_MANIFESTS_AT:
+            return
+        specs = self._specs(st, fields)
+        spec0 = specs[0]
+        types = self._spec_types(fields)
+        entries = []
+        for m in plain:
+            for e in self._read_manifest_entries(m):
+                if e["status"] == 2:
+                    continue
+                e["status"] = 0
+                # flat-spec entries fold only with matching spec
+                if m["spec_id"] != spec0["spec-id"]:
+                    entries = None
+                    break
+                entries.append(e)
+            if entries is None:
+                return
+        folded = self._write_manifest(
+            st, entries, content=0, spec_id=spec0["spec-id"],
+            snapshot_id=snapshot_id, fields=fields,
+            spec_fields=spec0["fields"], types=types)
+        st["manifests"] = [m for m in st["manifests"] if m not in plain]
+        st["manifests"].append(folded)
+
+    # -- metadata.json ------------------------------------------------------
+    def _prev_metadata(self, st: dict) -> dict | None:
+        if not st.get("metadata_file"):
+            return None
+        try:
+            with open(os.path.join(self.dir, st["metadata_file"])) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _write_metadata(self, st: dict, doc: dict) -> None:
+        st["meta_seq"] += 1
+        name = f"v{st['meta_seq']}.metadata.json"
+        tmp = os.path.join(self.dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, os.path.join(self.dir, name))
+        hint = os.path.join(self.dir, "version-hint.text")
+        with open(hint + ".tmp", "w") as f:
+            f.write(str(st["meta_seq"]))
+        os.replace(hint + ".tmp", hint)
+        st["metadata_file"] = name
+
+    def _metadata_doc(self, st: dict, *, v: int, fields: list[dict],
+                      snapshot: dict | None, ts_ms: int,
+                      expire: bool = False) -> dict:
+        prev = self._prev_metadata(st)
+        schemas = list(prev["schemas"]) if prev else []
+        if not any(s["schema-id"] == st["schema_id"] for s in schemas):
+            schemas.append({"type": "struct",
+                            "schema-id": st["schema_id"],
+                            "fields": self._public_fields(fields)})
+        snapshots = list(prev["snapshots"]) if prev else []
+        snap_log = list(prev.get("snapshot-log") or []) if prev else []
+        meta_log = list(prev.get("metadata-log") or []) if prev else []
+        if expire:
+            # vacuum dropped the historical data dirs, so every prior
+            # snapshot is unreadable — expire them all (the fresh
+            # replace snapshot appended below is the only survivor,
+            # Iceberg's expireSnapshots semantics)
+            snapshots, snap_log = [], []
+        if snapshot is not None:
+            snapshots.append(snapshot)
+            snap_log.append({"timestamp-ms": ts_ms,
+                             "snapshot-id": snapshot["snapshot-id"]})
+        if prev:
+            meta_log.append({"timestamp-ms": prev["last-updated-ms"],
+                             "metadata-file": os.path.join(
+                                 self.dir, st["metadata_file"])})
+            meta_log = meta_log[-10:]
+        current = (snapshot["snapshot-id"] if snapshot is not None
+                   else (prev.get("current-snapshot-id", -1)
+                         if prev else -1))
+        specs = self._specs(st, fields)
+        if st["table_uuid"] is None:
+            st["table_uuid"] = str(uuid.uuid4())
+        n_spec_fields = sum(len(s["fields"]) for s in specs)
+        return {
+            "format-version": 2,
+            "table-uuid": st["table_uuid"],
+            "location": self.t.path,
+            "last-sequence-number": v,
+            "last-updated-ms": ts_ms,
+            "last-column-id": st["next_id"] - 1,
+            "current-schema-id": st["schema_id"],
+            "schemas": schemas,
+            "default-spec-id": 0,
+            "partition-specs": specs,
+            "last-partition-id": 999 + n_spec_fields,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                "schema.name-mapping.default": json.dumps(
+                    self._name_mapping(fields)),
+                "write.format.default": "parquet",
+                "commit.engine": "tb-lakehouse-enhanced-spark"},
+            "current-snapshot-id": current,
+            "snapshots": snapshots,
+            "snapshot-log": snap_log,
+            "metadata-log": meta_log,
+        }
+
+    def _snapshot(self, st: dict, *, v: int, snapshot_id: int,
+                  operation: str, ts_ms: int) -> dict:
+        """Write the manifest list for the sidecar's current manifest
+        set and return the snapshot record."""
+        prev = self._prev_metadata(st)
+        parent = prev.get("current-snapshot-id") if prev else None
+        name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        records = [{
+            "manifest_path": os.path.join(self.dir, m["path"]),
+            "manifest_length": m["length"],
+            "partition_spec_id": m["spec_id"],
+            "content": 1 if m["content"] != 0 else 0,
+            "sequence_number": m["seq"],
+            "min_sequence_number": m["min_seq"],
+            "added_snapshot_id": m["added_snapshot_id"],
+            "added_files_count": m["added_files"],
+            "existing_files_count": m["existing_files"],
+            "deleted_files_count": m["deleted_files"],
+            "added_rows_count": m["added_rows"],
+            "existing_rows_count": m["existing_rows"],
+            "deleted_rows_count": m["deleted_rows"],
+        } for m in st["manifests"]]
+        write_ocf(os.path.join(self.dir, name), _MANIFEST_FILE_AVRO,
+                  records, {"snapshot-id": str(snapshot_id),
+                            "sequence-number": str(v),
+                            "parent-snapshot-id": str(parent),
+                            "format-version": "2"})
+        added = sum(m["added_files"] for m in st["manifests"])
+        rows = sum(m["added_rows"] + m["existing_rows"]
+                   for m in st["manifests"] if m["content"] == 0)
+        snap = {"snapshot-id": snapshot_id,
+                "sequence-number": v,
+                "timestamp-ms": ts_ms,
+                "manifest-list": os.path.join(self.dir, name),
+                "summary": {"operation": operation,
+                            "added-data-files": str(added),
+                            "total-records": str(rows)},
+                "schema-id": st["schema_id"]}
+        if parent is not None and parent != -1:
+            snap["parent-snapshot-id"] = parent
+        return snap
+
+    # -- per-commit emission ------------------------------------------------
+    def emit(self, v: int, meta: dict) -> None:
+        """Mirror commit ``v`` into the Iceberg metadata tree.  Runs
+        under the table's pointer mutex, right after the Delta mirror
+        emit (``managed._publish``)."""
+        os.makedirs(self.dir, exist_ok=True)
+        st = self._load_state()
+        ts_ms = int((meta.get("ts") or time.time()) * 1000)
+        snapshot_id = v + 1           # engine versions are 0-based
+        cmap = meta.get("column_map")
+        mor_keys = meta.get("tombstone_keys") or []
+
+        # ---- schema pass (skipped on schema-preserving commits) ----
+        data_changed = True
+        operation = "overwrite"
+        if meta.get("added_files") is not None and v > 0:
+            operation = "append"
+            fields = st["schema_fields"]
+        elif meta.get("partitions_rewritten") is not None and v > 0:
+            fields = st["schema_fields"]
+        elif cmap is not None and meta.get("live_base") == v - 1 \
+                and st["schema_fields"] is not None \
+                and not self._state_dirs_changed(st, meta):
+            # metadata-only schema evolution: files untouched
+            files = [(rel, full) for rel, full in
+                     sorted(self.t._live_files(v).items())]
+            fields = self._logical_fields(st, meta, files)
+            data_changed = False
+        elif meta.get("live_base") == v - 1 \
+                and st["schema_fields"] is not None:
+            # MOR-only commit (new tombstone/delta on the same base)
+            fields = st["schema_fields"]
+            data_changed = False
+            operation = "delete" if not meta.get("deltas") else "overwrite"
+        else:
+            # full replace / restore / first commit
+            files = [(rel, full) for rel, full in
+                     sorted(self.t._live_files(v).items())]
+            if not files:
+                files = self.t._data_files(meta["dir"])
+            if not files and meta.get("column_map") is None:
+                if st["schema_fields"] is None:
+                    return      # schema-less empty table: nothing to
+                                # mirror until the first data commit
+                fields = st["schema_fields"]
+            else:
+                fields = self._logical_fields(st, meta, files)
+        if fields is None:
+            # first-ever emission arriving via append (legacy tables):
+            # derive schema from the batch
+            files = [(f"{meta['dir']}/{rel}",
+                      os.path.join(self.t.path, meta["dir"], rel))
+                     for rel in meta.get("added_files") or ()]
+            fields = self._logical_fields(st, meta, files)
+        pub = self._public_fields(fields)
+        if st["schema_fields"] is None \
+                or self._public_fields(st["schema_fields"]) != pub:
+            st["schema_id"] += 1
+        st["schema_fields"] = fields
+        st["last_map"] = cmap
+        by_phys = {f["_phys"]: f["id"] for f in fields}
+        phys_of = {lg: p for p, lg, _t in (cmap or [])}
+        eq_ids = [by_phys[phys_of.get(k, k)] for k in mor_keys
+                  if phys_of.get(k, k) in by_phys] or None
+        specs = self._specs(st, fields)
+        spec0 = specs[0]
+        types = self._spec_types(fields)
+        flat_id = self._flat_spec_id(st)
+
+        # ---- data pass ----
+        mor_live = bool(meta.get("tombstones") or meta.get("deltas"))
+        if meta.get("added_files") is not None and v > 0:
+            rels = [f"{meta['dir']}/{r}" for r in meta["added_files"]]
+            entries = [self._entry(
+                r, snapshot_id,
+                content=0, equality_ids=None,
+                spec_fields=spec0["fields"], types=types)
+                for r in rels]
+            st["manifests"].append(self._write_manifest(
+                st, entries, content=0, spec_id=spec0["spec-id"],
+                snapshot_id=snapshot_id, fields=fields,
+                spec_fields=spec0["fields"], types=types))
+            if mor_live and eq_ids:
+                # append during MOR debt: the batch doubles as its own
+                # equality delete, reproducing the engine's LWW window
+                # (re-appended keys shadow older copies; the strictly-
+                # lower rule protects the batch itself)
+                dels = [self._entry(r, snapshot_id, content=2,
+                                    equality_ids=eq_ids,
+                                    spec_fields=[], types=types)
+                        for r in rels]
+                st["manifests"].append(self._write_manifest(
+                    st, dels, content=1, spec_id=flat_id,
+                    snapshot_id=snapshot_id, fields=fields,
+                    spec_fields=[], types=types,
+                    state_dir=f"{meta['dir']}#selfdel"))
+        elif meta.get("partitions_rewritten") is not None and v > 0:
+            touched = list(meta["partitions_rewritten"])
+
+            def _in_touched(rel: str) -> bool:
+                inside = rel.split("/", 1)[1] if "/" in rel else ""
+                return any(inside.startswith(t + "/") for t in touched)
+            new_manifests = []
+            for m in st["manifests"]:
+                if m["content"] != 0 or m["state_dir"] is not None:
+                    new_manifests.append(m)
+                    continue
+                entries = self._read_manifest_entries(m)
+                keep, drop = [], []
+                for e in entries:
+                    if e["status"] == 2:
+                        continue
+                    rel = os.path.relpath(e["data_file"]["file_path"],
+                                          self.t.path)
+                    (drop if _in_touched(rel) else keep).append(e)
+                if not drop:
+                    new_manifests.append(m)
+                    continue
+                for e in keep:
+                    e["status"] = 0
+                for e in drop:
+                    e["status"] = 2
+                    e["snapshot_id"] = snapshot_id
+                if keep or drop:
+                    new_manifests.append(self._write_manifest(
+                        st, keep + drop, content=0,
+                        spec_id=m["spec_id"], snapshot_id=snapshot_id,
+                        fields=fields, spec_fields=spec0["fields"],
+                        types=types))
+            adds = []
+            for t_rel in touched:
+                d = os.path.join(self.t.path, meta["dir"], t_rel)
+                for root, _dirs, fns in os.walk(d):
+                    for fn in fns:
+                        if fn.endswith(".parquet"):
+                            rel = os.path.relpath(
+                                os.path.join(root, fn), self.t.path)
+                            adds.append(rel)
+            # append-only partitions (e.g. SCD2 history): new files only
+            # — hardlinked old files keep their original entries
+            prev_basenames = {
+                os.path.basename(e["data_file"]["file_path"])
+                for m in st["manifests"] if m["content"] == 0
+                for e in self._read_manifest_entries(m)
+                if e["status"] != 2} if meta.get("partitions_appended") \
+                else set()
+            for a_rel in meta.get("partitions_appended") or ():
+                d = os.path.join(self.t.path, meta["dir"], a_rel)
+                for root, _dirs, fns in os.walk(d):
+                    for fn in fns:
+                        if fn.endswith(".parquet") \
+                                and fn not in prev_basenames:
+                            rel = os.path.relpath(
+                                os.path.join(root, fn), self.t.path)
+                            adds.append(rel)
+            st["manifests"] = new_manifests
+            if adds:
+                entries = [self._entry(
+                    r, snapshot_id, content=0,
+                    spec_fields=spec0["fields"], types=types)
+                    for r in sorted(set(adds))]
+                st["manifests"].append(self._write_manifest(
+                    st, entries, content=0, spec_id=spec0["spec-id"],
+                    snapshot_id=snapshot_id, fields=fields,
+                    spec_fields=spec0["fields"], types=types))
+        elif not data_changed:
+            pass
+        else:
+            # full replace / restore / first commit: regenerate the
+            # base data manifests from the live set
+            files = [(rel, full) for rel, full in
+                     sorted(self.t._live_files(v).items())]
+            if not files:
+                files = self.t._data_files(
+                    meta["dir"] if meta.get("live_base") is None
+                    else self.t._materialized_root(v))
+            st["manifests"] = [m for m in st["manifests"]
+                               if m["content"] != 0
+                               or m["state_dir"] is not None]
+            # a full replace also invalidates delta-dir data manifests
+            # unless those dirs are still carried in meta
+            carried = set(meta.get("deltas") or ()) \
+                | set(meta.get("tombstones") or ())
+            st["manifests"] = [
+                m for m in st["manifests"]
+                if m["state_dir"] is None or (
+                    m["state_dir"].split("#", 1)[0] in carried)]
+            if files:
+                entries = [self._entry(
+                    rel, snapshot_id, content=0,
+                    spec_fields=spec0["fields"], types=types)
+                    for rel, _full in files]
+                st["manifests"].append(self._write_manifest(
+                    st, entries, content=0, spec_id=spec0["spec-id"],
+                    snapshot_id=snapshot_id, fields=fields,
+                    spec_fields=spec0["fields"], types=types))
+
+        # ---- MOR state pass: diff meta's state dirs vs the sidecar ----
+        state_changed = False
+        new_state = {d: 0 for d in (meta.get("tombstones") or ())}
+        new_state.update({d: 1 for d in (meta.get("deltas") or ())})
+        old_state = st["state_dirs"]
+        for d in list(old_state):
+            if d not in new_state:
+                st["manifests"] = [
+                    m for m in st["manifests"]
+                    if m["state_dir"] is None
+                    or m["state_dir"].split("#", 1)[0] != d]
+                del old_state[d]
+                state_changed = True
+        if not new_state:
+            # MOR debt fully resolved: drop the self-delete manifests
+            # appends emitted during the episode (their data manifests
+            # stay — those rows are live)
+            st["manifests"] = [
+                m for m in st["manifests"]
+                if m["state_dir"] is None
+                or not m["state_dir"].endswith("#selfdel")]
+        for d, kind in new_state.items():
+            if d in old_state:
+                continue
+            state_changed = True
+            rels = []
+            base = os.path.join(self.t.path, d)
+            for root, _dirs, fns in os.walk(base):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        rels.append(os.path.relpath(
+                            os.path.join(root, fn), self.t.path))
+            if eq_ids is None:
+                raise ValueError(
+                    f"MOR state dir {d} without resolvable key ids")
+            dels = [self._entry(r, snapshot_id, content=2,
+                                equality_ids=eq_ids,
+                                spec_fields=[], types=types)
+                    for r in sorted(rels)]
+            st["manifests"].append(self._write_manifest(
+                st, dels, content=1, spec_id=flat_id,
+                snapshot_id=snapshot_id, fields=fields,
+                spec_fields=[], types=types, state_dir=d))
+            if kind == 1:     # delta (upsert) dir: rows are also data
+                dats = [self._entry(r, snapshot_id, content=0,
+                                    spec_fields=[], types=types)
+                        for r in sorted(rels)]
+                st["manifests"].append(self._write_manifest(
+                    st, dats, content=0, spec_id=flat_id,
+                    snapshot_id=snapshot_id, fields=fields,
+                    spec_fields=[], types=types, state_dir=d))
+            old_state[d] = kind
+
+        self._fold_manifests(st, snapshot_id, fields)
+        snapshot = None
+        if data_changed or state_changed:
+            snapshot = self._snapshot(st, v=v, snapshot_id=snapshot_id,
+                                      operation=operation, ts_ms=ts_ms)
+        self._write_metadata(st, self._metadata_doc(
+            st, v=v, fields=fields, snapshot=snapshot, ts_ms=ts_ms))
+        self._save_state(st)
+
+    def _state_dirs_changed(self, st: dict, meta: dict) -> bool:
+        new = set(meta.get("tombstones") or ()) \
+            | set(meta.get("deltas") or ())
+        return new != set(st["state_dirs"])
+
+    # -- heal / repair / vacuum --------------------------------------------
+    def emit_noop(self, v: int) -> None:
+        """Orphan-heal counterpart of the Delta mirror's
+        commitInfo-only entry: a fresh metadata.json that repeats the
+        parent snapshot (no new snapshot)."""
+        st = self._load_state()
+        if st["schema_fields"] is None:
+            return
+        self._write_metadata(st, self._metadata_doc(
+            st, v=v, fields=st["schema_fields"], snapshot=None,
+            ts_ms=int(time.time() * 1000)))
+        self._save_state(st)
+
+    def retract(self, v: int) -> None:
+        """Manual orphan rollback (``repair_orphan_commit``): restore
+        the sidecar and pointer to the pre-orphan state.  One-deep by
+        construction — later commits collide on the orphan."""
+        prev = self._state_file + ".prev"
+        if not os.path.isfile(prev):
+            return
+        with open(prev) as f:
+            st = json.load(f)
+        cur = self._load_state()
+        if cur.get("meta_seq", 0) > st.get("meta_seq", 0):
+            doomed = os.path.join(
+                self.dir, f"v{cur['meta_seq']}.metadata.json")
+            try:
+                os.remove(doomed)
+            except FileNotFoundError:
+                pass
+        hint = os.path.join(self.dir, "version-hint.text")
+        with open(hint + ".tmp", "w") as f:
+            f.write(str(st["meta_seq"]))
+        os.replace(hint + ".tmp", hint)
+        tmp = self._state_file + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._state_file)
+
+    def after_vacuum(self) -> None:
+        """Vacuum counterpart: expired history's data dirs are gone,
+        so (a) expire every snapshot but the current one, (b)
+        regenerate the base data manifests from the live set (vacuum
+        re-points legacy live files into the retained root — exactly
+        like the Delta mirror's checkpoint rewrite), and (c) delete
+        now-unreferenced manifest/metadata files."""
+        st = self._load_state()
+        if st["schema_fields"] is None:
+            return
+        v = self.t.current_version()
+        meta = self.t._commit(v)
+        fields = st["schema_fields"]
+        specs = self._specs(st, fields)
+        spec0 = specs[0]
+        types = self._spec_types(fields)
+        snapshot_id = v + 1
+        ts_ms = int(time.time() * 1000)
+        keep_state = [m for m in st["manifests"]
+                      if m["state_dir"] is not None
+                      and os.path.isdir(os.path.join(
+                          self.t.path,
+                          m["state_dir"].split("#", 1)[0]))]
+        files = sorted(self.t._live_files(v).items())
+        st["manifests"] = keep_state
+        if files:
+            entries = [self._entry(rel, snapshot_id, content=0,
+                                   spec_fields=spec0["fields"],
+                                   types=types)
+                       for rel, _full in files]
+            st["manifests"].append(self._write_manifest(
+                st, entries, content=0, spec_id=spec0["spec-id"],
+                snapshot_id=snapshot_id, fields=fields,
+                spec_fields=spec0["fields"], types=types))
+        snapshot = self._snapshot(st, v=v, snapshot_id=snapshot_id,
+                                  operation="replace", ts_ms=ts_ms)
+        self._write_metadata(st, self._metadata_doc(
+            st, v=v, fields=fields, snapshot=snapshot, ts_ms=ts_ms,
+            expire=True))
+        self._save_state(st)
+        # gc: drop avro/metadata files not referenced by the current
+        # metadata document or sidecar
+        referenced = {m["path"] for m in st["manifests"]}
+        referenced.add(os.path.basename(snapshot["manifest-list"]))
+        referenced.add(st["metadata_file"])
+        doc = self._prev_metadata(st)
+        for e in (doc.get("metadata-log") or []) if doc else []:
+            referenced.add(os.path.basename(e["metadata-file"]))
+        for fn in os.listdir(self.dir):
+            if fn.startswith("_") or fn == "version-hint.text":
+                continue
+            if fn not in referenced and (fn.endswith(".avro")
+                                         or fn.endswith(".metadata.json")):
+                try:
+                    os.remove(os.path.join(self.dir, fn))
+                except FileNotFoundError:
+                    pass
+
+
+# -- external reader / conformance validator ---------------------------------
+
+def current_metadata(path: str) -> dict:
+    """Parse the table's current Iceberg metadata document."""
+    mdir = os.path.join(path, META_DIR)
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        n = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{n}.metadata.json")) as f:
+        return json.load(f)
+
+
+def read_iceberg(spark, path: str, snapshot_id: int | None = None):
+    """Reconstruct a managed table FROM ITS ICEBERG METADATA ALONE —
+    metadata.json -> manifest-list Avro -> manifest Avro -> parquet
+    scan + equality-delete application.  Never consults the engine's
+    commit log: this is the external-reader protocol, and the
+    conformance suite asserts its output matches ``ManagedTable.read``
+    after every commit type (the same role ``deltaread.read_delta``
+    plays for the Delta mirror)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    doc = current_metadata(path)
+    if doc["format-version"] != 2:
+        raise ValueError(f"unsupported Iceberg format-version "
+                         f"{doc['format-version']}")
+    sid = snapshot_id if snapshot_id is not None \
+        else doc["current-snapshot-id"]
+    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == sid)
+    # a metadata-only schema evolution bumps current-schema-id without
+    # a new snapshot, so a CURRENT read takes the table's current
+    # schema; an explicit historical snapshot read takes the schema
+    # pinned on that snapshot
+    schema_id = doc["current-schema-id"] if snapshot_id is None \
+        else snap.get("schema-id", doc["current-schema-id"])
+    schema = next(s for s in doc["schemas"]
+                  if s["schema-id"] == schema_id)
+    mapping = json.loads(
+        doc["properties"]["schema.name-mapping.default"])
+    name_of_id = {f["id"]: f["name"] for f in schema["fields"]}
+    id_of_name: dict[str, int] = {}
+    for m in mapping:
+        for n in m["names"]:
+            id_of_name[n] = m["field-id"]
+
+    specs = {s["spec-id"]: s for s in doc["partition-specs"]}
+    _schema, _meta, manifests = read_ocf(snap["manifest-list"])
+    data_files: list[tuple[str, int, dict]] = []
+    delete_files: list[tuple[str, int, list[int]]] = []
+    for mf in manifests:
+        _s, _m, entries = read_ocf(mf["manifest_path"])
+        spec = specs[mf["partition_spec_id"]]
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df_rec = e["data_file"]
+            seq = e["sequence_number"]
+            if seq is None:
+                seq = mf["sequence_number"]
+            if df_rec["content"] == 0:
+                # identity-transform sources absent from the file are
+                # read from the manifest's partition tuple (spec:
+                # "Identity partition field values ... used to
+                # reconstruct the source column")
+                part = {}
+                for sf in spec["fields"]:
+                    if sf["transform"] == "identity":
+                        part[sf["source-id"]] = \
+                            df_rec["partition"].get(sf["name"])
+                data_files.append((df_rec["file_path"], seq, part))
+            elif df_rec["content"] == 2:
+                delete_files.append((df_rec["file_path"], seq,
+                                     df_rec["equality_ids"]))
+            else:
+                raise NotImplementedError(
+                    "position deletes not emitted by this mirror")
+
+    logical_fields = [(f["name"], _spark_type(f["type"]))
+                      for f in schema["fields"]]
+
+    def _per_file(expr_of: dict[str, object], default):
+        """Build a per-row expression switching on the file path —
+        metadata-tuple values (sequence numbers, identity partition
+        values) attached without trusting anything outside the
+        manifests."""
+        out = default
+        for p, e in expr_of.items():
+            out = F.when(F.col("_metadata.file_path").contains(p),
+                         e).otherwise(out)
+        return out
+
+    def _project(df, files: list[tuple[str, int, dict]]):
+        """Physical -> logical projection via the name mapping, plus
+        per-row sequence / identity-partition columns from the
+        manifest entries."""
+        cols = []
+        by_id = {}
+        for c in df.columns:
+            fid = id_of_name.get(c)
+            if fid is not None:
+                by_id[fid] = c
+        for fid, (lname, ltype) in zip(
+                [f["id"] for f in schema["fields"]], logical_fields):
+            src = by_id.get(fid)
+            if src is not None:
+                cols.append(F.col(src).alias(lname))
+            elif any(fid in part for _p, _s, part in files):
+                cols.append(_per_file(
+                    {p: F.lit(part.get(fid)) for p, _s, part in files},
+                    F.lit(None)).cast(ltype).alias(lname))
+            else:
+                cols.append(F.lit(None).cast(ltype).alias(lname))
+        seq_expr = _per_file({p: F.lit(s) for p, s, _part in files},
+                             F.lit(None)).cast("long")
+        return df.select(*cols, seq_expr.alias("_ice_seq"))
+
+    # group data files by physical footer schema so one scan covers
+    # each physical generation
+    import pyarrow.parquet as pq
+    groups: dict[str, list[tuple[str, int, dict]]] = {}
+    for p, seq, part in data_files:
+        key = str(pq.read_schema(p))
+        groups.setdefault(key, []).append((p, seq, part))
+    parts = []
+    for grp in groups.values():
+        df = spark.read.parquet(*[p for p, _s, _pt in grp])
+        parts.append(_project(df, grp))
+    if not parts:
+        return spark.createDataFrame(
+            [], StructType([StructField(n, t, True)
+                            for n, t in logical_fields]))
+    data = parts[0]
+    for p in parts[1:]:
+        data = data.unionByName(p)
+
+    if delete_files:
+        eq_sets = {tuple(sorted(ids)) for _p, _s, ids in delete_files}
+        if len(eq_sets) != 1:
+            raise NotImplementedError(
+                "mixed equality-id sets in one snapshot")
+        key_names = [name_of_id[i] for i in next(iter(eq_sets))]
+        key_schema = StructType(
+            [StructField(n, dict(logical_fields)[n], True)
+             for n in key_names])
+        dparts = []
+        for p, s, _ids in delete_files:
+            # delete files may carry physical column names — read by
+            # name mapping like data files, then keep key columns
+            raw = spark.read.parquet(p)
+            ren = []
+            for c in raw.columns:
+                fid = id_of_name.get(c)
+                nm = name_of_id.get(fid) if fid is not None else None
+                if nm in key_names:
+                    ren.append(F.col(c).alias(nm))
+            dparts.append(raw.select(*ren)
+                          .withColumn("_del_seq",
+                                      F.lit(s).cast(LongType())))
+        dels = dparts[0]
+        for p in dparts[1:]:
+            dels = dels.unionByName(p)
+        dels = dels.groupBy(*key_names).agg(
+            F.max("_del_seq").alias("_del_seq"))
+        data = (data.join(dels, key_names, "left_outer")
+                .filter(F.col("_del_seq").isNull()
+                        | (F.col("_ice_seq") >= F.col("_del_seq")))
+                .drop("_del_seq"))
+    return data.drop("_ice_seq")

@@ -1348,8 +1348,19 @@ class ManagedTable:
                     f"the commit is NOT visible — re-read and retry "
                     f"the mutation")
             self._emit_delta_log(v, meta)
+            self._emit_iceberg(v, meta)
             self._flip_locked(v)
         return self
+
+    def _emit_iceberg(self, v: int, meta: dict) -> None:
+        """Iceberg v2 metadata mirror (iceberg.py) — emitted alongside
+        the Delta mirror so both named interop formats of the north
+        star ("Delta/Iceberg table ops", BASELINE.json) track every
+        commit. ``TB_LAKEHOUSE_ICEBERG_MIRROR=0`` disables."""
+        if os.environ.get("TB_LAKEHOUSE_ICEBERG_MIRROR", "1") == "0":
+            return
+        from .iceberg import IcebergMirror
+        IcebergMirror(self).emit(v, meta)
 
     # a writer stalled longer than this between creating its commit
     # file and flipping the pointer is presumed crashed; its orphan
@@ -1439,6 +1450,9 @@ class ManagedTable:
             lcp = self._live_checkpoint_file(v)
             if os.path.isfile(lcp):
                 os.remove(lcp)
+            if os.environ.get("TB_LAKEHOUSE_ICEBERG_MIRROR", "1") != "0":
+                from .iceberg import IcebergMirror
+                IcebergMirror(self).emit_noop(v)
             self._flip_locked(v)
             return True
 
@@ -1513,6 +1527,9 @@ class ManagedTable:
         mirror = os.path.join(self._delta_log_dir(), f"{v:020d}.json")
         if os.path.isfile(mirror):
             os.remove(mirror)
+        if os.environ.get("TB_LAKEHOUSE_ICEBERG_MIRROR", "1") != "0":
+            from .iceberg import IcebergMirror
+            IcebergMirror(self).retract(v)
         for d in ([orphan["dir"]] + list(orphan.get("tombstones") or [])
                   + list(orphan.get("deltas") or [])
                   + ([orphan["cdc"]] if orphan.get("cdc") else [])):
@@ -2544,6 +2561,14 @@ class ManagedTable:
         # engine history stays complete (the archive serves history/
         # time-travel/CDF) while the root's ENTRY COUNT stays bounded
         self.archive_log()
+        if removed and os.path.isdir(os.path.join(self.path, "metadata")) \
+                and os.environ.get("TB_LAKEHOUSE_ICEBERG_MIRROR",
+                                   "1") != "0":
+            # Iceberg-side expireSnapshots + manifest rewrite: prior
+            # snapshots dereference vacuumed dirs, and legacy live
+            # files were re-pointed into the retained root
+            from .iceberg import IcebergMirror
+            IcebergMirror(self).after_vacuum()
         return removed
 
     def clone(self, dest_path: str,
