@@ -323,13 +323,24 @@ class IcebergMirror:
                 for f in struct.fields]
 
     @staticmethod
-    def _name_mapping(fields: list[dict]) -> list[dict]:
-        out = []
+    def _name_mapping(st: dict, fields: list[dict]) -> list[dict]:
+        """CUMULATIVE name mapping: every (file-column-name -> field-id)
+        pair ever valid stays recorded, so historical snapshots remain
+        resolvable after renames/materializes/restores re-key the
+        current schema.  A name may map to several ids across history
+        (rename away, then re-introduce under a fresh id); readers
+        disambiguate per snapshot — a snapshot's schema names its own
+        fields, and only its field ids consult the mapping."""
+        acc = {int(k): list(v)
+               for k, v in (st.get("name_map") or {}).items()}
         for f in fields:
-            names = [f["_phys"]] if f["_phys"] == f["name"] \
-                else [f["_phys"], f["name"]]
-            out.append({"field-id": f["id"], "names": names})
-        return out
+            names = acc.setdefault(f["id"], [])
+            for n in (f["_phys"], f["name"]):
+                if n not in names:
+                    names.append(n)
+        st["name_map"] = {str(k): v for k, v in acc.items()}
+        return [{"field-id": k, "names": v}
+                for k, v in sorted(acc.items())]
 
     @staticmethod
     def _public_fields(fields: list[dict]) -> list[dict]:
@@ -490,7 +501,8 @@ class IcebergMirror:
 
     def _metadata_doc(self, st: dict, *, v: int, fields: list[dict],
                       snapshot: dict | None, ts_ms: int,
-                      expire: bool = False) -> dict:
+                      expire: bool = False,
+                      drop_from_seq: int | None = None) -> dict:
         prev = self._prev_metadata(st)
         schemas = list(prev["schemas"]) if prev else []
         if not any(s["schema-id"] == st["schema_id"] for s in schemas):
@@ -506,6 +518,14 @@ class IcebergMirror:
             # replace snapshot appended below is the only survivor,
             # Iceberg's expireSnapshots semantics)
             snapshots, snap_log = [], []
+        if drop_from_seq is not None:
+            # orphan heal: the engine log disowned version(s) from
+            # ``drop_from_seq`` — their snapshots leave the table
+            snapshots = [s for s in snapshots
+                         if s["sequence-number"] < drop_from_seq]
+            kept = {s["snapshot-id"] for s in snapshots}
+            snap_log = [e for e in snap_log
+                        if e["snapshot-id"] in kept]
         if snapshot is not None:
             snapshots.append(snapshot)
             snap_log.append({"timestamp-ms": ts_ms,
@@ -515,9 +535,13 @@ class IcebergMirror:
                              "metadata-file": os.path.join(
                                  self.dir, st["metadata_file"])})
             meta_log = meta_log[-10:]
-        current = (snapshot["snapshot-id"] if snapshot is not None
-                   else (prev.get("current-snapshot-id", -1)
-                         if prev else -1))
+        if snapshot is not None:
+            current = snapshot["snapshot-id"]
+        elif drop_from_seq is not None:
+            current = snapshots[-1]["snapshot-id"] if snapshots else -1
+        else:
+            current = (prev.get("current-snapshot-id", -1)
+                       if prev else -1)
         specs = self._specs(st, fields)
         if st["table_uuid"] is None:
             st["table_uuid"] = str(uuid.uuid4())
@@ -538,7 +562,7 @@ class IcebergMirror:
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {
                 "schema.name-mapping.default": json.dumps(
-                    self._name_mapping(fields)),
+                    self._name_mapping(st, fields)),
                 "write.format.default": "parquet",
                 "commit.engine": "tb-lakehouse-enhanced-spark"},
             "current-snapshot-id": current,
@@ -856,14 +880,37 @@ class IcebergMirror:
     # -- heal / repair / vacuum --------------------------------------------
     def emit_noop(self, v: int) -> None:
         """Orphan-heal counterpart of the Delta mirror's
-        commitInfo-only entry: a fresh metadata.json that repeats the
-        parent snapshot (no new snapshot)."""
+        commitInfo-only entry: a fresh metadata.json that re-points at
+        the PARENT's state.  The crashed writer emitted its mirror
+        metadata before dying (emission precedes the pointer flip, the
+        same window the Delta mirror has), so the heal must DISOWN it:
+        the sidecar rolls back one step (the ``.prev`` snapshot the
+        orphan's emit saved) and the orphan's snapshot leaves the
+        snapshots list; metadata numbering stays monotone."""
         st = self._load_state()
         if st["schema_fields"] is None:
             return
+        doc = self._prev_metadata(st)
+        if doc is not None and doc.get("last-sequence-number", -1) >= v:
+            # the orphan's emit landed: adopt the pre-orphan sidecar
+            # (manifest set, schema state) so the disowned version's
+            # manifests leave the current set
+            try:
+                with open(self._state_file + ".prev") as f:
+                    st_rb = json.load(f)
+            except (FileNotFoundError, ValueError):
+                st_rb = None
+            if st_rb is not None and \
+                    st_rb.get("meta_seq", 0) == st.get("meta_seq", 1) - 1:
+                st_rb["meta_seq"] = st["meta_seq"]
+                st_rb["table_uuid"] = st.get("table_uuid") \
+                    or st_rb.get("table_uuid")
+                st = st_rb
+                if st["schema_fields"] is None:
+                    return      # the orphan was the first-ever emit
         self._write_metadata(st, self._metadata_doc(
             st, v=v, fields=st["schema_fields"], snapshot=None,
-            ts_ms=int(time.time() * 1000)))
+            ts_ms=int(time.time() * 1000), drop_from_seq=v))
         self._save_state(st)
 
     def retract(self, v: int) -> None:
@@ -991,10 +1038,20 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     mapping = json.loads(
         doc["properties"]["schema.name-mapping.default"])
     name_of_id = {f["id"]: f["name"] for f in schema["fields"]}
-    id_of_name: dict[str, int] = {}
-    for m in mapping:
-        for n in m["names"]:
-            id_of_name[n] = m["field-id"]
+    names_of_id: dict[int, list[str]] = {
+        m["field-id"]: list(m["names"]) for m in mapping}
+
+    def _resolve(fid: int, lname: str, columns) -> str | None:
+        """File column holding field ``fid``: the snapshot schema's
+        own field name first (files written on that schema), then the
+        name-mapping's recorded names for the id (mapped-era physical
+        names).  Per-snapshot resolution keeps re-used NAMES (a column
+        renamed away and later re-introduced under a fresh id)
+        unambiguous."""
+        for cand in [lname] + names_of_id.get(fid, []):
+            if cand in columns:
+                return cand
+        return None
 
     specs = {s["spec-id"]: s for s in doc["partition-specs"]}
     _schema, _meta, manifests = read_ocf(snap["manifest-list"])
@@ -1047,14 +1104,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
         per-row sequence / identity-partition columns from the
         manifest entries."""
         cols = []
-        by_id = {}
-        for c in df.columns:
-            fid = id_of_name.get(c)
-            if fid is not None:
-                by_id[fid] = c
         for fid, (lname, ltype) in zip(
                 [f["id"] for f in schema["fields"]], logical_fields):
-            src = by_id.get(fid)
+            src = _resolve(fid, lname, df.columns)
             if src is not None:
                 cols.append(F.col(src).alias(lname))
             elif any(fid in part for _p, _s, part in files):
@@ -1095,17 +1147,18 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
         key_schema = StructType(
             [StructField(n, dict(logical_fields)[n], True)
              for n in key_names])
+        key_ids = next(iter(eq_sets))
         dparts = []
         for p, s, _ids in delete_files:
-            # delete files may carry physical column names — read by
-            # name mapping like data files, then keep key columns
+            # delete files may carry physical column names — resolve
+            # each key field like data columns, then keep only keys
             raw = spark.read.parquet(p)
             ren = []
-            for c in raw.columns:
-                fid = id_of_name.get(c)
-                nm = name_of_id.get(fid) if fid is not None else None
-                if nm in key_names:
-                    ren.append(F.col(c).alias(nm))
+            for fid in key_ids:
+                nm = name_of_id[fid]
+                src = _resolve(fid, nm, raw.columns)
+                if src is not None:
+                    ren.append(F.col(src).alias(nm))
             dparts.append(raw.select(*ren)
                           .withColumn("_del_seq",
                                       F.lit(s).cast(LongType())))
