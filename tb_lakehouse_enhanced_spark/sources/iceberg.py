@@ -513,11 +513,18 @@ class IcebergMirror:
         snap_log = list(prev.get("snapshot-log") or []) if prev else []
         meta_log = list(prev.get("metadata-log") or []) if prev else []
         if expire:
-            # vacuum dropped the historical data dirs, so every prior
-            # snapshot is unreadable — expire them all (the fresh
-            # replace snapshot appended below is the only survivor,
-            # Iceberg's expireSnapshots semantics)
-            snapshots, snap_log = [], []
+            # vacuum dropped the historical data dirs, so prior
+            # snapshots are unreadable — expire them (Iceberg's
+            # expireSnapshots), EXCEPT tagged versions: the engine's
+            # vacuum retains a tagged version's data dirs, so its
+            # snapshot (and manifests, see after_vacuum's gc) stays
+            # readable under the tag ref
+            tagged = set(self.t.tags().values())
+            snapshots = [s for s in snapshots
+                         if s["sequence-number"] in tagged]
+            kept_ids = {s["snapshot-id"] for s in snapshots}
+            snap_log = [e for e in snap_log
+                        if e["snapshot-id"] in kept_ids]
         if drop_from_seq is not None:
             # orphan heal: the engine log disowned version(s) from
             # ``drop_from_seq`` — their snapshots leave the table
@@ -546,6 +553,18 @@ class IcebergMirror:
         if st["table_uuid"] is None:
             st["table_uuid"] = str(uuid.uuid4())
         n_spec_fields = sum(len(s["fields"]) for s in specs)
+        # named refs: the engine's tags (ManagedTable.tag — pinned
+        # versions that survive vacuum) surface as Iceberg tag refs;
+        # "main" tracks the current snapshot as a branch. Tags created
+        # between commits appear at the next emission.
+        by_seq = {s["sequence-number"]: s["snapshot-id"]
+                  for s in snapshots}
+        refs = {}
+        if current != -1:
+            refs["main"] = {"snapshot-id": current, "type": "branch"}
+        for name, tv in sorted(self.t.tags().items()):
+            if tv in by_seq:
+                refs[name] = {"snapshot-id": by_seq[tv], "type": "tag"}
         return {
             "format-version": 2,
             "table-uuid": st["table_uuid"],
@@ -569,6 +588,7 @@ class IcebergMirror:
             "snapshots": snapshots,
             "snapshot-log": snap_log,
             "metadata-log": meta_log,
+            "refs": refs,
         }
 
     def _snapshot(self, st: dict, *, v: int, snapshot_id: int,
@@ -975,17 +995,24 @@ class IcebergMirror:
                 spec_fields=spec0["fields"], types=types))
         snapshot = self._snapshot(st, v=v, snapshot_id=snapshot_id,
                                   operation="replace", ts_ms=ts_ms)
-        self._write_metadata(st, self._metadata_doc(
+        doc = self._metadata_doc(
             st, v=v, fields=fields, snapshot=snapshot, ts_ms=ts_ms,
-            expire=True))
+            expire=True)
+        self._write_metadata(st, doc)
         self._save_state(st)
-        # gc: drop avro/metadata files not referenced by the current
-        # metadata document or sidecar
+        # gc: drop avro/metadata files not referenced by any RETAINED
+        # snapshot (the replace snapshot + tagged survivors) or the
+        # metadata log
         referenced = {m["path"] for m in st["manifests"]}
-        referenced.add(os.path.basename(snapshot["manifest-list"]))
         referenced.add(st["metadata_file"])
-        doc = self._prev_metadata(st)
-        for e in (doc.get("metadata-log") or []) if doc else []:
+        for s in doc["snapshots"]:
+            referenced.add(os.path.basename(s["manifest-list"]))
+            try:
+                for mf in read_ocf(s["manifest-list"])[2]:
+                    referenced.add(os.path.basename(mf["manifest_path"]))
+            except FileNotFoundError:
+                pass
+        for e in doc.get("metadata-log") or []:
             referenced.add(os.path.basename(e["metadata-file"]))
         for fn in os.listdir(self.dir):
             if fn.startswith("_") or fn == "version-hint.text":
@@ -1088,36 +1115,45 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     logical_fields = [(f["name"], _spark_type(f["type"]))
                       for f in schema["fields"]]
 
-    def _per_file(expr_of: dict[str, object], default):
-        """Build a per-row expression switching on the file path —
-        metadata-tuple values (sequence numbers, identity partition
-        values) attached without trusting anything outside the
-        manifests."""
-        out = default
-        for p, e in expr_of.items():
-            out = F.when(F.col("_metadata.file_path").contains(p),
-                         e).otherwise(out)
-        return out
-
     def _project(df, files: list[tuple[str, int, dict]]):
-        """Physical -> logical projection via the name mapping, plus
-        per-row sequence / identity-partition columns from the
-        manifest entries."""
+        """Physical -> logical projection via the name mapping.
+        Per-file sequence numbers and identity-partition values attach
+        through ONE broadcast join on the normalized file path
+        (manifest paths are absolute; ``_metadata.file_path`` carries
+        a URI scheme) — O(1) plan size regardless of file count, so
+        the reader's shape survives tables with millions of files."""
+        from pyspark.sql.types import StringType as _Str
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+        base_cols = list(df.columns)
+        part_fids = sorted({fid for _p, _s, part in files
+                            for fid, val in part.items()
+                            if val is not None})
+        meta_rows = [(p, s, *[None if part.get(fid) is None
+                              else str(part[fid])
+                              for fid in part_fids])
+                     for p, s, part in files]
+        meta_df = spark.createDataFrame(meta_rows, _ST(
+            [_SF("_ice_fp", _Str(), False),
+             _SF("_ice_seq", LongType(), True)]
+            + [_SF(f"_ice_p{fid}", _Str(), True)
+               for fid in part_fids]))
+        norm = F.regexp_replace(F.col("_metadata.file_path"),
+                                "^[a-zA-Z0-9.+-]+:/+", "/")
+        df = (df.withColumn("_ice_fp", norm)
+              .join(F.broadcast(meta_df), "_ice_fp", "left"))
         cols = []
         for fid, (lname, ltype) in zip(
                 [f["id"] for f in schema["fields"]], logical_fields):
-            src = _resolve(fid, lname, df.columns)
+            src = _resolve(fid, lname, base_cols)
             if src is not None:
                 cols.append(F.col(src).alias(lname))
-            elif any(fid in part for _p, _s, part in files):
-                cols.append(_per_file(
-                    {p: F.lit(part.get(fid)) for p, _s, part in files},
-                    F.lit(None)).cast(ltype).alias(lname))
+            elif fid in part_fids:
+                cols.append(F.col(f"_ice_p{fid}").cast(ltype)
+                            .alias(lname))
             else:
                 cols.append(F.lit(None).cast(ltype).alias(lname))
-        seq_expr = _per_file({p: F.lit(s) for p, s, _part in files},
-                             F.lit(None)).cast("long")
-        return df.select(*cols, seq_expr.alias("_ice_seq"))
+        return df.select(*cols, F.col("_ice_seq"))
 
     # group data files by physical footer schema so one scan covers
     # each physical generation

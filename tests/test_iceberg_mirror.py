@@ -357,6 +357,30 @@ def test_manifest_fold_bounds_count(spark, tmp_base):
     _check(spark, t, "post-fold")
 
 
+def test_tag_refs_survive_vacuum(spark, tmp_base):
+    t = ManagedTable(spark, os.path.join(tmp_base, "tags"),
+                     partition_by=("p",))
+    t.overwrite(_mk(spark, 0, 10))
+    t.append(_mk(spark, 10, 20))
+    t.tag("release-1")                    # pins v1
+    t.append(_mk(spark, 20, 30))
+    doc = current_metadata(t.path)
+    assert doc["refs"]["release-1"]["type"] == "tag"
+    assert doc["refs"]["main"]["snapshot-id"] \
+        == doc["current-snapshot-id"]
+    t.overwrite(t.read())
+    t.vacuum(retain_last=1, orphan_hours=0)
+    doc = current_metadata(t.path)
+    refs = doc["refs"]
+    assert "release-1" in refs, "tagged snapshot must survive vacuum"
+    sid = refs["release-1"]["snapshot-id"]
+    assert any(s["snapshot-id"] == sid for s in doc["snapshots"])
+    eng = t.read_tag("release-1")
+    ice = read_iceberg(spark, t.path, snapshot_id=sid)
+    assert {tuple(r) for r in ice.select(*eng.columns).collect()} \
+        == {tuple(r) for r in eng.collect()}
+
+
 def test_unpartitioned_table(spark, tmp_base):
     t = ManagedTable(spark, os.path.join(tmp_base, "flat"))
     t.overwrite(spark.range(25).select(
