@@ -1966,6 +1966,35 @@ def iceberg_external_read_q(spark, sf_dir):
                  F.sum("n_chars").cast("bigint").alias("sum_chars")))
 
 
+@q("iceberg_modern_read", """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 <> 0
+GROUP BY lang
+""")
+def iceberg_modern_read_q(spark, sf_dir):
+    """iceberg_external_read's MODERN-WRITER sibling (the role
+    delta_external_read plays for the Delta side): the fixture is an
+    EXTERNALLY-shaped Iceberg v2 table (sources/synthetic.py::
+    write_external_iceberg) — pyarrow parquet with real
+    PARQUET:field_id column metadata, the first file's column names
+    differing from the table schema (post-rename layout), NO name
+    mapping anywhere, and DEFLATE-coded Avro manifests — so the read
+    can only succeed through the spec's primary field-id resolution
+    rule."""
+    from ..sources.iceberg import read_iceberg
+    from ..sources.synthetic import write_external_iceberg
+    path = tempfile.mkdtemp(prefix="tb_ice_mod_")
+    write_external_iceberg(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "lang", "n_chars"), path)
+    return (read_iceberg(spark, path)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
+
+
 @q("log_retention_read", """
 WITH batches AS (
   SELECT o_orderkey, o_custkey,

@@ -204,17 +204,19 @@ def _decode(buf, schema):
 # -- object container files --------------------------------------------------
 
 def write_ocf(path: str, schema: dict, records: list,
-              metadata: dict[str, str] | None = None) -> int:
+              metadata: dict[str, str] | None = None,
+              codec: str = "null") -> int:
     """Write an Avro OCF of ``records`` under ``schema`` with optional
     extra file-metadata strings (Iceberg stores the table schema,
     partition spec and format-version there).  Returns the file's byte
     length (Iceberg manifest-list entries record it).  Atomic via
-    temp-file + rename."""
+    temp-file + rename.  ``codec``: ``null`` or ``deflate`` (raw
+    DEFLATE per the Avro spec — what real Iceberg writers emit)."""
     body = io.BytesIO()
     for r in records:
         _encode(body, schema, r)
     meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
-            "avro.codec": b"null"}
+            "avro.codec": codec.encode("utf-8")}
     for k, v in (metadata or {}).items():
         meta[k] = v.encode("utf-8")
     sync = os.urandom(16)
@@ -223,8 +225,14 @@ def write_ocf(path: str, schema: dict, records: list,
     _encode(buf, {"type": "map", "values": "bytes"}, meta)
     buf.write(sync)
     if records:
+        payload = body.getvalue()
+        if codec == "deflate":
+            z = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = z.compress(payload) + z.flush()
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec!r}")
         _write_long(buf, len(records))
-        _write_bytes(buf, body.getvalue())
+        _write_bytes(buf, payload)
         buf.write(sync)
     payload = buf.getvalue()
     tmp = f"{path}.tmp{os.getpid()}"

@@ -1063,18 +1063,36 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     schema = next(s for s in doc["schemas"]
                   if s["schema-id"] == schema_id)
     mapping = json.loads(
-        doc["properties"]["schema.name-mapping.default"])
+        doc.get("properties", {}).get("schema.name-mapping.default",
+                                      "[]"))
     name_of_id = {f["id"]: f["name"] for f in schema["fields"]}
     names_of_id: dict[int, list[str]] = {
         m["field-id"]: list(m["names"]) for m in mapping}
 
-    def _resolve(fid: int, lname: str, columns) -> str | None:
-        """File column holding field ``fid``: the snapshot schema's
-        own field name first (files written on that schema), then the
+    def _field_ids(arrow_schema) -> dict[int, str]:
+        """field-id -> column name from parquet footer metadata
+        (``PARQUET:field_id``) — how spec-conformant writers stamp
+        columns; files written by this engine's stock-Spark path carry
+        none and fall back to the name mapping."""
+        out = {}
+        for f in arrow_schema:
+            md = f.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                out[int(fid)] = f.name
+        return out
+
+    def _resolve(fid: int, lname: str, columns,
+                 file_ids: dict[int, str] | None = None) -> str | None:
+        """File column holding field ``fid``: the file's own parquet
+        field ids first (the spec's primary rule), then the snapshot
+        schema's field name (files written on that schema), then the
         name-mapping's recorded names for the id (mapped-era physical
         names).  Per-snapshot resolution keeps re-used NAMES (a column
         renamed away and later re-introduced under a fresh id)
         unambiguous."""
+        if file_ids and fid in file_ids and file_ids[fid] in columns:
+            return file_ids[fid]
         for cand in [lname] + names_of_id.get(fid, []):
             if cand in columns:
                 return cand
@@ -1115,7 +1133,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     logical_fields = [(f["name"], _spark_type(f["type"]))
                       for f in schema["fields"]]
 
-    def _project(df, files: list[tuple[str, int, dict]]):
+    def _project(df, files: list[tuple[str, int, dict]],
+                 file_ids: dict[int, str] | None = None):
         """Physical -> logical projection via the name mapping.
         Per-file sequence numbers and identity-partition values attach
         through ONE broadcast join on the normalized file path
@@ -1145,7 +1164,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
         cols = []
         for fid, (lname, ltype) in zip(
                 [f["id"] for f in schema["fields"]], logical_fields):
-            src = _resolve(fid, lname, base_cols)
+            src = _resolve(fid, lname, base_cols, file_ids)
             if src is not None:
                 cols.append(F.col(src).alias(lname))
             elif fid in part_fids:
@@ -1156,16 +1175,18 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
         return df.select(*cols, F.col("_ice_seq"))
 
     # group data files by physical footer schema so one scan covers
-    # each physical generation
+    # each physical generation; each group carries its footer's
+    # parquet field ids for spec-primary column resolution
     import pyarrow.parquet as pq
-    groups: dict[str, list[tuple[str, int, dict]]] = {}
+    groups: dict[str, tuple[dict, list]] = {}
     for p, seq, part in data_files:
-        key = str(pq.read_schema(p))
-        groups.setdefault(key, []).append((p, seq, part))
+        sch = pq.read_schema(p)
+        entry = groups.setdefault(str(sch), (_field_ids(sch), []))
+        entry[1].append((p, seq, part))
     parts = []
-    for grp in groups.values():
+    for fids, grp in groups.values():
         df = spark.read.parquet(*[p for p, _s, _pt in grp])
-        parts.append(_project(df, grp))
+        parts.append(_project(df, grp, fids))
     if not parts:
         return spark.createDataFrame(
             [], StructType([StructField(n, t, True)
@@ -1188,11 +1209,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
         for p, s, _ids in delete_files:
             # delete files may carry physical column names — resolve
             # each key field like data columns, then keep only keys
+            fids = _field_ids(pq.read_schema(p))
             raw = spark.read.parquet(p)
             ren = []
             for fid in key_ids:
                 nm = name_of_id[fid]
-                src = _resolve(fid, nm, raw.columns)
+                src = _resolve(fid, nm, raw.columns, fids)
                 if src is not None:
                     ren.append(F.col(src).alias(nm))
             dparts.append(raw.select(*ren)

@@ -193,3 +193,145 @@ def write_external_delta(df, path: str, table_id: str = "ext-cm") -> list:
     with open(_os.path.join(log, "0" * 20 + ".json"), "w") as f:
         f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
     return rels
+
+
+def write_external_iceberg(df, path: str) -> dict:
+    """Emit ``df`` as the kind of Iceberg v2 table a MODERN EXTERNAL
+    WRITER produces — the interop fixture for
+    ``sources/iceberg.py::read_iceberg`` (the engine's own mirror
+    deliberately writes stock-Spark parquet + a name mapping; this
+    fixture exercises the OTHER half of the spec's resolution rules):
+
+    - parquet data files written via pyarrow WITH real
+      ``PARQUET:field_id`` column metadata;
+    - the FIRST file's column names differ from the table schema (the
+      post-rename layout real writers leave behind), and NO
+      ``schema.name-mapping.default`` property exists — only footer
+      field ids can resolve it;
+    - the second snapshot's file uses current names (id + name both
+      work);
+    - manifests and the manifest list are DEFLATE-coded Avro (what
+      real Java writers emit; the engine's own mirror writes codec
+      null);
+    - large random-looking snapshot ids (no small-int assumptions).
+
+    Splits ``df`` ~half per snapshot on a row hash.  Returns
+    {"rows": per-snapshot row counts}.
+    """
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from .avroio import write_ocf as _write_ocf
+    from .iceberg import _MANIFEST_FILE_AVRO, _manifest_entry_avro
+
+    pdf = df.toPandas()
+    ncol = len(pdf.columns)
+    logical = list(pdf.columns)
+    physical = [f"c{i + 1}" for i in range(ncol)]
+    mdir = _os.path.join(path, "metadata")
+    ddir = _os.path.join(path, "data")
+    _os.makedirs(mdir, exist_ok=True)
+    _os.makedirs(ddir, exist_ok=True)
+
+    def _arrow(names, part):
+        arrs = [_pa.array(part[c]) for c in logical]
+        fields = [_pa.field(n, a.type, metadata={
+            b"PARQUET:field_id": str(i + 1).encode()})
+            for i, (n, a) in enumerate(zip(names, arrs))]
+        return _pa.Table.from_arrays(arrs, schema=_pa.schema(fields))
+
+    import numpy as _np
+    mask = (_np.arange(len(pdf)) % 2) == 0
+    halves = [pdf[mask], pdf[~mask]]
+    names_per_snap = [physical, logical]
+    part_schema = {"type": "record", "name": "r102", "fields": []}
+    entry_schema = _manifest_entry_avro(part_schema)
+    # iceberg type names for the schema JSON
+    def _ice_type(a):
+        t = str(a)
+        return {"int64": "long", "int32": "int", "object": "string",
+                "float64": "double", "bool": "boolean"}.get(t, "string")
+    schema_fields = [{"id": i + 1, "name": n, "required": False,
+                      "type": _ice_type(pdf.dtypes[n])}
+                     for i, n in enumerate(logical)]
+    snap_ids = [5236712900241817531, 8431006117564873204]
+    manifests_meta = {
+        "schema": __import__("json").dumps(
+            {"type": "struct", "schema-id": 0,
+             "fields": schema_fields}),
+        "schema-id": "0", "partition-spec": "[]",
+        "partition-spec-id": "0", "format-version": "2",
+        "content": "data"}
+    snapshots, manifest_entries = [], []
+    for i, (half, names) in enumerate(zip(halves, names_per_snap)):
+        fp = _os.path.join(ddir, f"{i:05d}-ext.parquet")
+        _pq.write_table(_arrow(names, half), fp)
+        manifest_entries.append({
+            "status": 1, "snapshot_id": snap_ids[i],
+            "sequence_number": i + 1, "file_sequence_number": None,
+            "data_file": {
+                "content": 0, "file_path": fp,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": len(half),
+                "file_size_in_bytes": _os.path.getsize(fp),
+                "equality_ids": None, "sort_order_id": None}})
+        mpath = _os.path.join(mdir, f"ext-m{i}.avro")
+        mlen = _write_ocf(mpath, entry_schema,
+                          [manifest_entries[i]], manifests_meta,
+                          codec="deflate")
+        lpath = _os.path.join(mdir, f"snap-{snap_ids[i]}-1-ext.avro")
+        _write_ocf(lpath, _MANIFEST_FILE_AVRO, [{
+            "manifest_path": _os.path.join(mdir, f"ext-m{j}.avro"),
+            "manifest_length": _os.path.getsize(
+                _os.path.join(mdir, f"ext-m{j}.avro")),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": j + 1, "min_sequence_number": j + 1,
+            "added_snapshot_id": snap_ids[j],
+            "added_files_count": 1, "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(halves[j]),
+            "existing_rows_count": 0, "deleted_rows_count": 0}
+            for j in range(i + 1)],
+            {"snapshot-id": str(snap_ids[i]),
+             "sequence-number": str(i + 1),
+             "format-version": "2"}, codec="deflate")
+        snapshots.append({
+            "snapshot-id": snap_ids[i],
+            **({"parent-snapshot-id": snap_ids[0]} if i else {}),
+            "sequence-number": i + 1,
+            "timestamp-ms": 1700000000000 + i,
+            "manifest-list": lpath,
+            "summary": {"operation": "append"},
+            "schema-id": 0})
+        del mlen
+    doc = {
+        "format-version": 2, "table-uuid":
+            "00000000-0000-0000-0000-00000000ext1",
+        "location": path, "last-sequence-number": 2,
+        "last-updated-ms": 1700000000001, "last-column-id": ncol,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": schema_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},          # NO name mapping: ids must resolve
+        "current-snapshot-id": snap_ids[1],
+        "snapshots": snapshots,
+        "snapshot-log": [{"timestamp-ms": s["timestamp-ms"],
+                          "snapshot-id": s["snapshot-id"]}
+                         for s in snapshots],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": snap_ids[1],
+                          "type": "branch"}},
+    }
+    import json as _json
+    with open(_os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(doc, f)
+    with open(_os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {"rows": [len(h) for h in halves]}

@@ -381,6 +381,39 @@ def test_tag_refs_survive_vacuum(spark, tmp_base):
         == {tuple(r) for r in eng.collect()}
 
 
+def test_external_writer_fixture_field_id_resolution(spark, tmp_base):
+    """The modern-writer interop case: parquet columns stamped with
+    real PARQUET:field_id metadata, first file named differently from
+    the table schema, no name mapping, deflate Avro — resolution must
+    ride the spec's primary field-id rule."""
+    from tb_lakehouse_enhanced_spark.sources.synthetic import (
+        write_external_iceberg,
+    )
+    path = os.path.join(tmp_base, "ext")
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), F.col("id") % 3).alias("lang"),
+        (F.col("id") * 11).alias("n_chars"))
+    write_external_iceberg(df, path)
+    # deflate codec actually on disk
+    import glob
+    avros = glob.glob(os.path.join(path, "metadata", "*.avro"))
+    assert avros
+    for p in avros:
+        _s, meta, _r = read_ocf(p)
+        assert meta["avro.codec"] == b"deflate"
+    got = read_iceberg(spark, path)
+    assert {tuple(r) for r in
+            got.select("doc_id", "lang", "n_chars").collect()} \
+        == {tuple(r) for r in df.collect()}
+    # the physically-renamed first snapshot resolves alone too
+    doc = current_metadata(path)
+    first = min(doc["snapshots"], key=lambda s: s["sequence-number"])
+    s1 = read_iceberg(spark, path,
+                      snapshot_id=first["snapshot-id"])
+    assert s1.count() == 15
+
+
 def test_unpartitioned_table(spark, tmp_base):
     t = ManagedTable(spark, os.path.join(tmp_base, "flat"))
     t.overwrite(spark.range(25).select(
