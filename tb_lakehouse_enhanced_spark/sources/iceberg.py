@@ -644,6 +644,11 @@ class IcebergMirror:
         snapshot_id = v + 1           # engine versions are 0-based
         cmap = meta.get("column_map")
         mor_keys = meta.get("tombstone_keys") or []
+        # a table predating the mirror (no prior emission) bootstraps
+        # with a FULL live-set snapshot regardless of commit type — an
+        # incremental (append/partial) first emission would describe
+        # only the batch and lose the rest of the table
+        bootstrapping = st["schema_fields"] is None
 
         # ---- schema pass (skipped on schema-preserving commits) ----
         data_changed = True
@@ -681,11 +686,16 @@ class IcebergMirror:
             else:
                 fields = self._logical_fields(st, meta, files)
         if fields is None:
-            # first-ever emission arriving via append (legacy tables):
-            # derive schema from the batch
+            # first-ever emission arriving via an incremental commit
+            # (a table predating the mirror): derive schema from the
+            # batch, else from the live set
             files = [(f"{meta['dir']}/{rel}",
                       os.path.join(self.t.path, meta["dir"], rel))
                      for rel in meta.get("added_files") or ()]
+            if not files:
+                files = sorted(self.t._live_files(v).items())
+            if not files and meta.get("column_map") is None:
+                return          # nothing mirrorable yet
             fields = self._logical_fields(st, meta, files)
         pub = self._public_fields(fields)
         if st["schema_fields"] is None \
@@ -704,7 +714,11 @@ class IcebergMirror:
 
         # ---- data pass ----
         mor_live = bool(meta.get("tombstones") or meta.get("deltas"))
-        if meta.get("added_files") is not None and v > 0:
+        if bootstrapping:
+            # force the full-regenerate route below (see note above)
+            data_changed = True
+        if not bootstrapping \
+                and meta.get("added_files") is not None and v > 0:
             rels = [f"{meta['dir']}/{r}" for r in meta["added_files"]]
             entries = [self._entry(
                 r, snapshot_id,
@@ -729,7 +743,9 @@ class IcebergMirror:
                     snapshot_id=snapshot_id, fields=fields,
                     spec_fields=[], types=types,
                     state_dir=f"{meta['dir']}#selfdel"))
-        elif meta.get("partitions_rewritten") is not None and v > 0:
+        elif not bootstrapping \
+                and meta.get("partitions_rewritten") is not None \
+                and v > 0:
             touched = list(meta["partitions_rewritten"])
 
             def _in_touched(rel: str) -> bool:
@@ -798,7 +814,7 @@ class IcebergMirror:
                     st, entries, content=0, spec_id=spec0["spec-id"],
                     snapshot_id=snapshot_id, fields=fields,
                     spec_fields=spec0["fields"], types=types))
-        elif not data_changed:
+        elif not bootstrapping and not data_changed:
             pass
         else:
             # full replace / restore / first commit: regenerate the

@@ -414,6 +414,23 @@ def test_external_writer_fixture_field_id_resolution(spark, tmp_base):
     assert s1.count() == 15
 
 
+def test_pre_mirror_table_bootstraps_full_live_set(spark, tmp_base,
+                                                   monkeypatch):
+    """A table created before the mirror existed (emission disabled)
+    must bootstrap with its FULL live set on the first mirrored
+    commit, even when that commit is an incremental append — an
+    adds-only first emission would describe just the batch."""
+    path = os.path.join(tmp_base, "legacy")
+    monkeypatch.setenv("TB_LAKEHOUSE_ICEBERG_MIRROR", "0")
+    t = ManagedTable(spark, path, partition_by=("p",))
+    t.overwrite(_mk(spark, 0, 20))
+    t.append(_mk(spark, 20, 30))
+    assert not os.path.isdir(os.path.join(path, "metadata"))
+    monkeypatch.setenv("TB_LAKEHOUSE_ICEBERG_MIRROR", "1")
+    t.append(_mk(spark, 30, 35))
+    _check(spark, t, "bootstrap-append")
+
+
 def test_unpartitioned_table(spark, tmp_base):
     t = ManagedTable(spark, os.path.join(tmp_base, "flat"))
     t.overwrite(spark.range(25).select(
