@@ -373,6 +373,30 @@ class IcebergMirror:
         return {f["name"]: (f["type"] if isinstance(f["type"], str)
                             else "string") for f in fields}
 
+    def _row_counts(self, rels: list[str]) -> dict[str, int]:
+        """Per-file parquet row counts (``data_file.record_count`` is
+        required by the spec).  Small sets read footers on the driver;
+        large sets fan out ONE Spark job, so a full-table emission
+        never serializes millions of footer reads through the driver —
+        the only O(files) data-plane step emission has (everything
+        else is commit metadata)."""
+        if len(rels) <= 256:
+            import pyarrow.parquet as pq
+            return {r: pq.ParquetFile(
+                os.path.join(self.t.path, r)).metadata.num_rows
+                for r in rels}
+        root = self.t.path
+
+        def _count(r):
+            import os as _os
+
+            import pyarrow.parquet as _pq
+            return r, _pq.ParquetFile(
+                _os.path.join(root, r)).metadata.num_rows
+        sc = self.t.spark.sparkContext
+        return dict(sc.parallelize(
+            rels, max(1, len(rels) // 512)).map(_count).collect())
+
     def _entry(self, rel: str, snapshot_id: int, *, status: int = 1,
                content: int = 0, equality_ids: list[int] | None = None,
                seq: int | None = None, spec_fields: list | None = None,
@@ -720,10 +744,12 @@ class IcebergMirror:
         if not bootstrapping \
                 and meta.get("added_files") is not None and v > 0:
             rels = [f"{meta['dir']}/{r}" for r in meta["added_files"]]
+            counts = self._row_counts(rels)
             entries = [self._entry(
                 r, snapshot_id,
                 content=0, equality_ids=None,
-                spec_fields=spec0["fields"], types=types)
+                spec_fields=spec0["fields"], types=types,
+                row_count=counts[r])
                 for r in rels]
             st["manifests"].append(self._write_manifest(
                 st, entries, content=0, spec_id=spec0["spec-id"],
@@ -736,7 +762,8 @@ class IcebergMirror:
                 # lower rule protects the batch itself)
                 dels = [self._entry(r, snapshot_id, content=2,
                                     equality_ids=eq_ids,
-                                    spec_fields=[], types=types)
+                                    spec_fields=[], types=types,
+                                    row_count=counts[r])
                         for r in rels]
                 st["manifests"].append(self._write_manifest(
                     st, dels, content=1, spec_id=flat_id,
@@ -806,10 +833,13 @@ class IcebergMirror:
                             adds.append(rel)
             st["manifests"] = new_manifests
             if adds:
+                rels = sorted(set(adds))
+                counts = self._row_counts(rels)
                 entries = [self._entry(
                     r, snapshot_id, content=0,
-                    spec_fields=spec0["fields"], types=types)
-                    for r in sorted(set(adds))]
+                    spec_fields=spec0["fields"], types=types,
+                    row_count=counts[r])
+                    for r in rels]
                 st["manifests"].append(self._write_manifest(
                     st, entries, content=0, spec_id=spec0["spec-id"],
                     snapshot_id=snapshot_id, fields=fields,
@@ -837,9 +867,11 @@ class IcebergMirror:
                 if m["state_dir"] is None or (
                     m["state_dir"].split("#", 1)[0] in carried)]
             if files:
+                counts = self._row_counts([rel for rel, _f in files])
                 entries = [self._entry(
                     rel, snapshot_id, content=0,
-                    spec_fields=spec0["fields"], types=types)
+                    spec_fields=spec0["fields"], types=types,
+                    row_count=counts[rel])
                     for rel, _full in files]
                 st["manifests"].append(self._write_manifest(
                     st, entries, content=0, spec_id=spec0["spec-id"],
@@ -881,9 +913,11 @@ class IcebergMirror:
             if eq_ids is None:
                 raise ValueError(
                     f"MOR state dir {d} without resolvable key ids")
+            counts = self._row_counts(sorted(rels))
             dels = [self._entry(r, snapshot_id, content=2,
                                 equality_ids=eq_ids,
-                                spec_fields=[], types=types)
+                                spec_fields=[], types=types,
+                                row_count=counts[r])
                     for r in sorted(rels)]
             st["manifests"].append(self._write_manifest(
                 st, dels, content=1, spec_id=flat_id,
@@ -891,7 +925,8 @@ class IcebergMirror:
                 spec_fields=[], types=types, state_dir=d))
             if kind == 1:     # delta (upsert) dir: rows are also data
                 dats = [self._entry(r, snapshot_id, content=0,
-                                    spec_fields=[], types=types)
+                                    spec_fields=[], types=types,
+                                    row_count=counts[r])
                         for r in sorted(rels)]
                 st["manifests"].append(self._write_manifest(
                     st, dats, content=0, spec_id=flat_id,
@@ -1001,9 +1036,10 @@ class IcebergMirror:
         files = sorted(self.t._live_files(v).items())
         st["manifests"] = keep_state
         if files:
+            counts = self._row_counts([rel for rel, _f in files])
             entries = [self._entry(rel, snapshot_id, content=0,
                                    spec_fields=spec0["fields"],
-                                   types=types)
+                                   types=types, row_count=counts[rel])
                        for rel, _full in files]
             st["manifests"].append(self._write_manifest(
                 st, entries, content=0, spec_id=spec0["spec-id"],
