@@ -1257,16 +1257,25 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
             [StructField(n, dict(logical_fields)[n], True)
              for n in key_names])
         key_ids = next(iter(eq_sets))
-        dparts = []
+        # one scan per (sequence, footer schema) group — a delete
+        # state dir holds many part files sharing both, so this stays
+        # a handful of scans however many files the state spans
+        dgroups: dict[tuple, list[str]] = {}
+        dfids: dict[tuple, dict] = {}
         for p, s, _ids in delete_files:
+            sch = pq.read_schema(p)
+            k = (s, str(sch))
+            dgroups.setdefault(k, []).append(p)
+            dfids[k] = _field_ids(sch)
+        dparts = []
+        for (s, _sch), paths in dgroups.items():
             # delete files may carry physical column names — resolve
             # each key field like data columns, then keep only keys
-            fids = _field_ids(pq.read_schema(p))
-            raw = spark.read.parquet(p)
+            raw = spark.read.parquet(*paths)
             ren = []
             for fid in key_ids:
                 nm = name_of_id[fid]
-                src = _resolve(fid, nm, raw.columns, fids)
+                src = _resolve(fid, nm, raw.columns, dfids[(s, _sch)])
                 if src is not None:
                     ren.append(F.col(src).alias(nm))
             dparts.append(raw.select(*ren)
