@@ -1154,6 +1154,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     _schema, _meta, manifests = read_ocf(snap["manifest-list"])
     data_files: list[tuple[str, int, dict]] = []
     delete_files: list[tuple[str, int, list[int]]] = []
+    pos_deletes: list[tuple[str, int]] = []
     for mf in manifests:
         _s, _m, entries = read_ocf(mf["manifest_path"])
         spec = specs[mf["partition_spec_id"]]
@@ -1178,9 +1179,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
             elif df_rec["content"] == 2:
                 delete_files.append((df_rec["file_path"], seq,
                                      df_rec["equality_ids"]))
+            elif df_rec["content"] == 1:
+                # position deletes: external writers only (this
+                # mirror's MOR state is key-based); applied below via
+                # (file path, row position) anti-join
+                pos_deletes.append((df_rec["file_path"], seq))
             else:
-                raise NotImplementedError(
-                    "position deletes not emitted by this mirror")
+                raise ValueError(
+                    f"unknown data_file content {df_rec['content']}")
 
     logical_fields = [(f["name"], _spark_type(f["type"]))
                       for f in schema["fields"]]
@@ -1211,8 +1217,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
                for fid in part_fids]))
         norm = F.regexp_replace(F.col("_metadata.file_path"),
                                 "^[a-zA-Z0-9.+-]+:/+", "/")
-        df = (df.withColumn("_ice_fp", norm)
-              .join(F.broadcast(meta_df), "_ice_fp", "left"))
+        df = df.withColumn("_ice_fp", norm)
+        if pos_deletes:
+            # row position per file, for position-delete application
+            df = df.withColumn("_ice_pos",
+                               F.col("_metadata.row_index"))
+        df = df.join(F.broadcast(meta_df), "_ice_fp", "left")
         cols = []
         for fid, (lname, ltype) in zip(
                 [f["id"] for f in schema["fields"]], logical_fields):
@@ -1224,7 +1234,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
                             .alias(lname))
             else:
                 cols.append(F.lit(None).cast(ltype).alias(lname))
-        return df.select(*cols, F.col("_ice_seq"))
+        extra = [F.col("_ice_seq")]
+        if pos_deletes:
+            extra += [F.col("_ice_fp"), F.col("_ice_pos")]
+        return df.select(*cols, *extra)
 
     # group data files by physical footer schema so one scan covers
     # each physical generation; each group carries its footer's
@@ -1246,6 +1259,37 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     data = parts[0]
     for p in parts[1:]:
         data = data.unionByName(p)
+
+    if pos_deletes:
+        # position deletes (external writers; this mirror's own MOR
+        # state is key-based): one scan per (sequence, footer schema)
+        # group, newest delete per (file, pos), and rows fall when a
+        # delete at sequence >= the row's data sequence names their
+        # exact (file, position) — the spec's <= rule for position
+        # deletes (contrast equality's strictly-lower rule)
+        pgroups: dict[tuple, list[str]] = {}
+        for pth, s in pos_deletes:
+            pgroups.setdefault((s, str(pq.read_schema(pth))),
+                               []).append(pth)
+        pparts = []
+        for (s, _sch), paths in pgroups.items():
+            raw = spark.read.parquet(*paths)
+            pparts.append(raw.select(
+                F.regexp_replace(F.col("file_path"),
+                                 "^[a-zA-Z0-9.+-]+:/+", "/")
+                .alias("_ice_fp"),
+                F.col("pos").cast(LongType()).alias("_ice_pos"))
+                .withColumn("_pd_seq", F.lit(s).cast(LongType())))
+        pd_all = pparts[0]
+        for pp in pparts[1:]:
+            pd_all = pd_all.unionByName(pp)
+        pd_all = pd_all.groupBy("_ice_fp", "_ice_pos").agg(
+            F.max("_pd_seq").alias("_pd_seq"))
+        data = (data.join(pd_all, ["_ice_fp", "_ice_pos"],
+                          "left_outer")
+                .filter(F.col("_pd_seq").isNull()
+                        | (F.col("_pd_seq") < F.col("_ice_seq")))
+                .drop("_pd_seq", "_ice_fp", "_ice_pos"))
 
     if delete_files:
         eq_sets = {tuple(sorted(ids)) for _p, _s, ids in delete_files}

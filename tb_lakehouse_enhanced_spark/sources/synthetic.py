@@ -195,7 +195,8 @@ def write_external_delta(df, path: str, table_id: str = "ext-cm") -> list:
     return rels
 
 
-def write_external_iceberg(df, path: str) -> dict:
+def write_external_iceberg(df, path: str,
+                           delete_positions: list | None = None) -> dict:
     """Emit ``df`` as the kind of Iceberg v2 table a MODERN EXTERNAL
     WRITER produces — the interop fixture for
     ``sources/iceberg.py::read_iceberg`` (the engine's own mirror
@@ -217,6 +218,13 @@ def write_external_iceberg(df, path: str) -> dict:
 
     Splits ``df`` ~half per snapshot on a row hash.  Returns
     {"rows": per-snapshot row counts}.
+
+    ``delete_positions``: optional list of ``(snapshot_index,
+    row_position)`` pairs — when given, a THIRD snapshot adds a
+    POSITION-delete file (``content=1``: ``file_path`` + ``pos``
+    columns, spec field ids 2147483546/2147483545) naming those rows,
+    exercising the reader's position-delete path (the engine's own
+    mirror emits only key-based equality deletes).
     """
     import os as _os
 
@@ -329,6 +337,77 @@ def write_external_iceberg(df, path: str) -> dict:
         "refs": {"main": {"snapshot-id": snap_ids[1],
                           "type": "branch"}},
     }
+    if delete_positions:
+        # third snapshot: a position-delete file over the data files
+        pd_snap = 6650912447018823117
+        files_by_snap = [e["data_file"]["file_path"]
+                         for e in manifest_entries]
+        pdf_rows = sorted((files_by_snap[i], int(pos))
+                          for i, pos in delete_positions)
+        tbl = _pa.Table.from_arrays(
+            [_pa.array([r[0] for r in pdf_rows], _pa.string()),
+             _pa.array([r[1] for r in pdf_rows], _pa.int64())],
+            schema=_pa.schema([
+                _pa.field("file_path", _pa.string(), metadata={
+                    b"PARQUET:field_id": b"2147483546"}),
+                _pa.field("pos", _pa.int64(), metadata={
+                    b"PARQUET:field_id": b"2147483545"})]))
+        dp = _os.path.join(ddir, "00002-posdel.parquet")
+        _pq.write_table(tbl, dp)
+        del_entry = {
+            "status": 1, "snapshot_id": pd_snap,
+            "sequence_number": 3, "file_sequence_number": None,
+            "data_file": {
+                "content": 1, "file_path": dp,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": len(pdf_rows),
+                "file_size_in_bytes": _os.path.getsize(dp),
+                "equality_ids": None, "sort_order_id": None}}
+        _write_ocf(_os.path.join(mdir, "ext-mdel.avro"), entry_schema,
+                   [del_entry], {**manifests_meta,
+                                 "content": "deletes"},
+                   codec="deflate")
+        lpath = _os.path.join(mdir, f"snap-{pd_snap}-1-ext.avro")
+        _write_ocf(lpath, _MANIFEST_FILE_AVRO, [{
+            "manifest_path": _os.path.join(mdir, f"ext-m{j}.avro"),
+            "manifest_length": _os.path.getsize(
+                _os.path.join(mdir, f"ext-m{j}.avro")),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": j + 1, "min_sequence_number": j + 1,
+            "added_snapshot_id": snap_ids[j],
+            "added_files_count": 1, "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(halves[j]),
+            "existing_rows_count": 0, "deleted_rows_count": 0}
+            for j in range(2)] + [{
+            "manifest_path": _os.path.join(mdir, "ext-mdel.avro"),
+            "manifest_length": _os.path.getsize(
+                _os.path.join(mdir, "ext-mdel.avro")),
+            "partition_spec_id": 0, "content": 1,
+            "sequence_number": 3, "min_sequence_number": 3,
+            "added_snapshot_id": pd_snap,
+            "added_files_count": 1, "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(pdf_rows),
+            "existing_rows_count": 0, "deleted_rows_count": 0}],
+            {"snapshot-id": str(pd_snap), "sequence-number": "3",
+             "format-version": "2"}, codec="deflate")
+        snapshots.append({
+            "snapshot-id": pd_snap,
+            "parent-snapshot-id": snap_ids[1],
+            "sequence-number": 3,
+            "timestamp-ms": 1700000000002,
+            "manifest-list": lpath,
+            "summary": {"operation": "delete"},
+            "schema-id": 0})
+        doc["snapshots"] = snapshots
+        doc["snapshot-log"] = [
+            {"timestamp-ms": s["timestamp-ms"],
+             "snapshot-id": s["snapshot-id"]} for s in snapshots]
+        doc["current-snapshot-id"] = pd_snap
+        doc["last-sequence-number"] = 3
+        doc["refs"] = {"main": {"snapshot-id": pd_snap,
+                                "type": "branch"}}
     import json as _json
     with open(_os.path.join(mdir, "v1.metadata.json"), "w") as f:
         _json.dump(doc, f)

@@ -414,6 +414,43 @@ def test_external_writer_fixture_field_id_resolution(spark, tmp_base):
     assert s1.count() == 15
 
 
+def test_external_position_deletes_applied(spark, tmp_base):
+    """Position deletes (external writers; the mirror's own MOR state
+    is key-based) drop exactly the named (file, row-position) pairs,
+    honoring the spec's <= sequence rule."""
+    from tb_lakehouse_enhanced_spark.sources.synthetic import (
+        write_external_iceberg,
+    )
+    path = os.path.join(tmp_base, "posdel")
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), F.col("id") % 2).alias("lang"),
+        (F.col("id") * 11).alias("n_chars"))
+    pdf = df.toPandas()
+    import numpy as np
+    mask = (np.arange(len(pdf)) % 2) == 0
+    halves = [pdf[mask].reset_index(drop=True),
+              pdf[~mask].reset_index(drop=True)]
+    # delete row 0 and 3 of snapshot-0's file, row 1 of snapshot-1's
+    dels = [(0, 0), (0, 3), (1, 1)]
+    write_external_iceberg(df, path, delete_positions=dels)
+    expected = set()
+    for i, half in enumerate(halves):
+        dead = {pos for j, pos in dels if j == i}
+        for pos, row in half.iterrows():
+            if pos not in dead:
+                expected.add((row.doc_id, row.lang, row.n_chars))
+    got = {tuple(r) for r in read_iceberg(spark, path)
+           .select("doc_id", "lang", "n_chars").collect()}
+    assert got == expected
+    # the pre-delete snapshot still reads in full
+    doc = current_metadata(path)
+    full = sorted(doc["snapshots"],
+                  key=lambda s: s["sequence-number"])[1]
+    assert read_iceberg(spark, path,
+                        snapshot_id=full["snapshot-id"]).count() == 20
+
+
 def test_pre_mirror_table_bootstraps_full_live_set(spark, tmp_base,
                                                    monkeypatch):
     """A table created before the mirror existed (emission disabled)
