@@ -1047,6 +1047,22 @@ class ManagedTable:
             raise ValueError(
                 f"stacked MOR commits must share key columns; table has "
                 f"{prev_keys}, got {list(key_cols)}")
+        # the delta batch must land on the BASE SCAN's dtypes: the
+        # resolver pins the base schema onto the delta-dir scan, and a
+        # type drift crashes the read. The canonical trap is a STRING
+        # partition column holding all-numeric values — hive partition
+        # discovery int-infers it on the base while the user batch
+        # carries the string physically (r12 fix; align like an INSERT
+        # into a typed table would).
+        from pyspark.sql import functions as F  # noqa: F811
+        btypes = {f.name: f.dataType
+                  for f in self._base_scan(cur, parent).schema.fields}
+
+        def _aligned(col, src_field, phys):
+            c = F.col(col)
+            if phys in btypes and src_field.dataType != btypes[phys]:
+                c = c.cast(btypes[phys])
+            return c.alias(phys)
         if cmap:
             # live column map (r10): the source arrives LOGICAL and the
             # delta batch is WRITTEN physical (like append) — zero
@@ -1056,16 +1072,16 @@ class ManagedTable:
                 raise ValueError(
                     f"MOR upsert source columns {sorted(source.columns)}"
                     f" != table columns {sorted(logical)}")
-            from pyspark.sql import functions as F
-            batch = source.select(*[F.col(lg).alias(p)
-                                    for p, lg, _t in cmap])
+            batch = source.select(*[
+                _aligned(lg, source.schema[lg], p)
+                for p, lg, _t in cmap])
         else:
-            base_cols = self._base_scan(cur, parent).columns
-            if set(source.columns) != set(base_cols):
+            if set(source.columns) != set(btypes):
                 raise ValueError(
                     f"MOR upsert source columns {sorted(source.columns)}"
-                    f" != table columns {sorted(base_cols)}")
-            batch = source.select(*base_cols)
+                    f" != table columns {sorted(btypes)}")
+            batch = source.select(*[
+                _aligned(c, source.schema[c], c) for c in btypes])
         import uuid
         v = cur + 1
         # writer-UNIQUE state dir (like append's batch dirs): two
@@ -1188,8 +1204,19 @@ class ManagedTable:
         import uuid
         v = cur + 1
         tomb_dir = f"tomb_v{v}-m{uuid.uuid4().hex[:8]}"  # writer-unique
+        # key tuples align to the base scan's dtypes (see upsert_mor:
+        # hive int-inference vs a string-carrying user batch)
+        btypes = {f.name: f.dataType
+                  for f in self._base_scan(cur, parent).schema.fields}
+
+        def _kcol(k):
+            p = phys_of.get(k, k)
+            c = F.col(k)
+            if p in btypes and keys_df.schema[k].dataType != btypes[p]:
+                c = c.cast(btypes[p])
+            return c.alias(p)
         (keys_df.select(*key_cols).dropDuplicates(list(key_cols))
-         .select(*[F.col(k).alias(phys_of.get(k, k)) for k in key_cols])
+         .select(*[_kcol(k) for k in key_cols])
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
