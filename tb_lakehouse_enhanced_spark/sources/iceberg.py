@@ -224,7 +224,71 @@ _MANIFEST_FILE_AVRO = {"type": "record", "name": "manifest_file",
     {"name": "added_rows_count", "type": "long", "field-id": 512},
     {"name": "existing_rows_count", "type": "long", "field-id": 513},
     {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    {"name": "partitions", "type": ["null", {
+        "type": "array", "element-id": 508,
+        "items": {"type": "record", "name": "r508", "fields": [
+            {"name": "contains_null", "type": "boolean",
+             "field-id": 509},
+            {"name": "contains_nan", "type": ["null", "boolean"],
+             "default": None, "field-id": 518},
+            {"name": "lower_bound", "type": ["null", "bytes"],
+             "default": None, "field-id": 510},
+            {"name": "upper_bound", "type": ["null", "bytes"],
+             "default": None, "field-id": 511}]}}],
+     "default": None, "field-id": 507},
 ]}
+
+
+def _bound_bytes(val) -> bytes:
+    """Single-value serialization for partition bounds (spec
+    Appendix D): 8-byte little-endian for longs, UTF-8 for strings."""
+    if isinstance(val, int):
+        return val.to_bytes(8, "little", signed=True)
+    return str(val).encode("utf-8")
+
+
+def _partition_summaries(entries: list[dict],
+                         spec_fields: list) -> list[dict] | None:
+    """Per-spec-field summaries over a manifest's LIVE entries —
+    contains_null + lower/upper bounds, the metadata external planners
+    prune manifests with."""
+    if not spec_fields:
+        return None
+    out = []
+    for f in spec_fields:
+        vals, has_null = [], False
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            v = e["data_file"]["partition"].get(f["name"])
+            if v is None:
+                has_null = True
+            else:
+                vals.append(v)
+        import base64
+        out.append({
+            "contains_null": has_null, "contains_nan": None,
+            # base64 so the summaries survive the JSON sidecar;
+            # decoded back to raw bytes at manifest-list write time
+            "lower_bound": base64.b64encode(
+                _bound_bytes(min(vals))).decode("ascii")
+            if vals else None,
+            "upper_bound": base64.b64encode(
+                _bound_bytes(max(vals))).decode("ascii")
+            if vals else None})
+    return out
+
+
+def _decode_summaries(summ):
+    if summ is None:
+        return None
+    import base64
+    return [{**fs,
+             "lower_bound": (base64.b64decode(fs["lower_bound"])
+                             if fs.get("lower_bound") else None),
+             "upper_bound": (base64.b64decode(fs["upper_bound"])
+                             if fs.get("upper_bound") else None)}
+            for fs in summ]
 
 
 # -- the mirror --------------------------------------------------------------
@@ -449,7 +513,9 @@ class IcebergMirror:
         added = [e for e in live if e["status"] == 1]
         existing = [e for e in live if e["status"] == 0]
         deleted = [e for e in entries if e["status"] == 2]
+        summaries = _partition_summaries(entries, spec_fields)
         return {"path": name, "length": length, "content": content,
+                "partitions": summaries,
                 "spec_id": spec_id, "added_snapshot_id": snapshot_id,
                 "seq": max(seqs), "min_seq": min(seqs),
                 "added_files": len(added), "existing_files": len(existing),
@@ -636,13 +702,15 @@ class IcebergMirror:
             "added_rows_count": m["added_rows"],
             "existing_rows_count": m["existing_rows"],
             "deleted_rows_count": m["deleted_rows"],
+            "partitions": _decode_summaries(m.get("partitions")),
         } for m in st["manifests"]]
         write_ocf(os.path.join(self.dir, name), _MANIFEST_FILE_AVRO,
                   records, {"snapshot-id": str(snapshot_id),
                             "sequence-number": str(v),
                             "parent-snapshot-id": str(parent),
                             "format-version": "2"})
-        added = sum(m["added_files"] for m in st["manifests"])
+        added = sum(m["added_files"] for m in st["manifests"]
+                    if m["added_snapshot_id"] == snapshot_id)
         rows = sum(m["added_rows"] + m["existing_rows"]
                    for m in st["manifests"] if m["content"] == 0)
         snap = {"snapshot-id": snapshot_id,

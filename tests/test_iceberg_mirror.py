@@ -220,6 +220,15 @@ def test_manifest_structure(history):
             mf["manifest_path"])
         assert mf["partition_spec_id"] in spec_ids
         assert mf["min_sequence_number"] <= mf["sequence_number"]
+        spec = next(s for s in doc["partition-specs"]
+                    if s["spec-id"] == mf["partition_spec_id"])
+        if spec["fields"]:
+            # partitioned manifests carry field summaries with bounds
+            summ = mf["partitions"]
+            assert summ and len(summ) == len(spec["fields"])
+            for fs in summ:
+                assert fs["lower_bound"] is not None
+                assert fs["lower_bound"] <= fs["upper_bound"]
         _es, emeta, entries = read_ocf(mf["manifest_path"])
         assert emeta["format-version"] == b"2"
         live = [e for e in entries if e["status"] != 2]
