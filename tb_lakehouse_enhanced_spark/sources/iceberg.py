@@ -1148,11 +1148,31 @@ class IcebergMirror:
 # -- external reader / conformance validator ---------------------------------
 
 def current_metadata(path: str) -> dict:
-    """Parse the table's current Iceberg metadata document."""
+    """Parse the table's current Iceberg metadata document.
+
+    HadoopTables layout first (``version-hint.text`` -> ``v{N}``);
+    without a hint — REST/Glue-catalog writers name metadata
+    ``00000-{uuid}.metadata.json`` and keep the pointer in the catalog
+    — fall back to the newest ``*.metadata.json`` by version prefix
+    then mtime, the standard recovery rule."""
     mdir = os.path.join(path, META_DIR)
-    with open(os.path.join(mdir, "version-hint.text")) as f:
-        n = int(f.read().strip())
-    with open(os.path.join(mdir, f"v{n}.metadata.json")) as f:
+    try:
+        with open(os.path.join(mdir, "version-hint.text")) as f:
+            n = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{n}.metadata.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        pass
+    cands = [fn for fn in os.listdir(mdir)
+             if fn.endswith(".metadata.json")]
+    if not cands:
+        raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+
+    def _key(fn: str):
+        head = fn.split("-", 1)[0].lstrip("v")
+        seq = int(head) if head.isdigit() else -1
+        return (seq, os.path.getmtime(os.path.join(mdir, fn)))
+    with open(os.path.join(mdir, max(cands, key=_key))) as f:
         return json.load(f)
 
 

@@ -423,6 +423,20 @@ def test_external_writer_fixture_field_id_resolution(spark, tmp_base):
     assert s1.count() == 15
 
 
+def test_discovery_without_version_hint(spark, tmp_base):
+    """REST/Glue-catalog writers keep the metadata pointer in the
+    catalog, not a version-hint file — discovery falls back to the
+    newest *.metadata.json."""
+    t = ManagedTable(spark, os.path.join(tmp_base, "nohint"))
+    t.overwrite(spark.range(12).select(
+        F.col("id"), (F.col("id") * 3).alias("v")))
+    t.append(spark.range(12, 15).select(
+        F.col("id"), (F.col("id") * 3).alias("v")))
+    os.remove(os.path.join(t.path, "metadata", "version-hint.text"))
+    got = {tuple(r) for r in read_iceberg(spark, t.path).collect()}
+    assert got == {(i, i * 3) for i in range(15)}
+
+
 def test_external_position_deletes_applied(spark, tmp_base):
     """Position deletes (external writers; the mirror's own MOR state
     is key-based) drop exactly the named (file, row-position) pairs,

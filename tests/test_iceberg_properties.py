@@ -33,6 +33,7 @@ _OP = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 6)),
     st.tuples(st.just("update_part"), st.integers(0, 2)),
     st.tuples(st.just("overwrite"), st.integers(0, 0)),
+    st.tuples(st.just("compact"), st.integers(0, 0)),
     st.tuples(st.just("restore"), st.integers(0, 7)),
 )
 
@@ -73,6 +74,8 @@ def test_random_commit_sequences_roundtrip(spark, ops):
                              stable_partitions=True)
             elif kind == "overwrite":
                 t = t.overwrite(t.read())
+            elif kind == "compact":
+                t = t.compact(target_partitions=2)
             elif kind == "restore":
                 t = t.restore(arg % (t.current_version() + 1))
             eng = {tuple(r) for r in
