@@ -423,6 +423,24 @@ def test_external_writer_fixture_field_id_resolution(spark, tmp_base):
     assert s1.count() == 15
 
 
+def test_mirror_under_objectstore_backend(spark, tmp_base,
+                                          monkeypatch):
+    """The emulated object-store commit backend (no flock/O_EXCL/
+    hardlinks — logstore.py) and the Iceberg mirror compose: a short
+    episode commits through lease-file mutexes + copy carries and the
+    metadata round-trips identically."""
+    monkeypatch.setenv("TB_LAKEHOUSE_COMMIT_STORE", "objectstore")
+    t = ManagedTable(spark, os.path.join(tmp_base, "objstore"),
+                     partition_by=("p",))
+    t.overwrite(_mk(spark, 0, 20))
+    t.append(_mk(spark, 20, 30))
+    t.delete_mor(F.col("id") < 5, key_cols=("id",))
+    t.update(F.col("p") == "r1", {"val": F.lit(-3)})
+    _check(spark, t, "objectstore-episode")
+    doc = current_metadata(t.path)
+    assert doc["last-sequence-number"] == t.current_version()
+
+
 def test_discovery_without_version_hint(spark, tmp_base):
     """REST/Glue-catalog writers keep the metadata pointer in the
     catalog, not a version-hint file — discovery falls back to the
