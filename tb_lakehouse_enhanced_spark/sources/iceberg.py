@@ -298,6 +298,14 @@ class IcebergMirror:
     ``ManagedTable``; all methods run under the table's pointer mutex
     (called from ``_publish``), so sidecar updates are serialized."""
 
+    # metadata.json carries the snapshots list, so each commit's
+    # metadata write is O(retained snapshots); past this bound the
+    # OLDEST untagged snapshots drop from the document (Iceberg's
+    # snapshot expiration, decoupled from data retention — the ENGINE
+    # log still time-travels everything; only external-reader
+    # visibility of ancient snapshots ages out). Tags always survive.
+    SNAPSHOT_RETENTION = 64
+
     def __init__(self, table):
         self.t = table
         self.dir = os.path.join(table.path, META_DIR)
@@ -627,6 +635,15 @@ class IcebergMirror:
             snapshots.append(snapshot)
             snap_log.append({"timestamp-ms": ts_ms,
                              "snapshot-id": snapshot["snapshot-id"]})
+        if len(snapshots) > self.SNAPSHOT_RETENTION:
+            tagged = set(self.t.tags().values())
+            keep_tail = snapshots[-self.SNAPSHOT_RETENTION:]
+            keep = [s for s in snapshots[:-self.SNAPSHOT_RETENTION]
+                    if s["sequence-number"] in tagged] + keep_tail
+            kept_ids = {s["snapshot-id"] for s in keep}
+            snapshots = keep
+            snap_log = [e for e in snap_log
+                        if e["snapshot-id"] in kept_ids]
         if prev:
             meta_log.append({"timestamp-ms": prev["last-updated-ms"],
                              "metadata-file": os.path.join(

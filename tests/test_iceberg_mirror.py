@@ -423,6 +423,32 @@ def test_external_writer_fixture_field_id_resolution(spark, tmp_base):
     assert s1.count() == 15
 
 
+def test_snapshot_retention_bounds_metadata(spark, tmp_base,
+                                            monkeypatch):
+    """The snapshots list — and with it each commit's metadata.json
+    write — stays O(SNAPSHOT_RETENTION) as commits accumulate; tagged
+    snapshots survive the expiry."""
+    from tb_lakehouse_enhanced_spark.sources.iceberg import (
+        IcebergMirror,
+    )
+    monkeypatch.setattr(IcebergMirror, "SNAPSHOT_RETENTION", 5)
+    t = ManagedTable(spark, os.path.join(tmp_base, "snapret"))
+    t.overwrite(spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("v")))
+    t.tag("pin0")                           # pins v0
+    for i in range(9):
+        t.append(spark.range(100 + i, 101 + i).select(
+            F.col("id"), (F.col("id") * 2).alias("v")))
+    doc = current_metadata(t.path)
+    assert len(doc["snapshots"]) <= 6       # 5 recent + the tag
+    seqs = {s["sequence-number"] for s in doc["snapshots"]}
+    assert 0 in seqs, "tagged snapshot must survive expiry"
+    assert t.current_version() in seqs
+    # the current snapshot still round-trips
+    got = {tuple(r) for r in read_iceberg(spark, t.path).collect()}
+    assert got == {tuple(r) for r in t.read().collect()}
+
+
 def test_mirror_under_objectstore_backend(spark, tmp_base,
                                           monkeypatch):
     """The emulated object-store commit backend (no flock/O_EXCL/
