@@ -116,6 +116,21 @@ COMMENTARY = {
     "independent sum), and the top-k is a TakeOrdered over the "
     "aggregated docs — index build cost is excluded here (one-time), "
     "the probe is the serving-path shape.",
+    "iceberg_external_read":
+    "Table reconstructed from the Iceberg v2 metadata alone through a "
+    "mid-MOR state: parquet scans group per physical generation, "
+    "per-file sequence numbers and identity-partition values attach "
+    "via ONE BroadcastHashJoin on the file path (never a per-file "
+    "CASE chain — plan size is O(1) in file count), and the equality "
+    "deletes apply as a broadcast left-outer + sequence filter. "
+    "Nothing data-sized shuffles before the final small aggregate.",
+    "log_retention_read":
+    "Change feed over a range crossing the archived commit segment: "
+    "every batch's insert files fold into ONE multi-path scan with "
+    "_commit_version parsed from the path — scan-node count is "
+    "independent of how many commits the range spans, and the "
+    "archive fold changed only where commit METADATA lives, not the "
+    "plan.",
 }
 
 
