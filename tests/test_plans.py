@@ -589,3 +589,27 @@ def test_mor_resolution_windows_only_state_touched_keys(spark, tmp_path):
     assert got[0] == -1.0 and got[19] == -1.0
     assert 5 not in got and 9_999 not in got
     assert got[100] == 100.0
+
+
+def test_read_iceberg_metadata_join_is_broadcast(spark, tmp_path):
+    """Round 12 plan gate: read_iceberg attaches per-file sequence
+    numbers via a BROADCAST join on the file path (plan size O(1) in
+    file count — never a per-file CASE chain, never a cartesian), and
+    equality deletes apply through joins, not nested loops."""
+    from tb_lakehouse_enhanced_spark.sources.iceberg import read_iceberg
+    from tb_lakehouse_enhanced_spark.sources.managed import ManagedTable
+    t = ManagedTable(spark, str(tmp_path / "icep"))
+    t.overwrite(spark.createDataFrame(
+        [(i, float(i)) for i in range(5_000)], ["id", "v"]))
+    t.append(spark.createDataFrame(
+        [(5_000 + j, 1.0) for j in range(50)], ["id", "v"]))
+    t.delete_mor(F.col("id") < 10, key_cols=("id",))
+    df = read_iceberg(spark, t.path)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan \
+        and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # a handful of scans (per physical generation + state), not
+    # one per file
+    assert plan.count("Scan parquet") <= 6, plan[:3000]
+    assert df.count() == 5_040
