@@ -1193,14 +1193,21 @@ def current_metadata(path: str) -> dict:
         return json.load(f)
 
 
-def read_iceberg(spark, path: str, snapshot_id: int | None = None):
+def read_iceberg(spark, path: str, snapshot_id: int | None = None,
+                 as_of_ms: int | None = None):
     """Reconstruct a managed table FROM ITS ICEBERG METADATA ALONE —
     metadata.json -> manifest-list Avro -> manifest Avro -> parquet
     scan + equality-delete application.  Never consults the engine's
     commit log: this is the external-reader protocol, and the
     conformance suite asserts its output matches ``ManagedTable.read``
     after every commit type (the same role ``deltaread.read_delta``
-    plays for the Delta mirror)."""
+    plays for the Delta mirror).
+
+    Time travel: ``snapshot_id`` pins an exact snapshot (Iceberg's
+    ``VERSION AS OF``); ``as_of_ms`` resolves the newest snapshot-log
+    entry at or before the timestamp (``TIMESTAMP AS OF`` — the log
+    only holds retained snapshots, so an expired point in time raises
+    rather than silently reading a different state)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1208,6 +1215,19 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     if doc["format-version"] != 2:
         raise ValueError(f"unsupported Iceberg format-version "
                          f"{doc['format-version']}")
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or as_of_ms, not both")
+        log = doc.get("snapshot-log") or []
+        at_or_before = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+        if not at_or_before:
+            raise ValueError(
+                f"no retained snapshot at or before timestamp "
+                f"{as_of_ms} (snapshot-log starts at "
+                f"{log[0]['timestamp-ms'] if log else 'empty'})")
+        # log entries append in commit order; the last eligible one is
+        # the state visible at as_of_ms
+        snapshot_id = at_or_before[-1]["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None \
         else doc["current-snapshot-id"]
     snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == sid)

@@ -545,3 +545,47 @@ def test_unpartitioned_table(spark, tmp_base):
     _check(spark, t, "flat-mor")
     doc = current_metadata(t.path)
     assert doc["partition-specs"] == [{"spec-id": 0, "fields": []}]
+
+
+def test_timestamp_time_travel(spark, history):
+    """as_of_ms resolves through snapshot-log: each log entry's own
+    timestamp reads exactly that snapshot's state; before-first raises;
+    snapshot_id+as_of_ms together is an error."""
+    t, _steps = history
+    doc = current_metadata(t.path)
+    log = doc["snapshot-log"]
+    assert log, "history fixture must retain snapshots"
+    snaps = {s["snapshot-id"]: s for s in doc["snapshots"]}
+    # probe a few points: first retained, a middle one, the last
+    probes = [log[0], log[len(log) // 2], log[-1]]
+    for entry in probes:
+        want = read_iceberg(spark, t.path,
+                            snapshot_id=entry["snapshot-id"])
+        got = read_iceberg(spark, t.path,
+                           as_of_ms=entry["timestamp-ms"])
+        cols = want.columns
+        assert ({tuple(r) for r in want.collect()}
+                == {tuple(r) for r in got.select(*cols).collect()}), \
+            entry
+    # a timestamp between two commits reads the EARLIER snapshot
+    if len(log) >= 2 and log[1]["timestamp-ms"] > log[0]["timestamp-ms"] + 1:
+        mid = (log[0]["timestamp-ms"] + log[1]["timestamp-ms"]) // 2
+        got = read_iceberg(spark, t.path, as_of_ms=mid)
+        want = read_iceberg(spark, t.path,
+                            snapshot_id=log[0]["snapshot-id"])
+        assert got.count() == want.count()
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        read_iceberg(spark, t.path,
+                     as_of_ms=log[0]["timestamp-ms"] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, t.path,
+                     snapshot_id=log[-1]["snapshot-id"],
+                     as_of_ms=log[-1]["timestamp-ms"])
+    # schema pinning follows the historical rule: a pre-rename
+    # timestamp read surfaces the pre-rename column name
+    pre_rename = [e for e in log
+                  if snaps[e["snapshot-id"]]["sequence-number"] <= 3]
+    if pre_rename:
+        early = read_iceberg(spark, t.path,
+                             as_of_ms=pre_rename[-1]["timestamp-ms"])
+        assert "val" in early.columns and "amount" not in early.columns
