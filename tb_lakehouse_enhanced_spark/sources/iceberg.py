@@ -1194,7 +1194,8 @@ def current_metadata(path: str) -> dict:
 
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
-                 as_of_ms: int | None = None):
+                 as_of_ms: int | None = None,
+                 ref: str | None = None):
     """Reconstruct a managed table FROM ITS ICEBERG METADATA ALONE —
     metadata.json -> manifest-list Avro -> manifest Avro -> parquet
     scan + equality-delete application.  Never consults the engine's
@@ -1207,7 +1208,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     ``VERSION AS OF``); ``as_of_ms`` resolves the newest snapshot-log
     entry at or before the timestamp (``TIMESTAMP AS OF`` — the log
     only holds retained snapshots, so an expired point in time raises
-    rather than silently reading a different state)."""
+    rather than silently reading a different state); ``ref`` reads a
+    named ref from the metadata's ``refs`` map (engine tags surface as
+    Iceberg tag refs, ``main`` as a branch — ``VERSION AS OF 'tag'``).
+    The three selectors are mutually exclusive."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1215,9 +1219,22 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     if doc["format-version"] != 2:
         raise ValueError(f"unsupported Iceberg format-version "
                          f"{doc['format-version']}")
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id / as_of_ms / ref, "
+            "not both")
+    branch_read = False
+    if ref is not None:
+        refs = doc.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"unknown ref {ref!r} (available: "
+                f"{sorted(refs) or 'none'})")
+        snapshot_id = refs[ref]["snapshot-id"]
+        # Iceberg rule: branch reads use the table's CURRENT schema,
+        # tag reads the schema pinned on the snapshot
+        branch_read = refs[ref].get("type") == "branch"
     if as_of_ms is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id or as_of_ms, not both")
         log = doc.get("snapshot-log") or []
         at_or_before = [e for e in log if e["timestamp-ms"] <= as_of_ms]
         if not at_or_before:
@@ -1235,7 +1252,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     # a new snapshot, so a CURRENT read takes the table's current
     # schema; an explicit historical snapshot read takes the schema
     # pinned on that snapshot
-    schema_id = doc["current-schema-id"] if snapshot_id is None \
+    schema_id = doc["current-schema-id"] \
+        if snapshot_id is None or branch_read \
         else snap.get("schema-id", doc["current-schema-id"])
     schema = next(s for s in doc["schemas"]
                   if s["schema-id"] == schema_id)

@@ -589,3 +589,36 @@ def test_timestamp_time_travel(spark, history):
         early = read_iceberg(spark, t.path,
                              as_of_ms=pre_rename[-1]["timestamp-ms"])
         assert "val" in early.columns and "amount" not in early.columns
+
+
+def test_ref_reads(spark, tmp_base):
+    """Named-ref reads: an engine tag surfaces as an Iceberg tag ref
+    and reads the tagged state with the SNAPSHOT's schema; 'main' is a
+    branch ref reading the current state with the table's CURRENT
+    schema (the Iceberg branch/tag schema rule); unknown refs raise."""
+    t = ManagedTable(spark, os.path.join(tmp_base, "refs"),
+                     partition_by=("p",))
+    t = t.overwrite(_mk(spark, 0, 10))                      # v0
+    t = t.tag("stable")                                     # tags v0
+    t = t.append(_mk(spark, 10, 15))                        # v1
+    cmap = t.identity_column_map()
+    for e in cmap:
+        if e[1] == "val":
+            e[1] = "amount"
+    t = t.evolve_schema(cmap, "RENAME COLUMN")              # v2
+    # tag ref: v0 rows, pre-rename schema (snapshot-pinned)
+    tagged = read_iceberg(spark, t.path, ref="stable")
+    assert tagged.count() == 10
+    assert "val" in tagged.columns and "amount" not in tagged.columns
+    eng = {tuple(r) for r in t.read(version=0).collect()}
+    assert {tuple(r) for r in
+            tagged.select(*t.read(version=0).columns).collect()} == eng
+    # branch ref 'main': current rows under the CURRENT (renamed)
+    # schema even though the rename commit snapshots nothing
+    main = read_iceberg(spark, t.path, ref="main")
+    assert main.count() == 15
+    assert "amount" in main.columns and "val" not in main.columns
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg(spark, t.path, ref="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        read_iceberg(spark, t.path, ref="main", as_of_ms=1)
