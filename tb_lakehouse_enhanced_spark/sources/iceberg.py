@@ -407,9 +407,15 @@ class IcebergMirror:
                for k, v in (st.get("name_map") or {}).items()}
         for f in fields:
             names = acc.setdefault(f["id"], [])
-            for n in (f["_phys"], f["name"]):
-                if n not in names:
-                    names.append(n)
+            # PHYSICAL names only: the mapping describes what is in
+            # files, and no file ever stores a column under a logical
+            # name that differs from its physical one.  Recording the
+            # logical name too made a DROP-then-re-ADD ambiguous (the
+            # re-used NAME entered the fresh id's entry, and a reader
+            # resolving the new id against pre-drop files resurrected
+            # the dropped column's stale values).
+            if f["_phys"] not in names:
+                names.append(f["_phys"])
         st["name_map"] = {str(k): v for k, v in acc.items()}
         return [{"field-id": k, "names": v}
                 for k, v in sorted(acc.items())]
@@ -1263,6 +1269,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     name_of_id = {f["id"]: f["name"] for f in schema["fields"]}
     names_of_id: dict[int, list[str]] = {
         m["field-id"]: list(m["names"]) for m in mapping}
+    # physical-name ownership: a file column the mapping assigns to
+    # some OTHER field id must not resolve this one (a re-used NAME —
+    # column dropped then re-added under a fresh id — would otherwise
+    # resurrect the dropped column's values from pre-drop files)
+    owner_fids: dict[str, set] = {}
+    for m in mapping:
+        for n in m["names"]:
+            owner_fids.setdefault(n, set()).add(m["field-id"])
 
     def _field_ids(arrow_schema) -> dict[int, str]:
         """field-id -> column name from parquet footer metadata
@@ -1290,6 +1304,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             return file_ids[fid]
         for cand in [lname] + names_of_id.get(fid, []):
             if cand in columns:
+                claimed = owner_fids.get(cand)
+                if claimed and fid not in claimed:
+                    continue
                 return cand
         return None
 

@@ -622,3 +622,36 @@ def test_ref_reads(spark, tmp_base):
         read_iceberg(spark, t.path, ref="nope")
     with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, t.path, ref="main", as_of_ms=1)
+
+
+def test_drop_column_roundtrip(spark, tmp_base):
+    """DROP COLUMN through the Iceberg mirror: the current snapshot
+    schema loses the field, an external read matches the engine, a
+    post-drop append stays readable, and a historical snapshot read
+    still surfaces the dropped column's values (its field id never
+    leaves the old schema entry)."""
+    t = ManagedTable(spark, os.path.join(tmp_base, "dropc"),
+                     partition_by=("p",))
+    t = t.overwrite(_mk(spark, 0, 10))                      # v0
+    doc0 = current_metadata(t.path)
+    first_sid = doc0["current-snapshot-id"]
+    cmap = [e for e in t.identity_column_map() if e[1] != "val"]
+    t = t.evolve_schema(cmap, "DROP COLUMN")                # v1
+    _check(spark, t, "post-drop")
+    ice = read_iceberg(spark, t.path)
+    assert "val" not in ice.columns
+    t = t.append(_mk(spark, 10, 14).drop("val"))            # v2
+    _check(spark, t, "post-drop-append")
+    assert read_iceberg(spark, t.path).count() == 14
+    # historical read: pre-drop snapshot still resolves val from the
+    # old files via its pinned schema
+    old = read_iceberg(spark, t.path, snapshot_id=first_sid)
+    assert "val" in old.columns
+    assert old.filter(F.col("val").isNotNull()).count() == 10
+    # re-adding the same NAME mints a fresh field id — stale values
+    # must not resurrect
+    cmap2 = t.identity_column_map() + [[None, "val", "long"]]
+    t = t.evolve_schema(cmap2, "ADD COLUMNS")               # v3
+    _check(spark, t, "post-readd")
+    readd = read_iceberg(spark, t.path)
+    assert readd.filter(F.col("val").isNotNull()).count() == 0
