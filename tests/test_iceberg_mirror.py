@@ -388,6 +388,10 @@ def test_tag_refs_survive_vacuum(spark, tmp_base):
     ice = read_iceberg(spark, t.path, snapshot_id=sid)
     assert {tuple(r) for r in ice.select(*eng.columns).collect()} \
         == {tuple(r) for r in eng.collect()}
+    # the named-ref path resolves the same post-vacuum state
+    by_ref = read_iceberg(spark, t.path, ref="release-1")
+    assert {tuple(r) for r in by_ref.select(*eng.columns).collect()} \
+        == {tuple(r) for r in eng.collect()}
 
 
 def test_external_writer_fixture_field_id_resolution(spark, tmp_base):
