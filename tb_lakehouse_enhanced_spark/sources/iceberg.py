@@ -85,6 +85,10 @@ from .avroio import read_ocf, write_ocf
 
 META_DIR = "metadata"
 FOLD_MANIFESTS_AT = 16          # RewriteManifests threshold
+# past this many files, per-file parquet-footer work (row counts on
+# the emit side, schema grouping on the read side) fans out as ONE
+# Spark job instead of a serial driver loop
+DRIVER_FANOUT_THRESHOLD = 256
 
 _SEQ_RE = re.compile(r"^(?:v(\d+)-a|delta_v(\d+)|tomb_v(\d+))")
 
@@ -239,16 +243,20 @@ _MANIFEST_FILE_AVRO = {"type": "record", "name": "manifest_file",
 ]}
 
 
-def _bound_bytes(val) -> bytes:
+def _bound_bytes(val, ice_type: str | None = None) -> bytes:
     """Single-value serialization for partition bounds (spec
-    Appendix D): 8-byte little-endian for longs, UTF-8 for strings."""
+    Appendix D): 4-byte little-endian for int-typed source columns,
+    8-byte for longs, UTF-8 for strings.  External planners decode
+    bounds by the SOURCE column's Iceberg type, so an int column's
+    bounds must be exactly 4 bytes (r13 advice fix)."""
     if isinstance(val, int):
-        return val.to_bytes(8, "little", signed=True)
+        n = 4 if ice_type == "int" and -2**31 <= val < 2**31 else 8
+        return val.to_bytes(n, "little", signed=True)
     return str(val).encode("utf-8")
 
 
-def _partition_summaries(entries: list[dict],
-                         spec_fields: list) -> list[dict] | None:
+def _partition_summaries(entries: list[dict], spec_fields: list,
+                         types: dict | None = None) -> list[dict] | None:
     """Per-spec-field summaries over a manifest's LIVE entries —
     contains_null + lower/upper bounds, the metadata external planners
     prune manifests with."""
@@ -266,15 +274,16 @@ def _partition_summaries(entries: list[dict],
             else:
                 vals.append(v)
         import base64
+        ice_type = (types or {}).get(f["name"])
         out.append({
             "contains_null": has_null, "contains_nan": None,
             # base64 so the summaries survive the JSON sidecar;
             # decoded back to raw bytes at manifest-list write time
             "lower_bound": base64.b64encode(
-                _bound_bytes(min(vals))).decode("ascii")
+                _bound_bytes(min(vals), ice_type)).decode("ascii")
             if vals else None,
             "upper_bound": base64.b64encode(
-                _bound_bytes(max(vals))).decode("ascii")
+                _bound_bytes(max(vals), ice_type)).decode("ascii")
             if vals else None})
     return out
 
@@ -458,7 +467,7 @@ class IcebergMirror:
         never serializes millions of footer reads through the driver —
         the only O(files) data-plane step emission has (everything
         else is commit metadata)."""
-        if len(rels) <= 256:
+        if len(rels) <= DRIVER_FANOUT_THRESHOLD:
             import pyarrow.parquet as pq
             return {r: pq.ParquetFile(
                 os.path.join(self.t.path, r)).metadata.num_rows
@@ -527,7 +536,7 @@ class IcebergMirror:
         added = [e for e in live if e["status"] == 1]
         existing = [e for e in live if e["status"] == 0]
         deleted = [e for e in entries if e["status"] == 2]
-        summaries = _partition_summaries(entries, spec_fields)
+        summaries = _partition_summaries(entries, spec_fields, types)
         return {"path": name, "length": length, "content": content,
                 "partitions": summaries,
                 "spec_id": spec_id, "added_snapshot_id": snapshot_id,
@@ -626,6 +635,18 @@ class IcebergMirror:
             tagged = set(self.t.tags().values())
             snapshots = [s for s in snapshots
                          if s["sequence-number"] in tagged]
+            if snapshot is not None:
+                # the replace snapshot SUPERSEDES any retained
+                # snapshot at its own sequence (current version
+                # tagged): both describe the same logical state, but
+                # the old record's manifests predate the vacuum
+                # re-point — keeping it would duplicate a snapshot at
+                # one sequence (r13 advice fix: the stale record won
+                # reader resolution and blocked manifest GC).  The
+                # tag ref re-resolves to the replace snapshot below.
+                snapshots = [s for s in snapshots
+                             if s["sequence-number"]
+                             != snapshot["sequence-number"]]
             kept_ids = {s["snapshot-id"] for s in snapshots}
             snap_log = [e for e in snap_log
                         if e["snapshot-id"] in kept_ids]
@@ -1117,7 +1138,13 @@ class IcebergMirror:
         specs = self._specs(st, fields)
         spec0 = specs[0]
         types = self._spec_types(fields)
-        snapshot_id = v + 1
+        # replace snapshots live in a DISJOINT id space from the
+        # per-commit convention (commit N -> id N+1): when the current
+        # version is tagged, its pre-vacuum snapshot is retained at
+        # the same sequence, and reusing v+1 would put two snapshot
+        # records with one id in the document (r13 advice fix; the
+        # same-sequence record is also dropped in _metadata_doc)
+        snapshot_id = (1 << 40) + v + 1
         ts_ms = int(time.time() * 1000)
         keep_state = [m for m in st["manifests"]
                       if m["state_dir"] is not None
@@ -1253,7 +1280,22 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         snapshot_id = at_or_before[-1]["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None \
         else doc["current-snapshot-id"]
-    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == sid)
+    if sid is None or sid == -1:
+        # no current snapshot (pre-first-commit metadata, or a heal
+        # that disowned every snapshot): an empty DataFrame on the
+        # table's logical schema, not a StopIteration (r13 advice fix)
+        cur_schema = next(s for s in doc["schemas"]
+                          if s["schema-id"] == doc["current-schema-id"])
+        return spark.createDataFrame([], StructType(
+            [StructField(f["name"], _spark_type(f["type"]), True)
+             for f in cur_schema["fields"]]))
+    snap = next((s for s in doc["snapshots"]
+                 if s["snapshot-id"] == sid), None)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {sid} not found in table metadata (retained "
+            f"snapshot ids: "
+            f"{sorted(s['snapshot-id'] for s in doc['snapshots'])})")
     # a metadata-only schema evolution bumps current-schema-id without
     # a new snapshot, so a CURRENT read takes the table's current
     # schema; an explicit historical snapshot read takes the schema
@@ -1277,19 +1319,6 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     for m in mapping:
         for n in m["names"]:
             owner_fids.setdefault(n, set()).add(m["field-id"])
-
-    def _field_ids(arrow_schema) -> dict[int, str]:
-        """field-id -> column name from parquet footer metadata
-        (``PARQUET:field_id``) — how spec-conformant writers stamp
-        columns; files written by this engine's stock-Spark path carry
-        none and fall back to the name mapping."""
-        out = {}
-        for f in arrow_schema:
-            md = f.metadata or {}
-            fid = md.get(b"PARQUET:field_id")
-            if fid is not None:
-                out[int(fid)] = f.name
-        return out
 
     def _resolve(fid: int, lname: str, columns,
                  file_ids: dict[int, str] | None = None) -> str | None:
@@ -1401,12 +1430,37 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 
     # group data files by physical footer schema so one scan covers
     # each physical generation; each group carries its footer's
-    # parquet field ids for spec-primary column resolution
-    import pyarrow.parquet as pq
+    # parquet field ids for spec-primary column resolution.  Footer
+    # reads are metadata-sized but O(files): small sets read on the
+    # driver, large sets fan out ONE Spark job (r13 advice fix — the
+    # same shape as the emitter's _row_counts), so planning a
+    # million-file table never serializes a million footer reads.
+    def _footer_info(paths: list[str]) -> dict[str, tuple[str, dict]]:
+        def _info(p):
+            import pyarrow.parquet as _pq
+            sch = _pq.read_schema(p)
+            fids = {}
+            for f in sch:
+                md = f.metadata or {}
+                v = md.get(b"PARQUET:field_id")
+                if v is not None:
+                    fids[int(v)] = f.name
+            return p, (str(sch), fids)
+        uniq = sorted(set(paths))
+        if len(uniq) <= DRIVER_FANOUT_THRESHOLD:
+            return dict(_info(p) for p in uniq)
+        sc = spark.sparkContext
+        return dict(sc.parallelize(
+            uniq, max(1, len(uniq) // 512)).map(_info).collect())
+
+    footers = _footer_info(
+        [p for p, _s, _pt in data_files]
+        + [p for p, _s, _ids in delete_files]
+        + [p for p, _s in pos_deletes])
     groups: dict[str, tuple[dict, list]] = {}
     for p, seq, part in data_files:
-        sch = pq.read_schema(p)
-        entry = groups.setdefault(str(sch), (_field_ids(sch), []))
+        key, fids = footers[p]
+        entry = groups.setdefault(key, (fids, []))
         entry[1].append((p, seq, part))
     parts = []
     for fids, grp in groups.values():
@@ -1429,8 +1483,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         # deletes (contrast equality's strictly-lower rule)
         pgroups: dict[tuple, list[str]] = {}
         for pth, s in pos_deletes:
-            pgroups.setdefault((s, str(pq.read_schema(pth))),
-                               []).append(pth)
+            pgroups.setdefault((s, footers[pth][0]), []).append(pth)
         pparts = []
         for (s, _sch), paths in pgroups.items():
             raw = spark.read.parquet(*paths)
@@ -1467,10 +1520,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         dgroups: dict[tuple, list[str]] = {}
         dfids: dict[tuple, dict] = {}
         for p, s, _ids in delete_files:
-            sch = pq.read_schema(p)
-            k = (s, str(sch))
+            key, fids = footers[p]
+            k = (s, key)
             dgroups.setdefault(k, []).append(p)
-            dfids[k] = _field_ids(sch)
+            dfids[k] = fids
         dparts = []
         for (s, _sch), paths in dgroups.items():
             # delete files may carry physical column names — resolve

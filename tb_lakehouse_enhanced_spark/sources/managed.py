@@ -64,6 +64,34 @@ class CommitLogCorruptionError(Exception):
     loud error, never fabricated metadata."""
 
 
+def _assert_castable(df: DataFrame, checks: list, ctx: str) -> None:
+    """Validate dtype-alignment casts before a MOR write: a cast that
+    silently NULLs a non-null source value (e.g. a non-numeric string
+    upserted into an int-inferred partition column) would corrupt the
+    key/row where pre-r12 code failed loudly at read time (r13 advice
+    fix).  One O(batch) aggregation over the source, only when a cast
+    is actually in play — the aligned-dtypes fast path pays nothing."""
+    if not checks:
+        return
+    from pyspark.sql import functions as F
+    # try_cast, not cast: under ANSI (Spark 4 default) a malformed
+    # value makes cast THROW mid-plan; the probe must evaluate to null
+    # so this raises ONE clear error naming the columns either way
+    row = df.select([
+        F.sum((F.col(c).isNotNull()
+               & F.col(c).try_cast(t).isNull())
+              .cast("int")).alias(f"_c{i}")
+        for i, (c, t) in enumerate(checks)]).first()
+    bad = [f"{c} -> {t.simpleString()} ({row[f'_c{i}']} rows)"
+           for i, (c, t) in enumerate(checks) if row and row[f"_c{i}"]]
+    if bad:
+        raise ValueError(
+            f"{ctx}: aligning the batch to the table's column types "
+            f"would null non-null source values: {', '.join(bad)} — "
+            f"fix the source batch's dtypes/values instead of writing "
+            f"corrupted keys")
+
+
 class ManagedTable:
     """A versioned parquet table identified by a directory path."""
 
@@ -1058,9 +1086,12 @@ class ManagedTable:
         btypes = {f.name: f.dataType
                   for f in self._base_scan(cur, parent).schema.fields}
 
+        cast_checks: list[tuple[str, object]] = []
+
         def _aligned(col, src_field, phys):
             c = F.col(col)
             if phys in btypes and src_field.dataType != btypes[phys]:
+                cast_checks.append((col, btypes[phys]))
                 c = c.cast(btypes[phys])
             return c.alias(phys)
         if cmap:
@@ -1082,6 +1113,7 @@ class ManagedTable:
                     f" != table columns {sorted(btypes)}")
             batch = source.select(*[
                 _aligned(c, source.schema[c], c) for c in btypes])
+        _assert_castable(source, cast_checks, "MOR upsert")
         import uuid
         v = cur + 1
         # writer-UNIQUE state dir (like append's batch dirs): two
@@ -1209,14 +1241,19 @@ class ManagedTable:
         btypes = {f.name: f.dataType
                   for f in self._base_scan(cur, parent).schema.fields}
 
+        cast_checks: list[tuple[str, object]] = []
+
         def _kcol(k):
             p = phys_of.get(k, k)
             c = F.col(k)
             if p in btypes and keys_df.schema[k].dataType != btypes[p]:
+                cast_checks.append((k, btypes[p]))
                 c = c.cast(btypes[p])
             return c.alias(p)
+        _exprs = [_kcol(k) for k in key_cols]
+        _assert_castable(keys_df, cast_checks, "MOR delete-by-keys")
         (keys_df.select(*key_cols).dropDuplicates(list(key_cols))
-         .select(*[_kcol(k) for k in key_cols])
+         .select(*_exprs)
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
