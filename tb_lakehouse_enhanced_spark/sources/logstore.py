@@ -56,6 +56,30 @@ import uuid
 from contextlib import contextmanager
 
 
+class MutexLostError(Exception):
+    """This holder's claim on a commit-store mutex is no longer valid
+    — its lease expired (and may have been reclaimed by a waiter)
+    while it was paused inside the critical section.  The protocol
+    response is the same as losing an OCC race: the effect the mutex
+    guarded MUST NOT be applied; re-read and retry."""
+
+
+class MutexHandle:
+    """Yielded by ``CommitStore.mutex``.  ``check()`` raises
+    ``MutexLostError`` when the caller can no longer assume exclusive
+    ownership — the FENCING hook the commit plane calls immediately
+    before an effectful step (pointer flip, counter write), so a
+    zombie holder resuming past its lease can never apply its effect
+    on a broken lease (r13; the same shape as the r11 paused-writer
+    commit re-verify)."""
+
+    def check(self) -> None:        # POSIX flock cannot be lost
+        return None
+
+
+_FLOCK_HANDLE = MutexHandle()
+
+
 class CommitStore:
     """Interface: the three commit-plane primitives (see module doc)."""
 
@@ -70,7 +94,8 @@ class CommitStore:
 
     def mutex(self, path: str):
         """Context manager holding an exclusive inter-process mutex
-        identified by ``path`` for the duration of the block."""
+        identified by ``path`` for the duration of the block; yields a
+        ``MutexHandle`` whose ``check()`` fences effectful steps."""
         raise NotImplementedError
 
     def carry(self, src: str, dst: str) -> None:
@@ -100,7 +125,7 @@ class PosixCommitStore(CommitStore):
         fd = os.open(path, os.O_CREAT | os.O_WRONLY)
         fcntl.flock(fd, fcntl.LOCK_EX)
         try:
-            yield
+            yield _FLOCK_HANDLE     # held until close — cannot be lost
         finally:
             os.close(fd)        # releases the flock
 
@@ -150,49 +175,114 @@ class ObjectStoreCommitStore(CommitStore):
         return self._put_exclusive(
             path, data.encode() if isinstance(data, str) else data)
 
+    class _LeaseHandle(MutexHandle):
+        """Fencing handle for a lease mutex: ``check()`` verifies the
+        lease is still within its TTL AND the lease file still names
+        this holder — a zombie resuming past expiry (or after a waiter
+        broke + reclaimed the lease) raises instead of proceeding."""
+
+        def __init__(self, lease_path: str, token: str, expires: float):
+            self.lease_path = lease_path
+            self.token = token
+            self.expires = expires
+
+        def check(self) -> None:
+            now = time.time()
+            if now > self.expires:
+                raise MutexLostError(
+                    f"lease {self.lease_path} expired "
+                    f"{now - self.expires:.1f}s ago while this holder "
+                    f"was inside the critical section; the guarded "
+                    f"effect must not be applied — re-read and retry")
+            try:
+                with open(self.lease_path) as f:
+                    owner = json.load(f).get("owner")
+            except (FileNotFoundError, ValueError):
+                owner = None
+            if owner != self.token:
+                raise MutexLostError(
+                    f"lease {self.lease_path} is no longer owned by "
+                    f"this holder (broken and reclaimed by a waiter); "
+                    f"the guarded effect must not be applied")
+
+    @staticmethod
+    def _delete_if_match(path: str, expect: bytes) -> None:
+        """Conditional DELETE (``If-Match`` on the ETag read): remove
+        the object only if its content is still the one this caller
+        judged expired.  A real store's compare is server-side atomic;
+        the local emulation re-reads just before the remove, which
+        shrinks — not closes — the window in which a released+
+        reclaimed FRESH lease could be deleted (content differs, so
+        the compare rejects it; only a remove racing a sub-ms
+        release->PUT could slip through locally).  The fencing
+        ``check()`` before every guarded effect keeps even that
+        residue harmless."""
+        try:
+            with open(path, "rb") as f:
+                if f.read() != expect:
+                    return          # a different (fresh) lease: leave it
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
     @contextmanager
     def mutex(self, path: str):
         """Lease-file mutex built on conditional PUT.
 
         Acquire: conditionally PUT ``{owner, expires}`` at
         ``path + '.lease'``; on conflict, poll — breaking the lease
-        (DELETE) only once it has expired, after which the conditional
-        PUT is again the single arbiter of who reclaims it (two
-        breakers both delete, exactly one re-creates). Release: DELETE
-        only if still the owner. The read-expired-then-delete window
-        is closed in a real store by a conditional DELETE on the ETag
-        read; locally it is benign for crash recovery (the only path
-        that reaches it) because expired holders are dead."""
+        only once it has expired, via a conditional DELETE on the
+        content read (``_delete_if_match``), after which the
+        conditional PUT is again the single arbiter of who reclaims it
+        (two breakers both delete, exactly one re-creates). Release:
+        DELETE only if still the owner.
+
+        Fencing (r13): yields a ``_LeaseHandle`` whose ``check()`` the
+        commit plane calls before each guarded effect; and if the
+        critical section OUTLIVES the lease TTL, exiting the context
+        raises ``MutexLostError`` (after releasing only a still-owned
+        lease) instead of silently having run unprotected — the
+        wall-clock assert the r12 verdict asked for.  LEASE_TTL_SECONDS
+        must exceed the longest critical section; this makes a
+        violation loud rather than a silent mutual-exclusion hole."""
         lease = path + ".lease"
         token = uuid.uuid4().hex
         while True:
-            payload = json.dumps({
-                "owner": token,
-                "expires": time.time() + self.LEASE_TTL_SECONDS})
+            expires = time.time() + self.LEASE_TTL_SECONDS
+            payload = json.dumps({"owner": token, "expires": expires})
             if self._put_exclusive(lease, payload.encode()):
                 break
             try:
-                with open(lease) as f:
-                    holder = json.load(f)
+                with open(lease, "rb") as f:
+                    raw = f.read()
+                holder = json.loads(raw)
                 expired = time.time() > float(holder.get("expires", 0))
             except (FileNotFoundError, ValueError):
                 continue        # released or torn mid-PUT: retry now
             if expired:
-                try:
-                    os.remove(lease)    # break the dead holder's lease
-                except FileNotFoundError:
-                    pass
+                self._delete_if_match(lease, raw)
                 continue                # race the reclaim via PUT
             time.sleep(self._POLL)
+        handle = self._LeaseHandle(lease, token, expires)
+        body_ok = False
         try:
-            yield
+            yield handle
+            body_ok = True
         finally:
+            overstayed = time.time() > expires
             try:
                 with open(lease) as f:
                     if json.load(f).get("owner") == token:
                         os.remove(lease)
             except (FileNotFoundError, ValueError):
                 pass            # expired + broken by a waiter: nothing to do
+            if body_ok and overstayed:
+                raise MutexLostError(
+                    f"critical section under {lease} outlived its "
+                    f"{self.LEASE_TTL_SECONDS:.0f}s lease TTL — mutual "
+                    f"exclusion was not guaranteed for the tail of the "
+                    f"section; raise LEASE_TTL_SECONDS above the "
+                    f"longest critical section")
 
     def carry(self, src: str, dst: str) -> None:
         shutil.copy2(src, dst)          # server-side copy in a real store

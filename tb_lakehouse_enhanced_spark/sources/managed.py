@@ -334,7 +334,7 @@ class ManagedTable:
         bound = min(max(cps), cur - retain + 1)  # fold strictly below
         if bound <= 0:
             return []
-        with self._store.mutex(self._archive_file + ".lock"):
+        with self._store.mutex(self._archive_file + ".lock") as lock:
             try:
                 with open(self._archive_file) as f:
                     arch = {int(k): v for k, v in json.load(f).items()}
@@ -367,6 +367,7 @@ class ManagedTable:
             with open(tmp, "w") as f:
                 json.dump({str(k): m for k, m in sorted(arch.items())},
                           f)
+            lock.check()    # fencing: never replace on a broken lease
             os.replace(tmp, self._archive_file)
             for v in folded:
                 try:
@@ -1398,7 +1399,7 @@ class ManagedTable:
         # own replace+emit+flip under the same lock, so exactly one of
         # the two sequences wins atomically (Delta has no such window
         # — the log entry IS the commit; this closes ours).
-        with self._pointer_mutex():
+        with self._pointer_mutex() as lock:
             try:
                 with open(self._commit_file(v)) as f:
                     intact = f.read() == payload
@@ -1413,6 +1414,12 @@ class ManagedTable:
                     f"the mutation")
             self._emit_delta_log(v, meta)
             self._emit_iceberg(v, meta)
+            # fencing (r13): on a lease-based store, a holder paused
+            # past its TTL may have been broken+reclaimed — verify
+            # ownership before the flip so a zombie can never move the
+            # pointer on a broken lease (MutexLostError propagates;
+            # the commit file stays for heal/repair like any orphan)
+            lock.check()
             self._flip_locked(v)
         return self
 
@@ -1451,7 +1458,8 @@ class ManagedTable:
         lock: a delayed writer (e.g. one whose stalled commit was
         auto-healed while it slept) can never regress the pointer over
         later commits. Readers still see one atomic rename."""
-        with self._pointer_mutex():
+        with self._pointer_mutex() as lock:
+            lock.check()
             self._flip_locked(v)
 
     def _heal_stale_orphan(self, v: int) -> bool:
@@ -1473,7 +1481,7 @@ class ManagedTable:
         commitInfo-only mirror entry can no longer be clobbered by the
         zombie's wake-up."""
         cf = self._commit_file(v)
-        with self._pointer_mutex():
+        with self._pointer_mutex() as lock:
             try:
                 st = os.stat(cf)
             except FileNotFoundError:
@@ -1517,6 +1525,7 @@ class ManagedTable:
             if os.environ.get("TB_LAKEHOUSE_ICEBERG_MIRROR", "1") != "0":
                 from .iceberg import IcebergMirror
                 IcebergMirror(self).emit_noop(v)
+            lock.check()    # fencing: never flip on a broken lease
             self._flip_locked(v)
             return True
 
@@ -1539,7 +1548,7 @@ class ManagedTable:
         retry instead of erroring (VERDICT r9 #5). A reservation lost
         to a crashed writer leaves an id gap — the standard identity
         contract (Delta/sequences allow gaps)."""
-        with self._store.mutex(self._identity_file(col) + ".lock"):
+        with self._store.mutex(self._identity_file(col) + ".lock") as lock:
             try:
                 with open(self._identity_file(col)) as f:
                     next_slot = int(json.load(f)["next_slot"])
@@ -1549,6 +1558,9 @@ class ManagedTable:
             tmp = self._identity_file(col) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"next_slot": base + int(n)}, f)
+            # fencing: a zombie holder advancing the counter on a
+            # broken lease could hand one range to two writers
+            lock.check()
             os.replace(tmp, self._identity_file(col))
             return base
 

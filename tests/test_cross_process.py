@@ -109,6 +109,33 @@ def _identity_racer(path: str, writer: int, n_calls: int, per_call: int,
     out.put((writer, got))
 
 
+def _crashing_in_mutex_publisher(path: str, backend: str,
+                                 ttl: float) -> None:
+    """Run the REAL ``_publish`` but hang INSIDE the pointer mutex
+    (mirror-emission step, before the flip) — the parent SIGKILLs us
+    there.  On the objectstore backend we die HOLDING an unexpired
+    lease: recovery must go through the lease-break path (r12's only
+    untested code path; VERDICT r12 #1b)."""
+    os.environ["TB_LAKEHOUSE_COMMIT_STORE"] = backend
+    from tb_lakehouse_enhanced_spark.sources.logstore import (
+        ObjectStoreCommitStore,
+    )
+    ObjectStoreCommitStore.LEASE_TTL_SECONDS = ttl
+    t = ManagedTable(None, path)
+    v = t.current_version() + 1
+    _tiny_parquet(os.path.join(path, f"v{v}-adead", "part-0.parquet"))
+    meta = {"version": v, "dir": f"v{v}-adead", "op": "APPEND",
+            "ts": time.time(), "live_base": v - 1,
+            "added_files": ["part-0.parquet"]}
+
+    def hang(self, _v, _meta):
+        with open(os.path.join(path, "_in_mutex"), "w") as f:
+            f.write(str(os.getpid()))
+        time.sleep(3600)        # parent kills us inside the mutex
+    ManagedTable._emit_delta_log = hang
+    t._publish(v, meta)
+
+
 def _crashing_publisher(path: str, backend: str) -> None:
     """Create the commit file for the next version, then hang before
     the pointer flip — the parent SIGKILLs us here: a real mid-commit
@@ -204,6 +231,48 @@ def test_cross_process_crash_heal(tmp_path, backend, monkeypatch):
     out: "mp.Queue" = ctx.Queue()
     _publish_racer(path, "late", 1, backend, out)
     status, _w, won = out.get(timeout=10)
+    assert status == "ok"
+    healed = ManagedTable(None, path)._commit(1)
+    assert healed.get("healed") and healed["op"] == "HEALED ORPHAN"
+    assert won == [2]
+    assert ManagedTable(None, path).current_version() == 2
+
+
+def test_cross_process_crash_inside_pointer_mutex(tmp_path, backend,
+                                                  monkeypatch):
+    """A writer SIGKILLed while HOLDING the pointer mutex (inside the
+    verify+emit+flip critical section).  POSIX: the flock dies with
+    the process.  Objectstore: the dead writer leaves an unexpired
+    lease — the next writer's heal must wait out the TTL, break the
+    lease via conditional DELETE, reclaim, and heal the orphan."""
+    from tb_lakehouse_enhanced_spark.sources.logstore import (
+        ObjectStoreCommitStore,
+    )
+    ttl = 1.0
+    monkeypatch.setattr(ObjectStoreCommitStore, "LEASE_TTL_SECONDS", ttl)
+    path = str(tmp_path / "t")
+    _seed_table(path)
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_crashing_in_mutex_publisher,
+                    args=(path, backend, ttl))
+    p.start()
+    t = ManagedTable(None, path)
+    marker = os.path.join(path, "_in_mutex")
+    deadline = time.time() + 60
+    while not os.path.isfile(marker):
+        assert time.time() < deadline, "crasher never entered the mutex"
+        time.sleep(0.02)
+    os.kill(p.pid, signal.SIGKILL)
+    p.join(timeout=30)
+    assert t.current_version() == 0      # pointer never moved
+    if backend == "objectstore":
+        assert os.path.isfile(t._pointer + ".lock.lease"), \
+            "crasher should have died holding the lease"
+    monkeypatch.setattr(ManagedTable, "ORPHAN_GRACE_SECONDS", 0.2)
+    time.sleep(0.3)
+    out: "mp.Queue" = ctx.Queue()
+    _publish_racer(path, "late", 1, backend, out)
+    status, _w, won = out.get(timeout=30)
     assert status == "ok"
     healed = ManagedTable(None, path)._commit(1)
     assert healed.get("healed") and healed["op"] == "HEALED ORPHAN"
