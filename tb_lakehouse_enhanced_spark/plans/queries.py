@@ -1930,11 +1930,14 @@ def iceberg_external_read_q(spark, sf_dir):
     reconstructed FROM THE ICEBERG v2 METADATA ALONE
     (sources/iceberg.py::read_iceberg — metadata.json -> Avro manifest
     list -> manifests -> parquet + equality deletes).  The mid-MOR
-    state is deliberate: the Delta mirror can only mark it unreadable
-    (deletionVectors refuse-entry), while the Iceberg mirror expresses
-    the key-based tombstones exactly as equality-delete files — both
-    facts are asserted in-query, so the run fails outright if either
-    mirror stops holding its contract."""
+    state is deliberate: the Delta mirror honestly refuses the window
+    before deletion vectors materialize (tbLakehouseMergeOnReadPending
+    reader feature), then ``mirror_deletion_vectors()`` (r13) makes
+    the SAME state readable via real position-based DVs
+    (sources/dvio.py), while the Iceberg mirror expresses the
+    tombstones as equality-delete files — all three facts are asserted
+    in-query, so the run fails outright if any mirror contract
+    breaks."""
     import json as _json
     import os as _os
 
@@ -1952,8 +1955,23 @@ def iceberg_external_read_q(spark, sf_dir):
                             f"{v:020d}.json")) as f:
         head = [_json.loads(x) for x in f if x.strip()]
     proto = next(a["protocol"] for a in head if "protocol" in a)
-    assert "deletionVectors" in (proto.get("readerFeatures") or ()), \
-        "Delta mirror must refuse a mid-MOR state"
+    assert "tbLakehouseMergeOnReadPending" in \
+        (proto.get("readerFeatures") or ()), \
+        "Delta mirror must refuse a mid-MOR window with no DV yet"
+    # r13: on-demand deletion vectors make the SAME mid-MOR state
+    # readable by external Delta readers — emit them and assert the
+    # protocol-replay read (deltaread.read_delta + DV anti-join)
+    # reconstructs exactly the engine's resolved rows
+    from ..sources.deltaread import read_delta
+    assert mt.mirror_deletion_vectors(), "DV emission must apply here"
+    eng_rows = sorted(map(tuple, mt.read()
+                          .select("doc_id", "lang", "n_chars")
+                          .collect()))
+    dv_rows = sorted(map(tuple, read_delta(spark, path)
+                         .select("doc_id", "lang", "n_chars")
+                         .collect()))
+    assert dv_rows == eng_rows, \
+        "DV-based Delta read must equal the engine's mid-MOR read"
     doc = current_metadata(path)
     snap = next(s for s in doc["snapshots"]
                 if s["snapshot-id"] == doc["current-snapshot-id"])

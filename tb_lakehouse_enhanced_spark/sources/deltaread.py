@@ -142,7 +142,8 @@ def _replay(spark: SparkSession, path: str,
     return adds, meta, proto
 
 
-_READABLE_FEATURES = {"columnMapping", "timestampNtz"}
+_READABLE_FEATURES = {"columnMapping", "timestampNtz",
+                      "deletionVectors"}
 
 
 def _nested_mapped_fields(dtype, inside: bool = False) -> list:
@@ -171,9 +172,14 @@ def _nested_mapped_fields(dtype, inside: bool = False) -> list:
 def _check_protocol(proto: dict | None) -> None:
     """Refuse reader requirements this module cannot honor, loudly.
     Reader v1 = plain; v2 = column mapping (handled); v3 = feature
-    list — readable iff every feature is in _READABLE_FEATURES
-    (deletionVectors / v2Checkpoint would silently produce wrong or
-    unreadable rows, so they raise)."""
+    list — readable iff every feature is in _READABLE_FEATURES.
+    ``deletionVectors`` is READ natively (r13: dvio.py + the DV
+    anti-join in read_delta); the engine's own mid-MOR windows where
+    no DV has materialized yet carry the table-specific
+    ``tbLakehouseMergeOnReadPending`` feature, which — like any
+    unknown reader feature per PROTOCOL.md — raises here (and in every
+    spec-conformant external reader) rather than replaying stale
+    adds."""
     if not proto:
         return
     v = proto.get("minReaderVersion", 1)
@@ -189,7 +195,8 @@ def _check_protocol(proto: dict | None) -> None:
         raise ValueError(
             f"unsupported Delta reader protocol {proto} (features "
             f"{sorted(unsupported) or v} not implemented) — for this "
-            "engine's own merge-on-read tables, compact/overwrite first "
+            "engine's own merge-on-read tables, run "
+            "mirror_deletion_vectors() (or compact/overwrite) first, "
             "or use ManagedTable.read")
 
 
@@ -235,6 +242,34 @@ def read_delta(spark: SparkSession, path: str,
     df = spark.read.schema(data_schema).parquet(*paths)
     logical = [F.col(phys[f.name]).alias(f.name)
                for f in schema.fields if f.name not in part_cols]
+    # deletion vectors (reader feature, r13): decode each add's DV
+    # (dvio.py — u/i/p storage, RoaringBitmapArray) into (file, row
+    # index) pairs and anti-join them off the scan on
+    # ``_metadata.row_index``.  The dead set is MOR-state-sized (the
+    # writer's contract), so the broadcast anti-join costs one small
+    # build, never a shuffle of the data.
+    dv_dead = []
+    for p in files:
+        dvd = adds[p].get("deletionVector")
+        if dvd:
+            from .dvio import load_dv
+            ap = os.path.abspath(os.path.join(path, p))
+            dv_dead += [(ap, int(pos)) for pos in load_dv(path, dvd)]
+    # normalize the scan's file URI (file:/x, file:///x, hdfs://nn/x)
+    # down to the plain path so it matches the log-derived abspath
+    norm = F.regexp_replace(F.col("_metadata.file_path"),
+                            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    if dv_dead or part_cols:
+        # _metadata resolves only on the scan relation — materialize
+        # the normalized path (and row index) before any join
+        df = df.withColumn("_dl_fp", norm)
+    if dv_dead:
+        dead_df = spark.createDataFrame(
+            dv_dead, "_dl_fp string, _dl_pos bigint")
+        df = (df.withColumn("_dl_pos", F.col("_metadata.row_index"))
+              .join(F.broadcast(dead_df), ["_dl_fp", "_dl_pos"],
+                    "left_anti")
+              .drop("_dl_pos"))
     if not part_cols:
         return df.select(*logical).select(
             *[f.name for f in schema.fields])
@@ -248,12 +283,7 @@ def read_delta(spark: SparkSession, path: str,
                for p in files]
     pv = spark.createDataFrame(
         pv_rows, ["_dl_fp", *[f"_dl_{c}" for c in part_cols]])
-    # normalize the scan's file URI (file:/x, file:///x, hdfs://nn/x)
-    # down to the plain path so it matches the log-derived abspath
-    norm = F.regexp_replace(F.col("_metadata.file_path"),
-                            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    out = (df.withColumn("_dl_fp", norm)
-           .join(F.broadcast(pv), "_dl_fp")
+    out = (df.join(F.broadcast(pv), "_dl_fp")
            .select(*logical, *[f"_dl_{c}" for c in part_cols]))
     for c in part_cols:
         typ = next(f.dataType for f in schema.fields if f.name == c)
@@ -308,7 +338,9 @@ def checkpoint_delta_log(spark: SparkSession, path: str,
         "partitionColumns:array<string>,configuration:map<string,string>,"
         "createdTime:bigint>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean>")
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:bigint>>")
     import shutil
     all_rows = [proto_row, meta_row, *add_rows]
 

@@ -1006,6 +1006,74 @@ class ManagedTable:
         return untouched.unionByName(
             winner.drop("_mor_seq", "_mor_rn", "_mor_tseq"))
 
+    def _dv_dead_positions(self, v: int, meta: dict) -> dict:
+        """(table-relative data file -> sorted dead row indexes) for
+        the MOR state carried by commit ``v`` — the position-delete
+        translation of the key-based tombstones/deltas, feeding the
+        Delta mirror's deletion vectors (VERDICT r12 #2).
+
+        Runs the same LWW resolution as ``_resolve_mor`` with the
+        (file, row position) of every shadowed row carried through:
+        among state-touched keys, every non-winning row is dead, and a
+        winner is dead too when a tombstone at-or-after its sequence
+        covers its key.  Cost is one key-column scan of the base +
+        delta files (the resolving scan), paid at DV-emission cadence
+        (``DV_MIRROR_EVERY``), never per MOR commit; the returned dead
+        set is O(|MOR state|) driver memory — the same bound as the
+        resolution broadcast and the Iceberg reader's delete state,
+        managed by compaction cadence."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+        tombs = list(meta.get("tombstones") or [])
+        deltas = list(meta.get("deltas") or [])
+        phys_of = {logical: p for p, logical, _t in
+                   (meta.get("column_map") or [])}
+        keys = [phys_of.get(k, k) for k in meta["tombstone_keys"]]
+        df = self._base_scan(v, meta)
+        norm = F.regexp_replace(F.col("_metadata.file_path"),
+                                "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+        base_rows = df.select(
+            *[F.col(k) for k in keys], norm.alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+            self._base_seq_expr().alias("_dv_seq"))
+        seq_from_path = F.regexp_extract(
+            F.col("_metadata.file_path"),
+            r"/(?:delta|tomb)_v(\d+)[^/]*/[^/]+$", 1).cast("long")
+        rows = base_rows
+        if deltas:
+            delta_scan = self.spark.read.schema(
+                StructType(list(df.schema.fields))).parquet(
+                *[os.path.join(self.path, d) for d in deltas])
+            rows = rows.unionByName(delta_scan.select(
+                *[F.col(k) for k in keys], norm.alias("_dv_fp"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+                seq_from_path.alias("_dv_seq")))
+        key_struct = StructType([df.schema[k] for k in keys])
+        state_keys = (self.spark.read.schema(key_struct).parquet(
+            *[os.path.join(self.path, d) for d in deltas + tombs])
+            .dropDuplicates(keys))
+        touched = rows.join(state_keys, keys, "left_semi")
+        w = Window.partitionBy(*keys).orderBy(F.desc("_dv_seq"))
+        ranked = touched.withColumn("_dv_rn", F.row_number().over(w))
+        dead = ranked.filter(F.col("_dv_rn") > 1) \
+            .select(*keys, "_dv_fp", "_dv_pos", "_dv_seq")
+        if tombs:
+            tomb = (self.spark.read.schema(key_struct).parquet(
+                *[os.path.join(self.path, t) for t in tombs])
+                .withColumn("_dv_tseq", seq_from_path)
+                .groupBy(*keys).agg(F.max("_dv_tseq").alias("_dv_tseq")))
+            killed = (ranked.filter(F.col("_dv_rn") == 1)
+                      .join(tomb, keys, "inner")
+                      .filter(F.col("_dv_tseq") >= F.col("_dv_seq"))
+                      .select(*keys, "_dv_fp", "_dv_pos", "_dv_seq"))
+            dead = dead.unionByName(killed)
+        out: dict[str, list[int]] = {}
+        for r in dead.select("_dv_fp", "_dv_pos").collect():
+            rel = os.path.relpath(r["_dv_fp"], self.path)
+            out.setdefault(rel, []).append(int(r["_dv_pos"]))
+        return {k: sorted(vs) for k, vs in out.items()}
+
     def _upgrade_legacy_map(self, parent: dict, cur: int) -> list:
         """Upgrade a LEGACY pre-r10 column map in place: assign a
         stable physical name to every None-phys entry (an ADDED column
@@ -1841,13 +1909,24 @@ class ManagedTable:
             "operationParameters": {},
             "engineInfo": "tb-lakehouse-enhanced-spark"}}]
         if meta.get("tombstones") or meta.get("deltas"):
-            # merge-on-read state: add/remove actions cannot describe
-            # key-based tombstones, so mark the commit with the
-            # deletionVectors reader feature — protocol-correct readers
-            # refuse rather than return undeleted rows. The next
-            # copy-on-write commit emits protocol v1 again (latest
-            # protocol wins on replay) and the mirror is readable.
-            feats = ["deletionVectors"] + (
+            # merge-on-read state. At DV cadence (and via
+            # ``mirror_deletion_vectors()``) the state is expressed
+            # EXACTLY with the protocol's deletion vectors — external
+            # DV-capable readers reconstruct the mid-MOR table (r13).
+            # Between cadence hits, the log genuinely does not describe
+            # the table's state, so the entry carries a table-specific
+            # reader feature name ("tbLakehouseMergeOnReadPending"):
+            # per PROTOCOL.md every reader MUST refuse unknown reader
+            # features, which makes the refusal honest — the previous
+            # bare ``deletionVectors`` marker would have made a REAL
+            # DV-capable reader silently replay the stale pre-MOR adds.
+            # The next copy-on-write commit emits protocol v1 again
+            # (latest protocol wins on replay).
+            if self._dv_mirror_due(meta):
+                self._emit_delta_dv_entry(v, meta, log_dir, ts_ms,
+                                          mapping_locked, actions)
+                return
+            feats = ["tbLakehouseMergeOnReadPending"] + (
                 ["columnMapping"] if mapping_locked else [])
             actions.append({"protocol": {
                 "minReaderVersion": 3, "minWriterVersion": 7,
@@ -2095,6 +2174,155 @@ class ManagedTable:
         with open(tmp, "w") as f:
             f.write("\n".join(json.dumps(a) for a in actions) + "\n")
         os.replace(tmp, entry)
+
+    # every Nth stacked MOR state dir, the mirror pays one resolving
+    # scan to emit a deletion-vector entry (readable mid-MOR) instead
+    # of a refuse entry — the same amortization contract as live-set
+    # checkpoints (O(resolve)/N per commit). TB_LAKEHOUSE_DV_MIRROR
+    # overrides: "0"/"off" never, "every"/"1" every MOR commit, any
+    # integer N for cadence N.
+    DV_MIRROR_EVERY = 4
+
+    def _dv_policy(self) -> int:
+        env = os.environ.get("TB_LAKEHOUSE_DV_MIRROR")
+        if env is None:
+            return self.DV_MIRROR_EVERY
+        if env in ("0", "off", "never"):
+            return 0
+        if env == "every":
+            return 1
+        return int(env)
+
+    def _dv_mirror_due(self, meta: dict) -> bool:
+        """Whether this MOR commit's mirror entry should carry real
+        deletion vectors.  Requires a Spark session (file-plane-only
+        writers emit refuse entries), the cadence hit, and a state
+        shape Delta can express: a PARTITIONED table with outstanding
+        delta (upsert) batches cannot — its flat delta files span
+        partition values, and the protocol's per-file partitionValues
+        admit exactly one tuple per file (the Iceberg mirror covers
+        that shape via its second, unpartitioned spec).  Tombstone-only
+        state on partitioned tables (the classic DV case: DELETEs) and
+        any state on unpartitioned tables are fully expressible."""
+        if self.spark is None:
+            return False
+        if self.partition_by and meta.get("deltas"):
+            return False
+        k = self._dv_policy()
+        if not k:
+            return False
+        n = len(meta.get("tombstones") or ()) \
+            + len(meta.get("deltas") or ())
+        return n % k == 0
+
+    def _emit_delta_dv_entry(self, v: int, meta: dict, log_dir: str,
+                             ts_ms: int, mapping_locked: bool,
+                             actions: list) -> None:
+        """Write commit ``v``'s mirror entry as a COMPLETE state
+        redescription with deletion vectors (VERDICT r12 #2): protocol
+        v3 with the real ``deletionVectors`` feature, removes for live
+        adds that left the set, and adds for every current data file —
+        live base files plus delta-batch files — each carrying a
+        ``deletionVector`` descriptor (dvio.py: RoaringBitmapArray in
+        a ``u``-storage DV file) where the MOR state shadows some of
+        its rows.  External DV-capable Delta readers then reconstruct
+        the mid-MOR table exactly; ``deltaread.read_delta`` is the
+        in-repo validator.  O(live files) actions + one resolving
+        scan, amortized by DV_MIRROR_EVERY."""
+        from . import dvio
+        from .deltaread import _replay
+        feats = ["deletionVectors"] + (
+            ["columnMapping"] if mapping_locked else [])
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": feats, "writerFeatures": list(feats)}})
+        current = dict(sorted(self._live_files(v).items()))
+        for d in meta.get("deltas") or ():
+            for rel, full in self._data_files(d):
+                current[rel] = full
+        if meta.get("column_map"):
+            # mid-MOR ALTERs take the refuse branch, so the mapped
+            # logical schema may never have reached the log — emit it
+            # here (same derivation as the metadata-only branch)
+            files = sorted(current.items())
+            actions.append({"metaData": {
+                "id": self._delta_table_id(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": self._mapped_schema_string(
+                    files, meta["column_map"]),
+                "partitionColumns": list(self.partition_by),
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(
+                        self._mapping_max_id() or
+                        len(meta["column_map"]))},
+                "createdTime": ts_ms}})
+        dead = self._dv_dead_positions(v, meta)
+        dvmap = dvio.make_dv_descriptor(self.path, dead)
+        try:
+            prev_live = _replay(self.spark, self.path, version=v - 1)[0]
+        except (FileNotFoundError, ValueError):
+            prev_live = {}
+        for rel in sorted(prev_live):
+            if rel not in current:
+                actions.append({"remove": {
+                    "path": rel, "deletionTimestamp": ts_ms,
+                    "dataChange": True}})
+        for rel, full in current.items():
+            prev = prev_live.get(rel)
+            if prev is not None and rel not in dvmap \
+                    and not prev.get("deletionVector"):
+                continue    # unchanged live add: replay keeps it
+            st = os.stat(full)
+            add = {"path": rel,
+                   "partitionValues": self._partition_values(rel),
+                   "size": st.st_size,
+                   "modificationTime": int(st.st_mtime * 1000),
+                   "dataChange": True}
+            if rel in dvmap:
+                add["deletionVector"] = dvmap[rel]
+            elif prev is not None and prev.get("deletionVector"):
+                # previously-shadowed rows all resolved away (e.g. a
+                # newer delta re-supplied every key): re-add clean
+                pass
+            actions.append({"add": add})
+        entry = os.path.join(log_dir, f"{v:020d}.json")
+        tmp = entry + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        os.replace(tmp, entry)
+
+    def mirror_deletion_vectors(self) -> bool:
+        """ON-DEMAND deletion-vector emission: rewrite the CURRENT
+        version's Delta mirror entry as a DV entry, making a mid-MOR
+        state externally readable between cadence hits (the
+        maintenance counterpart of OPTIMIZE — one resolving scan).
+        Returns True when a DV entry was written; False when the head
+        carries no MOR state or the state shape is not
+        Delta-expressible (partitioned + outstanding upsert deltas,
+        see ``_dv_mirror_due``)."""
+        with self._pointer_mutex() as lock:
+            v = self.current_version()
+            if v < 0:
+                return False
+            meta = self._commit(v)
+            if not (meta.get("tombstones") or meta.get("deltas")):
+                return False
+            if self.partition_by and meta.get("deltas"):
+                return False
+            log_dir = self._delta_log_dir()
+            os.makedirs(log_dir, exist_ok=True)
+            ts_ms = int((meta.get("ts") or time.time()) * 1000)
+            actions = [{"commitInfo": {
+                "timestamp": ts_ms,
+                "operation": meta.get("op", "WRITE"),
+                "operationParameters": {},
+                "engineInfo": "tb-lakehouse-enhanced-spark"}}]
+            lock.check()
+            self._emit_delta_dv_entry(
+                v, meta, log_dir, ts_ms,
+                self._mapping_max_id() is not None, actions)
+            return True
 
     def _ensure_readable(self, vdir: str, schema) -> None:
         """A partitioned write of ZERO rows emits no parquet footer at
@@ -2631,6 +2859,32 @@ class ManagedTable:
             try:
                 os.remove(os.path.join(self.path, f))
             except FileNotFoundError:
+                pass
+        # deletion-vector files: a deletion_vector_*.bin is referenced
+        # only by the mirror's live adds; once a copy-on-write commit
+        # resolves the MOR episode the vectors are unreferenced and
+        # reclaimable (Delta's VACUUM makes the same trade — DV files
+        # are data files, aged out with the history that used them)
+        if os.path.isdir(self._delta_log_dir()):
+            from .deltaread import _replay
+            from .dvio import dv_relative_path
+            try:
+                live_adds = _replay(self.spark, self.path)[0]
+                referenced = set()
+                for a in live_adds.values():
+                    dvd = a.get("deletionVector")
+                    if dvd and dvd.get("storageType") == "u":
+                        referenced.add(
+                            os.path.normpath(dv_relative_path(dvd)))
+                for fn in os.listdir(self.path):
+                    if fn.startswith("deletion_vector_") \
+                            and fn.endswith(".bin") \
+                            and fn not in referenced:
+                        try:
+                            os.remove(os.path.join(self.path, fn))
+                        except FileNotFoundError:
+                            pass
+            except (FileNotFoundError, ValueError):
                 pass
         # commit-log retention (r11): fold commit files below the
         # newest live-set checkpoint into the archive segment — the

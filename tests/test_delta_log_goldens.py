@@ -118,3 +118,62 @@ def test_mirror_action_shapes_match_golden(spark, tmp_base):
     assert json.loads(json.dumps(got, sort_keys=True)) == want, (
         "mirror serialization changed — if intentional, regenerate "
         "with REGEN_DELTA_GOLDENS=1 and review the diff")
+
+
+DV_GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                         "delta_dv_golden.json")
+
+
+def _build_dv_history(spark, path: str) -> ManagedTable:
+    """A merge-on-read episode mirrored THROUGH with real deletion
+    vectors (VERDICT r12 #2): delete -> upsert -> mid-MOR append ->
+    refuse window -> on-demand DV -> copy-on-write reset."""
+    t = ManagedTable(spark, path)
+    t.overwrite(spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "id bigint, v bigint"))   # v0
+    t.delete_mor(F.col("id") <= 1, key_cols=("id",))               # v1 DV
+    t.upsert_mor(spark.createDataFrame(
+        [(3, 999)], "id bigint, v bigint"), ("id",))               # v2 DV
+    t.append(spark.createDataFrame(
+        [(7, 70)], "id bigint, v bigint"))                         # v3 DV
+    os.environ["TB_LAKEHOUSE_DV_MIRROR"] = "0"
+    try:
+        t.delete_mor(F.col("id") == 5, key_cols=("id",))           # v4 refuse
+    finally:
+        os.environ["TB_LAKEHOUSE_DV_MIRROR"] = "every"
+    t.mirror_deletion_vectors()          # v4 entry rewritten with DVs
+    t.compact()                                                    # v5 clean
+    return t
+
+
+def test_dv_mirror_action_shapes_match_golden(spark, tmp_base,
+                                              monkeypatch):
+    monkeypatch.setenv("TB_LAKEHOUSE_DV_MIRROR", "every")
+    t = _build_dv_history(spark, f"{tmp_base}/dv")
+    got = _normalize(t.path)
+    # DV descriptors: the uuid reference and byte spans are volatile;
+    # cardinality is semantic and stays pinned
+    for entry in got:
+        for a in entry["actions"]:
+            dvd = (a.get("add") or {}).get("deletionVector")
+            if dvd:
+                dvd.update(pathOrInlineDv="DVREF", offset=0,
+                           sizeInBytes=0)
+    if os.environ.get("REGEN_DELTA_GOLDENS"):
+        with open(DV_GOLDEN, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+    with open(DV_GOLDEN) as f:
+        want = json.load(f)
+    assert json.loads(json.dumps(got, sort_keys=True)) == want, (
+        "DV mirror serialization changed — if intentional, regenerate "
+        "with REGEN_DELTA_GOLDENS=1 and review the diff")
+    # and the episode round-trips: external replay == engine read at
+    # the final state AND at the DV'd mid-MOR version
+    from tb_lakehouse_enhanced_spark.sources.deltaread import read_delta
+
+    def rows(df):
+        return sorted(map(tuple, df.select("id", "v").collect()))
+
+    assert rows(read_delta(spark, t.path)) == rows(t.read())
+    assert rows(read_delta(spark, t.path, version=4)) == \
+        rows(t.read(version=4))

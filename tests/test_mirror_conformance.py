@@ -111,14 +111,27 @@ def test_mirror_transition_invariants_over_full_history(spark, tmp_base):
         prot = next((a["protocol"] for a in actions
                      if "protocol" in a), None)
         metas = [a["metaData"] for a in actions if "metaData" in a]
-        is_refuse = prot is not None and prot.get("readerFeatures")
-        if is_refuse:
-            # MOR refuse-entry: protocol >= 3 + deletionVectors, no
-            # add/remove/metaData actions
+        feats = set(prot.get("readerFeatures") or ()) if prot else set()
+        if "tbLakehouseMergeOnReadPending" in feats:
+            # MOR refuse-entry (no DV materialized): protocol >= 3 +
+            # the table-specific pending feature every spec reader
+            # must refuse; no add/remove/metaData actions
             assert prot["minReaderVersion"] >= 3
-            assert "deletionVectors" in prot["readerFeatures"]
             assert not metas
             assert not any(k in ("add", "remove") for k in kinds), v
+            continue
+        if "deletionVectors" in feats:
+            # MOR DV entry (r13): protocol v3 + real deletion vectors;
+            # adds redescribe the state, each DV descriptor names an
+            # existing, loadable vector
+            from tb_lakehouse_enhanced_spark.sources.dvio import load_dv
+            assert prot["minReaderVersion"] >= 3
+            for a in actions:
+                dvd = a.get("add", {}).get("deletionVector") \
+                    if "add" in a else None
+                if dvd:
+                    assert dvd["cardinality"] == len(
+                        load_dv(t.path, dvd))
             continue
         for m in metas:
             conf = m.get("configuration") or {}
