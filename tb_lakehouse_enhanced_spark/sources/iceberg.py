@@ -357,6 +357,20 @@ class IcebergMirror:
             return ids[path]
         return alloc
 
+    @staticmethod
+    def _rekey_materialized(ids: dict, last_map: list) -> None:
+        """Re-key allocator entries physical -> logical for a
+        materializing commit (renames keep their ids)."""
+        for p, logical, _t in last_map:
+            src = p if p is not None else f"col-added-{logical}"
+            if src in ids and logical not in ids:
+                renamed = {}
+                for k, v in list(ids.items()):
+                    if k == src or k.startswith(src + "."):
+                        renamed[logical + k[len(src):]] = v
+                        del ids[k]
+                ids.update(renamed)
+
     # -- schema -------------------------------------------------------------
     def _logical_fields(self, st: dict, meta: dict,
                         files: list) -> list[dict]:
@@ -372,16 +386,7 @@ class IcebergMirror:
             # files' physical names BECAME the logical names — carry
             # each column's id across the rename (spec: renames keep
             # ids) by re-keying the allocator entries
-            ids = st["ids"]
-            for p, logical, _t in st["last_map"]:
-                src = p if p is not None else f"col-added-{logical}"
-                if src in ids and logical not in ids:
-                    renamed = {}
-                    for k, v in list(ids.items()):
-                        if k == src or k.startswith(src + "."):
-                            renamed[logical + k[len(src):]] = v
-                            del ids[k]
-                    ids.update(renamed)
+            self._rekey_materialized(st["ids"], st["last_map"])
         if cmap:
             phys = {f.name: f for f in
                     self.t._physical_struct(files).fields} if files else {}
@@ -398,10 +403,89 @@ class IcebergMirror:
                             "_phys": pname})
             return out
         struct = self.t._physical_struct(files)
+        if files:
+            # native-id adoption (r13): a RESTORE can re-introduce a
+            # column whose allocator entry a rename-materialize
+            # re-keyed away (the physical name "val" became "amount");
+            # minting a fresh id would then contradict the files' own
+            # stamped PARQUET:field_id and the authoritative-id reader
+            # would NULL the column.  The files are the source of
+            # truth: adopt their stamped id for any path the allocator
+            # no longer names, rolling the conflicting key (the
+            # renamed-away name) out exactly as the restore rolled it
+            # off the table.  Top-level only, like the stamping.
+            import pyarrow.parquet as pq
+            try:
+                sch = list(pq.read_schema(files[0][1]))
+            except (OSError, ValueError):
+                sch = []
+            ids = st["ids"]
+            for fld in sch:
+                raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if raw is None or fld.name in ids:
+                    continue
+                fid = int(raw)
+                for k in [k for k, i in list(ids.items()) if i == fid]:
+                    del ids[k]
+                ids[fld.name] = fid
+                st["next_id"] = max(st["next_id"], fid + 1)
         return [{"id": alloc(f.name), "name": f.name, "required": False,
                  "type": _iceberg_type(f.dataType, alloc, f.name),
                  "_phys": f.name}
                 for f in struct.fields]
+
+    def peek_ids(self, struct, cmap: list | None = None,
+                 allow_new: bool = False) -> dict:
+        """Top-level (physical column -> field id) exactly as the NEXT
+        emission will allocate them, WITHOUT persisting — the write
+        path stamps these into parquet footers as ``parquet.field.id``
+        column metadata (``managed._stamp_field_ids``, r13) so every
+        engine-written file resolves by id, the spec's primary rule.
+
+        Existing sidecar ids are authoritative; on a fresh sidecar the
+        emitter's exact traversal is replayed — data columns in write
+        order, then directory-encoded partition columns in
+        ``partition_by`` order (mirroring ``_physical_struct``), with
+        nested paths burning ids through ``_iceberg_type`` — so the
+        stamped ids and the first emission's schema agree.  On a table
+        whose sidecar already has ids, only VOUCHED columns are
+        returned unless ``allow_new`` — a FULL-schema rewrite
+        (overwrite) traverses in the emitter's order, so its simulated
+        ids for brand-new columns are exact, while a partial-column
+        write (a tombstone batch) must not guess ids for columns the
+        mirror has not named.  A materializing write on a mapped
+        table re-keys physical -> logical first, mirroring
+        ``_logical_fields``."""
+        st = self._load_state()
+        sim_ids = dict(st["ids"])
+        if cmap is None and st.get("last_map"):
+            self._rekey_materialized(sim_ids, st["last_map"])
+        vouched = set(sim_ids)          # ids the mirror already named
+        had_ids = bool(st["ids"])
+        sim = {"ids": sim_ids, "next_id": st["next_id"]}
+        alloc = self._alloc(sim)
+        out: dict[str, int] = {}
+        phys_types = {f.name: f.dataType for f in struct.fields}
+        if cmap:
+            from pyspark.sql.types import _parse_datatype_string
+            for p, lg, typ in cmap:
+                pname = p if p is not None else f"col-added-{lg}"
+                dt = phys_types.get(pname)
+                if dt is None:
+                    dt = _parse_datatype_string(typ or "string")
+                out[pname] = alloc(pname)
+                _iceberg_type(dt, alloc, pname)
+        else:
+            pb = list(self.t.partition_by)
+            ordered = [f for f in struct.fields if f.name not in pb]
+            by_name = {f.name: f for f in struct.fields}
+            ordered += [by_name[c] for c in pb if c in by_name]
+            for f in ordered:
+                out[f.name] = alloc(f.name)
+                _iceberg_type(f.dataType, alloc, f.name)
+        if had_ids and not allow_new:
+            out = {k: i for k, i in out.items() if k in vouched}
+        return {k: i for k, i in out.items() if k in phys_types}
 
     @staticmethod
     def _name_mapping(st: dict, fields: list[dict]) -> list[dict]:
@@ -713,9 +797,14 @@ class IcebergMirror:
             "last-partition-id": 999 + n_spec_fields,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
+            # tables whose files carry native PARQUET:field_id
+            # metadata (r13 writer stamping) need no name mapping —
+            # id resolution is the spec's primary rule; legacy tables
+            # (pre-r13 files) keep the cumulative mapping
             "properties": {
-                "schema.name-mapping.default": json.dumps(
-                    self._name_mapping(st, fields)),
+                **({} if st.get("native_ids") else {
+                    "schema.name-mapping.default": json.dumps(
+                        self._name_mapping(st, fields))}),
                 "write.format.default": "parquet",
                 "commit.engine": "tb-lakehouse-enhanced-spark"},
             "current-snapshot-id": current,
@@ -785,6 +874,22 @@ class IcebergMirror:
         # incremental (append/partial) first emission would describe
         # only the batch and lose the rest of the table
         bootstrapping = st["schema_fields"] is None
+        if st.get("native_ids") is None:
+            # decided ONCE, at the table's first emission: when the
+            # engine's writer stamped PARQUET:field_id into the
+            # footers (managed._stamp_field_ids, r13), every file
+            # resolves by id — the spec's primary rule — and the
+            # schema.name-mapping.default property is omitted
+            # entirely, retiring the whole name-collision class the
+            # r12 resurrection fix had to guard
+            probe = sorted(self.t._live_files(v).items()) \
+                or self.t._data_files(meta["dir"])
+            if probe:
+                import pyarrow.parquet as pq
+                sch = pq.read_schema(probe[0][1])
+                st["native_ids"] = any(
+                    (f.metadata or {}).get(b"PARQUET:field_id")
+                    is not None for f in sch)
 
         # ---- schema pass (skipped on schema-preserving commits) ----
         data_changed = True
@@ -1328,11 +1433,29 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         name-mapping's recorded names for the id (mapped-era physical
         names).  Per-snapshot resolution keeps re-used NAMES (a column
         renamed away and later re-introduced under a fresh id)
-        unambiguous."""
-        if file_ids and fid in file_ids and file_ids[fid] in columns:
-            return file_ids[fid]
+        unambiguous.
+
+        When the file carries field ids they are AUTHORITATIVE for the
+        columns they claim (the spec's primary rule): a field id the
+        file maps resolves only through that mapping, and a file
+        column CLAIMED by some other id never resolves a different id
+        by name — a dropped-then-re-added column name would otherwise
+        resurrect stale values from pre-drop files (the r12 guard,
+        previously enforced via name-mapping ownership, now holds for
+        native-id tables with no mapping at all).  Unclaimed columns
+        (e.g. a brand-new column the writer could not stamp in its
+        first commit) still fall back to name resolution."""
+        if file_ids:
+            nm = file_ids.get(fid)
+            if nm is not None:
+                return nm if nm in columns else None
+            id_claimed = set(file_ids.values())
+        else:
+            id_claimed = set()
         for cand in [lname] + names_of_id.get(fid, []):
             if cand in columns:
+                if cand in id_claimed:
+                    continue    # the file assigns this column elsewhere
                 claimed = owner_fids.get(cand)
                 if claimed and fid not in claimed:
                     continue

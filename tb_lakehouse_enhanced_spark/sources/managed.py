@@ -626,7 +626,8 @@ class ManagedTable:
                 return self.spark.read.schema(
                     self._scan_schema(v, meta, root=meta["dir"])
                 ).parquet(self._version_dir(v))
-            return self.spark.read.parquet(self._version_dir(v))
+            return self._strip_field_metadata(
+                self.spark.read.parquet(self._version_dir(v)))
         root, files = self._chain_resolve(v)
         live = sorted(files.values())
         # scan schema = chain-bottom physical schema, extended with any
@@ -702,7 +703,14 @@ class ManagedTable:
         if hit is not None:
             return hit
         base = self.spark.read.parquet(os.path.join(self.path, root))
-        schema = base.schema
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+        # Spark's schema inference surfaces the r13 PARQUET:field_id
+        # stamps as parquet.field.id field metadata — scan schemas
+        # (and everything derived from them: Delta schemaStrings, read
+        # output schemas) must stay metadata-clean as before
+        schema = _ST([_SF(f.name, f.dataType, f.nullable)
+                      for f in base.schema.fields])
         have = set(schema.fieldNames())
         for phys, _logical, typ in (meta.get("column_map") or []):
             if phys is not None and phys not in have:
@@ -1190,7 +1198,7 @@ class ManagedTable:
         # the resolution sequence parses from the `delta_v{N}` prefix
         # and ignores the suffix
         delta_dir = f"delta_v{v}-m{uuid.uuid4().hex[:8]}"
-        (batch.write.mode("overwrite")
+        (self._stamp_field_ids(batch, cmap).write.mode("overwrite")
          .parquet(os.path.join(self.path, delta_dir)))
         deltas = list(parent.get("deltas") or []) + [delta_dir]
         meta = {"version": v, "dir": parent["dir"],
@@ -1264,8 +1272,10 @@ class ManagedTable:
         # Under a live map the key tuples are written with PHYSICAL
         # names (the plane resolution joins on, see _resolve_mor)
         tomb_dir = f"tomb_v{v}-m{uuid.uuid4().hex[:8]}"
-        (self.read().filter(condition)
-         .select(*[F.col(k).alias(phys_of.get(k, k)) for k in key_cols])
+        (self._stamp_field_ids(
+            self.read().filter(condition)
+            .select(*[F.col(k).alias(phys_of.get(k, k))
+                      for k in key_cols]), cmap)
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
@@ -1321,8 +1331,9 @@ class ManagedTable:
             return c.alias(p)
         _exprs = [_kcol(k) for k in key_cols]
         _assert_castable(keys_df, cast_checks, "MOR delete-by-keys")
-        (keys_df.select(*key_cols).dropDuplicates(list(key_cols))
-         .select(*_exprs)
+        (self._stamp_field_ids(
+            keys_df.select(*key_cols).dropDuplicates(list(key_cols))
+            .select(*_exprs), cmap)
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
@@ -1754,8 +1765,20 @@ class ManagedTable:
         values are strings in the log either way)."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
-        from pyspark.sql.types import LongType, StringType, StructField
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
         struct = from_arrow_schema(pq.read_schema(files[0][1]))
+        # drop footer-carried field metadata (the r13 PARQUET:field_id
+        # stamps ride through from_arrow_schema): derived schemas —
+        # Delta schemaStrings, scan schemas — must stay metadata-clean
+        # like a plain spark.read schema
+        struct = StructType([
+            StructField(f.name, f.dataType, f.nullable)
+            for f in struct.fields])
         seen = {f.name for f in struct.fields}
         part_vals: dict[str, list] = {}
         for rel, _full in files:
@@ -2324,6 +2347,46 @@ class ManagedTable:
                 self._mapping_max_id() is not None, actions)
             return True
 
+    @staticmethod
+    def _strip_field_metadata(df: DataFrame) -> DataFrame:
+        """Clear per-column metadata an inferred parquet read surfaced
+        (Spark exposes the r13 PARQUET:field_id stamps as
+        ``parquet.field.id`` field metadata) — read output schemas stay
+        byte-identical to the pre-stamping engine's."""
+        from pyspark.sql import functions as F
+        if not any(f.metadata for f in df.schema.fields):
+            return df
+        return df.select(*[F.col(f.name).alias(f.name, metadata={})
+                           for f in df.schema.fields])
+
+    def _stamp_field_ids(self, df: DataFrame,
+                         cmap: list | None = None,
+                         allow_new: bool = False) -> DataFrame:
+        """Attach the Iceberg mirror's field ids as ``parquet.field.id``
+        column metadata so Spark stamps ``PARQUET:field_id`` into every
+        footer this write produces (r13, VERDICT r12 #3).  Files then
+        resolve by id — the Iceberg spec's primary rule — and new
+        tables need no ``schema.name-mapping.default`` at all, which
+        retires the name-collision class (DROP-then-re-ADD
+        resurrection) the mapping had to guard.  Top-level columns
+        only, matching the engine's column-map scope (nested fields
+        are never renamed, so their physical names are their
+        identity).  No-op without a session or with the Iceberg mirror
+        disabled."""
+        if self.spark is None or os.environ.get(
+                "TB_LAKEHOUSE_ICEBERG_MIRROR", "1") == "0":
+            return df
+        from pyspark.sql import functions as F
+        from .iceberg import IcebergMirror
+        ids = IcebergMirror(self).peek_ids(df.schema, cmap, allow_new)
+        if not ids:
+            return df
+        self.spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true")
+        return df.select(*[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            if c in ids else F.col(c) for c in df.columns])
+
     def _ensure_readable(self, vdir: str, schema) -> None:
         """A partitioned write of ZERO rows emits no parquet footer at
         all (only _SUCCESS), and the version dir would be unreadable —
@@ -2336,7 +2399,7 @@ class ManagedTable:
         for _, _, files in os.walk(vdir):
             if any(f.endswith(".parquet") for f in files):
                 return
-        self.spark.createDataFrame([], schema) \
+        self._stamp_field_ids(self.spark.createDataFrame([], schema)) \
             .write.mode("append").parquet(vdir)
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE",
@@ -2357,6 +2420,10 @@ class ManagedTable:
         if cons:
             self._validate(cons, df)
         v = self.current_version() + 1
+        # allow_new: a full rewrite may introduce columns; its write
+        # order matches the emitter's traversal so simulated ids for
+        # new columns are exact
+        df = self._stamp_field_ids(df, allow_new=True)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -2427,7 +2494,7 @@ class ManagedTable:
         # writer's walk scoop the other's files)
         dirname = f"v{v}-a{token}"
         vdir = os.path.join(self.path, dirname)
-        writer = df.write.mode("append")
+        writer = self._stamp_field_ids(df, cmap).write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(vdir)
@@ -4232,7 +4299,7 @@ class ManagedTable:
             # scoped DML straight through an ALTER, no materialize
             rewritten = rewritten.select(
                 *[F.col(lg).alias(p) for p, lg, _t in cmap])
-        (rewritten.write.mode("overwrite")
+        (self._stamp_field_ids(rewritten, cmap).write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
         # hardlink every untouched LIVE file from the old snapshot
         # (commit-log derived — the parent may be a log-native append
@@ -4324,16 +4391,18 @@ class ManagedTable:
                     .parquet(os.path.join(self.path, d))
                     .filter(~member))
             name = f"{d}_rw{v}"
-            kept.write.mode("overwrite").parquet(
-                os.path.join(self.path, name))
+            self._stamp_field_ids(kept, meta0.get("column_map")) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(self.path, name))
             new_deltas.append(name)
         for t in (meta0.get("tombstones") or []):
             kept = (self.spark.read
                     .parquet(os.path.join(self.path, t))
                     .join(touched_keys, pkeys, "left_anti"))
             name = f"{t}_rw{v}"
-            kept.write.mode("overwrite").parquet(
-                os.path.join(self.path, name))
+            self._stamp_field_ids(kept, meta0.get("column_map")) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(self.path, name))
             new_tombs.append(name)
         if new_deltas:
             out["deltas"] = new_deltas
@@ -4635,7 +4704,8 @@ class ManagedTable:
             # untouched partitions under one plane, map stays live
             merged = merged.select(*[F.col(lg).alias(p)
                                      for p, lg, _t in cmap])
-        merged.write.mode("overwrite").partitionBy(*pb).parquet(vdir)
+        self._stamp_field_ids(merged, cmap).write.mode("overwrite") \
+            .partitionBy(*pb).parquet(vdir)
         touched_rel = {
             "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
             for r in touched}
@@ -4743,7 +4813,8 @@ class ManagedTable:
             # stays current-slice-priced straight through an ALTER
             out = out.select(*[F.col(lg).alias(p)
                                for p, lg, _t in cmap])
-        out.write.mode("overwrite").partitionBy(flag_col).parquet(vdir)
+        self._stamp_field_ids(out, cmap).write.mode("overwrite") \
+            .partitionBy(flag_col).parquet(vdir)
         # link the accumulated history files (live-set derived: a
         # preceding log-native append may have landed history rows in
         # its own version dir) — only the current slice is rewritten
@@ -4898,8 +4969,9 @@ class ManagedTable:
                 continue    # named partition holds no live files
             reader = (self.spark.read.schema(read_schema)
                       if read_schema is not None else self.spark.read)
-            (reader.parquet(*sorted(files))
-             .coalesce(target_files)
+            (self._stamp_field_ids(
+                reader.parquet(*sorted(files)).coalesce(target_files),
+                cmap)
              .write.mode("overwrite").parquet(os.path.join(vdir, rel)))
         self._link_untouched(prev_live, todo, vdir)
         meta = {"version": v, "dir": staged, "op": "OPTIMIZE_PARTITIONS",

@@ -69,6 +69,7 @@ def _normalize(path: str) -> list[dict]:
     def norm_path(p: str) -> str:
         p = re.sub(r"(v\d+)-a[0-9a-f]{8}", r"\1-aTOK", p)
         p = re.sub(r"(v\d+)-r[0-9a-f]{8}", r"\1-rTOK", p)
+        p = re.sub(r"((?:delta|tomb)_v\d+)-m[0-9a-f]{8}", r"\1-mTOK", p)
         base = os.path.basename(p)
         if base.endswith(".parquet"):
             fid = file_ids.setdefault(base,

@@ -193,12 +193,24 @@ def test_metadata_invariants(history):
         fids = [f["id"] for f in s["fields"]]
         assert len(set(fids)) == len(fids)
         assert max(fids) <= doc["last-column-id"]
-    # name mapping covers every current-schema field id
-    mapping = json.loads(doc["properties"]["schema.name-mapping.default"])
-    mapped = {m["field-id"] for m in mapping}
+    # resolution metadata: native-field-id tables (r13 — the engine
+    # stamps PARQUET:field_id into every footer) emit NO name mapping
+    # (id resolution is the spec's primary rule); legacy tables' name
+    # mapping covers every current-schema field id
+    mapping_raw = doc["properties"].get("schema.name-mapping.default")
     cur = next(s for s in doc["schemas"]
                if s["schema-id"] == doc["current-schema-id"])
-    assert {f["id"] for f in cur["fields"]} <= mapped
+    if mapping_raw is None:
+        import pyarrow.parquet as pq
+        rel, full = next(iter(sorted(
+            t._live_files(t.current_version()).items())))
+        sch = pq.read_schema(full)
+        assert any((f.metadata or {}).get(b"PARQUET:field_id")
+                   for f in sch), \
+            "mapping omitted but files carry no field ids"
+    else:
+        mapped = {m["field-id"] for m in json.loads(mapping_raw)}
+        assert {f["id"] for f in cur["fields"]} <= mapped
 
 
 def test_manifest_structure(history):
