@@ -85,6 +85,11 @@ from .avroio import read_ocf, write_ocf
 
 META_DIR = "metadata"
 FOLD_MANIFESTS_AT = 16          # RewriteManifests threshold
+
+
+class IcebergMirrorCorruptionError(Exception):
+    """The mirror's sidecar state exists but cannot be parsed; see
+    ``ManagedTable.rebuild_mirrors`` for the remedy."""
 # past this many files, per-file parquet-footer work (row counts on
 # the emit side, schema grouping on the read side) fans out as ONE
 # Spark job instead of a serial driver loop
@@ -328,12 +333,25 @@ class IcebergMirror:
         try:
             with open(self._state_file) as f:
                 return json.load(f)
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
             return {"ids": {}, "next_id": 1, "meta_seq": 0,
                     "schema_id": -1, "schema_fields": None,
                     "last_map": None, "manifests": [],
                     "state_dirs": {}, "specs": None,
                     "metadata_file": None, "table_uuid": None}
+        except ValueError as e:
+            # a CORRUPT sidecar must not silently reset to empty —
+            # the next emission would re-allocate field ids from 1 and
+            # the mirror's schema would contradict every stamped file
+            # (r13 hardening, same philosophy as the r12 archive fix).
+            # ``ManagedTable.rebuild_mirrors()`` regenerates the whole
+            # tree from the commit log.
+            raise IcebergMirrorCorruptionError(
+                f"Iceberg mirror sidecar {self._state_file} exists "
+                f"but cannot be parsed ({e}); refusing to emit on a "
+                f"reset id allocator — run rebuild_mirrors() to "
+                f"regenerate the metadata tree from the commit log"
+            ) from None
 
     def _save_state(self, st: dict) -> None:
         prev = self._state_file + ".prev"

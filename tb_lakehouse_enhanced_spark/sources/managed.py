@@ -2347,6 +2347,102 @@ class ManagedTable:
                 self._mapping_max_id() is not None, actions)
             return True
 
+    def rebuild_mirrors(self) -> dict:
+        """Regenerate BOTH interop mirrors — the Delta ``_delta_log``
+        and the Iceberg ``metadata/`` tree — from the engine's commit
+        log (root + archive) alone (VERDICT r12 #4): the remedy for a
+        corrupt/lost mirror tree or sidecar
+        (``IcebergMirrorCorruptionError``).
+
+        Replays every commit 0..head through the normal emission
+        paths, preserving the stable Delta table id.  Versions whose
+        data dirs were vacuumed away get commitInfo-only placeholder
+        entries (keeping the 1:1 entry<->version numbering that Delta
+        time travel maps through); the first fully-reconstructable
+        version is forced through the FULL-redescription branch so
+        replay from that point is complete — exactly the state a
+        vacuum-time mirror checkpoint would have pinned.  Runs under
+        the pointer mutex; external readers racing the rebuild can
+        observe a partial tree, the same caveat as any repair tool.
+
+        Returns ``{"delta_entries": n, "iceberg_commits": m,
+        "first_full": v}``."""
+        import shutil as _sh
+        from .iceberg import IcebergMirror
+        with self._pointer_mutex() as lock:
+            cur = self.current_version()
+            if cur < 0:
+                raise FileNotFoundError(
+                    f"managed table {self.path} has no commits")
+            log_dir = self._delta_log_dir()
+            meta_dir = os.path.join(self.path, "metadata")
+            table_id = None
+            tid_marker = os.path.join(log_dir, "_table_id")
+            if os.path.isfile(tid_marker):
+                with open(tid_marker) as f:
+                    table_id = f.read().strip()
+            lock.check()
+            for d in (log_dir, meta_dir):
+                if os.path.isdir(d):
+                    _sh.rmtree(d)
+            os.makedirs(log_dir, exist_ok=True)
+            if table_id:
+                with open(tid_marker + ".tmp", "w") as f:
+                    f.write(table_id)
+                os.replace(tid_marker + ".tmp", tid_marker)
+
+            def _reconstructable(v: int, meta: dict) -> bool:
+                dirs = {rel.split("/", 1)[0]
+                        for rel in self._live_files(v)}
+                dirs.add(self._materialized_root(v))
+                dirs |= set(meta.get("tombstones") or ())
+                dirs |= set(meta.get("deltas") or ())
+                return all(os.path.isdir(os.path.join(self.path, d))
+                           for d in dirs)
+
+            n_delta = n_ice = 0
+            first_full = None
+            for v in range(cur + 1):
+                meta = dict(self._commit(v))
+                ts_ms = int((meta.get("ts") or time.time()) * 1000)
+                if meta.get("cdc") and not os.path.isdir(
+                        os.path.join(self.path, meta["cdc"])):
+                    meta.pop("cdc")     # change files vacuumed away
+                if not _reconstructable(v, meta):
+                    # pre-horizon history: placeholder keeps entry
+                    # numbering aligned; the version is unreadable
+                    # externally, exactly as post-vacuum today
+                    entry = os.path.join(log_dir, f"{v:020d}.json")
+                    with open(entry + ".tmp", "w") as f:
+                        f.write(json.dumps({"commitInfo": {
+                            "timestamp": ts_ms,
+                            "operation": "REBUILD PLACEHOLDER "
+                                         "(data vacuumed)",
+                            "operationParameters": {},
+                            "engineInfo":
+                                "tb-lakehouse-enhanced-spark"}}) + "\n")
+                    os.replace(entry + ".tmp", entry)
+                    n_delta += 1
+                    continue
+                if first_full is None:
+                    first_full = v
+                    if not self._has_mor(meta):
+                        # force the FULL-redescription branch: the
+                        # incremental prefix (if any) was placeholdered
+                        meta.pop("added_files", None)
+                        meta.pop("partitions_rewritten", None)
+                        meta.pop("partitions_appended", None)
+                self._emit_delta_log(v, meta)
+                n_delta += 1
+                if os.environ.get("TB_LAKEHOUSE_ICEBERG_MIRROR",
+                                  "1") != "0":
+                    # the fresh sidecar bootstraps a full live-set
+                    # snapshot at the first emission automatically
+                    IcebergMirror(self).emit(v, meta)
+                    n_ice += 1
+            return {"delta_entries": n_delta, "iceberg_commits": n_ice,
+                    "first_full": first_full}
+
     @staticmethod
     def _strip_field_metadata(df: DataFrame) -> DataFrame:
         """Clear per-column metadata an inferred parquet read surfaced
