@@ -58,6 +58,21 @@ def get_session(app_name: str = "tb-lakehouse-enhanced-spark",
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir", "/tmp/tb_lakehouse_warehouse")
+        # r13 perf: the call-site capture wrapper does a py4j conf.get
+        # PLUS a stack walk on EVERY DataFrame API call when enabled
+        # (pyspark/errors/utils.py::_with_origin); the commit plane
+        # builds thousands of Column/DataFrame objects per scenario, so
+        # this is pure driver overhead on the serving path (guide §5:
+        # the driver should do almost no work). PySpark documents the
+        # flag as a performance option; errors lose only the Python
+        # call-site decoration.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # r13 perf: the field-id stamping path (managed.py
+        # _stamp_field_ids) used to flip this per write call — one
+        # py4j roundtrip per commit; it is a session-stable engine
+        # invariant (only acts on columns carrying parquet.field.id
+        # metadata, which only the managed write path attaches)
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
     )
     return builder.getOrCreate()
 

@@ -2477,8 +2477,13 @@ class ManagedTable:
         ids = IcebergMirror(self).peek_ids(df.schema, cmap, allow_new)
         if not ids:
             return df
-        self.spark.conf.set(
-            "spark.sql.parquet.fieldId.write.enabled", "true")
+        # fieldId.write.enabled: one conf.set per SESSION, not per
+        # write (r13 perf — the engine session factory sets it at
+        # build time; this covers sessions built elsewhere, e.g. tests)
+        if not getattr(self.spark, "_tb_field_id_conf", False):
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true")
+            self.spark._tb_field_id_conf = True
         return df.select(*[
             F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
             if c in ids else F.col(c) for c in df.columns])
@@ -4325,8 +4330,12 @@ class ManagedTable:
         # may reference (the subquery-DML path precomputes its match
         # verdict as a boolean column — subqueries are not expressible
         # as a bare Column); rewrite_fn must project the markers away.
-        df = self.read() if snapshot is None else snapshot
+        # the full read plan is built LAZILY (r13): the metadata-only
+        # probe and the MOR candidate slice never need it
+        df = snapshot
         if mor and not stable_partitions:
+            if df is None:
+                df = self.read()
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         # legacy pre-r10 None-phys maps upgrade in place (r11 — the
         # materialize fallback is retired)
@@ -4347,33 +4356,183 @@ class ManagedTable:
                 f"overwrite() backfilling the partition column — then "
                 f"retry.")
         if not self.partition_by:
+            if df is None:
+                df = self.read()
             return self.overwrite(rewrite_fn(df), operation, cdc=cdc)
         pb = list(self.partition_by)
-        pinned = None
-        if mor:
-            # a MOR-resolving snapshot is the expensive relation here
-            # (window + anti-join per action) and this path executes it
-            # THREE times (touched-partition probe, rewritten slice,
-            # carry subtraction): persist once, release after publish.
-            # Cache-worthy only under MOR — plain snapshots are one
-            # pruned scan each and caching them just costs block churn.
-            df = pinned = df.persist()
+        # persist handling lives in _partial_rewrite_exec (r13): under
+        # MOR the persisted relation is the candidate-pruned slice
+        # when the predicate is partition-only, the full resolving
+        # snapshot otherwise — O(touched) cache instead of O(table)
+        return self._partial_rewrite_exec(
+            condition, rewrite_fn, operation, cdc, cur, meta0, mor,
+            cmap, df, pb, snapshot)
+
+    @staticmethod
+    def _condition_refs(condition) -> set[str] | None:
+        """Lower-cased column names a Column predicate references,
+        walked over its catalyst expression tree (unresolved and
+        resolved attributes both carry ``name``); None when the tree
+        holds anything reference-opaque (star, subquery plan)."""
         try:
-            return self._partial_rewrite_exec(
-                condition, rewrite_fn, operation, cdc, cur, meta0, mor,
-                cmap, df, pb, snapshot)
-        finally:
-            if pinned is not None:
-                pinned.unpersist()
+            stack = [condition._jc.expr()]
+            refs: set[str] = set()
+            while stack:
+                e = stack.pop()
+                cls = e.getClass().getSimpleName()
+                if cls in ("UnresolvedAttribute", "AttributeReference"):
+                    refs.add(e.name().lower())
+                    continue
+                if cls.startswith("Unresolved") and cls not in (
+                        "UnresolvedNamedLambdaVariable",):
+                    if cls not in ("UnresolvedFunction",):
+                        return None
+                ch = e.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+            return refs
+        except Exception:
+            return None
+
+    def _touched_partitions_local(self, condition, cur: int,
+                                  meta0: dict) -> list | None:
+        """Touched-partition probe WITHOUT a table scan, for predicates
+        that reference only partition columns (r13, guide §2.4: the
+        cheapest scan is the one you don't run — the pre-r13 probe was
+        one full-table scan per DML, O(table) at 100 TB for a
+        predicate the live file list already answers).
+
+        Every non-empty partition's values are hive-encoded in the
+        live file paths; evaluating the predicate over the DISTINCT
+        tuples (one tiny LocalRelation — folded by
+        ConvertToLocalRelation, no Spark job) finds exactly the
+        partitions a probe scan would: a partition-only predicate is
+        constant within a partition, and a live dir implies at least
+        one base row. The string->typed conversion mirrors
+        ``_attach_partition_cols`` (NULL sentinel, %XX unescape, cast
+        to the scan schema's inferred type) so the collected rows are
+        indistinguishable from scan-probe rows.
+
+        Returns None — caller falls back to the scan probe — when the
+        predicate references non-partition columns, when any live file
+        predates the current partition layout (its value lives in the
+        file, not the path), or when local evaluation fails. Under MOR
+        the result is a SUPERSET of the resolved probe (a fully-
+        tombstoned partition still lists); the caller re-probes the
+        pruned slice for exactness."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+        pb = list(self.partition_by)
+        # cheap reference walk over the (unresolved) expression tree:
+        # a predicate touching any non-partition column falls back
+        # BEFORE the filter attempt, so the common fallback never
+        # raises (and never logs) through the JVM analyzer
+        refs = self._condition_refs(condition)
+        if refs is None or not refs <= {c.lower() for c in pb}:
+            return None
+        raw: set[tuple] = set()
+        for rel in self._files_rel(cur):
+            vals = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    vals[k] = val
+            if any(c not in vals for c in pb):
+                return None     # pre-layout file: value is in the file
+            raw.add(tuple(vals[c] for c in pb))
+        if not raw:
+            return []
+        try:
+            fields = {f.name: f for f in
+                      self._scan_schema(cur, meta0).fields}
+            if any(c not in fields for c in pb):
+                return None
+            sdf = self.spark.createDataFrame(
+                sorted(raw),
+                StructType([StructField(c, StringType())
+                            for c in pb]))
+            typed = sdf.select(*[
+                F.when(F.col(c) == "__HIVE_DEFAULT_PARTITION__",
+                       F.lit(None).cast(fields[c].dataType))
+                .otherwise(
+                    F.when(F.col(c).contains("%"),
+                           F.url_decode(F.regexp_replace(
+                               F.col(c), r"\+", "%2B")))
+                    .otherwise(F.col(c)).cast(fields[c].dataType))
+                .alias(c) for c in pb])
+            return typed.filter(condition).distinct().collect()
+        except Exception:
+            return None         # predicate is not partition-only
 
     def _partial_rewrite_exec(self, condition, rewrite_fn,
                               operation: str, cdc, cur: int, meta0: dict,
                               mor: bool, cmap, df: DataFrame, pb: list,
                               snapshot) -> "ManagedTable":
         from pyspark.sql import functions as F
-        touched = df.filter(condition).select(*pb).distinct().collect()
-        if not touched:
-            return self
+        # metadata-only probe (r13): exact for copy-on-write tables,
+        # candidate pruning under MOR. The subquery-DML path carries
+        # precomputed marker columns in ``snapshot`` — its condition
+        # can never be partition-only, skip the attempt.
+        local = (self._touched_partitions_local(condition, cur, meta0)
+                 if snapshot is None else None)
+        pinned = None
+        try:
+            if local is not None and not mor:
+                # copy-on-write + partition-only predicate: the
+                # metadata probe IS the answer (live dir => live
+                # rows) — no probe scan at all
+                touched = local
+            elif mor:
+                if local is not None:
+                    if not local:
+                        return self
+                    cand = reduce(or_, (
+                        reduce(and_, (F.col(c).eqNullSafe(F.lit(r[c]))
+                                      for c in pb)) for r in local))
+                    # resolve ONLY the candidate partitions (r13): the
+                    # pre-r13 path persisted the FULL resolved
+                    # snapshot to serve three consumers that all read
+                    # the touched slice — an O(table) cache
+                    # materialization on an O(touched) path. Pruned-
+                    # base resolution + the exact member filter is
+                    # exact per the _resolve_mor contract;
+                    # stable_partitions (required on this branch)
+                    # guarantees no key's rows span partitions.
+                    df = self._apply_column_map(
+                        self._resolve_mor(
+                            self._base_scan(cur, meta0).filter(cand),
+                            meta0), meta0).filter(cand)
+                elif df is None:
+                    df = self.read()
+                # the resolving snapshot backs the probe, the
+                # rewritten slice and the carry subtraction: persist
+                # ONCE (O(touched) when the candidate pruning applied)
+                df = pinned = df.persist()
+                touched = df.filter(condition).select(*pb).distinct() \
+                    .collect()
+            else:
+                if df is None:
+                    df = self.read()
+                touched = df.filter(condition).select(*pb).distinct() \
+                    .collect()
+            if not touched:
+                return self
+            if df is None:
+                # metadata-probe path: the rewrite itself still reads
+                # the table — but only the touched slice (filter(member)
+                # below; partition-pruned on materialized hive scans)
+                df = self.read()
+            return self._partial_rewrite_commit(
+                condition, rewrite_fn, operation, cdc, cur, meta0, mor,
+                cmap, df, pb, snapshot, touched)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
+
+    def _partial_rewrite_commit(self, condition, rewrite_fn, operation,
+                                cdc, cur, meta0, mor, cmap, df, pb,
+                                snapshot, touched) -> "ManagedTable":
+        from pyspark.sql import functions as F
         member = reduce(or_, (
             reduce(and_, (F.col(c).eqNullSafe(F.lit(r[c])) for c in pb))
             for r in touched))
