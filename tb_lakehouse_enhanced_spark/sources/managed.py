@@ -1272,10 +1272,39 @@ class ManagedTable:
         # Under a live map the key tuples are written with PHYSICAL
         # names (the plane resolution joins on, see _resolve_mor)
         tomb_dir = f"tomb_v{v}-m{uuid.uuid4().hex[:8]}"
-        (self._stamp_field_ids(
-            self.read().filter(condition)
-            .select(*[F.col(k).alias(phys_of.get(k, k))
-                      for k in key_cols]), cmap)
+        refs = self._condition_refs(condition)
+        if refs is not None and refs <= {k.lower() for k in key_cols}:
+            # KEY-ONLY predicate (r13): tombstone keys come from one
+            # key-pruned scan of base ∪ delta files — no LWW window /
+            # anti-join resolution (guide §2.4). Exact: a key-only
+            # predicate gives every copy of a key the same verdict,
+            # and a matched key with no LIVE row is harmless in a
+            # tombstone file — the read-side anti-join, the CDF's
+            # key-restricted resolved diff (``commit_changes``) and
+            # both mirrors' equality deletes all match nothing for it
+            # (the delete_mor_keys contract).
+            from pyspark.sql.types import StructType as _ST
+            base = self._base_scan(cur, parent)
+            pkeys = [phys_of.get(k, k) for k in key_cols]
+            raw = base.select(*[F.col(p).alias(k)
+                                for k, p in zip(key_cols, pkeys)])
+            deltas = parent.get("deltas") or []
+            if deltas:
+                dscan = self.spark.read.schema(
+                    _ST([base.schema[p] for p in pkeys])).parquet(
+                    *[os.path.join(self.path, d) for d in deltas])
+                raw = raw.unionByName(dscan.select(*[
+                    F.col(p).alias(k)
+                    for k, p in zip(key_cols, pkeys)]))
+            batch = (raw.filter(condition)
+                     .dropDuplicates(list(key_cols))
+                     .select(*[F.col(k).alias(p)
+                               for k, p in zip(key_cols, pkeys)]))
+        else:
+            batch = (self.read().filter(condition)
+                     .select(*[F.col(k).alias(phys_of.get(k, k))
+                               for k in key_cols]))
+        (self._stamp_field_ids(batch, cmap)
          .write.mode("overwrite")
          .parquet(os.path.join(self.path, tomb_dir)))
         tombs = list(parent.get("tombstones") or []) + [tomb_dir]
@@ -4368,25 +4397,65 @@ class ManagedTable:
             condition, rewrite_fn, operation, cdc, cur, meta0, mor,
             cmap, df, pb, snapshot)
 
-    @staticmethod
-    def _condition_refs(condition) -> set[str] | None:
+    def _condition_refs(self, condition) -> set[str] | None:
         """Lower-cased column names a Column predicate references,
-        walked over its catalyst expression tree (unresolved and
-        resolved attributes both carry ``name``); None when the tree
-        holds anything reference-opaque (star, subquery plan)."""
+        walked over its ``ColumnNode`` tree (Spark 4's pre-analysis
+        Column representation — no analyzer round trip, no error-log
+        noise). WHITELISTED node classes only; a raw-SQL node
+        (``F.expr``, the SQL front-end's WHERE texts) is parsed with
+        the session's sqlParser and its catalyst tree walked instead
+        (children() is the complete subtree list for pure expression
+        trees; subquery/star nodes — whose plans are NOT children —
+        are rejected). Anything unknown returns None and the caller
+        falls back to the scan path, so the unsound direction (missing
+        a referenced column) is impossible by construction."""
         try:
-            stack = [condition._jc.expr()]
+            stack = [condition._jc.node()]
+            refs: set[str] = set()
+            while stack:
+                n = stack.pop()
+                cls = n.getClass().getSimpleName()
+                if cls == "UnresolvedAttribute":
+                    parts = n.nameParts()
+                    if parts.size() != 1:
+                        return None     # qualified / struct access
+                    refs.add(parts.apply(0).lower())
+                    continue
+                if cls == "SqlExpression":
+                    sub = self._sql_condition_refs(n.sql())
+                    if sub is None:
+                        return None
+                    refs |= sub
+                    continue
+                if cls not in ("UnresolvedFunction", "Literal", "Cast",
+                               "CaseWhenOtherwise"):
+                    return None
+                ch = n.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+            return refs
+        except Exception:
+            return None
+
+    def _sql_condition_refs(self, text: str) -> set[str] | None:
+        """Referenced column names of a raw SQL predicate, via the
+        session parser's catalyst expression tree."""
+        try:
+            parser = self.spark._jsparkSession.sessionState().sqlParser()
+            stack = [parser.parseExpression(text)]
             refs: set[str] = set()
             while stack:
                 e = stack.pop()
                 cls = e.getClass().getSimpleName()
-                if cls in ("UnresolvedAttribute", "AttributeReference"):
-                    refs.add(e.name().lower())
-                    continue
-                if cls.startswith("Unresolved") and cls not in (
-                        "UnresolvedNamedLambdaVariable",):
-                    if cls not in ("UnresolvedFunction",):
+                if "Subquery" in cls or "Star" in cls \
+                        or cls in ("Exists", "ListQuery"):
+                    return None     # plan-holding: not in children()
+                if cls == "UnresolvedAttribute":
+                    parts = e.nameParts()
+                    if parts.size() != 1:
                         return None
+                    refs.add(parts.apply(0).lower())
+                    continue
                 ch = e.children()
                 for i in range(ch.size()):
                     stack.append(ch.apply(i))
@@ -4447,20 +4516,41 @@ class ManagedTable:
                       self._scan_schema(cur, meta0).fields}
             if any(c not in fields for c in pb):
                 return None
-            sdf = self.spark.createDataFrame(
-                sorted(raw),
-                StructType([StructField(c, StringType())
-                            for c in pb]))
+            # an inline VALUES table, NOT createDataFrame: the latter
+            # builds a LogicalRDD that executes as a default-
+            # parallelism scan job; VALUES resolves to a LocalRelation
+            # that ConvertToLocalRelation folds with the project +
+            # filter below — the probe collect launches NO Spark job
+
+            def _q(s: str) -> str:
+                return ("'" + s.replace("\\", "\\\\")
+                        .replace("'", "\\'") + "'")
+            rows_sql = ",".join(
+                "(" + ",".join(_q(v) for v in t) + ")"
+                for t in sorted(raw))
+            names = ",".join(f"c{i}" for i in range(len(pb)))
+            sdf = self.spark.sql(
+                f"SELECT * FROM (VALUES {rows_sql}) AS t({names})")
             typed = sdf.select(*[
-                F.when(F.col(c) == "__HIVE_DEFAULT_PARTITION__",
+                F.when(F.col(f"c{i}") == "__HIVE_DEFAULT_PARTITION__",
                        F.lit(None).cast(fields[c].dataType))
                 .otherwise(
-                    F.when(F.col(c).contains("%"),
+                    F.when(F.col(f"c{i}").contains("%"),
                            F.url_decode(F.regexp_replace(
-                               F.col(c), r"\+", "%2B")))
-                    .otherwise(F.col(c)).cast(fields[c].dataType))
-                .alias(c) for c in pb])
-            return typed.filter(condition).distinct().collect()
+                               F.col(f"c{i}"), r"\+", "%2B")))
+                    .otherwise(F.col(f"c{i}"))
+                    .cast(fields[c].dataType))
+                .alias(c) for i, c in enumerate(pb)])
+            # dedupe typed tuples driver-side (.distinct() would plan
+            # a real shuffle job)
+            rows = typed.filter(condition).collect()
+            seen, out = set(), []
+            for r in rows:
+                t = tuple(r)
+                if t not in seen:
+                    seen.add(t)
+                    out.append(r)
+            return out
         except Exception:
             return None         # predicate is not partition-only
 
@@ -4554,6 +4644,17 @@ class ManagedTable:
             # scoped DML straight through an ALTER, no materialize
             rewritten = rewritten.select(
                 *[F.col(lg).alias(p) for p, lg, _t in cmap])
+        carry_fut = None
+        if mor:
+            # the carry subtraction's writes are independent of the
+            # partition rewrite below — overlap them (guide §2.6:
+            # concurrent jobs back-fill each other's task tails; both
+            # read the persisted touched slice)
+            from concurrent.futures import ThreadPoolExecutor
+            carry_pool = ThreadPoolExecutor(max_workers=1)
+            carry_fut = carry_pool.submit(
+                self._carry_mor_minus_touched, meta0, member,
+                df.filter(member), v)
         (self._stamp_field_ids(rewritten, cmap).write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
         # hardlink every untouched LIVE file from the old snapshot
@@ -4578,9 +4679,11 @@ class ManagedTable:
             meta["column_map"] = cmap
             if meta0.get("phys_retired"):
                 meta["phys_retired"] = meta0["phys_retired"]
-        if mor:
-            meta.update(self._carry_mor_minus_touched(
-                meta0, member, df.filter(member), v))
+        if carry_fut is not None:
+            try:
+                meta.update(carry_fut.result())
+            finally:
+                carry_pool.shutdown(wait=False)
         # WriteSerializable OCC: a racing blind append to an UNTOUCHED
         # partition whose rows don't match this DML's predicate rebases
         # instead of failing (Delta's conflict matrix). A condition
@@ -4641,24 +4744,36 @@ class ManagedTable:
             *[F.col(k).alias(phys_of.get(k, k)) for k in keys])
         out: dict = {"tombstone_keys": keys}
         new_deltas, new_tombs = [], []
+        writes = []     # (subtracted relation, new dir name)
         for d in (meta0.get("deltas") or []):
             kept = (self.spark.read
                     .parquet(os.path.join(self.path, d))
                     .filter(~member))
             name = f"{d}_rw{v}"
-            self._stamp_field_ids(kept, meta0.get("column_map")) \
-                .write.mode("overwrite").parquet(
-                    os.path.join(self.path, name))
+            writes.append((kept, name))
             new_deltas.append(name)
         for t in (meta0.get("tombstones") or []):
             kept = (self.spark.read
                     .parquet(os.path.join(self.path, t))
                     .join(touched_keys, pkeys, "left_anti"))
             name = f"{t}_rw{v}"
+            writes.append((kept, name))
+            new_tombs.append(name)
+
+        def _w(pair):
+            kept, name = pair
             self._stamp_field_ids(kept, meta0.get("column_map")) \
                 .write.mode("overwrite").parquet(
                     os.path.join(self.path, name))
-            new_tombs.append(name)
+        if len(writes) > 1:
+            # independent tiny writes — overlap them (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(writes))) \
+                    as pool:
+                list(pool.map(_w, writes))
+        else:
+            for pair in writes:
+                _w(pair)
         if new_deltas:
             out["deltas"] = new_deltas
         if new_tombs:
