@@ -2513,9 +2513,22 @@ class ManagedTable:
             self.spark.conf.set(
                 "spark.sql.parquet.fieldId.write.enabled", "true")
             self.spark._tb_field_id_conf = True
-        return df.select(*[
-            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
-            if c in ids else F.col(c) for c in df.columns])
+        # the stamped Column list is unresolved (bound by name at
+        # select time) — REUSABLE across DataFrames. Building it is
+        # ~2 py4j calls per column; the commit plane stamps every
+        # write, so cache per (columns, ids) on the session (r13)
+        cache = getattr(self.spark, "_tb_stamp_cols", None)
+        if cache is None:
+            cache = self.spark._tb_stamp_cols = {}
+        key = (tuple(df.columns), tuple(sorted(ids.items())))
+        cols = cache.get(key)
+        if cols is None:
+            if len(cache) > 512:
+                cache.clear()
+            cols = cache[key] = [
+                F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+                if c in ids else F.col(c) for c in df.columns]
+        return df.select(*cols)
 
     def _ensure_readable(self, vdir: str, schema) -> None:
         """A partitioned write of ZERO rows emits no parquet footer at
@@ -3344,22 +3357,28 @@ class ManagedTable:
             entries = []
             fresh = new_files(covered)
             if fresh:
-                fields = self._scan_schema(
-                    v, self._commit(v), root=new_dir).fields
-                aggs = []
-                for c in cols:
-                    aggs += [F.min(_src(c)).alias(f"min__{c}"),
-                             F.max(_src(c)).alias(f"max__{c}")]
-                rows = (self._scan_file_list(fresh, fields)
-                        .groupBy(F.col("_metadata.file_path").alias("file"))
-                        .agg(*aggs).collect())
-                entries = [
-                    {"file": r["file"],
-                     **{f"min__{c}": self._norm_stat(r[f"min__{c}"])
-                        for c in cols},
-                     **{f"max__{c}": self._norm_stat(r[f"max__{c}"])
-                        for c in cols}}
-                    for r in rows]
+                entries_f = self._footer_stat_entries(
+                    fresh, cols, self._commit(v))
+                if entries_f is not None:
+                    entries = entries_f
+                else:
+                    fields = self._scan_schema(
+                        v, self._commit(v), root=new_dir).fields
+                    aggs = []
+                    for c in cols:
+                        aggs += [F.min(_src(c)).alias(f"min__{c}"),
+                                 F.max(_src(c)).alias(f"max__{c}")]
+                    rows = (self._scan_file_list(fresh, fields)
+                            .groupBy(F.col("_metadata.file_path")
+                                     .alias("file"))
+                            .agg(*aggs).collect())
+                    entries = [
+                        {"file": r["file"],
+                         **{f"min__{c}": self._norm_stat(r[f"min__{c}"])
+                            for c in cols},
+                         **{f"max__{c}": self._norm_stat(r[f"max__{c}"])
+                            for c in cols}}
+                        for r in rows]
             with open(self._stats_path_for_dir(new_dir), "w") as f:
                 json.dump({"columns": cols, "files": kept + entries}, f)
         prefix = f"_bloom_{parent_dir}_"
@@ -3408,6 +3427,119 @@ class ManagedTable:
                            "m_bits": pb["m_bits"], "k": pb["k"],
                            "files": merged}, f)
 
+    def _footer_stat_entries(self, files: list[str], cols,
+                             meta: dict) -> list[dict] | None:
+        """Per-file min/max manifest entries for ``cols`` derived from
+        the parquet FOOTERS of just-written batch files — the O(batch)
+        skipping maintenance without a Spark aggregate job (r13; the
+        stats the writer's own files already carry, guide §1.2/§6).
+        Sound by construction: chunk statistics are valid bounds per
+        the parquet spec (a truncated bound is only ever WIDER, which
+        keeps extra files — the exact filter still applies), and any
+        case whose normalized form isn't guaranteed byte-compatible
+        with ``_norm_stat``'s (binary, decimals, missing stats on a
+        non-all-null chunk, nested/physical-missing columns) returns
+        None so the caller falls back to the aggregate job. Capped at
+        256 files — a bigger batch is cluster work, not driver work
+        (same threshold shape as the Iceberg emitter's row counts)."""
+        if len(files) > 256:
+            return None
+        import datetime
+
+        import pyarrow.parquet as pq
+        phys_of = {lg: p for p, lg, _t in
+                   (meta.get("column_map") or [])}
+        fields = {f.name: f.dataType for f in
+                  self._scan_schema(meta["version"], meta).fields}
+        _UNSUP = object()
+
+        def norm(x):
+            if isinstance(x, bool):
+                return x
+            if isinstance(x, (int, float)):
+                return float(x)
+            if isinstance(x, str):
+                return x
+            if isinstance(x, datetime.datetime):
+                # Spark collect() yields naive UTC (session TZ);
+                # pyarrow may attach tzinfo — align before str()
+                if x.tzinfo is not None:
+                    x = x.astimezone(
+                        datetime.timezone.utc).replace(tzinfo=None)
+                return str(x)
+            if isinstance(x, datetime.date):
+                return str(x)
+            return _UNSUP
+
+        def part_val(seg, dtype):
+            # typed partition value exactly as the aggregate path
+            # would produce it post-_norm_stat
+            import urllib.parse
+            tn = dtype.typeName()
+            if seg is None:
+                return None
+            if "%" in seg:
+                seg = urllib.parse.unquote(seg.replace("+", "%2B"))
+            if tn in ("integer", "long", "short", "byte",
+                      "double", "float"):
+                return float(seg)
+            if tn in ("string", "date"):
+                return seg
+            return _UNSUP
+
+        out = []
+        for path in files:
+            try:
+                md = pq.ParquetFile(path).metadata
+            except Exception:
+                return None
+            leaf_of: dict[str, list[int]] = {}
+            for i in range(md.num_columns):
+                top = md.schema.column(i).path.split(".", 1)[0]
+                leaf_of.setdefault(top, []).append(i)
+            pvals = self._partition_values(
+                os.path.relpath(path, self.path))
+            entry: dict = {"file": path}
+            for c in cols:
+                pc = phys_of.get(c, c) if phys_of else c
+                if pc is None:
+                    # legacy None-phys column: NULL everywhere
+                    entry[f"min__{c}"] = entry[f"max__{c}"] = None
+                    continue
+                if pc not in leaf_of:
+                    if pc in pvals or pc in self._hive_keys([path]):
+                        v_ = part_val(pvals.get(pc), fields.get(pc))
+                        if v_ is _UNSUP or pc not in fields:
+                            return None
+                        entry[f"min__{c}"] = entry[f"max__{c}"] = v_
+                        continue
+                    # absent physically AND not dir-encoded: typed
+                    # NULL via the superset schema — null stats exact
+                    entry[f"min__{c}"] = entry[f"max__{c}"] = None
+                    continue
+                if len(leaf_of[pc]) != 1:
+                    return None     # nested: not a manifest column
+                ci = leaf_of[pc][0]
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    ch = md.row_group(rg).column(ci)
+                    st = ch.statistics
+                    if st is None:
+                        return None
+                    if st.null_count is not None \
+                            and st.null_count == ch.num_values:
+                        continue    # all-null chunk: no bound needed
+                    if not st.has_min_max:
+                        return None
+                    lo, hi = norm(st.min), norm(st.max)
+                    if lo is _UNSUP or hi is _UNSUP:
+                        return None
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                entry[f"min__{c}"], entry[f"max__{c}"] = mn, mx
+            out.append(entry)
+        return out
+
     def _maintain_skipping_manifests(self, v: int, folded: bool) -> None:
         """Extend the parent's stats/bloom manifests with the batch's
         files after an append commit (no-op when the parent has none —
@@ -3436,23 +3568,34 @@ class ManagedTable:
         if os.path.isfile(p_stats_path):
             with open(p_stats_path) as f:
                 cols = json.load(f)["columns"]
-            batch = self._batch_scan(meta)
             entries = []
-            if batch is not None:
-                aggs = []
-                for c in cols:
-                    aggs += [F.min(_src(c)).alias(f"min__{c}"),
-                             F.max(_src(c)).alias(f"max__{c}")]
-                rows = (batch.groupBy(
-                    F.col("_metadata.file_path").alias("file"))
-                    .agg(*aggs).collect())
-                entries = [
-                    {"file": r["file"],
-                     **{f"min__{c}": self._norm_stat(r[f"min__{c}"])
-                        for c in cols},
-                     **{f"max__{c}": self._norm_stat(r[f"max__{c}"])
-                        for c in cols}}
-                    for r in rows]
+            rels = meta.get("added_files") or []
+            batch_paths = [os.path.join(self.path, meta["dir"], r)
+                           for r in rels]
+            # footer-derived bounds first (r13): no Spark job for the
+            # common batch; None -> the aggregate-job fallback below
+            entries_f = (self._footer_stat_entries(batch_paths, cols,
+                                                   meta)
+                         if batch_paths else [])
+            if entries_f is not None:
+                entries = entries_f
+            else:
+                batch = self._batch_scan(meta)
+                if batch is not None:
+                    aggs = []
+                    for c in cols:
+                        aggs += [F.min(_src(c)).alias(f"min__{c}"),
+                                 F.max(_src(c)).alias(f"max__{c}")]
+                    rows = (batch.groupBy(
+                        F.col("_metadata.file_path").alias("file"))
+                        .agg(*aggs).collect())
+                    entries = [
+                        {"file": r["file"],
+                         **{f"min__{c}": self._norm_stat(r[f"min__{c}"])
+                            for c in cols},
+                         **{f"max__{c}": self._norm_stat(r[f"max__{c}"])
+                            for c in cols}}
+                        for r in rows]
             full = self._load_stats(meta["live_base"]) if folded else None
             if full is not None:
                 payload = {"columns": cols, "files": full["files"] + entries}
