@@ -73,6 +73,17 @@ def get_session(app_name: str = "tb-lakehouse-enhanced-spark",
         # invariant (only acts on columns carrying parquet.field.id
         # metadata, which only the managed write path attaches)
         .config("spark.sql.parquet.fieldId.write.enabled", "true")
+        # r13 perf: committer overhead is paid once per COMMIT and the
+        # engine's scenario paths commit constantly. Algorithm v2
+        # moves task output directly to the destination (no job-level
+        # rename fan-in; standard practice on HDFS/local - object
+        # stores use their own committers), and _SUCCESS markers are
+        # dead weight for a log-native table whose visibility is the
+        # commit log, not a marker file
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".marksuccessfuljobs", "false")
     )
     return builder.getOrCreate()
 
