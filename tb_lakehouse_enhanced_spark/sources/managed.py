@@ -617,17 +617,19 @@ class ManagedTable:
         dir; partition values re-attach from each file's path."""
         meta = meta if meta is not None else self._commit(v)
         if meta.get("live_base") is None:
-            if meta.get("column_map"):
-                # a MAPPED materialized commit (partition-scoped DML
-                # under a live map) mixes hardlinked pre-ALTER files
-                # with rewritten current-physical ones in one dir: pin
-                # the superset schema so footer sampling can't drop a
-                # column only some files carry
-                return self.spark.read.schema(
-                    self._scan_schema(v, meta, root=meta["dir"])
-                ).parquet(self._version_dir(v))
-            return self._strip_field_metadata(
-                self.spark.read.parquet(self._version_dir(v)))
+            # materialized commit: ONE hive-discovering relation over
+            # the version dir, read under the CACHED schema. Mapped
+            # commits need the superset schema pinned (hardlinked
+            # pre-ALTER files mixed with rewritten current-physical
+            # ones — footer sampling could drop a column only some
+            # files carry); plain commits get the same cached clean
+            # schema because the per-read footer inference plus the
+            # _strip_field_metadata select were ~40 ms of driver/py4j
+            # work per read (guide §5), paid by every statement since
+            # each one builds a fresh ManagedTable
+            return self.spark.read.schema(
+                self._scan_schema(v, meta, root=meta["dir"])
+            ).parquet(self._version_dir(v))
         root, files = self._chain_resolve(v)
         live = sorted(files.values())
         # scan schema = chain-bottom physical schema, extended with any
@@ -687,21 +689,26 @@ class ManagedTable:
         their physical column can be missing from the root (assigned
         at ``evolve_schema`` time).
 
-        CACHED per (root, map) on the instance (r11): a materialized
-        root dir is immutable once its commit is visible, so the
-        footer-inference job deriving its schema runs once per process
-        instead of once per read — planning a mapped/MOR read stays
-        driver-cheap on the serving path."""
+        CACHED per (path, root, map) on the SESSION (r11 instance
+        cache, widened r13): a materialized root dir is immutable once
+        its commit is visible, so the footer-inference job deriving
+        its schema runs once per process instead of once per read —
+        and because every SQL statement builds a fresh ManagedTable,
+        the cache must outlive the instance to actually hit on the
+        serving path (measured ~42 ms/miss of driver/py4j work,
+        8 misses per evolved_mor_dml rep)."""
         from pyspark.sql.types import _parse_datatype_string
         root = root or self._materialized_root(v)
-        key = (root, tuple(tuple(e) for e in
-                           (meta.get("column_map") or [])))
-        cache = getattr(self, "_scan_schema_cache", None)
+        key = (self.path, root, tuple(tuple(e) for e in
+                                      (meta.get("column_map") or [])))
+        cache = getattr(self.spark, "_tb_scan_schema_cache", None)
         if cache is None:
-            cache = self._scan_schema_cache = {}
+            cache = self.spark._tb_scan_schema_cache = {}
         hit = cache.get(key)
         if hit is not None:
             return hit
+        if len(cache) > 4096:
+            cache.clear()
         base = self.spark.read.parquet(os.path.join(self.path, root))
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
@@ -719,6 +726,15 @@ class ManagedTable:
                 have.add(phys)
         cache[key] = schema
         return schema
+
+    def _invalidate_scan_schema(self, root: str) -> None:
+        """Drop cached scan schemas for ``root`` (restore/rebuild paths
+        that can re-materialize a dir name)."""
+        cache = getattr(self.spark, "_tb_scan_schema_cache", None)
+        if cache:
+            for k in [k for k in cache
+                      if k[0] == self.path and k[1] == root]:
+                del cache[k]
 
     @staticmethod
     def _map_physical_names(cmap: list) -> set:
@@ -1720,6 +1736,10 @@ class ManagedTable:
             full = os.path.join(self.path, d)
             if d not in referenced and os.path.isdir(full):
                 shutil.rmtree(full)
+        # a later writer may legitimately re-create this version's dir
+        # name with different contents — drop any schema cached against
+        # the orphan's never-visible dir
+        self._invalidate_scan_schema(orphan["dir"])
         return v
 
     # -- Delta-protocol log mirror (format interop) --------------------------
