@@ -402,6 +402,47 @@ class ManagedTable:
         and/or delta files) that a raw scan of its data dir would miss."""
         return bool(meta.get("tombstones") or meta.get("deltas"))
 
+    def is_provably_empty(self, version: int | None = None) -> bool | None:
+        """Tri-state emptiness from METADATA alone (parquet footer row
+        counts via pyarrow on the driver — no Spark job): True when the
+        resolved table provably has no rows, False when it provably has
+        at least one, None when footers can't settle it cheaply.
+        Serving-path planners (e.g. the SQL MERGE bootstrap fast path)
+        use this instead of a ``take(1)`` probe job; a None answer
+        falls back to the probe. Deltas can only add/keep rows and
+        tombstones only remove, so: zero base+delta rows => empty;
+        positive base rows with no tombstone state => non-empty;
+        anything else (or too many files to stat locally) => None."""
+        import pyarrow.parquet as _pq
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(
+                f"managed table {self.path} has no data")
+        meta = self._commit(v)
+        files = self._live_files(v)
+        delta_files: list[str] = []
+        for d in (meta.get("deltas") or []):
+            droot = os.path.join(self.path, d)
+            for r, _dd, fns in os.walk(droot):
+                delta_files += [os.path.join(r, f) for f in fns
+                                if f.endswith(".parquet")]
+        if len(files) + len(delta_files) > 64:
+            return None
+        try:
+            base_rows = sum(_pq.read_metadata(p).num_rows
+                            for p in files.values())
+            delta_rows = sum(_pq.read_metadata(p).num_rows
+                             for p in delta_files)
+        except OSError:
+            return None
+        if base_rows + delta_rows == 0:
+            return True
+        if not (meta.get("tombstones") or meta.get("tombstone_keys")):
+            # no remove state: any base or delta (upsert) row implies
+            # at least one live row after LWW resolution
+            return False
+        return None
+
     def read(self, version: int | None = None) -> DataFrame:
         v = self.current_version() if version is None else version
         if v < 0:

@@ -2454,7 +2454,13 @@ class LakehouseSql:
             source = self._source_df(specs[0].source)
             src_keys = _equi_source_keys(specs[0].on, specs[0].t_alias,
                                          specs[0].s_alias)
-            if not state.take(1):
+            # emptiness from commit metadata + parquet footers when
+            # provable (r13) — skips a take(1) probe JOB per load on
+            # the serving path; None falls back to the probe
+            empty = tbl.is_provably_empty()
+            if empty is None:
+                empty = not state.take(1)
+            if empty:
                 # empty target (the initial load): the update pass is a
                 # no-op and every source row is unmatched, so the pair
                 # reduces to the insert-only fast path — no outer join,

@@ -1157,3 +1157,31 @@ def test_partitioned_table_readable_after_delete_all(spark, tmp_base):
     t2 = ManagedTable(spark, f"{tmp_base}/empty_pt2", partition_by=("pt",))
     t2.overwrite(spark.createDataFrame([], "k int, pt int, v int"))
     assert t2.read().count() == 0
+
+
+def test_is_provably_empty_tri_state(spark, tmp_base):
+    """Metadata-only emptiness probe (r13): True/False only when the
+    parquet footers + commit meta PROVE it; None whenever tombstone
+    state could have removed rows. The SQL MERGE bootstrap fast path
+    relies on this to skip a take(1) probe job."""
+    t = ManagedTable(spark, f"{tmp_base}/probe")
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "k", "v"]))
+    assert t.is_provably_empty() is False        # rows, no remove state
+    t.overwrite(t.read().filter("id < 0"))
+    assert t.is_provably_empty() is True         # zero footer rows
+    assert t.is_provably_empty(version=0) is False   # time travel honored
+    # upsert delta: rows present but tombstone_keys recorded -> must
+    # answer conservatively (LWW resolution not provable from footers)
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], ["id", "k", "v"]))
+    t.upsert_mor(spark.createDataFrame([(1, "a", 2.0)], ["id", "k", "v"]),
+                 key_cols=("id",))
+    assert t.is_provably_empty() is None
+    # MOR delete: tombstones present -> unprovable
+    t.delete_mor(F.col("id") == 1, key_cols=("id",))
+    assert t.read().count() == 0
+    assert t.is_provably_empty() is None
+    # missing table raises like read()
+    t2 = ManagedTable(spark, f"{tmp_base}/probe_missing")
+    with pytest.raises(FileNotFoundError):
+        t2.is_provably_empty()
