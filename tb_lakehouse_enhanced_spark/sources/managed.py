@@ -92,6 +92,58 @@ def _assert_castable(df: DataFrame, checks: list, ctx: str) -> None:
             f"corrupted keys")
 
 
+import re as _re_mod
+
+# a hive partition-path value that Spark's partition type inference can
+# ONLY resolve as StringType: starts with a letter, contains nothing an
+# int/long/double/decimal/date/timestamp parse could accept and nothing
+# hive-escaped (%XX). "NaN"/"Infinity" are excluded — Java's
+# Double.parseDouble accepts them, so inference types them DOUBLE.
+# Used to pre-seed partitioned root schemas.
+_PLAIN_STRING_PARTVAL = _re_mod.compile(
+    r"^(?!(?:NaN|Infinity)$)[A-Za-z][A-Za-z0-9_]*$")
+
+
+def _parquet_roundtrip_schema(schema):
+    """The StructType Spark's parquet footer inference would return
+    for files written with ``schema``, or None when any type is
+    outside the set whose write->infer round-trip is provably
+    identity: inference forces nullable=True at every level, strips
+    field metadata (the field-id stamps), and widens CHAR/VARCHAR to
+    STRING; every other supported type reads back as itself. Anything
+    not on the whitelist (UDTs, intervals, null type) returns None so
+    the caller falls back to real inference."""
+    from pyspark.sql import types as T
+    _ATOMIC = (T.StringType, T.BinaryType, T.BooleanType, T.ByteType,
+               T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+               T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
+               T.TimestampNTZType)
+
+    def conv(dt):
+        if isinstance(dt, (T.VarcharType, T.CharType)):
+            return T.StringType()
+        if isinstance(dt, _ATOMIC):
+            return dt
+        if isinstance(dt, T.ArrayType):
+            el = conv(dt.elementType)
+            return None if el is None else T.ArrayType(el, True)
+        if isinstance(dt, T.MapType):
+            k, v = conv(dt.keyType), conv(dt.valueType)
+            return None if k is None or v is None else T.MapType(k, v, True)
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                c = conv(f.dataType)
+                if c is None:
+                    return None
+                fields.append(T.StructField(f.name, c, True))
+            return T.StructType(fields)
+        return None
+
+    out = conv(schema)
+    return out
+
+
 class ManagedTable:
     """A versioned parquet table identified by a directory path."""
 
@@ -737,7 +789,11 @@ class ManagedTable:
         and because every SQL statement builds a fresh ManagedTable,
         the cache must outlive the instance to actually hit on the
         serving path (measured ~42 ms/miss of driver/py4j work,
-        8 misses per evolved_mor_dml rep)."""
+        8 misses per evolved_mor_dml rep). The ROOT schema underneath
+        has its own (path, root) cache tier, SEEDED at write time for
+        unpartitioned roots (``_seed_root_schema``) — the writer knows
+        the schema it just wrote, so the first read after a commit
+        skips footer inference entirely."""
         from pyspark.sql.types import _parse_datatype_string
         root = root or self._materialized_root(v)
         key = (self.path, root, tuple(tuple(e) for e in
@@ -746,6 +802,33 @@ class ManagedTable:
         if cache is None:
             cache = self.spark._tb_scan_schema_cache = {}
         hit = cache.get(key)
+        if hit is not None:
+            return hit
+        if len(cache) > 4096:
+            cache.clear()
+        from pyspark.sql.types import StructType as _ST
+        # COPY the cached root schema before extending: StructType.add
+        # mutates in place, and the base object is shared by every
+        # (root, map) variant of this root
+        schema = _ST(list(self._root_schema(root).fields))
+        have = set(schema.fieldNames())
+        for phys, _logical, typ in (meta.get("column_map") or []):
+            if phys is not None and phys not in have:
+                schema = schema.add(
+                    phys, _parse_datatype_string(typ or "string"))
+                have.add(phys)
+        cache[key] = schema
+        return schema
+
+    def _root_schema(self, root: str):
+        """The (hive-inferred) physical schema of a materialized root
+        dir, from the session (path, root) cache — populated by footer
+        inference on first miss, or seeded at write time by
+        ``_seed_root_schema`` (no inference job at all)."""
+        cache = getattr(self.spark, "_tb_root_schema_cache", None)
+        if cache is None:
+            cache = self.spark._tb_root_schema_cache = {}
+        hit = cache.get((self.path, root))
         if hit is not None:
             return hit
         if len(cache) > 4096:
@@ -759,23 +842,82 @@ class ManagedTable:
         # output schemas) must stay metadata-clean as before
         schema = _ST([_SF(f.name, f.dataType, f.nullable)
                       for f in base.schema.fields])
-        have = set(schema.fieldNames())
-        for phys, _logical, typ in (meta.get("column_map") or []):
-            if phys is not None and phys not in have:
-                schema = schema.add(
-                    phys, _parse_datatype_string(typ or "string"))
-                have.add(phys)
-        cache[key] = schema
+        cache[(self.path, root)] = schema
         return schema
+
+    def _seed_root_schema(self, root: str, written_schema) -> None:
+        """Record a just-written root dir's schema in the (path, root)
+        cache so the first read never runs footer inference (guide §5:
+        the writer is the one party that KNOWS the schema). Only when
+        every written type provably round-trips parquet write->infer
+        identically (``_parquet_roundtrip_schema``). Partition-column
+        types are inferred from the PATH VALUES at scan time, so a
+        partitioned root seeds only when every hive segment value the
+        write produced is letters-only (provably StringType under
+        Spark's partition type inference — cannot parse as
+        int/long/double/decimal/date/timestamp) — the one local dir
+        walk mirrors ``_ensure_readable``'s; anything else keeps the
+        inference path."""
+        clean = _parquet_roundtrip_schema(written_schema)
+        if clean is None:
+            return
+        if self.partition_by:
+            from pyspark.sql.types import StringType, StructField
+            from pyspark.sql.types import StructType as _ST
+            vdir = os.path.join(self.path, root)
+            seen: dict[str, int] = {}
+            for r, dirs, _files in os.walk(vdir):
+                for d in dirs:
+                    if "=" not in d:
+                        continue
+                    col, _, val = d.partition("=")
+                    if not _PLAIN_STRING_PARTVAL.match(val):
+                        return
+                    seen[col] = seen.get(col, 0) + 1
+            # every partition column must actually appear (a zero-row
+            # write parks a flat schema file instead — inference there
+            # keeps partition cols as data columns in df order)
+            if set(seen) != set(self.partition_by):
+                return
+            clean = _ST(
+                [f for f in clean.fields
+                 if f.name not in self.partition_by]
+                + [StructField(p, StringType(), True)
+                   for p in self.partition_by])
+        cache = getattr(self.spark, "_tb_root_schema_cache", None)
+        if cache is None:
+            cache = self.spark._tb_root_schema_cache = {}
+        if len(cache) > 4096:
+            cache.clear()
+        cache[(self.path, root)] = clean
+
+    def _carry_root_schema(self, meta: dict) -> None:
+        """A partition-scoped rewrite's new root holds the parent
+        root's files (hardlinked or rewritten through the parent's
+        scan schema) — its inferred schema is the parent's, so carry
+        the cached entry forward instead of re-running footer
+        inference on the first read of every DML commit. No cached
+        parent => first read infers as before."""
+        cache = getattr(self.spark, "_tb_root_schema_cache", None)
+        if not cache:
+            return
+        try:
+            proot = self._materialized_root(meta["version"] - 1)
+        except (FileNotFoundError, KeyError):
+            return
+        parent = cache.get((self.path, proot))
+        if parent is not None:
+            cache[(self.path, meta["dir"])] = parent
 
     def _invalidate_scan_schema(self, root: str) -> None:
         """Drop cached scan schemas for ``root`` (restore/rebuild paths
         that can re-materialize a dir name)."""
-        cache = getattr(self.spark, "_tb_scan_schema_cache", None)
-        if cache:
-            for k in [k for k in cache
-                      if k[0] == self.path and k[1] == root]:
-                del cache[k]
+        for attr in ("_tb_scan_schema_cache", "_tb_root_schema_cache"):
+            cache = getattr(self.spark, attr, None)
+            if cache:
+                for k in [k for k in cache
+                          if k[0] == self.path and k[1] == root]:
+                    del cache[k]
 
     @staticmethod
     def _map_physical_names(cmap: list) -> set:
@@ -2635,6 +2777,7 @@ class ManagedTable:
         if self.partition_by:
             self._ensure_readable(os.path.join(self.path, f"v{v}"),
                                   df.schema)
+        self._seed_root_schema(f"v{v}", df.schema)
         meta = self._write_cdc(v, cdc, {
             "version": v, "dir": f"v{v}", "op": operation,
             "ts": time.time(), **(extra_meta or {})})
@@ -5069,6 +5212,7 @@ class ManagedTable:
         for _attempt in range(16):
             try:
                 out = self._publish(v, meta)
+                self._carry_root_schema(meta)
                 # data skipping survives partition-scoped DML at
                 # O(touched): untouched entries re-point to their
                 # hardlinked paths, rewritten partitions re-analyze

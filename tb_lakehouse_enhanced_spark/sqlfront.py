@@ -1134,6 +1134,17 @@ class LakehouseSql:
         rel = name.replace(".", os.sep)
         return ManagedTable(self.spark, os.path.join(self.root, rel))
 
+    def _temp_view_exists(self, name: str) -> bool:
+        """Does a SESSION-LOCAL temp view named ``name`` exist? One
+        direct SessionCatalog lookup (~0.5 ms) instead of
+        ``catalog.listTables()`` (~150+ ms: enumerates and converts
+        every table/view descriptor through py4j) — this probe sits on
+        the statement-binding hot path of every bare-name resolution
+        (guide §5, driver overhead). Name matching is
+        case-insensitive, same as the listing it replaced."""
+        return self.spark._jsparkSession.sessionState().catalog() \
+            .getTempView(name).isDefined()
+
     def _prep(self, statement: str) -> str:
         s = _norm(statement)
         if self.now is not None:
@@ -1153,17 +1164,11 @@ class LakehouseSql:
         if self.current_db and t.exists():
             # bare name under a USE SCHEMA context — but a session
             # temp view of the same name keeps resolution precedence
-            temps = {v.name.lower()
-                     for v in self.spark.catalog.listTables()
-                     if v.isTemporary}
-            if source.lower() not in temps:
+            if not self._temp_view_exists(source):
                 return t.read()
         # persistent lakehouse views (CREATE VIEW) resolve by stored
         # text, AFTER session temp views (Spark's precedence)
-        if "." in source or not any(
-                v.name.lower() == source.lower()
-                for v in self.spark.catalog.listTables()
-                if v.isTemporary):
+        if "." in source or not self._temp_view_exists(source):
             views = self._views()
             text = views.get(self._qualify(source)) \
                 or views.get(source)
@@ -1609,13 +1614,10 @@ class LakehouseSql:
         if self.current_db:
             ctes = {n.lower() for n in _findall_code(
                 r"\b(?:WITH|,)\s+(\w+)\s+AS\s*\(", out, re.IGNORECASE)}
-            temps = {v.name.lower()
-                     for v in self.spark.catalog.listTables()
-                     if v.isTemporary}
             for kw, tb in set(_findall_code(
                     r"\b(FROM|JOIN)\s+(\w+)\b(?!\s*\()", out,
                     re.IGNORECASE)):
-                if tb.lower() in ctes or tb.lower() in temps:
+                if tb.lower() in ctes or self._temp_view_exists(tb):
                     continue
                 t = self.table(tb)     # current_db-qualified
                 if t.exists():
@@ -1674,10 +1676,7 @@ class LakehouseSql:
             if m.group("scope").upper().startswith("GLOBAL"):
                 df.createOrReplaceGlobalTempView(name)
             else:
-                if not m.group("replace") and any(
-                        v.name.lower() == name.lower()
-                        for v in self.spark.catalog.listTables()
-                        if v.isTemporary):
+                if not m.group("replace") and self._temp_view_exists(name):
                     if m.group("ine"):
                         return df
                     raise ValueError(f"temp view exists: {name}")
@@ -1776,10 +1775,7 @@ class LakehouseSql:
                     _json.dump(views, f)
                 os.replace(tmp, self._views_file)
                 return qname
-            if "." not in name and any(
-                    v.name.lower() == name.lower()
-                    for v in self.spark.catalog.listTables()
-                    if v.isTemporary):
+            if "." not in name and self._temp_view_exists(name):
                 self.spark.catalog.dropTempView(name)
                 return name
             if not m.group("ie"):
@@ -2185,11 +2181,12 @@ class LakehouseSql:
         t = self.table(tbl_name)
         base = t.read()
         bare = tbl_name.split(".")[-1]
-        prior = next(
-            (self.spark.table(v.name)
-             for v in self.spark.catalog.listTables()
-             if v.isTemporary and not v.namespace
-             and v.name.lower() == bare.lower()), None)
+        # a session-local temp view shadows everything at spark.table
+        # resolution, so existence via the direct SessionCatalog probe
+        # plus spark.table(bare) resolves the same relation the old
+        # listTables scan found
+        prior = (self.spark.table(bare)
+                 if self._temp_view_exists(bare) else None)
         base.createOrReplaceTempView(bare)
         try:
             bound = self._bind_managed_tables(where)
