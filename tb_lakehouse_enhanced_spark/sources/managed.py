@@ -4939,14 +4939,29 @@ class ManagedTable:
                         self._resolve_mor(
                             self._base_scan(cur, meta0).filter(cand),
                             meta0), meta0).filter(cand)
-                elif df is None:
-                    df = self.read()
-                # the resolving snapshot backs the probe, the
-                # rewritten slice and the carry subtraction: persist
-                # ONCE (O(touched) when the candidate pruning applied)
-                df = pinned = df.persist()
-                touched = df.filter(condition).select(*pb).distinct() \
-                    .collect()
+                    # the metadata candidates ARE the touched set
+                    # (r13): a partition-only predicate is constant
+                    # within a partition, so the resolved probe could
+                    # only EXCLUDE candidates whose live rows are all
+                    # tombstoned/shadowed — and rewriting such a
+                    # partition writes zero rows and drops its dead
+                    # state, the same visible table the skip left
+                    # behind. Taking the superset directly removes the
+                    # probe job (persist + multi-stage distinct
+                    # collect) from every partition-scoped DML under
+                    # MOR; the resolved slice below still backs the
+                    # rewrite and the carry subtraction.
+                    df = pinned = df.persist()
+                    touched = local
+                else:
+                    if df is None:
+                        df = self.read()
+                    # the resolving snapshot backs the probe, the
+                    # rewritten slice and the carry subtraction:
+                    # persist ONCE
+                    df = pinned = df.persist()
+                    touched = df.filter(condition).select(*pb) \
+                        .distinct().collect()
             else:
                 if df is None:
                     df = self.read()
