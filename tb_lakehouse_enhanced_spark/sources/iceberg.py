@@ -1409,7 +1409,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         # table's logical schema, not a StopIteration (r13 advice fix)
         cur_schema = next(s for s in doc["schemas"]
                           if s["schema-id"] == doc["current-schema-id"])
-        return spark.createDataFrame([], StructType(
+        from .managed import empty_local_df
+        return empty_local_df(spark, StructType(
             [StructField(f["name"], _spark_type(f["type"]), True)
              for f in cur_schema["fields"]]))
     snap = next((s for s in doc["snapshots"]
@@ -1540,11 +1541,38 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                               else str(part[fid])
                               for fid in part_fids])
                      for p, s, part in files]
-        meta_df = spark.createDataFrame(meta_rows, _ST(
-            [_SF("_ice_fp", _Str(), False),
-             _SF("_ice_seq", LongType(), True)]
-            + [_SF(f"_ice_p{fid}", _Str(), True)
-               for fid in part_fids]))
+        if len(meta_rows) <= 4096:
+            # inline VALUES LocalRelation: createDataFrame builds a
+            # LogicalRDD whose broadcast materialization runs a
+            # default-parallelism (32-task) job per read; VALUES folds
+            # to a LocalRelation and the broadcast build is job-free
+            # (guide §2.4). Metadata-sized by construction; huge file
+            # sets keep the distributed path.
+            def _lit(v):
+                if v is None:
+                    return "NULL"
+                if isinstance(v, str):
+                    return ("'" + v.replace("\\", "\\\\")
+                            .replace("'", "\\'") + "'")
+                return str(v)
+            rows_sql = ",".join(
+                "(" + ",".join(_lit(c) for c in r) + ")"
+                for r in meta_rows)
+            names = ",".join(f"c{i}" for i in range(2 + len(part_fids)))
+            meta_df = spark.sql(
+                f"SELECT * FROM (VALUES {rows_sql}) AS t({names})"
+            ).select(
+                F.col("c0").cast("string").alias("_ice_fp"),
+                F.col("c1").cast("bigint").alias("_ice_seq"),
+                *[F.col(f"c{i + 2}").cast("string")
+                  .alias(f"_ice_p{fid}")
+                  for i, fid in enumerate(part_fids)])
+        else:
+            meta_df = spark.createDataFrame(meta_rows, _ST(
+                [_SF("_ice_fp", _Str(), False),
+                 _SF("_ice_seq", LongType(), True)]
+                + [_SF(f"_ice_p{fid}", _Str(), True)
+                   for fid in part_fids]))
         norm = F.regexp_replace(F.col("_metadata.file_path"),
                                 "^[a-zA-Z0-9.+-]+:/+", "/")
         df = df.withColumn("_ice_fp", norm)

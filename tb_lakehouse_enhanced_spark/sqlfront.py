@@ -57,7 +57,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sources.managed import ManagedTable
+from .sources.managed import ManagedTable, empty_local_df
 
 __all__ = ["LakehouseSql", "MergeSpec", "MergeClause",
            "parse_merge", "parse_update", "parse_delete", "parse_insert",
@@ -2041,7 +2041,7 @@ class LakehouseSql:
             rel = tbl_name.replace(".", os.sep)
             tbl = ManagedTable(self.spark, os.path.join(self.root, rel))
         df = self.spark.sql(self._bind_managed_tables(ctas)) if ctas \
-            else self.spark.createDataFrame([], schema_ddl)
+            else empty_local_df(self.spark, schema_ddl)
         # a replaced table is a NEW definition: stale identity/PK/FK
         # info and CHECK constraints from the old one must neither
         # validate the replacement write nor survive into it
