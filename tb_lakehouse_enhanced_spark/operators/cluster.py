@@ -89,7 +89,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                     ra, rb = rb, ra
                 parent[rb] = ra
         out = [(v, find(v)) for v in parent]
-        return spark.createDataFrame(out, schema=schema)
+        # explicit slice count: bare createDataFrame parallelizes the
+        # local result over defaultParallelism (a 32-task job to ship
+        # a few hundred labels); one slice per 50k rows keeps the
+        # downstream consumer single-task at driver-fast-path sizes
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                out, max(1, len(out) // 50_000 + 1)),
+            schema=schema)
     # big-graph path: n_edges already counted above (probe truncated)
     n_part = max(1, min(spark.sparkContext.defaultParallelism,
                         n_edges // 50_000 + 1))

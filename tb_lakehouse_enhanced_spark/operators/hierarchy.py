@@ -77,8 +77,13 @@ def flatten_hierarchy(nodes: DataFrame, id_col: str = "id",
             resolve(i)
         out = [(i, memo[i][0], memo[i][1]) for i in parent]
         id_t = dict(nodes.dtypes)[id_col]
+        # explicit slice count: bare createDataFrame parallelizes over
+        # defaultParallelism — a 32-task job to ship a small local
+        # result (driver fast-path sizes stay single-task)
         return spark.createDataFrame(
-            out, f"id {id_t}, root_id {id_t}, depth bigint")
+            spark.sparkContext.parallelize(
+                out, max(1, len(out) // 50_000 + 1)),
+            f"id {id_t}, root_id {id_t}, depth bigint")
 
     is_root = F.col(parent_col).isNull()
     # state: id -> (anc pointer, hops to anc, anc is a root)

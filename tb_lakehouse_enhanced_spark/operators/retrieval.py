@@ -261,8 +261,14 @@ def _term_buckets(spark, terms, n_buckets: int) -> list[int]:
     missing = [t for t in dict.fromkeys(terms)
                if (t, n_buckets) not in _BUCKET_MEMO]
     if missing:
-        rows = (spark.createDataFrame([(t,) for t in missing],
-                                      "term string")
+        # inline VALUES LocalRelation: ConvertToLocalRelation folds the
+        # projection, so the collect evaluates the engine's hash
+        # expression with NO Spark job (createDataFrame planned a
+        # default-parallelism 32-task job for a handful of terms)
+        vals = ",".join(
+            "('" + t.replace("\\", "\\\\").replace("'", "\\'") + "')"
+            for t in missing)
+        rows = (spark.sql(f"SELECT * FROM (VALUES {vals}) AS t(term)")
                 .select("term",
                         _bucket_expr(F.col("term"), n_buckets).alias("b"))
                 .collect())

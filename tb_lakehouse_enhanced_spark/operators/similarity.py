@@ -214,8 +214,12 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
         spark = corpus.sparkSession
         pairs = [(int(all_ids[i]), int(all_ids[j]))
                  for i, j in zip(ii, jj)]
-        return spark.createDataFrame(pairs or [],
-                                     "id_a long, id_b long")
+        # explicit slice count (see cluster.py): defaultParallelism
+        # slices would run a 32-task job to ship the local pair list
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                pairs, max(1, len(pairs) // 50_000 + 1)),
+            "id_a long, id_b long")
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -2768,13 +2768,20 @@ class ManagedTable:
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE",
                   extra_meta: dict | None = None,
-                  cdc: DataFrame | None = None) -> "ManagedTable":
+                  cdc: DataFrame | None = None,
+                  pre_publish=None) -> "ManagedTable":
         """Write ``df`` as the next snapshot and flip the pointer.
 
         ``extra_meta`` keys are stored in the commit record — e.g. a CDC
         consumer's high-water mark (operators/cdf.py::sync_incremental),
         making consumer state as durable/atomic as the data itself.
         ``cdc``: a DML writer's recorded change rows (``_write_cdc``).
+
+        ``pre_publish``: optional callable run AFTER the data write but
+        BEFORE the commit publishes (r13). A caller overlapping an
+        independent validation job with the write (guide §2.6) joins it
+        here; raising aborts the commit — the staged dir is removed,
+        nothing was published, the table is untouched.
 
         Registered CHECK constraints validate ``df`` in one scan before
         any data is written; a violation aborts with per-rule counts and
@@ -2795,6 +2802,14 @@ class ManagedTable:
         if self.partition_by:
             self._ensure_readable(os.path.join(self.path, f"v{v}"),
                                   df.schema)
+        if pre_publish is not None:
+            try:
+                pre_publish()
+            except BaseException:
+                shutil.rmtree(os.path.join(self.path, f"v{v}"),
+                              ignore_errors=True)
+                self._invalidate_scan_schema(f"v{v}")
+                raise
         self._seed_root_schema(f"v{v}", df.schema)
         meta = self._write_cdc(v, cdc, {
             "version": v, "dir": f"v{v}", "op": operation,

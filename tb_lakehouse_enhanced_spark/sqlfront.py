@@ -70,6 +70,12 @@ class MergeCardinalityError(Exception):
     same error)."""
 
 
+class _FusedSourceDupes(Exception):
+    """Internal: the uniqueness gate (run concurrently with the fused
+    MERGE pair's write) found duplicate source keys — the speculative
+    fused commit aborts pre-publish and the pair re-runs sequentially."""
+
+
 # ------------------------------------------------------------ tokenizing ---
 #
 # The only lexical structure the parser needs: where do the TOP-LEVEL
@@ -2479,18 +2485,46 @@ class LakehouseSql:
                 finally:
                     for df in pin:
                         df.unpersist()
-            dupes = (source.groupBy(*src_keys)
-                     .agg(F.count(F.lit(1)).alias("__n"))
-                     .filter(F.col("__n") > 1).limit(1).count())
-            if not dupes:
+            def _dupes() -> int:
+                return (source.groupBy(*src_keys)
+                        .agg(F.count(F.lit(1)).alias("__n"))
+                        .filter(F.col("__n") > 1).limit(1).count())
+            cl = specs[1].clauses[0]
+            needs_ident = bool(
+                ident and ident in state.columns
+                and (cl.insert_cols is None
+                     or ident not in cl.insert_cols))
+            if not needs_ident:
+                # overlap the uniqueness gate with the fused write
+                # (guide §2.6: independent jobs back-fill each other's
+                # task tails): the gate joins at overwrite's
+                # pre-publish hook, so a duplicate-key source aborts
+                # BEFORE anything becomes visible and falls back to
+                # the sequential composition exactly as the serial
+                # probe did. Identity assignment is excluded — its
+                # reservation commits are side effects that must not
+                # run speculatively.
+                from concurrent.futures import ThreadPoolExecutor
                 res = apply_merge_fused_pair(state, source, *specs)
-                cl = specs[1].clauses[0]
+                with ThreadPoolExecutor(1) as _pool:
+                    fut = _pool.submit(_dupes)
+
+                    def _gate():
+                        if fut.result():
+                            raise _FusedSourceDupes()
+                    try:
+                        return tbl.overwrite(
+                            res, operation="MERGE",
+                            extra_meta={"fused": 2,
+                                        **(extra_meta or {})},
+                            pre_publish=_gate)
+                    except _FusedSourceDupes:
+                        pass    # sequential composition below
+            elif not _dupes():
+                res = apply_merge_fused_pair(state, source, *specs)
                 pin: list = []
-                if ident and ident in state.columns and (
-                        cl.insert_cols is None
-                        or ident not in cl.insert_cols):
-                    res = _assign_identity_reserved(
-                        tbl, res, state, ident, src_keys, info, pin)
+                res = _assign_identity_reserved(
+                    tbl, res, state, ident, src_keys, info, pin)
                 try:
                     return tbl.overwrite(
                         res, operation="MERGE",

@@ -1957,3 +1957,62 @@ def test_restore_to_timestamp(lake):
     lake.sql(f"RESTORE TABLE rs.t TO TIMESTAMP AS OF '{cut}'")  # -> v1
     assert [(r["id"], r["v"])
             for r in lake.sql("SELECT * FROM rs.t").collect()] == [(1, 10)]
+
+
+def test_merge_pair_duplicate_source_aborts_fused_commit(spark, lake):
+    """A FUSABLE pair whose source carries duplicate keys must abort
+    the speculative fused commit pre-publish (r13: the uniqueness gate
+    runs concurrently with the fused write) and re-run sequentially:
+    state identical to statement-by-statement, no orphan version dir,
+    exactly one visible commit for the pair."""
+    import os
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src = _orders_src(orders, 0)                # keys %10 != 7
+    dup_src = src.unionByName(src.limit(7))     # 7 duplicate keys
+    empty = (src.limit(0)
+             .withColumn("_tf_valid_from", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_valid_to", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_create_date", F.lit(None).cast("timestamp"))
+             .withColumn("_tf_update_date", F.lit(None).cast("timestamp")))
+    # seed keys DISJOINT from the source (%10 == 7): the duplicates are
+    # all unmatched, so sequential semantics are well-defined (a
+    # matched duplicate raises MergeCardinalityError on either path)
+    seed = (orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice")
+            .filter(F.col("o_orderkey") % 10 == 7).limit(50))
+    for c in ("_tf_valid_from", "_tf_valid_to",
+              "_tf_create_date", "_tf_update_date"):
+        seed = seed.withColumn(c, F.lit(None).cast("timestamp"))
+    # sequential reference
+    lake.now = T0
+    lake.table("silver.orders").overwrite(empty)
+    lake.table("silver.orders").overwrite(seed)
+    dup_src.createOrReplaceTempView("src_orders")
+    lake.sql(SCD2_CLOSE)
+    lake.sql(SCD2_INSERT)
+    cols = sorted(lake.table("silver.orders").read().columns)
+
+    def _key(r):
+        return tuple((x is None, x) for x in r)
+    want = sorted(map(tuple, lake.table("silver.orders").read()
+                      .select(*cols).collect()), key=_key)
+    # fused-path entry with the same duplicate source
+    fused = LakehouseSql(spark, lake.root + "_dupfused")
+    fused.now = T0
+    fused.table("silver.orders").overwrite(empty)
+    fused.table("silver.orders").overwrite(seed)
+    base_v = fused.table("silver.orders").current_version()
+    dup_src.createOrReplaceTempView("src_orders")
+    fused.merge_pair(SCD2_CLOSE, SCD2_INSERT)
+    t = fused.table("silver.orders")
+    got = sorted(map(tuple, t.read().select(*cols).collect()), key=_key)
+    assert got == want and len(got) > 50
+    # one commit for the pair (the sequential composition also folds
+    # both passes into a single commit and tags it fused=len(specs)),
+    # and the aborted speculative dir was cleaned up before the
+    # fallback rewrote it
+    assert t.current_version() == base_v + 1
+    dirs = [d for d in os.listdir(t.path)
+            if d.startswith(f"v{base_v + 1}")]
+    assert len(dirs) == 1
