@@ -278,10 +278,21 @@ def _term_buckets(spark, terms, n_buckets: int) -> list[int]:
 
 
 def _postings(docs: DataFrame, n_buckets: int,
-              id_col: str, text_col: str):
+              id_col: str, text_col: str, observe_into=None):
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     base = base.withColumn("dl", F.size("_toks").cast("double"))
+    if observe_into is not None:
+        # corpus constants (n, sumdl) ride the postings WRITE job as a
+        # CollectMetrics node at the per-document grain — the batch is
+        # tokenized and scanned ONCE total where the old shape ran a
+        # second full aggregate pass over the corpus just for two
+        # numbers (guide §1.2: don't compute things twice). Exact same
+        # aggregate as the old pass: count(*) + sum(dl) over the
+        # pre-explode rows.
+        base = base.observe(observe_into,
+                            F.count(F.lit(1)).cast("double").alias("n"),
+                            F.sum("dl").alias("sumdl"))
     posts = (base.select("doc_id", "dl", F.explode("_toks").alias("term"))
              .groupBy("term", "doc_id", "dl")
              .agg(F.count(F.lit(1)).cast("double").alias("tf"))
@@ -290,10 +301,31 @@ def _postings(docs: DataFrame, n_buckets: int,
              # cluster each bucket's file by term: parquet row-group
              # min/max stats then prune `term IN (...)` INSIDE the kept
              # bucket files too — one extra build-time shuffle, paid
-             # once on a write-once/probe-many index
-             .repartition("term_bucket")
+             # once on a write-once/probe-many index. The partition
+             # count is EXPLICIT (n_buckets — the write's natural
+             # parallelism: one output file per bucket dir either way):
+             # with the bare column form, AQE's byte-based coalescing
+             # sees a few MB of shuffle output and serializes the
+             # 64-directory write into ONE task (measured 0.76 s of the
+             # 1.5 s entry); at cluster scale ≤n_buckets hash partitions
+             # of the shuffle are non-empty anyway, so the explicit
+             # count changes nothing there.
+             .repartition(n_buckets, "term_bucket")
              .sortWithinPartitions("term", "doc_id"))
     return base, posts
+
+
+def _observed_stats(obs, base: DataFrame):
+    """The write-job observation's (n, sumdl) row. A provably-empty
+    batch plans as a LocalRelation whose write runs ZERO tasks, so no
+    ObservedMetrics event ever fires and ``obs.get`` fails — fall back
+    to the direct (trivial: empty input) aggregate there."""
+    try:
+        return obs.get
+    except Exception:
+        return base.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("dl").alias("sumdl")).collect()[0]
 
 
 def _write_stats(path: str, stats: dict) -> None:
@@ -315,13 +347,15 @@ def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
     high-water mark can make them atomic/replay-safe. Returns the
     stats dict."""
     import os as _os
-    base, posts = _postings(docs, n_buckets, id_col, text_col)
-    stats_row = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("dl").alias("sumdl")).collect()[0]
+
+    from pyspark.sql import Observation
+    obs = Observation()
+    base, posts = _postings(docs, n_buckets, id_col, text_col,
+                            observe_into=obs)
     (posts.write.mode("overwrite").partitionBy("term_bucket")
      .parquet(_os.path.join(path, "postings", "ingest_batch=0")))
-    stats = {"n": float(stats_row["n"]),
+    stats_row = _observed_stats(obs, base)
+    stats = {"n": float(stats_row["n"] or 0.0),
              "sumdl": float(stats_row["sumdl"] or 0.0),
              "n_buckets": n_buckets, "last_batch": 0,
              # the id column's Spark type, so probes against an EMPTY
@@ -362,14 +396,15 @@ def append_bm25_index(docs: DataFrame, path: str,
     bid = last + 1 if batch_id is None else int(batch_id)
     if bid <= last:
         return stats                     # replayed batch: already applied
-    base, posts = _postings(docs, stats["n_buckets"], id_col, text_col)
-    stats_row = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("dl").alias("sumdl")).collect()[0]
+    from pyspark.sql import Observation
+    obs = Observation()
+    base, posts = _postings(docs, stats["n_buckets"], id_col, text_col,
+                            observe_into=obs)
     (posts.write.mode("overwrite").partitionBy("term_bucket")
      .parquet(_os.path.join(path, _postings_dir(stats),
                             f"ingest_batch={bid}")))
-    stats["n"] = float(stats["n"] + stats_row["n"])
+    stats_row = _observed_stats(obs, base)
+    stats["n"] = float(stats["n"] + (stats_row["n"] or 0.0))
     stats["sumdl"] = float(stats["sumdl"] + (stats_row["sumdl"] or 0.0))
     stats["last_batch"] = bid
     _write_stats(path, stats)
