@@ -377,7 +377,21 @@ def embedding_near_dup_lsh(corpus: DataFrame, threshold: float = 0.4,
             return empty
         return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
-    return (b.groupBy("rot", "bucket")
+    # explicit partition count for the grouping shuffle: the verify
+    # kernel is Python CPU (per-bucket matmuls), which AQE's BYTE-based
+    # coalescing cannot see — at sf0.1 it folded the 512 groups into 3
+    # tasks (0.77 s serialized on a 32-core host). Scale-adaptive: keys
+    # cap the useful parallelism (2^n_planes * n_rotations distinct
+    # groups), ONE task wave (defaultParallelism) bounds it below —
+    # measured best at sf0.1 (0.96 s vs 1.29 s at 2 waves vs 1.40 s
+    # coalesced: per-task Python worker overhead dominates the tiny
+    # per-bucket matmuls, so exactly one full wave wins). A same-keys
+    # repartition satisfies the groupBy's clustering requirement, so
+    # no second exchange appears (plan-checked).
+    n_part = min(2 ** n_planes * n_rotations,
+                 b.sparkSession.sparkContext.defaultParallelism)
+    return (b.repartition(n_part, "rot", "bucket")
+            .groupBy("rot", "bucket")
             .applyInPandas(bucket_pairs, "id_a long, id_b long"))
 
 
