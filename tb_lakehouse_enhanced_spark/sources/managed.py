@@ -3908,6 +3908,20 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"managed table {self.path} has no data")
+        meta = self._commit(v)
+        # footer-derived fast path (same helper as the O(batch)
+        # maintenance): the per-file bounds the writer's own parquet
+        # footers already carry, zero Spark jobs. Falls back to the
+        # aggregate for any case whose normalized form isn't provably
+        # identical (binary/decimal, missing chunk stats, nested or
+        # physically-absent columns, >256 files — cluster work).
+        entries = self._footer_stat_entries(
+            sorted(self._live_files(v).values()), stat_cols, meta)
+        if entries is not None:
+            payload = {"columns": list(stat_cols), "files": entries}
+            with open(self._stats_file(v), "w") as f:
+                json.dump(payload, f)
+            return payload
         # _base_scan is a SINGLE file-source relation on both branches
         # (hive scan / fixed-schema multi-path with path-derived
         # partition columns), so the per-file ``_metadata`` grouping
