@@ -4996,9 +4996,11 @@ class ManagedTable:
                     # behind. Taking the superset directly removes the
                     # probe job (persist + multi-stage distinct
                     # collect) from every partition-scoped DML under
-                    # MOR; the resolved slice below still backs the
-                    # rewrite and the carry subtraction.
-                    df = pinned = df.persist()
+                    # MOR. No persist: the rewrite write is the
+                    # slice's ONLY consumer since the carry subtracts
+                    # from raw base/delta files (cache would only add
+                    # block-manager overhead — see the fact-upsert
+                    # measurement in the verify notes).
                     touched = local
                 else:
                     if df is None:
@@ -5057,13 +5059,13 @@ class ManagedTable:
         if mor:
             # the carry subtraction's writes are independent of the
             # partition rewrite below — overlap them (guide §2.6:
-            # concurrent jobs back-fill each other's task tails; both
-            # read the persisted touched slice)
+            # concurrent jobs back-fill each other's task tails; since
+            # r13 the carry reads only raw base/delta files, so the
+            # two never race to materialize a shared slice)
             from concurrent.futures import ThreadPoolExecutor
             carry_pool = ThreadPoolExecutor(max_workers=1)
             carry_fut = carry_pool.submit(
-                self._carry_mor_minus_touched, meta0, member,
-                df.filter(member), v)
+                self._carry_mor_minus_touched, meta0, member, v)
         (self._stamp_field_ids(rewritten, cmap).write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
         # hardlink every untouched LIVE file from the old snapshot
@@ -5119,38 +5121,65 @@ class ManagedTable:
         return set(self.partition_by or ()) <= ident
 
     def _carry_mor_minus_touched(self, meta0: dict, member,
-                                 touched_content, v: int) -> dict:
+                                 v: int, touched_content=None) -> dict:
         """Carry a parent commit's MOR state forward across a
         partition-scoped rewrite, MINUS the touched partitions.
 
         Delta files drop their touched-partition rows (they were
         materialized into the new base at sequence 0 — a surviving copy
         would re-shadow with stale values); tombstone files drop the
-        keys present in ``touched_content`` — the NEW/OLD content of
-        the touched partitions whose post-tombstone state the rewrite
-        materialized (a carried tombstone — always newer than sequence
-        0 — would otherwise delete a legitimately re-inserted or
-        merge-inserted key). Dir names keep the ORIGINAL
-        `delta_vN`/`tomb_vN` prefix so the resolver parses the same
-        commit sequence. Sound ONLY under the stable-partitions
-        contract (a key's rows never span partition values).
+        keys PRESENT in the touched partitions' base/delta files (a
+        carried tombstone — always newer than sequence 0 — would
+        otherwise delete a legitimately re-inserted or merge-inserted
+        key the rewrite just materialized). The key set deliberately
+        ignores liveness (r13): no LWW resolution — raw pruned
+        base/delta rows only. Over-dropping a DEAD key's tombstone is
+        sound because the rewrite materialized that partition's
+        post-tombstone state at sequence 0 (the key is absent from the
+        new base, and any future re-insert carries a higher sequence
+        than the dropped tombstone would have had), so the visible
+        table is identical — this replaces the pre-r13 resolved-slice
+        computation (a window over base+delta racing the main rewrite
+        for the persisted slice) with two cheap key-pruned scans.
+
+        ``touched_content`` (MERGE path) overrides the key source with
+        the touched partitions' NEW logical content: a merge can
+        INSERT a key that exists in NEITHER base nor delta yet carries
+        a superset tombstone (delete_mor's key-only fast path records
+        keys without proving a live row) — that tombstone must drop or
+        it would kill the just-materialized insert, so raw-file keys
+        are insufficient there and the merge result (already computed
+        for the write) is the authoritative set.
+        Dir names keep the ORIGINAL `delta_vN`/`tomb_vN` prefix so
+        the resolver parses the same commit sequence. Sound ONLY
+        under the stable-partitions contract (a key's rows never span
+        partition values).
 
         Runs on the PHYSICAL plane (r11): under a live column map the
         delta/tombstone files carry physical column names. ``member``
         (partition columns) is valid there as-is — partition columns
         are identity-mapped (``_map_partition_scoped_ok`` gates the
-        partition-scoped route) — and the LOGICAL ``tombstone_keys`` /
-        ``touched_content`` translate through the map before the
-        anti-join. This is what removes the last O(table) cliff on an
-        O(touched) path: ALTER -> MOR sync -> partition-scoped DML no
-        longer materializes (VERDICT r10 #1)."""
+        partition-scoped route) — and the LOGICAL ``tombstone_keys``
+        translate through the map before the anti-join. This is what
+        removes the last O(table) cliff on an O(touched) path:
+        ALTER -> MOR sync -> partition-scoped DML no longer
+        materializes (VERDICT r10 #1)."""
         from pyspark.sql import functions as F  # noqa: F401
         keys = list(meta0["tombstone_keys"])
         phys_of = {lg: p for p, lg, _t in
                    (meta0.get("column_map") or [])}
         pkeys = [phys_of.get(k, k) for k in keys]
-        touched_keys = touched_content.select(
-            *[F.col(k).alias(phys_of.get(k, k)) for k in keys])
+        if touched_content is not None:
+            touched_keys = touched_content.select(
+                *[F.col(k).alias(phys_of.get(k, k)) for k in keys])
+        else:
+            srcs = [self._base_scan(meta0["version"], meta0)
+                    .filter(member).select(*pkeys)]
+            for d in (meta0.get("deltas") or []):
+                srcs.append(self.spark.read
+                            .parquet(os.path.join(self.path, d))
+                            .filter(member).select(*pkeys))
+            touched_keys = reduce(DataFrame.unionByName, srcs)
         out: dict = {"tombstone_keys": keys}
         new_deltas, new_tombs = [], []
         writes = []     # (subtracted relation, new dir name)
@@ -5505,7 +5534,7 @@ class ManagedTable:
             # merge-INSERTED keys, whose carried tombstones must drop
             # (LOGICAL plane: the carry translates through the map)
             meta.update(self._carry_mor_minus_touched(
-                parent, member, merged_logical, v))
+                parent, member, v, touched_content=merged_logical))
         # WriteSerializable OCC: a racing blind append to an UNTOUCHED
         # partition rebases (Delta's ConcurrentAppendException fires
         # only for touched partitions). With the merge keys in hand we
