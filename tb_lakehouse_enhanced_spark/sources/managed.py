@@ -5055,25 +5055,30 @@ class ManagedTable:
             # scoped DML straight through an ALTER, no materialize
             rewritten = rewritten.select(
                 *[F.col(lg).alias(p) for p, lg, _t in cmap])
+        touched_rel = {
+            "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
+            for r in touched}
         carry_fut = None
         if mor:
             # the carry subtraction's writes are independent of the
             # partition rewrite below — overlap them (guide §2.6:
             # concurrent jobs back-fill each other's task tails; since
             # r13 the carry reads only raw base/delta files, so the
-            # two never race to materialize a shared slice)
+            # two never race to materialize a shared slice). The
+            # touched partition identities ride along (r14) so the
+            # size-gated driver fast path can run the subtraction with
+            # zero Spark jobs.
             from concurrent.futures import ThreadPoolExecutor
             carry_pool = ThreadPoolExecutor(max_workers=1)
             carry_fut = carry_pool.submit(
-                self._carry_mor_minus_touched, meta0, member, v)
+                self._carry_mor_minus_touched, meta0, member, v,
+                touched_rel=touched_rel,
+                touched_vals={tuple(r[c] for c in pb) for r in touched})
         (self._stamp_field_ids(rewritten, cmap).write.mode("overwrite")
          .partitionBy(*pb).parquet(vdir))
         # hardlink every untouched LIVE file from the old snapshot
         # (commit-log derived — the parent may be a log-native append
         # chain whose live set spans version dirs)
-        touched_rel = {
-            "/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
-            for r in touched}
         self._link_untouched(self._files_rel(cur), touched_rel, vdir)
         # AFTER the hardlink loop: a DELETE that empties every touched
         # partition while others survive must NOT park a root-level
@@ -5120,8 +5125,173 @@ class ManagedTable:
         ident = {lg for p, lg, _t in cmap if p == lg}
         return set(self.partition_by or ()) <= ident
 
+    # gates for the driver-side carry fast path (r14): the MOR
+    # sidecars are metadata-scale by premise, but the touched-key
+    # extraction also reads the TOUCHED partitions' base files — real
+    # data — so the fast path only engages when everything it would
+    # read fits comfortably on the driver; past either bound the
+    # carry runs as Spark jobs exactly as before (the 100 TB path).
+    CARRY_DRIVER_MAX_BYTES = 64 * 1024 * 1024
+    CARRY_DRIVER_MAX_FILES = 256
+
+    @staticmethod
+    def _carry_arrow_ok(field, compared: bool) -> bool:
+        """Whether a column can round-trip Spark->pyarrow->Spark with
+        byte-identical values (plain ints/floats/strings/bools/dates;
+        NOT timestamps — Spark writes INT96 which pyarrow rewrites as
+        INT64, changing the physical type under the session's
+        nanosAsLong conf — nor decimals/binary/nested). ``compared``
+        columns (partition membership, key identity) additionally
+        exclude floats: equality must match Spark's eqNullSafe via
+        plain Python ``==``."""
+        import pyarrow as pa
+        t = field.type
+        if pa.types.is_integer(t) or pa.types.is_string(t) \
+                or pa.types.is_large_string(t) or pa.types.is_boolean(t) \
+                or pa.types.is_date32(t):
+            return True
+        return (not compared) and pa.types.is_floating(t)
+
+    def _carry_driver_fast(self, meta0: dict, v: int,
+                           touched_rel: set[str],
+                           touched_vals: set[tuple]) -> dict | None:
+        """Driver-side carry subtraction (r14, guide §1.2/§5): the
+        carry's three tiny Spark jobs (touched-key union, per-delta
+        filter-write, per-tombstone anti-join-write) each cost a full
+        plan/schedule cycle to move kilobytes — the same
+        jobs-for-metadata-work disease the footer-analyze fix removed.
+        When the MOR sidecars plus the touched partitions' base files
+        are provably small (size/count gates above) and every involved
+        column round-trips through Arrow byte-identically, compute the
+        identical subtraction with pyarrow on the driver: zero Spark
+        jobs. Returns None — caller falls back to the Spark path —
+        when any gate fails or anything unexpected is hit; fallback is
+        always sound (same inputs, same dirs, overwrite semantics)."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pb = list(self.partition_by)
+        keys = list(meta0["tombstone_keys"])
+        phys_of = {lg: p for p, lg, _t in (meta0.get("column_map") or [])}
+        pkeys = [phys_of.get(k, k) for k in keys]
+        if set(pkeys) & set(pb):
+            # a key doubling as a partition column lives in base file
+            # PATHS, not file columns — the pruned reads below could
+            # not see it
+            return None
+        deltas = list(meta0.get("deltas") or [])
+        tombs = list(meta0.get("tombstones") or [])
+        # touched base files from the live list's hive segments (the
+        # same dirname membership _link_untouched complements)
+        base_files = []
+        for rel, full in self._files_rel(meta0["version"]).items():
+            if os.path.dirname(rel) in touched_rel:
+                base_files.append(full)
+        state_files = []
+        for d in deltas + tombs:
+            droot = os.path.join(self.path, d)
+            fs = sorted(os.path.join(droot, fn)
+                        for fn in os.listdir(droot)
+                        if fn.endswith(".parquet"))
+            state_files.append((d, fs))
+        all_files = base_files + [f for _d, fs in state_files for f in fs]
+        if len(all_files) > self.CARRY_DRIVER_MAX_FILES:
+            return None
+        if sum(os.path.getsize(f) for f in all_files) \
+                > self.CARRY_DRIVER_MAX_BYTES:
+            return None
+
+        def _member_mask(table):
+            """Boolean list: row's partition tuple in touched_vals
+            (typed, null-safe via plain Python equality)."""
+            cols = [table.column(c).to_pylist() for c in pb]
+            return [tuple(col[i] for col in cols) in touched_vals
+                    for i in range(table.num_rows)]
+
+        # touched keys = keys PRESENT in the touched partitions'
+        # base/delta rows (raw, no LWW resolve — see the caller's
+        # soundness note)
+        touched_keys: set[tuple] = set()
+        for f in base_files:
+            sch = pq.read_schema(f)
+            if any(k not in sch.names for k in pkeys):
+                return None     # file predates a key column
+            if not all(self._carry_arrow_ok(sch.field(k), True)
+                       for k in pkeys):
+                return None
+            t = pq.read_table(f, columns=pkeys)
+            cols = [t.column(k).to_pylist() for k in pkeys]
+            touched_keys.update(zip(*cols) if cols else ())
+        delta_tables = {}
+        for d in deltas:
+            fs = dict(state_files)[d]
+            parts = []
+            for f in fs:
+                t = pq.read_table(f)
+                if any(c not in t.schema.names for c in pb + pkeys):
+                    return None
+                for fld in t.schema:
+                    if not self._carry_arrow_ok(
+                            fld, fld.name in pb or fld.name in pkeys):
+                        return None
+                parts.append(t)
+            if not parts:
+                return None
+            t = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+            mask = _member_mask(t)
+            kcols = [t.column(k).to_pylist() for k in pkeys]
+            touched_keys.update(
+                tuple(col[i] for col in kcols)
+                for i in range(t.num_rows) if mask[i])
+            delta_tables[d] = t.filter(
+                pa.array([not m for m in mask], type=pa.bool_()))
+        tomb_tables = {}
+        for tb in tombs:
+            fs = dict(state_files)[tb]
+            parts = []
+            for f in fs:
+                t = pq.read_table(f)
+                if any(k not in t.schema.names for k in pkeys):
+                    return None
+                for fld in t.schema:
+                    if not self._carry_arrow_ok(fld, True):
+                        return None
+                parts.append(t)
+            if not parts:
+                return None
+            t = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+            kcols = [t.column(k).to_pylist() for k in pkeys]
+            keep = [tuple(col[i] for col in kcols) not in touched_keys
+                    for i in range(t.num_rows)]
+            tomb_tables[tb] = t.filter(pa.array(keep, type=pa.bool_()))
+        out: dict = {"tombstone_keys": keys}
+        new_deltas, new_tombs = [], []
+        for d, kept in list(delta_tables.items()) \
+                + list(tomb_tables.items()):
+            name = f"{d}_rw{v}"
+            dpath = os.path.join(self.path, name)
+            if os.path.isdir(dpath):        # stale attempt: replace
+                shutil.rmtree(dpath)
+            os.makedirs(dpath)
+            pq.write_table(
+                kept, os.path.join(
+                    dpath,
+                    f"part-00000-{_uuid.uuid4().hex}-c000"
+                    f".snappy.parquet"),
+                compression="snappy")
+            (new_deltas if d in delta_tables else new_tombs).append(name)
+        if new_deltas:
+            out["deltas"] = new_deltas
+        if new_tombs:
+            out["tombstones"] = new_tombs
+        return out
+
     def _carry_mor_minus_touched(self, meta0: dict, member,
-                                 v: int, touched_content=None) -> dict:
+                                 v: int, touched_content=None,
+                                 touched_rel: set[str] | None = None,
+                                 touched_vals: set[tuple] | None = None
+                                 ) -> dict:
         """Carry a parent commit's MOR state forward across a
         partition-scoped rewrite, MINUS the touched partitions.
 
@@ -5165,6 +5335,18 @@ class ManagedTable:
         ALTER -> MOR sync -> partition-scoped DML no longer
         materializes (VERDICT r10 #1)."""
         from pyspark.sql import functions as F  # noqa: F401
+        if touched_content is None and touched_rel is not None \
+                and touched_vals is not None:
+            # size/type-gated driver-side subtraction (r14): identical
+            # result, zero Spark jobs — see _carry_driver_fast. Any
+            # gate failure or surprise falls through to the Spark path.
+            try:
+                fast = self._carry_driver_fast(
+                    meta0, v, touched_rel, touched_vals)
+            except Exception:
+                fast = None
+            if fast is not None:
+                return fast
         keys = list(meta0["tombstone_keys"])
         phys_of = {lg: p for p, lg, _t in
                    (meta0.get("column_map") or [])}
