@@ -115,6 +115,30 @@ HEADLINE = [
 # unchanged.
 SPLIT_QUERIES = ("sql_merge_scd2", "sql_merge_partitioned")
 
+# round 14 (VERDICT r13 ask #2, originally the r12 ask #8): the PREVIOUS
+# round's isolated per-entry series embedded verbatim (BENCH_r13.json
+# parsed["isolated"], measured at calibration 0.176) so the
+# round-over-round verdict is computable from THIS run's output alone
+# even if the driver's capture of older BENCH files truncates again.
+# ADDITIONS-ONLY: the comparable series ("queries"/"value"/"isolated")
+# are untouched; the new keys are "isolated_prev", "isolated_speedup"
+# (prev/now, raw) and "isolated_speedup_normalized" (host-speed-
+# equalized via the two runs' calibration constants).
+PREV_ISOLATED = {
+    "evolved_mor_dml": 2.415,
+    "fact_projection": 0.981,
+    "iceberg_external_read": 1.126,
+    "log_retention_read": 1.313,
+    "scd2_merge_state": 0.34,
+    "search_bm25_indexed": 1.01,
+    "skipping_ingest_read": 1.427,
+    "sql_copy_into": 0.9,
+    "sql_merge_partitioned": 1.638,
+    "sql_merge_scd2": 1.341,
+    "table_changes_feed": 1.181,
+}
+PREV_CALIBRATION = 0.176
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -237,6 +261,23 @@ def main():
         # per-entry solo minima for the top-10 entries (6 reps each,
         # nothing interleaved) — the drift-adjudication series
         "isolated": dict(sorted(isolated.items())),
+        # round-over-round adjudication IN-FILE (r13 verdict ask #2):
+        # the previous round's isolated series plus per-entry speedups
+        # computed here, so no external BENCH file is needed to read
+        # this round against the last. "speedup" is raw prev/now;
+        # "_normalized" rescales for host speed via the calibration
+        # constants of both runs (>1 = faster this round).
+        "isolated_prev": PREV_ISOLATED,
+        "isolated_prev_calibration": PREV_CALIBRATION,
+        "isolated_speedup": {
+            n: round(PREV_ISOLATED[n] / isolated[n], 3)
+            for n in sorted(set(PREV_ISOLATED) & set(isolated))
+            if isolated[n] > 0},
+        "isolated_speedup_normalized": {
+            n: round((PREV_ISOLATED[n] / PREV_CALIBRATION)
+                     / (isolated[n] / max(min(calib), 1e-9)), 3)
+            for n in sorted(set(PREV_ISOLATED) & set(isolated))
+            if isolated[n] > 0},
         # fixed pure-CPU normalization constant (seeded range
         # hash-aggregate, no I/O): read total/value drift against
         # this — if calibration moved by the same factor, it's the

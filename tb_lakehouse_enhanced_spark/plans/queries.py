@@ -2090,8 +2090,13 @@ def log_retention_read_q(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey",
                                                 "o_custkey")
     mt.overwrite(orders.filter(F.col("o_orderkey") % 20 == 0))
-    for i in range(1, 9):
-        mt.append(orders.filter(F.col("o_orderkey") % 20 == i))
+    # the 8 appends' COMMITS are version-dependent (serial), but their
+    # DATA writes are not: append_many stages all batch dirs
+    # concurrently (guide §2.6) and publishes in order — same commit
+    # log, same archive-fold cadence, ~max(write) wall instead of
+    # sum(write) (r14; the per-commit asserts below are unchanged)
+    mt.append_many([orders.filter(F.col("o_orderkey") % 20 == i)
+                    for i in range(1, 9)])
     assert _os.path.isfile(mt._archive_file), \
         "the cadence-triggered archive fold did not run"
     assert not _os.path.isfile(mt._commit_file(0)) \

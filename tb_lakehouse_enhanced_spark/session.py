@@ -80,6 +80,19 @@ def get_session(app_name: str = "tb-lakehouse-enhanced-spark",
         # stores use their own committers), and _SUCCESS markers are
         # dead weight for a log-native table whose visibility is the
         # commit log, not a marker file
+        #
+        # INVARIANT (r14, VERDICT r13 #8) — v2 trades task-commit
+        # atomicity for speed: a failed/retried job can leave partial
+        # task output at the destination. That hazard is fenced HERE
+        # only because every engine write goes through the
+        # ManagedTable commit plane, which stages into a version dir
+        # that becomes visible solely via the commit log's pointer
+        # flip (_publish): a failed job's staged dir is never
+        # published and vacuum reclaims it. Any NEW writer added
+        # OUTSIDE the commit plane (a direct df.write.parquet to a
+        # serving location) inherits v2 semantics silently and MUST
+        # either route through ManagedTable or write to a staging
+        # path + atomic rename of its own.
         .config("spark.hadoop.mapreduce.fileoutputcommitter"
                 ".algorithm.version", "2")
         .config("spark.hadoop.mapreduce.fileoutputcommitter"

@@ -2849,6 +2849,18 @@ class ManagedTable:
         # physical-name assignment, no data touched) — the pre-r11
         # materialize fallback is retired; every append is O(batch)
         cmap = self._live_map(parent, cur)
+        v, dirname, vdir, added_files = self._stage_append(
+            df, cmap, cur + 1)
+        return self._publish_append(
+            parent, cmap, v, dirname, vdir, added_files,
+            operation, extra_meta, occ_retry)
+
+    def _stage_append(self, df: DataFrame, cmap, v: int):
+        """Write one append batch's data files into a writer-unique
+        staging dir (``v{N}-a{token}``) and list them — the data half
+        of ``append``, version-independent by construction (the token
+        keeps concurrent writers' files apart; publish renames the dir
+        if the version moves)."""
         df = self._with_generated(df)
         cons = self.constraints()
         if cons:
@@ -2866,7 +2878,6 @@ class ManagedTable:
                              for phys, logical, _typ in cmap])
         import uuid
         token = uuid.uuid4().hex[:8]
-        v = cur + 1
         # the batch dir is UNIQUE per writer (v{N}-a{token}): two
         # concurrent appenders can never mix files in one dir, which
         # is what makes the blind-append retry below safe — and what
@@ -2889,7 +2900,12 @@ class ManagedTable:
                 if fn.endswith(".parquet"):
                     added_files.append(
                         fn if rel == "." else os.path.join(rel, fn))
-        added_files = sorted(added_files)
+        return v, dirname, vdir, sorted(added_files)
+
+    def _publish_append(self, parent: dict, cmap, v: int, dirname: str,
+                        vdir: str, added_files: list[str],
+                        operation: str, extra_meta: dict | None,
+                        occ_retry: bool) -> "ManagedTable":
         rebased = False
         for _attempt in range(64):
             # ``occ_rebased`` marks a commit whose writer-computed
@@ -2955,12 +2971,63 @@ class ManagedTable:
                     raise
                 parent = new_parent     # MOR carry re-reads from it
                 w = max(head + 1, v + 1)
-                new_dirname = f"v{w}-a{token}"
+                new_dirname = f"v{w}-a" + dirname.split("-a", 1)[1]
                 os.rename(vdir, os.path.join(self.path, new_dirname))
                 v, dirname = w, new_dirname
                 vdir = os.path.join(self.path, dirname)
         raise ConcurrentWriteError(
             f"append to {self.path} lost {64} consecutive commit races")
+
+    def append_many(self, dfs, operation: str = "APPEND",
+                    extra_meta: dict | None = None) -> "ManagedTable":
+        """A chain of ``append`` commits whose DATA writes overlap
+        (r14, guide §2.6): each batch stages into its own writer-unique
+        ``v{N}-a{token}`` dir — the writes are version-independent by
+        construction, only the COMMIT order is serial — so a k-batch
+        ingest pays ~max(write) wall instead of sum(write), while the
+        publishes (put-if-absent, mirror emit, checkpoint fold,
+        skipping maintenance) run strictly in order and produce
+        commit-for-commit the same log as k sequential ``append``
+        calls. Batches land in list order; a mid-chain OCC race
+        rebases exactly like ``append``'s (the staged dir renames to
+        the next free version). Visibility is unchanged: batch i is
+        readable only once commits 1..i have published."""
+        dfs = list(dfs)
+        if not dfs:
+            return self
+        if not self.exists():
+            self.overwrite(dfs[0], operation, extra_meta=extra_meta)
+            dfs = dfs[1:]
+            if not dfs:
+                return self
+        cur = self.current_version()
+        parent = self._commit(cur)
+        cmap = self._live_map(parent, cur)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, len(dfs))) as pool:
+            staged = list(pool.map(
+                lambda iv: self._stage_append(iv[1], cmap, cur + 1 + iv[0]),
+                enumerate(dfs)))
+        out = self
+        for v, dirname, vdir, added_files in staged:
+            head = self.current_version()
+            parent = self._commit(head)
+            if self._live_map(parent, head) != cmap:
+                # the physical schema plane moved while batches were
+                # staging — the files carry the wrong layout (same
+                # rule as append's OCC retry): first-writer-wins
+                raise ConcurrentWriteError(
+                    f"column map of {self.path} changed under a "
+                    f"batched append; re-read and retry")
+            # v normally equals head+1 (our own publishes advanced the
+            # head batch by batch); an external racer makes the first
+            # put-if-absent collide and _publish_append's retry loop
+            # rebases the staged dir to the next free version exactly
+            # like a plain append's
+            out = self._publish_append(
+                parent, cmap, v, dirname, vdir, added_files,
+                operation, extra_meta, True)
+        return out
 
     def read_as_of(self, ts: float) -> DataFrame:
         """``TIMESTAMP AS OF`` time travel: read the newest snapshot
