@@ -715,7 +715,8 @@ class ManagedTable:
                 seg.cast(f.dataType)))
         return df
 
-    def _base_scan(self, v: int, meta: dict | None = None) -> DataFrame:
+    def _base_scan(self, v: int, meta: dict | None = None,
+                   partition_rels: set[str] | None = None) -> DataFrame:
         """Scan the BASE data of version ``v`` (pre-MOR, pre-column-
         map). Materialized commits scan their version dir (ONE hive-
         discovering relation, exactly the legacy plan); log-native
@@ -725,7 +726,21 @@ class ManagedTable:
         correlated subqueries over a union trip Catalyst's relation
         dedup). The schema (including hive-inferred partition-column
         types) comes from a driver-only listing of the chain-bottom
-        dir; partition values re-attach from each file's path."""
+        dir; partition values re-attach from each file's path.
+
+        ``partition_rels`` (r14, guide §6): optional set of
+        hive-encoded leaf partition dirs ("pt=1", "a=1/b=x" — the
+        ``touched_rel`` convention) restricting the LOG-NATIVE scan's
+        file list at the source. A multi-path scan attaches partition
+        values by path regexp, so a partition predicate can never
+        prune its files the way a hive-discovering scan's
+        PartitionFilters do — but the commit log already knows every
+        file's partition; an O(touched) DML on an append chain must
+        not enumerate O(table) files into its scan. Files without a
+        full hive path (pre-layout: value lives in the file) are
+        always kept — the caller's row filter decides. Materialized
+        commits ignore the hint (Spark's own partition pruning
+        applies there)."""
         meta = meta if meta is not None else self._commit(v)
         if meta.get("live_base") is None:
             # materialized commit: ONE hive-discovering relation over
@@ -742,6 +757,18 @@ class ManagedTable:
                 self._scan_schema(v, meta, root=meta["dir"])
             ).parquet(self._version_dir(v))
         root, files = self._chain_resolve(v)
+        if partition_rels is not None and self.partition_by:
+            pruned = {}
+            for rel, full in files.items():
+                inside = rel.split("/", 1)[1] if "/" in rel else ""
+                leaf = os.path.dirname(inside)
+                segs = {s.partition("=")[0] for s in leaf.split("/")
+                        if "=" in s}
+                if any(c not in segs for c in self.partition_by) \
+                        or leaf in partition_rels:
+                    pruned[rel] = full
+            if pruned:     # an empty prune keeps the full list: the
+                files = pruned  # caller's filter returns empty anyway
         live = sorted(files.values())
         # scan schema = chain-bottom physical schema, extended with any
         # map-assigned physical columns the root predates (added-then-
@@ -5015,6 +5042,67 @@ class ManagedTable:
         except Exception:
             return None         # predicate is not partition-only
 
+    def _partition_conjuncts(self, condition):
+        """The top-level AND conjuncts of a Column predicate that
+        reference ONLY partition columns, recomposed as one Column —
+        a sound SUPERSET filter for candidate-partition pruning (C =
+        A ∧ B implies touched(C) ⊆ candidates(A)). Returns None when
+        no conjunct qualifies or the tree is unanalyzable (r14, guide
+        §6: a general DML predicate like ``status = 'F' AND key % 7 =
+        0`` on a status-partitioned table must not probe-scan every
+        partition)."""
+        try:
+            from pyspark.sql.column import Column as _Col
+            pbset = {c.lower() for c in (self.partition_by or ())}
+            if not pbset:
+                return None
+            out = []
+            stack = [condition._jc.node()]
+            while stack:
+                n = stack.pop()
+                if n.getClass().getSimpleName() == "UnresolvedFunction" \
+                        and n.functionName() == "and":
+                    ch = n.children()
+                    for i in range(ch.size()):
+                        stack.append(ch.apply(i))
+                    continue
+                pycol = _Col(
+                    self.spark._jvm.org.apache.spark.sql.Column(n))
+                refs = self._condition_refs(pycol)
+                if refs and refs <= pbset:
+                    out.append(pycol)
+            return reduce(and_, out) if out else None
+        except Exception:
+            return None
+
+    def _read_pruned(self, v: int, meta: dict,
+                     partition_rels: set[str]) -> DataFrame:
+        """``read()`` with the log-native scan's file list restricted
+        to ``partition_rels`` (commit-log partition pruning, r14) —
+        same base-scan -> MOR-resolve -> column-map composition.
+        Pruned-base resolution is exact per ``_resolve_mor``'s
+        contract; callers still apply their own row filter."""
+        return self._apply_column_map(
+            self._resolve_mor(
+                self._base_scan(v, meta, partition_rels=partition_rels),
+                meta), meta)
+
+    def _rels_of(self, rows, pb: list) -> set[str]:
+        """Typed partition rows -> hive-encoded leaf dir rels (the
+        ``touched_rel`` convention shared with ``_link_untouched``)."""
+        return {"/".join(f"{c}={self._hive_val(r[c])}" for c in pb)
+                for r in rows}
+
+    def _conjunct_candidates(self, condition, cur: int,
+                             meta0: dict) -> list | None:
+        """Candidate partitions for a GENERAL predicate via its
+        partition-only conjuncts (metadata-side, no Spark job);
+        None = no pruning possible."""
+        pc = self._partition_conjuncts(condition)
+        if pc is None:
+            return None
+        return self._touched_partitions_local(pc, cur, meta0)
+
     def _partial_rewrite_exec(self, condition, rewrite_fn,
                               operation: str, cdc, cur: int, meta0: dict,
                               mor: bool, cmap, df: DataFrame, pb: list,
@@ -5049,9 +5137,16 @@ class ManagedTable:
                     # exact per the _resolve_mor contract;
                     # stable_partitions (required on this branch)
                     # guarantees no key's rows span partitions.
+                    # file list pruned to the candidate partitions
+                    # from the commit log (r14): the multi-path scan
+                    # cannot partition-prune by itself — see
+                    # _base_scan's partition_rels note
                     df = self._apply_column_map(
                         self._resolve_mor(
-                            self._base_scan(cur, meta0).filter(cand),
+                            self._base_scan(
+                                cur, meta0,
+                                partition_rels=self._rels_of(local, pb)
+                            ).filter(cand),
                             meta0), meta0).filter(cand)
                     # the metadata candidates ARE the touched set
                     # (r13): a partition-only predicate is constant
@@ -5071,7 +5166,19 @@ class ManagedTable:
                     touched = local
                 else:
                     if df is None:
-                        df = self.read()
+                        # candidate pruning from the predicate's
+                        # partition-only conjuncts (r14): a superset
+                        # of the touched set, resolved metadata-side
+                        cand_rows = self._conjunct_candidates(
+                            condition, cur, meta0)
+                        if cand_rows is not None:
+                            if not cand_rows:
+                                return self
+                            df = self._read_pruned(
+                                cur, meta0,
+                                self._rels_of(cand_rows, pb))
+                        else:
+                            df = self.read()
                     # the resolving snapshot backs the probe, the
                     # rewritten slice and the carry subtraction:
                     # persist ONCE
@@ -5080,16 +5187,28 @@ class ManagedTable:
                         .distinct().collect()
             else:
                 if df is None:
-                    df = self.read()
+                    cand_rows = self._conjunct_candidates(
+                        condition, cur, meta0)
+                    if cand_rows is not None:
+                        if not cand_rows:
+                            return self
+                        df = self._read_pruned(
+                            cur, meta0, self._rels_of(cand_rows, pb))
+                    else:
+                        df = self.read()
                 touched = df.filter(condition).select(*pb).distinct() \
                     .collect()
             if not touched:
                 return self
             if df is None:
                 # metadata-probe path: the rewrite itself still reads
-                # the table — but only the touched slice (filter(member)
-                # below; partition-pruned on materialized hive scans)
-                df = self.read()
+                # the table — but only the touched slice: the file
+                # list prunes to the touched partitions from the
+                # commit log (r14; materialized hive scans prune via
+                # PartitionFilters either way) and filter(member)
+                # below keeps the row-level guarantee
+                df = self._read_pruned(
+                    cur, meta0, self._rels_of(touched, pb))
             return self._partial_rewrite_commit(
                 condition, rewrite_fn, operation, cdc, cur, meta0, mor,
                 cmap, df, pb, snapshot, touched)

@@ -137,6 +137,47 @@ def test_append_many_matches_sequential_appends(spark, tmp_base):
     assert sorted(map(tuple, fa)) == sorted(map(tuple, fb))
 
 
+def test_commit_log_partition_pruning(spark, tmp_base):
+    """Log-native scans must prune their FILE LIST to the requested
+    partitions (the multi-path scan can't partition-prune by itself),
+    and the partition-only conjuncts of a mixed predicate must narrow
+    the probe's candidates metadata-side — with identical DML
+    results."""
+    src = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), F.col("id") % 3).alias("p"),
+        (F.col("id") * 1.0).alias("v"))
+    t = ManagedTable(spark, os.path.join(tmp_base, "t"),
+                     partition_by=("p",))
+    t.overwrite(src.filter(F.col("k") % 2 == 0))
+    t.append(src.filter(F.col("k") % 2 == 1))     # log-native chain
+    cur = t.current_version()
+    meta = t._commit(cur)
+    pruned = t._base_scan(cur, meta, partition_rels={"p=p1"})
+    files = {r[0] for r in pruned.select("_metadata.file_path")
+             .distinct().collect()}
+    assert files and all("/p=p1/" in f for f in files)
+    full = {r[0] for r in t._base_scan(cur, meta)
+            .select("_metadata.file_path").distinct().collect()}
+    assert len(files) < len(full)
+    # pruned scan == full scan restricted to the partition
+    assert sorted(map(tuple, pruned.drop("p").collect())) == sorted(
+        map(tuple, t._base_scan(cur, meta).filter(F.col("p") == "p1")
+            .drop("p").collect()))
+    # conjunct candidates: partition-only conjunct of a mixed predicate
+    cond = (F.col("p") == "p1") & (F.col("k") % 7 == 0)
+    cand = t._conjunct_candidates(cond, cur, meta)
+    assert cand is not None and [r["p"] for r in cand] == ["p1"]
+    # and the DML through it matches the brute-force expectation
+    t.update(cond, {"v": F.col("v") + 1000})
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    want = sorted((k, k * 1.0 + (1000 if (k % 3 == 1 and k % 7 == 0)
+                                 else 0)) for k in range(300))
+    assert got == want
+    head = t._commit(t.current_version())
+    assert head.get("partitions_rewritten") == ["p=p1"]
+
+
 def test_append_many_empty_and_bootstrap(spark, tmp_base):
     t = ManagedTable(spark, os.path.join(tmp_base, "t"))
     assert t.append_many([]) is t
