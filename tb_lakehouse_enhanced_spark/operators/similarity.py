@@ -41,6 +41,28 @@ def _matrix(col: pd.Series) -> np.ndarray:
     return m / norms
 
 
+def _mat_from_arrow(col) -> np.ndarray:
+    """``_matrix`` from an Arrow list<float> column (r14, guide §4.2):
+    the list column is one contiguous values buffer plus offsets, so
+    the (n, dim) matrix is a flatten+reshape — no pandas object-Series
+    of per-row arrays. float32 -> float64 widening is exact, and the
+    normalization is the same float64 arithmetic, so downstream sims
+    are bit-identical to the pandas path's."""
+    import pyarrow as pa
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+    if len(lens) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if (lens != lens[0]).any():
+        raise ValueError("ragged embedding vectors")
+    flat = arr.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    m = flat.reshape(len(lens), int(lens[0]))
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
 def _train_sample_rows(df: DataFrame, vec_col: str, n: int) -> list:
     """Deterministic, partitioning-invariant uniform draw of ``n``
     vectors for quantizer training: bottom-``n`` by
@@ -325,21 +347,40 @@ def embedding_near_dup_lsh(corpus: DataFrame, threshold: float = 0.4,
     all_planes = [_planes(dim, n_planes, seed=42 + r)
                   for r in range(n_rotations)]
 
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = _matrix(pdf[vec_col])
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            frames = []
-            for r, pl in enumerate(all_planes):
-                frames.append(pd.DataFrame({
-                    "vid": ids, "vec": pdf[vec_col],
-                    "rot": np.full(len(ids), r, dtype=np.int32),
-                    "bucket": _buckets(m, pl)}))
-            yield pd.concat(frames, ignore_index=True)
+    # Arrow-native kernels (r14, guide §4.2): the pandas exchange on
+    # this path converted the vector column to an object Series of
+    # per-row numpy arrays on every batch — pure serialization tax.
+    # mapInArrow/applyInArrow hand the list<float> column over as one
+    # contiguous values buffer + offsets; _mat_from_arrow reshapes it
+    # straight into the SAME float64-normalized matrix _matrix()
+    # builds (float32 -> float64 widening is exact), so sims/pairs are
+    # bit-identical to the pandas path (_mat_from_arrow ≡ _matrix is
+    # pinned by tests/test_opt_r14.py; the end result stays pinned by
+    # the dedup_embedding value-hash oracle).
+    import pyarrow as pa
 
-    b = corpus.mapInPandas(
+    def bucketize(batches: Iterator[pa.RecordBatch]
+                  ) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).cast(pa.int64())
+            vec = batch.column(1)
+            m = _mat_from_arrow(vec)
+            for r, pl in enumerate(all_planes):
+                # ids/vec re-emitted per rotation are zero-copy slices
+                # of the input batch — only rot/bucket are new buffers
+                yield pa.RecordBatch.from_arrays(
+                    [ids, vec,
+                     pa.array(np.full(batch.num_rows, r,
+                                      dtype=np.int32)),
+                     pa.array(_buckets(m, pl))],
+                    names=["vid", "vec", "rot", "bucket"])
+
+    # pass ONLY the two columns the kernel needs (§4.1: opaque
+    # functions defeat column pruning — an explicit select is the
+    # insurance)
+    b = corpus.select(id_col, vec_col).mapInArrow(
         bucketize, "vid long, vec array<float>, rot int, bucket long")
 
     # Candidate generation + exact verify fused into ONE grouped kernel:
@@ -350,14 +391,20 @@ def embedding_near_dup_lsh(corpus: DataFrame, threshold: float = 0.4,
     # candidate pair's two vectors through the shuffle — measured 10x
     # slower at sf0.1. The grouped form moves each vector across the
     # wire once per rotation and crosses Python once more, total.)
-    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64")})
-        if len(pdf) < 2:
+    # NOTE: deliberately un-annotated — pyspark 4.1's applyInArrow has
+    # an UnboundLocalError when type-hint inference raises on a
+    # partially annotated function; the no-hints default is the
+    # (key, pa.Table) -> pa.Table eval type this function implements
+    def bucket_pairs(key, table):
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        if table.num_rows < 2:
             return empty
-        rot = int(key[0])
-        ids = pdf["vid"].to_numpy(dtype=np.int64)
-        m = _matrix(pdf["vec"])          # raw floats -> float64 normalize,
+        k0 = key[0]
+        rot = int(k0.as_py() if hasattr(k0, "as_py") else k0)
+        ids = table.column("vid").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _mat_from_arrow(table.column("vec"))  # float64 normalize,
         sims = m @ m.T                   # same arithmetic as the oracle
         ii, jj = np.nonzero((sims >= threshold)
                             & (ids[:, None] < ids[None, :]))
@@ -375,7 +422,8 @@ def embedding_near_dup_lsh(corpus: DataFrame, threshold: float = 0.4,
             ii, jj = ii[keep], jj[keep]
         if not len(ii):
             return empty
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        return pa.table({"id_a": pa.array(ids[ii]),
+                         "id_b": pa.array(ids[jj])})
 
     # explicit partition count for the grouping shuffle: the verify
     # kernel is Python CPU (per-bucket matmuls), which AQE's BYTE-based
@@ -392,7 +440,7 @@ def embedding_near_dup_lsh(corpus: DataFrame, threshold: float = 0.4,
                  b.sparkSession.sparkContext.defaultParallelism)
     return (b.repartition(n_part, "rot", "bucket")
             .groupBy("rot", "bucket")
-            .applyInPandas(bucket_pairs, "id_a long, id_b long"))
+            .applyInArrow(bucket_pairs, "id_a long, id_b long"))
 
 
 def ivf_assign(corpus: DataFrame, centroids: np.ndarray,

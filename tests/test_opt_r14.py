@@ -178,6 +178,39 @@ def test_commit_log_partition_pruning(spark, tmp_base):
     assert head.get("partitions_rewritten") == ["p=p1"]
 
 
+def test_mat_from_arrow_matches_matrix(spark):
+    """The Arrow-native matrix builder must be bit-identical to the
+    pandas one (same float32 -> float64 widening, same normalization)
+    — the LSH buckets and cosine sims downstream then cannot differ."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from tb_lakehouse_enhanced_spark.operators.similarity import (
+        _mat_from_arrow, _matrix,
+    )
+    rng = [[(i * 37 + j * 11) % 97 / 17.0 - 2.5 for j in range(8)]
+           for i in range(50)]
+    rng[3] = [0.0] * 8          # zero vector: norm guard path
+    f32 = [np.asarray(v, dtype=np.float32) for v in rng]
+    via_pd = _matrix(pd.Series(f32))
+    via_pa = _mat_from_arrow(
+        pa.array([v.tolist() for v in f32],
+                 type=pa.list_(pa.float32())))
+    assert via_pd.dtype == via_pa.dtype == np.float64
+    assert (via_pd == via_pa).all()     # bit-identical, not allclose
+    # chunked + sliced inputs hit the offsets-handling path
+    chunked = pa.chunked_array([
+        pa.array([v.tolist() for v in f32[:20]],
+                 type=pa.list_(pa.float32())),
+        pa.array([v.tolist() for v in f32[20:]],
+                 type=pa.list_(pa.float32()))])
+    assert (_mat_from_arrow(chunked) == via_pd).all()
+    sliced = pa.array([v.tolist() for v in f32],
+                      type=pa.list_(pa.float32())).slice(10, 25)
+    assert (_mat_from_arrow(sliced) == via_pd[10:35]).all()
+
+
 def test_append_many_empty_and_bootstrap(spark, tmp_base):
     t = ManagedTable(spark, os.path.join(tmp_base, "t"))
     assert t.append_many([]) is t
